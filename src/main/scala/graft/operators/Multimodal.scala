@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (BASELINE.json extension): media payloads are
+  * opaque `binary` columns with a typed metadata struct; decode/feature
+  * extraction runs batched per partition so a real decoder (image/audio
+  * libs) can amortize setup per task, not per row.
+  *
+  * The container has no media codecs, so the actual decode is STUBBED: it
+  * is isolated behind [[MediaDecoder]], and the default implementation is a
+  * deterministic fake deriving "features" from the payload bytes. The
+  * Spark-side plumbing — schema, partition-batched iteration, feature
+  * schema — is real and tested; swapping in a true decoder is a one-object
+  * change.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String,
+                      meta_lang: String, meta_chars: Long)
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
+                           height: Int, n_frames: Int, checksum: Long)
+
+  /** Decoder contract: one call per payload, invoked partition-batched. */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Int) // width, height, frames
+  }
+
+  /** STUB decoder — deterministic fake in lieu of real codecs (none in
+    * this container). A production decoder would replace this object;
+    * `decodeReal` documents the intended entry point. */
+  object StubDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      val n = payload.length
+      (n % 640 + 1, n % 480 + 1, n % 30 + 1)
+    }
+    /** Real decode path — requires image/audio codecs, absent here. */
+    def decodeReal(payload: Array[Byte]): (Int, Int, Int) = ???
+  }
+
+  /** Wrap a text table as a media table: payload = utf-8 bytes, metadata
+    * struct carried alongside (fixtures have no true binary column). */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      encode(col("text"), "utf-8").as("payload"),
+      lit("text/plain").as("media_type"),
+      struct(col("lang").as("lang"), col("n_chars").as("chars")).as("meta"))
+
+  /** Partition-batched feature extraction: the decoder is instantiated
+    * once per partition (mapPartitions), rows stream through it — the
+    * Scala analog of `mapInPandas` batch shape. */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("media_type"),
+        col("meta.lang").as("meta_lang"), col("meta.chars").as("meta_chars"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition setup happens here (codec init in a real decoder)
+        val crc = new java.util.zip.CRC32()
+        rows.map { r =>
+          val (w, h, f) = decoder.decode(r.payload)
+          crc.reset(); crc.update(r.payload)
+          MediaFeatures(r.doc_id, r.payload.length.toLong, w, h, f, crc.getValue)
+        }
+      }
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Similarity search over an embedding column (SURVEY §2.4 X3).
+  *
+  * Two tiers:
+  *  - brute force: query-set × corpus join with exact cosine — the small
+  *    query set is broadcast, so the corpus is scanned once with no
+  *    shuffle; per-query top-k via a ranking window partitioned by query.
+  *  - IVF: corpus is pre-assigned to its nearest centroid (one pass),
+  *    queries probe only the `nprobe` nearest centroid buckets. At 100 TB
+  *    the assignment is computed once and persisted/bucketed by
+  *    `centroid_id`, so a query touches nprobe/numCentroids of the data.
+  *
+  * Embedding-cosine near-dup (all pairs above a threshold) reuses the
+  * brute-force join shape with the corpus on both sides.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector (excluding self-matches).
+    * Deterministic: ties broken by ascending neighbor id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("similarity", Vectors.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("similarity").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
+  }
+
+  /** All corpus pairs with cosine >= threshold (embedding near-dup).
+    * O(n²/2) scoring; the scale path is [[ivfTopK]]-style bucketing. */
+  def cosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("similarity", Vectors.cosine(col("v1"), col("v2")))
+      .filter(col("similarity") >= threshold)
+      .select(col("id1"), col("id2"),
+        graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
+  }
+
+  /** IVF-ish approximate top-k: assign corpus vectors to their nearest
+    * centroid, probe the `nprobe` centroids nearest each query, brute-force
+    * only inside the probed buckets. Centroids are passed in as a (small)
+    * DataFrame and broadcast everywhere.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cent = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    val corp = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // one-pass assignment: nearest centroid per corpus vector
+    val wAssign = Window.partitionBy(col("neighbor_id"))
+      .orderBy(Vectors.cosine(col("cv"), col("centv")).desc, col("centroid_id"))
+    val assigned = corp.join(broadcast(cent), lit(true))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("neighbor_id"), col("cv"), col("centroid_id"))
+    // per-query probe list: nprobe nearest centroids
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(Vectors.cosine(col("qv"), col("centv")).desc, col("centroid_id"))
+    val probes = q.join(broadcast(cent), lit(true))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    // brute force inside probed buckets only
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("similarity").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("similarity", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Num, Text}
+
+/** Text analysis suite for training-data pipelines (BASELINE.json
+  * extensions; SURVEY §2.4 X4): language ID, quality scoring, token
+  * counting, all as per-row codegen'd projections — zero shuffles, so the
+  * operators scale embarrassingly with input splits.
+  */
+object TextAnalysis {
+
+  /** Small stopword dictionaries for the n-gram/stopword-vote language
+    * heuristic. Deliberately tiny and deterministic — this is the
+    * SQL-oracle-checkable heuristic, not a learned model. */
+  val LangDicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Language ID: per-lang stopword hit counts; argmax with the dict order
+    * as tie-break (first listed wins). Unmatched docs fall back to "und".
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val scored = LangDicts.map { case (l, ws) => (l, hits(toks, ws)) }
+    // argmax by (count, reverse priority): fold keeps strictly-greater
+    val best = scored.tail.foldLeft(
+      (lit(LangDicts.head._1), scored.head._2)) {
+      case ((bl, bc), (l, c)) => (when(c > bc, lit(l)).otherwise(bl),
+        when(c > bc, c).otherwise(bc))
+    }
+    docs.select(col(idCol).as("doc_id"), col("lang").as("labeled_lang"),
+      when(best._2 > 0, best._1).otherwise(lit("und")).as("predicted_lang"))
+      .withColumn("agree", (col("predicted_lang") === col("labeled_lang")).cast("int"))
+  }
+
+  /** Quality scoring: length/punctuation/stopword ratios combined into a
+    * bounded [0,1] score. All components are deterministic integer or
+    * rational arithmetic rounded at 4. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = trim(col(textCol))
+    val toks = Text.tokens(col(textCol))
+    val nChars = length(t)
+    val nTokens = size(toks)
+    val nAlnumSpace = length(regexp_replace(lower(t), "[^a-z0-9 ]", ""))
+    val punctRatio = (nChars - nAlnumSpace).cast("double") / nChars.cast("double")
+    val stopRatio = hits(toks, LangDicts.flatMap(_._2)).cast("double") /
+      nTokens.cast("double")
+    val avgTokLen = (length(regexp_replace(t, "\\s+", "")).cast("double") /
+      nTokens.cast("double"))
+    val lengthOk = (nChars >= 100 && nChars <= 20000).cast("int")
+    val score =
+      lit(0.4) * lengthOk +
+      lit(0.3) * greatest(lit(0.0), lit(1.0) - punctRatio * 5) +
+      lit(0.3) * least(lit(1.0), stopRatio * 5)
+    docs.select(col(idCol).as("doc_id"),
+      nChars.as("n_chars"), nTokens.as("n_tokens"),
+      Num.fpRound(punctRatio, 4).as("punct_ratio"),
+      Num.fpRound(stopRatio, 4).as("stopword_ratio"),
+      Num.fpRound(avgTokLen, 4).as("avg_token_len"),
+      Num.fpRound(score, 4).as("quality_score"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex tokenization
+    * (alnum runs and single non-alnum marks, the pre-tokenizer shape used
+    * by byte-pair encoders). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lowered = lower(trim(col(textCol)))
+    docs.select(col(idCol).as("doc_id"),
+      size(Text.tokens(col(textCol))).as("ws_tokens"),
+      size(regexp_extract_all(lowered, lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .as("bpe_tokens"),
+      length(trim(col(textCol))).as("n_chars"))
+  }
+
+  /** Corpus-level stats per language (SURVEY §2.4 X4): doc counts, exact
+    * char totals, mean token counts. */
+  def statsByLang(docs: DataFrame, textCol: String): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        Num.fpRound(sum(size(Text.tokens(col(textCol)))).cast("double") /
+          count(lit(1)), 4).as("avg_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+}

@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Num
+import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+
+/** Extension + capability-proof query inventory (SURVEY §2.4 X1-X6 plus the
+  * LLM-training-data operators: dedup family, similarity search, text
+  * analysis, multimodal plumbing). DuckDB oracles are provided for every
+  * SQL-expressible operator; x7 (SimHash) is xxhash64-based and has no
+  * DuckDB equivalent, so it takes the driver's rows-only check.
+  */
+object ExtensionQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** DuckDB cosine over float lists, double math, array accumulation order
+    * — the mirror of graft.functions.Vectors.cosine. */
+  private def duckCos(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1, 64),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(generate_series(1, 64),
+             i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, 64),
+             i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))"""
+
+  /** DuckDB distinct 3-token shingles of documents (mirror of
+    * Text.shingleSet(_, 3)). */
+  private val duckShingles =
+    """toks AS (SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i))"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X1 — exact dedup on normalized-text digest: one shuffle of
+    // (hash, id) pairs only.
+    "x1_exact_dedup" -> ((s, dir) =>
+      TextDedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
+
+    // X2 — MinHash+LSH near-dup (scale path): banded signatures ->
+    // candidates -> exact-verify >= 0.8.
+    "x2_minhash_lsh" -> ((s, dir) =>
+      TextDedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.8)),
+
+    // X3 — brute-force top-k cosine neighbors (broadcast query set).
+    "x3_topk_similarity" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5)
+    }),
+
+    // X4 — corpus text stats per language.
+    "x4_text_stats" -> ((s, dir) =>
+      TextAnalysis.statsByLang(t(s, dir, "documents"), "text")),
+
+    // X5 — TPC-H Q1-style pricing summary: map-side partial hash agg into
+    // a 32-way shuffle of 4-row partials.
+    "x5_tpch_q1" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("timestamp") <=
+          lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Num.dsum(col("l_quantity")).as("sum_qty"),
+          Num.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Num.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          Num.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).as("sum_charge"),
+          Num.davg(col("l_quantity"), 4).as("avg_qty"),
+          Num.davg(col("l_extendedprice"), 4).as("avg_price"),
+          Num.davg(col("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // X6 — star join rollup: dims broadcast, fact never re-shuffled until
+    // the final 2-key aggregate.
+    "x6_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          Num.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // x7 — SimHash near-dup: 64-bit fingerprints, exact hamming<=3
+    // retrieval via 4x16-bit pigeonhole. xxhash64-based => rows-only check.
+    "x7_simhash_dedup" -> ((s, dir) =>
+      TextDedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("hamming", col("hamming").cast("long"))),
+
+    // x8 — exact n-gram Jaccard near-dup via inverted shingle index
+    // (shuffles (shingle,id), never O(n^2) documents).
+    "x8_ngram_jaccard" -> ((s, dir) =>
+      TextDedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.5)),
+
+    // x9 — embedding-cosine near-dup pairs above threshold.
+    "x9_embedding_neardup" -> ((s, dir) =>
+      Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45)),
+
+    // x10 — IVF-bucketed approximate nearest neighbors (deterministic
+    // centroids = first 16 vectors; nprobe=2, k=3).
+    "x10_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e,
+        e.filter(col("vec_id") < 16), "vec_id", "embedding",
+        k = 3, nprobe = 2)
+    }),
+
+    // x11 — language ID: stopword-vote heuristic, first-dict-wins ties.
+    "x11_langid" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")),
+
+    // x12 — quality scoring: length/punct/stopword components.
+    "x12_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
+
+    // x13 — token counting: whitespace + BPE-ish pre-tokenizer regex.
+    "x13_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
+
+    // x14 — winnowing-style fingerprint: 4 smallest shingle digests.
+    "x14_fingerprint" -> ((s, dir) =>
+      TextDedup.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+
+    // x15 — multimodal plumbing: binary payload + metadata struct through
+    // the partition-batched (stub) decoder; checksum dropped from the
+    // oracle surface (no CRC32 in DuckDB).
+    "x15_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.asMediaTable(t(s, dir, "documents")))
+        .toDF()
+        .select("doc_id", "n_bytes", "width", "height", "n_frames"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x1_exact_dedup" ->
+      """SELECT sha256(lower(trim(text))) AS text_hash,
+         min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+    "x2_minhash_lsh" ->
+      s"""WITH $duckShingles,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT d1 AS doc1, d2 AS doc2,
+           floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0 AS jaccard
+         FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0 >= 0.8""",
+    "x3_topk_similarity" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT query_id, vec_id AS neighbor_id,
+             ${duckCos("qv", "embedding")} AS sim
+           FROM embeddings, q WHERE vec_id <> query_id)
+         SELECT query_id, neighbor_id,
+           CAST(row_number() OVER w AS BIGINT) AS rank,
+           floor(sim * 1000000 + 0.5) / 1000000.0 AS similarity
+         FROM scored
+         WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         QUALIFY row_number() OVER w <= 5""",
+    "x4_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         floor(CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+')))
+           AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0 AS avg_tokens,
+         min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY 1""",
+    "x5_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+           AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+           AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+         floor(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+           / count(*) * 10000 + 0.5) / 10000.0 AS avg_qty,
+         floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+           / count(*) * 10000 + 0.5) / 10000.0 AS avg_price,
+         floor(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+           / count(*) * 10000 + 0.5) / 10000.0 AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1, 2""",
+    "x6_star_join" ->
+      """SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+           AS DOUBLE) AS revenue,
+         count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY 1, 2""",
+    // x7_simhash_dedup: intentionally no oracle (xxhash64-based).
+    "x8_ngram_jaccard" ->
+      s"""WITH $duckShingles,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT d1 AS doc1, d2 AS doc2,
+           floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0 AS jaccard
+         FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0 >= 0.5""",
+    "x9_embedding_neardup" ->
+      s"""WITH pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ${duckCos("a.embedding", "b.embedding")} AS sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         SELECT id1, id2, floor(sim * 1000000 + 0.5) / 1000000.0 AS similarity
+         FROM pairs WHERE sim >= 0.45""",
+    "x10_ann_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+           FROM embeddings WHERE vec_id < 16),
+         corp AS (SELECT vec_id AS neighbor_id, embedding AS cv
+           FROM embeddings),
+         assigned AS (SELECT neighbor_id, cv, centroid_id FROM (
+           SELECT neighbor_id, cv, centroid_id, row_number() OVER
+             (PARTITION BY neighbor_id
+              ORDER BY ${duckCos("cv", "centv")} DESC, centroid_id) AS arn
+           FROM corp, cent) WHERE arn = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 10),
+         probes AS (SELECT query_id, qv, centroid_id FROM (
+           SELECT query_id, qv, centroid_id, row_number() OVER
+             (PARTITION BY query_id
+              ORDER BY ${duckCos("qv", "centv")} DESC, centroid_id) AS prn
+           FROM q, cent) WHERE prn <= 2),
+         scored AS (SELECT query_id, neighbor_id,
+             ${duckCos("qv", "cv")} AS sim
+           FROM assigned JOIN probes USING (centroid_id)
+           WHERE query_id <> neighbor_id)
+         SELECT query_id, neighbor_id,
+           CAST(row_number() OVER w AS BIGINT) AS rank,
+           floor(sim * 1000000 + 0.5) / 1000000.0 AS similarity
+         FROM scored
+         WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         QUALIFY row_number() OVER w <= 3""",
+    "x11_langid" ->
+      """WITH h AS (SELECT doc_id, lang AS labeled_lang,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x IN ('the','a','of','and','to','in','is'))) AS h_en,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x IN ('der','die','das','und','ist','ein','zu'))) AS h_de,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x IN ('el','la','de','que','y','en','un'))) AS h_es,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x IN ('le','la','et','les','des','un','une'))) AS h_fr,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x IN ('的','是','了','在','和','有','我'))) AS h_zh
+         FROM documents)
+         SELECT doc_id, labeled_lang,
+           CASE WHEN greatest(h_en, h_de, h_es, h_fr, h_zh) = 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'en'
+                WHEN h_de = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'de'
+                WHEN h_es = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'es'
+                WHEN h_fr = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'fr'
+                ELSE 'zh' END AS predicted_lang,
+           CAST(CASE WHEN (CASE WHEN greatest(h_en,h_de,h_es,h_fr,h_zh) = 0
+                  THEN 'und'
+                WHEN h_en = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'en'
+                WHEN h_de = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'de'
+                WHEN h_es = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'es'
+                WHEN h_fr = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'fr'
+                ELSE 'zh' END) = labeled_lang THEN 1 ELSE 0 END AS INTEGER)
+             AS agree
+         FROM h""",
+    "x12_quality_score" ->
+      """SELECT doc_id,
+         CAST(length(trim(text)) AS INTEGER) AS n_chars,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER)
+           AS n_tokens,
+         floor((length(trim(text)) - length(regexp_replace(lower(trim(text)),
+             '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(trim(text))
+           * 10000 + 0.5) / 10000.0 AS punct_ratio,
+         floor(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x IN ('the','a','of','and','to','in','is',
+                        'der','die','das','und','ist','ein','zu',
+                        'el','la','de','que','y','en','un',
+                        'le','et','les','des','une',
+                        '的','是','了','在','和','有','我'))) * 1.0
+           / len(string_split_regex(lower(trim(text)), '\s+'))
+           * 10000 + 0.5) / 10000.0 AS stopword_ratio,
+         floor(length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
+           / len(string_split_regex(lower(trim(text)), '\s+'))
+           * 10000 + 0.5) / 10000.0 AS avg_token_len,
+         floor((0.4 * (CASE WHEN length(trim(text)) >= 100
+               AND length(trim(text)) <= 20000 THEN 1 ELSE 0 END)
+           + 0.3 * greatest(0.0, 1.0 -
+               ((length(trim(text)) - length(regexp_replace(
+                 lower(trim(text)), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                / length(trim(text))) * 5)
+           + 0.3 * least(1.0,
+               (len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is',
+                            'der','die','das','und','ist','ein','zu',
+                            'el','la','de','que','y','en','un',
+                            'le','et','les','des','une',
+                            '的','是','了','在','和','有','我'))) * 1.0
+                / len(string_split_regex(lower(trim(text)), '\s+'))) * 5))
+           * 10000 + 0.5) / 10000.0 AS quality_score
+         FROM documents""",
+    "x13_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER)
+           AS ws_tokens,
+         CAST(len(regexp_extract_all(lower(trim(text)),
+           '[a-z0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+         CAST(length(trim(text)) AS INTEGER) AS n_chars
+         FROM documents""",
+    "x14_fingerprint" ->
+      s"""WITH $duckShingles,
+         d AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh),
+         ranked AS (SELECT doc_id, h, row_number() OVER
+           (PARTITION BY doc_id ORDER BY h) AS rn FROM d)
+         SELECT doc_id, string_agg(h, '|' ORDER BY h) AS fingerprint
+         FROM ranked WHERE rn <= 4 GROUP BY doc_id""",
+    "x15_multimodal_features" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+         CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+         CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+         FROM documents"""
+  )
+}

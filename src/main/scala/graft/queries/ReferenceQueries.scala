@@ -34,7 +34,7 @@ object ReferenceQueries {
           col("o_orderdate").isNotNull && col("l_shipdate").isNotNull &&
           lower(col("o_orderpriority")).like("%urgent%"))
         .select(col("o_orderkey"), col("l_linenumber"),
-          round((unix_millis(col("l_shipdate").cast("timestamp")) -
+          Num.fpRound((unix_millis(col("l_shipdate").cast("timestamp")) -
             unix_millis(col("o_orderdate").cast("timestamp"))) / lit(8.64e7), 4)
             .as("duration_days"))
     }),
@@ -147,8 +147,8 @@ object ReferenceQueries {
   val oracleSql: Map[String, String] = Map(
     "q1_task_durations" ->
       """SELECT o_orderkey, l_linenumber,
-         round((epoch_ms(l_shipdate) - epoch_ms(o_orderdate)) / 86400000.0, 4)
-           AS duration_days
+         floor((epoch_ms(l_shipdate) - epoch_ms(o_orderdate)) / 86400000.0
+           * 10000 + 0.5) / 10000.0 AS duration_days
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderstatus = 'F' AND o_orderdate IS NOT NULL
            AND l_shipdate IS NOT NULL
