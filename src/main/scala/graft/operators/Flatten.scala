@@ -31,11 +31,13 @@ object Flatten {
           else walk(name, path.getField(f.name), f.dataType)
         }
       case ArrayType(et, _) =>
+        // try_element_at: index past the list end yields null (ANSI-safe),
+        // matching the reference's index-suffixed flatten of short lists
         (0 until maxListIndex).flatMap { i =>
           val name = s"$prefix$sep$i"
           et match {
-            case st: StructType => walk(name, element_at(path, i + 1), st)
-            case _ => Seq(element_at(path, i + 1).as(name))
+            case st: StructType => walk(name, try_element_at(path, lit(i + 1)), st)
+            case _ => Seq(try_element_at(path, lit(i + 1)).as(name))
           }
         }
       case _ => Seq(path.as(prefix))

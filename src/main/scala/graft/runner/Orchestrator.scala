@@ -1,0 +1,77 @@
+package graft.runner
+
+import java.nio.file.Path
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Watermark
+import graft.state.Bookmarks
+
+/** Orchestration layer (SURVEY §2.1 O1/O2/W3, §7.1 step 8): the analog of
+  * `scheduler.py`'s sequential pipeline loop, collapsed into one driver
+  * process — extract → transform → sink per stream, state merged and
+  * persisted only after every sink write succeeded, then the model layer
+  * refresh, then sleep.
+  */
+object Orchestrator {
+
+  /** One incremental stream job. `extract` receives the stream's current
+    * bookmark (None on first run); `sink` must be idempotent (upsert). */
+  final case class StreamJob(
+      name: String,
+      tsCol: String,
+      extract: (SparkSession, Option[String]) => DataFrame,
+      sink: DataFrame => Unit,
+      /** W3: most streams advance to run start; analytics to max seen. */
+      advanceToMaxSeen: Boolean = false)
+
+  final case class Pipeline(system: String, jobs: Seq[StreamJob])
+
+  /** Run every job of every pipeline once; returns the advanced state.
+    * Jobs inside a pipeline are independent Spark actions (the reference
+    * runs streams concurrently on one event loop, C3) — here they run
+    * sequentially for deterministic tests; a par collection or Futures
+    * would parallelize without changing semantics. */
+  def runOnce(spark: SparkSession, pipelines: Seq[Pipeline],
+              state: Bookmarks): Bookmarks = {
+    val runStart = Timestamp.from(Instant.now())
+    val updates = for {
+      p <- pipelines
+      job <- p.jobs
+    } yield {
+      val key = s"${p.system}.${job.name}"
+      val bookmark = state.get(key)
+      val batch = job.extract(spark, bookmark)
+      job.sink(batch)
+      val next =
+        if (job.advanceToMaxSeen)
+          Watermark.advanceToMaxSeen(batch, job.tsCol)
+            .map(_.toInstant.toString)
+            .orElse(bookmark)
+            .getOrElse(runStart.toInstant.toString)
+        else runStart.toInstant.toString
+      key -> next
+    }
+    state.merged(updates.toMap)
+  }
+
+  /** The interval loop (`PIPELINE_INTERVAL_SECONDS` semantics): run, persist
+    * state, sleep, repeat. `rounds` bounds the loop for tests; pass
+    * Int.MaxValue for a daemon. */
+  def loop(spark: SparkSession, pipelines: Seq[Pipeline], statePath: Path,
+           intervalMillis: Long, rounds: Int,
+           afterEachRound: SparkSession => Unit = _ => ()): Bookmarks = {
+    var state = Bookmarks.load(statePath)
+    var i = 0
+    while (i < rounds) {
+      state = runOnce(spark, pipelines, state)
+      Bookmarks.save(state, statePath) // only after all sinks succeeded
+      afterEachRound(spark)
+      i += 1
+      if (i < rounds && intervalMillis > 0) Thread.sleep(intervalMillis)
+    }
+    state
+  }
+}

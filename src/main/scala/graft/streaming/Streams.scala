@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming layer (SURVEY §2.1 W1-W3 in stream form).
+  *
+  * The reference's incremental model is a 300-second polling loop with a
+  * bookmark; its true streaming analog is a `readStream` source with an
+  * event-time watermark. Two canonical stateful shapes are provided:
+  * windowed aggregation (the analytics rollup, S5) and gap-based
+  * sessionization via `flatMapGroupsWithState` (the stateful shape the
+  * polling loop can't express). Both are tested with file sources + memory
+  * sinks (batch-equivalent semantics checked against ReferenceQueries).
+  */
+object Streams {
+
+  /** Windowed event rollup with late-data policy: counts + sums per
+    * (window, event_type), dropping events later than `lateness`. */
+  def windowedRollup(events: DataFrame, tsCol: String, lateness: String,
+                     windowLen: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long)
+
+  /** Gap-based sessionization with processing-time timeout: a session
+    * closes when no event arrives within `gapMs`. The streaming twin of
+    * ReferenceQueries q13_sessionize. */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long)
+                (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

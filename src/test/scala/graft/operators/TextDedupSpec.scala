@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three near-identical docs (1,2,4), one unrelated (3), one exact dup of 1 (5)
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    (3L, "one two three four five six seven eight nine ten"),
+    (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu"),
+    (5L, "ALPHA beta gamma delta epsilon zeta eta theta iota kappa")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses case/whitespace-normalized duplicates (X1)") {
+    val out = TextDedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(out.length == 4) // 1 and 5 share a hash
+    val dupGroup = out.find(_.getAs[Long]("n_dups") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("jaccardPairs finds near-dups via inverted index (x8)") {
+    val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L))) // identical after normalization (j=1.0)
+    assert(pairs.contains((1L, 2L))) // one-token difference
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
+  }
+
+  test("minhashLshPairs recalls the high-jaccard pairs exactly (X2)") {
+    val lsh = TextDedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // LSH candidates are exact-verified, so surviving pairs must equal the
+    // exhaustive result on this tiny corpus (miss prob ~1e-9 at j>=0.5)
+    assert(lsh.toSet == exact.toSet)
+    assert(lsh.exists(p => p._1 == 1L && p._2 == 5L && p._3 == 1.0))
+  }
+
+  test("simhashPairs finds hamming<=3 pairs; identical docs at distance 0 (x7)") {
+    val out = TextDedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming")))
+    assert(out.exists(p => p._1 == 1L && p._2 == 5L && p._3 == 0))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("fingerprints are equal for normalized-identical docs (x14)") {
+    val fp = TextDedup.fingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(5L))
+    assert(fp(1L) != fp(3L))
+    assert(fp(1L).split('|').length == 4) // 4 joined digests
+  }
+}

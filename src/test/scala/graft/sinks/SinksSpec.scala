@@ -1,0 +1,45 @@
+package graft.sinks
+
+import graft.SparkSpec
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsertSql emits ON CONFLICT DO UPDATE excluding key columns (K1)") {
+    val sql = Sinks.upsertSql("wrike.tasks", "wrike_tasks_staging",
+      Seq("id", "title", "status"), Seq("id"))
+    assert(sql ==
+      """INSERT INTO "wrike"."tasks" ("id", "title", "status") """ +
+      """SELECT "id", "title", "status" FROM "wrike_tasks_staging" """ +
+      """ON CONFLICT ("id") DO UPDATE SET "title" = EXCLUDED."title", """ +
+      """"status" = EXCLUDED."status"""")
+  }
+
+  test("upsertSql with only key columns degrades to DO NOTHING") {
+    val sql = Sinks.upsertSql("t", "s", Seq("id"), Seq("id"))
+    assert(sql.endsWith("""ON CONFLICT ("id") DO NOTHING"""))
+  }
+
+  test("ddlFor maps Spark types to Postgres types with PK (K2)") {
+    val df = Seq((1L, "x", 1.5, true)).toDF("id", "name", "score", "ok")
+      .selectExpr("id", "name", "score", "ok",
+        "timestamp'2024-01-01' as ts", "date'2024-01-01' as d")
+    val ddl = Sinks.ddlFor("sys.stream", df, Seq("id"))
+    assert(ddl.contains(""""id" BIGINT"""))
+    assert(ddl.contains(""""name" TEXT"""))
+    assert(ddl.contains(""""score" DOUBLE PRECISION"""))
+    assert(ddl.contains(""""ok" BOOLEAN"""))
+    assert(ddl.contains(""""ts" TIMESTAMP"""))
+    assert(ddl.contains(""""d" DATE"""))
+    assert(ddl.contains("""PRIMARY KEY ("id")"""))
+  }
+
+  test("writeParquet partitions for pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString
+    val df = Seq(("a", 1), ("b", 2)).toDF("sys", "v")
+    Sinks.writeParquet(df, s"$dir/t", partitionCols = Seq("sys"))
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 2)
+    assert(new java.io.File(s"$dir/t/sys=a").exists()) // partition dirs
+  }
+}

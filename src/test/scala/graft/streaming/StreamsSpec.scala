@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedRollup aggregates a file-backed stream with watermark") {
+    val dir = Files.createTempDirectory("stream-in").toString
+    Seq(
+      (1L, ts("2024-01-01 00:01:00"), "view", 1.0),
+      (2L, ts("2024-01-01 00:02:00"), "view", 2.0),
+      (3L, ts("2024-01-01 00:07:00"), "click", 5.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val rolled = Streams.windowedRollup(stream, "ts", "10 minutes", "5 minutes")
+
+    val q = rolled.writeStream.outputMode("append")
+      .format("memory").queryName("rollup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    // append mode only emits closed windows; re-read with complete mode
+    val q2 = rolled.writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_all")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val rows = spark.table("rollup_all")
+      .select(col("window.start").cast("string"), col("event_type"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      ("2024-01-01 00:00:00", "view", 2L),
+      ("2024-01-01 00:05:00", "click", 1L)))
+  }
+
+  test("sessionize groups events into gap-bounded sessions (streaming q13)") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("sess-in").toString
+    Seq(
+      Streams.SessionEvent(7L, ts("2024-01-01 00:00:00"), 1L),
+      Streams.SessionEvent(7L, ts("2024-01-01 00:10:00"), 2L),
+      Streams.SessionEvent(7L, ts("2024-01-01 01:30:00"), 3L), // new session
+      Streams.SessionEvent(8L, ts("2024-01-01 00:00:00"), 4L)
+    ).toDS().write.mode("overwrite").parquet(dir)
+
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .as[Streams.SessionEvent]
+    val sessions = Streams.sessionize(stream, gapMs = 30L * 60 * 1000)
+
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // within one micro-batch, user 7's first session closes when the
+    // 01:30 event arrives (gap > 30min); open sessions stay in state
+    val closed = spark.table("sessions_out")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(closed == Set((7L, 2L)))
+  }
+}
