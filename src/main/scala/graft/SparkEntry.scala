@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtensionQueries, ReferenceQueries}
+import graft.queries.{CapabilityQueries, ExtensionQueries, ReferenceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.4. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.queries ++ ExtensionQueries.queries
+    ReferenceQueries.queries ++ ExtensionQueries.queries ++
+      CapabilityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracleSql ++ ExtensionQueries.oracleSql
+    ReferenceQueries.oracleSql ++ ExtensionQueries.oracleSql ++
+      CapabilityQueries.oracleSql
 }

@@ -3,17 +3,19 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<float>` columns, in double precision,
-  * with codegen'd higher-order functions (`zip_with` + `aggregate`) — the
-  * per-row accumulation order is the array order, so results are
-  * deterministic and reproducible across engines (needed for the DuckDB
-  * oracle compare) and across re-executions.
+import org.apache.spark.sql.graft.VectorExpressions
+
+/** Dense-vector math over `array<float>` columns, in double precision.
+  *
+  * The dot-product kernel is a custom codegen'd Catalyst expression
+  * (graft.expressions.FloatVecDot) — Spark's higher-order functions
+  * evaluate lambdas interpreted, which dominates cost at millions of pair
+  * scorings. Accumulation order is the array order in every path, so
+  * results are deterministic and reproducible across engines (needed for
+  * the DuckDB oracle compare) and across re-executions.
   */
 object Vectors {
-
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = VectorExpressions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Vectors
+import graft.functions.{Par, Vectors}
 
 /** Similarity search over an embedding column (SURVEY §2.4 X3).
   *
@@ -27,7 +27,8 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = Par.spread(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("similarity", Vectors.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
@@ -43,9 +44,9 @@ object Similarity {
     * O(n²/2) scoring; the scale path is [[ivfTopK]]-style bucketing. */
   def cosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val a = Par.spread(corpus.select(col(idCol).as("id1"), col(vecCol).as("v1")))
     val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("v2"))
-    a.join(b, col("id1") < col("id2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
       .withColumn("similarity", Vectors.cosine(col("v1"), col("v2")))
       .filter(col("similarity") >= threshold)
       .select(col("id1"), col("id2"),
@@ -60,7 +61,8 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val cent = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
-    val corp = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val corp = Par.spread(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     // one-pass assignment: nearest centroid per corpus vector
     val wAssign = Window.partitionBy(col("neighbor_id"))
       .orderBy(Vectors.cosine(col("cv"), col("centv")).desc, col("centroid_id"))

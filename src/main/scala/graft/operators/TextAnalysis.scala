@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Num, Text}
+import graft.functions.{Num, Par, Text}
 
 /** Text analysis suite for training-data pipelines (BASELINE.json
   * extensions; SURVEY §2.4 X4): language ID, quality scoring, token
@@ -29,6 +29,7 @@ object TextAnalysis {
     * as tie-break (first listed wins). Unmatched docs fall back to "und".
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spread = Par.spread(docs)
     val toks = Text.tokens(col(textCol))
     val scored = LangDicts.map { case (l, ws) => (l, hits(toks, ws)) }
     // argmax by (count, reverse priority): fold keeps strictly-greater
@@ -37,7 +38,7 @@ object TextAnalysis {
       case ((bl, bc), (l, c)) => (when(c > bc, lit(l)).otherwise(bl),
         when(c > bc, c).otherwise(bc))
     }
-    docs.select(col(idCol).as("doc_id"), col("lang").as("labeled_lang"),
+    spread.select(col(idCol).as("doc_id"), col("lang").as("labeled_lang"),
       when(best._2 > 0, best._1).otherwise(lit("und")).as("predicted_lang"))
       .withColumn("agree", (col("predicted_lang") === col("labeled_lang")).cast("int"))
   }
@@ -57,11 +58,12 @@ object TextAnalysis {
     val avgTokLen = (length(regexp_replace(t, "\\s+", "")).cast("double") /
       nTokens.cast("double"))
     val lengthOk = (nChars >= 100 && nChars <= 20000).cast("int")
+    val spread = Par.spread(docs)
     val score =
       lit(0.4) * lengthOk +
       lit(0.3) * greatest(lit(0.0), lit(1.0) - punctRatio * 5) +
       lit(0.3) * least(lit(1.0), stopRatio * 5)
-    docs.select(col(idCol).as("doc_id"),
+    spread.select(col(idCol).as("doc_id"),
       nChars.as("n_chars"), nTokens.as("n_tokens"),
       Num.fpRound(punctRatio, 4).as("punct_ratio"),
       Num.fpRound(stopRatio, 4).as("stopword_ratio"),
@@ -74,7 +76,7 @@ object TextAnalysis {
     * by byte-pair encoders). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lowered = lower(trim(col(textCol)))
-    docs.select(col(idCol).as("doc_id"),
+    Par.spread(docs).select(col(idCol).as("doc_id"),
       size(Text.tokens(col(textCol))).as("ws_tokens"),
       size(regexp_extract_all(lowered, lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
         .as("bpe_tokens"),
@@ -84,7 +86,7 @@ object TextAnalysis {
   /** Corpus-level stats per language (SURVEY §2.4 X4): doc counts, exact
     * char totals, mean token counts. */
   def statsByLang(docs: DataFrame, textCol: String): DataFrame =
-    docs.groupBy(col("lang"))
+    Par.spread(docs).groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
         Num.fpRound(sum(size(Text.tokens(col(textCol)))).cast("double") /

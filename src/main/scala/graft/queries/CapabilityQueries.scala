@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Num
+
+/** Category-completing capability queries (SURVEY §2.3): the checklist
+  * categories the reference's SQL surface lacks — multi-level aggregation
+  * (ROLLUP), ordered top-k (sort + limit), and explicit set operations —
+  * each proven over the fixtures with a DuckDB oracle.
+  */
+object CapabilityQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // x16 — ROLLUP over the star join dimensions: region, region+nation,
+    // grand total, disambiguated by grouping() indicators. One shuffle for
+    // the base agg; Spark expands the rollup with partial aggregation.
+    "x16_rollup" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          Num.dsum(col("c_acctbal")).as("total_balance"),
+          grouping(col("r_name")).cast("int").as("g_region"),
+          grouping(col("n_name")).cast("int").as("g_nation"))
+    }),
+
+    // x17 — ordered top-k: highest-revenue customers, global sort + limit
+    // (Spark plans TakeOrderedAndProject: per-partition top-k, then a
+    // single k-row merge on the driver — no full global sort).
+    "x17_top_customers" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.groupBy(col("o_custkey"))
+        .agg(Num.dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .join(c, col("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+
+    // x18 — set operations: customers with orders in BOTH halves of the
+    // fixture date range (INTERSECT) and first-half-only (EXCEPT), tagged
+    // and unioned. INTERSECT/EXCEPT hash-dedup on the full row.
+    "x18_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val firstHalf = o.filter(col("o_orderdate") <
+          lit("1998-01-01").cast("timestamp_ntz"))
+        .select(col("o_custkey").as("custkey"))
+      val secondHalf = o.filter(col("o_orderdate") >=
+          lit("1998-01-01").cast("timestamp_ntz"))
+        .select(col("o_custkey").as("custkey"))
+      firstHalf.intersect(secondHalf)
+        .withColumn("segment", lit("both_halves"))
+        .unionByName(
+          firstHalf.except(secondHalf)
+            .withColumn("segment", lit("first_half_only")))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x16_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+           AS total_balance,
+         CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+         CAST(GROUPING(n_name) AS INTEGER) AS g_nation
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)""",
+    "x17_top_customers" ->
+      """SELECT c_custkey, c_name, revenue, n_orders FROM (
+           SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue,
+             count(*) AS n_orders
+           FROM orders GROUP BY o_custkey
+         ) r JOIN customer ON o_custkey = c_custkey
+         ORDER BY revenue DESC, c_custkey LIMIT 10""",
+    "x18_set_ops" ->
+      """WITH f AS (SELECT o_custkey AS custkey FROM orders
+           WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+         s AS (SELECT o_custkey AS custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+         SELECT custkey, 'both_halves' AS segment
+           FROM (SELECT custkey FROM f INTERSECT SELECT custkey FROM s)
+         UNION ALL
+         SELECT custkey, 'first_half_only' AS segment
+           FROM (SELECT custkey FROM f EXCEPT SELECT custkey FROM s)"""
+  )
+}
