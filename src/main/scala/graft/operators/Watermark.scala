@@ -33,9 +33,11 @@ object Watermark {
   def advanceToRunStart(runStart: Timestamp): Timestamp = runStart
 
   /** W3 (analytics policy) — bookmark := max event time in the batch.
-    * A single `max` aggregate: map-side partial agg, one tiny shuffle. */
+    * A single `max` aggregate: map-side partial agg, one tiny shuffle.
+    * The column is cast to timestamp first, so ISO-string event-time
+    * columns (raw JSON extracts) work unchanged. */
   def advanceToMaxSeen(df: DataFrame, tsCol: String): Option[Timestamp] = {
-    val r: Row = df.agg(max(col(tsCol)).as("wm")).head()
+    val r: Row = df.agg(max(col(tsCol).cast("timestamp")).as("wm")).head()
     if (r.isNullAt(0)) None else Some(r.getTimestamp(0))
   }
 }
