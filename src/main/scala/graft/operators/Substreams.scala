@@ -29,6 +29,25 @@ object Substreams {
       "id", Keys.compositeKey(col("parent_id"), col(childKeyField)))
   }
 
+  /** F4 — two-level nested-list flatten (Xero `BudgetLines[].
+    * BudgetBalances[]`, `tap_xero/utility.py:243-292`): each outer-list
+    * struct is crossed with each of its inner-list structs and the two
+    * field sets are merged into one flat row. Two chained `explode`
+    * generators — still narrow, still shuffle-free.
+    */
+  def extractNested(parent: DataFrame, pkCol: String, outerField: String,
+                    innerField: String, keyFields: Seq[String]): DataFrame = {
+    val outer = parent
+      .select(col(pkCol).as("parent_id"), explode(col(outerField)).as("_o"))
+    val exploded = outer
+      .select(col("parent_id"), col("_o"), explode(col(s"_o.$innerField")).as("_i"))
+      .select(col("parent_id") +:
+        outer.select(col("_o.*")).drop(innerField).columns.toIndexedSeq
+          .map(c => col(s"_o.$c")) :+ col("_i.*"): _*)
+    exploded.withColumn("id",
+      Keys.compositeKey((col("parent_id") +: keyFields.map(col)): _*))
+  }
+
   /** Relational variant used when parent/child already live in separate
     * tables (the fixture layout: `lineitem` as child of `orders`): project
     * the child with a `parent_id` FK and a synthesized composite key.

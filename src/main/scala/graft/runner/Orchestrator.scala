@@ -30,17 +30,17 @@ object Orchestrator {
   final case class Pipeline(system: String, jobs: Seq[StreamJob])
 
   /** Run every job of every pipeline once; returns the advanced state.
-    * Jobs inside a pipeline are independent Spark actions (the reference
-    * runs streams concurrently on one event loop, C3) — here they run
-    * sequentially for deterministic tests; a par collection or Futures
-    * would parallelize without changing semantics. */
+    * Jobs inside a pipeline are independent Spark actions; with
+    * `parallelism > 1` they run concurrently from a driver thread pool
+    * (the reference runs streams concurrently on one event loop, C3 —
+    * `asyncio.gather`, `internal.py:164`). State merge is associative, so
+    * concurrency doesn't change the result. */
   def runOnce(spark: SparkSession, pipelines: Seq[Pipeline],
-              state: Bookmarks): Bookmarks = {
+              state: Bookmarks, parallelism: Int = 1): Bookmarks = {
     val runStart = Timestamp.from(Instant.now())
-    val updates = for {
-      p <- pipelines
-      job <- p.jobs
-    } yield {
+    val jobs = for { p <- pipelines; job <- p.jobs } yield (p, job)
+    val runJob = (pj: (Pipeline, StreamJob)) => {
+      val (p, job) = pj
       val key = s"${p.system}.${job.name}"
       val bookmark = state.get(key)
       val batch = job.extract(spark, bookmark)
@@ -54,6 +54,17 @@ object Orchestrator {
         else runStart.toInstant.toString
       key -> next
     }
+    val updates =
+      if (parallelism <= 1) jobs.map(runJob)
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(Future.sequence(jobs.map(j => Future(runJob(j)))),
+          Duration.Inf)
+        finally pool.shutdown()
+      }
     state.merged(updates.toMap)
   }
 

@@ -56,6 +56,61 @@ object Sources {
         .withColumn("tenant_name", lit(name))
     }.reduce(_.unionByName(_))
 
+  /** Dict-keyed analytics scan shape (S5, `tap_hubspot/utility.py:109-116`):
+    * the API returns `{date: [rows...]}`; as a DataFrame with a map column
+    * this is `explode(map_entries(...))` then explode of the per-key list —
+    * each key's rows land with their `date_key` stamped on. */
+  def explodeDictOfLists(payload: DataFrame, mapCol: String,
+                         keyName: String = "date_key"): DataFrame =
+    payload
+      .select(explode(col(mapCol)).as(Seq(keyName, "_rows")))
+      .select(col(keyName), explode(col("_rows")).as("_row"))
+      .select(col(keyName), col("_row.*"))
+
+  /** Keyed fan-out scan (S6, `tap_hubspot/utility.py:119-148`): one scan
+    * per cached key (form ids), key stamped on every record, union of the
+    * legs. Each leg is an independent source — they parallelize trivially
+    * and `unionByName` is metadata-only. */
+  def keyedFanout(keys: Seq[String], keyName: String,
+                  scan: String => DataFrame): DataFrame =
+    keys.map(k => scan(k).withColumn(keyName, lit(k)))
+      .reduce(_.unionByName(_))
+
+  /** C1 — driver-side token-bucket rate limiter for API fetch loops
+    * (reference: 1.2 req/s, `tap_wrike/utility.py:211-239`). A connector
+    * concern, not a query operator: it paces the driver's page loop. */
+  final class RateLimiter(ratePerSec: Double) {
+    private var nextFree = 0L
+    def acquire(): Unit = synchronized {
+      val now = System.nanoTime()
+      val interval = (1e9 / ratePerSec).toLong
+      val at = math.max(now, nextFree)
+      nextFree = at + interval
+      val sleepNs = at - now
+      if (sleepNs > 0) Thread.sleep(sleepNs / 1000000, (sleepNs % 1000000).toInt)
+    }
+  }
+
+  /** C2 — retry with exponential backoff around an IO action. The
+    * reference declares this intent but misapplies the decorator to pure
+    * functions (SURVEY §2.1 C2); here it wraps the actual fetch. */
+  def withRetries[T](attempts: Int = 5, backoffMs: Long = 1000,
+                     maxBackoffMs: Long = 10000)(f: => T): T = {
+    var remaining = attempts
+    var backoff = backoffMs
+    while (true) {
+      try return f
+      catch {
+        case e: Throwable =>
+          remaining -= 1
+          if (remaining <= 0) throw e
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, maxBackoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Interval-chunked scan windows (S4, `tap_xero/utility.py:221-240`):
     * the [start, end) date windows a chunked fetch would issue, as a
     * DataFrame — `sequence` + `explode`, no driver loop. */
