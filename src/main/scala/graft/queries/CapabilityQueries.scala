@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num
+import graft.operators.AsOf
 
 /** Category-completing capability queries (SURVEY §2.3): the checklist
   * categories the reference's SQL surface lacks — multi-level aggregation
@@ -63,6 +64,33 @@ object CapabilityQueries {
         .unionByName(
           firstHalf.except(secondHalf)
             .withColumn("segment", lit("first_half_only")))
+    }),
+
+    // x19 — semi/anti joins: customers with vs without orders. left_semi
+    // and left_anti move only the probe side's keys; no fact columns.
+    "x19_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .withColumn("segment", lit("has_orders"))
+        .unionByName(
+          c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+            .select(col("c_custkey"), col("c_name"))
+            .withColumn("segment", lit("no_orders")))
+    }),
+
+    // x20 — as-of join via the interleaved-window formulation: each
+    // 'click' matched to the user's latest preceding-or-equal 'view'.
+    // One shuffle + one sort — no time-range join blowup (see AsOf).
+    "x20_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+      val views = e.filter(col("event_type") === "view")
+      AsOf.join(clicks, views, keyCol = "user_id", tsCol = "ts",
+          valueCol = "event_id", tieBreak = "event_id")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("asof_event_id"), col("asof_ts"))
     })
   )
 
@@ -95,6 +123,28 @@ object CapabilityQueries {
            FROM (SELECT custkey FROM f INTERSECT SELECT custkey FROM s)
          UNION ALL
          SELECT custkey, 'first_half_only' AS segment
-           FROM (SELECT custkey FROM f EXCEPT SELECT custkey FROM s)"""
+           FROM (SELECT custkey FROM f EXCEPT SELECT custkey FROM s)""",
+    "x19_semi_anti" ->
+      """SELECT c_custkey, c_name, 'has_orders' AS segment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT c_custkey, c_name, 'no_orders' AS segment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "x20_asof_join" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, 1 AS side,
+             CAST(NULL AS BIGINT) AS rv, CAST(NULL AS TIMESTAMP) AS rts
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, ts, event_id, 0 AS side, event_id AS rv, ts AS rts
+           FROM events WHERE event_type = 'view'
+         )
+         SELECT user_id, ts, event_id,
+           last_value(rv IGNORE NULLS) OVER w AS asof_event_id,
+           last_value(rts IGNORE NULLS) OVER w AS asof_ts
+         FROM u
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         QUALIFY side = 1"""
   )
 }
