@@ -21,6 +21,8 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // restore range-predicate pushdown through the nanos->micros rebuild
+    org.apache.spark.sql.graft.NanosPushdown.install(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events") normalizeNanos(df, "ts") else df
   }
