@@ -48,6 +48,28 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Watermarked stream-stream join: clicks joined to views of the same
+    * user within `windowSpec` before the click. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire join state — the unbounded-state trap of naive
+    * stream joins is avoided.
+    */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+                    lateness: String, windowSpec: String): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val v = views.withWatermark("ts", lateness)
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    c.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"interval $windowSpec"))
+      .select(col("user_id"), col("click_ts"), col("click_id"),
+        col("view_ts"), col("view_id"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, session_start: Timestamp,

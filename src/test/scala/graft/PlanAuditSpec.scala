@@ -42,6 +42,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("x17_top_customers").contains("TakeOrderedAndProject"))
   }
 
+  test("x3 top-k plans partial WindowGroupLimit before the exchange") {
+    val p = plan("x3_topk_similarity")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"no partial per-partition top-k:\n$p")
+  }
+
   test("x6 star join broadcasts the dimension tables") {
     val p = plan("x6_star_join")
     assert(p.contains("BroadcastHashJoin"))

@@ -68,6 +68,33 @@ class StreamsSpec extends SparkSpec {
       Seq(1L, 2L, 3L))
   }
 
+  test("clickViewJoin: watermarked stream-stream join within a time window") {
+    val dir = Files.createTempDirectory("ss-join").toString
+    Seq(
+      (7L, ts("2024-01-01 00:10:00"), 100L, "click"),
+      (7L, ts("2024-01-01 00:05:00"), 1L, "view"),   // within 30min before
+      (7L, ts("2024-01-01 00:09:00"), 2L, "view"),   // within 30min before
+      (7L, ts("2023-12-31 23:00:00"), 3L, "view"),   // too old
+      (8L, ts("2024-01-01 00:10:00"), 101L, "click") // no views
+    ).toDF("user_id", "ts", "event_id", "event_type")
+      .write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("event_type", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val joined = Streams.clickViewJoin(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "view"),
+      lateness = "1 hour", windowSpec = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("ssjoin_out")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    assert(rows == Set((7L, 100L, 1L), (7L, 100L, 2L))) // old view + user 8 dropped
+  }
+
   test("sessionize groups events into gap-bounded sessions (streaming q13)") {
     implicit val s = spark
     val dir = Files.createTempDirectory("sess-in").toString
