@@ -36,7 +36,9 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).foreach(_ => ())
+      // materialize every InternalRow on the executors (cannot be pruned
+      // like count()), without paying external-Row deserialization
+      try fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
