@@ -39,6 +39,26 @@ object Multimodal {
     def decodeReal(payload: Array[Byte]): (Int, Int, Int) = ???
   }
 
+  /** Real decoder for binary PPM (P6) images — a pure-JVM header parse,
+    * no codec libraries needed. Demonstrates that the plumbing carries
+    * actual image bytes end-to-end; unsupported formats fall back to the
+    * stub (a production build swaps in javax.imageio / ffmpeg here). */
+  object PpmDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int) =
+      if (payload.length > 2 && payload(0) == 'P' && payload(1) == '6') {
+        // header: "P6\n<width> <height>\n<maxval>\n"
+        val header = new String(payload.take(64), "US-ASCII")
+        val nums = "\\d+".r.findAllIn(header.drop(2)).take(2).toSeq
+        (nums.head.toInt, nums(1).toInt, 1)
+      } else StubDecoder.decode(payload)
+  }
+
+  /** Encode a tiny P6 image (used by tests to drive the real decoder). */
+  def makePpm(width: Int, height: Int): Array[Byte] = {
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    header ++ Array.fill(width * height * 3)(0x7f.toByte)
+  }
+
   /** Wrap a text table as a media table: payload = utf-8 bytes, metadata
     * struct carried alongside (fixtures have no true binary column). */
   def asMediaTable(docs: DataFrame): DataFrame =
