@@ -80,6 +80,28 @@ object CapabilityQueries {
             .withColumn("segment", lit("no_orders")))
     }),
 
+    // x21 — time-series resample + gap fill: hourly grid per event_type
+    // over the fixture range, missing hours zero-filled. The grid is a
+    // sequence fan-out (no driver loop); the join is grid ⋈ pre-aggregated
+    // hourly counts, so the fact table shuffles once at hour granularity.
+    "x21_resample_gapfill" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val hourly = e.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          Num.dsum(col("value")).as("value_sum"))
+      val bounds = e.agg(
+        date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val grid = bounds
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+        .crossJoin(e.select(col("event_type")).distinct())
+      grid.join(hourly, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("value_sum"), lit(0.0)).as("value_sum"))
+    }),
+
     // x20 — as-of join via the interleaved-window formulation: each
     // 'click' matched to the user's latest preceding-or-equal 'view'.
     // One shuffle + one sort — no time-range join blowup (see AsOf).
@@ -145,6 +167,28 @@ object CapabilityQueries {
          FROM u
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         QUALIFY side = 1"""
+         QUALIFY side = 1""",
+    "x21_resample_gapfill" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+           FROM events GROUP BY 1, 2
+         ), bounds AS (
+           SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi FROM events
+         ), grid AS (
+           SELECT t.event_type, CAST(g.hour AS TIMESTAMP) AS hour
+           FROM bounds, unnest(generate_series(
+             CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+             INTERVAL 1 HOUR)) AS g(hour)
+           CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+         )
+         SELECT grid.event_type, grid.hour,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(value_sum, 0.0) AS value_sum
+         FROM grid LEFT JOIN hourly
+           ON grid.event_type = hourly.event_type
+           AND grid.hour = hourly.hour"""
   )
 }
