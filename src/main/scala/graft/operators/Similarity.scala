@@ -53,6 +53,30 @@ object Similarity {
         graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
   }
 
+  /** IVF-blocked near-dup: corpus pairs above `threshold`, but only pairs
+    * sharing a centroid bucket are scored — the O(n²)-free scale path for
+    * embedding dedup (deliberately approximate: cross-bucket pairs are
+    * out of scope by construction, which an oracle can mirror exactly).
+    */
+  def ivfCosinePairs(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                     vecCol: String, threshold: Double): DataFrame = {
+    val cent = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    val corp = Par.spread(corpus.select(col(idCol).as("vid"), col(vecCol).as("v")))
+    val wAssign = Window.partitionBy(col("vid"))
+      .orderBy(Vectors.cosine(col("v"), col("centv")).desc, col("centroid_id"))
+    val assigned = corp.join(broadcast(cent), lit(true))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vid"), col("v"), col("centroid_id"))
+    val a = assigned.alias("a"); val b = assigned.alias("b")
+    a.join(b, col("a.centroid_id") === col("b.centroid_id") &&
+        col("a.vid") < col("b.vid"))
+      .withColumn("similarity", Vectors.cosine(col("a.v"), col("b.v")))
+      .filter(col("similarity") >= threshold)
+      .select(col("a.vid").as("id1"), col("b.vid").as("id2"),
+        graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
+  }
+
   /** IVF-ish approximate top-k: assign corpus vectors to their nearest
     * centroid, probe the `nprobe` centroids nearest each query, brute-force
     * only inside the probed buckets. Centroids are passed in as a (small)

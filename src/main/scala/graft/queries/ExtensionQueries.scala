@@ -125,6 +125,14 @@ object ExtensionQueries {
         k = 3, nprobe = 2)
     }),
 
+    // x22 — IVF-blocked embedding near-dup: only same-bucket pairs are
+    // scored (the O(n²)-free dedup path; the oracle mirrors the blocking).
+    "x22_neardup_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfCosinePairs(e, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", threshold = 0.4)
+    }),
+
     // x11 — language ID: stopword-vote heuristic, first-dict-wins ties.
     "x11_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")),
@@ -261,6 +269,21 @@ object ExtensionQueries {
          FROM scored
          WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
          QUALIFY row_number() OVER w <= 3""",
+    "x22_neardup_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+           FROM embeddings WHERE vec_id < 16),
+         corp AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+         assigned AS (SELECT vid, v, centroid_id FROM (
+           SELECT vid, v, centroid_id, row_number() OVER
+             (PARTITION BY vid
+              ORDER BY ${duckCos("v", "centv")} DESC, centroid_id) AS arn
+           FROM corp, cent) WHERE arn = 1),
+         pairs AS (SELECT a.vid AS id1, b.vid AS id2,
+             ${duckCos("a.v", "b.v")} AS sim
+           FROM assigned a JOIN assigned b
+             ON a.centroid_id = b.centroid_id AND a.vid < b.vid)
+         SELECT id1, id2, floor(sim * 1000000 + 0.5) / 1000000.0 AS similarity
+         FROM pairs WHERE sim >= 0.4""",
     "x11_langid" ->
       """WITH h AS (SELECT doc_id, lang AS labeled_lang,
            len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
