@@ -66,6 +66,28 @@ object CapabilityQueries {
             .withColumn("segment", lit("first_half_only")))
     }),
 
+    // x23 — CUBE over order status × priority: all 4 grouping combinations
+    // in one pass with grouping indicators.
+    "x23_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Num.dsum(col("o_totalprice")).as("total_value"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"))),
+
+    // x24 — exact percentile aggregates (sort-based `percentile`): media
+    // summary per event_type. Exact percentiles need a per-group sort; the
+    // approximate path at 100 TB is percentile_approx (one-pass sketch).
+    "x24_percentiles" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          Num.fpRound(expr("percentile(value, 0.5)"), 6).as("p50"),
+          Num.fpRound(expr("percentile(value, 0.9)"), 6).as("p90"),
+          Num.fpRound(expr("percentile(value, 0.99)"), 6).as("p99"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))),
+
     // x19 — semi/anti joins: customers with vs without orders. left_semi
     // and left_anti move only the probe side's keys; no fact columns.
     "x19_semi_anti" -> ((s, dir) => {
@@ -146,6 +168,20 @@ object CapabilityQueries {
          UNION ALL
          SELECT custkey, 'first_half_only' AS segment
            FROM (SELECT custkey FROM f EXCEPT SELECT custkey FROM s)""",
+    "x23_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS total_value,
+         CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+         CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "x24_percentiles" ->
+      """SELECT event_type,
+         floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000.0 AS p50,
+         floor(quantile_cont(value, 0.9) * 1000000 + 0.5) / 1000000.0 AS p90,
+         floor(quantile_cont(value, 0.99) * 1000000 + 0.5) / 1000000.0 AS p99,
+         min(value) AS v_min, max(value) AS v_max
+         FROM events GROUP BY 1""",
     "x19_semi_anti" ->
       """SELECT c_custkey, c_name, 'has_orders' AS segment FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
