@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // start G1 concurrent cycles earlier + cap pauses: long multi-query
+  // sessions otherwise hit occasional multi-second stalls mid-suite
+  "-XX:InitiatingHeapOccupancyPercent=30",
+  "-XX:MaxGCPauseMillis=100",
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))
