@@ -20,9 +20,14 @@ object Dates {
     */
   def parseMsJsonDate(c: Column): Column = {
     val ms = regexp_extract(c, MsJsonMillis, 1)
-    when(c.startsWith("/Date("), timestamp_millis(ms.cast("long")))
-      .otherwise(to_timestamp(c))
+    // try_*: a malformed poison row yields NULL instead of killing the
+    // job under ANSI mode (the reference raises per-row; a distributed
+    // job must not)
+    when(c.startsWith("/Date("), timestamp_millis(try_cast_long(ms)))
+      .otherwise(try_to_timestamp(c))
   }
+
+  private def try_cast_long(c: Column): Column = c.try_cast("long")
 
   /** Render a timestamp as a MS-JSON date string (test-vector generator). */
   def toMsJsonDate(ts: Column, offset: String = "+0000"): Column =

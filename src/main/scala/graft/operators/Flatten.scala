@@ -67,7 +67,8 @@ object Flatten {
                         keys: Seq[(String, DataType)],
                         sep: String = "-"): DataFrame = {
     val extracted = keys.map { case (k, dt) =>
-      get_json_object(col(jsonCol), s"$$.$k").cast(dt).as(s"$jsonCol$sep$k")
+      // try_cast: malformed JSON values become NULL, not job failures
+      get_json_object(col(jsonCol), s"$$.$k").try_cast(dt.sql).as(s"$jsonCol$sep$k")
     }
     df.select(col("*") +: extracted: _*).drop(jsonCol)
   }

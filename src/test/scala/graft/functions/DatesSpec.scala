@@ -38,6 +38,14 @@ class DatesSpec extends SparkSpec {
     assert(parse(raw) == ts)
   }
 
+  test("malformed input yields NULL, not a job failure (poison row)") {
+    val out = Seq("/Date(notanumber)/", "garbage", "")
+      .toDF("raw")
+      .select(Dates.parseMsJsonDate(col("raw")).as("ts"))
+      .collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
   test("toIsoMillis renders millisecond-Z form") {
     val out = Seq(Timestamp.valueOf("2024-03-01 08:30:15.123"))
       .toDF("ts").select(Dates.toIsoMillis(col("ts"))).head().getString(0)

@@ -60,4 +60,12 @@ class FlattenSpec extends SparkSpec {
     assert(rows(0).getAs[String]("props-s") == "x")
     assert(rows(1).isNullAt(rows(1).fieldIndex("props-k")))
   }
+
+  test("flattenJsonString: non-castable value yields NULL, not a job failure") {
+    import spark.implicits._
+    val df = Seq(("e1", """{"k": "notalong"}""")).toDF("event_id", "props")
+    val out = Flatten.flattenJsonString(df, "props", Seq(("k", LongType)))
+    val r = out.head()
+    assert(r.isNullAt(r.fieldIndex("props-k")))
+  }
 }
