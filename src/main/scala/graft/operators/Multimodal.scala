@@ -46,10 +46,16 @@ object Multimodal {
   object PpmDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Int) =
       if (payload.length > 2 && payload(0) == 'P' && payload(1) == '6') {
-        // header: "P6\n<width> <height>\n<maxval>\n"
+        // header: "P6\n<width> <height>\n<maxval>\n" — malformed headers
+        // (missing dims, digit runs too long for Int) fall back to the
+        // stub rather than failing the whole task (poison-row-safe, like
+        // the try_cast/try_to_timestamp paths elsewhere).
         val header = new String(payload.take(64), "US-ASCII")
         val nums = "\\d+".r.findAllIn(header.drop(2)).take(2).toSeq
-        (nums.head.toInt, nums(1).toInt, 1)
+        try
+          if (nums.length >= 2) (nums(0).toInt, nums(1).toInt, 1)
+          else StubDecoder.decode(payload)
+        catch { case _: NumberFormatException => StubDecoder.decode(payload) }
       } else StubDecoder.decode(payload)
   }
 

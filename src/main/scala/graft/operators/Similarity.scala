@@ -41,12 +41,16 @@ object Similarity {
   }
 
   /** All corpus pairs with cosine >= threshold (embedding near-dup).
-    * O(n²/2) scoring; the scale path is [[ivfTopK]]-style bucketing. */
+    * O(n²/2) scoring; the scale path is [[ivfCosinePairs]] bucketing.
+    * No broadcast hint: for a small corpus the planner broadcasts the
+    * build side on its own (scan stats < autoBroadcastJoinThreshold);
+    * past the broadcast size cap it can still fall back to a
+    * non-broadcast strategy instead of failing outright. */
   def cosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
     val a = Par.spread(corpus.select(col(idCol).as("id1"), col(vecCol).as("v1")))
     val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("v2"))
-    a.join(broadcast(b), col("id1") < col("id2"))
+    a.join(b, col("id1") < col("id2"))
       .withColumn("similarity", Vectors.cosine(col("v1"), col("v2")))
       .filter(col("similarity") >= threshold)
       .select(col("id1"), col("id2"),

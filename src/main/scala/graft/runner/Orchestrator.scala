@@ -44,14 +44,24 @@ object Orchestrator {
       val key = s"${p.system}.${job.name}"
       val bookmark = state.get(key)
       val batch = job.extract(spark, bookmark)
-      job.sink(batch)
       val next =
-        if (job.advanceToMaxSeen)
-          Watermark.advanceToMaxSeen(batch, job.tsCol)
-            .map(_.toInstant.toString)
-            .orElse(bookmark)
-            .getOrElse(runStart.toInstant.toString)
-        else runStart.toInstant.toString
+        if (job.advanceToMaxSeen) {
+          // Pin the batch before the two actions (sink, max-ts) so both see
+          // the SAME rows: for a live/paginated extract, re-execution between
+          // actions could otherwise advance the bookmark past rows that were
+          // never sunk — silent loss on the next incremental run.
+          batch.persist()
+          try {
+            job.sink(batch)
+            Watermark.advanceToMaxSeen(batch, job.tsCol)
+              .map(_.toInstant.toString)
+              .orElse(bookmark)
+              .getOrElse(runStart.toInstant.toString)
+          } finally batch.unpersist()
+        } else {
+          job.sink(batch)
+          runStart.toInstant.toString
+        }
       key -> next
     }
     val updates =

@@ -30,7 +30,12 @@ object Streams {
   /** Incremental landing mirror — the Structured-Streaming replacement for
     * the reference's 300-second polling loop + bookmark file: the source
     * checkpoint IS the bookmark (exactly-once file tracking), and each
-    * micro-batch lands through an idempotent upsert-style writer.
+    * micro-batch lands at a deterministic batchId-derived path
+    * (`destDir/batch_id=<n>`, mode=overwrite), so a micro-batch replayed
+    * after a partial/failed write REPLACES its own directory instead of
+    * re-appending — end-to-end exactly-once, not just at-least-once.
+    * Readers see `batch_id` as an extra partition column (useful lineage;
+    * drop it if mirroring the source schema exactly).
     * `Trigger.AvailableNow` gives the reference's batch cadence; swapping
     * in `ProcessingTime("300 seconds")` gives the daemon.
     */
@@ -40,8 +45,8 @@ object Streams {
     val q = spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(destDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$destDir/batch_id=$batchId")
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -6,8 +6,11 @@ not part of the Scala library). Usage:
     python3 tools/selfcheck.py /root/testdata/sf0.01 /tmp/verify_out
 
 For each query: load the Spark parquet result and the DuckDB oracle result,
-sort columns by name, canonically sort rows, and compare values (floats to
-1e-9 relative; exact otherwise). Prints per-query PASS/FAIL with diffs.
+sort columns by name, canonically sort rows, and compare values. Floats are
+canonicalized to a fixed 10-significant-digit string (f"{v:.9e}") and
+compared EXACTLY — not with a relative tolerance — because that mirrors the
+driver's hash-based compare; queries must round/format floats so both sides
+land on identical canonical strings (see Num.fpRound).
 """
 import json
 import math
