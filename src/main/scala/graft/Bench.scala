@@ -34,6 +34,25 @@ object Bench {
       .map(_.split(',').map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // Untimed warm-up pass: run every selected query once (results
+    // discarded) so the timed pass measures steady-state execution, not
+    // first-run JIT compilation of generated code + kernels and cold
+    // parquet page cache. A cold query's first run is 3-5x its
+    // steady-state time, dominated by per-stage C2 compilation — a cost a
+    // long-lived cluster pays once, which one-shot timing would otherwise
+    // charge to whichever query happens to run first.
+    // SPARK_GRAFT_WARMUP=0 disables; =<dir> warms against another SF dir.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP", sfDir)
+    if (warmDir != "0") {
+      selected.foreach { case (name, fn) =>
+        try fn(spark, warmDir).queryExecution.toRdd.foreach(_ => ())
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        }
+        spark.catalog.clearCache()
+      }
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // materialize every InternalRow on the executors (cannot be pruned

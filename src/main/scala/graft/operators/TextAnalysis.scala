@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graft.TextExpressions
+
 import graft.functions.{Num, Par, Text}
 
 /** Text analysis suite for training-data pipelines (BASELINE.json
@@ -22,16 +24,22 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "une"),
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
 
-  private def hits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(words)))
+  /** Per-dict stopword occurrence counts (union of all dicts in the last
+    * slot), via the [[TextExpressions.stopHits]] kernel: one tokenize +
+    * hash probes per row, inside whole-stage codegen — replaces the
+    * interpreted higher-order `filter(toks, _.isInCollection(dict))`
+    * which Spark evaluates outside codegen, once per dictionary. */
+  private def hitsArr(textCol: String): Column =
+    TextExpressions.stopHits(col(textCol), LangDicts.map(_._2))
 
   /** Language ID: per-lang stopword hit counts; argmax with the dict order
     * as tie-break (first listed wins). Unmatched docs fall back to "und".
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spread = Par.spread(docs)
-    val toks = Text.tokens(col(textCol))
-    val scored = LangDicts.map { case (l, ws) => (l, hits(toks, ws)) }
+    val ha = hitsArr(textCol)
+    val scored = LangDicts.zipWithIndex.map { case ((l, _), i) =>
+      (l, element_at(ha, i + 1)) }
     // argmax by (count, reverse priority): fold keeps strictly-greater
     val best = scored.tail.foldLeft(
       (lit(LangDicts.head._1), scored.head._2)) {
@@ -53,8 +61,9 @@ object TextAnalysis {
     val nTokens = size(toks)
     val nAlnumSpace = length(regexp_replace(lower(t), "[^a-z0-9 ]", ""))
     val punctRatio = (nChars - nAlnumSpace).cast("double") / nChars.cast("double")
-    val stopRatio = hits(toks, LangDicts.flatMap(_._2)).cast("double") /
-      nTokens.cast("double")
+    // union-dict occurrence count = last slot of the stopHits kernel
+    val stopRatio = element_at(hitsArr(textCol), LangDicts.size + 1)
+      .cast("double") / nTokens.cast("double")
     val avgTokLen = (length(regexp_replace(t, "\\s+", "")).cast("double") /
       nTokens.cast("double"))
     val lengthOk = (nChars >= 100 && nChars <= 20000).cast("int")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import org.apache.spark.sql.graft.VectorExpressions
+import org.apache.spark.sql.graft.TextExpressions
 
 import graft.functions.{Num, Par, Text}
 
@@ -32,38 +32,33 @@ object TextDedup {
     docs.groupBy(sha2(lower(trim(col(textCol))), 256).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct (doc_id, shingle) pairs built with codegen'd operators
-    * only: posexplode tokens, then window `lead` assembles each k-token
-    * shingle — no interpreted higher-order lambdas (Spark evaluates HOF
-    * lambdas outside codegen; at millions of shingles that interpretation
-    * dominated the runtime ~8x). */
-  private def shingleInv(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int): DataFrame = {
-    val tok = Par.spread(docs).select(col(idCol).as("doc_id"),
-      posexplode(Text.tokens(col(textCol))).as(Seq("pos", "t")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until k).map(j => lead(col("t"), j).over(w))
-    tok.select(col("doc_id"),
-        concat_ws(" ", (col("t") +: leads): _*).as("s"),
-        leads.last.isNotNull.as("_full"))
-      .filter(col("_full")).drop("_full")
-      .dropDuplicates("doc_id", "s")
-  }
-
-  /** Sorted distinct shingle sets with sizes, CACHED: one query plan
-    * references the sets up to three times (inverted index + both verify
-    * sides). Sorting enables the codegen'd merge intersect in verify. */
-  private def shingleSets(inv: DataFrame): DataFrame =
-    inv.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(col("s"))).as("sh"))
+  /** Sorted distinct HASHED shingle sets (h = xxhash64(shingle)) with
+    * sizes, computed as a per-row codegen'd kernel projection
+    * ([[TextExpressions.shingleHashSet]]) — ZERO shuffles (round 1 paid
+    * posexplode + window lead + dropDuplicates + groupBy collect, i.e. 3
+    * shuffles of the exploded shingle stream, for the equivalent string
+    * sets). Everything downstream — document frequencies, prefix filters,
+    * candidate joins, intersect counts — moves 8-byte longs instead of
+    * ~25-byte shingle strings; Jaccard counts are unchanged (64-bit
+    * collisions are ~1e-9 corpus-wide). Docs with fewer than k tokens
+    * have no shingles and are dropped, matching the exploded formulation.
+    * CACHED: one query plan references the sets up to three times
+    * (inverted index + both verify sides). Sorted order enables the
+    * codegen'd long-merge intersect. */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame =
+    Par.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        TextExpressions.shingleHashSet(col(textCol), k).as("sh"))
       .withColumn("n", size(col("sh")))
+      .filter(col("n") > 0)
       .cache()
 
   /** Exact-verify candidate (doc1, doc2) pairs against true shingle
     * Jaccard; emit pairs >= threshold. */
   private def verified(candidates: DataFrame, sets: DataFrame,
                        threshold: Double): DataFrame = {
-    val inter = VectorExpressions.sortedIntersectSize(col("sh1"), col("sh2"))
+    val inter = TextExpressions.sortedLongIntersectSize(col("sh1"), col("sh2"))
     // sets are one row per document (small next to the corpus text):
     // broadcasting them keeps the candidate stream from shuffling two
     // full shingle arrays per pair. At true 100 TB scale, replace with a
@@ -92,8 +87,7 @@ object TextDedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double): DataFrame = {
-    val inv0 = shingleInv(docs, idCol, textCol, k)
-    val sets = shingleSets(inv0)
+    val sets = shingleSets(docs, idCol, textCol, k)
     val inv = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
     val freq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val wOrder = Window.partitionBy(col("doc_id"))
@@ -114,30 +108,22 @@ object TextDedup {
     verified(candidates, sets, threshold)
   }
 
-  /** MinHash + LSH near-dup pairs. Signatures are built by exploding the
-    * shingle set once and taking `numPerms` codegen'd MIN aggregates of
-    * seeded xxhash64 — one shuffle of (doc, shingle) pairs, no interpreted
-    * lambdas. Banded signature slices generate candidates; candidates are
-    * exact-verified. Miss probability at j >= threshold is
-    * (1 - j^rows)^bands (~2.6e-5 at j=0.8 with 20x4).
+  /** MinHash + LSH near-dup pairs. Signatures are computed per row by the
+    * [[TextExpressions.minhashSig]] kernel (identical hash values to the
+    * explode + MIN-aggregate formulation, see TextKernels) — signature
+    * building is now a scan-side projection with no shuffle at all; only
+    * the 80-long signatures and band keys ever move. Banded signature
+    * slices generate candidates; candidates are exact-verified. Miss
+    * probability at j >= threshold is (1 - j^rows)^bands (~2.6e-5 at
+    * j=0.8 with 20x4).
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, threshold: Double,
                       numBands: Int = 20, rowsPerBand: Int = 4): DataFrame = {
     val numPerms = numBands * rowsPerBand
-    val inv0 = shingleInv(docs, idCol, textCol, k)
-    val sets = shingleSets(inv0)
-    // hash each shingle string ONCE to a 64-bit h; the numPerms
-    // "permutations" re-hash only the 8-byte h with different seeds
-    // (codegen'd; ANSI-safe, unlike wrap-around affine maps).
-    val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val minCols = (0 until numPerms).map(i =>
-      min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    val sigs = inv.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
+    val sets = shingleSets(docs, idCol, textCol, k)
+    val sigs = sets.select(col("doc_id"),
+      TextExpressions.minhashSigFromHashes(col("sh"), numPerms).as("sig"))
     val bands = sigs.select(col("doc_id"),
       posexplode(Text.lshBands(col("sig"), numBands, rowsPerBand))
         .as(Seq("band_idx", "band_key")))
@@ -151,22 +137,15 @@ object TextDedup {
     verified(candidates, sets, threshold)
   }
 
-  /** SimHash near-dup pairs: 64 codegen'd bit-vote SUM aggregates over the
-    * exploded token stream, then pigeonhole banding. Exact for <= 3. */
+  /** SimHash near-dup pairs: per-row 64-bit fingerprint from the
+    * [[TextExpressions.simhash64]] kernel (identical bit votes to the
+    * exploded 64-SUM-aggregate formulation — see TextKernels), then
+    * pigeonhole banding. Fingerprinting shuffles nothing. Exact for <= 3. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole is exact only for <= 3")
-    val tok = Par.spread(docs).select(col(idCol).as("doc_id"),
-      explode(Text.tokens(col(textCol))).as("t"))
-    val h = xxhash64(col("t"))
-    val voteCols = (0 until 64).map(i =>
-      sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        .as(s"b$i"))
-    val votes = tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-    val fpCol = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
-    val fp = votes.select(col("doc_id"), fpCol.as("fp"))
+    val fp = Par.spread(docs).select(col(idCol).as("doc_id"),
+      TextExpressions.simhash64(col(textCol)).as("fp"))
     val chunks = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("fp"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -184,17 +163,16 @@ object TextDedup {
 
   /** Winnowing-style document fingerprint: the `keep` lexicographically
     * smallest md5 digests of the document's shingles, joined by '|'.
-    * Codegen'd md5 per exploded shingle + a ranking window (k-smallest),
-    * instead of interpreted per-row array transforms. */
+    * Fully fused per-row kernel (shingle set -> digests -> k-smallest) —
+    * a pure scan projection with zero shuffles; round 1 paid the exploded
+    * shingle stream plus a ranking window plus a group-by for the same
+    * result. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-                   shingleK: Int = 3, keep: Int = 4): DataFrame = {
-    val inv = shingleInv(docs, idCol, textCol, shingleK)
-      .select(col("doc_id"), md5(col("s")).as("h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
-    inv.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= keep)
-      .groupBy(col("doc_id"))
-      .agg(concat_ws("|", array_sort(collect_list(col("h"))))
-        .as("fingerprint"))
-  }
+                   shingleK: Int = 3, keep: Int = 4): DataFrame =
+    Par.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        TextExpressions.smallestDigests(
+          TextExpressions.shingleSet(col(textCol), shingleK), keep)
+          .as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
 }
