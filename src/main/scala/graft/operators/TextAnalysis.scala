@@ -92,6 +92,56 @@ object TextAnalysis {
       length(trim(col(textCol))).as("n_chars"))
   }
 
+  /** TF-IDF top-`topK` terms per document (whitespace tokens, duplicate-
+    * preserving term frequency, smooth idf = ln((N+1)/(df+1))).
+    *
+    * Plan shape: one shuffle of (doc, term) pairs for tf, one tiny
+    * aggregate for df (one row per distinct term), the corpus count
+    * broadcast as a 1-row dim, then a per-doc ranking window. At 100 TB
+    * the (doc, term) shuffle is the dominant movement and is
+    * irreducible for exact tf; df and N are high-reduction aggregates.
+    *
+    * idf is pre-rounded at 1e-4 before multiplying by tf: ln() is not
+    * correctly-rounded IEEE and differs across libm implementations by
+    * 1 ulp on ~0.1% of inputs, so downstream comparisons must not see
+    * raw ln output (see x25 registration note). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Par.spread(docs).select(col(idCol).as("doc_id"),
+      explode(Text.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", Num.fpRound(
+        log((col("n_docs").cast("double") + lit(1.0)) /
+          (col("df").cast("double") + lit(1.0))), 4))
+      .withColumn("score", Num.fpRound(col("tf") * col("idf"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic train/val/test split from the first hex digit of
+    * md5(id): '0'-'9' → train (10/16), 'a'-'b' → val (2/16), 'c'-'f' →
+    * test (4/16). Pure per-row projection — no RNG, reproducible across
+    * engines, runs and partitionings, and stable under corpus growth
+    * (a document's split never changes as others are added). */
+  def hashSplit(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      substring(md5(col(idCol).cast("string")), 1, 1).as("h"))
+      .withColumn("split",
+        when(col("h") <= "9", lit("train"))
+          .when(col("h") <= "b", lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("split"))
+
   /** Corpus-level stats per language (SURVEY §2.4 X4): doc counts, exact
     * char totals, mean token counts. */
   def statsByLang(docs: DataFrame, textCol: String): DataFrame =

@@ -135,6 +135,65 @@ object CapabilityQueries {
           valueCol = "event_id", tieBreak = "event_id")
         .select(col("user_id"), col("ts"), col("event_id"),
           col("asof_event_id"), col("asof_ts"))
+    }),
+
+    // x27 — PIVOT: daily value totals spread into one column per event
+    // type (explicit value list keeps the schema static — no extra
+    // distinct-values job, and the plan is a single hash aggregate).
+    "x27_pivot_daily" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date_key"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(Num.dsum(col("value")))
+        .select(col("date_key"),
+          col("click").as("click_sum"), col("error").as("error_sum"),
+          col("purchase").as("purchase_sum"), col("signup").as("signup_sum"),
+          col("view").as("view_sum"))),
+
+    // x28 — UNPIVOT/melt: wide per-line measures to long (measure, amount)
+    // rows — a narrow per-row generator, no shuffle.
+    "x28_unpivot_measures" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "amount")),
+
+    // x29 — range (band) join: each event matched to its value band via
+    // an inequality-only join. The band dim is tiny and broadcast, so the
+    // fact side never shuffles (BroadcastNestedLoopJoin) — the correct
+    // plan at any scale for a small interval dimension.
+    "x29_range_join" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val bands = Seq(
+        ("low", 0.0, 50.0), ("mid", 50.0, 150.0),
+        ("high", 150.0, 300.0), ("extreme", 300.0, 1.0e9))
+        .toDF("band", "lo", "hi")
+      t(s, dir, "events")
+        .join(broadcast(bands),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_events"),
+          Num.dsum(col("value")).as("value_sum"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+    }),
+
+    // x30 — grouped top-k: each customer's 3 highest-value orders via a
+    // ranking window; Spark's WindowGroupLimit pushes the per-group limit
+    // below the shuffle (partial top-k per map partition).
+    "x30_grouped_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rank").cast("long").as("rank"))
     })
   )
 
@@ -225,6 +284,46 @@ object CapabilityQueries {
            COALESCE(value_sum, 0.0) AS value_sum
          FROM grid LEFT JOIN hourly
            ON grid.event_type = hourly.event_type
-           AND grid.hour = hourly.hour"""
+           AND grid.hour = hourly.hour""",
+    "x27_pivot_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS date_key,
+         CAST(SUM(CAST(value AS DECIMAL(38,6)))
+           FILTER (WHERE event_type = 'click') AS DOUBLE) AS click_sum,
+         CAST(SUM(CAST(value AS DECIMAL(38,6)))
+           FILTER (WHERE event_type = 'error') AS DOUBLE) AS error_sum,
+         CAST(SUM(CAST(value AS DECIMAL(38,6)))
+           FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_sum,
+         CAST(SUM(CAST(value AS DECIMAL(38,6)))
+           FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup_sum,
+         CAST(SUM(CAST(value AS DECIMAL(38,6)))
+           FILTER (WHERE event_type = 'view') AS DOUBLE) AS view_sum
+         FROM events GROUP BY 1""",
+    "x28_unpivot_measures" ->
+      """SELECT l_orderkey, l_linenumber,
+           'l_quantity' AS measure, l_quantity AS amount FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber,
+           'l_extendedprice' AS measure, l_extendedprice AS amount
+           FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber,
+           'l_discount' AS measure, l_discount AS amount FROM lineitem""",
+    "x29_range_join" ->
+      """SELECT band, count(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum,
+         min(value) AS v_min, max(value) AS v_max
+         FROM events
+         JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+           ('high', 150.0, 300.0), ('extreme', 300.0, 1000000000.0))
+           b(band, lo, hi)
+           ON value >= lo AND value < hi
+         GROUP BY band""",
+    "x30_grouped_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER w AS rank
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey)
+         QUALIFY row_number() OVER w <= 3"""
   )
 }

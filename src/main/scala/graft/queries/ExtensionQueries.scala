@@ -156,7 +156,24 @@ object ExtensionQueries {
       Multimodal.extractFeatures(s,
           Multimodal.asMediaTable(t(s, dir, "documents")))
         .toDF()
-        .select("doc_id", "n_bytes", "width", "height", "n_frames"))
+        .select("doc_id", "n_bytes", "width", "height", "n_frames")),
+
+    // x25 — TF-IDF top-3 terms per document. idf is rounded at 1e-4
+    // BEFORE the tf multiply: ln() is not IEEE-correctly-rounded and JVM
+    // vs DuckDB libm disagree by 1 ulp on ~0.1% of inputs (measured), so
+    // comparing raw ln output would break hash-match; after a 1e-4
+    // pre-round a boundary flip needs the true value within ~1 ulp of a
+    // grid edge (~1e-11 per value). Division and multiplication are
+    // IEEE-exact-rounded, hence bit-identical cross-engine.
+    "x25_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(
+      t(s, dir, "documents"), "doc_id", "text", topK = 3)),
+
+    // x26 — deterministic hash split: reproducible train/val/test corpus
+    // assignment from md5(doc_id) — no RNG, so the split is stable across
+    // engines, runs, and partitionings (the property a training pipeline
+    // needs for held-out sets).
+    "x26_hash_split" -> ((s, dir) => TextAnalysis.hashSplit(
+      t(s, dir, "documents"), "doc_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -369,6 +386,33 @@ object ExtensionQueries {
          CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
          CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
          CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+         FROM documents""",
+    // idf pre-rounded at 1e-4 on BOTH sides before the tf multiply (ln is
+    // not correctly-rounded IEEE; see the x25 registration note).
+    "x25_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, tf.term AS term, tf, df,
+             floor(tf * (floor(ln((CAST(n_docs AS DOUBLE) + 1.0)
+               / (CAST(df AS DOUBLE) + 1.0)) * 10000 + 0.5) / 10000.0)
+               * 10000 + 0.5) / 10000.0 AS score
+           FROM tf JOIN dfx USING (term) CROSS JOIN n)
+         SELECT doc_id, term, tf, df, score,
+           row_number() OVER w AS rank
+         FROM scored
+         WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, term)
+         QUALIFY row_number() OVER w <= 3""",
+    "x26_hash_split" ->
+      """SELECT doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '9'
+                THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                THEN 'val'
+              ELSE 'test' END AS split
          FROM documents"""
   )
 }

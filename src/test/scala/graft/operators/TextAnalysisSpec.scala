@@ -44,4 +44,41 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
     assert(out == Map("en" -> 2L, "de" -> 1L))
   }
+
+  test("tfidfTopTerms ranks rare terms above ubiquitous ones (x25)") {
+    val corpus = Seq(
+      (1L, "alpha alpha alpha common"),
+      (2L, "beta common"),
+      (3L, "gamma common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", topK = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rank")) -> r.getString(1))
+      .toMap
+    // 'common' appears in every doc (df=3, idf=0) -> never outranks a
+    // doc-specific term; repeated 'alpha' stays rank 1 for doc 1
+    assert(out((1L, 1L)) == "alpha")
+    assert(out((2L, 1L)) == "beta")
+    assert(out((3L, 1L)) == "gamma")
+    val scores = TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", 2)
+      .collect().map(r => r.getString(1) -> r.getAs[Double]("score")).toMap
+    assert(scores("alpha") > scores("beta")) // tf 3 vs 1, same df
+    assert(scores("common") == 0.0) // ln((3+1)/(3+1)) = 0
+  }
+
+  test("hashSplit is deterministic and covers every doc exactly once (x26)") {
+    val ids = (1L to 200L)
+    val corpus = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashSplit(corpus, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == ids.toSet)
+    assert(out.values.toSet.subsetOf(Set("train", "val", "test")))
+    // expected proportions 10/16, 2/16, 4/16 — loose bounds at n=200
+    val n = out.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(n("train") > 90 && n("test") > 20)
+    // stable across runs / partitionings
+    val again = TextAnalysis.hashSplit(corpus.repartition(7), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
 }
