@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graft.VectorExpressions
+
 import graft.functions.{Par, Vectors}
 
 /** Similarity search over an embedding column (SURVEY §2.4 X3).
@@ -57,21 +59,32 @@ object Similarity {
         graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
   }
 
+  /** Driver-collected centroid table (IVF "training" output — eagerly
+    * materialized, like fitting the centroids would be), sorted by id so
+    * kernel tie-breaks match the ranking-window formulation. */
+  private def collectCentroids(centroids: DataFrame, idCol: String,
+                               vecCol: String): (Array[Long], Array[Array[Float]]) = {
+    val rows = centroids.select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
   /** IVF-blocked near-dup: corpus pairs above `threshold`, but only pairs
     * sharing a centroid bucket are scored — the O(n²)-free scale path for
     * embedding dedup (deliberately approximate: cross-bucket pairs are
     * out of scope by construction, which an oracle can mirror exactly).
+    * Assignment is the per-row [[VectorExpressions.nearestCentroid]]
+    * kernel: zero shuffles and no k× row blowup (round 1 cross-joined
+    * the broadcast centroids and ranked with a window — a shuffle + sort
+    * of the k×n stream for the same argmax).
     */
   def ivfCosinePairs(corpus: DataFrame, centroids: DataFrame, idCol: String,
                      vecCol: String, threshold: Double): DataFrame = {
-    val cent = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    val (ids, vecs) = collectCentroids(centroids, idCol, vecCol)
     val corp = Par.spread(corpus.select(col(idCol).as("vid"), col(vecCol).as("v")))
-    val wAssign = Window.partitionBy(col("vid"))
-      .orderBy(Vectors.cosine(col("v"), col("centv")).desc, col("centroid_id"))
-    val assigned = corp.join(broadcast(cent), lit(true))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vid"), col("v"), col("centroid_id"))
+    val assigned = corp.withColumn("centroid_id",
+      VectorExpressions.nearestCentroid(col("v"), ids, vecs))
     val a = assigned.alias("a"); val b = assigned.alias("b")
     a.join(b, col("a.centroid_id") === col("b.centroid_id") &&
         col("a.vid") < col("b.vid"))
@@ -88,24 +101,17 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val cent = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    val (ids, vecs) = collectCentroids(centroids, idCol, vecCol)
     val corp = Par.spread(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
-    // one-pass assignment: nearest centroid per corpus vector
-    val wAssign = Window.partitionBy(col("neighbor_id"))
-      .orderBy(Vectors.cosine(col("cv"), col("centv")).desc, col("centroid_id"))
-    val assigned = corp.join(broadcast(cent), lit(true))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("neighbor_id"), col("cv"), col("centroid_id"))
-    // per-query probe list: nprobe nearest centroids
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(Vectors.cosine(col("qv"), col("centv")).desc, col("centroid_id"))
-    val probes = q.join(broadcast(cent), lit(true))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id"))
+    // one-pass scan-side assignment: nearest centroid per corpus vector
+    val assigned = corp.withColumn("centroid_id",
+      VectorExpressions.nearestCentroid(col("cv"), ids, vecs))
+    // per-query probe list: nprobe nearest centroids, also per-row
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("centroid_id", explode(
+        VectorExpressions.probeCentroids(col("qv"), ids, vecs, nprobe)))
     // brute force inside probed buckets only
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("similarity").desc, col("neighbor_id"))

@@ -138,18 +138,20 @@ object CapabilityQueries {
     }),
 
     // x27 — PIVOT: daily value totals spread into one column per event
-    // type (explicit value list keeps the schema static — no extra
-    // distinct-values job, and the plan is a single hash aggregate).
-    "x27_pivot_daily" -> ((s, dir) =>
+    // type, as conditional aggregates. Semantically identical to
+    // `.pivot("event_type", values)` but plans ONE partial+final hash
+    // aggregate with ONE exchange — Dataset.pivot lowers to a two-level
+    // aggregate (inner group-by + pivotfirst) with a second shuffle the
+    // static value list makes unnecessary.
+    "x27_pivot_daily" -> ((s, dir) => {
+      def sumFor(v: String) =
+        Num.dsum(when(col("event_type") === v, col("value")))
+          .as(s"${v}_sum")
       t(s, dir, "events")
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date_key"))
-        .pivot("event_type",
-          Seq("click", "error", "purchase", "signup", "view"))
-        .agg(Num.dsum(col("value")))
-        .select(col("date_key"),
-          col("click").as("click_sum"), col("error").as("error_sum"),
-          col("purchase").as("purchase_sum"), col("signup").as("signup_sum"),
-          col("view").as("view_sum"))),
+        .agg(sumFor("click"), sumFor("error"), sumFor("purchase"),
+          sumFor("signup"), sumFor("view"))
+    }),
 
     // x28 — UNPIVOT/melt: wide per-line measures to long (measure, amount)
     // rows — a narrow per-row generator, no shuffle.

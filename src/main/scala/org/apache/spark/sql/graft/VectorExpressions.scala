@@ -112,6 +112,128 @@ case class SortedStringArrayIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-row IVF kernels: centroid assignment/probing against a small
+  * driver-collected centroid table. The round-1 formulation cross-joined
+  * the corpus with the broadcast centroids (k× row blowup) and picked the
+  * argmax with a ranking window — one shuffle + sort of the k×n stream.
+  * These kernels do the argmax in one loop per row, so assignment is a
+  * pure scan-side projection: zero shuffles, no row blowup. Semantics are
+  * pinned to the window formulation (IvfParitySpec): cosine is computed
+  * exactly like Vectors.cosine (min-length dot, full-length norms,
+  * null when norm-product is 0 — skipped, so a degenerate vector can
+  * never win), ties break toward the smallest centroid id.
+  */
+object VectorKernels {
+
+  /** (cos, valid): Vectors.cosine(v, w) replicated — null ⇒ valid=false. */
+  private def cosine(v: ArrayData, w: Array[Float]): Double = {
+    val nv = v.numElements()
+    val nd = math.min(nv, w.length)
+    var d = 0.0; var da = 0.0; var db = 0.0
+    var i = 0
+    while (i < nd) { d += v.getFloat(i).toDouble * w(i).toDouble; i += 1 }
+    i = 0
+    while (i < nv) { val x = v.getFloat(i).toDouble; da += x * x; i += 1 }
+    i = 0
+    while (i < w.length) { val x = w(i).toDouble; db += x * x; i += 1 }
+    val n = math.sqrt(da) * math.sqrt(db)
+    if (n > 0) d / n else Double.NaN // NaN = the when()'s null branch
+  }
+
+  /** Nearest centroid id (argmax cosine, ties → smallest id; `ids` must
+    * be sorted ascending with `vecs` aligned). */
+  def nearestCentroid(v: ArrayData, ids: Array[Long],
+                      vecs: Array[Array[Float]]): Long = {
+    var best = ids(0)
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < ids.length) {
+      val cos = cosine(v, vecs(c))
+      if (!cos.isNaN && cos > bestCos) { best = ids(c); bestCos = cos }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nprobe` nearest centroid ids, by (cosine desc, id asc); null
+    * cosines order last (matching the ranking-window formulation). */
+  def probeCentroids(v: ArrayData, ids: Array[Long],
+                     vecs: Array[Array[Float]], nprobe: Int): ArrayData = {
+    val k = ids.length
+    val cos = new Array[Double](k)
+    var c = 0
+    while (c < k) { cos(c) = cosine(v, vecs(c)); c += 1 }
+    val take = math.min(nprobe, k)
+    val out = new Array[Long](take)
+    val used = new Array[Boolean](k)
+    var slot = 0
+    while (slot < take) {
+      var best = -1
+      var i = 0
+      while (i < k) {
+        if (!used(i)) {
+          if (best < 0) best = i
+          else {
+            val a = cos(i); val b = cos(best)
+            // desc by cos with NaN (null) last; ids ascending break ties
+            val aBeats =
+              (!a.isNaN && (b.isNaN || a > b))
+            if (aBeats) best = i
+          }
+        }
+        i += 1
+      }
+      used(best) = true
+      out(slot) = ids(best)
+      slot += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class NearestCentroidExpr(child: Expression, ids: Array[Long],
+                               vecs: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCentroid(input.asInstanceOf[ArrayData], ids, vecs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centIds", ids, "long[]")
+    val vecsRef = ctx.addReferenceObj("centVecs", vecs, "float[][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = org.apache.spark.sql.graft.VectorKernels.nearestCentroid(
+      |  $c, $idsRef, $vecsRef);
+      |""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ProbeCentroidsExpr(child: Expression, ids: Array[Long],
+                              vecs: Array[Array[Float]], nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.probeCentroids(input.asInstanceOf[ArrayData], ids, vecs, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centIds", ids, "long[]")
+    val vecsRef = ctx.addReferenceObj("centVecs", vecs, "float[][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = org.apache.spark.sql.graft.VectorKernels.probeCentroids(
+      |  $c, $idsRef, $vecsRef, $nprobe);
+      |""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for graft code (bridges private[sql] API). */
 object VectorExpressions {
   def vecDot(a: Column, b: Column): Column =
@@ -121,4 +243,14 @@ object VectorExpressions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedStringArrayIntersectSize(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def nearestCentroid(v: Column, ids: Array[Long],
+                      vecs: Array[Array[Float]]): Column =
+    ExpressionUtils.column(NearestCentroidExpr(
+      ExpressionUtils.expression(v), ids, vecs))
+
+  def probeCentroids(v: Column, ids: Array[Long], vecs: Array[Array[Float]],
+                     nprobe: Int): Column =
+    ExpressionUtils.column(ProbeCentroidsExpr(
+      ExpressionUtils.expression(v), ids, vecs, nprobe))
 }

@@ -58,4 +58,46 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
   }
+
+  test("x29 range join broadcasts the band dim (fact side never shuffles)") {
+    val p = plan("x29_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"band join should be broadcast nested-loop:\n$p")
+    // only the final 4-group aggregate exchanges; the events scan doesn't
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange (final agg):\n$p")
+  }
+
+  test("x30 grouped top-k plans partial WindowGroupLimit before exchange") {
+    val p = plan("x30_grouped_topk")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"no partial per-partition top-k:\n$p")
+  }
+
+  test("x27 pivot is a single hash aggregate (no per-category scans)") {
+    val p = plan("x27_pivot_daily")
+    assert("HashAggregate".r.findAllIn(p).size == 2, // partial + final
+      s"pivot should be one partial+final aggregate pair:\n$p")
+    assert("FileScan".r.findAllIn(p).size +
+      "BatchScan".r.findAllIn(p).size == 1,
+      s"pivot should scan events exactly once:\n$p")
+  }
+
+  test("x28 unpivot is a narrow generator (zero exchanges)") {
+    val p = plan("x28_unpivot_measures")
+    assert(!p.contains("Exchange"), s"unpivot should not shuffle:\n$p")
+  }
+
+  test("x2/x8 shingle sets build scan-side (no shuffle before signatures)") {
+    // the kernel projection means the FIRST exchange in the minhash plan
+    // carries band keys / signatures, never exploded shingle strings
+    val p = plan("x2_minhash_lsh")
+    assert(p.contains("shinglehashset") || p.contains("ShingleHashSet"),
+      s"expected the shingleHashSet kernel in the plan:\n$p")
+  }
+
+  test("x26 hash split is a pure per-row projection (zero exchanges)") {
+    val p = plan("x26_hash_split")
+    assert(!p.contains("Exchange"), s"hash split should not shuffle:\n$p")
+  }
 }
