@@ -28,11 +28,14 @@ object Similarity {
     * Deterministic: ties broken by ascending neighbor id. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Vectors.norm(col(vecCol)).as("qn"))
     val c = Par.spread(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        Vectors.norm(col(vecCol)).as("cn")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("similarity", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("similarity", Vectors.cosinePrenormed(
+        col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("similarity").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -50,10 +53,13 @@ object Similarity {
     * non-broadcast strategy instead of failing outright. */
   def cosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
-    val a = Par.spread(corpus.select(col(idCol).as("id1"), col(vecCol).as("v1")))
-    val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    val a = Par.spread(corpus.select(col(idCol).as("id1"), col(vecCol).as("v1"),
+      Vectors.norm(col(vecCol)).as("n1")))
+    val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("v2"),
+      Vectors.norm(col(vecCol)).as("n2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("similarity", Vectors.cosine(col("v1"), col("v2")))
+      .withColumn("similarity", Vectors.cosinePrenormed(
+        col("v1"), col("v2"), col("n1"), col("n2")))
       .filter(col("similarity") >= threshold)
       .select(col("id1"), col("id2"),
         graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
@@ -82,13 +88,15 @@ object Similarity {
   def ivfCosinePairs(corpus: DataFrame, centroids: DataFrame, idCol: String,
                      vecCol: String, threshold: Double): DataFrame = {
     val (ids, vecs) = collectCentroids(centroids, idCol, vecCol)
-    val corp = Par.spread(corpus.select(col(idCol).as("vid"), col(vecCol).as("v")))
+    val corp = Par.spread(corpus.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      Vectors.norm(col(vecCol)).as("nv")))
     val assigned = corp.withColumn("centroid_id",
       VectorExpressions.nearestCentroid(col("v"), ids, vecs))
     val a = assigned.alias("a"); val b = assigned.alias("b")
     a.join(b, col("a.centroid_id") === col("b.centroid_id") &&
         col("a.vid") < col("b.vid"))
-      .withColumn("similarity", Vectors.cosine(col("a.v"), col("b.v")))
+      .withColumn("similarity", Vectors.cosinePrenormed(
+        col("a.v"), col("b.v"), col("a.nv"), col("b.nv")))
       .filter(col("similarity") >= threshold)
       .select(col("a.vid").as("id1"), col("b.vid").as("id2"),
         graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
@@ -103,13 +111,15 @@ object Similarity {
               idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val (ids, vecs) = collectCentroids(centroids, idCol, vecCol)
     val corp = Par.spread(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        Vectors.norm(col(vecCol)).as("cn")))
     // one-pass scan-side assignment: nearest centroid per corpus vector
     val assigned = corp.withColumn("centroid_id",
       VectorExpressions.nearestCentroid(col("cv"), ids, vecs))
     // per-query probe list: nprobe nearest centroids, also per-row
     val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        Vectors.norm(col(vecCol)).as("qn"))
       .withColumn("centroid_id", explode(
         VectorExpressions.probeCentroids(col("qv"), ids, vecs, nprobe)))
     // brute force inside probed buckets only
@@ -117,7 +127,8 @@ object Similarity {
       .orderBy(col("similarity").desc, col("neighbor_id"))
     assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("similarity", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("similarity", Vectors.cosinePrenormed(
+        col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
