@@ -38,4 +38,36 @@ class GraftFunctionsSpec extends SparkSpec {
     val expected = 1.5 * 2.0 + -2.0 * 0.25 + 0.5 * 8.0
     assert(viaColumn == expected)
   }
+
+  test("text kernels are callable from SQL (shingle/minhash/simhash/digests)") {
+    GraftFunctions.register(spark)
+    val sh = spark.sql(
+      "SELECT shingle_set('a b c d', 3) AS sh").head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val hs = spark.sql(
+      "SELECT shingle_hash_set('a b c d', 3) AS hs").head().getSeq[Long](0)
+    assert(hs.length == 2 && hs == hs.sorted)
+    // minhash over strings == minhash over pre-hashed shingles
+    val viaStr = spark.sql(
+      "SELECT minhash_sig(shingle_set('a b c d', 3), 8)").head().getSeq[Long](0)
+    val viaHash = spark.sql(
+      "SELECT minhash_sig_hashes(shingle_hash_set('a b c d', 3), 8)")
+      .head().getSeq[Long](0)
+    assert(viaStr == viaHash)
+    val fp = spark.sql("SELECT simhash64('hello world')").head().getLong(0)
+    val fp2 = spark.sql("SELECT simhash64('hello world')").head().getLong(0)
+    assert(fp == fp2)
+    val digest = spark.sql(
+      "SELECT smallest_digests(shingle_set('a b c d e', 3), 2)")
+      .head().getString(0)
+    assert(digest.split("\\|").length == 2)
+    val lis = spark.sql(
+      "SELECT sorted_long_intersect_size(array(1L, 5L, 9L), array(5L, 9L, 12L))")
+      .head().getInt(0)
+    assert(lis == 2)
+    // structural params must be literals
+    intercept[Exception] {
+      spark.sql("SELECT shingle_set('a b c', length('xx'))").collect()
+    }
+  }
 }
