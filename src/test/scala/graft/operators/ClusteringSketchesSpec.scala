@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class ClusteringSketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmeansFit separates well-separated clusters and assign buckets them") {
+    // three tight clusters around (10,0), (0,10), (-10,-10)
+    val pts = (0 until 30).map { i =>
+      val (cx, cy) = (i % 3) match {
+        case 0 => (10f, 0f); case 1 => (0f, 10f); case _ => (-10f, -10f)
+      }
+      (i.toLong, Array(cx + (i % 5) * 0.1f, cy + (i % 7) * 0.1f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val model = Clustering.kmeansFit(df, "vec_id", "embedding", k = 3, iters = 5)
+    assert(model.centroids.length == 3)
+    val assigned = model.assign(df, "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every ground-truth cluster lands in exactly one fitted bucket
+    val buckets = (0 until 3).map(g =>
+      pts.collect { case (id, _) if id % 3 == g => assigned(id) }.toSet)
+    assert(buckets.forall(_.size == 1), s"clusters split: $buckets")
+    assert(buckets.flatten.toSet.size == 3, s"clusters merged: $buckets")
+  }
+
+  test("kmeans model feeds the IVF operators (fitted centroids, real data)") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val model = Clustering.kmeansFit(emb, "vec_id", "embedding", k = 4, iters = 3)
+    val counts = model.assign(emb, "vec_id", "embedding")
+      .groupBy("centroid_id").count().collect()
+    assert(counts.map(_.getLong(1)).sum == emb.count())
+    assert(counts.length >= 2) // real embeddings spread across buckets
+  }
+
+  test("approxDistinctByGroup is within HLL error of exact") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "events")
+    val approx = Sketches.approxDistinctByGroup(e, "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = e.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.15,
+        s"$k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("approxPercentilesByGroup brackets the exact percentiles") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "events")
+    val approx = Sketches.approxPercentilesByGroup(
+        e, "event_type", "value", Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = e.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.5, 0.9))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    exact.foreach { case (k, ex) =>
+      approx(k).zip(ex).foreach { case (ap, exv) =>
+        assert(math.abs(ap - exv) / (math.abs(exv) + 1e-9) < 0.1,
+          s"$k: approx $ap vs exact $exv")
+      }
+    }
+  }
+}
