@@ -108,10 +108,12 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Par.spread(docs).select(col(idCol).as("doc_id"),
-      explode(Text.tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // per-row term-frequency kernel: tf needs NO shuffle (round-2; the
+    // explode + groupBy(doc, term) formulation shuffled every token)
+    val tf = Par.spread(docs).select(col(idCol).as("doc_id"),
+        explode(TextExpressions.termCounts(col(textCol))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"),
+        col("tc.tf").cast("long").as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))

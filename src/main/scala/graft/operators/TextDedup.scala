@@ -92,11 +92,15 @@ object TextDedup {
     val freq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val wOrder = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("s"))
+    // cached: the candidate self-join references the prefix TWICE (a and
+    // b sides) — without pinning it the freq join + ranking window run
+    // twice per query
     val prefix = inv.join(freq, "s")
       .withColumn("pos", row_number().over(wOrder))
       .filter(col("pos") <=
         col("n") - ceil(lit(threshold) * col("n")).cast("int") + lit(1))
       .select(col("doc_id"), col("n"), col("s"))
+      .cache()
     val a = prefix.alias("a"); val b = prefix.alias("b")
     // length filter: jaccard >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
     val candidates = a.join(b,

@@ -31,7 +31,7 @@ object ProfileX8 {
     val threshold = 0.5
     val docs = Tables(spark, sfDir, "documents")
     val sets = Par.spread(docs)
-      .select(col("doc_id"), TextExpressions.shingleSet(col("text"), 3).as("sh"))
+      .select(col("doc_id"), TextExpressions.shingleHashSet(col("text"), 3).as("sh"))
       .withColumn("n", size(col("sh")))
       .filter(col("n") > 0)
       .cache()
@@ -57,7 +57,7 @@ object ProfileX8 {
       .distinct()
       .cache()
     time("candidates (self-join)") { candidates.count() }
-    val inter = VectorExpressions.sortedIntersectSize(col("sh1"), col("sh2"))
+    val inter = TextExpressions.sortedLongIntersectSize(col("sh1"), col("sh2"))
     val out = candidates
       .join(broadcast(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1"),
         col("n").as("n1"))), "doc1")

@@ -199,6 +199,31 @@ object TextKernels {
     c
   }
 
+  /** Per-document term frequencies: (term, count) over tokens(text),
+    * terms in ascending binary order. All occurrences of a term within
+    * one document land in one row, so term-frequency computation needs
+    * no shuffle at all — only the (much smaller) distinct-terms stream
+    * ever moves for downstream df counts. */
+  def termCounts(text: UTF8String): ArrayData = {
+    val t = tokens(text)
+    val m = new java.util.TreeMap[UTF8String, Int]()
+    var i = 0
+    while (i < t.length) {
+      m.merge(t(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var n = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(n) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey, e.getValue)
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Occurrence counts of tokens(text) in each dictionary (order given),
     * plus the union of all dictionaries in the LAST slot. One tokenize +
     * one hash probe per (token, dict) — replaces the interpreted
@@ -331,6 +356,24 @@ case class SmallestDigestsExpr(child: Expression, keep: Int)
     copy(child = newChild)
 }
 
+case class TermCountsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.termCounts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextKernels.termCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class StopHitsExpr(child: Expression, dicts: Seq[Seq[String]])
     extends UnaryExpression with ExpectsInputTypes {
   @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] = {
@@ -372,6 +415,8 @@ object TextExpressions {
     ExpressionUtils.column(MinHashSigExpr(e(sh), numPerms))
   def simhash64(text: Column): Column =
     ExpressionUtils.column(SimHash64Expr(e(text)))
+  def termCounts(text: Column): Column =
+    ExpressionUtils.column(TermCountsExpr(e(text)))
   def smallestDigests(sh: Column, keep: Int): Column =
     ExpressionUtils.column(SmallestDigestsExpr(e(sh), keep))
   def stopHits(text: Column, dicts: Seq[Seq[String]]): Column =

@@ -142,6 +142,18 @@ class TextKernelsParitySpec extends SparkSpec {
     assert(mismatch.isEmpty)
   }
 
+  test("termCounts kernel == explode + groupBy(doc, term) counts") {
+    val kernel = docs.select(col("doc_id"),
+        explode(TextExpressions.termCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"),
+        col("tc.tf").cast("long").as("tf"))
+    val ref = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    assert(kernel.exceptAll(ref).isEmpty && ref.exceptAll(kernel).isEmpty)
+  }
+
   test("stopHits kernel == interpreted HOF filter counts (incl. union)") {
     val dicts = TextAnalysis.LangDicts.map(_._2)
     val toks = Text.tokens(col("text"))
