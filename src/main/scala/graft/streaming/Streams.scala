@@ -122,4 +122,22 @@ object Streams {
           }
       }
   }
+
+  /** Streaming exact dedup — the streaming twin of the batch x1 operator:
+    * exactly one representative per content digest, with BOUNDED state
+    * (the first-seen row across micro-batches; within one micro-batch the
+    * representative is an arbitrary member of the digest group).
+    * `dropDuplicatesWithinWatermark` expires a digest's state once the
+    * watermark passes its event time + `lateness`, so state size tracks
+    * the dedup window, not the full stream history — the only shape that
+    * survives an unbounded stream (plain dropDuplicates accumulates
+    * forever). Duplicates separated by more than the window are
+    * re-admitted by design.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, textCol: String,
+                  lateness: String): DataFrame =
+    events
+      .withColumn("text_hash", sha2(lower(trim(col(textCol))), 256))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("text_hash")
 }

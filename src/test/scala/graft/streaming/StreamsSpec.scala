@@ -122,4 +122,33 @@ class StreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
     assert(closed == Set((7L, 2L)))
   }
+
+  test("dedupStream keeps first arrival per digest with bounded state") {
+    val dir = Files.createTempDirectory("dedup-in").toString
+    Seq(
+      (1L, ts("2024-01-01 00:01:00"), "Hello World"),
+      (2L, ts("2024-01-01 00:02:00"), "  hello world "), // dup after norm
+      (3L, ts("2024-01-01 00:03:00"), "something else"),
+      (4L, ts("2024-01-01 00:04:00"), "HELLO WORLD")     // dup again
+    ).toDF("event_id", "ts", "text")
+      .write.mode("overwrite").parquet(dir)
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val deduped = Streams.dedupStream(stream, "ts", "text", "10 minutes")
+
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table("dedup_out")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    // exactly one representative per digest group ({1,2,4} normalize to
+    // the same hash; within one micro-batch the pick is arbitrary)
+    assert(ids.length == 2)
+    assert(ids.contains(3L))
+    assert(ids.exists(Set(1L, 2L, 4L)))
+  }
 }
