@@ -42,11 +42,17 @@ object Bench {
     // steady-state time, dominated by per-stage C2 compilation — a cost a
     // long-lived cluster pays once, which one-shot timing would otherwise
     // charge to whichever query happens to run first.
-    // SPARK_GRAFT_WARMUP=0 disables; =<dir> warms against another SF dir.
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP", sfDir)
-    if (warmDir != "0") {
+    // SPARK_GRAFT_WARMUP=0/false/off disables; =1/true/on warms against
+    // the bench dir (the default); anything else is a directory to warm
+    // against (e.g. a smaller SF).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP", sfDir) match {
+      case "0" | "false" | "off" => None
+      case "1" | "true" | "on" => Some(sfDir)
+      case dir => Some(dir)
+    }
+    warmDir.foreach { warm =>
       selected.foreach { case (name, fn) =>
-        try fn(spark, warmDir).queryExecution.toRdd.foreach(_ => ())
+        try fn(spark, warm).queryExecution.toRdd.foreach(_ => ())
         catch { case e: Throwable =>
           System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
         }

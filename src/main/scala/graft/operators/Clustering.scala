@@ -24,9 +24,12 @@ import graft.functions.Par
 object Clustering {
 
   final case class KMeansModel(ids: Array[Long], centroids: Array[Array[Float]]) {
-    /** Scan-side bucket assignment using the fitted centroids. */
+    /** Scan-side bucket assignment using the fitted centroids. An empty
+      * model (fit on an empty corpus) assigns nothing. */
     def assign(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
-      corpus.withColumn("centroid_id",
+      if (ids.isEmpty)
+        corpus.withColumn("centroid_id", lit(null).cast("long")).limit(0)
+      else corpus.withColumn("centroid_id",
         VectorExpressions.nearestCentroid(col(vecCol), ids, centroids))
   }
 
@@ -38,7 +41,9 @@ object Clustering {
     try {
       // deterministic init: the k lowest-id vectors
       val init = corp.orderBy(col("_id")).limit(k).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .map(r => (Similarity.integralId(r.get(0), idCol),
+          r.getSeq[Float](1).toArray))
+      if (init.isEmpty) return KMeansModel(Array.empty, Array.empty)
       var ids = init.map(_._1)
       var cents = init.map(_._2)
       var it = 0

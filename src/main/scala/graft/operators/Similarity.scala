@@ -67,11 +67,26 @@ object Similarity {
 
   /** Driver-collected centroid table (IVF "training" output — eagerly
     * materialized, like fitting the centroids would be), sorted by id so
-    * kernel tie-breaks match the ranking-window formulation. */
-  private def collectCentroids(centroids: DataFrame, idCol: String,
-                               vecCol: String): (Array[Long], Array[Array[Float]]) = {
+    * kernel tie-breaks match the ranking-window formulation. Integral id
+    * types are widened to Long (the kernel's bucket key); anything else
+    * fails with a clear message rather than a ClassCastException. */
+  /** Widen an integral id value to Long (the kernel's bucket-key type);
+    * clear error for non-integral id columns instead of a CCE. */
+  private[operators] def integralId(v: Any, idCol: String): Long = v match {
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case s: java.lang.Short => s.longValue()
+    case b: java.lang.Byte => b.longValue()
+    case other => throw new IllegalArgumentException(
+      s"IVF id column '$idCol' must be integral, got " +
+        s"${if (other == null) "null" else other.getClass.getName}")
+  }
+
+  private[operators] def collectCentroids(
+      centroids: DataFrame, idCol: String,
+      vecCol: String): (Array[Long], Array[Array[Float]]) = {
     val rows = centroids.select(col(idCol), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .map(r => (integralId(r.get(0), idCol), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
     (rows.map(_._1), rows.map(_._2))
   }
@@ -88,6 +103,11 @@ object Similarity {
   def ivfCosinePairs(corpus: DataFrame, centroids: DataFrame, idCol: String,
                      vecCol: String, threshold: Double): DataFrame = {
     val (ids, vecs) = collectCentroids(centroids, idCol, vecCol)
+    // empty centroid table => no buckets => no pairs (the round-1 window
+    // formulation's behavior; the kernel itself needs >= 1 centroid)
+    if (ids.isEmpty)
+      return corpus.select(col(idCol).as("id1"), col(idCol).as("id2"),
+        lit(null).cast("double").as("similarity")).limit(0)
     val corp = Par.spread(corpus.select(col(idCol).as("vid"), col(vecCol).as("v"),
       Vectors.norm(col(vecCol)).as("nv")))
     val assigned = corp.withColumn("centroid_id",
@@ -110,6 +130,12 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val (ids, vecs) = collectCentroids(centroids, idCol, vecCol)
+    // empty centroid table => nothing probe-able => empty result (the
+    // round-1 window formulation's behavior)
+    if (ids.isEmpty)
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(null).cast("long").as("rank"),
+        lit(null).cast("double").as("similarity")).limit(0)
     val corp = Par.spread(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         Vectors.norm(col(vecCol)).as("cn")))

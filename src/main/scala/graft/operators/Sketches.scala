@@ -28,10 +28,9 @@ object Sketches {
     * `accuracy` trades memory for error = 1/accuracy). */
   def approxPercentilesByGroup(df: DataFrame, groupCol: String,
                                valueCol: String, probs: Seq[Double],
-                               accuracy: Int = 10000): DataFrame = {
-    val probsExpr = probs.mkString("array(", ", ", ")")
+                               accuracy: Int = 10000): DataFrame =
     df.groupBy(col(groupCol))
-      .agg(expr(s"percentile_approx($valueCol, $probsExpr, $accuracy)")
+      .agg(percentile_approx(col(valueCol),
+          array(probs.map(lit): _*), lit(accuracy))
         .as("approx_percentiles"))
-  }
 }

@@ -24,6 +24,14 @@ import graft.functions.{Num, Par, Text}
   *    higher-order lambdas); banded keys generate candidates; exact verify.
   *  - near-dup, SimHash: 64-bit fingerprint from codegen'd bit-vote sums;
   *    4x16-bit pigeonhole banding gives exact Hamming<=3 retrieval.
+  *
+  * CACHE CONTRACT: jaccardPairs/minhashLshPairs cache operator-internal
+  * intermediates (the shingle sets; x8's prefix index) because one plan
+  * references them several times. The caches are keyed to the returned
+  * plan and are NOT unpersisted here — callers running many queries in
+  * one session should `spark.catalog.clearCache()` between queries (as
+  * Bench and Verify do), or the cached partitions persist until Spark
+  * evicts them under memory pressure.
   */
 object TextDedup {
 

@@ -37,6 +37,33 @@ class ClusteringSketchesSpec extends SparkSpec {
     assert(counts.length >= 2) // real embeddings spread across buckets
   }
 
+  test("IVF operators with an empty centroid table return empty, not crash") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val none = emb.filter(col("vec_id") < 0) // empty centroid table
+    assert(Similarity.ivfCosinePairs(emb, none, "vec_id", "embedding", 0.4)
+      .isEmpty)
+    assert(Similarity.ivfTopK(emb.limit(3), emb, none, "vec_id", "embedding",
+      k = 3, nprobe = 2).isEmpty)
+    // kmeans on an empty corpus -> empty model -> empty assignment
+    val model = Clustering.kmeansFit(none, "vec_id", "embedding", 3, 2)
+    assert(model.ids.isEmpty)
+    assert(model.assign(emb, "vec_id", "embedding").isEmpty)
+  }
+
+  test("IVF id columns: Int widens to Long; non-integral fails clearly") {
+    import spark.implicits._
+    val intIds = Seq((1, Array(1f, 0f)), (2, Array(0f, 1f)),
+      (7, Array(0.9f, 0.1f))).toDF("vid", "embedding")
+    val pairs = Similarity.ivfCosinePairs(intIds,
+      intIds.filter(col("vid") < 3), "vid", "embedding", 0.0)
+    assert(pairs.count() >= 1) // (1,7) share the first bucket
+    val strIds = Seq(("a", Array(1f, 0f))).toDF("vid", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfCosinePairs(strIds, strIds, "vid", "embedding", 0.0)
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
   test("approxDistinctByGroup is within HLL error of exact") {
     val e = Tables(spark, "/root/testdata/sf0.001", "events")
     val approx = Sketches.approxDistinctByGroup(e, "event_type", "user_id")
