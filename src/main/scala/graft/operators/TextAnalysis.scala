@@ -144,6 +144,21 @@ object TextAnalysis {
           .otherwise(lit("test")))
       .select(col("doc_id"), col("split"))
 
+  /** Token-window chunking for training-data preparation: each document
+    * becomes ceil((n-size)/stride)+1 overlapping windows of `size` tokens
+    * advancing by `stride` (one chunk when n <= size). A pure per-row
+    * kernel projection + narrow explode — zero shuffles, and the chunk
+    * stream inherits the scan's partitioning, so at 100 TB chunking is
+    * free data movement (the downstream tokenize/pack stage reads chunks
+    * where the documents already live). */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            size: Int, stride: Int): DataFrame =
+    Par.spread(docs).select(col(idCol).as("doc_id"),
+        posexplode(TextExpressions.chunkTokens(col(textCol), size, stride))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"))
+
   /** Corpus-level stats per language (SURVEY §2.4 X4): doc counts, exact
     * char totals, mean token counts. */
   def statsByLang(docs: DataFrame, textCol: String): DataFrame =

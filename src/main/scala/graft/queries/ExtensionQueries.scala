@@ -173,7 +173,13 @@ object ExtensionQueries {
     // engines, runs, and partitionings (the property a training pipeline
     // needs for held-out sets).
     "x26_hash_split" -> ((s, dir) => TextAnalysis.hashSplit(
-      t(s, dir, "documents"), "doc_id"))
+      t(s, dir, "documents"), "doc_id")),
+
+    // x31 — token-window chunking (64-token windows, stride 48): the
+    // standard context-window preparation step of an LLM pretraining
+    // pipeline, as a zero-shuffle per-row kernel + narrow explode.
+    "x31_chunk_tokens" -> ((s, dir) => TextAnalysis.chunk(
+      t(s, dir, "documents"), "doc_id", "text", size = 64, stride = 48))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -413,6 +419,18 @@ object ExtensionQueries {
               WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
                 THEN 'val'
               ELSE 'test' END AS split
-         FROM documents"""
+         FROM documents""",
+    // 64-token windows, stride 48; a doc of n <= 64 tokens is one chunk,
+    // else ceil((n-64)/48)+1 chunks (DuckDB list slice clamps the end).
+    "x31_chunk_tokens" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         counted AS (SELECT doc_id, t,
+           CASE WHEN len(t) <= 64 THEN 1
+                ELSE CAST(ceil((len(t) - 64) * 1.0 / 48) AS BIGINT) + 1
+           END AS n_chunks FROM toks)
+         SELECT doc_id, g.i AS chunk_idx,
+           array_to_string(t[(g.i * 48 + 1):(g.i * 48 + 64)], ' ') AS chunk
+         FROM counted, unnest(generate_series(0, n_chunks - 1)) AS g(i)"""
   )
 }

@@ -199,6 +199,27 @@ object TextKernels {
     c
   }
 
+  /** Token-window chunks for training-data preparation: whitespace
+    * tokens re-joined into windows of `size` tokens advancing by
+    * `stride` (< size ⇒ overlapping context windows). A document of
+    * n <= size tokens yields exactly one chunk; otherwise
+    * ceil((n-size)/stride)+1 chunks, the last one possibly short. */
+  def chunkTokens(text: UTF8String, size: Int, stride: Int): ArrayData = {
+    val t = tokens(text)
+    val n = t.length
+    val num = if (n <= size) 1 else ((n - size + stride - 1) / stride) + 1
+    val out = new Array[Any](num)
+    var i = 0
+    while (i < num) {
+      val start = i * stride
+      val end = math.min(start + size, n)
+      out(i) = UTF8String.concatWs(SPACE,
+        java.util.Arrays.copyOfRange(t, start, end): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-document term frequencies: (term, count) over tokens(text),
     * terms in ascending binary order. All occurrences of a term within
     * one document land in one row, so term-frequency computation needs
@@ -356,6 +377,22 @@ case class SmallestDigestsExpr(child: Expression, keep: Int)
     copy(child = newChild)
 }
 
+case class ChunkTokensExpr(child: Expression, size: Int, stride: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(size > 0 && stride > 0 && stride <= size,
+    s"need 0 < stride <= size, got size=$size stride=$stride")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.chunkTokens(input.asInstanceOf[UTF8String], size, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextKernels.chunkTokens($c, $size, $stride)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class TermCountsExpr(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -417,6 +454,8 @@ object TextExpressions {
     ExpressionUtils.column(SimHash64Expr(e(text)))
   def termCounts(text: Column): Column =
     ExpressionUtils.column(TermCountsExpr(e(text)))
+  def chunkTokens(text: Column, size: Int, stride: Int): Column =
+    ExpressionUtils.column(ChunkTokensExpr(e(text), size, stride))
   def smallestDigests(sh: Column, keep: Int): Column =
     ExpressionUtils.column(SmallestDigestsExpr(e(sh), keep))
   def stopHits(text: Column, dicts: Seq[Seq[String]]): Column =

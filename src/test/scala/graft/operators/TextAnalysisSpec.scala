@@ -66,6 +66,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores("common") == 0.0) // ln((3+1)/(3+1)) = 0
   }
 
+  test("chunk produces overlapping token windows; short docs = 1 chunk (x31)") {
+    val corpus = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "short doc")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(corpus, "doc_id", "text", size = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // doc 1: 10 tokens, size 4, stride 3 -> ceil((10-4)/3)+1 = 3 chunks
+    assert(out((1L, 0L)) == "t1 t2 t3 t4")
+    assert(out((1L, 1L)) == "t4 t5 t6 t7")
+    assert(out((1L, 2L)) == "t7 t8 t9 t10") // last window clamps
+    assert(out((2L, 0L)) == "short doc")    // n <= size -> one chunk
+    assert(out.size == 4)
+    // consecutive chunks overlap by size - stride tokens
+    assert(out((1L, 0L)).split(" ").last == out((1L, 1L)).split(" ").head)
+  }
+
   test("hashSplit is deterministic and covers every doc exactly once (x26)") {
     val ids = (1L to 200L)
     val corpus = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
