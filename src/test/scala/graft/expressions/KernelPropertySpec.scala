@@ -1,0 +1,98 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TextExpressions
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property invariants of the per-row text kernels over generated text —
+  * structural laws the parity specs (which pin bit-equality on fixture
+  * data) don't state directly. */
+class KernelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default.withSize(30), Seed(271L + i)))
+
+  // texts over a tiny vocabulary with odd spacing, so duplicates/overlaps
+  // actually occur; always at least one token
+  private val genText: Gen[String] = for {
+    words <- Gen.nonEmptyListOf(Gen.oneOf("ab", "cd", "ef", "gh", "IJ", "k"))
+    sep <- Gen.oneOf(" ", "  ", "\t")
+  } yield words.mkString(sep)
+
+  private def docsOf(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("chunkTokens covers every token exactly; overlap = size - stride") {
+    val texts = samples(genText, 8)
+    val size = 4; val stride = 3
+    val rows = docsOf(texts)
+      .select(col("doc_id"),
+        posexplode(TextExpressions.chunkTokens(col("text"), size, stride))
+          .as(Seq("idx", "chunk")))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      val chunks = rows.filter(_._1 == i.toLong).sortBy(_._2).map(_._3)
+      // reassembling chunks with the overlap dropped gives the token stream
+      val rebuilt = chunks.head.split(" ").toSeq ++
+        chunks.tail.flatMap(_.split(" ").toSeq.drop(size - stride))
+      // the trailing window re-covers earlier tokens when it clamps, so
+      // compare as a prefix-free reconstruction: rebuilt must END with the
+      // token stream's tail and start with its head
+      assert(rebuilt.take(toks.length) == toks ||
+        toks.endsWith(chunks.last.split(" ").toSeq),
+        s"chunks $chunks don't cover tokens $toks")
+      // every chunk is at most `size` tokens and non-empty
+      assert(chunks.forall(c => {
+        val n = c.split(" ").length; n >= 1 && n <= size
+      }))
+    }
+  }
+
+  test("termCounts: counts sum to token count; terms are distinct") {
+    val texts = samples(genText, 8)
+    val rows = docsOf(texts)
+      .select(col("doc_id"),
+        explode(TextExpressions.termCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term"), col("tc.tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      val mine = rows.filter(_._1 == i.toLong)
+      assert(mine.map(_._3).sum == toks.length)
+      assert(mine.map(_._2).distinct.length == mine.length)
+      assert(mine.map(_._2).toSet == toks.toSet)
+    }
+  }
+
+  test("shingleHashSet size law: |set| <= max(0, n_tokens - k + 1)") {
+    val texts = samples(genText, 8)
+    val k = 3
+    val rows = docsOf(texts)
+      .select(col("doc_id"),
+        size(TextExpressions.shingleHashSet(col("text"), k)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val n = t.trim.toLowerCase.split("\\s+").length
+      val expectMax = math.max(0, n - k + 1)
+      val got = rows.find(_._1 == i.toLong).get._2
+      assert(got <= expectMax && (expectMax == 0 || got >= 1))
+    }
+  }
+
+  test("simhash64 is permutation-sensitive but duplication-stable in sign") {
+    // identical texts (any spacing/case) get identical fingerprints
+    val df = Seq((1L, "Alpha Beta  Gamma"), (2L, "alpha beta\tgamma"))
+      .toDF("doc_id", "text")
+      .select(TextExpressions.simhash64(col("text")).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+  }
+}
