@@ -58,6 +58,9 @@ object Bench {
         }
         spark.catalog.clearCache()
       }
+      // start the timed pass from a clean heap so warmup garbage doesn't
+      // trigger a collection inside some unlucky timed query
+      System.gc()
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packChunks: every chunk packed once; packs respect the budget") {
+    val chunks = (1L to 100L).map(i =>
+      (i, 0L, 10 + (i % 50).toInt)) // token counts 10..59
+      .toDF("doc_id", "chunk_idx", "n_tokens")
+    val packed = Packing.packChunks(spark, chunks, budget = 128).collect()
+    // exactly-once membership
+    assert(packed.map(p => (p.doc_id, p.chunk_idx)).distinct.length == 100)
+    assert(packed.length == 100)
+    // no pack exceeds the budget (no oversized chunks in this input)
+    val byPack = packed.groupBy(_.pack_id)
+    byPack.foreach { case (id, ms) =>
+      val total = ms.map(_.n_tokens).sum
+      assert(total <= 128, s"pack $id over budget: $total")
+      assert(ms.forall(_.pack_tokens == total)) // consistent annotation
+    }
+    // packing actually packs: fewer packs than chunks, decent fill
+    assert(byPack.size < 50)
+    val fill = packed.map(_.n_tokens).sum.toDouble / (byPack.size * 128)
+    assert(fill > 0.7, s"fill rate $fill too low for first-fit")
+  }
+
+  test("packChunks: oversized chunks become singleton packs, not dropped") {
+    val chunks = Seq(
+      (1L, 0L, 500), // oversized vs budget 128
+      (2L, 0L, 60), (3L, 0L, 60)
+    ).toDF("doc_id", "chunk_idx", "n_tokens")
+    val packed = Packing.packChunks(spark, chunks, budget = 128).collect()
+    assert(packed.length == 3)
+    val big = packed.find(_.doc_id == 1L).get
+    assert(big.pack_tokens == 500) // singleton, annotated with its size
+    // nothing else joined the oversized pack
+    assert(packed.count(_.pack_id == big.pack_id) == 1)
+  }
+}
