@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list — the step that turns near-dup
+  * PAIRS (x2/x8/x9 output) into canonical dedup GROUPS: each document is
+  * labeled with the minimum id reachable through duplicate edges, so
+  * "keep cluster_rep, drop the rest" is one filter.
+  *
+  * Algorithm: iterative min-label propagation. Each round every node
+  * takes the min of its own label and its neighbors' labels (one
+  * edge-labels join + one groupBy min), until a fixpoint. Rounds needed
+  * = component diameter, and duplicate clusters are short-diameter by
+  * construction (near-dup similarity is close to transitive), so 3-5
+  * rounds settle real corpora. Each round shuffles only (node, label)
+  * pairs — at 100 TB the label table is ~1/1000th of the corpus. For
+  * adversarially long chains the large-star/small-star variant converges
+  * in O(log n) rounds; the propagation loop is the right default for
+  * dedup graphs.
+  */
+object Components {
+
+  /** (node, component) for every node that appears in `edges`;
+    * `component` = min node id of the connected component.
+    *
+    * Each round ends in `localCheckpoint` (eager): iterative plans
+    * otherwise NEST the previous round's plan, and lineage grows until
+    * plan construction itself dominates (or OOMs) — checkpointing makes
+    * every round's cost flat. Convergence is detected by the label-sum
+    * probe: the min-label sum strictly decreases on every round that
+    * changes anything, so an unchanged sum IS the fixpoint — one tiny
+    * aggregate per round instead of a join against the previous state. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .localCheckpoint()
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbors = und.join(labels, und("b") === labels("node"))
+        .select(und("a").as("node"), col("lab"))
+      val next = labels.select(col("node"), col("lab"))
+        .union(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      i += 1
+    }
+    labels.select(col("node"), col("lab").as("component"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num
-import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Components, Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** Extension + capability-proof query inventory (SURVEY §2.4 X1-X6 plus the
   * LLM-training-data operators: dedup family, similarity search, text
@@ -179,7 +179,18 @@ object ExtensionQueries {
     // standard context-window preparation step of an LLM pretraining
     // pipeline, as a zero-shuffle per-row kernel + narrow explode.
     "x31_chunk_tokens" -> ((s, dir) => TextAnalysis.chunk(
-      t(s, dir, "documents"), "doc_id", "text", size = 64, stride = 48))
+      t(s, dir, "documents"), "doc_id", "text", size = 64, stride = 48)),
+
+    // x32 — near-dup pairs -> canonical dedup clusters: connected
+    // components (min-label propagation) over the x9 embedding near-dup
+    // edges; cluster_rep = min id of the component ("keep rep, drop the
+    // rest" becomes one filter).
+    "x32_dedup_clusters" -> ((s, dir) => {
+      val pairs = Similarity.cosinePairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45)
+      Components.connectedComponents(pairs, "id1", "id2")
+        .select(col("node").as("vec_id"), col("component").as("cluster_rep"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -420,6 +431,23 @@ object ExtensionQueries {
                 THEN 'val'
               ELSE 'test' END AS split
          FROM documents""",
+    // connected components via transitive closure (recursive CTE): reach
+    // set per node, component = min reachable id — mirrors min-label
+    // propagation exactly (both compute min over the reachability class).
+    "x32_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS d1, b.vec_id AS d2,
+             ${duckCos("a.embedding", "b.embedding")} AS sim
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         edges AS (
+           SELECT d1 AS a, d2 AS b FROM pairs WHERE sim >= 0.45
+           UNION SELECT d2, d1 FROM pairs WHERE sim >= 0.45),
+         walk(node, reach) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+         SELECT node AS vec_id, min(reach) AS cluster_rep
+         FROM walk GROUP BY 1""",
     // 64-token windows, stride 48; a doc of n <= 64 tokens is one chunk,
     // else ceil((n-64)/48)+1 chunks (DuckDB list slice clamps the end).
     "x31_chunk_tokens" ->
