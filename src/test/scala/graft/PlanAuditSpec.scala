@@ -100,4 +100,14 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("x26_hash_split")
     assert(!p.contains("Exchange"), s"hash split should not shuffle:\n$p")
   }
+
+  test("x31 chunking is a kernel + narrow generator (no hash exchange)") {
+    val p = plan("x31_chunk_tokens")
+    assert(p.contains("chunktokens") || p.contains("ChunkTokens"),
+      s"expected the chunkTokens kernel:\n$p")
+    // Par.spread's round-robin repartition is the only exchange; chunking
+    // itself must not add a hash shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking should not hash-shuffle:\n$p")
+  }
 }
