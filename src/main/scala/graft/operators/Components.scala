@@ -33,30 +33,51 @@ object Components {
     * aggregate per round instead of a join against the previous state. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 20): DataFrame = {
+    // the label-sum convergence probe needs numeric node ids (a null sum
+    // would otherwise silently skip propagation for, e.g., string ids)
+    Seq(srcCol, dstCol).foreach { c =>
+      val dt = edges.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"connectedComponents needs numeric node ids; '$c' is $dt")
+    }
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .localCheckpoint()
-    var labels = und.select(col("a").as("node")).distinct()
-      .withColumn("lab", col("node"))
-      .localCheckpoint()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val viaNeighbors = und.join(labels, und("b") === labels("node"))
-        .select(und("a").as("node"), col("lab"))
-      val next = labels.select(col("node"), col("lab"))
-        .union(viaNeighbors)
-        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+    try {
+      var labels = und.select(col("a").as("node")).distinct()
+        .withColumn("lab", col("node"))
         .localCheckpoint()
-      val nextSum = labelSum(next)
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      i += 1
-    }
-    labels.select(col("node"), col("lab").as("component"))
+      // null sum <=> empty node set (or non-numeric ids, which the sum
+      // probe cannot track) — an empty edge list is just already converged
+      def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+        Option(df.agg(sum(col("lab").cast("decimal(38,0)"))).head()
+          .getDecimal(0))
+      var prevSum = labelSum(labels)
+      if (prevSum.isEmpty)
+        return labels.select(col("node"), col("lab").as("component"))
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIters) {
+        val viaNeighbors = und.join(labels, und("b") === labels("node"))
+          .select(und("a").as("node"), col("lab"))
+        val next = labels.select(col("node"), col("lab"))
+          .union(viaNeighbors)
+          .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+          .localCheckpoint()
+        val nextSum = labelSum(next)
+        labels.unpersist() // keep exactly one live label generation
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        i += 1
+      }
+      // exhausting maxIters without a fixpoint would silently report one
+      // component as several clusters — fail loudly instead
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(component diameter exceeds maxIters); raise maxIters or use " +
+          "a star-contraction variant for long-chain graphs")
+      labels.select(col("node"), col("lab").as("component"))
+    } finally und.unpersist()
   }
 }

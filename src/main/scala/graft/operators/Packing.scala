@@ -29,6 +29,15 @@ object Packing {
   final case class Packed(pack_id: String, doc_id: Long, chunk_idx: Long,
                           n_tokens: Int, pack_tokens: Int)
 
+  /** Max packs held open per partition: bounds BOTH the first-fit scan
+    * (O(maxOpen) per chunk, not O(packs ever opened)) and task memory
+    * (only open packs buffer members; retired packs stream out) — the
+    * two properties that make per-partition packing safe on arbitrarily
+    * large partitions. When all open packs are too full for a new chunk
+    * and the table is at capacity, the fullest pack retires to make room
+    * (slightly worse fill than unbounded first-fit, bounded resources). */
+  val MaxOpenPacks = 64
+
   def packChunks(spark: SparkSession, chunks: DataFrame, budget: Int): Dataset[Packed] = {
     import spark.implicits._
     require(budget > 0, s"budget must be positive, got $budget")
@@ -37,34 +46,42 @@ object Packing {
       .as[Chunk]
     ds.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      // open packs: (local pack seq, remaining budget); first-fit greedy
-      val open = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-      val members = scala.collection.mutable.ArrayBuffer.empty[(Int, Chunk)]
+      final case class Open(seq: Int, var rem: Int,
+                            members: scala.collection.mutable.ArrayBuffer[Chunk])
+      val open = scala.collection.mutable.ArrayBuffer.empty[Open]
       var nextSeq = 0
-      it.foreach { c =>
-        val fit = open.indexWhere(_._2 >= c.n_tokens)
+      def emit(p: Open): Iterator[Packed] = {
+        val total = p.members.iterator.map(_.n_tokens).sum
+        p.members.iterator.map(c =>
+          Packed(s"$pid-${p.seq}", c.doc_id, c.chunk_idx, c.n_tokens, total))
+      }
+      def place(c: Chunk): Iterator[Packed] = {
+        val fit = open.indexWhere(_.rem >= c.n_tokens)
         if (fit >= 0) {
-          val (seq, rem) = open(fit)
-          val left = rem - c.n_tokens
-          // full packs can never fit another chunk — retire them so the
-          // first-fit scan stays O(open), not O(all packs ever)
-          if (left == 0) open.remove(fit) else open(fit) = (seq, left)
-          members += ((seq, c))
+          val p = open(fit)
+          p.rem -= c.n_tokens
+          p.members += c
+          // a full pack can never fit another chunk — stream it out now
+          if (p.rem == 0) { open.remove(fit); emit(p) } else Iterator.empty
         } else {
-          // no open pack fits (also the oversized-chunk case: it opens a
-          // pack that is immediately over budget and never fits others)
+          // no open pack fits; retire the fullest pack if at capacity
+          val retired =
+            if (open.size >= MaxOpenPacks) {
+              val fullest = open.minBy(_.rem)
+              open -= fullest
+              emit(fullest)
+            } else Iterator.empty
           val rem = math.max(0, budget - c.n_tokens)
-          if (rem > 0) open += ((nextSeq, rem))
-          members += ((nextSeq, c))
+          val p = Open(nextSeq, rem,
+            scala.collection.mutable.ArrayBuffer(c))
           nextSeq += 1
+          // oversized chunks (rem 0) retire immediately as singletons
+          if (rem == 0) retired ++ emit(p)
+          else { open += p; retired }
         }
       }
-      val totals = members.groupBy(_._1).map { case (seq, ms) =>
-        seq -> ms.map(_._2.n_tokens).sum
-      }
-      members.iterator.map { case (seq, c) =>
-        Packed(s"$pid-$seq", c.doc_id, c.chunk_idx, c.n_tokens, totals(seq))
-      }
+      it.flatMap(place) ++
+        Iterator(()).flatMap(_ => open.iterator.flatMap(emit))
     }
   }
 }

@@ -65,11 +65,6 @@ object Similarity {
         graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
   }
 
-  /** Driver-collected centroid table (IVF "training" output — eagerly
-    * materialized, like fitting the centroids would be), sorted by id so
-    * kernel tie-breaks match the ranking-window formulation. Integral id
-    * types are widened to Long (the kernel's bucket key); anything else
-    * fails with a clear message rather than a ClassCastException. */
   /** Widen an integral id value to Long (the kernel's bucket-key type);
     * clear error for non-integral id columns instead of a CCE. */
   private[operators] def integralId(v: Any, idCol: String): Long = v match {
@@ -82,6 +77,9 @@ object Similarity {
         s"${if (other == null) "null" else other.getClass.getName}")
   }
 
+  /** Driver-collected centroid table (IVF "training" output — eagerly
+    * materialized, like fitting the centroids would be), sorted by id so
+    * kernel tie-breaks match the ranking-window formulation. */
   private[operators] def collectCentroids(
       centroids: DataFrame, idCol: String,
       vecCol: String): (Array[Long], Array[Array[Float]]) = {

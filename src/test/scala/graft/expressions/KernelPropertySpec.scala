@@ -40,19 +40,16 @@ class KernelPropertySpec extends SparkSpec {
     texts.zipWithIndex.foreach { case (t, i) =>
       val toks = t.trim.toLowerCase.split("\\s+").toSeq
       val chunks = rows.filter(_._1 == i.toLong).sortBy(_._2).map(_._3)
-      // reassembling chunks with the overlap dropped gives the token stream
-      val rebuilt = chunks.head.split(" ").toSeq ++
-        chunks.tail.flatMap(_.split(" ").toSeq.drop(size - stride))
-      // the trailing window re-covers earlier tokens when it clamps, so
-      // compare as a prefix-free reconstruction: rebuilt must END with the
-      // token stream's tail and start with its head
-      assert(rebuilt.take(toks.length) == toks ||
-        toks.endsWith(chunks.last.split(" ").toSeq),
-        s"chunks $chunks don't cover tokens $toks")
-      // every chunk is at most `size` tokens and non-empty
-      assert(chunks.forall(c => {
-        val n = c.split(" ").length; n >= 1 && n <= size
-      }))
+      // chunk j must be EXACTLY tokens[j*stride, j*stride+size) (clamped)
+      chunks.zipWithIndex.foreach { case (c, j) =>
+        val expect = toks.slice(j * stride,
+          math.min(j * stride + size, toks.length)).mkString(" ")
+        assert(c == expect, s"chunk $j of '$t': got '$c' want '$expect'")
+      }
+      // and the chunk count is the closed-form window count
+      val expectN = if (toks.length <= size) 1
+        else (toks.length - size + stride - 1) / stride + 1
+      assert(chunks.length == expectN)
     }
   }
 
