@@ -28,6 +28,29 @@ class PackingSpec extends SparkSpec {
     assert(fill > 0.7, s"fill rate $fill too low for first-fit")
   }
 
+  test("packChunks property: exactly-once + budget over random inputs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.nonEmptyListOf(Gen.choose(1, 200))
+    (0 until 4).flatMap(i =>
+      gen.apply(Gen.Parameters.default.withSize(120), Seed(7L + i)))
+      .foreach { sizes =>
+        val chunks = sizes.zipWithIndex
+          .map { case (n, i) => (i.toLong, 0L, n) }
+          .toDF("doc_id", "chunk_idx", "n_tokens")
+        val packed = Packing.packChunks(spark, chunks, budget = 128).collect()
+        assert(packed.length == sizes.length) // exactly once
+        assert(packed.map(_.doc_id).distinct.length == sizes.length)
+        packed.groupBy(_.pack_id).foreach { case (id, ms) =>
+          val total = ms.map(_.n_tokens).sum
+          assert(ms.forall(_.pack_tokens == total))
+          // over budget only for oversized singletons
+          assert(total <= 128 || ms.length == 1,
+            s"pack $id over budget with ${ms.length} members")
+        }
+      }
+  }
+
   test("packChunks: oversized chunks become singleton packs, not dropped") {
     val chunks = Seq(
       (1L, 0L, 500), // oversized vs budget 128
