@@ -44,8 +44,11 @@ object Components {
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .localCheckpoint()
     try {
-      var labels = und.select(col("a").as("node")).distinct()
-        .withColumn("lab", col("node"))
+      // init = min(self, direct neighbors): fuses the first propagation
+      // round into the same shuffle the plain `distinct` init would pay
+      var labels = und.select(col("a").as("node"), col("a").as("lab"))
+        .union(und.select(col("a").as("node"), col("b").as("lab")))
+        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
         .localCheckpoint()
       // null sum <=> empty node set (or non-numeric ids, which the sum
       // probe cannot track) — an empty edge list is just already converged
