@@ -20,6 +20,10 @@ object Bench {
       // AQE coalescing targets bytes; our compute-heavy shuffles are tiny
       // in bytes but expensive per row — keep them wide.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      // single-file local fixtures otherwise arrive as ONE scan split,
+      // serializing scan-side aggregation onto one core; at real scale
+      // inputs are many files and this knob is inert
+      .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

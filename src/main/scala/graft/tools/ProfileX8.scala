@@ -18,6 +18,10 @@ object ProfileX8 {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      // single-file local fixtures otherwise arrive as ONE scan split,
+      // serializing scan-side aggregation onto one core; at real scale
+      // inputs are many files and this knob is inert
+      .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
