@@ -159,6 +159,22 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("chunk"))
 
+  /** Vocabulary construction (tokenizer-training input): the `topK` most
+    * frequent corpus terms with occurrence and document counts. Term
+    * frequencies come from the per-row [[TextExpressions.termCounts]]
+    * kernel (no shuffle), the corpus aggregate shuffles one row per
+    * distinct term, and the global top-K plans TakeOrderedAndProject
+    * (per-partition partial top-K, single K-row merge — no global sort).
+    * Boundary ties break by term, so the selected set is deterministic. */
+  def vocabulary(docs: DataFrame, textCol: String, topK: Int): DataFrame =
+    Par.spread(docs)
+      .select(explode(TextExpressions.termCounts(col(textCol))).as("tc"))
+      .select(col("tc.term").as("term"), col("tc.tf").cast("long").as("tf"))
+      .groupBy(col("term"))
+      .agg(sum(col("tf")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("term"))
+      .limit(topK)
+
   /** Corpus-level stats per language (SURVEY §2.4 X4): doc counts, exact
     * char totals, mean token counts. */
   def statsByLang(docs: DataFrame, textCol: String): DataFrame =

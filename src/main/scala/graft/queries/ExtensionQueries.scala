@@ -181,6 +181,12 @@ object ExtensionQueries {
     "x31_chunk_tokens" -> ((s, dir) => TextAnalysis.chunk(
       t(s, dir, "documents"), "doc_id", "text", size = 64, stride = 48)),
 
+    // x33 — vocabulary construction: top-500 corpus terms by occurrence
+    // count (tokenizer-training input); kernel term counts -> one
+    // per-term aggregate -> TakeOrderedAndProject.
+    "x33_vocab" -> ((s, dir) => TextAnalysis.vocabulary(
+      t(s, dir, "documents"), "text", topK = 500)),
+
     // x32 — near-dup pairs -> canonical dedup clusters: connected
     // components (min-label propagation) over the x9 embedding near-dup
     // edges; cluster_rep = min id of the component ("keep rep, drop the
@@ -431,6 +437,15 @@ object ExtensionQueries {
                 THEN 'val'
               ELSE 'test' END AS split
          FROM documents""",
+    "x33_vocab" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+         SELECT term, CAST(sum(tf) AS BIGINT) AS n_occurrences,
+           count(*) AS n_docs
+         FROM tf GROUP BY 1
+         ORDER BY n_occurrences DESC, term LIMIT 500""",
     // connected components via transitive closure (recursive CTE): reach
     // set per node, component = min reachable id — mirrors min-label
     // propagation exactly (both compute min over the reachability class).

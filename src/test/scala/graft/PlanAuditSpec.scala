@@ -101,6 +101,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"hash split should not shuffle:\n$p")
   }
 
+  test("x33 vocabulary plans TakeOrderedAndProject (no global sort)") {
+    assert(plan("x33_vocab").contains("TakeOrderedAndProject"))
+  }
+
   test("x31 chunking is a kernel + narrow generator (no hash exchange)") {
     val p = plan("x31_chunk_tokens")
     assert(p.contains("chunktokens") || p.contains("ChunkTokens"),
