@@ -13,21 +13,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // AQE coalescing targets bytes; our compute-heavy shuffles are tiny
-      // in bytes but expensive per row — keep them wide.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
-      // single-file local fixtures otherwise arrive as ONE scan split,
-      // serializing scan-side aggregation onto one core; at real scale
-      // inputs are many files and this knob is inert
-      .config("spark.sql.files.maxPartitionBytes", "1m")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.build(cpus)
 
     // JVM + parquet-footer warm-up so the first timed query doesn't pay
     // session setup costs.
@@ -72,24 +58,34 @@ object Bench {
     // min over repeated steady-state runs is the standard estimator of
     // the actual cost of the work.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
-    def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+    // returns (duration, succeeded): a failed pass must not win the min —
+    // an exception after 0.2s is not a 0.2s query
+    def timeOnce(name: String, pass: Int,
+                 fn: (SparkSession, String) => DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       // materialize every InternalRow on the executors (cannot be pruned
       // like count()), without paying external-Row deserialization
-      try fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] pass $pass $name%-28s $dt%8.2f s" +
+        (if (ok) "" else "  (FAILED)"))
       // drop operator-internal caches so queries don't contend
       spark.catalog.clearCache()
-      dt
+      (dt, ok)
     }
     val allPasses = (1 to passes).map { p =>
-      selected.map { case (name, fn) => name -> timeOnce(name, fn) }
+      selected.map { case (name, fn) => timeOnce(name, p, fn) }
     }
-    val results = selected.map { case (name, _) =>
-      val best = allPasses.map(_.toMap.apply(name)).min
+    val results = selected.zipWithIndex.map { case ((name, _), i) =>
+      val runs = allPasses.map(_(i))
+      val good = runs.filter(_._2).map(_._1)
+      // all passes failed: report the min attempt time (errors printed)
+      val best = if (good.nonEmpty) good.min else runs.map(_._1).min
       System.err.println(f"[bench] $name%-28s $best%8.2f s")
       name -> best
     }

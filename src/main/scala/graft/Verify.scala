@@ -7,20 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // AQE coalescing targets bytes; our compute-heavy shuffles are tiny
-      // in bytes but expensive per row — keep them wide.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
-      // single-file local fixtures otherwise arrive as ONE scan split,
-      // serializing scan-side aggregation onto one core; at real scale
-      // inputs are many files and this knob is inert
-      .config("spark.sql.files.maxPartitionBytes", "1m")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.build(cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -105,15 +105,21 @@ object TextAnalysis {
     * correctly-rounded IEEE and differs across libm implementations by
     * 1 ulp on ~0.1% of inputs, so downstream comparisons must not see
     * raw ln output (see x25 registration note). */
-  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
-                    topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // per-row term-frequency kernel: tf needs NO shuffle (round-2; the
-    // explode + groupBy(doc, term) formulation shuffled every token)
-    val tf = Par.spread(docs).select(col(idCol).as("doc_id"),
+  /** Per-row term-frequency stage shared by tfidf and vocabulary: one
+    * (doc_id, term, tf) row per distinct term of each document row, via
+    * the [[TextExpressions.termCounts]] kernel — NO shuffle (the explode
+    * + groupBy(doc, term) formulation shuffled every token). */
+  private def termFrequencies(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
+    Par.spread(docs).select(col(idCol).as("doc_id"),
         explode(TextExpressions.termCounts(col(textCol))).as("tc"))
       .select(col("doc_id"), col("tc.term").as("term"),
         col("tc.tf").cast("long").as("tf"))
+
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = termFrequencies(docs, idCol, textCol)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
@@ -160,16 +166,18 @@ object TextAnalysis {
         col("chunk"))
 
   /** Vocabulary construction (tokenizer-training input): the `topK` most
-    * frequent corpus terms with occurrence and document counts. Term
-    * frequencies come from the per-row [[TextExpressions.termCounts]]
-    * kernel (no shuffle), the corpus aggregate shuffles one row per
-    * distinct term, and the global top-K plans TakeOrderedAndProject
-    * (per-partition partial top-K, single K-row merge — no global sort).
-    * Boundary ties break by term, so the selected set is deterministic. */
-  def vocabulary(docs: DataFrame, textCol: String, topK: Int): DataFrame =
-    Par.spread(docs)
-      .select(explode(TextExpressions.termCounts(col(textCol))).as("tc"))
-      .select(col("tc.term").as("term"), col("tc.tf").cast("long").as("tf"))
+    * frequent corpus terms with occurrence and DISTINCT-document counts.
+    * Term frequencies come from the per-row kernel (no shuffle); the
+    * per-(doc, term) pre-aggregate makes n_docs count documents — not
+    * rows — so a re-ingested document id isn't double-counted; the
+    * global top-K plans TakeOrderedAndProject (per-partition partial
+    * top-K, single K-row merge — no global sort). Boundary ties break by
+    * term, so the selected set is deterministic. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+                 topK: Int): DataFrame =
+    termFrequencies(docs, idCol, textCol)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sum(col("tf")).as("tf"))
       .groupBy(col("term"))
       .agg(sum(col("tf")).as("n_occurrences"), count(lit(1)).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("term"))

@@ -185,7 +185,7 @@ object ExtensionQueries {
     // count (tokenizer-training input); kernel term counts -> one
     // per-term aggregate -> TakeOrderedAndProject.
     "x33_vocab" -> ((s, dir) => TextAnalysis.vocabulary(
-      t(s, dir, "documents"), "text", topK = 500)),
+      t(s, dir, "documents"), "doc_id", "text", topK = 500)),
 
     // x32 — near-dup pairs -> canonical dedup clusters: connected
     // components (min-label propagation) over the x9 embedding near-dup

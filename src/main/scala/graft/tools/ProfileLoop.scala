@@ -12,19 +12,7 @@ object ProfileLoop {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val name = sys.env.getOrElse("SPARK_GRAFT_Q", "x8_ngram_jaccard")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
-      // single-file local fixtures otherwise arrive as ONE scan split,
-      // serializing scan-side aggregation onto one core; at real scale
-      // inputs are many files and this knob is inert
-      .config("spark.sql.files.maxPartitionBytes", "1m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.LocalSession.build(cpus)
     // per-stage wall/cpu report: where does a cold first run spend time?
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {

@@ -13,9 +13,12 @@ import graft.SparkSpec
 class KernelPropertySpec extends SparkSpec {
   import spark.implicits._
 
-  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
-    (0 until n).flatMap(i =>
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] = {
+    val out = (0 until n).flatMap(i =>
       gen.apply(Gen.Parameters.default.withSize(30), Seed(271L + i)))
+    assert(out.nonEmpty, "generator produced no cases — vacuous test")
+    out
+  }
 
   // texts over a tiny vocabulary with odd spacing, so duplicates/overlaps
   // actually occur; always at least one token

@@ -32,9 +32,10 @@ class PackingSpec extends SparkSpec {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
     val gen = Gen.nonEmptyListOf(Gen.choose(1, 200))
-    (0 until 4).flatMap(i =>
+    val cases = (0 until 4).flatMap(i =>
       gen.apply(Gen.Parameters.default.withSize(120), Seed(7L + i)))
-      .foreach { sizes =>
+    assert(cases.nonEmpty, "generator produced no cases — vacuous test")
+    cases.foreach { sizes =>
         val chunks = sizes.zipWithIndex
           .map { case (n, i) => (i.toLong, 0L, n) }
           .toDF("doc_id", "chunk_idx", "n_tokens")
