@@ -63,19 +63,21 @@ object TextDedup {
       .cache()
 
   /** Exact-verify candidate (doc1, doc2) pairs against true shingle
-    * Jaccard; emit pairs >= threshold. */
+    * Jaccard; emit pairs >= threshold. The sets table joins in on doc id
+    * WITHOUT an explicit broadcast hint: the planner picks broadcast
+    * whenever the sets' estimated size clears autoBroadcastJoinThreshold
+    * (small corpora — today's plan), and falls back to a shuffled hash /
+    * sort-merge join on doc id when the corpus-sized sets table cannot be
+    * broadcast (the 100 TB path; there, sets would additionally be
+    * persisted bucketed by doc_id so the verify join is co-located). */
   private def verified(candidates: DataFrame, sets: DataFrame,
                        threshold: Double): DataFrame = {
     val inter = TextExpressions.sortedLongIntersectSize(col("sh1"), col("sh2"))
-    // sets are one row per document (small next to the corpus text):
-    // broadcasting them keeps the candidate stream from shuffling two
-    // full shingle arrays per pair. At true 100 TB scale, replace with a
-    // bucketed join on doc id.
     candidates
-      .join(broadcast(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1"),
-        col("n").as("n1"))), "doc1")
-      .join(broadcast(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2"),
-        col("n").as("n2"))), "doc2")
+      .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1"),
+        col("n").as("n1")), "doc1")
+      .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2"),
+        col("n").as("n2")), "doc2")
       .withColumn("inter", inter)
       .withColumn("jaccard", Num.fpRound(
         col("inter").cast("double") /
@@ -149,18 +151,17 @@ object TextDedup {
     verified(candidates, sets, threshold)
   }
 
-  /** SimHash near-dup pairs: per-row 64-bit fingerprint from the
-    * [[TextExpressions.simhash64]] kernel (identical bit votes to the
-    * exploded 64-SUM-aggregate formulation — see TextKernels), then
-    * pigeonhole banding. Fingerprinting shuffles nothing. Exact for <= 3. */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+  /** 4-chunk pigeonhole candidate join over a (doc_id, fp) fingerprint
+    * frame: docs sharing any `chunkBits`-bit chunk pair up, then exact
+    * hamming filter — exact retrieval for hamming <= 3 (a pair differing
+    * in <= 3 bits must agree on at least one of 4 chunks). */
+  private def pigeonholePairs(fp: DataFrame, chunkBits: Int,
+                              maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole is exact only for <= 3")
-    val fp = Par.spread(docs).select(col(idCol).as("doc_id"),
-      TextExpressions.simhash64(col(textCol)).as("fp"))
     val chunks = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(j =>
-        shiftrightunsigned(col("fp"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftrightunsigned(col("fp"), j * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1))): _*))
         .as(Seq("chunk_idx", "chunk_val")))
     val p = chunks.alias("p"); val q = chunks.alias("q")
     p.join(q,
@@ -172,6 +173,29 @@ object TextDedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup pairs: per-row 64-bit fingerprint from the
+    * [[TextExpressions.simhash64]] kernel (identical bit votes to the
+    * exploded 64-SUM-aggregate formulation — see TextKernels), then
+    * pigeonhole banding. Fingerprinting shuffles nothing. Exact for <= 3. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    pigeonholePairs(
+      Par.spread(docs).select(col(idCol).as("doc_id"),
+        TextExpressions.simhash64(col(textCol)).as("fp")),
+      chunkBits = 16, maxHamming)
+
+  /** SimHash near-dup pairs on the oracle-mirrorable 60-bit md5
+    * fingerprint ([[TextExpressions.simhashMd5]]): per-token hash = first
+    * 15 hex chars of md5(token), so a SQL engine reproduces the exact
+    * fingerprints (`('0x' || substring(md5(t),1,15))::BIGINT` in DuckDB) —
+    * same banding/plan shape as [[simhashPairs]], 4x15-bit chunks. */
+  def simhashMd5Pairs(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame =
+    pigeonholePairs(
+      Par.spread(docs).select(col(idCol).as("doc_id"),
+        TextExpressions.simhashMd5(col(textCol)).as("fp")),
+      chunkBits = 15, maxHamming)
 
   /** Winnowing-style document fingerprint: the `keep` lexicographically
     * smallest md5 digests of the document's shingles, joined by '|'.

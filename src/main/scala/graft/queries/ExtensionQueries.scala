@@ -9,9 +9,9 @@ import graft.operators.{Components, Multimodal, Similarity, TextAnalysis, TextDe
 
 /** Extension + capability-proof query inventory (SURVEY §2.4 X1-X6 plus the
   * LLM-training-data operators: dedup family, similarity search, text
-  * analysis, multimodal plumbing). DuckDB oracles are provided for every
-  * SQL-expressible operator; x7 (SimHash) is xxhash64-based and has no
-  * DuckDB equivalent, so it takes the driver's rows-only check.
+  * analysis, multimodal plumbing). Every registered query carries a DuckDB
+  * oracle — including x7 (SimHash), whose fingerprint is md5-derived
+  * precisely so a SQL engine can re-compute it bit-for-bit.
   */
 object ExtensionQueries {
 
@@ -99,10 +99,13 @@ object ExtensionQueries {
           count(lit(1)).as("n_items"))
     }),
 
-    // x7 — SimHash near-dup: 64-bit fingerprints, exact hamming<=3
-    // retrieval via 4x16-bit pigeonhole. xxhash64-based => rows-only check.
+    // x7 — SimHash near-dup: 60-bit md5-derived fingerprints (bit votes
+    // from the first 15 hex chars of md5(token) — DuckDB-mirrorable, so
+    // the oracle hash-checks the full pipeline), exact hamming<=3
+    // retrieval via 4x15-bit pigeonhole banding. The xxhash64 64-bit
+    // variant stays available as TextDedup.simhashPairs.
     "x7_simhash_dedup" -> ((s, dir) =>
-      TextDedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+      TextDedup.simhashMd5Pairs(t(s, dir, "documents"), "doc_id", "text")
         .withColumn("hamming", col("hamming").cast("long"))),
 
     // x8 — exact n-gram Jaccard near-dup via inverted shingle index
@@ -187,13 +190,17 @@ object ExtensionQueries {
     "x33_vocab" -> ((s, dir) => TextAnalysis.vocabulary(
       t(s, dir, "documents"), "doc_id", "text", topK = 500)),
 
-    // x32 — near-dup pairs -> canonical dedup clusters: connected
-    // components (min-label propagation) over the x9 embedding near-dup
-    // edges; cluster_rep = min id of the component ("keep rep, drop the
-    // rest" becomes one filter).
+    // x32 — near-dup pairs -> canonical dedup clusters, end-to-end on the
+    // SCALE path: IVF-blocked edge generation (same-centroid-bucket pairs
+    // only, as in x22 — no all-pairs join anywhere in the plan) feeding
+    // connected components (min-label propagation); cluster_rep = min id
+    // of the component ("keep rep, drop the rest" becomes one filter).
+    // The all-pairs edge list remains available as x9 (the small-corpus /
+    // oracle-exact variant).
     "x32_dedup_clusters" -> ((s, dir) => {
-      val pairs = Similarity.cosinePairs(t(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.45)
+      val e = t(s, dir, "embeddings")
+      val pairs = Similarity.ivfCosinePairs(e, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", threshold = 0.4)
       Components.connectedComponents(pairs, "id1", "id2")
         .select(col("node").as("vec_id"), col("component").as("cluster_rep"))
     })
@@ -265,7 +272,27 @@ object ExtensionQueries {
          WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY 1, 2""",
-    // x7_simhash_dedup: intentionally no oracle (xxhash64-based).
+    // x7: the 60-bit fingerprint is re-derived in SQL from the same
+    // md5-prefix token hashes, then pairs checked by all-pairs hamming
+    // (the oracle may brute-force what the engine retrieves via banding —
+    // pigeonhole banding is exact for hamming <= 3, so the sets agree).
+    "x7_simhash_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         th AS (SELECT doc_id,
+           ('0x' || substring(md5(term), 1, 15))::BIGINT AS h FROM toks),
+         votes AS (SELECT doc_id, b.i AS bit,
+             SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM th, unnest(generate_series(0, 59)) AS b(i) GROUP BY 1, 2),
+         fp AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit
+                  ELSE 0 END) AS BIGINT) AS fp
+           FROM votes GROUP BY 1)
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
     "x8_ngram_jaccard" ->
       s"""WITH $duckShingles,
          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -449,14 +476,25 @@ object ExtensionQueries {
     // connected components via transitive closure (recursive CTE): reach
     // set per node, component = min reachable id — mirrors min-label
     // propagation exactly (both compute min over the reachability class).
+    // The edge list mirrors the IVF blocking (same-centroid pairs only),
+    // exactly as in the x22 oracle.
     "x32_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
-           SELECT a.vec_id AS d1, b.vec_id AS d2,
-             ${duckCos("a.embedding", "b.embedding")} AS sim
-           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      s"""WITH RECURSIVE cent AS (SELECT vec_id AS centroid_id,
+             embedding AS centv
+           FROM embeddings WHERE vec_id < 16),
+         corp AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+         assigned AS (SELECT vid, v, centroid_id FROM (
+           SELECT vid, v, centroid_id, row_number() OVER
+             (PARTITION BY vid
+              ORDER BY ${duckCos("v", "centv")} DESC, centroid_id) AS arn
+           FROM corp, cent) WHERE arn = 1),
+         pairs AS (SELECT a.vid AS d1, b.vid AS d2,
+             ${duckCos("a.v", "b.v")} AS sim
+           FROM assigned a JOIN assigned b
+             ON a.centroid_id = b.centroid_id AND a.vid < b.vid),
          edges AS (
-           SELECT d1 AS a, d2 AS b FROM pairs WHERE sim >= 0.45
-           UNION SELECT d2, d1 FROM pairs WHERE sim >= 0.45),
+           SELECT d1 AS a, d2 AS b FROM pairs WHERE sim >= 0.4
+           UNION SELECT d2, d1 FROM pairs WHERE sim >= 0.4),
          walk(node, reach) AS (
            SELECT a, a FROM edges
            UNION

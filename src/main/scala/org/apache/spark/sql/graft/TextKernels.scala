@@ -108,6 +108,43 @@ object TextKernels {
     fp
   }
 
+  /** SimHash-60 over the (duplicate-preserving) token stream, with the
+    * per-token hash taken from md5 instead of xxhash64 so a SQL oracle can
+    * mirror it exactly: h(t) = first 15 hex chars of md5(t) as a 60-bit
+    * integer (DuckDB: `('0x' || substring(md5(t),1,15))::BIGINT`; Spark
+    * builtins: `conv(substring(md5(t),1,15),16,10)`). Bit b of the
+    * fingerprint is set iff the (+1/-1) bit-vote sum over tokens is
+    * positive. 60 bits keep the value in the non-negative BIGINT range on
+    * every engine. */
+  def simhashMd5(text: UTF8String): Long = {
+    val t = tokens(text)
+    val votes = new Array[Int](60)
+    val md = MD5.get()
+    var i = 0
+    while (i < t.length) {
+      md.reset()
+      val d = md.digest(t(i).getBytes)
+      // first 15 hex nibbles of the digest, most significant first
+      var h = 0L
+      var n = 0
+      while (n < 15) {
+        val nib = if ((n & 1) == 0) (d(n >> 1) >> 4) & 0xf else d(n >> 1) & 0xf
+        h = (h << 4) | nib
+        n += 1
+      }
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
   private def md5Hex(s: UTF8String): String = {
     val md = MD5.get()
     md.reset()
@@ -360,6 +397,20 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+case class SimHashMd5Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simhashMd5(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextKernels.simhashMd5($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SmallestDigestsExpr(child: Expression, keep: Int)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
@@ -452,6 +503,8 @@ object TextExpressions {
     ExpressionUtils.column(MinHashSigExpr(e(sh), numPerms))
   def simhash64(text: Column): Column =
     ExpressionUtils.column(SimHash64Expr(e(text)))
+  def simhashMd5(text: Column): Column =
+    ExpressionUtils.column(SimHashMd5Expr(e(text)))
   def termCounts(text: Column): Column =
     ExpressionUtils.column(TermCountsExpr(e(text)))
   def chunkTokens(text: Column, size: Int, stride: Int): Column =

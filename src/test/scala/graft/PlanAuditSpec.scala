@@ -105,6 +105,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("x33_vocab").contains("TakeOrderedAndProject"))
   }
 
+  test("x7 simhash plans the md5 kernel and no all-pairs join") {
+    val p = plan("x7_simhash_dedup")
+    assert(p.contains("simhashmd5") || p.contains("SimHashMd5"),
+      s"expected the simhashMd5 kernel in the plan:\n$p")
+    // candidates come from the equi-join on (chunk_idx, chunk_val) —
+    // never a cartesian / nested-loop pairing of documents
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"all-pairs join in plan:\n$p")
+  }
+
+  test("x32 edge generation is IVF-bucketed (no all-pairs join)") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables(spark, sfDir, "embeddings")
+    val pairs = graft.operators.Similarity.ivfCosinePairs(
+      e, e.filter(col("vec_id") < 16), "vec_id", "embedding", threshold = 0.4)
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the x32 edge plan:\n$p")
+  }
+
+  test("x8 verify join falls back to a shuffled join when sets exceed " +
+      "the broadcast threshold (size-gated, no forced broadcast)") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      spark.catalog.clearCache()
+      val p = plan("x8_ngram_jaccard")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"explicit broadcast survived the threshold gate:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffled verify join:\n$p")
+    } finally {
+      spark.conf.set(key, prev)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("x31 chunking is a kernel + narrow generator (no hash exchange)") {
     val p = plan("x31_chunk_tokens")
     assert(p.contains("chunktokens") || p.contains("ChunkTokens"),

@@ -79,6 +79,26 @@ class TextKernelsParitySpec extends SparkSpec {
     assert(kernel.exceptAll(ref).isEmpty && ref.exceptAll(kernel).isEmpty)
   }
 
+  test("simhashMd5 kernel == exploded md5-prefix 60-bit-vote SUM aggregates") {
+    val kernel = docs.select(col("doc_id"),
+      TextExpressions.simhashMd5(col("text")).as("fp"))
+    val tok = docs.select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("t"))
+    // the oracle-mirrorable token hash: first 15 hex chars of md5 as a
+    // 60-bit integer (built here from Spark builtins, independently of
+    // the kernel's digest-byte loop)
+    val h = conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long")
+    val voteCols = (0 until 60).map(i =>
+      sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"b$i"))
+    val votes = tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val fpCol = (0 until 60).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    val ref = votes.select(col("doc_id"), fpCol.as("fp"))
+    assert(kernel.exceptAll(ref).isEmpty && ref.exceptAll(kernel).isEmpty)
+  }
+
   test("smallestDigests kernel == md5 + ranking-window formulation") {
     val kernel = docs.select(col("doc_id"),
         TextExpressions.smallestDigests(
