@@ -28,15 +28,14 @@ object Multimodal {
   }
 
   /** STUB decoder — deterministic fake in lieu of real codecs (none in
-    * this container). A production decoder would replace this object;
-    * `decodeReal` documents the intended entry point. */
+    * this container). A production build swaps this object for one backed
+    * by javax.imageio / ffmpeg; [[PpmDecoder]] below proves the byte path
+    * with a real (pure-JVM) format. */
   object StubDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
       val n = payload.length
       (n % 640 + 1, n % 480 + 1, n % 30 + 1)
     }
-    /** Real decode path — requires image/audio codecs, absent here. */
-    def decodeReal(payload: Array[Byte]): (Int, Int, Int) = ???
   }
 
   /** Real decoder for binary PPM (P6) images — a pure-JVM header parse,

@@ -18,14 +18,19 @@ import graft.state.Bookmarks
 object Orchestrator {
 
   /** One incremental stream job. `extract` receives the stream's current
-    * bookmark (None on first run); `sink` must be idempotent (upsert). */
+    * bookmark (None on first run); `sink` must be idempotent (upsert).
+    * `keyProperties`/`schemaDdl` feed catalog discovery ([[Catalog]]). */
   final case class StreamJob(
       name: String,
       tsCol: String,
       extract: (SparkSession, Option[String]) => DataFrame,
       sink: DataFrame => Unit,
       /** W3: most streams advance to run start; analytics to max seen. */
-      advanceToMaxSeen: Boolean = false)
+      advanceToMaxSeen: Boolean = false,
+      /** Primary-key columns, surfaced in the discovered catalog. */
+      keyProperties: Seq[String] = Seq.empty,
+      /** Declared schema (StructType.toDDL), surfaced in the catalog. */
+      schemaDdl: Option[String] = None)
 
   final case class Pipeline(system: String, jobs: Seq[StreamJob])
 
@@ -36,9 +41,17 @@ object Orchestrator {
     * `asyncio.gather`, `internal.py:164`). State merge is associative, so
     * concurrency doesn't change the result. */
   def runOnce(spark: SparkSession, pipelines: Seq[Pipeline],
-              state: Bookmarks, parallelism: Int = 1): Bookmarks = {
+              state: Bookmarks, parallelism: Int = 1,
+              /** P2 stream selection: with a catalog, only streams marked
+                * `selected` sync (reference: `metadata.selected` readback,
+                * `internal.py:97-110`); without one, everything syncs. */
+              catalog: Option[Catalog] = None): Bookmarks = {
     val runStart = Timestamp.from(Instant.now())
-    val jobs = for { p <- pipelines; job <- p.jobs } yield (p, job)
+    val jobs = for {
+      p <- pipelines
+      job <- p.jobs
+      if catalog.forall(_.isSelected(p.system, job.name))
+    } yield (p, job)
     val runJob = (pj: (Pipeline, StreamJob)) => {
       val (p, job) = pj
       val key = s"${p.system}.${job.name}"

@@ -23,24 +23,53 @@ object Sources {
 
   /** Drain a paginated source into a DataFrame of parsed JSON records.
     * Pages are pulled on the driver (the reference's rate-limited loop,
-    * C1) and parallelized; schema inference or an explicit schema applies
-    * downstream. `maxPages` bounds runaway cursors.
+    * C1); schema inference or an explicit schema applies downstream.
+    * `maxPages` bounds runaway cursors.
+    *
+    * Driver memory is BOUNDED: once more than `spillThresholdRecords`
+    * records are buffered, the buffer is landed incrementally as JSON-line
+    * files under `spillDir` (one file per flush; a temp dir when not
+    * given) and the result is read back as a file scan — a large backfill
+    * never accumulates in one driver buffer (the reference holds every
+    * page of a window in a single list, `tap_wrike/utility.py:108-131`;
+    * this keeps its page-loop behavior without that shape). Small fetches
+    * stay on the no-spill fast path (one in-memory parallelize).
     */
   def readPaginated(spark: SparkSession, fetcher: PageFetcher,
-                    maxPages: Int = 10000): DataFrame = {
+                    maxPages: Int = 10000,
+                    spillThresholdRecords: Int = 100000,
+                    spillDir: Option[java.nio.file.Path] = None): DataFrame = {
+    import java.nio.file.Files
     import spark.implicits._
-    val buf = Seq.newBuilder[String]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var dir: java.nio.file.Path = null
+    var flushed = 0
+    def flush(): Unit = if (buf.nonEmpty) {
+      if (dir == null) {
+        dir = spillDir.getOrElse(Files.createTempDirectory("graft-pages"))
+        Files.createDirectories(dir)
+      }
+      Files.write(dir.resolve(f"pages-$flushed%05d.jsonl"),
+        buf.mkString("", "\n", "\n").getBytes("UTF-8"))
+      flushed += 1
+      buf.clear()
+    }
     var token: Option[String] = None
     var pages = 0
     var done = false
     while (!done && pages < maxPages) {
       val (records, next) = fetcher.fetch(token)
       buf ++= records
+      if (buf.length > spillThresholdRecords) flush()
       pages += 1
       done = next.isEmpty || records.isEmpty
       token = next
     }
-    spark.read.json(buf.result().toDS())
+    if (flushed == 0) spark.read.json(buf.toSeq.toDS())
+    else {
+      flush() // remainder
+      spark.read.json(dir.toString)
+    }
   }
 
   /** Multi-tenant scan (S3/T3): per-tenant frame production with constant
@@ -75,6 +104,34 @@ object Sources {
                   scan: String => DataFrame): DataFrame =
     keys.map(k => scan(k).withColumn(keyName, lit(k)))
       .reduce(_.unionByName(_))
+
+  /** S6 key-cache round-trip (the HubSpot `form_ids` analog: discovered
+    * keys are written back into config and reused on later runs,
+    * `tap_hubspot/fetch.py:187-188`): return the keys cached at `path` if
+    * present, else run `discover`, persist its result atomically (temp
+    * file + move, like Bookmarks), and return it. One JSON array of
+    * strings — a user-editable artifact, like the reference's
+    * object-config.json. */
+  def cachedKeys(path: java.nio.file.Path)(discover: => Seq[String]): Seq[String] = {
+    import java.nio.file.{Files, StandardCopyOption}
+    if (Files.exists(path)) {
+      org.json4s.jackson.JsonMethods.parse(Files.readString(path)) match {
+        case org.json4s.JArray(vs) =>
+          vs.collect { case org.json4s.JString(s) => s }
+        case _ => Seq.empty
+      }
+    } else {
+      val keys = discover
+      Files.createDirectories(path.toAbsolutePath.getParent)
+      val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+      import org.json4s.DefaultFormats
+      implicit val fmts: org.json4s.Formats = DefaultFormats
+      Files.writeString(tmp, org.json4s.jackson.Serialization.write(keys))
+      Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      keys
+    }
+  }
 
   /** C1 — driver-side token-bucket rate limiter for API fetch loops
     * (reference: 1.2 req/s, `tap_wrike/utility.py:211-239`). A connector

@@ -39,6 +39,37 @@ class OrchestratorSpec extends SparkSpec {
     assert(s2.get("sys.events") == s1.get("sys.events")) // unchanged on empty
   }
 
+  test("catalog round-trip drives selection: discover, patch, sync only selected") {
+    var synced: Seq[String] = Nil
+    def job(n: String) = Orchestrator.StreamJob(n, "ts",
+      extract = (_, _) => events, sink = _ => synced :+= n,
+      keyProperties = Seq("event_id"),
+      schemaDdl = Some("event_id BIGINT, ts TIMESTAMP"))
+    val p = Orchestrator.Pipeline("sys", Seq(job("a"), job("b"), job("c")))
+
+    // discovery emits everything UNselected — nothing syncs yet
+    val discovered = Catalog.discover(Seq(p))
+    assert(discovered.entries.map(_.stream) == Seq("a", "b", "c"))
+    assert(discovered.entries.forall(!_.selected))
+    assert(discovered.entries.head.keyProperties == Seq("event_id"))
+    Orchestrator.runOnce(spark, Seq(p), Bookmarks.empty,
+      catalog = Some(discovered))
+    assert(synced.isEmpty)
+
+    // selection patch + file round-trip (the user-editable artifact)
+    val path = Files.createTempDirectory("cat").resolve("catalog.json")
+    Catalog.save(discovered.select(Seq("sys" -> "a", "sys" -> "c")), path)
+    val loaded = Catalog.load(path)
+    assert(loaded.isSelected("sys", "a") && loaded.isSelected("sys", "c"))
+    assert(!loaded.isSelected("sys", "b"))
+    assert(loaded.entries.head.schema == "event_id BIGINT, ts TIMESTAMP")
+
+    val s = Orchestrator.runOnce(spark, Seq(p), Bookmarks.empty,
+      catalog = Some(loaded))
+    assert(synced.sorted == Seq("a", "c")) // b skipped
+    assert(s.get("sys.a").isDefined && s.get("sys.b").isEmpty)
+  }
+
   test("loop persists state after each round") {
     val statePath = Files.createTempDirectory("orch").resolve("state.json")
     val job = Orchestrator.StreamJob("e", "ts",

@@ -28,6 +28,23 @@ class SourcesExtraSpec extends SparkSpec {
     assert(out.filter("form_id = 'f2'").head().getAs[Long]("submission") == 3L)
   }
 
+  test("cachedKeys persists discovered keys and reuses them (S6 form_ids)") {
+    val path = java.nio.file.Files.createTempDirectory("keys")
+      .resolve("form_ids.json")
+    var discoveries = 0
+    val first = Sources.cachedKeys(path) { discoveries += 1; Seq("f1", "f2") }
+    assert(first == Seq("f1", "f2") && discoveries == 1)
+    assert(java.nio.file.Files.exists(path))
+    // second run: served from the state file; discover must NOT run again
+    val second = Sources.cachedKeys(path) {
+      fail("discover ran despite cache"): Seq[String]
+    }
+    assert(second == Seq("f1", "f2"))
+    // the artifact is user-editable JSON, like the reference's config
+    java.nio.file.Files.writeString(path, """["f9"]""")
+    assert(Sources.cachedKeys(path)(fail("no"): Seq[String]) == Seq("f9"))
+  }
+
   test("withRetries retries failures then succeeds (C2)") {
     var calls = 0
     val r = Sources.withRetries(attempts = 3, backoffMs = 1) {

@@ -18,6 +18,41 @@ class SourcesSpec extends SparkSpec {
       Seq(1L, 2L, 3L))
   }
 
+  test("readPaginated lands a many-page fetch incrementally (bounded driver buffer)") {
+    val nPages = 40
+    val perPage = 10
+    val fetcher = new Sources.PageFetcher {
+      def fetch(t: Option[String]) = {
+        val i = t.map(_.toInt).getOrElse(0)
+        val recs = (0 until perPage).map(j => s"""{"id": ${i * perPage + j}}""")
+        (recs, if (i + 1 < nPages) Some((i + 1).toString) else None)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("spill")
+    // threshold of 25 records => the 400-record fetch must flush to files
+    val out = Sources.readPaginated(spark, fetcher,
+      spillThresholdRecords = 25, spillDir = Some(dir))
+    assert(out.count() == (nPages * perPage).toLong)
+    assert(out.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
+      == (0L until (nPages * perPage)).sum)
+    val files = java.nio.file.Files.list(dir).toArray.map(_.toString)
+      .filter(_.endsWith(".jsonl"))
+    // threshold=25 trips at 30 buffered records (3 pages) => ~13 flushes
+    // plus the remainder — the fetch landed in many bounded slices
+    assert(files.length >= 10,
+      s"expected many spill files, got ${files.length}")
+  }
+
+  test("readPaginated keeps small fetches on the in-memory fast path") {
+    val fetcher = new Sources.PageFetcher {
+      def fetch(t: Option[String]) = (Seq("""{"id": 1}"""), None)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("nospill")
+    val out = Sources.readPaginated(spark, fetcher, spillDir = Some(dir))
+    assert(out.count() == 1)
+    assert(!java.nio.file.Files.list(dir).findAny().isPresent, "no spill expected")
+  }
+
   test("multiTenantUnion stamps tenant columns on every record (S3/T3)") {
     val base = Map(
       "t1" -> Seq((1L, "a")), "t2" -> Seq((2L, "b"), (3L, "c")))
