@@ -183,6 +183,31 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("term"))
       .limit(topK)
 
+  /** Repetition quality signals (the Gopher-rule family): top-bigram
+    * fraction (occurrences of the most frequent bigram over all bigram
+    * occurrences) and duplicate-trigram fraction (occurrences of
+    * trigrams seen more than once, over all trigram occurrences) — the
+    * standard "drop boilerplate/spam" filters of a pretraining pipeline.
+    * One per-row kernel pass ([[TextExpressions.repetitionStats]]), zero
+    * shuffles; the fractions are exact long/long double divisions, so
+    * they cross engines bit-identically (no rounding needed). Documents
+    * too short for an n-gram order get NULL fractions. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = TextExpressions.repetitionStats(col(textCol))
+    Par.spread(docs).select(col(idCol).as("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        element_at(col("st"), 1).as("n_bigrams"),
+        element_at(col("st"), 2).as("top_bigram_count"),
+        element_at(col("st"), 3).as("n_trigrams"),
+        element_at(col("st"), 4).as("dup_trigram_count"))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0, col("top_bigram_count").cast("double") /
+          col("n_bigrams").cast("double")))
+      .withColumn("dup_trigram_frac",
+        when(col("n_trigrams") > 0, col("dup_trigram_count").cast("double") /
+          col("n_trigrams").cast("double")))
+  }
+
   /** Corpus-level stats per language (SURVEY §2.4 X4): doc counts, exact
     * char totals, mean token counts. */
   def statsByLang(docs: DataFrame, textCol: String): DataFrame =

@@ -197,6 +197,37 @@ object TextDedup {
         TextExpressions.simhashMd5(col(textCol)).as("fp")),
       chunkBits = 15, maxHamming)
 
+  /** Exact dedup APPLIED to the corpus: the surviving documents (group
+    * representative = min id per normalized-text hash), with the group
+    * size carried along. One (hash, id) shuffle for the groups plus one
+    * id-equi-join back to the corpus — at 100 TB the keep set is
+    * corpus-sized, so the join shuffles on id (and disappears entirely
+    * when the corpus is bucketed by id); the text column itself never
+    * moves through the group stage. */
+  def dedupedCorpus(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    docs.join(
+      exactGroups(docs, idCol, textCol)
+        .select(col("keep_id").as(idCol), col("n_dups")),
+      Seq(idCol))
+
+  /** Near-dup dedup APPLIED end-to-end — the full pretraining-corpus
+    * pipeline in one operator: MinHash+LSH candidate pairs, exact
+    * Jaccard verify, connected components over the verified pairs, drop
+    * every document that is not its cluster's representative (min id).
+    * Returns the surviving corpus rows. Every stage is the bucketed /
+    * banded scale path (no all-pairs joins anywhere); the drop set is
+    * near-dup-sized — tiny next to the corpus — so the final anti-join
+    * broadcasts in practice. */
+  def neardupSurvivors(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, threshold: Double): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, k, threshold)
+    val comps = Components.connectedComponents(pairs, "doc1", "doc2")
+    val drops = comps.filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Winnowing-style document fingerprint: the `keep` lexicographically
     * smallest md5 digests of the document's shingles, joined by '|'.
     * Fully fused per-row kernel (shingle set -> digests -> k-smallest) —

@@ -190,6 +190,28 @@ object ExtensionQueries {
     "x33_vocab" -> ((s, dir) => TextAnalysis.vocabulary(
       t(s, dir, "documents"), "doc_id", "text", topK = 500)),
 
+    // x34 — exact dedup APPLIED: the surviving corpus (min-id per
+    // normalized-text hash) with group sizes — "dedup the corpus" as a
+    // one-call operator, not just the group report (x1).
+    "x34_dedup_apply" -> ((s, dir) =>
+      TextDedup.dedupedCorpus(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "n_chars", "n_dups")),
+
+    // x35 — repetition quality signals (Gopher-rule family): top-bigram
+    // fraction + duplicate-trigram fraction per document, from one
+    // per-row kernel pass (zero shuffles).
+    "x35_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")),
+
+    // x36 — near-dup dedup APPLIED end-to-end: MinHash+LSH pairs ->
+    // exact verify -> connected components -> drop non-representatives;
+    // the surviving corpus is the result. Every stage is the banded /
+    // bucketed scale path.
+    "x36_neardup_apply" -> ((s, dir) =>
+      TextDedup.neardupSurvivors(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, threshold = 0.8)
+        .select("doc_id", "lang", "n_chars")),
+
     // x32 — near-dup pairs -> canonical dedup clusters, end-to-end on the
     // SCALE path: IVF-blocked edge generation (same-centroid-bucket pairs
     // only, as in x22 — no all-pairs join anywhere in the plan) feeding
@@ -473,6 +495,66 @@ object ExtensionQueries {
            count(*) AS n_docs
          FROM tf GROUP BY 1
          ORDER BY n_occurrences DESC, term LIMIT 500""",
+    "x34_dedup_apply" ->
+      """SELECT d.doc_id, d.lang, d.n_chars, g.n_dups
+         FROM documents d JOIN (
+           SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+           FROM documents GROUP BY sha256(lower(trim(text)))) g
+         USING (doc_id)""",
+    // fractions are exact long/long double divisions — bit-identical
+    // across engines, no rounding needed (unlike ln(); see x25).
+    "x35_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+           FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)),
+         bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+         bstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(max(c) AS BIGINT) AS top_bigram_count
+           FROM bic GROUP BY 1),
+         tri AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+           FROM toks, unnest(generate_series(1, len(t) - 2)) AS s(i)),
+         tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+         tstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS dup_trigram_count
+           FROM tric GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(top_bigram_count, 0) AS top_bigram_count,
+           coalesce(n_trigrams, 0) AS n_trigrams,
+           coalesce(dup_trigram_count, 0) AS dup_trigram_count,
+           CASE WHEN coalesce(n_bigrams, 0) > 0
+             THEN CAST(top_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+           END AS top_bigram_frac,
+           CASE WHEN coalesce(n_trigrams, 0) > 0
+             THEN CAST(dup_trigram_count AS DOUBLE)
+               / CAST(n_trigrams AS DOUBLE)
+           END AS dup_trigram_frac
+         FROM documents d
+         LEFT JOIN bstat USING (doc_id) LEFT JOIN tstat USING (doc_id)""",
+    // the pair set mirrors x2 (jaccard >= 0.8 on 3-shingles); components
+    // via the same transitive-closure walk as x32; survivors = documents
+    // that are their own component representative (or unpaired).
+    "x36_neardup_apply" ->
+      s"""WITH RECURSIVE $duckShingles,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         qp AS (SELECT d1, d2
+           FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+           WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0
+             >= 0.8),
+         edges AS (SELECT d1 AS a, d2 AS b FROM qp
+           UNION SELECT d2, d1 FROM qp),
+         walk(node, reach) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+         comp AS (SELECT node, min(reach) AS rep FROM walk GROUP BY 1)
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> rep)""",
     // connected components via transitive closure (recursive CTE): reach
     // set per node, component = min reachable id — mirrors min-label
     // propagation exactly (both compute min over the reachability class).

@@ -282,6 +282,38 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Repetition signals over the token stream (the Gopher-style quality
+    * rules): returns [total_bigrams, top_bigram_count, total_trigrams,
+    * dup_trigram_occurrences] as longs, one HashMap pass per n-gram
+    * order — no exploded n-gram stream ever leaves the row. Downstream
+    * ratios (top-bigram fraction, duplicate-trigram fraction) are exact
+    * long/long double divisions, so they cross engines bit-identically. */
+  def repetitionStats(text: UTF8String): ArrayData = {
+    val t = tokens(text)
+    val n = t.length
+    val bi = new java.util.HashMap[UTF8String, Int]()
+    var i = 0
+    while (i + 1 < n) {
+      bi.merge(UTF8String.concatWs(SPACE, t(i), t(i + 1)), 1, (a, b) => a + b)
+      i += 1
+    }
+    var topBi = 0L
+    val bit = bi.values().iterator()
+    while (bit.hasNext) { val c = bit.next(); if (c > topBi) topBi = c }
+    val tri = new java.util.HashMap[UTF8String, Int]()
+    i = 0
+    while (i + 2 < n) {
+      tri.merge(UTF8String.concatWs(SPACE, t(i), t(i + 1), t(i + 2)), 1,
+        (a, b) => a + b)
+      i += 1
+    }
+    var dupTri = 0L
+    val trit = tri.values().iterator()
+    while (trit.hasNext) { val c = trit.next(); if (c > 1) dupTri += c }
+    new GenericArrayData(Array(
+      math.max(n - 1, 0).toLong, topBi, math.max(n - 2, 0).toLong, dupTri))
+  }
+
   /** Occurrence counts of tokens(text) in each dictionary (order given),
     * plus the union of all dictionaries in the LAST slot. One tokenize +
     * one hash probe per (token, dict) — replaces the interpreted
@@ -462,6 +494,20 @@ case class TermCountsExpr(child: Expression)
     copy(child = newChild)
 }
 
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextKernels.repetitionStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class StopHitsExpr(child: Expression, dicts: Seq[Seq[String]])
     extends UnaryExpression with ExpectsInputTypes {
   @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] = {
@@ -513,4 +559,6 @@ object TextExpressions {
     ExpressionUtils.column(SmallestDigestsExpr(e(sh), keep))
   def stopHits(text: Column, dicts: Seq[Seq[String]]): Column =
     ExpressionUtils.column(StopHitsExpr(e(text), dicts))
+  def repetitionStats(text: Column): Column =
+    ExpressionUtils.column(RepetitionStatsExpr(e(text)))
 }

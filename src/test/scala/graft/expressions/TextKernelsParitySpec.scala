@@ -162,6 +162,25 @@ class TextKernelsParitySpec extends SparkSpec {
     assert(mismatch.isEmpty)
   }
 
+  test("repetitionStats kernel == exploded n-gram groupBy formulation") {
+    val st = TextExpressions.repetitionStats(col("text"))
+    val kernel = docs.select(col("doc_id"),
+      element_at(st, 1).as("n_bi"), element_at(st, 2).as("top_bi"),
+      element_at(st, 3).as("n_tri"), element_at(st, 4).as("dup_tri"))
+    def grams(k: Int) = docs.select(col("doc_id"),
+      explode(Text.shingles(col("text"), k)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val bi = grams(2).groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bi"), max(col("c")).as("top_bi"))
+    val tri = grams(3).groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tri"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"))
+    val ref = docs.select(col("doc_id"))
+      .join(bi, Seq("doc_id"), "left").join(tri, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bi", "top_bi", "n_tri", "dup_tri"))
+    assert(kernel.exceptAll(ref).isEmpty && ref.exceptAll(kernel).isEmpty)
+  }
+
   test("termCounts kernel == explode + groupBy(doc, term) counts") {
     val kernel = docs.select(col("doc_id"),
         explode(TextExpressions.termCounts(col("text"))).as("tc"))

@@ -83,6 +83,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((1L, 0L)).split(" ").last == out((1L, 1L)).split(" ").head)
   }
 
+  test("repetition: repeated n-grams raise the fractions; short docs NULL (x35)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"), // one bigram, fully repeated
+      (2L, "one two three four five six"),   // all n-grams unique
+      (3L, "hi")                             // too short for any n-gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(out(1L).getAs[Double]("dup_trigram_frac") == 1.0)
+    assert(out(2L).getAs[Double]("top_bigram_frac") == 0.2) // 1 of 5
+    assert(out(2L).getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("top_bigram_frac")))
+    assert(out(3L).getAs[Long]("n_bigrams") == 0L)
+  }
+
   test("hashSplit is deterministic and covers every doc exactly once (x26)") {
     val ids = (1L to 200L)
     val corpus = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")

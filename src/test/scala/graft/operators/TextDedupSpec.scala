@@ -48,6 +48,29 @@ class TextDedupSpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhashMd5Pairs: identical docs at distance 0; unrelated never pair (x7)") {
+    val out = TextDedup.simhashMd5Pairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming")))
+    assert(out.exists(p => p._1 == 1L && p._2 == 5L && p._3 == 0))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("dedupedCorpus keeps one survivor per exact-dup group (x34)") {
+    val out = TextDedup.dedupedCorpus(docs, "doc_id", "text").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L)) // 5 is an exact dup of 1
+    assert(out.find(_.getAs[Long]("doc_id") == 1L).get
+      .getAs[Long]("n_dups") == 2L)
+  }
+
+  test("neardupSurvivors keeps one rep per near-dup cluster (x36)") {
+    // at j>=0.5 docs 1/2/4/5 form one cluster; 3 stands alone
+    val out = TextDedup.neardupSurvivors(docs, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out == Seq(1L, 3L)) // rep (min id) of the cluster + the loner
+  }
+
   test("fingerprints are equal for normalized-identical docs (x14)") {
     val fp = TextDedup.fingerprints(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
