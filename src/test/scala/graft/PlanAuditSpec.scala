@@ -144,6 +144,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x35 repetition is a pure kernel projection (no hash exchange)") {
+    val p = plan("x35_repetition")
+    assert(p.contains("repetitionstats") || p.contains("RepetitionStats"),
+      s"expected the repetitionStats kernel:\n$p")
+    // Par.spread's round-robin is the only exchange; the signals
+    // themselves never shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"repetition should not hash-shuffle:\n$p")
+  }
+
   test("x31 chunking is a kernel + narrow generator (no hash exchange)") {
     val p = plan("x31_chunk_tokens")
     assert(p.contains("chunktokens") || p.contains("ChunkTokens"),
