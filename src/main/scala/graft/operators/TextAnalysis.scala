@@ -208,6 +208,52 @@ object TextAnalysis {
           col("n_trigrams").cast("double")))
   }
 
+  /** Deterministic stratified sampling for corpus mixing: keep a
+    * per-group percentage of documents, chosen by hash — md5(id) mod 100
+    * against the group's rate — so the sample is reproducible across
+    * engines, runs and partitionings, and monotone under rate increases
+    * (raising a group's rate only ADDS documents). A pure per-row
+    * projection plus one broadcast of the tiny rate dim; no RNG, no
+    * shuffle. `defaultPct` applies to groups not listed. */
+  def stratifiedSample(docs: DataFrame, idCol: String, groupCol: String,
+                       pctByGroup: Map[String, Int],
+                       defaultPct: Int): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(100L))
+    val rate = pctByGroup.foldLeft(lit(defaultPct)) { case (acc, (g, p)) =>
+      when(col(groupCol) === g, lit(p)).otherwise(acc)
+    }
+    docs.withColumn("bucket", bucket)
+      .filter(col("bucket") < rate)
+      .drop("bucket")
+  }
+
+  /** Benchmark decontamination: count each corpus document's k-shingle
+    * overlap with a (small) benchmark/eval set and flag documents at or
+    * above `threshold` — the standard "remove eval-set leakage before
+    * training" step. The benchmark's distinct shingle hashes are a
+    * benchmark-sized table (broadcast by the planner); corpus shingles
+    * are per-row kernel output, so only matching (doc, shingle) rows
+    * ever reach the counting aggregate — the corpus text never shuffles. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, k: Int, threshold: Int): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(TextExpressions.shingleHashSet(col(textCol), k)).as("h"))
+      .distinct()
+    val overlaps = Par.spread(corpus)
+      .select(col(idCol).as("doc_id"),
+        explode(TextExpressions.shingleHashSet(col(textCol), k)).as("h"))
+      .join(benchShingles, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated",
+        (col("n_overlap") >= threshold).cast("int"))
+  }
+
   /** Corpus-level stats per language (SURVEY §2.4 X4): doc counts, exact
     * char totals, mean token counts. */
   def statsByLang(docs: DataFrame, textCol: String): DataFrame =

@@ -212,6 +212,25 @@ object ExtensionQueries {
           k = 3, threshold = 0.8)
         .select("doc_id", "lang", "n_chars")),
 
+    // x37 — deterministic stratified sampling (corpus mixing): keep 50%
+    // of en, 20% of zh, 10% of everything else, chosen by md5(id) mod
+    // 100 — reproducible, partition-independent, monotone in the rate.
+    "x37_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(t(s, dir, "documents"), "doc_id",
+          "lang", Map("en" -> 50, "zh" -> 20), defaultPct = 10)
+        .select("doc_id", "lang", "n_chars")),
+
+    // x38 — benchmark decontamination: flag corpus docs whose 3-shingle
+    // overlap with the held-out set (doc_id < 20 stands in for an eval
+    // benchmark) reaches 3 shingles — the eval-leakage filter every
+    // pretraining pipeline runs before training.
+    "x38_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.decontaminate(
+        d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+        "doc_id", "text", k = 3, threshold = 3)
+    }),
+
     // x32 — near-dup pairs -> canonical dedup clusters, end-to-end on the
     // SCALE path: IVF-blocked edge generation (same-centroid-bucket pairs
     // only, as in x22 — no all-pairs join anywhere in the plan) feeding
@@ -495,6 +514,23 @@ object ExtensionQueries {
            count(*) AS n_docs
          FROM tf GROUP BY 1
          ORDER BY n_occurrences DESC, term LIMIT 500""",
+    "x37_stratified_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+             % 100
+           < CASE WHEN lang = 'en' THEN 50
+                  WHEN lang = 'zh' THEN 20 ELSE 10 END""",
+    "x38_decontaminate" ->
+      s"""WITH $duckShingles,
+         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+         ov AS (SELECT sh.doc_id, count(*) AS n_overlap
+           FROM sh JOIN bench USING (s)
+           WHERE sh.doc_id >= 20 GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(CASE WHEN coalesce(n_overlap, 0) >= 3 THEN 1 ELSE 0 END
+             AS INTEGER) AS contaminated
+         FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+         WHERE d.doc_id >= 20""",
     "x34_dedup_apply" ->
       """SELECT d.doc_id, d.lang, d.n_chars, g.n_dups
          FROM documents d JOIN (

@@ -100,6 +100,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_bigrams") == 0L)
   }
 
+  test("stratifiedSample is deterministic and monotone in the rate (x37)") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 400L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    def sample(en: Int, de: Int) =
+      TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+          Map("en" -> en, "de" -> de), defaultPct = 0)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    val a = sample(50, 10)
+    assert(a == sample(50, 10)) // reproducible, no RNG
+    assert(a.subsetOf(sample(80, 30))) // raising rates only ADDS docs
+    // a 0% group vanishes entirely; others are untouched
+    val enOnly = sample(50, 0)
+    assert(enOnly.forall(_ % 2 == 0))
+    assert(enOnly == a.filter(_ % 2 == 0))
+  }
+
+  test("decontaminate counts benchmark shingle overlap; clean docs flag 0 (x38)") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // contains bench
+      (11L, "entirely different words with no shared phrases here"),
+      (12L, "x y")                                          // too short
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "quick brown fox jumps")).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text",
+        k = 3, threshold = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_overlap"), r.getAs[Int]("contaminated"))).toMap
+    assert(out(10L) == (2L, 1)) // "quick brown fox", "brown fox jumps"
+    assert(out(11L) == (0L, 0))
+    assert(out(12L) == (0L, 0)) // no shingles at all
+  }
+
   test("hashSplit is deterministic and covers every doc exactly once (x26)") {
     val ids = (1L to 200L)
     val corpus = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
