@@ -133,6 +133,65 @@ object Sources {
     }
   }
 
+  /** C4 — OAuth2-style token cache (reference `tap_xero/__init__.py:19-57`:
+    * load_tokens / save_tokens / is_token_expired / refresh_access_token):
+    * caches an (access token, expiry-millis) pair, calling `refresh` only
+    * when no token is cached or the cached one is within `marginMs` of
+    * expiry; optionally persisted to a JSON file so a restarted run reuses
+    * an unexpired token, like the reference's `token_cache_xero.json`.
+    * `refresh` is the injection point for a real HTTP token endpoint
+    * (live HTTP is out of engine scope, SURVEY §7.5); `clock` is
+    * injectable for tests. Thread-safe: one refresh at a time. */
+  final class TokenCache(refresh: () => (String, Long),
+                         cachePath: Option[java.nio.file.Path] = None,
+                         marginMs: Long = 60000,
+                         clock: () => Long = () => System.currentTimeMillis()) {
+    import java.nio.file.{Files, StandardCopyOption}
+    import org.json4s._
+    private var cached: Option[(String, Long)] = None
+
+    private def loadPersisted(): Option[(String, Long)] =
+      cachePath.filter(Files.exists(_)).flatMap { p =>
+        org.json4s.jackson.JsonMethods.parse(Files.readString(p)) match {
+          case o: JObject => (o \ "access_token", o \ "expiration") match {
+            case (JString(t), JInt(e)) => Some((t, e.toLong))
+            case _ => None
+          }
+          case _ => None
+        }
+      }
+
+    private def persist(te: (String, Long)): Unit = cachePath.foreach { p =>
+      Files.createDirectories(p.toAbsolutePath.getParent)
+      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+      implicit val fmts: Formats = DefaultFormats
+      Files.writeString(tmp, jackson.Serialization.write(
+        Map("access_token" -> te._1, "expiration" -> te._2)))
+      Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    def get(): String = synchronized {
+      val now = clock()
+      def live(te: (String, Long)) = now < te._2 - marginMs
+      cached.filter(live)
+        .orElse(loadPersisted().filter(live).map { te => cached = Some(te); te })
+        .map(_._1)
+        .getOrElse {
+          val te = refresh()
+          cached = Some(te)
+          persist(te)
+          te._1
+        }
+    }
+
+    /** Drop the cached token (e.g. after a 401) — next get() refreshes. */
+    def invalidate(): Unit = synchronized {
+      cached = None
+      cachePath.foreach(Files.deleteIfExists(_))
+    }
+  }
+
   /** C1 — driver-side token-bucket rate limiter for API fetch loops
     * (reference: 1.2 req/s, `tap_wrike/utility.py:211-239`). A connector
     * concern, not a query operator: it paces the driver's page loop. */

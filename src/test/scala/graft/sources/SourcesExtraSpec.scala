@@ -45,6 +45,27 @@ class SourcesExtraSpec extends SparkSpec {
     assert(Sources.cachedKeys(path)(fail("no"): Seq[String]) == Seq("f9"))
   }
 
+  test("TokenCache refreshes only on miss/expiry and round-trips its file (C4)") {
+    var now = 1000L
+    var refreshes = 0
+    val path = java.nio.file.Files.createTempDirectory("tok")
+      .resolve("token_cache.json")
+    def cache() = new Sources.TokenCache(
+      refresh = () => { refreshes += 1; (s"tok$refreshes", now + 10000) },
+      cachePath = Some(path), marginMs = 1000, clock = () => now)
+    val c = cache()
+    assert(c.get() == "tok1" && refreshes == 1)
+    assert(c.get() == "tok1" && refreshes == 1) // cached, no refresh
+    // a NEW instance (restarted run) reuses the persisted unexpired token
+    assert(cache().get() == "tok1" && refreshes == 1)
+    // inside the expiry margin => refresh
+    now += 9500
+    assert(c.get() == "tok2" && refreshes == 2)
+    // invalidate (e.g. a 401) forces refresh and clears the file
+    c.invalidate()
+    assert(c.get() == "tok3" && refreshes == 3)
+  }
+
   test("withRetries retries failures then succeeds (C2)") {
     var calls = 0
     val r = Sources.withRetries(attempts = 3, backoffMs = 1) {
