@@ -70,6 +70,37 @@ class OrchestratorSpec extends SparkSpec {
     assert(s.get("sys.a").isDefined && s.get("sys.b").isEmpty)
   }
 
+  test("JSON-schema -> catalog -> projection: the declared-schema config path") {
+    // the reference's path: a stream's schemas/<s>.json declares the shape,
+    // the catalog carries it, the engine projects to it
+    val schemaJson =
+      """{"type": "object", "additionalProperties": false,
+          "properties": {
+            "event_id": {"type": ["null", "integer"]},
+            "ts": {"type": ["null", "string"], "format": "date-time"}}}"""
+    val declared = graft.schema.JsonSchema.toStructType(schemaJson)
+    var projectedCols: Seq[String] = Nil
+    val job = Orchestrator.StreamJob("e", "ts",
+      extract = (_, _) => events.withColumn("extra",
+        org.apache.spark.sql.functions.lit("drop-me")),
+      sink = df => projectedCols = df.columns.toSeq,
+      keyProperties = Seq("event_id"),
+      schemaDdl = Some(declared.toDDL))
+    val p = Orchestrator.Pipeline("sys", Seq(job))
+    val cat = Catalog.discover(Seq(p)).select(Seq("sys" -> "e"))
+    // the catalog's schema string round-trips to the declared StructType
+    val fromCatalog = org.apache.spark.sql.types.StructType
+      .fromDDL(cat.entries.head.schema)
+    assert(fromCatalog == declared)
+    // and a job projecting to it drops undeclared columns
+    val projecting = job.copy(sink = df => projectedCols =
+      graft.operators.Project.toDeclared(df, fromCatalog.fieldNames.toSeq)
+        .columns.toSeq)
+    Orchestrator.runOnce(spark, Seq(p.copy(jobs = Seq(projecting))),
+      Bookmarks.empty, catalog = Some(cat))
+    assert(projectedCols == Seq("event_id", "ts")) // extra dropped
+  }
+
   test("loop persists state after each round") {
     val statePath = Files.createTempDirectory("orch").resolve("state.json")
     val job = Orchestrator.StreamJob("e", "ts",
