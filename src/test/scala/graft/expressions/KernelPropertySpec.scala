@@ -87,6 +87,44 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("repetitionStats laws: totals match closed forms; bounds hold") {
+    val texts = samples(genText, 10)
+    val rows = docsOf(texts)
+      .select(col("doc_id"),
+        TextExpressions.repetitionStats(col("text")).as("st"))
+      .select(col("doc_id"), element_at(col("st"), 1).as("nb"),
+        element_at(col("st"), 2).as("tb"), element_at(col("st"), 3).as("nt"),
+        element_at(col("st"), 4).as("dt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val n = t.trim.toLowerCase.split("\\s+").length
+      val (_, nb, tb, nt, dt) = rows.find(_._1 == i.toLong).get
+      assert(nb == math.max(n - 1, 0)) // total bigrams is exact
+      assert(nt == math.max(n - 2, 0))
+      assert(tb <= nb && (nb == 0 || tb >= 1)) // max count within totals
+      assert(dt <= nt && dt != 1) // dup occurrences can't be exactly 1
+    }
+  }
+
+  test("simhashMd5 fits in 60 bits; normalization-identical texts collide") {
+    val texts = samples(genText, 10)
+    val fps = docsOf(texts)
+      .select(col("doc_id"), TextExpressions.simhashMd5(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.values.forall(fp => fp >= 0L && fp < (1L << 60)))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      // re-spacing/casing the same tokens never changes the fingerprint
+      val mangled = t.trim.toLowerCase.split("\\s+").mkString("\t ")
+        .toUpperCase
+      val fp2 = docsOf(Seq(mangled))
+        .select(TextExpressions.simhashMd5(col("text")))
+        .head().getLong(0)
+      assert(fp2 == fps(i.toLong), s"'$t' vs '$mangled'")
+    }
+  }
+
   test("simhash64 is permutation-sensitive but duplication-stable in sign") {
     // identical texts (any spacing/case) get identical fingerprints
     val df = Seq((1L, "Alpha Beta  Gamma"), (2L, "alpha beta\tgamma"))
