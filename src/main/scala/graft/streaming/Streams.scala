@@ -123,6 +123,30 @@ object Streams {
       }
   }
 
+  /** Streaming corpus quality gate — the stateless pre-filter of an
+    * ingestion pipeline: the per-row kernels (repetition signals) are
+    * ordinary Catalyst projections, so they run UNCHANGED inside a
+    * streaming plan; documents failing the repetition/length thresholds
+    * are dropped before any stateful stage (e.g. [[dedupStream]]) pays
+    * state for them. Stateless => no watermark required here and no
+    * state to bound; at scale this is the free-filter stage that keeps
+    * spam out of the dedup state store. */
+  def qualityGate(docs: DataFrame, textCol: String,
+                  maxTopBigramFrac: Double, minChars: Int): DataFrame = {
+    val st = org.apache.spark.sql.graft.TextExpressions
+      .repetitionStats(col(textCol))
+    docs
+      .withColumn("_st", st)
+      .withColumn("top_bigram_frac",
+        when(element_at(col("_st"), 1) > 0,
+          element_at(col("_st"), 2).cast("double") /
+            element_at(col("_st"), 1).cast("double")))
+      .filter(length(trim(col(textCol))) >= minChars &&
+        (col("top_bigram_frac").isNull ||
+          col("top_bigram_frac") <= maxTopBigramFrac))
+      .drop("_st")
+  }
+
   /** Streaming exact dedup — the streaming twin of the batch x1 operator:
     * exactly one representative per content digest, with BOUNDED state
     * (the first-seen row across micro-batches; within one micro-batch the

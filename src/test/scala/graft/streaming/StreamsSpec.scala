@@ -121,6 +121,9 @@ class StreamsSpec extends SparkSpec {
     val closed = spark.table("sessions_out")
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
     assert(closed == Set((7L, 2L)))
+    // the processing-time timeout keeps the query eligible for further
+    // batches; stop it so no background batch overlaps later tests
+    q.stop()
   }
 
   test("dedupStream keeps first arrival per digest with bounded state") {
@@ -150,5 +153,32 @@ class StreamsSpec extends SparkSpec {
     assert(ids.length == 2)
     assert(ids.contains(3L))
     assert(ids.exists(Set(1L, 2L, 4L)))
+  }
+
+  test("qualityGate runs the repetition kernel inside a streaming plan") {
+    val dir = Files.createTempDirectory("qgate-in").toString
+    Seq(
+      (1L, ts("2024-01-01 00:01:00"),
+        "a varied document with many distinct interesting words inside"),
+      (2L, ts("2024-01-01 00:02:00"),
+        "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, ts("2024-01-01 00:03:00"), "too short")
+    ).toDF("event_id", "ts", "text")
+      .write.mode("overwrite").parquet(dir)
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val gated = Streams.qualityGate(stream, "text",
+      maxTopBigramFrac = 0.5, minChars = 20)
+
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("qgate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table("qgate_out")
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L)) // spam fails repetition; short doc fails length
   }
 }
