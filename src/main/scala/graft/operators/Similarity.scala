@@ -120,6 +120,20 @@ object Similarity {
         graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
   }
 
+  /** Embedding dedup APPLIED — the vector-modality twin of the text
+    * pipeline's near-dup application: IVF-blocked near-dup pairs feed
+    * connected components, and every vector that is not its cluster's
+    * representative (min id) is dropped. The drop set is near-dup-sized,
+    * so the final anti-join broadcasts even when the corpus doesn't. */
+  def dedupedVectors(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                     vecCol: String, threshold: Double): DataFrame = {
+    val pairs = ivfCosinePairs(corpus, centroids, idCol, vecCol, threshold)
+    val drops = Components.connectedComponents(pairs, "id1", "id2")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    corpus.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** IVF-ish approximate top-k: assign corpus vectors to their nearest
     * centroid, probe the `nprobe` centroids nearest each query, brute-force
     * only inside the probed buckets. Centroids are passed in as a (small)

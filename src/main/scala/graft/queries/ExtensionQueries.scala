@@ -231,6 +231,16 @@ object ExtensionQueries {
         "doc_id", "text", k = 3, threshold = 3)
     }),
 
+    // x39 — embedding dedup APPLIED: the vector twin of x36 — IVF
+    // near-dup pairs -> components -> drop non-representatives; the
+    // surviving vector corpus is the result.
+    "x39_embedding_dedup_apply" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.dedupedVectors(e, e.filter(col("vec_id") < 16),
+          "vec_id", "embedding", threshold = 0.4)
+        .select(col("vec_id"), size(col("embedding")).as("dim"))
+    }),
+
     // x32 — near-dup pairs -> canonical dedup clusters, end-to-end on the
     // SCALE path: IVF-blocked edge generation (same-centroid-bucket pairs
     // only, as in x22 — no all-pairs join anywhere in the plan) feeding
@@ -591,6 +601,33 @@ object ExtensionQueries {
          comp AS (SELECT node, min(reach) AS rep FROM walk GROUP BY 1)
          SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> rep)""",
+    // same IVF-blocked edges + closure walk as x32; survivors are the
+    // vectors that are their own representative (or unpaired).
+    "x39_embedding_dedup_apply" ->
+      s"""WITH RECURSIVE cent AS (SELECT vec_id AS centroid_id,
+             embedding AS centv
+           FROM embeddings WHERE vec_id < 16),
+         corp AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+         assigned AS (SELECT vid, v, centroid_id FROM (
+           SELECT vid, v, centroid_id, row_number() OVER
+             (PARTITION BY vid
+              ORDER BY ${duckCos("v", "centv")} DESC, centroid_id) AS arn
+           FROM corp, cent) WHERE arn = 1),
+         pairs AS (SELECT a.vid AS d1, b.vid AS d2,
+             ${duckCos("a.v", "b.v")} AS sim
+           FROM assigned a JOIN assigned b
+             ON a.centroid_id = b.centroid_id AND a.vid < b.vid),
+         edges AS (
+           SELECT d1 AS a, d2 AS b FROM pairs WHERE sim >= 0.4
+           UNION SELECT d2, d1 FROM pairs WHERE sim >= 0.4),
+         walk(node, reach) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+         comp AS (SELECT node, min(reach) AS rep FROM walk GROUP BY 1)
+         SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim
+         FROM embeddings
+         WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> rep)""",
     // connected components via transitive closure (recursive CTE): reach
     // set per node, component = min reachable id — mirrors min-label
     // propagation exactly (both compute min over the reachability class).

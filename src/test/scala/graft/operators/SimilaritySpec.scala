@@ -30,6 +30,18 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._2)) // canonical orientation
   }
 
+  test("dedupedVectors keeps one rep per near-dup cluster (x39)") {
+    // two centroids: 0/1/4 land in centroid-0's bucket (4 ties .707/.707,
+    // broken to the lower centroid id), 2/3 in centroid-3's. In-bucket
+    // pairs at cos>=0.7: (0,1)=.994, (0,4)=.707, (1,4)=.78 => one cluster
+    // {0,1,4} keeping 0; 2~3 at cos 0 stay singletons.
+    val out = Similarity.dedupedVectors(vecs,
+        vecs.filter("vec_id IN (0, 3)"), "vec_id", "embedding",
+        threshold = 0.7)
+      .collect().map(_.getAs[Long]("vec_id")).sorted.toSeq
+    assert(out == Seq(0L, 2L, 3L))
+  }
+
   test("ivfTopK probes buckets and never returns self (x10)") {
     val out = Similarity.ivfTopK(
       vecs.filter("vec_id = 0"), vecs, vecs.filter("vec_id < 3"),
