@@ -40,16 +40,20 @@ object Components {
       require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
         s"connectedComponents needs numeric node ids; '$c' is $dt")
     }
+    // LAZY checkpoints throughout: the convergence probe (labelSum) is an
+    // action over every new generation anyway, so it materializes the
+    // checkpoint — one Spark job per round instead of two (eager
+    // checkpoint + probe). Lineage is still truncated at materialization.
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     try {
       // init = min(self, direct neighbors): fuses the first propagation
       // round into the same shuffle the plain `distinct` init would pay
       var labels = und.select(col("a").as("node"), col("a").as("lab"))
         .union(und.select(col("a").as("node"), col("b").as("lab")))
         .groupBy(col("node")).agg(min(col("lab")).as("lab"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // null sum <=> empty node set (or non-numeric ids, which the sum
       // probe cannot track) — an empty edge list is just already converged
       def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
@@ -66,7 +70,7 @@ object Components {
         val next = labels.select(col("node"), col("lab"))
           .union(viaNeighbors)
           .groupBy(col("node")).agg(min(col("lab")).as("lab"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val nextSum = labelSum(next)
         labels.unpersist() // keep exactly one live label generation
         labels = next
