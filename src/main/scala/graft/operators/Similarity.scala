@@ -46,13 +46,19 @@ object Similarity {
   }
 
   /** All corpus pairs with cosine >= threshold (embedding near-dup).
-    * O(n²/2) scoring; the scale path is [[ivfCosinePairs]] bucketing.
+    * O(n²/2) scoring — the SMALL-CORPUS exact variant, size-gated: an
+    * input past `maxRows` fails fast (one count job) pointing at the
+    * scale path, [[ivfCosinePairs]], instead of launching a quadratic
+    * job (20k rows is already 200M pair evaluations). Raise `maxRows`
+    * explicitly to opt into a bigger exact run.
     * No broadcast hint: for a small corpus the planner broadcasts the
     * build side on its own (scan stats < autoBroadcastJoinThreshold);
     * past the broadcast size cap it can still fall back to a
     * non-broadcast strategy instead of failing outright. */
   def cosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
-                  threshold: Double): DataFrame = {
+                  threshold: Double, maxRows: Long = 20000): DataFrame = {
+    graft.functions.Guards.requireSmall(corpus, maxRows,
+      "Similarity.cosinePairs", "Similarity.ivfCosinePairs")
     val a = Par.spread(corpus.select(col(idCol).as("id1"), col(vecCol).as("v1"),
       Vectors.norm(col(vecCol)).as("n1")))
     val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("v2"),

@@ -224,9 +224,11 @@ object TextAnalysis {
     val rate = pctByGroup.foldLeft(lit(defaultPct)) { case (acc, (g, p)) =>
       when(col(groupCol) === g, lit(p)).otherwise(acc)
     }
-    docs.withColumn("bucket", bucket)
-      .filter(col("bucket") < rate)
-      .drop("bucket")
+    // underscore-prefixed working column (the _salt/_r1 convention):
+    // withColumn would silently replace a user column named "bucket"
+    docs.withColumn("_bucket", bucket)
+      .filter(col("_bucket") < rate)
+      .drop("_bucket")
   }
 
   /** Benchmark decontamination: count each corpus document's k-shingle

@@ -77,16 +77,26 @@ object CapabilityQueries {
           grouping(col("o_orderpriority")).cast("int").as("g_priority"))),
 
     // x24 — exact percentile aggregates (sort-based `percentile`): media
-    // summary per event_type. Exact percentiles need a per-group sort; the
-    // approximate path at 100 TB is percentile_approx (one-pass sketch).
-    "x24_percentiles" -> ((s, dir) =>
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(
-          Num.fpRound(expr("percentile(value, 0.5)"), 6).as("p50"),
-          Num.fpRound(expr("percentile(value, 0.9)"), 6).as("p90"),
-          Num.fpRound(expr("percentile(value, 0.99)"), 6).as("p99"),
-          min(col("value")).as("v_min"), max(col("value")).as("v_max"))),
+    // summary per event_type. Exact percentiles buffer every group value
+    // in one task, so the query is SIZE-GATED on group cardinality: a
+    // group past 10M rows fails fast (one cheap count job) pointing at
+    // the 100 TB path, Sketches.approxPercentilesByGroup (one-pass
+    // sketch). All three probs go through ONE percentile buffer (array
+    // form) — one per-group sort, not three.
+    "x24_percentiles" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.functions.Guards.requireSmallGroups(ev, "event_type", 10000000L,
+        "x24_percentiles (exact sort-based percentile)",
+        "Sketches.approxPercentilesByGroup")
+      ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("_ps"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+        .select(col("event_type"),
+          Num.fpRound(element_at(col("_ps"), 1), 6).as("p50"),
+          Num.fpRound(element_at(col("_ps"), 2), 6).as("p90"),
+          Num.fpRound(element_at(col("_ps"), 3), 6).as("p99"),
+          col("v_min"), col("v_max"))
+    }),
 
     // x19 — semi/anti joins: customers with vs without orders. left_semi
     // and left_anti move only the probe side's keys; no fact columns.

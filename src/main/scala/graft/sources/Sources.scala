@@ -21,46 +21,79 @@ object Sources {
     def fetch(pageToken: Option[String]): (Seq[String], Option[String])
   }
 
+  /** Normalize a record to one JSON line: raw newlines in a JSON record
+    * are legal only BETWEEN tokens (pretty-printed fetcher output — a
+    * string literal may not contain an unescaped newline), so replacing
+    * them with spaces preserves the document while making the spilled
+    * JSON-lines file parse identically to the in-memory path. Applied on
+    * BOTH paths so behavior never diverges with fetch size. */
+  private def jsonLine(record: String): String =
+    if (record.indexOf('\n') < 0 && record.indexOf('\r') < 0) record
+    else record.replace('\n', ' ').replace('\r', ' ')
+
   /** Drain a paginated source into a DataFrame of parsed JSON records.
     * Pages are pulled on the driver (the reference's rate-limited loop,
     * C1); schema inference or an explicit schema applies downstream.
     * `maxPages` bounds runaway cursors.
     *
     * Driver memory is BOUNDED: once more than `spillThresholdRecords`
-    * records are buffered, the buffer is landed incrementally as JSON-line
-    * files under `spillDir` (one file per flush; a temp dir when not
-    * given) and the result is read back as a file scan — a large backfill
-    * never accumulates in one driver buffer (the reference holds every
-    * page of a window in a single list, `tap_wrike/utility.py:108-131`;
-    * this keeps its page-loop behavior without that shape). Small fetches
+    * records — or more than `spillThresholdChars` buffered text (chars
+    * ≈ UTF-8 bytes for the ASCII-dominated JSON wire format; multi-byte
+    * text under-counts by at most 3×), so a fetcher yielding FEW HUGE
+    * records is bounded too — are buffered, the buffer is landed
+    * incrementally as JSON-line files (one file per flush) and the
+    * result is read back as a file scan — a large backfill never
+    * accumulates in one driver buffer (the reference holds every page of
+    * a window in a single list, `tap_wrike/utility.py:108-131`; this
+    * keeps its page-loop behavior without that shape). Small fetches
     * stay on the no-spill fast path (one in-memory parallelize).
+    *
+    * Spill files land in a UNIQUE per-call subdirectory of `spillDir`
+    * (or of a fresh temp dir), so a caller-supplied spillDir reused
+    * across runs never mixes a previous fetch's files into this result.
+    * The files must outlive this call (the returned DataFrame is a lazy
+    * scan over them): they are registered for JVM-exit deletion, and a
+    * caller needing earlier cleanup deletes the per-call subdirectory
+    * after the DataFrame's last action (its path = the one new entry
+    * under `spillDir`).
     */
   def readPaginated(spark: SparkSession, fetcher: PageFetcher,
                     maxPages: Int = 10000,
                     spillThresholdRecords: Int = 100000,
-                    spillDir: Option[java.nio.file.Path] = None): DataFrame = {
+                    spillDir: Option[java.nio.file.Path] = None,
+                    spillThresholdChars: Long = 256L << 20): DataFrame = {
     import java.nio.file.Files
     import spark.implicits._
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var bufChars = 0L
     var dir: java.nio.file.Path = null
     var flushed = 0
     def flush(): Unit = if (buf.nonEmpty) {
       if (dir == null) {
-        dir = spillDir.getOrElse(Files.createTempDirectory("graft-pages"))
-        Files.createDirectories(dir)
+        val parent = spillDir.getOrElse(Files.createTempDirectory("graft-pages"))
+        Files.createDirectories(parent)
+        dir = Files.createTempDirectory(parent, "fetch-")
+        dir.toFile.deleteOnExit() // deleteOnExit runs LIFO: dir after files
       }
-      Files.write(dir.resolve(f"pages-$flushed%05d.jsonl"),
-        buf.mkString("", "\n", "\n").getBytes("UTF-8"))
+      val f = dir.resolve(f"pages-$flushed%05d.jsonl")
+      Files.write(f, buf.mkString("", "\n", "\n").getBytes("UTF-8"))
+      f.toFile.deleteOnExit()
       flushed += 1
       buf.clear()
+      bufChars = 0L
     }
     var token: Option[String] = None
     var pages = 0
     var done = false
     while (!done && pages < maxPages) {
       val (records, next) = fetcher.fetch(token)
-      buf ++= records
-      if (buf.length > spillThresholdRecords) flush()
+      records.foreach { r =>
+        val rec = jsonLine(r)
+        buf += rec
+        bufChars += rec.length.toLong
+      }
+      if (buf.length > spillThresholdRecords || bufChars > spillThresholdChars)
+        flush()
       pages += 1
       done = next.isEmpty || records.isEmpty
       token = next

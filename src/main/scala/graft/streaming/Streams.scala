@@ -135,16 +135,18 @@ object Streams {
                   maxTopBigramFrac: Double, minChars: Int): DataFrame = {
     val st = org.apache.spark.sql.graft.TextExpressions
       .repetitionStats(col(textCol))
+    // output schema == input schema: both working columns are dropped
+    // (leaving the derived signal in would silently widen downstream)
     docs
       .withColumn("_st", st)
-      .withColumn("top_bigram_frac",
+      .withColumn("_top_bigram_frac",
         when(element_at(col("_st"), 1) > 0,
           element_at(col("_st"), 2).cast("double") /
             element_at(col("_st"), 1).cast("double")))
       .filter(length(trim(col(textCol))) >= minChars &&
-        (col("top_bigram_frac").isNull ||
-          col("top_bigram_frac") <= maxTopBigramFrac))
-      .drop("_st")
+        (col("_top_bigram_frac").isNull ||
+          col("_top_bigram_frac") <= maxTopBigramFrac))
+      .drop("_st", "_top_bigram_frac")
   }
 
   /** Streaming exact dedup — the streaming twin of the batch x1 operator:

@@ -93,4 +93,17 @@ class ClusteringSketchesSpec extends SparkSpec {
       }
     }
   }
+
+  test("exact-percentile group-size gate trips, pointing at the sketch path") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "events")
+    val err = intercept[IllegalArgumentException] {
+      graft.functions.Guards.requireSmallGroups(e, "event_type", 10L,
+        "x24_percentiles (exact sort-based percentile)",
+        "Sketches.approxPercentilesByGroup")
+    }
+    assert(err.getMessage.contains("approxPercentilesByGroup"))
+    // generous bound passes silently (the registered x24 path at test SFs)
+    graft.functions.Guards.requireSmallGroups(e, "event_type", 10000000L,
+      "x24", "Sketches.approxPercentilesByGroup")
+  }
 }

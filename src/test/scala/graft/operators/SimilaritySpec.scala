@@ -30,6 +30,17 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._2)) // canonical orientation
   }
 
+  test("cosinePairs size gate trips past maxRows, pointing at the IVF path") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.9, maxRows = 3)
+    }
+    assert(e.getMessage.contains("ivfCosinePairs"))
+    assert(e.getMessage.contains("5 rows"))
+    // under the threshold the exact variant still runs (x9 oracle shape)
+    assert(Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.9,
+      maxRows = 5).count() > 0)
+  }
+
   test("dedupedVectors keeps one rep per near-dup cluster (x39)") {
     // two centroids: 0/1/4 land in centroid-0's bucket (4 ties .707/.707,
     // broken to the lower centroid id), 2/3 in centroid-3's. In-bucket

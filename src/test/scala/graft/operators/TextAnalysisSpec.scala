@@ -117,6 +117,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enOnly == a.filter(_ % 2 == 0))
   }
 
+  test("stratifiedSample preserves a user column named 'bucket'") {
+    val docs = (1L to 50L).map(i => (i, "en", s"user-bucket-$i"))
+      .toDF("doc_id", "lang", "bucket")
+    val out = TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 100), defaultPct = 0)
+    // the working column is _bucket — the user's column survives intact
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "bucket"))
+    assert(out.count() == 50)
+    assert(out.filter(org.apache.spark.sql.functions.col("bucket")
+      .startsWith("user-bucket-")).count() == 50)
+  }
+
   test("decontaminate counts benchmark shingle overlap; clean docs flag 0 (x38)") {
     import org.apache.spark.sql.functions.col
     val corpus = Seq(

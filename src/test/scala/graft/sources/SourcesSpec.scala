@@ -35,12 +35,70 @@ class SourcesSpec extends SparkSpec {
     assert(out.count() == (nPages * perPage).toLong)
     assert(out.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
       == (0L until (nPages * perPage)).sum)
-    val files = java.nio.file.Files.list(dir).toArray.map(_.toString)
-      .filter(_.endsWith(".jsonl"))
+    val files = jsonlFilesUnder(dir)
     // threshold=25 trips at 30 buffered records (3 pages) => ~13 flushes
     // plus the remainder — the fetch landed in many bounded slices
     assert(files.length >= 10,
       s"expected many spill files, got ${files.length}")
+  }
+
+  private def jsonlFilesUnder(dir: java.nio.file.Path): Seq[String] = {
+    val w = java.nio.file.Files.walk(dir)
+    try w.toArray.map(_.toString).filter(_.endsWith(".jsonl")).toSeq
+    finally w.close()
+  }
+
+  private def seqFetcher(records: Seq[String]): Sources.PageFetcher =
+    new Sources.PageFetcher {
+      def fetch(t: Option[String]) = (records, None)
+    }
+
+  test("reused spillDir never mixes a previous fetch's records in") {
+    val dir = java.nio.file.Files.createTempDirectory("spill-reuse")
+    val first = Sources.readPaginated(spark,
+      seqFetcher(Seq("""{"id": 1}""", """{"id": 2}""")),
+      spillThresholdRecords = 0, spillDir = Some(dir))
+    assert(first.count() == 2)
+    // same caller-supplied spillDir, second run: result must be ONLY the
+    // second fetch's records (per-call subdirectory isolation)
+    val second = Sources.readPaginated(spark,
+      seqFetcher(Seq("""{"id": 10}""", """{"id": 11}""", """{"id": 12}""")),
+      spillThresholdRecords = 0, spillDir = Some(dir))
+    assert(second.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 11L, 12L))
+    assert(first.count() == 2) // first result still readable, still 2 rows
+  }
+
+  test("spill threshold also trips on buffered chars (few huge records)") {
+    val big = """{"pad": """" + "x" * 200000 + """"}"""
+    val nPages = 6
+    val fetcher = new Sources.PageFetcher {
+      def fetch(t: Option[String]) = {
+        val i = t.map(_.toInt).getOrElse(0)
+        (Seq(big), if (i + 1 < nPages) Some((i + 1).toString) else None)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("spill-bytes")
+    // record threshold would buffer all 6; the 300k-char threshold must
+    // flush every couple of pages => several bounded spill files
+    val out = Sources.readPaginated(spark, fetcher,
+      spillThresholdRecords = 100000, spillDir = Some(dir),
+      spillThresholdChars = 300000L)
+    assert(out.count() == nPages.toLong)
+    assert(jsonlFilesUnder(dir).length >= 2,
+      "huge records must flush on the char threshold")
+  }
+
+  test("records with raw newlines parse identically on both paths") {
+    val pretty = "{\n  \"id\": 7,\r\n  \"name\": \"a b\"\n}"
+    val inMem = Sources.readPaginated(spark, seqFetcher(Seq(pretty)))
+    val spilled = Sources.readPaginated(spark, seqFetcher(Seq(pretty)),
+      spillThresholdRecords = 0)
+    for (out <- Seq(inMem, spilled)) {
+      val r = out.select("id", "name").head()
+      assert(r.getLong(0) == 7L && r.getString(1) == "a b")
+      assert(out.columns.toSet == Set("id", "name"), "no corrupt-record rows")
+    }
   }
 
   test("readPaginated keeps small fetches on the in-memory fast path") {

@@ -180,5 +180,7 @@ class StreamsSpec extends SparkSpec {
     val ids = spark.table("qgate_out")
       .select("event_id").collect().map(_.getLong(0)).toSeq
     assert(ids == Seq(1L)) // spam fails repetition; short doc fails length
+    // the gate is schema-transparent: no derived signal columns leak out
+    assert(gated.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
   }
 }
