@@ -8,16 +8,19 @@ import org.apache.spark.sql.functions._
   * labeled with the minimum id reachable through duplicate edges, so
   * "keep cluster_rep, drop the rest" is one filter.
   *
-  * Algorithm: iterative min-label propagation. Each round every node
-  * takes the min of its own label and its neighbors' labels (one
-  * edge-labels join + one groupBy min), until a fixpoint. Rounds needed
-  * = component diameter, and duplicate clusters are short-diameter by
-  * construction (near-dup similarity is close to transitive), so 3-5
-  * rounds settle real corpora. Each round shuffles only (node, label)
-  * pairs — at 100 TB the label table is ~1/1000th of the corpus. For
-  * adversarially long chains the large-star/small-star variant converges
-  * in O(log n) rounds; the propagation loop is the right default for
-  * dedup graphs.
+  * Algorithm: iterative min-label propagation WITH pointer-jumping (the
+  * shortcutting step of the star-contraction family, Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond"): each round every
+  * node takes the min of its own label, its neighbors' labels, AND its
+  * label's label (one edge-labels join + one label self-join + one
+  * groupBy min). The label-of-label hop doubles the propagation distance
+  * each round, so convergence is O(log diameter) — a path graph of
+  * diameter 1M settles in ~20 rounds — while dedup graphs (short
+  * diameter by construction: near-dup similarity is close to transitive)
+  * still settle in 2-4 rounds, now often one fewer than plain
+  * propagation. Each round shuffles only (node, label) pairs — at 100 TB
+  * the label table is ~1/1000th of the corpus, and the extra self-join
+  * is on that small table, not the edges.
   */
 object Components {
 
@@ -67,8 +70,16 @@ object Components {
       while (!converged && i < maxIters) {
         val viaNeighbors = und.join(labels, und("b") === labels("node"))
           .select(und("a").as("node"), col("lab"))
+        // pointer jumping: adopt the label OF the current label (labels
+        // is keyed by node and every label is a node id, so this is a
+        // self-join of the small label table) — propagation distance
+        // doubles per round instead of advancing one hop
+        val viaLabel = labels.select(col("node"), col("lab").as("_hop"))
+          .join(labels.select(col("node").as("_hop"), col("lab")), "_hop")
+          .select(col("node"), col("lab"))
         val next = labels.select(col("node"), col("lab"))
           .union(viaNeighbors)
+          .union(viaLabel)
           .groupBy(col("node")).agg(min(col("lab")).as("lab"))
           .localCheckpoint(false)
         val nextSum = labelSum(next)
@@ -79,11 +90,13 @@ object Components {
         i += 1
       }
       // exhausting maxIters without a fixpoint would silently report one
-      // component as several clusters — fail loudly instead
+      // component as several clusters — fail loudly instead (with
+      // pointer jumping, maxIters rounds cover diameter ~2^maxIters, so
+      // hitting this means maxIters was set very low)
       if (!converged) throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
-          "(component diameter exceeds maxIters); raise maxIters or use " +
-          "a star-contraction variant for long-chain graphs")
+          s"(pointer-jumped propagation covers diameter ~2^$maxIters); " +
+          "raise maxIters")
       labels.select(col("node"), col("lab").as("component"))
     } finally und.unpersist()
   }

@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * extraction runs batched per partition so a real decoder (image/audio
   * libs) can amortize setup per task, not per row.
   *
-  * The container has no media codecs, so the actual decode is STUBBED: it
-  * is isolated behind [[MediaDecoder]], and the default implementation is a
-  * deterministic fake deriving "features" from the payload bytes. The
-  * Spark-side plumbing — schema, partition-batched iteration, feature
-  * schema — is real and tested; swapping in a true decoder is a one-object
-  * change.
+  * Image decode is REAL for the formats the standard JDK ships readers
+  * for (PNG/JPEG/BMP/GIF via `javax.imageio` — [[ImageIoDecoder]]) and
+  * for binary PPM ([[PpmDecoder]], a pure header parse). Formats with no
+  * JDK codec (video/audio) fall back to [[StubDecoder]], a deterministic
+  * byte-derived fake behind the same [[MediaDecoder]] seam — swapping in
+  * ffmpeg-style codecs is a one-object change; the Spark-side plumbing
+  * (schema, partition-batched iteration, feature schema) is identical.
   */
 object Multimodal {
 
@@ -27,10 +28,10 @@ object Multimodal {
     def decode(payload: Array[Byte]): (Int, Int, Int) // width, height, frames
   }
 
-  /** STUB decoder — deterministic fake in lieu of real codecs (none in
-    * this container). A production build swaps this object for one backed
-    * by javax.imageio / ffmpeg; [[PpmDecoder]] below proves the byte path
-    * with a real (pure-JVM) format. */
+  /** STUB decoder — deterministic byte-derived fake for formats with no
+    * JVM codec (video/audio); the last fallback in the decoder chain.
+    * A production build swaps this object for one backed by ffmpeg;
+    * [[ImageIoDecoder]] above it already handles real images. */
   object StubDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
       val n = payload.length
@@ -58,6 +59,40 @@ object Multimodal {
       } else StubDecoder.decode(payload)
   }
 
+  /** Real image decoder backed by `javax.imageio` — PNG/JPEG/BMP/GIF
+    * readers ship in every standard JDK, zero new dependencies. Width and
+    * height come from the format header via an `ImageReader` (no full
+    * pixel decode — at 100 TB the feature pass reads image dimensions
+    * without rasterizing frames); `n_frames` counts the images in the
+    * container (animated GIF > 1). Unrecognized or truncated payloads
+    * fall back to [[PpmDecoder]] → [[StubDecoder]], so a poison row never
+    * fails the task (the try_cast discipline of the date/JSON paths). */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      import javax.imageio.ImageIO
+      try {
+        val iis = ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) PpmDecoder.decode(payload)
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val w = r.getWidth(0)
+              val h = r.getHeight(0)
+              val frames =
+                try math.max(r.getNumImages(true), 1)
+                catch { case _: Exception => 1 }
+              (w, h, frames)
+            } finally r.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      } catch { case _: Exception => PpmDecoder.decode(payload) }
+    }
+  }
+
   /** Encode a tiny P6 image (used by tests to drive the real decoder). */
   def makePpm(width: Int, height: Int): Array[Byte] = {
     val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
@@ -76,7 +111,7 @@ object Multimodal {
     * once per partition (mapPartitions), rows stream through it — the
     * Scala analog of `mapInPandas` batch shape. */
   def extractFeatures(spark: SparkSession, media: DataFrame,
-                      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
+                      decoder: MediaDecoder = ImageIoDecoder): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload"), col("media_type"),
         col("meta.lang").as("meta_lang"), col("meta.chars").as("meta_chars"))

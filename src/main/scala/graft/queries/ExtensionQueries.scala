@@ -153,8 +153,10 @@ object ExtensionQueries {
       TextDedup.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
 
     // x15 — multimodal plumbing: binary payload + metadata struct through
-    // the partition-batched (stub) decoder; checksum dropped from the
-    // oracle surface (no CRC32 in DuckDB).
+    // the partition-batched decoder chain (javax.imageio → PPM → stub);
+    // the text/plain payloads land on the deterministic stub leg, which
+    // the oracle mirrors. checksum dropped from the oracle surface (no
+    // CRC32 in DuckDB).
     "x15_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s,
           Multimodal.asMediaTable(t(s, dir, "documents")))

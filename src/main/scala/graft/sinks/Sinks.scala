@@ -81,6 +81,26 @@ object Sinks {
   private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
   private def qq(table: String): String = table.split('.').map(q).mkString(".")
 
+  /** The ordered server-side statements [[writeJdbcUpsert]] executes
+    * after the staging load: optional CREATE TABLE, the dialect's merge
+    * statement, DROP of the staging table. Pure — this is the golden-
+    * testable surface for the PostgreSQL branch, which has no live
+    * server in this environment (Derby integration-tests the "merge"
+    * branch live; SinksSpec pins this sequence for "postgres"). */
+  def upsertStatements(df: DataFrame, table: String, staging: String,
+                       keyCols: Seq[String], dialect: String,
+                       tableExists: Boolean): Seq[String] = {
+    val ddl =
+      if (tableExists) Seq.empty
+      else Seq(ddlFor(table, df, keyCols,
+        ifNotExists = dialect != "merge",
+        textType = if (dialect == "merge") "VARCHAR(32000)" else "TEXT"))
+    val merge =
+      if (dialect == "merge") mergeSql(table, staging, df.columns.toSeq, keyCols)
+      else upsertSql(table, staging, df.columns.toSeq, keyCols)
+    ddl ++ Seq(merge, s"DROP TABLE ${qq(staging)}")
+  }
+
   /** Full upsert write: batch-dedup -> staging via Spark JDBC -> one
     * server-side merge statement on a driver connection. `dialect`
     * selects the merge statement ("postgres" ON CONFLICT / "merge" ANSI
@@ -104,9 +124,6 @@ object Sinks {
           stringCols.map(c => s"$c VARCHAR(32000)").mkString(", "))
       else writer
     withTypes.jdbc(jdbcUrl, qq(staging), props)
-    val merge =
-      if (dialect == "merge") mergeSql(table, staging, deduped.columns.toSeq, keyCols)
-      else upsertSql(table, staging, deduped.columns.toSeq, keyCols)
     val conn = connect()
     try {
       val st = conn.createStatement()
@@ -116,11 +133,11 @@ object Sinks {
             table.split('.').last, null)
           try rs.next() finally rs.close()
         }
-        if (!exists) st.execute(ddlFor(table, deduped, keyCols,
-          ifNotExists = dialect != "merge",
-          textType = if (dialect == "merge") "VARCHAR(32000)" else "TEXT"))
-        st.execute(merge)
-        try st.execute(s"DROP TABLE ${qq(staging)}")
+        // the exact golden-tested sequence: [DDL?], merge, staging DROP
+        val stmts = upsertStatements(deduped, table, staging, keyCols,
+          dialect, exists)
+        stmts.init.foreach(st.execute)
+        try st.execute(stmts.last) // staging cleanup is best-effort
         catch { case _: java.sql.SQLException => () }
       } finally st.close()
     } finally conn.close()

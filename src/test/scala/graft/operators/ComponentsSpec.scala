@@ -29,6 +29,18 @@ class ComponentsSpec extends SparkSpec {
     assert(out.keySet == (0L to 9L).toSet)
   }
 
+  test("pointer jumping converges on a path graph of diameter >> maxIters") {
+    // path 0-1-...-200: plain one-hop propagation needs ~200 rounds; the
+    // label-of-label shortcut doubles reach per round, so 10 rounds
+    // (2^10 = 1024 > 200) must suffice — O(log diameter) convergence
+    val edges = (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Components.connectedComponents(edges, "src", "dst",
+        maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSet == Set(0L))
+    assert(out.keySet == (0L to 200L).toSet)
+  }
+
   test("near-dup pairs to clusters: rep is the minimum member (x32 shape)") {
     val pairs = Seq((5L, 9L, 0.9), (9L, 30L, 0.8), (100L, 101L, 0.99))
       .toDF("id1", "id2", "similarity")

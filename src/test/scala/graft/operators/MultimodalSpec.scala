@@ -30,6 +30,39 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.checksum == again.checksum && f1.checksum != 0L)
   }
 
+  private def encodeImage(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder reads real PNG/JPEG/BMP/GIF bytes via javax.imageio") {
+    for (fmt <- Seq("png", "jpg", "bmp", "gif")) {
+      val (w, h) = (37, 23)
+      val (dw, dh, df) = Multimodal.ImageIoDecoder.decode(encodeImage(fmt, w, h))
+      assert((dw, dh) == (w, h), s"$fmt dims: got ${(dw, dh)}")
+      assert(df == 1, s"$fmt frames")
+    }
+  }
+
+  test("ImageIoDecoder runs through the full extraction plumbing") {
+    val rows = Seq(
+      (1L, encodeImage("png", 64, 48)),
+      (2L, Multimodal.makePpm(32, 16)),          // falls through to PPM leg
+      (3L, "not an image".getBytes("UTF-8")))     // falls through to stub leg
+      .toDF("doc_id", "payload")
+      .withColumn("media_type", lit("image/*"))
+      .withColumn("meta", struct(lit("und").as("lang"), lit(0L).as("chars")))
+    val byId = Multimodal.extractFeatures(spark, rows) // default decoder
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(byId(1L).width == 64 && byId(1L).height == 48)
+    assert(byId(2L).width == 32 && byId(2L).height == 16)
+    assert(byId(3L).width == 12 % 640 + 1) // stub math, poison-row-safe
+  }
+
   test("PpmDecoder parses real P6 image bytes end-to-end") {
     val rows = Seq(
       (1L, Multimodal.makePpm(640, 480)),

@@ -34,6 +34,27 @@ class SinksSpec extends SparkSpec {
     assert(ddl.contains("""PRIMARY KEY ("id")"""))
   }
 
+  test("postgres upsert branch: golden server-side statement sequence") {
+    // no live Postgres in this environment — pin the exact statements the
+    // pg dialect executes after the staging load (Derby integration-tests
+    // the "merge" branch live against a real database)
+    val df = Seq((1L, "a", 2.5)).toDF("id", "title", "score")
+    val stmts = Sinks.upsertStatements(df, "wrike.tasks",
+      "wrike_tasks_staging", Seq("id"), dialect = "postgres",
+      tableExists = false)
+    assert(stmts == Seq(
+      """CREATE TABLE IF NOT EXISTS "wrike"."tasks" ("id" BIGINT, """ +
+        """"title" TEXT, "score" DOUBLE PRECISION, PRIMARY KEY ("id"))""",
+      """INSERT INTO "wrike"."tasks" ("id", "title", "score") """ +
+        """SELECT "id", "title", "score" FROM "wrike_tasks_staging" """ +
+        """ON CONFLICT ("id") DO UPDATE SET "title" = EXCLUDED."title", """ +
+        """"score" = EXCLUDED."score"""",
+      """DROP TABLE "wrike_tasks_staging""""))
+    // an existing target skips the DDL, keeping merge + cleanup
+    assert(Sinks.upsertStatements(df, "wrike.tasks", "wrike_tasks_staging",
+      Seq("id"), "postgres", tableExists = true).length == 2)
+  }
+
   test("writeParquet partitions for pruning") {
     val dir = java.nio.file.Files.createTempDirectory("sink").toString
     val df = Seq(("a", 1), ("b", 2)).toDF("sys", "v")
