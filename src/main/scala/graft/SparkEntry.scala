@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CapabilityQueries, ExtensionQueries, ReferenceQueries}
+import graft.queries.{CapabilityQueries, ExtensionQueries, PipelineQueries,
+  ReferenceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,11 +14,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2.4. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.queries ++ ExtensionQueries.queries ++
-      CapabilityQueries.queries
+      CapabilityQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracleSql ++ ExtensionQueries.oracleSql ++
-      CapabilityQueries.oracleSql
+      CapabilityQueries.oracleSql ++ PipelineQueries.oracleSql
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+/** The composed training-corpus preparation pipeline (x42) — the product
+  * claim of the extension suite as ONE operator: quality gate → exact
+  * dedup → near-dup dedup → benchmark decontamination → stratified
+  * sampling → token-window chunking → train/val/test split. Every stage
+  * is the SAME operator the individually-registered queries (x35/x34/
+  * x36/x38/x37/x31/x26) run — this is their composition, where dedup
+  * semantics and float laws interact, not a re-implementation.
+  *
+  * Scale shape of the whole chain: the gate is a zero-shuffle kernel
+  * filter (it runs FIRST so no later stage pays state or shuffle for
+  * spam); both dedup stages shuffle ids/signatures but never move text
+  * except the one id-equi join back to the corpus; decontamination drops
+  * via a left-anti join on the (small) contaminated set; sampling is a
+  * pure projection filter; chunking is a kernel + narrow explode that
+  * inherits the scan partitioning; the split label is a pure projection
+  * of doc_id. Split assignment commutes with chunking (it is a function
+  * of doc_id only), so it is stamped after the explode — same
+  * assignment, and the corpus-sized stages never carry the extra column.
+  */
+object CorpusPipeline {
+
+  /** Run the full pipeline; returns the final chunk table
+    * (doc_id, chunk_idx, chunk, split).
+    *
+    * `corpus`/`benchmark`: the training candidates and the held-out eval
+    * set to decontaminate against. Threshold parameters mirror the
+    * individually-registered stage queries. */
+  def prepare(corpus: DataFrame, benchmark: DataFrame,
+              idCol: String, textCol: String,
+              maxTopBigramFrac: Double, minChars: Int,
+              shingleK: Int, neardupThreshold: Double,
+              decontamThreshold: Int,
+              groupCol: String, pctByGroup: Map[String, Int],
+              defaultPct: Int,
+              chunkSize: Int, chunkStride: Int): DataFrame = {
+    // 1) quality gate — the batch run of the SAME stateless operator the
+    //    streaming ingestion plan uses (all-Catalyst, so it runs in both)
+    val gated = Streams.qualityGate(corpus, textCol, maxTopBigramFrac, minChars)
+    // 2) exact dedup applied (x34); group sizes are not needed downstream
+    val exact = TextDedup.dedupedCorpus(gated, idCol, textCol).drop("n_dups")
+    // 3) near-dup dedup applied (x36): LSH → verify → components → drop
+    val survivors = TextDedup.neardupSurvivors(exact, idCol, textCol,
+      shingleK, neardupThreshold)
+    // 4) decontaminate (x38): drop docs overlapping the benchmark — the
+    //    contaminated set is eval-leak-sized, so the anti-join broadcasts
+    val contaminated = TextAnalysis.decontaminate(survivors, benchmark,
+        idCol, textCol, shingleK, decontamThreshold)
+      .filter(col("contaminated") === 1)
+      .select(col("doc_id").as(idCol))
+    val clean = survivors.join(contaminated, Seq(idCol), "left_anti")
+    // 5) stratified sample (x37): deterministic md5-bucket corpus mixing
+    val sampled = TextAnalysis.stratifiedSample(clean, idCol, groupCol,
+      pctByGroup, defaultPct)
+    // 6+7) chunk (x31) then stamp the split label (x26) — commuting
+    //    projections, see the object note
+    TextAnalysis.hashSplit(
+      TextAnalysis.chunk(sampled, idCol, textCol, chunkSize, chunkStride),
+      "doc_id")
+  }
+}

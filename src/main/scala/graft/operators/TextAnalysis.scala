@@ -140,15 +140,17 @@ object TextAnalysis {
     * md5(id): '0'-'9' → train (10/16), 'a'-'b' → val (2/16), 'c'-'f' →
     * test (4/16). Pure per-row projection — no RNG, reproducible across
     * engines, runs and partitionings, and stable under corpus growth
-    * (a document's split never changes as others are added). */
-  def hashSplit(docs: DataFrame, idCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      substring(md5(col(idCol).cast("string")), 1, 1).as("h"))
-      .withColumn("split",
-        when(col("h") <= "9", lit("train"))
-          .when(col("h") <= "b", lit("val"))
-          .otherwise(lit("test")))
-      .select(col("doc_id"), col("split"))
+    * (a document's split never changes as others are added).
+    * Schema-preserving: appends `split` to the input columns, so it
+    * composes into a pipeline (x42) as a free projection instead of a
+    * corpus-to-corpus join. */
+  def hashSplit(docs: DataFrame, idCol: String): DataFrame = {
+    val h = substring(md5(col(idCol).cast("string")), 1, 1)
+    docs.withColumn("split",
+      when(h <= "9", lit("train"))
+        .when(h <= "b", lit("val"))
+        .otherwise(lit("test")))
+  }
 
   /** Token-window chunking for training-data preparation: each document
     * becomes ceil((n-size)/stride)+1 overlapping windows of `size` tokens

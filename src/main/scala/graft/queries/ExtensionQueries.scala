@@ -178,7 +178,7 @@ object ExtensionQueries {
     // engines, runs, and partitionings (the property a training pipeline
     // needs for held-out sets).
     "x26_hash_split" -> ((s, dir) => TextAnalysis.hashSplit(
-      t(s, dir, "documents"), "doc_id")),
+      t(s, dir, "documents"), "doc_id").select("doc_id", "split")),
 
     // x31 — token-window chunking (64-token windows, stride 48): the
     // standard context-window preparation step of an LLM pretraining

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.CorpusPipeline
+
+/** The end-to-end training-corpus pipeline as ONE registered oracle
+  * query (x42): quality gate (x35 signals) → exact dedup apply (x34) →
+  * near-dup apply (x36) → decontaminate (x38) → stratified sample (x37)
+  * → chunk (x31) → hash split (x26), returning the final chunk table.
+  * Each stage is individually oracle-green; this registration checks the
+  * COMPOSITION — where dedup semantics, survivor sets and float laws
+  * interact — against one chained-CTE DuckDB mirror built from the same
+  * per-stage SQL.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // x42 — the composed pipeline over the fixture corpus: documents with
+    // doc_id < 20 stand in for the held-out benchmark (the x38
+    // convention); the rest are training candidates. Thresholds mirror
+    // the per-stage registrations: gate top_bigram_frac <= 0.2 and
+    // >= 100 chars, 3-shingle near-dup at jaccard >= 0.8, decontamination
+    // at 3 overlapping shingles, en 50% / zh 20% / default 10% mixing,
+    // 64-token chunks at stride 48.
+    "x42_corpus_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusPipeline.prepare(
+        corpus = d.filter(col("doc_id") >= 20),
+        benchmark = d.filter(col("doc_id") < 20),
+        idCol = "doc_id", textCol = "text",
+        maxTopBigramFrac = 0.2, minChars = 100,
+        shingleK = 3, neardupThreshold = 0.8,
+        decontamThreshold = 3,
+        groupCol = "lang", pctByGroup = Map("en" -> 50, "zh" -> 20),
+        defaultPct = 10,
+        chunkSize = 64, chunkStride = 48)
+    })
+  )
+
+  // The oracle chains the per-stage SQL (x35 gate signals, x34 exact
+  // dedup, x36 near-dup walk, x38 overlap, x37 sample, x31 chunks, x26
+  // split) as CTEs over the same corpus/benchmark partition.
+  val oracleSql: Map[String, String] = Map(
+    "x42_corpus_pipeline" ->
+      """WITH RECURSIVE
+         corp AS (SELECT * FROM documents WHERE doc_id >= 20),
+         -- stage 1: quality gate (x35 signal shapes)
+         gtoks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM corp),
+         gbi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+           FROM gtoks, unnest(generate_series(1, len(t) - 1)) AS s(i)),
+         gbic AS (SELECT doc_id, g, count(*) AS c FROM gbi GROUP BY 1, 2),
+         gbstat AS (SELECT doc_id, sum(c) AS n_bigrams,
+             max(c) AS top_bigram_count
+           FROM gbic GROUP BY 1),
+         gated AS (SELECT c.* FROM corp c LEFT JOIN gbstat bs USING (doc_id)
+           WHERE length(trim(c.text)) >= 100
+             AND (bs.n_bigrams IS NULL
+                  OR CAST(bs.top_bigram_count AS DOUBLE)
+                     / CAST(bs.n_bigrams AS DOUBLE) <= 0.2)),
+         -- stage 2: exact dedup applied (x34 shape)
+         ex AS (SELECT g.* FROM gated g JOIN (
+             SELECT min(doc_id) AS doc_id FROM gated
+             GROUP BY sha256(lower(trim(text)))) k
+           USING (doc_id)),
+         -- stage 3: near-dup applied (x36 shape: exact jaccard >= 0.8 on
+         -- 3-shingles, transitive-closure walk, keep representatives)
+         etoks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM ex),
+         esh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM etoks, unnest(generate_series(1, len(t) - 2)) AS g(i)),
+         esz AS (SELECT doc_id, count(*) AS n FROM esh GROUP BY 1),
+         einter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+           FROM esh a JOIN esh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         eqp AS (SELECT d1, d2
+           FROM einter JOIN esz x ON d1 = x.doc_id JOIN esz y ON d2 = y.doc_id
+           WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0
+             >= 0.8),
+         eedges AS (SELECT d1 AS a, d2 AS b FROM eqp
+           UNION SELECT d2, d1 FROM eqp),
+         walk(node, reach) AS (
+           SELECT a, a FROM eedges
+           UNION
+           SELECT w.node, e.b FROM walk w JOIN eedges e ON w.reach = e.a),
+         comp AS (SELECT node, min(reach) AS rep FROM walk GROUP BY 1),
+         nd AS (SELECT * FROM ex
+           WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> rep)),
+         -- stage 4: benchmark decontamination (x38 shape)
+         bsh AS (SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS s
+           FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents WHERE doc_id < 20) bt,
+                unnest(generate_series(1, len(t) - 2)) AS g(i)),
+         ov AS (SELECT e.doc_id, count(*) AS n_overlap
+           FROM (SELECT sh2.* FROM esh sh2 JOIN nd USING (doc_id)) e
+           JOIN bsh USING (s) GROUP BY 1),
+         clean AS (SELECT nd.* FROM nd LEFT JOIN ov USING (doc_id)
+           WHERE coalesce(n_overlap, 0) < 3),
+         -- stage 5: stratified sample (x37 shape)
+         samp AS (SELECT * FROM clean
+           WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               ::BIGINT % 100
+             < CASE WHEN lang = 'en' THEN 50
+                    WHEN lang = 'zh' THEN 20 ELSE 10 END),
+         -- stages 6+7: chunk (x31 shape) + split label (x26 shape)
+         stoks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM samp),
+         counted AS (SELECT doc_id, t,
+           CASE WHEN len(t) <= 64 THEN 1
+                ELSE CAST(ceil((len(t) - 64) * 1.0 / 48) AS BIGINT) + 1
+           END AS n_chunks FROM stoks)
+         SELECT doc_id, g.i AS chunk_idx,
+           array_to_string(t[(g.i * 48 + 1):(g.i * 48 + 64)], ' ') AS chunk,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '9'
+                  THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM counted, unnest(generate_series(0, n_chunks - 1)) AS g(i)"""
+  )
+}

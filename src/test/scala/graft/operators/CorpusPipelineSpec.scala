@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("composed pipeline applies every stage's filter (x42)") {
+    val textA = (1 to 30).map(i => s"word$i").mkString(" ")
+    val bench = (1 to 20).map(i => s"bench$i").mkString(" ")
+    val docs = Seq(
+      (5L, bench, "en"),                               // benchmark doc
+      (20L, textA, "en"),                              // survives everything
+      (21L, textA, "en"),                              // exact dup of 20
+      (22L, textA + " extraword", "en"),               // near-dup (j=28/29)
+      (23L, Seq.fill(30)("spam").mkString(" "), "en"), // repetition spam
+      (24L, "too short", "en"),                        // under minChars
+      (25L, bench + " with a long enough tail to pass the length gate", "en"),
+      (26L, (31 to 60).map(i => s"word$i").mkString(" "), "xx") // 0% stratum
+    ).toDF("doc_id", "text", "lang")
+    val out = CorpusPipeline.prepare(
+      corpus = docs.filter(col("doc_id") >= 20),
+      benchmark = docs.filter(col("doc_id") < 20),
+      idCol = "doc_id", textCol = "text",
+      maxTopBigramFrac = 0.2, minChars = 100,
+      shingleK = 3, neardupThreshold = 0.8,
+      decontamThreshold = 3,
+      groupCol = "lang", pctByGroup = Map("en" -> 100, "xx" -> 0),
+      defaultPct = 100,
+      chunkSize = 8, chunkStride = 4)
+    val rows = out.collect()
+    // 21 exact-deduped, 22 near-dup-dropped (rep = min id 20), 23 spam-
+    // gated, 24 length-gated, 25 decontaminated, 26 sampled out => 20 only
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(20L))
+    // 30 tokens, 8-token windows, stride 4: ceil((30-8)/4)+1 = 7 chunks
+    assert(rows.map(_.getAs[Long]("chunk_idx")).sorted.toSeq == (0L to 6L))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "chunk_idx", "chunk", "split"))
+    // one deterministic split label per document, stamped on every chunk
+    assert(rows.map(_.getAs[String]("split")).toSet.size == 1)
+    assert(Set("train", "val", "test")
+      .contains(rows.head.getAs[String]("split")))
+    // chunk content comes from the surviving document's token stream
+    assert(rows.forall(_.getAs[String]("chunk").split(" ")
+      .forall(tok => tok.startsWith("word"))))
+  }
+
+  test("pipeline stages drop monotonically (fixture corpus smoke)") {
+    val d = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = CorpusPipeline.prepare(
+      corpus = d.filter(col("doc_id") >= 20),
+      benchmark = d.filter(col("doc_id") < 20),
+      idCol = "doc_id", textCol = "text",
+      maxTopBigramFrac = 0.2, minChars = 100,
+      shingleK = 3, neardupThreshold = 0.8,
+      decontamThreshold = 3,
+      groupCol = "lang", pctByGroup = Map("en" -> 50, "zh" -> 20),
+      defaultPct = 10,
+      chunkSize = 64, chunkStride = 48)
+    val docsOut = out.select("doc_id").distinct().count()
+    val corpusIn = d.filter(col("doc_id") >= 20).count()
+    assert(docsOut > 0, "pipeline must keep some documents")
+    assert(docsOut < corpusIn, "pipeline must drop some documents")
+    // every chunk carries a split label
+    assert(out.filter(col("split").isNull).count() == 0)
+  }
+}

@@ -165,7 +165,8 @@ class TextAnalysisSpec extends SparkSpec {
   test("hashSplit is deterministic and covers every doc exactly once (x26)") {
     val ids = (1L to 200L)
     val corpus = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
-    val out = TextAnalysis.hashSplit(corpus, "doc_id").collect()
+    val out = TextAnalysis.hashSplit(corpus, "doc_id")
+      .select("doc_id", "split").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out.keySet == ids.toSet)
     assert(out.values.toSet.subsetOf(Set("train", "val", "test")))
@@ -174,6 +175,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n("train") > 90 && n("test") > 20)
     // stable across runs / partitionings
     val again = TextAnalysis.hashSplit(corpus.repartition(7), "doc_id")
+      .select("doc_id", "split")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again == out)
   }
