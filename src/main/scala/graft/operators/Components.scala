@@ -73,13 +73,19 @@ object Components {
         // pointer jumping: adopt the label OF the current label (labels
         // is keyed by node and every label is a node id, so this is a
         // self-join of the small label table) — propagation distance
-        // doubles per round instead of advancing one hop
-        val viaLabel = labels.select(col("node"), col("lab").as("_hop"))
-          .join(labels.select(col("node").as("_hop"), col("lab")), "_hop")
-          .select(col("node"), col("lab"))
-        val next = labels.select(col("node"), col("lab"))
-          .union(viaNeighbors)
-          .union(viaLabel)
+        // doubles per round instead of advancing one hop. Engaged from
+        // round 3 only: dedup graphs are diameter ≤ 2 by construction
+        // and converge before the shortcut could help, so they never pay
+        // the extra join (~13% on the x32/x36 benches); an adversarially
+        // deep graph still converges in O(log diameter) total rounds.
+        val base = labels.select(col("node"), col("lab")).union(viaNeighbors)
+        val withHop =
+          if (i < 2) base
+          else base.union(
+            labels.select(col("node"), col("lab").as("_hop"))
+              .join(labels.select(col("node").as("_hop"), col("lab")), "_hop")
+              .select(col("node"), col("lab")))
+        val next = withHop
           .groupBy(col("node")).agg(min(col("lab")).as("lab"))
           .localCheckpoint(false)
         val nextSum = labelSum(next)

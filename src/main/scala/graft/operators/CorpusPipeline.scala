@@ -43,11 +43,18 @@ object CorpusPipeline {
     // 1) quality gate — the batch run of the SAME stateless operator the
     //    streaming ingestion plan uses (all-Catalyst, so it runs in both)
     val gated = Streams.qualityGate(corpus, textCol, maxTopBigramFrac, minChars)
-    // 2) exact dedup applied (x34); group sizes are not needed downstream
-    val exact = TextDedup.dedupedCorpus(gated, idCol, textCol).drop("n_dups")
+    // 2) exact dedup applied (x34); group sizes are not needed downstream.
+    //    The dedup outputs are cached (the TextDedup-internal pattern —
+    //    harnesses clearCache between queries): each is consumed by 2-3
+    //    downstream stages, and without the cache the whole upstream
+    //    chain re-executes per consumer. At 100 TB the same boundaries
+    //    are where a production run materializes stage tables
+    //    (Sinks.writeParquet/writeBucketed) instead of caching.
+    val exact = TextDedup.dedupedCorpus(gated, idCol, textCol)
+      .drop("n_dups").cache()
     // 3) near-dup dedup applied (x36): LSH → verify → components → drop
     val survivors = TextDedup.neardupSurvivors(exact, idCol, textCol,
-      shingleK, neardupThreshold)
+      shingleK, neardupThreshold).cache()
     // 4) decontaminate (x38): drop docs overlapping the benchmark — the
     //    contaminated set is eval-leak-sized, so the anti-join broadcasts
     val contaminated = TextAnalysis.decontaminate(survivors, benchmark,

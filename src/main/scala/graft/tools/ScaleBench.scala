@@ -1,0 +1,141 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{LocalSession, Tables}
+import graft.operators.{Components, Similarity, TextDedup}
+
+/** Empirical scale probe for the dedup family (x8/x32/x36/x39/x40): runs
+  * each pipeline at sf0.1 (5000 documents / 2000 embeddings) and at a
+  * synthetic 10× of it, and reports the wall-time growth ratio. The
+  * bucketed/banded-path claim says cost is near-linear in corpus size;
+  * this measures it instead of asserting it.
+  *
+  * The 10× fixture is DERIVED deterministically (no RNG) from the driver
+  * fixtures, built so the duplicate structure replicates exactly 10×
+  * with no cross-copy artifacts:
+  *  - documents: every token of copy k gets an `_k` suffix, so shingles
+  *    never collide across copies — each copy reproduces the original
+  *    corpus's near-dup graph, and pair/component counts scale by
+  *    exactly the copy count;
+  *  - embeddings: copy k applies a deterministic per-(k, dim) ±1 sign
+  *    pattern — an orthogonal transform, so within-copy cosines are
+  *    bit-preserved while cross-copy pairs decorrelate;
+  *  - IVF centroid count scales WITH the corpus (16 → 160): holding k
+  *    fixed while n grows 10× would grow same-bucket pairs ~100× —
+  *    linear IVF cost requires k ∝ n (bounded bucket size), which is
+  *    how a real deployment sizes its codebook.
+  *
+  * Usage: `sbt "runMain graft.tools.ScaleBench"`. Writes BENCH_scale.json
+  * and prints one JSON line per probe plus a growth summary.
+  */
+object ScaleBench {
+
+  private val Copies = 10
+
+  def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    if (Files.exists(Paths.get(s"$outDir/documents.parquet"))) return
+    val ks = broadcast(spark.range(Copies).select(col("id").as("k")))
+
+    val docs = Tables(spark, srcDir, "documents")
+    docs.crossJoin(ks)
+      .select((col("doc_id") * Copies + col("k")).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1_"), col("k"))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = Tables(spark, srcDir, "embeddings")
+    emb.crossJoin(ks)
+      .select((col("vec_id") * Copies + col("k")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(pmod(xxhash64(col("k") * lit(1000) + i), lit(2)) === 0, x)
+            .otherwise(-x)).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** The probed pipelines, parameterized by the centroid count (16 at
+    * 1×, 160 at 10× — k ∝ n). Shapes mirror the registered queries. */
+  private def probes(nCent: Int): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    ("x8_ngram_jaccard", (s: SparkSession, dir: String) =>
+      TextDedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.5)),
+    ("x32_dedup_clusters", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val pairs = Similarity.ivfCosinePairs(e,
+        e.filter(col("vec_id") < nCent), "vec_id", "embedding", 0.4)
+      Components.connectedComponents(pairs, "id1", "id2")
+    }),
+    ("x36_neardup_apply", (s: SparkSession, dir: String) =>
+      TextDedup.neardupSurvivors(Tables(s, dir, "documents"), "doc_id",
+        "text", k = 3, threshold = 0.8)),
+    ("x39_embedding_dedup", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.dedupedVectors(e, e.filter(col("vec_id") < nCent),
+        "vec_id", "embedding", 0.4)
+    }),
+    ("x40_ensemble_dedup", (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents"); val e = Tables(s, dir, "embeddings")
+      val tp = TextDedup.minhashLshPairs(d, "doc_id", "text", 3, 0.8)
+        .select(col("doc1").as("a"), col("doc2").as("b"))
+      val vp = Similarity.ivfCosinePairs(e, e.filter(col("vec_id") < nCent),
+          "vec_id", "embedding", 0.4)
+        .select(col("id1").as("a"), col("id2").as("b"))
+      Components.connectedComponents(tp.union(vp).distinct(), "a", "b")
+    }))
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      "/tmp/graft_scale10")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    val spark = LocalSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    System.err.println(s"[scale] generating ${Copies}x fixture at $scaleDir")
+    generate(spark, srcDir, scaleDir)
+
+    def run(dir: String, nCent: Int, name: String,
+            fn: (SparkSession, String) => DataFrame): (Double, Long) = {
+      var best = Double.MaxValue
+      var rows = 0L
+      (1 to passes).foreach { p =>
+        val t0 = System.nanoTime()
+        rows = fn(spark, dir).queryExecution.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scale] $name%-20s $dir%-24s pass $p $dt%8.2f s ($rows rows)")
+        spark.catalog.clearCache()
+        best = math.min(best, dt)
+      }
+      (best, rows)
+    }
+
+    // one untimed warmup of every probe at 1× (JIT + codegen)
+    probes(16).foreach { case (n, f) =>
+      try f(spark, srcDir).queryExecution.toRdd.count()
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] warmup $n failed: ${e.getMessage}") }
+      spark.catalog.clearCache()
+    }
+
+    val results = probes(16).zip(probes(16 * Copies)).map {
+      case ((name, f1), (_, f10)) =>
+        val (t1, r1) = run(srcDir, 16, name, f1)
+        val (t10, r10) = run(scaleDir, 160, name, f10)
+        (name, t1, t10, t10 / t1, r1, r10)
+    }
+    val json = results.map { case (n, t1, t10, g, r1, r10) =>
+      f""""$n":{"t1":$t1%.2f,"t10":$t10%.2f,"growth":$g%.2f,"rows1":$r1,"rows10":$r10}"""
+    }.mkString("{\"metric\":\"scale_probe\",\"copies\":" + Copies + ",\"probes\":{", ",", "}}")
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_scale.json"), json + "\n")
+    results.foreach { case (n, t1, t10, g, _, _) =>
+      System.err.println(f"[scale] $n%-20s ${t1}%6.2f s -> ${t10}%6.2f s  growth ${g}%5.2f× (data ${Copies}×)")
+    }
+    spark.stop()
+  }
+}
