@@ -286,6 +286,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("n_terms"), col("entropy"))
   }
 
+  /** Multi-signal quality decision (x43): the x12 quality score, the x35
+    * top-bigram fraction and the x41 token entropy joined into one
+    * keep/drop table with the FIRST failing reason — the human-auditable
+    * form of a filter pipeline's gate ("why did this doc get dropped").
+    * All three signals are per-row kernels or high-reduction aggregates;
+    * the joins are id-equi (co-located once the corpus is bucketed by
+    * id). Every threshold compares engine-stable values (fpRound grid
+    * points / exact divisions), so the decision is bit-reproducible. */
+  def qualityReport(docs: DataFrame, idCol: String, textCol: String,
+                    minQuality: Double, maxTopBigramFrac: Double,
+                    minEntropy: Double): DataFrame = {
+    val q = qualityScore(docs, idCol, textCol)
+      .select(col("doc_id"), col("quality_score"))
+    val r = repetition(docs, idCol, textCol)
+      .select(col("doc_id"), col("top_bigram_frac"))
+    val e = tokenEntropy(docs, idCol, textCol)
+      .select(col("doc_id"), col("entropy"))
+    q.join(r, "doc_id").join(e, "doc_id")
+      .withColumn("reason",
+        when(col("quality_score") < minQuality, lit("low_quality"))
+          .when(col("top_bigram_frac").isNotNull &&
+            col("top_bigram_frac") > maxTopBigramFrac, lit("repetitive"))
+          .when(col("entropy") < minEntropy, lit("low_entropy"))
+          .otherwise(lit("keep")))
+      .withColumn("keep", (col("reason") === "keep").cast("int"))
+  }
+
   /** Corpus-level stats per language (SURVEY §2.4 X4): doc counts, exact
     * char totals, mean token counts. */
   def statsByLang(docs: DataFrame, textCol: String): DataFrame =
