@@ -27,12 +27,14 @@ object ProfileLoop {
             f"[stage] id=${si.stageId}%-4d wall=$wall%6.2f run=$run%7.2f cpu=$cpu%7.2f  ${si.name.take(60)}")
         }
       })
-    val fn = SparkEntry.queries(name)
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
-      System.err.println(f"[loop] $name rep $i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      spark.catalog.clearCache()
+    name.split(',').map(_.trim).filter(_.nonEmpty).foreach { q =>
+      val fn = SparkEntry.queries(q)
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+        System.err.println(f"[loop] $q rep $i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }
