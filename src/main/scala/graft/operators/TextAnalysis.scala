@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graft.TextExpressions
 
-import graft.functions.{Num, Par, Text}
+import graft.functions.{Num, Par, Skew, Text}
 
 /** Text analysis suite for training-data pipelines (BASELINE.json
   * extensions; SURVEY §2.4 X4): language ID, quality scoring, token
@@ -233,6 +233,37 @@ object TextAnalysis {
       .drop("_bucket")
   }
 
+  /** Deterministic EXACT-QUOTA mixture sampling: keep exactly
+    * min(quota, |stratum|) documents per stratum, chosen as the quota
+    * smallest md5(id) hashes — the "rebalance the corpus to a target
+    * data mixture" step ([[stratifiedSample]] hits a target *rate*; this
+    * hits a target *count*, which is what a token-budgeted mixture spec
+    * gives you). Hash order makes the pick reproducible across engines
+    * and partitionings, and monotone under quota increases (raising a
+    * stratum's quota only ADDS documents — the kept set is always a
+    * prefix of the same global hash order).
+    *
+    * Scale path: per-stratum selection is grouped top-k, which is the
+    * skew problem (a hot stratum = one giant sort group), so it runs on
+    * [[graft.functions.Skew.saltedTopK]] — a salted partial top-k per
+    * (stratum, salt) shard first, then the exact rank over the
+    * numSalts·k survivors. No stratum ever sorts more than its shard. */
+  def quotaSample(docs: DataFrame, idCol: String, stratumCol: String,
+                  quotaByStratum: Map[String, Int],
+                  defaultQuota: Int): DataFrame = {
+    val maxK = (quotaByStratum.values.toSeq :+ defaultQuota).max
+    // negated: saltedTopK ranks descending; the pick is ASCENDING hash
+    val negHash = -conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long")
+    val quota = quotaByStratum.foldLeft(lit(defaultQuota)) {
+      case (acc, (g, q)) => when(col(stratumCol) === g, lit(q)).otherwise(acc)
+    }
+    Skew.saltedTopK(docs.withColumn("_neg_hk", negHash),
+        Seq(stratumCol), "_neg_hk", maxK, tieCols = Seq(idCol))
+      .filter(col("rank") <= quota)
+      .drop("_neg_hk")
+  }
+
   /** Benchmark decontamination: count each corpus document's k-shingle
     * overlap with a (small) benchmark/eval set and flag documents at or
     * above `threshold` — the standard "remove eval-set leakage before
@@ -248,6 +279,44 @@ object TextAnalysis {
     val overlaps = Par.spread(corpus)
       .select(col(idCol).as("doc_id"),
         explode(TextExpressions.shingleHashSet(col(textCol), k)).as("h"))
+      .join(benchShingles, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated",
+        (col("n_overlap") >= threshold).cast("int"))
+  }
+
+  /** Bloom-prefiltered benchmark decontamination — [[decontaminate]]'s
+    * 100 TB path, same EXACT result. [[decontaminate]] joins every
+    * corpus (doc, shingle) row against the benchmark set; at real scale
+    * the corpus side of that join is corpus-sized even though ~all rows
+    * miss. Here a Bloom sketch of the benchmark's shingle hashes (built
+    * distributed by Spark's own BloomFilterAggregate — the runtime-join-
+    * filter machinery — then held as an MB-scale literal) prefilters the
+    * exploded corpus shingles as a codegen'd scan-side predicate, so only
+    * true overlaps plus the fpp tail ever enter the join. The exact
+    * verify join then removes Bloom false positives: output is
+    * bit-identical to [[decontaminate]] (false negatives are impossible),
+    * which is why one oracle serves both. Two driver-side costs, both
+    * benchmark-bounded: the sketch bytes and the distinct-shingle count. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, k: Int,
+                         threshold: Int): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(TextExpressions.shingleHashSet(col(textCol), k)).as("h"))
+      .distinct()
+      .cache()
+    val nItems = math.max(benchShingles.count(), 1L)
+    val bloomBytes = benchShingles
+      .agg(TextExpressions.bloomAgg(col("h"), nItems).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val overlaps = Par.spread(corpus)
+      .select(col(idCol).as("doc_id"),
+        explode(TextExpressions.shingleHashSet(col(textCol), k)).as("h"))
+      .filter(TextExpressions.bloomMightContain(bloomBytes, col("h")))
       .join(benchShingles, "h")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))

@@ -122,6 +122,56 @@ object TextDedup {
     verified(candidates, sets, threshold)
   }
 
+  /** Directional Jaccard-CONTAINMENT pairs: emit (inner, outer,
+    * containment) where containment(A→B) = |A∩B| / |A| >= threshold —
+    * the asymmetric near-dup test that catches a small document embedded
+    * in a larger one, which symmetric Jaccard misses when the size ratio
+    * is large (|A∩B|/|A∪B| shrinks with |B| even at full containment).
+    *
+    * Prefix filter (asymmetric AllPairs): |A∩B| >= ceil(t·|A|) depends
+    * only on the INNER side's size, so only A's rare-shingle prefix
+    * (first |A| - ceil(t·|A|) + 1 shingles under the global
+    * document-frequency order) is probed; the outer side stays the full
+    * inverted index — no length filter applies to B, by design. Join
+    * groups stay small anyway: the probe side only carries low-df
+    * shingles, and a shingle's join group IS its df. Candidates are
+    * exact-verified on the full sorted hash sets (same codegen'd
+    * long-merge intersect as [[jaccardPairs]]).
+    *
+    * Reference analog: none (the reference dedups exact keys only, via
+    * its `pipelinewise-target-postgres` upsert-by-pk); this is the
+    * containment member of the dedup family alongside x2/x7/x8. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, threshold: Double): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, k)
+    val inv = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val freq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wOrder = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("s"))
+    val prefix = inv.join(freq, "s")
+      .withColumn("pos", row_number().over(wOrder))
+      .filter(col("pos") <=
+        col("n") - ceil(lit(threshold) * col("n")).cast("int") + lit(1))
+      .select(col("doc_id"), col("s"))
+    val a = prefix.alias("a")
+    val b = inv.select(col("doc_id"), col("s")).alias("b")
+    val candidates = a.join(b,
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("inner_id"), col("b.doc_id").as("outer_id"))
+      .distinct()
+    candidates
+      .join(sets.select(col("doc_id").as("inner_id"), col("sh").as("sh1"),
+        col("n").as("n1")), "inner_id")
+      .join(sets.select(col("doc_id").as("outer_id"), col("sh").as("sh2")),
+        "outer_id")
+      .withColumn("inter",
+        TextExpressions.sortedLongIntersectSize(col("sh1"), col("sh2")))
+      .withColumn("containment", Num.fpRound(
+        col("inter").cast("double") / col("n1").cast("double"), 4))
+      .filter(col("containment") >= threshold)
+      .select("inner_id", "outer_id", "containment")
+  }
+
   /** MinHash + LSH near-dup pairs. Signatures are computed per row by the
     * [[TextExpressions.minhashSig]] kernel (identical hash values to the
     * explode + MIN-aggregate formulation, see TextKernels) — signature

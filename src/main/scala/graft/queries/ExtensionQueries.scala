@@ -280,7 +280,37 @@ object ExtensionQueries {
         "vec_id", "embedding", threshold = 0.4)
       Components.connectedComponents(pairs, "id1", "id2")
         .select(col("node").as("vec_id"), col("component").as("cluster_rep"))
-    })
+    }),
+
+    // x43 — directional containment dedup: |A∩B|/|A| >= 0.8 flags A as
+    // (near-)contained in B — catches small-doc-inside-big-doc pairs
+    // that symmetric Jaccard (x8) misses; asymmetric prefix filter, no
+    // all-pairs join.
+    "x43_containment_dedup" -> ((s, dir) =>
+      TextDedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.8)),
+
+    // x44 — Bloom-prefiltered decontamination (the 100 TB path of x38):
+    // Spark's BloomFilterAggregate sketch of the benchmark 4-shingles
+    // prunes the corpus shingle stream scan-side; the exact join then
+    // kills Bloom false positives, so the result is bit-identical to the
+    // unfiltered formulation and shares its exact oracle.
+    "x44_bloom_decontam" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.decontaminateBloom(
+        d.filter(col("doc_id") >= 30), d.filter(col("doc_id") < 30),
+        "doc_id", "text", k = 4, threshold = 2)
+    }),
+
+    // x45 — exact-quota mixture sampling: rebalance the corpus to a
+    // per-language document budget (en 60 / zh 25 / default 10),
+    // deterministically (quota smallest md5 hashes per stratum) via the
+    // salted grouped top-k.
+    "x45_quota_sample" -> ((s, dir) =>
+      TextAnalysis.quotaSample(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 60, "zh" -> 25), defaultQuota = 10)
+        .select(col("doc_id"), col("lang"), col("rank").cast("long")
+          .as("rank")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -747,6 +777,47 @@ object ExtensionQueries {
            END AS n_chunks FROM toks)
          SELECT doc_id, g.i AS chunk_idx,
            array_to_string(t[(g.i * 48 + 1):(g.i * 48 + 64)], ' ') AS chunk
-         FROM counted, unnest(generate_series(0, n_chunks - 1)) AS g(i)"""
+         FROM counted, unnest(generate_series(0, n_chunks - 1)) AS g(i)""",
+    // directional: every ordered pair (inner, outer), containment =
+    // intersect / |inner|, same 1e-4 round-then-compare as x8.
+    "x43_containment_dedup" ->
+      s"""WITH $duckShingles,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT d1 AS inner_id, d2 AS outer_id,
+           floor(c * 1.0 / x.n * 10000 + 0.5) / 10000.0 AS containment
+         FROM inter JOIN sz x ON d1 = x.doc_id
+         WHERE floor(c * 1.0 / x.n * 10000 + 0.5) / 10000.0 >= 0.8""",
+    // the Bloom prefilter is invisible to the result (false positives
+    // die in the exact join) — the oracle is the exact 4-shingle
+    // overlap count, the same shape as x38 at k=4.
+    "x44_bloom_decontam" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         sh4 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+           FROM toks, unnest(generate_series(1, len(t) - 3)) AS g(i)),
+         bench AS (SELECT DISTINCT s FROM sh4 WHERE doc_id < 30),
+         ov AS (SELECT sh4.doc_id, count(*) AS n_overlap
+           FROM sh4 JOIN bench USING (s)
+           WHERE sh4.doc_id >= 30 GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(CASE WHEN coalesce(n_overlap, 0) >= 2 THEN 1 ELSE 0 END
+             AS INTEGER) AS contaminated
+         FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+         WHERE d.doc_id >= 30""",
+    // quota smallest md5(id) per lang, doc_id tiebreak (md5 ties are
+    // ~impossible at 60 bits but the order must be total on both
+    // engines); rank <= per-lang quota.
+    "x45_quota_sample" ->
+      """WITH ranked AS (SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang ORDER BY
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+             doc_id) AS rank
+           FROM documents)
+         SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank FROM ranked
+         WHERE rank <= CASE WHEN lang = 'en' THEN 60
+                            WHEN lang = 'zh' THEN 25 ELSE 10 END"""
   )
 }

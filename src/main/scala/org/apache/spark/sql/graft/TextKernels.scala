@@ -561,4 +561,23 @@ object TextExpressions {
     ExpressionUtils.column(StopHitsExpr(e(text), dicts))
   def repetitionStats(text: Column): Column =
     ExpressionUtils.column(RepetitionStatsExpr(e(text)))
+
+  /** Spark's own runtime-join Bloom sketch as an aggregate over a LongType
+    * hash column: returns the serialized filter bytes (one binary row).
+    * Same machinery Spark's InjectRuntimeFilter rule uses — reused here
+    * for benchmark-decontamination prefiltering. */
+  def bloomAgg(hash: Column, estimatedItems: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(e(hash), estimatedItems)
+        .toAggregateExpression())
+
+  /** Codegen'd membership probe against [[bloomAgg]] bytes (a driver-held
+    * literal — the sketch is MB-scale regardless of corpus size). False
+    * positives possible, false negatives not. */
+  def bloomMightContain(bloomBytes: Array[Byte], hash: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes),
+        e(hash)))
 }

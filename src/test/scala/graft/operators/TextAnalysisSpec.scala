@@ -162,6 +162,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out(3L)._3 - math.log(2)) < 1e-3)
   }
 
+  test("decontaminateBloom is bit-identical to the exact path (x44)") {
+    import org.apache.spark.sql.functions.col
+    val corpus = (1L to 60L).map { i =>
+      val base = s"word$i stuff$i thing$i filler$i tail$i more$i"
+      // every 7th doc quotes a benchmark phrase
+      (i + 100L, if (i % 7 == 0) s"held out eval phrase one $base" else base)
+    }.toDF("doc_id", "text")
+    val bench = Seq((1L, "held out eval phrase one two"),
+      (2L, "another benchmark sentence entirely")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_overlap"), r.getAs[Int]("contaminated"))).toSet
+    val exact = rows(TextAnalysis.decontaminate(
+      corpus, bench, "doc_id", "text", k = 3, threshold = 2))
+    val bloom = rows(TextAnalysis.decontaminateBloom(
+      corpus, bench, "doc_id", "text", k = 3, threshold = 2))
+    assert(bloom == exact) // FPs die in the verify join; FNs impossible
+    assert(exact.exists(_._3 == 1)) // the quoting docs are flagged
+  }
+
+  test("quotaSample keeps exactly min(quota, stratum size) per stratum (x45)") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "de"))
+      .toDF("doc_id", "lang") // 100 per stratum
+    def pick(en: Int, zh: Int, de: Int) =
+      TextAnalysis.quotaSample(docs, "doc_id", "lang",
+          Map("en" -> en, "zh" -> zh), defaultQuota = de)
+        .collect().map(r => r.getAs[String]("lang") ->
+          r.getAs[Long]("doc_id"))
+    val a = pick(40, 15, 5)
+    val byLang = a.groupBy(_._1).map { case (k, v) => k -> v.size }
+    assert(byLang == Map("en" -> 40, "zh" -> 15, "de" -> 5))
+    assert(a.toSet == pick(40, 15, 5).toSet) // deterministic
+    // monotone: raising quotas only ADDS documents
+    assert(a.map(_._2).toSet.subsetOf(pick(80, 30, 10).map(_._2).toSet))
+    // quota above stratum size returns the whole stratum
+    val full = pick(200, 15, 5).filter(_._1 == "en")
+    assert(full.size == 100)
+    // rank agrees with a plain window formulation (the oracle shape)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(org.apache.spark.sql.functions.conv(
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(col("doc_id").cast("string")),
+          1, 15), 16, 10).cast("long"), col("doc_id"))
+    val windowed = docs.withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= 40 && col("lang") === "en")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"))).toSet
+    val salted = TextAnalysis.quotaSample(docs, "doc_id", "lang",
+        Map("en" -> 40), defaultQuota = 0)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"))).toSet
+    assert(salted == windowed)
+  }
+
   test("hashSplit is deterministic and covers every doc exactly once (x26)") {
     val ids = (1L to 200L)
     val corpus = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")

@@ -71,6 +71,28 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq(1L, 3L)) // rep (min id) of the cluster + the loner
   }
 
+  test("containmentPairs catches small-in-big pairs Jaccard misses (x43)") {
+    // doc 20 (5 tokens -> 3 shingles) is verbatim inside doc 21 (16
+    // tokens -> 14 shingles): containment(20->21) = 3/3 = 1.0 but
+    // jaccard = 3/14 ≈ 0.21 — invisible to x8 at any threshold >= 0.25
+    val corpus = Seq(
+      (20L, "alpha beta gamma delta epsilon"),
+      (21L, "intro words first then alpha beta gamma delta epsilon " +
+        "and a long unrelated tail of filler tokens"),
+      (22L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.containmentPairs(corpus, "doc_id", "text",
+        k = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Double]("containment")).toMap
+    assert(out((20L, 21L)) == 1.0) // directional: inner=20, outer=21
+    assert(!out.contains((21L, 20L))) // 3/14 < 0.8 the other way
+    assert(!out.keys.exists(p => p._1 == 22L || p._2 == 22L))
+    val jac = TextDedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.8)
+      .collect()
+    assert(jac.isEmpty) // the symmetric test cannot see this pair
+  }
+
   test("fingerprints are equal for normalized-identical docs (x14)") {
     val fp = TextDedup.fingerprints(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
