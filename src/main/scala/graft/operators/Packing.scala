@@ -38,6 +38,66 @@ object Packing {
     * (slightly worse fill than unbounded first-fit, bounded resources). */
   val MaxOpenPacks = 64
 
+  /** Concat-then-chunk offset index (x46): place every document at its
+    * token offset in the virtual concatenation of the corpus in
+    * deterministic shuffle order (ascending md5(id)) — the index a
+    * GPT-style packing job needs to slice fixed windows out of the
+    * concatenated token stream. Returns (doc_id, n_tokens, start_offset)
+    * with start_offset = exclusive prefix sum of n_tokens in hash order.
+    *
+    * The naive formulation — `sum over Window.orderBy(hash)` with no
+    * partition — collapses the corpus into ONE task (Spark's global
+    * window). This is instead a two-phase distributed prefix sum, all
+    * declarative:
+    *
+    *   1. bucket = top `bucketBits` bits of the 60-bit md5 hash — a
+    *      STATIC range partitioning of the hash order (no sampled
+    *      boundaries, so no nondeterminism and nothing to pin/cache;
+    *      uniform because md5 is), giving 2^bucketBits parallel groups
+    *      that are contiguous runs of the global order;
+    *   2. local running sum per bucket (ordinary partitioned window);
+    *   3. per-bucket totals (2^bucketBits rows) roll into exclusive
+    *      bucket offsets with a tiny driver pass, re-joined broadcast.
+    *
+    * Shuffle cost: one hash exchange of (id, n_tokens) pairs for the
+    * window plus a 2^bucketBits-row broadcast — the text never moves. At
+    * 100 TB raise bucketBits so each bucket's run fits a task (2^20
+    * buckets ≈ 100 MB of corpus each); the result is invariant to the
+    * choice. */
+  def concatOffsets(docs: DataFrame, idCol: String, textCol: String,
+                    bucketBits: Int = 8): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 30,
+      s"bucketBits must be in [1,30], got $bucketBits")
+    val hk = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val keyed = Par.spread(docs).select(
+      col(idCol).as("doc_id"),
+      size(split(lower(trim(col(textCol))), "\\s+")).cast("long")
+        .as("n_tokens"),
+      hk.as("_hk"))
+      .withColumn("_bucket", shiftright(col("_hk"), 60 - bucketBits))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bucket")).orderBy(col("_hk"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val local = keyed.withColumn("_cum", sum(col("n_tokens")).over(w))
+    // 2^bucketBits bucket totals -> exclusive offsets; driver-bounded by
+    // construction (the same k-bounded-collect tier as kmeans centroids)
+    val totals = keyed.groupBy(col("_bucket"))
+      .agg(sum(col("n_tokens")).as("_total"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (b, t)) => (b, acc + t)
+    }.tail.zip(totals).map { case ((b, upTo), (_, t)) => (b, upTo - t) }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("_bucket", "_bucket_offset")
+    local.join(broadcast(offsetDf), "_bucket")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("_bucket_offset") + col("_cum") - col("n_tokens"))
+          .as("start_offset"))
+  }
+
   def packChunks(spark: SparkSession, chunks: DataFrame, budget: Int): Dataset[Packed] = {
     import spark.implicits._
     require(budget > 0, s"budget must be positive, got $budget")

@@ -302,6 +302,25 @@ object TextAnalysis {
     * bit-identical to [[decontaminate]] (false negatives are impossible),
     * which is why one oracle serves both. Two driver-side costs, both
     * benchmark-bounded: the sketch bytes and the distinct-shingle count. */
+  /** The serialized Bloom sketch of a benchmark's distinct k-shingle
+    * hashes — the shareable artifact behind [[decontaminateBloom]] and
+    * the streaming [[graft.streaming.Streams.decontaminationGate]]:
+    * build once per benchmark release, reuse across batch runs and
+    * stream restarts. Driver-held but benchmark-bounded (MB-scale). */
+  def benchmarkSketch(benchmark: DataFrame, textCol: String,
+                      k: Int): Array[Byte] = {
+    val benchShingles = benchmark
+      .select(explode(TextExpressions.shingleHashSet(col(textCol), k)).as("h"))
+      .distinct()
+      .cache()
+    try {
+      val nItems = math.max(benchShingles.count(), 1L)
+      benchShingles
+        .agg(TextExpressions.bloomAgg(col("h"), nItems).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    } finally benchShingles.unpersist()
+  }
+
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, k: Int,
                          threshold: Int): DataFrame = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num
-import graft.operators.{Components, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Components, Multimodal, Packing, Similarity, TextAnalysis, TextDedup}
 
 /** Extension + capability-proof query inventory (SURVEY §2.4 X1-X6 plus the
   * LLM-training-data operators: dedup family, similarity search, text
@@ -310,7 +310,15 @@ object ExtensionQueries {
       TextAnalysis.quotaSample(t(s, dir, "documents"), "doc_id", "lang",
           Map("en" -> 60, "zh" -> 25), defaultQuota = 10)
         .select(col("doc_id"), col("lang"), col("rank").cast("long")
-          .as("rank")))
+          .as("rank"))),
+
+    // x46 — concat-then-chunk offset index: every doc's token offset in
+    // the deterministic hash-order concatenation of the corpus, via the
+    // two-phase distributed prefix sum (static hash-bucket partitioning
+    // + local windows + tiny bucket-offset broadcast — never Spark's
+    // single-task global window).
+    "x46_concat_offsets" -> ((s, dir) =>
+      Packing.concatOffsets(t(s, dir, "documents"), "doc_id", "text"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -818,6 +826,21 @@ object ExtensionQueries {
            FROM documents)
          SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank FROM ranked
          WHERE rank <= CASE WHEN lang = 'en' THEN 60
-                            WHEN lang = 'zh' THEN 25 ELSE 10 END"""
+                            WHEN lang = 'zh' THEN 25 ELSE 10 END""",
+    // exclusive running sum of token counts over the (md5 hash, doc_id)
+    // total order — the bucketed two-phase prefix sum is plan shape
+    // only, invisible to the result.
+    "x46_concat_offsets" ->
+      """WITH tok AS (SELECT doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+             AS n_tokens,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             AS hk
+           FROM documents)
+         SELECT doc_id, n_tokens,
+           CAST(coalesce(SUM(n_tokens) OVER (ORDER BY hk, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_offset
+         FROM tok"""
   )
 }

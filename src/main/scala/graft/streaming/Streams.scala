@@ -149,6 +149,29 @@ object Streams {
       .drop("_st", "_top_bigram_frac")
   }
 
+  /** Streaming benchmark-decontamination gate — the streaming twin of
+    * the batch x44 prefilter: the Bloom sketch of the benchmark's
+    * k-shingle hashes (built ONCE, batch-side, via
+    * [[graft.operators.TextAnalysis]]'s BloomFilterAggregate machinery
+    * and passed in as bytes) becomes a stateless per-row predicate on
+    * the stream — a document is dropped when `threshold` or more of its
+    * shingles hit the sketch. Stateless and codegen'd, so it composes
+    * before any stateful stage, like [[qualityGate]].
+    *
+    * Unlike batch x44 there is no exact verify join on a stream (the
+    * benchmark side would be a static join per micro-batch — possible
+    * but pointless here): the streaming gate accepts the sketch's false
+    * positive rate as an over-drop rate, the standard trade for an
+    * ingestion-time filter. fpp is configured at sketch build time. */
+  def decontaminationGate(docs: DataFrame, textCol: String,
+                          bloomBytes: Array[Byte], k: Int,
+                          threshold: Int): DataFrame = {
+    val te = org.apache.spark.sql.graft.TextExpressions
+    val hits = size(filter(te.shingleHashSet(col(textCol), k),
+      h => te.bloomMightContain(bloomBytes, h)))
+    docs.filter(hits < threshold)
+  }
+
   /** Streaming exact dedup — the streaming twin of the batch x1 operator:
     * exactly one representative per content digest, with BOUNDED state
     * (the first-seen row across micro-batches; within one micro-batch the

@@ -28,6 +28,37 @@ class PackingSpec extends SparkSpec {
     assert(fill > 0.7, s"fill rate $fill too low for first-fit")
   }
 
+  test("concatOffsets: contiguous spans covering the token stream (x46)") {
+    val docs = (1L to 200L).map(i => (i, ("w " * (1 + (i % 17).toInt)).trim))
+      .toDF("doc_id", "text")
+    val out = Packing.concatOffsets(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 200)
+    // spans tile [0, total) with no gaps or overlaps
+    val spans = out.sortBy(_._3)
+    assert(spans.head._3 == 0L)
+    spans.sliding(2).foreach { case Array((_, n, s), (_, _, s2)) =>
+      assert(s + n == s2, s"gap/overlap at offset $s")
+    }
+    val total = spans.last._3 + spans.last._2
+    assert(total == out.map(_._2).sum)
+    // the result is invariant to the bucketing (plan shape only)
+    val other = Packing.concatOffsets(docs, "doc_id", "text", bucketBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(other.toSet == out.toSet)
+    // and matches the single-window formulation (the oracle shape)
+    val hk = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(hk, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = docs.select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(naive.toSet == out.toSet)
+  }
+
   test("packChunks property: exactly-once + budget over random inputs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

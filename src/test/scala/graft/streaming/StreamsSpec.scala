@@ -183,4 +183,36 @@ class StreamsSpec extends SparkSpec {
     // the gate is schema-transparent: no derived signal columns leak out
     assert(gated.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
   }
+
+  test("decontaminationGate drops benchmark-overlapping docs in-stream (x44 twin)") {
+    val bench = Seq((1L, "held out eval phrase one two three"))
+      .toDF("bench_id", "text")
+    val sketch = graft.operators.TextAnalysis
+      .benchmarkSketch(bench, "text", k = 3)
+
+    val dir = Files.createTempDirectory("dgate-in").toString
+    Seq(
+      (1L, ts("2024-01-01 00:01:00"),
+        "a clean document with entirely original phrasing throughout"),
+      (2L, ts("2024-01-01 00:02:00"),
+        "it quotes the held out eval phrase one two three verbatim")
+    ).toDF("event_id", "ts", "text")
+      .write.mode("overwrite").parquet(dir)
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val gated = Streams.decontaminationGate(stream, "text", sketch,
+      k = 3, threshold = 2)
+
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("dgate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table("dgate_out")
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L)) // the quoting doc trips the sketch and drops
+    assert(gated.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
+  }
 }
