@@ -163,4 +163,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"chunking should not hash-shuffle:\n$p")
   }
+
+  test("x43 containment probe is the prefix-filtered equi-join (no all-pairs)") {
+    val p = plan("x43_containment_dedup")
+    // candidates come from the asymmetric prefix x inverted-index
+    // equi-join on the shingle hash — never a document cross join
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"all-pairs join in plan:\n$p")
+    assert(p.contains("shinglehashset") || p.contains("ShingleHashSet"),
+      s"expected the shingle kernel:\n$p")
+  }
+
+  test("x44 Bloom probe prefilters the corpus stream before the overlap join") {
+    val p = plan("x44_bloom_decontam")
+    // the might_contain predicate must sit in the plan as a Filter on
+    // the corpus side — that is the entire point of the sketch
+    assert(p.toLowerCase.contains("might_contain"),
+      s"Bloom prefilter missing from the plan:\n$p")
+  }
+
+  test("x46 prefix sum never plans a single-partition global window") {
+    val p = plan("x46_concat_offsets")
+    // the two-phase formulation windows per hash bucket; a global-order
+    // window would surface as Exchange SinglePartition feeding a Window
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-task global window in plan:\n$p")
+    assert(p.contains("Window"), s"expected the per-bucket window:\n$p")
+  }
 }
