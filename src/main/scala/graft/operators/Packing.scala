@@ -57,17 +57,20 @@ object Packing {
     *      that are contiguous runs of the global order;
     *   2. local running sum per bucket (ordinary partitioned window);
     *   3. per-bucket totals (2^bucketBits rows) roll into exclusive
-    *      bucket offsets with a tiny driver pass, re-joined broadcast.
+    *      bucket offsets with a second cumulative window over the tiny
+    *      totals frame (one single-task window over <= 2^24 16-byte
+    *      rows — never the corpus), re-joined broadcast.
     *
     * Shuffle cost: one hash exchange of (id, n_tokens) pairs for the
-    * window plus a 2^bucketBits-row broadcast — the text never moves. At
-    * 100 TB raise bucketBits so each bucket's run fits a task (2^20
-    * buckets ≈ 100 MB of corpus each); the result is invariant to the
-    * choice. */
+    * window plus a 2^bucketBits-row broadcast — the text never moves,
+    * nothing is collected to the driver, and the whole index stays a
+    * lazy DataFrame. At 100 TB raise bucketBits so each bucket's run
+    * fits a task (2^20 buckets ≈ 100 MB of corpus each); the result is
+    * invariant to the choice. */
   def concatOffsets(docs: DataFrame, idCol: String, textCol: String,
                     bucketBits: Int = 8): DataFrame = {
-    require(bucketBits >= 1 && bucketBits <= 30,
-      s"bucketBits must be in [1,30], got $bucketBits")
+    require(bucketBits >= 1 && bucketBits <= 24,
+      s"bucketBits must be in [1,24], got $bucketBits")
     val hk = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
     val keyed = Par.spread(docs).select(
@@ -81,17 +84,18 @@ object Packing {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val local = keyed.withColumn("_cum", sum(col("n_tokens")).over(w))
-    // 2^bucketBits bucket totals -> exclusive offsets; driver-bounded by
-    // construction (the same k-bounded-collect tier as kmeans centroids)
-    val totals = keyed.groupBy(col("_bucket"))
+    // 2^bucketBits bucket totals -> exclusive offsets via a second
+    // cumulative window over the tiny totals frame (bucketBits <= 24
+    // bounds the single-task window); stays lazy — no driver collect
+    val wBuckets = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val offsetDf = keyed.groupBy(col("_bucket"))
       .agg(sum(col("n_tokens")).as("_total"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.scanLeft((Long.MinValue, 0L)) {
-      case ((_, acc), (b, t)) => (b, acc + t)
-    }.tail.zip(totals).map { case ((b, upTo), (_, t)) => (b, upTo - t) }
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val offsetDf = offsets.toSeq.toDF("_bucket", "_bucket_offset")
+      .withColumn("_bucket_offset",
+        coalesce(sum(col("_total")).over(wBuckets), lit(0L)))
+      .select(col("_bucket"), col("_bucket_offset"))
     local.join(broadcast(offsetDf), "_bucket")
       .select(col("doc_id"), col("n_tokens"),
         (col("_bucket_offset") + col("_cum") - col("n_tokens"))

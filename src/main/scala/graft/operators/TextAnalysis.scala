@@ -289,19 +289,6 @@ object TextAnalysis {
         (col("n_overlap") >= threshold).cast("int"))
   }
 
-  /** Bloom-prefiltered benchmark decontamination — [[decontaminate]]'s
-    * 100 TB path, same EXACT result. [[decontaminate]] joins every
-    * corpus (doc, shingle) row against the benchmark set; at real scale
-    * the corpus side of that join is corpus-sized even though ~all rows
-    * miss. Here a Bloom sketch of the benchmark's shingle hashes (built
-    * distributed by Spark's own BloomFilterAggregate — the runtime-join-
-    * filter machinery — then held as an MB-scale literal) prefilters the
-    * exploded corpus shingles as a codegen'd scan-side predicate, so only
-    * true overlaps plus the fpp tail ever enter the join. The exact
-    * verify join then removes Bloom false positives: output is
-    * bit-identical to [[decontaminate]] (false negatives are impossible),
-    * which is why one oracle serves both. Two driver-side costs, both
-    * benchmark-bounded: the sketch bytes and the distinct-shingle count. */
   /** The serialized Bloom sketch of a benchmark's distinct k-shingle
     * hashes — the shareable artifact behind [[decontaminateBloom]] and
     * the streaming [[graft.streaming.Streams.decontaminationGate]]:
@@ -321,17 +308,27 @@ object TextAnalysis {
     } finally benchShingles.unpersist()
   }
 
+  /** Bloom-prefiltered benchmark decontamination — [[decontaminate]]'s
+    * 100 TB path, same EXACT result. [[decontaminate]] joins every
+    * corpus (doc, shingle) row against the benchmark set; at real scale
+    * the corpus side of that join is corpus-sized even though ~all rows
+    * miss. Here the [[benchmarkSketch]] Bloom filter (built distributed
+    * by Spark's own BloomFilterAggregate — the runtime-join-filter
+    * machinery — then held as an MB-scale literal) prefilters the
+    * exploded corpus shingles as a codegen'd scan-side predicate, so only
+    * true overlaps plus the fpp tail ever enter the join. The exact
+    * verify join then removes Bloom false positives: output is
+    * bit-identical to [[decontaminate]] (false negatives are impossible),
+    * which is why one oracle serves both. The benchmark's shingle set is
+    * computed twice (sketch build + verify join) — benchmark-bounded and
+    * cheaper than pinning a cached copy for the session lifetime. */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, k: Int,
                          threshold: Int): DataFrame = {
+    val bloomBytes = benchmarkSketch(benchmark, textCol, k)
     val benchShingles = benchmark
       .select(explode(TextExpressions.shingleHashSet(col(textCol), k)).as("h"))
       .distinct()
-      .cache()
-    val nItems = math.max(benchShingles.count(), 1L)
-    val bloomBytes = benchShingles
-      .agg(TextExpressions.bloomAgg(col("h"), nItems).as("bf"))
-      .head().getAs[Array[Byte]](0)
     val overlaps = Par.spread(corpus)
       .select(col(idCol).as("doc_id"),
         explode(TextExpressions.shingleHashSet(col(textCol), k)).as("h"))

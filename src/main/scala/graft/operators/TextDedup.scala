@@ -105,18 +105,22 @@ object TextDedup {
     // cached: the candidate self-join references the prefix TWICE (a and
     // b sides) — without pinning it the freq join + ranking window run
     // twice per query
+    // tEff, not t: verify accepts fpRound(jaccard, 4) >= t, i.e. true
+    // jaccard >= t - 5e-5 — candidate generation must be complete under
+    // the rounded comparison (same law as containmentPairs below).
+    val tEff = threshold - 5e-5
     val prefix = inv.join(freq, "s")
       .withColumn("pos", row_number().over(wOrder))
       .filter(col("pos") <=
-        col("n") - ceil(lit(threshold) * col("n")).cast("int") + lit(1))
+        col("n") - ceil(lit(tEff) * col("n")).cast("int") + lit(1))
       .select(col("doc_id"), col("n"), col("s"))
       .cache()
     val a = prefix.alias("a"); val b = prefix.alias("b")
     // length filter: jaccard >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
     val candidates = a.join(b,
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.n") >= lit(threshold) * col("a.n") &&
-          col("a.n") >= lit(threshold) * col("b.n"))
+          col("b.n") >= lit(tEff) * col("a.n") &&
+          col("a.n") >= lit(tEff) * col("b.n"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
     verified(candidates, sets, threshold)
@@ -148,10 +152,13 @@ object TextDedup {
     val freq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val wOrder = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("s"))
+    // Verify accepts fpRound(inter/n, 4) >= t, i.e. inter/n >= t - 5e-5 —
+    // so the prefix bound must be ceil((t - 5e-5)·n), not ceil(t·n), or a
+    // pair in the round-up band could pass verify yet never be generated.
     val prefix = inv.join(freq, "s")
       .withColumn("pos", row_number().over(wOrder))
       .filter(col("pos") <=
-        col("n") - ceil(lit(threshold) * col("n")).cast("int") + lit(1))
+        col("n") - ceil(lit(threshold - 5e-5) * col("n")).cast("int") + lit(1))
       .select(col("doc_id"), col("s"))
     val a = prefix.alias("a")
     val b = inv.select(col("doc_id"), col("s")).alias("b")
