@@ -182,12 +182,52 @@ class PlanAuditSpec extends SparkSpec {
       s"Bloom prefilter missing from the plan:\n$p")
   }
 
-  test("x46 prefix sum never plans a single-partition global window") {
-    val p = plan("x46_concat_offsets")
-    // the two-phase formulation windows per hash bucket; a global-order
-    // window would surface as Exchange SinglePartition feeding a Window
-    assert(!p.contains("Exchange SinglePartition"),
-      s"single-task global window in plan:\n$p")
-    assert(p.contains("Window"), s"expected the per-bucket window:\n$p")
+  test("x46 corpus window is hash-partitioned; SinglePartition only above bucket totals") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
+
+    val exec: SparkPlan =
+      SparkEntry.queries("x46_concat_offsets")(spark, sfDir)
+        .queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.initialPlan
+          case p                        => p
+        }
+
+    // 1) the corpus-side running sum is a PARTITIONED window fed by a hash
+    //    exchange — the corpus itself never funnels through one task
+    val corpusWindows = exec.collect {
+      case w: WindowExec if w.partitionSpec.nonEmpty => w
+    }
+    assert(corpusWindows.nonEmpty, s"per-bucket corpus window missing:\n$exec")
+    corpusWindows.foreach { w =>
+      val hashFed = w.collectFirst {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashFed.nonEmpty,
+        s"corpus window not fed by a hash exchange:\n$w")
+    }
+
+    // 2) a SinglePartition exchange is allowed ONLY above an aggregate (the
+    //    <=2^bucketBits-row bucket-totals frame) — never over raw corpus rows
+    val singles = exec.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
+    singles.foreach { e =>
+      assert(e.child.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+        s"SinglePartition exchange over non-aggregated (corpus-sized) data:\n$e")
+    }
+
+    // 3) same bound for any global (unpartitioned) cumulative window: it must
+    //    sit over the aggregated totals, never the corpus
+    exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .foreach { w =>
+        assert(w.child.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+          s"global window over non-aggregated (corpus-sized) data:\n$w")
+      }
   }
 }
