@@ -97,6 +97,9 @@ object TextDedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold (a non-positive " +
+        "threshold degenerates the prefix filter to an all-pairs self-join)")
     val sets = shingleSets(docs, idCol, textCol, k)
     val inv = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
     val freq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -144,9 +147,28 @@ object TextDedup {
     *
     * Reference analog: none (the reference dedups exact keys only, via
     * its `pipelinewise-target-postgres` upsert-by-pk); this is the
-    * containment member of the dedup family alongside x2/x7/x8. */
+    * containment member of the dedup family alongside x2/x7/x8.
+    *
+    * Scale guard: unlike [[jaccardPairs]], the probe side here is
+    * df-bounded, not prefix-bounded — a boilerplate shingle that lands
+    * in any inner doc's prefix joins against its ENTIRE df-sized
+    * posting list, so a spammy corpus degenerates toward quadratic.
+    * `maxProbeDf` bounds the join group (a probed shingle's group IS
+    * its df): by default the operator FAILS FAST if any prefix shingle
+    * exceeds it (error names the knobs and the banded alternative);
+    * with `capProbeDf=true` hot prefix entries are instead DROPPED from
+    * the probe index — a documented completeness trade (a pair is lost
+    * only if every shingle of A's rare-shingle prefix is hotter than
+    * the cap, i.e. A is pure boilerplate — exactly the pairs LSH-class
+    * methods are for). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       k: Int, threshold: Double): DataFrame = {
+                       k: Int, threshold: Double,
+                       maxProbeDf: Long = 50000,
+                       capProbeDf: Boolean = false): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold (a non-positive " +
+        "threshold degenerates the prefix filter to an all-pairs self-join)")
+    require(maxProbeDf >= 1, s"maxProbeDf must be >= 1, got $maxProbeDf")
     val sets = shingleSets(docs, idCol, textCol, k)
     val inv = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
     val freq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -155,11 +177,32 @@ object TextDedup {
     // Verify accepts fpRound(inter/n, 4) >= t, i.e. inter/n >= t - 5e-5 —
     // so the prefix bound must be ceil((t - 5e-5)·n), not ceil(t·n), or a
     // pair in the round-up band could pass verify yet never be generated.
-    val prefix = inv.join(freq, "s")
+    val prefixAll = inv.join(freq, "s")
       .withColumn("pos", row_number().over(wOrder))
       .filter(col("pos") <=
         col("n") - ceil(lit(threshold - 5e-5) * col("n")).cast("int") + lit(1))
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id"), col("s"), col("df"))
+    val prefix =
+      if (capProbeDf) prefixAll.filter(col("df") <= maxProbeDf)
+        .select(col("doc_id"), col("s"))
+      else {
+        // fail fast before the candidate join can blow up: one cheap agg
+        // over the cached prefix (reused by the join below)
+        val pinned = prefixAll.cache()
+        val hottest = pinned.agg(max(col("df"))).collect()(0)
+        if (!hottest.isNullAt(0)) {
+          val df0 = hottest.getLong(0)
+          require(df0 <= maxProbeDf,
+            s"containmentPairs: a prefix shingle has df=$df0 " +
+              s"(> maxProbeDf=$maxProbeDf) — its candidate join group is " +
+              "df-sized and the corpus is boilerplate-heavy. Pass " +
+              "capProbeDf=true to drop hot prefix entries (documented " +
+              "completeness trade), raise maxProbeDf if the group size is " +
+              "intended, or use minhashLshPairs (banded, df-independent) " +
+              "for near-dup at scale.")
+        }
+        pinned.select(col("doc_id"), col("s"))
+      }
     val a = prefix.alias("a")
     val b = inv.select(col("doc_id"), col("s")).alias("b")
     val candidates = a.join(b,

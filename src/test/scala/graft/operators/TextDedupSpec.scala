@@ -93,6 +93,53 @@ class TextDedupSpec extends SparkSpec {
     assert(jac.isEmpty) // the symmetric test cannot see this pair
   }
 
+  // boilerplate corpus: six identical docs — every shingle has df=6 and
+  // the rare-shingle prefix is ALL hot shingles, the df-sized-join-group
+  // corner the containment guard exists for
+  private lazy val boilerplate = (1L to 6L).map(i =>
+    (i, "terms of service apply to all content provided herein"))
+    .toDF("doc_id", "text")
+
+  test("containmentPairs fails fast on a boilerplate corpus (df guard)") {
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.containmentPairs(boilerplate, "doc_id", "text",
+        k = 3, threshold = 0.8, maxProbeDf = 3)
+    }
+    assert(e.getMessage.contains("capProbeDf"))
+    assert(e.getMessage.contains("minhashLshPairs")) // names the scale path
+  }
+
+  test("containmentPairs capProbeDf drops hot entries, keeps cold pairs") {
+    // all-hot prefix -> every probe entry dropped -> no candidates: the
+    // documented completeness trade, not an error
+    val capped = TextDedup.containmentPairs(boilerplate, "doc_id", "text",
+      k = 3, threshold = 0.8, maxProbeDf = 3, capProbeDf = true)
+    assert(capped.collect().isEmpty)
+    // mixed corpus: the small-in-big pair's shingles have df=2 (cold,
+    // kept under the cap) while the boilerplate family is dropped
+    val mixed = Seq(
+      (20L, "alpha beta gamma delta epsilon"),
+      (21L, "intro words first then alpha beta gamma delta epsilon " +
+        "and a long unrelated tail of filler tokens")
+    ).toDF("doc_id", "text").union(boilerplate.filter($"doc_id" <= 4)
+      .select(($"doc_id" + 100L).as("doc_id"), $"text"))
+    val out = TextDedup.containmentPairs(mixed, "doc_id", "text",
+        k = 3, threshold = 0.8, maxProbeDf = 3, capProbeDf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((20L, 21L))) // cold pair found, boilerplate culled
+  }
+
+  test("jaccardPairs/containmentPairs reject out-of-range thresholds") {
+    for (t <- Seq(0.0, -0.5, 1.5)) {
+      intercept[IllegalArgumentException] {
+        TextDedup.jaccardPairs(docs, "doc_id", "text", 3, t)
+      }
+      intercept[IllegalArgumentException] {
+        TextDedup.containmentPairs(docs, "doc_id", "text", 3, t)
+      }
+    }
+  }
+
   test("fingerprints are equal for normalized-identical docs (x14)") {
     val fp = TextDedup.fingerprints(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
