@@ -62,11 +62,20 @@ object Packing {
     *      rows — never the corpus), re-joined broadcast.
     *
     * Shuffle cost: one hash exchange of (id, n_tokens) pairs for the
-    * window plus a 2^bucketBits-row broadcast — the text never moves,
-    * nothing is collected to the driver, and the whole index stays a
-    * lazy DataFrame. At 100 TB raise bucketBits so each bucket's run
-    * fits a task (2^20 buckets ≈ 100 MB of corpus each); the result is
-    * invariant to the choice. */
+    * window plus a 2^bucketBits-row broadcast — the text never moves
+    * and the index stays a lazy DataFrame. The only driver-side
+    * materialization is the broadcast of the totals frame itself
+    * (~16 B × 2^bucketBits, like any broadcast relation), so prefer
+    * bucketBits <= 20 (~17 MB); the hard cap is 24 (~270 MB — workable
+    * but pushing broadcast limits; past that, swap the broadcast for a
+    * shuffle join on _bucket). At 100 TB raise bucketBits so each
+    * bucket's run fits a task (2^20 buckets ≈ 100 MB of corpus each);
+    * the result is invariant to the choice (pinned by PackingSpec).
+    *
+    * The (id, n_tokens, bucket) projection is cached because BOTH the
+    * per-bucket cumsum and the bucket-totals aggregate read it: under a
+    * nondeterministic source (e.g. a re-sampled upstream) two
+    * independent scans could disagree, corrupting offsets. */
   def concatOffsets(docs: DataFrame, idCol: String, textCol: String,
                     bucketBits: Int = 8): DataFrame = {
     require(bucketBits >= 1 && bucketBits <= 24,
@@ -79,6 +88,7 @@ object Packing {
         .as("n_tokens"),
       hk.as("_hk"))
       .withColumn("_bucket", shiftright(col("_hk"), 60 - bucketBits))
+      .cache()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_bucket")).orderBy(col("_hk"), col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

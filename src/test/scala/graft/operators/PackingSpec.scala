@@ -59,6 +59,25 @@ class PackingSpec extends SparkSpec {
     assert(naive.toSet == out.toSet)
   }
 
+  test("concatOffsets: bucketBits-invariant at high fan-out (16 vs 8)") {
+    // larger corpus + 2^16 buckets: the totals frame is 65536 rows —
+    // exercises the single-task totals window and the broadcast at the
+    // recommended high end while the corpus-side window stays partitioned
+    val docs = (1L to 20000L).map(i =>
+      (i, ("w " * (1 + (i % 29).toInt)).trim)).toDF("doc_id", "text")
+    val base = Packing.concatOffsets(docs, "doc_id", "text", bucketBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hi = Packing.concatOffsets(docs, "doc_id", "text", bucketBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hi.toSet == base.toSet) // claimed property: bucketBits-invariant
+    // and the high-fan-out result still tiles [0, total)
+    val spans = hi.sortBy(_._3)
+    assert(spans.head._3 == 0L)
+    spans.sliding(2).foreach { case Array((_, n, s), (_, _, s2)) =>
+      assert(s + n == s2, s"gap/overlap at offset $s")
+    }
+  }
+
   test("packChunks property: exactly-once + budget over random inputs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
