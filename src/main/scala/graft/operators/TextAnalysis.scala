@@ -324,8 +324,21 @@ object TextAnalysis {
     * cheaper than pinning a cached copy for the session lifetime. */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, k: Int,
-                         threshold: Int): DataFrame = {
-    val bloomBytes = benchmarkSketch(benchmark, textCol, k)
+                         threshold: Int): DataFrame =
+    decontaminateBloom(corpus, benchmark, idCol, textCol, k, threshold,
+      benchmarkSketch(benchmark, textCol, k))
+
+  /** [[decontaminateBloom]] with a PREBUILT [[benchmarkSketch]] — the
+    * shared-artifact form: build the sketch once per benchmark release,
+    * then reuse the same bytes across batch runs and the streaming
+    * [[graft.streaming.Streams.decontaminationGate]] instead of
+    * re-aggregating the benchmark per call. The exact verify join still
+    * reads `benchmark` directly, so a stale sketch can only over-admit
+    * into the join (false negatives remain impossible as long as the
+    * sketch covers the benchmark's current shingles). */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, k: Int,
+                         threshold: Int, bloomBytes: Array[Byte]): DataFrame = {
     val benchShingles = benchmark
       .select(explode(TextExpressions.shingleHashSet(col(textCol), k)).as("h"))
       .distinct()

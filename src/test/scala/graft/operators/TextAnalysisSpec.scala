@@ -180,6 +180,12 @@ class TextAnalysisSpec extends SparkSpec {
       corpus, bench, "doc_id", "text", k = 3, threshold = 2))
     assert(bloom == exact) // FPs die in the verify join; FNs impossible
     assert(exact.exists(_._3 == 1)) // the quoting docs are flagged
+    // shared-artifact form: ONE prebuilt sketch serves batch (here) and
+    // the streaming decontaminationGate (StreamsSpec) — result unchanged
+    val sketch = TextAnalysis.benchmarkSketch(bench, "text", 3)
+    val shared = rows(TextAnalysis.decontaminateBloom(
+      corpus, bench, "doc_id", "text", k = 3, threshold = 2, sketch))
+    assert(shared == exact)
   }
 
   test("quotaSample keeps exactly min(quota, stratum size) per stratum (x45)") {
