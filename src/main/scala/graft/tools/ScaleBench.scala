@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{LocalSession, Tables}
-import graft.operators.{Components, Similarity, TextDedup}
+import graft.operators.{Components, Packing, Similarity, TextAnalysis, TextDedup}
 
 /** Empirical scale probe for the dedup family (x8/x32/x36/x39/x40): runs
   * each pipeline at sf0.1 (5000 documents / 2000 embeddings) and at a
@@ -59,8 +59,11 @@ object ScaleBench {
   }
 
   /** The probed pipelines, parameterized by the centroid count (16 at
-    * 1×, 160 at 10× — k ∝ n). Shapes mirror the registered queries. */
-  private def probes(nCent: Int): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    * 1×, 160 at 10× — k ∝ n) and the copy multiplier `mult` (scales the
+    * x44 benchmark id bound, which rides the doc_id*Copies+k renumbering,
+    * and the x45 quotas — inputs a real deployment sizes with its
+    * corpus). Shapes mirror the registered queries. */
+  private def probes(nCent: Int, mult: Int): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     ("x8_ngram_jaccard", (s: SparkSession, dir: String) =>
       TextDedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
         k = 3, threshold = 0.5)),
@@ -86,7 +89,23 @@ object ScaleBench {
           "vec_id", "embedding", 0.4)
         .select(col("id1").as("a"), col("id2").as("b"))
       Components.connectedComponents(tp.union(vp).distinct(), "a", "b")
-    }))
+    }),
+    ("x43_containment", (s: SparkSession, dir: String) =>
+      TextDedup.containmentPairs(Tables(s, dir, "documents"), "doc_id",
+        "text", k = 3, threshold = 0.8)),
+    ("x44_bloom_decontam", (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      val bound = 30L * mult // orig ids < 30 under doc_id*Copies+k
+      TextAnalysis.decontaminateBloom(d.filter(col("doc_id") >= bound),
+        d.filter(col("doc_id") < bound), "doc_id", "text",
+        k = 4, threshold = 2)
+    }),
+    ("x45_quota_sample", (s: SparkSession, dir: String) =>
+      TextAnalysis.quotaSample(Tables(s, dir, "documents"), "doc_id",
+        "lang", Map("en" -> 60 * mult, "zh" -> 25 * mult),
+        defaultQuota = 10 * mult)),
+    ("x46_concat_offsets", (s: SparkSession, dir: String) =>
+      Packing.concatOffsets(Tables(s, dir, "documents"), "doc_id", "text")))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -114,14 +133,14 @@ object ScaleBench {
     }
 
     // one untimed warmup of every probe at 1× (JIT + codegen)
-    probes(16).foreach { case (n, f) =>
+    probes(16, 1).foreach { case (n, f) =>
       try f(spark, srcDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[scale] warmup $n failed: ${e.getMessage}") }
       spark.catalog.clearCache()
     }
 
-    val results = probes(16).zip(probes(16 * Copies)).map {
+    val results = probes(16, 1).zip(probes(16 * Copies, Copies)).map {
       case ((name, f1), (_, f10)) =>
         val (t1, r1) = run(srcDir, 16, name, f1)
         val (t10, r10) = run(scaleDir, 160, name, f10)
