@@ -58,8 +58,11 @@ object Packing {
     *   2. local running sum per bucket (ordinary partitioned window);
     *   3. per-bucket totals (2^bucketBits rows) roll into exclusive
     *      bucket offsets with a second cumulative window over the tiny
-    *      totals frame (one single-task window over <= 2^24 16-byte
-    *      rows — never the corpus), re-joined broadcast.
+    *      totals frame (<= 2^24 16-byte rows — never the corpus),
+    *      re-joined broadcast. (Since round 7 this delegates to
+    *      [[groupedOffsets]] with a constant group, so even the totals
+    *      window is hash-partitioned — no single-partition exchange in
+    *      the plan at all.)
     *
     * Shuffle cost: one hash exchange of (id, n_tokens) pairs for the
     * window plus a 2^bucketBits-row broadcast — the text never moves
@@ -77,12 +80,39 @@ object Packing {
     * nondeterministic source (e.g. a re-sampled upstream) two
     * independent scans could disagree, corrupting offsets. */
   def concatOffsets(docs: DataFrame, idCol: String, textCol: String,
-                    bucketBits: Int = 8): DataFrame = {
+                    bucketBits: Int = 8): DataFrame =
+    groupedOffsets(docs.withColumn("_cg", lit(0)), idCol, textCol, "_cg",
+      bucketBits)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"))
+
+  /** Per-GROUP concat offset index — [[concatOffsets]] generalized to a
+    * prefix sum within each value of `groupCol` (one virtual token
+    * concatenation per source/language/tenant): returns
+    * (doc_id, group, n_tokens, start_offset) with start_offset the
+    * exclusive running token total within the group's md5-hash order.
+    *
+    * Same two-phase shape as [[concatOffsets]], with the group key
+    * threaded through both phases: corpus-side windows partition by
+    * (group, bucket), and the totals rollup partitions by GROUP — so
+    * unlike the ungrouped form there is no single-partition exchange
+    * anywhere; the per-group totals window handles <= 2^bucketBits rows
+    * and distinct groups proceed in parallel. The broadcast carries
+    * (#groups × 2^bucketBits) rows — size bucketBits accordingly (the
+    * per-group run length, not the corpus, is what a bucket must fit).
+    *
+    * This is the engine under [[TextAnalysis.tokenBudgetMix]]: a
+    * per-source token-budget cap is exactly "keep while the group's
+    * running total is under budget", and the grouped prefix sum
+    * delivers that running total without ever sorting a hot source in
+    * one task. */
+  def groupedOffsets(docs: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, bucketBits: Int = 8): DataFrame = {
     require(bucketBits >= 1 && bucketBits <= 24,
       s"bucketBits must be in [1,24], got $bucketBits")
     val hk = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
     val keyed = Par.spread(docs).select(
+      col(groupCol).as("_g"),
       col(idCol).as("doc_id"),
       size(split(lower(trim(col(textCol))), "\\s+")).cast("long")
         .as("n_tokens"),
@@ -90,24 +120,25 @@ object Packing {
       .withColumn("_bucket", shiftright(col("_hk"), 60 - bucketBits))
       .cache()
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_bucket")).orderBy(col("_hk"), col("doc_id"))
+      .partitionBy(col("_g"), col("_bucket"))
+      .orderBy(col("_hk"), col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val local = keyed.withColumn("_cum", sum(col("n_tokens")).over(w))
-    // 2^bucketBits bucket totals -> exclusive offsets via a second
-    // cumulative window over the tiny totals frame (bucketBits <= 24
-    // bounds the single-task window); stays lazy — no driver collect
+    // per-(group, bucket) totals -> exclusive bucket offsets via a
+    // cumulative window PARTITIONED BY GROUP over the tiny totals frame
+    // (<= 2^bucketBits rows per group); stays lazy — no driver collect
     val wBuckets = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_bucket"))
+      .partitionBy(col("_g")).orderBy(col("_bucket"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         -1)
-    val offsetDf = keyed.groupBy(col("_bucket"))
+    val offsetDf = keyed.groupBy(col("_g"), col("_bucket"))
       .agg(sum(col("n_tokens")).as("_total"))
       .withColumn("_bucket_offset",
         coalesce(sum(col("_total")).over(wBuckets), lit(0L)))
-      .select(col("_bucket"), col("_bucket_offset"))
-    local.join(broadcast(offsetDf), "_bucket")
-      .select(col("doc_id"), col("n_tokens"),
+      .select(col("_g"), col("_bucket"), col("_bucket_offset"))
+    local.join(broadcast(offsetDf), Seq("_g", "_bucket"))
+      .select(col("doc_id"), col("_g").as(groupCol), col("n_tokens"),
         (col("_bucket_offset") + col("_cum") - col("n_tokens"))
           .as("start_offset"))
   }

@@ -264,6 +264,149 @@ object TextAnalysis {
       .drop("_neg_hk")
   }
 
+  /** [[quotaSample]] with DATA-DRIVEN quotas: `quotas` is a
+    * (stratum, quota) frame — typically the output of
+    * [[temperatureQuotas]] — instead of a driver-side Map, so the
+    * stratum universe can itself be corpus-derived (domains, not a
+    * hand-written source list). Same salted top-k engine and the same
+    * determinism/monotonicity guarantees. The one eager step is a 1-row
+    * aggregate for the global max quota (saltedTopK's k) — bounded by
+    * definition. Strata absent from `quotas` are dropped (inner join):
+    * an unlisted source has no budget in the mixture. */
+  def quotaSampleBy(docs: DataFrame, idCol: String, stratumCol: String,
+                    quotas: DataFrame): DataFrame = {
+    val maxK = quotas.agg(max(col("quota")).cast("long")).head().getLong(0)
+    require(maxK <= Int.MaxValue, s"max quota $maxK exceeds Int range")
+    val negHash = -conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long")
+    Skew.saltedTopK(docs.withColumn("_neg_hk", negHash),
+        Seq(stratumCol), "_neg_hk", maxK.toInt, tieCols = Seq(idCol))
+      .join(broadcast(quotas), stratumCol)
+      .filter(col("rank") <= col("quota"))
+      .drop("_neg_hk", "quota")
+  }
+
+  /** Temperature-based mixture quotas: per-source document budgets
+    * proportional to (source token count)^alpha — the standard
+    * "temperature" reweighting that upsamples small/rare sources
+    * relative to their natural share (alpha=1 is natural sampling,
+    * alpha=0 is uniform; pretraining mixtures typically use
+    * alpha in [0.3, 0.7]). Returns (group, quota) with
+    * quota = max(1, floor(totalDocs · w_g / Σ w_g)), w_g = tok_g^alpha —
+    * every source keeps at least one document, and Σ quota <= totalDocs
+    * + #groups (floor slack).
+    *
+    * Cross-engine float laws (the x25/x5 discipline): pow is not
+    * correctly-rounded IEEE, so w_g is pre-rounded to the 1e-4 grid;
+    * the grid points are summed as exact DECIMAL(38,6) (order-
+    * independent under any partitioning); the remaining ratio/floor
+    * arithmetic is correctly-rounded IEEE ops on identical inputs,
+    * hence engine-stable. Token totals are exact long sums. */
+  def temperatureQuotas(docs: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, alpha: Double,
+                        totalDocs: Long): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    require(totalDocs > 0, s"totalDocs must be positive, got $totalDocs")
+    val toks = Par.spread(docs).select(col(groupCol),
+      size(split(lower(trim(col(textCol))), "\\s+")).cast("long").as("_n"))
+    // Σ w over a global window on the GROUP-BOUNDED quota frame (one row
+    // per source — a single-task frame by construction, like x46's
+    // bucket totals), avoiding a self-referential crossJoin
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // "_wsum", not "_W": Spark resolves column names case-insensitively
+    // by default, so a "_W" would silently REPLACE "_w" in withColumn
+    toks.groupBy(col(groupCol))
+      .agg(sum(col("_n")).as("_tok"))
+      .withColumn("_w", Num.fpRound(pow(col("_tok").cast("double"), alpha), 4))
+      .withColumn("_wsum",
+        sum(col("_w").cast("decimal(38,6)")).over(wAll).cast("double"))
+      .withColumn("quota", greatest(lit(1L),
+        floor(col("_w") / col("_wsum") * lit(totalDocs.toDouble)).cast("long")))
+      .select(col(groupCol), col("quota"))
+  }
+
+  /** Temperature-based mixture sampling: [[temperatureQuotas]] feeding
+    * [[quotaSampleBy]] — rebalance the corpus to ~`totalDocs` documents
+    * with per-source shares ∝ tokens^alpha, picked deterministically by
+    * md5 rank. The whole pipeline is two shuffles of (group, long)
+    * pairs plus the salted top-k; document text never moves. */
+  def temperatureSample(docs: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, alpha: Double,
+                        totalDocs: Long): DataFrame =
+    quotaSampleBy(docs,
+      idCol, groupCol,
+      temperatureQuotas(docs, idCol, textCol, groupCol, alpha, totalDocs))
+
+  /** Per-source token-budget cap: keep each source's documents — in the
+    * deterministic md5-hash order — while the source's RUNNING token
+    * total stays within its budget (the "fill each mixture slot up to
+    * its token budget" step; [[quotaSample]] budgets documents, this
+    * budgets TOKENS, which is what a pretraining mixture spec
+    * actually allocates). Emits (doc_id, group, n_tokens, cum_tokens)
+    * for the kept prefix of each source, cum_tokens inclusive.
+    *
+    * Scale path: the running total comes from
+    * [[Packing.groupedOffsets]] — the grouped two-phase distributed
+    * prefix sum — so a hot source is spread over 2^bucketBits
+    * parallel bucket runs instead of sorting in one task, and only
+    * (id, n_tokens) pairs ever shuffle. */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, budgetByGroup: Map[String, Long],
+                     defaultBudget: Long): DataFrame = {
+    require(defaultBudget >= 0 && budgetByGroup.values.forall(_ >= 0),
+      "budgets must be non-negative")
+    val budget = budgetByGroup.foldLeft(lit(defaultBudget)) {
+      case (acc, (g, b)) => when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    Packing.groupedOffsets(docs, idCol, textCol, groupCol)
+      .withColumn("cum_tokens", col("start_offset") + col("n_tokens"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col(groupCol), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
+  /** Deterministic epoch upsampling: emit each document `floor(w)` or
+    * `ceil(w)` times for its source's weight w, the fractional part
+    * admitted by md5 hash — the "repeat rare high-quality sources for
+    * multiple epochs" step of mixture construction (w=2.25 ⇒ every doc
+    * appears twice, a deterministic 25% of docs a third time; w<1
+    * downsamples). Output (doc_id, group, epoch), epoch in
+    * [0, copies): stable across engines, runs, and partitionings —
+    * no RNG, and a doc's copies only grow as w grows (monotone).
+    *
+    * Scan-side narrow op: the weight is a literal when-chain, the
+    * repeat an explode of a per-row sequence — zero shuffles, which is
+    * the only acceptable cost for an operator whose OUTPUT is larger
+    * than its input. */
+  def epochRepeat(docs: DataFrame, idCol: String, groupCol: String,
+                  weightByGroup: Map[String, Double],
+                  defaultWeight: Double = 1.0): DataFrame = {
+    require(defaultWeight >= 0 && weightByGroup.values.forall(_ >= 0),
+      "weights must be non-negative")
+    require(defaultWeight <= 100 && weightByGroup.values.forall(_ <= 100),
+      "weights above 100 epochs are almost certainly a bug")
+    // fractional admission compares 15-hex-char md5 prefixes as STRINGS
+    // (fixed-length lowercase hex: lexicographic == numeric), so the
+    // same literal threshold works verbatim in any SQL engine
+    def hexThreshold(w: Double): String =
+      f"${math.min(math.max(w - math.floor(w), 0.0) * math.pow(16, 15), math.pow(16, 15) - 1).toLong}%015x"
+    val hex15 = substring(md5(col(idCol).cast("string")), 1, 15)
+    def copiesFor(w: Double): Column =
+      lit(math.floor(w).toLong) +
+        when(hex15 < lit(hexThreshold(w)), lit(1L)).otherwise(lit(0L))
+    val copies = weightByGroup.foldLeft(copiesFor(defaultWeight)) {
+      case (acc, (g, w)) => when(col(groupCol) === g, copiesFor(w))
+        .otherwise(acc)
+    }
+    docs.select(col(idCol).as("doc_id"), col(groupCol), copies.as("_copies"))
+      .filter(col("_copies") > 0)
+      .select(col("doc_id"), col(groupCol),
+        explode(sequence(lit(0L), col("_copies") - 1)).as("epoch"))
+  }
+
   /** Benchmark decontamination: count each corpus document's k-shingle
     * overlap with a (small) benchmark/eval set and flag documents at or
     * above `threshold` — the standard "remove eval-set leakage before

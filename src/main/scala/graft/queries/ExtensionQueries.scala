@@ -318,7 +318,32 @@ object ExtensionQueries {
     // + local windows + tiny bucket-offset broadcast — never Spark's
     // single-task global window).
     "x46_concat_offsets" -> ((s, dir) =>
-      Packing.concatOffsets(t(s, dir, "documents"), "doc_id", "text"))
+      Packing.concatOffsets(t(s, dir, "documents"), "doc_id", "text")),
+
+    // x47 — per-source TOKEN-budget cap: keep each source's md5-order
+    // document prefix while the running token total fits the source's
+    // budget. Rides the grouped two-phase prefix sum (groupedOffsets):
+    // no source ever sorts in a single task.
+    "x47_token_budget_mix" -> ((s, dir) =>
+      TextAnalysis.tokenBudgetMix(t(s, dir, "documents"), "doc_id", "text",
+        "source", Map("src0" -> 900L, "src1" -> 400L), defaultBudget = 700L)),
+
+    // x48 — temperature mixture sampling: per-source quotas ∝ tokens^0.5
+    // (the pretraining "temperature" reweighting that upsamples rare
+    // sources), data-driven quotas feeding the salted grouped top-k.
+    "x48_temperature_mix" -> ((s, dir) =>
+      TextAnalysis.temperatureSample(t(s, dir, "documents"), "doc_id",
+          "text", "source", alpha = 0.5, totalDocs = 120)
+        .select(col("doc_id"), col("source"),
+          col("rank").cast("long").as("rank"))),
+
+    // x49 — deterministic epoch upsampling: src0 docs appear 2-3 times
+    // (w=2.25: all twice, a deterministic md5-picked 25% a third time),
+    // src1 is halved (w=0.5), the rest pass through once. Zero-shuffle
+    // narrow explode.
+    "x49_epoch_repeat" -> ((s, dir) =>
+      TextAnalysis.epochRepeat(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 2.25, "src1" -> 0.5), defaultWeight = 1.0))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -841,6 +866,61 @@ object ExtensionQueries {
            CAST(coalesce(SUM(n_tokens) OVER (ORDER BY hk, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              AS BIGINT) AS start_offset
-         FROM tok"""
+         FROM tok""",
+    "x47_token_budget_mix" ->
+      """WITH tok AS (SELECT doc_id, source,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+             AS n_tokens,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             AS hk
+           FROM documents),
+         cum AS (SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id)
+             AS BIGINT) AS cum_tokens
+           FROM tok)
+         SELECT doc_id, source, n_tokens, cum_tokens FROM cum
+         WHERE cum_tokens <= CASE WHEN source = 'src0' THEN 900
+                                  WHEN source = 'src1' THEN 400
+                                  ELSE 700 END""",
+    // w = fpRound(tok^0.5, 4): floor(x*1e4 + 0.5)/1e4 is the project's
+    // cross-engine rounding law; the grid points sum as DECIMAL(38,6)
+    // (order-independent), the rest is correctly-rounded IEEE ops.
+    "x48_temperature_mix" ->
+      """WITH tok AS (SELECT doc_id, source,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+             AS n FROM documents),
+         grp AS (SELECT source, SUM(n) AS tokens FROM tok GROUP BY 1),
+         wts AS (SELECT source,
+           floor(pow(CAST(tokens AS DOUBLE), 0.5) * 10000 + 0.5) / 10000
+             AS w FROM grp),
+         tot AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS wsum
+           FROM wts),
+         q AS (SELECT source,
+           greatest(1, CAST(floor(w / wsum * 120) AS BIGINT)) AS quota
+           FROM wts, tot),
+         ranked AS (SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+             doc_id) AS rank
+           FROM documents)
+         SELECT r.doc_id, r.source, CAST(r.rank AS BIGINT) AS rank
+         FROM ranked r JOIN q USING (source) WHERE r.rank <= q.quota""",
+    // fractional-epoch admission compares 15-hex-char md5 prefixes as
+    // fixed-length strings (lexicographic == numeric): 0.25 -> 2^58 =
+    // '4' || 14 zeros, 0.5 -> 2^59 = '8' || 14 zeros.
+    "x49_epoch_repeat" ->
+      """WITH base AS (SELECT doc_id, source,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS h
+           FROM documents),
+         cop AS (SELECT doc_id, source,
+           CASE WHEN source = 'src0'
+                  THEN 2 + CASE WHEN h < '400000000000000' THEN 1 ELSE 0 END
+                WHEN source = 'src1'
+                  THEN CASE WHEN h < '800000000000000' THEN 1 ELSE 0 END
+                ELSE 1 END AS copies
+           FROM base)
+         SELECT doc_id, source, CAST(g.e AS BIGINT) AS epoch
+         FROM cop, unnest(generate_series(0, copies - 1)) AS g(e)
+         WHERE copies > 0"""
   )
 }

@@ -230,4 +230,40 @@ class PlanAuditSpec extends SparkSpec {
           s"global window over non-aggregated (corpus-sized) data:\n$w")
       }
   }
+
+  test("x47 grouped prefix sum: every window partitioned, no single-partition corpus exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+    val exec: SparkPlan =
+      SparkEntry.queries("x47_token_budget_mix")(spark, sfDir)
+        .queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.initialPlan
+          case p                        => p
+        }
+    // the grouped form threads the group key through BOTH phases: even
+    // the bucket-totals rollup partitions by group, so no window in the
+    // plan is global and no SinglePartition exchange moves corpus rows
+    val windows = exec.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"prefix-sum windows missing:\n$exec")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window in x47:\n$w")
+    }
+    exec.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }.foreach { e =>
+      assert(e.child.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+        s"SinglePartition exchange over non-aggregated data in x47:\n$e")
+    }
+  }
+
+  test("x49 epoch repeat is a zero-shuffle narrow explode") {
+    val p = plan("x49_epoch_repeat")
+    assert(!p.contains("Exchange"), s"epoch repeat should not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected the sequence explode:\n$p")
+  }
 }

@@ -78,6 +78,30 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("groupedOffsets: per-group tiling; groups are independent concats") {
+    val docs = (1L to 300L).map(i =>
+      (i, s"g${i % 3}", ("w " * (1 + (i % 13).toInt)).trim))
+      .toDF("doc_id", "grp", "text")
+    val out = Packing.groupedOffsets(docs, "doc_id", "text", "grp")
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("start_offset")))
+    assert(out.length == 300)
+    out.groupBy(_._1).foreach { case (g, rows) =>
+      // within each group, spans tile [0, group total) with no gaps
+      val spans = rows.sortBy(_._4)
+      assert(spans.head._4 == 0L, s"group $g does not start at 0")
+      spans.sliding(2).foreach { case Array((_, _, n, s), (_, _, _, s2)) =>
+        assert(s + n == s2, s"gap/overlap in group $g at offset $s")
+      }
+      // and each group independently matches the ungrouped operator run
+      // on just that group's documents
+      val alone = Packing.concatOffsets(
+          docs.filter(col("grp") === g), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.map(r => (r._2, r._3, r._4)).toSet == alone)
+    }
+  }
+
   test("packChunks property: exactly-once + budget over random inputs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -240,4 +240,95 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again == out)
   }
+
+  // 40 docs × 10 tokens in "big" (400 tokens), 10 docs × 4 in "small"
+  // (40 tokens): a 10:1 token ratio for the temperature tests
+  private lazy val mixDocs = ((1L to 40L).map(i =>
+      (i, "big", ("t " * 10).trim)) ++ (41L to 50L).map(i =>
+      (i, "small", ("t " * 4).trim)))
+    .toDF("doc_id", "src", "text")
+
+  test("temperatureQuotas: alpha sweeps natural -> uniform shares (x48)") {
+    def q(alpha: Double) = TextAnalysis
+      .temperatureQuotas(mixDocs, "doc_id", "text", "src", alpha, 100)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    val natural = q(1.0) // shares ∝ tokens: 400/440, 40/440
+    assert(natural("big") == 90 && natural("small") == 9)
+    val uniform = q(0.0) // tokens^0 = 1: equal shares
+    assert(uniform("big") == 50 && uniform("small") == 50)
+    val temp = q(0.5) // ∝ sqrt(tokens): 20/(20+6.3245), 6.3245/...
+    assert(temp("big") == 75 && temp("small") == 24)
+    // every source keeps at least one doc even when its share rounds to 0
+    val tiny = TextAnalysis.temperatureQuotas(mixDocs, "doc_id", "text",
+        "src", 1.0, 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    assert(tiny("small") == 1L)
+  }
+
+  test("temperatureSample: deterministic pick, quota-bounded (x48)") {
+    val s1 = TextAnalysis.temperatureSample(mixDocs, "doc_id", "text",
+        "src", 0.5, 20)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("src")))
+    val bySrc = s1.groupBy(_._2).map { case (k, v) => k -> v.size }
+    assert(bySrc("big") == 15 && bySrc("small") == 4) // floor(w/W*20)
+    val s2 = TextAnalysis.temperatureSample(
+        mixDocs.repartition(7), "doc_id", "text", "src", 0.5, 20)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("src")))
+    assert(s2.toSet == s1.toSet) // partitioning-independent
+  }
+
+  test("tokenBudgetMix matches the naive per-group cumsum filter (x47)") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 120L).map(i =>
+      (i, s"s${i % 4}", ("w " * (1 + (i % 9).toInt)).trim))
+      .toDF("doc_id", "src", "text")
+    val out = TextAnalysis.tokenBudgetMix(docs, "doc_id", "text", "src",
+        Map("s0" -> 30L), defaultBudget = 50L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens"))).toMap
+    // naive formulation: single window per group
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      .orderBy(org.apache.spark.sql.functions.conv(
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(col("doc_id").cast("string")),
+          1, 15), 16, 10).cast("long"), col("doc_id"))
+    val naive = docs.withColumn("n",
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions
+          .split(org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.trim(col("text"))), "\\s+"))
+          .cast("long"))
+      .withColumn("cum",
+        org.apache.spark.sql.functions.sum(col("n")).over(w))
+      .filter(col("cum") <= org.apache.spark.sql.functions
+        .when(col("src") === "s0", 30L).otherwise(50L))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum"))).toMap
+    assert(out == naive)
+    assert(out.nonEmpty && out.size < 120) // the budget actually cuts
+  }
+
+  test("epochRepeat: floor copies + md5 fractional admission, monotone (x49)") {
+    val docs = (1L to 200L).map(i =>
+      (i, if (i <= 100) "hot" else "cold")).toDF("doc_id", "src")
+    def counts(wHot: Double) = TextAnalysis
+      .epochRepeat(docs, "doc_id", "src", Map("hot" -> wHot),
+        defaultWeight = 1.0)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+      .groupBy(_._1).map { case (k, v) => k -> v.size }
+    val c225 = counts(2.25)
+    // every hot doc appears 2 or 3 times, epochs are 0..copies-1
+    assert((1L to 100L).forall(i => c225(i) == 2 || c225(i) == 3))
+    val thirds = (1L to 100L).count(i => c225(i) == 3)
+    assert(thirds > 10 && thirds < 40, s"~25% expected, got $thirds")
+    assert((101L to 200L).forall(i => c225(i) == 1)) // default w=1.0
+    // w < 1 downsamples deterministically
+    val cHalf = counts(0.5)
+    val kept = (1L to 100L).filter(cHalf.contains)
+    assert(kept.size > 30 && kept.size < 70)
+    // monotone: raising w only ever ADDS copies
+    assert(kept.toSet.subsetOf(
+      (1L to 100L).filter(i => c225(i) >= 2).toSet))
+    val c075 = counts(0.75)
+    assert(kept.toSet.subsetOf((1L to 100L).filter(c075.contains).toSet))
+  }
 }
