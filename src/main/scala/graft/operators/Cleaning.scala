@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graft.TextExpressions
+
+import graft.functions.Par
+
+/** Corpus cleaning for training-data preparation: passage-level
+  * boilerplate removal (the RefinedWeb / C4 "line dedup" stage, adapted
+  * to whitespace-token passages since the fixture corpus is single-line
+  * text).
+  *
+  * A document is split into non-overlapping `passageTokens`-token
+  * passages; any passage whose exact normalized text occurs in more than
+  * `maxDf` DISTINCT documents is boilerplate (navigation chrome, license
+  * headers, templated spam) and is removed from EVERY document containing
+  * it; the survivors are re-joined in original order.
+  */
+object Cleaning {
+
+  /** Strip cross-document boilerplate passages and reassemble each
+    * document. Output: one row per input document —
+    * `(doc_id, clean_text, n_kept, n_dropped)` — including documents
+    * whose every passage was boilerplate (`clean_text = ''`).
+    *
+    * Plan shape / 100 TB design:
+    *  - passage split is the per-row [[TextExpressions.chunkTokens]]
+    *    kernel (stride = size ⇒ non-overlapping) — a narrow explode, no
+    *    shuffle;
+    *  - the document-frequency count groups on `md5(passage)` so only
+    *    32-byte digests shuffle, never passage text. Both this operator
+    *    and its oracle key on the digest, so the (negligible,
+    *    deterministic) collision behavior is identical by construction;
+    *  - the boilerplate set is removed with a LEFT ANTI join on the
+    *    digest — no assumption that it fits in a broadcast (on a spammy
+    *    corpus it can be huge); a hot boilerplate digest makes a hot
+    *    anti-join key, which AQE skew-splits safely (anti join, no
+    *    result blowup);
+    *  - reassembly groups by doc id — `collect_list` buffers one
+    *    document's passages in one task, the same memory class as the
+    *    document itself, so it scales wherever the corpus does.
+    *
+    * Determinism requirement: `docs` must be deterministic across scans
+    * (it is scanned for passages and again for per-document totals) —
+    * same contract as [[Packing.concatOffsets]].
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       passageTokens: Int = 8, maxDf: Int = 1): DataFrame = {
+    require(passageTokens >= 1,
+      s"passageTokens must be >= 1, got $passageTokens")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val spread = Par.spread(docs)
+    val passages = spread
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextExpressions.chunkTokens(
+          col(textCol), passageTokens, passageTokens))
+          .as(Seq("_cid", "_p")))
+      .withColumn("_h", md5(col("_p")))
+    // digest -> distinct-document frequency; > maxDf ⇒ boilerplate.
+    val boiler = passages.groupBy(col("_h"))
+      .agg(countDistinct(col("doc_id")).as("_df"))
+      .filter(col("_df") > lit(maxDf))
+      .select(col("_h"))
+    val rebuilt = passages.join(boiler, Seq("_h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("_cid"), col("_p")))),
+            x => x.getField("_p")), " ").as("_clean"))
+    val totals = Par.spread(docs).select(col(idCol).as("doc_id"),
+      size(TextExpressions.chunkTokens(
+        col(textCol), passageTokens, passageTokens)).cast("long")
+        .as("_n_total"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_clean"), lit("")).as("clean_text"),
+        coalesce(col("_n_kept"), lit(0L)).as("n_kept"),
+        (col("_n_total") - coalesce(col("_n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
+  /** The serialized Bloom sketch of the corpus's boilerplate passage
+    * hashes (xxhash64 of each passage whose distinct-document frequency
+    * exceeds `maxDf`) — the shareable artifact behind the streaming
+    * [[graft.streaming.Streams.boilerplateScrub]]: build once per corpus
+    * snapshot batch-side, then scrub arriving documents statelessly.
+    * Driver-held but boilerplate-set-bounded (the sketch is MB-scale
+    * regardless of corpus size — same contract as
+    * [[TextAnalysis.benchmarkSketch]]). Returns null when the corpus has
+    * no boilerplate at the given bar (the scrub treats null as
+    * pass-through). */
+  def boilerplateSketch(docs: DataFrame, idCol: String, textCol: String,
+                        passageTokens: Int = 8, maxDf: Int = 1): Array[Byte] = {
+    require(passageTokens >= 1,
+      s"passageTokens must be >= 1, got $passageTokens")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val boiler = Par.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(TextExpressions.chunkTokens(
+          col(textCol), passageTokens, passageTokens)).as("_p"))
+      .select(col("doc_id"), xxhash64(col("_p")).as("_h"))
+      .groupBy(col("_h"))
+      .agg(countDistinct(col("doc_id")).as("_df"))
+      .filter(col("_df") > lit(maxDf))
+      .cache()
+    try {
+      val n = boiler.count()
+      // floor the size estimate: BloomFilterAggregate sizes bits for ~3%
+      // fp at the ESTIMATE, so a handful of boilerplate items would get a
+      // handful of bits and scrub ~3% of clean passages; 4096 costs ~4 KB
+      // and makes the small-set fp rate effectively zero
+      if (n == 0L) null
+      else boiler.agg(TextExpressions.bloomAgg(col("_h"),
+          math.max(n, 4096L)).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    } finally boiler.unpersist()
+  }
+}

@@ -92,6 +92,40 @@ object TextAnalysis {
       length(trim(col(textCol))).as("n_chars"))
   }
 
+  /** Corpus data card: the per-(source, lang) composition report every
+    * training-data release ships — document and token counts, average
+    * document length, exact-duplicate rate (1 - distinct normalized
+    * texts / docs), and each cell's share of corpus tokens.
+    *
+    * Plan shape / 100 TB design: one per-row projection computes token
+    * count and the normalized-text digest, then a single (source, lang)
+    * hash aggregate — partial map-side aggregation collapses the corpus
+    * to O(#cells × #distinct texts per cell) before any shuffle, and the
+    * corpus-total token count is a 1-row frame broadcast back over the
+    * tiny cell table. Ratios divide exact longs as IEEE doubles and
+    * round on the fpRound grid, so they cross engines bit-identically. */
+  def dataCard(docs: DataFrame, idCol: String, textCol: String,
+               sourceCol: String, langCol: String): DataFrame = {
+    val base = Par.spread(docs).select(
+      col(sourceCol).as("source"), col(langCol).as("lang"),
+      size(Text.tokens(col(textCol))).cast("long").as("_tok"),
+      md5(lower(trim(col(textCol)))).as("_th"))
+    val grp = base.groupBy(col("source"), col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_tok")).as("n_tokens"),
+      countDistinct(col("_th")).as("n_distinct_texts"))
+    val tot = grp.agg(sum(col("n_tokens")).as("_total"))
+    grp.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        Num.fpRound(col("n_tokens").cast("double") /
+          col("n_docs").cast("double"), 4).as("avg_doc_tokens"),
+        col("n_distinct_texts"),
+        Num.fpRound((col("n_docs") - col("n_distinct_texts")).cast("double") /
+          col("n_docs").cast("double"), 4).as("dup_rate"),
+        Num.fpRound(col("n_tokens").cast("double") /
+          col("_total").cast("double"), 4).as("token_share"))
+  }
+
   /** TF-IDF top-`topK` terms per document (whitespace tokens, duplicate-
     * preserving term frequency, smooth idf = ln((N+1)/(df+1))).
     *

@@ -361,4 +361,71 @@ object TextDedup {
           TextExpressions.shingleSet(col(textCol), shingleK), keep)
           .as("fingerprint"))
       .filter(col("fingerprint").isNotNull)
+
+  /** POSITIONAL winnowing (the MOSS scheme, Schleimer et al. 2003):
+    * slide a `window`-wide frame over the document's positional
+    * `shingleK`-gram digest sequence and select each frame's minimum —
+    * guaranteeing any shared run of >= window + shingleK - 1 tokens
+    * yields a shared fingerprint (the local-ness property [[fingerprints]]'
+    * global bottom-k sketch does not have). Pairs sharing >= `minShared`
+    * distinct selected digests are reported with the shared count.
+    *
+    * Plan shape / 100 TB design: positional shingles come from the
+    * [[TextExpressions.chunkTokens]] kernel (size = shingleK, stride = 1
+    * ⇒ every k-gram, in order) — narrow explode of 32-byte digests; the
+    * min-selection is a doc-partitioned running window (hash-partitioned
+    * by doc id — never a global sort); fingerprints per doc are
+    * O(tokens / avg gap), and only (doc_id, digest) pairs ever shuffle.
+    * The digest equi-join groups by fingerprint — a digest shared by
+    * df docs contributes df·(df-1)/2 candidate rows, so a corpus-wide
+    * boilerplate fingerprint can go quadratic: `maxFpDf` fails fast past
+    * the bound (same guard contract as containmentPairs' maxProbeDf) —
+    * strip boilerplate first ([[Cleaning.stripBoilerplate]]) or raise
+    * the bound deliberately.
+    *
+    * Documents with fewer than window + shingleK - 1 tokens have no full
+    * frame and produce no fingerprints (standard winnowing boundary
+    * rule); both engines agree on this by the same arithmetic. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  shingleK: Int = 3, window: Int = 4, minShared: Int = 2,
+                  maxFpDf: Long = 10000L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // cached: read by the guard and by BOTH sides of the pair join —
+    // (doc_id, digest) pairs only, the corpus-text frame never pins
+    val fps = winnowFingerprints(docs, idCol, textCol, shingleK, window)
+      .cache()
+    graft.functions.Guards.requireSmallGroups(fps, "fingerprint", maxFpDf,
+      "winnowPairs' fingerprint join",
+      "Cleaning.stripBoilerplate upstream (or minhashLshPairs)")
+    fps.as("a").join(fps.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= lit(minShared))
+  }
+
+  /** The per-document fingerprint stage of [[winnowPairs]]:
+    * value-distinct `(doc_id, fingerprint)` window minima over the
+    * positional shingle digest stream. Public both as the storable
+    * "document signature" artifact and so the plan is auditable without
+    * the pair-join's cache in the way (PlanAuditSpec pins the window is
+    * hash-partitioned by document — the corpus never funnels through a
+    * single task). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         shingleK: Int = 3, window: Int = 4): DataFrame = {
+    require(shingleK >= 1, s"shingleK must be >= 1, got $shingleK")
+    require(window >= 2, s"window must be >= 2, got $window")
+    val sh = Par.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        TextExpressions.chunkTokens(col(textCol), shingleK, 1).as("_c"))
+      .select(col("doc_id"), size(col("_c")).as("_m"),
+        posexplode(col("_c")).as(Seq("_i", "_s")))
+      .select(col("doc_id"), col("_m"), col("_i"), md5(col("_s")).as("_h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_i"))
+      .rowsBetween(Window.currentRow, window - 1)
+    sh.withColumn("_mh", min(col("_h")).over(w))
+      .filter(col("_i") <= col("_m") - lit(window)) // full frames only
+      .select(col("doc_id"), col("_mh").as("fingerprint")).distinct()
+  }
 }

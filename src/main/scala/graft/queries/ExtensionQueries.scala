@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num
-import graft.operators.{Components, Multimodal, Packing, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Cleaning, Components, Multimodal, Packing, Similarity, TextAnalysis, TextDedup}
 
 /** Extension + capability-proof query inventory (SURVEY §2.4 X1-X6 plus the
   * LLM-training-data operators: dedup family, similarity search, text
@@ -343,7 +343,29 @@ object ExtensionQueries {
     // narrow explode.
     "x49_epoch_repeat" -> ((s, dir) =>
       TextAnalysis.epochRepeat(t(s, dir, "documents"), "doc_id", "source",
-        Map("src0" -> 2.25, "src1" -> 0.5), defaultWeight = 1.0))
+        Map("src0" -> 2.25, "src1" -> 0.5), defaultWeight = 1.0)),
+
+    // x50 — passage-level boilerplate removal (the RefinedWeb/C4 "line
+    // dedup" stage): 8-token passages occurring in >1 distinct document
+    // are stripped from every document; survivors re-join in order.
+    "x50_boilerplate_strip" -> ((s, dir) =>
+      Cleaning.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text",
+        passageTokens = 8, maxDf = 1)),
+
+    // x51 — corpus data card: per-(source, lang) docs/tokens/avg-length/
+    // exact-dup-rate/token-share — the composition report of a training
+    // mixture, one corpus aggregate + a 1-row broadcast total.
+    "x51_data_card" -> ((s, dir) =>
+      TextAnalysis.dataCard(t(s, dir, "documents"), "doc_id", "text",
+        "source", "lang")),
+
+    // x52 — positional winnowing (MOSS): window-min over the positional
+    // 3-gram digest stream; pairs sharing >= 2 selected digests.
+    // Guarantees shared runs of >= 6 tokens produce a shared
+    // fingerprint — locality x14's global bottom-k sketch lacks.
+    "x52_winnow_pairs" -> ((s, dir) =>
+      TextDedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, window = 4, minShared = 2))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -921,6 +943,71 @@ object ExtensionQueries {
            FROM base)
          SELECT doc_id, source, CAST(g.e AS BIGINT) AS epoch
          FROM cop, unnest(generate_series(0, copies - 1)) AS g(e)
-         WHERE copies > 0"""
+         WHERE copies > 0""",
+    // both engines key the df count on md5(passage) — identical
+    // semantics by construction, even under (negligible) collisions.
+    "x50_boilerplate_strip" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         counted AS (SELECT doc_id, t,
+           CASE WHEN len(t) <= 8 THEN 1
+                ELSE CAST(ceil((len(t) - 8) * 1.0 / 8) AS BIGINT) + 1
+           END AS n_chunks FROM toks),
+         ch AS (SELECT doc_id, g.i AS cid,
+           md5(array_to_string(t[(g.i * 8 + 1):(g.i * 8 + 8)], ' ')) AS h,
+           array_to_string(t[(g.i * 8 + 1):(g.i * 8 + 8)], ' ') AS p
+           FROM counted, unnest(generate_series(0, n_chunks - 1)) AS g(i)),
+         boiler AS (SELECT h FROM ch GROUP BY h
+           HAVING count(DISTINCT doc_id) > 1),
+         kept AS (SELECT ch.doc_id, ch.cid, ch.p FROM ch
+           LEFT JOIN boiler USING (h) WHERE boiler.h IS NULL),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+           string_agg(p, ' ' ORDER BY cid) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT c.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(c.n_chunks - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+         FROM counted c LEFT JOIN agg a USING (doc_id)""",
+    "x51_data_card" ->
+      """WITH base AS (SELECT source, lang,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+             AS tok,
+           md5(lower(trim(text))) AS th FROM documents),
+         grp AS (SELECT source, lang, count(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           count(DISTINCT th) AS n_distinct_texts FROM base GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total FROM grp)
+         SELECT source, lang, n_docs, n_tokens,
+           floor(CAST(n_tokens AS DOUBLE) / n_docs * 10000 + 0.5) / 10000
+             AS avg_doc_tokens,
+           n_distinct_texts,
+           floor(CAST(n_docs - n_distinct_texts AS DOUBLE) / n_docs * 10000
+             + 0.5) / 10000 AS dup_rate,
+           floor(CAST(n_tokens AS DOUBLE) / total * 10000 + 0.5) / 10000
+             AS token_share
+         FROM grp, tot""",
+    // positional k-grams (stride-1 windows of 3 tokens; a doc of < 3
+    // tokens is its own single "gram" — same rule as the Spark kernel),
+    // window-min selection over full 4-frames, value-distinct
+    // fingerprints, pair counts of shared digests.
+    "x52_winnow_pairs" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id,
+           CASE WHEN len(t) <= 3 THEN 1 ELSE len(t) - 2 END AS m,
+           g.i AS i,
+           md5(array_to_string(t[i:(i + 2)], ' ')) AS h
+           FROM toks, unnest(generate_series(1,
+             CASE WHEN len(t) <= 3 THEN 1 ELSE len(t) - 2 END)) AS g(i)),
+         wm AS (SELECT doc_id, i, m,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+           FROM sh),
+         fp AS (SELECT DISTINCT doc_id, mh FROM wm WHERE i <= m - 4 + 1)
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           count(*) AS n_shared
+         FROM fp a JOIN fp b ON a.mh = b.mh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2"""
   )
 }

@@ -172,6 +172,32 @@ object Streams {
     docs.filter(hits < threshold)
   }
 
+  /** Streaming boilerplate scrub — the streaming twin of batch x50
+    * ([[graft.operators.Cleaning.stripBoilerplate]]): the Bloom sketch
+    * of the corpus's boilerplate passage hashes (built ONCE batch-side
+    * via [[graft.operators.Cleaning.boilerplateSketch]]) REWRITES each
+    * arriving document in place — passages hitting the sketch are
+    * removed and the survivors re-joined in order. A pure per-row
+    * projection (kernel chunking + codegen'd membership probes), so it
+    * composes before any stateful stage like the other gates.
+    *
+    * Unlike batch x50 there is no exact verify against the passage set
+    * (corpus-sized — not a stream-side artifact): the sketch's false
+    * positive rate becomes an over-scrub rate, the standard trade for
+    * an ingestion-time filter. A null sketch (no boilerplate at build
+    * time) passes documents through unchanged. */
+  def boilerplateScrub(docs: DataFrame, textCol: String,
+                       bloomBytes: Array[Byte],
+                       passageTokens: Int): DataFrame = {
+    if (bloomBytes == null) docs
+    else {
+      val te = org.apache.spark.sql.graft.TextExpressions
+      docs.withColumn(textCol, array_join(
+        filter(te.chunkTokens(col(textCol), passageTokens, passageTokens),
+          c => !te.bloomMightContain(bloomBytes, xxhash64(c))), " "))
+    }
+  }
+
   /** Streaming exact dedup — the streaming twin of the batch x1 operator:
     * exactly one representative per content digest, with BOUNDED state
     * (the first-seen row across micro-batches; within one micro-batch the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{LocalSession, Tables}
-import graft.operators.{Components, Packing, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Cleaning, Components, Packing, Similarity, TextAnalysis, TextDedup}
 
 /** Empirical scale probe for the dedup family (x8/x32/x36/x39/x40): runs
   * each pipeline at sf0.1 (5000 documents / 2000 embeddings) and at a
@@ -105,7 +105,14 @@ object ScaleBench {
         "lang", Map("en" -> 60 * mult, "zh" -> 25 * mult),
         defaultQuota = 10 * mult)),
     ("x46_concat_offsets", (s: SparkSession, dir: String) =>
-      Packing.concatOffsets(Tables(s, dir, "documents"), "doc_id", "text")))
+      Packing.concatOffsets(Tables(s, dir, "documents"), "doc_id", "text")),
+    // the `_k` token suffix keeps passages/fingerprints disjoint across
+    // copies, so both probes' duplicate structure replicates exactly 10×
+    ("x50_boilerplate", (s: SparkSession, dir: String) =>
+      Cleaning.stripBoilerplate(Tables(s, dir, "documents"), "doc_id",
+        "text", passageTokens = 8, maxDf = 1)),
+    ("x52_winnow_pairs", (s: SparkSession, dir: String) =>
+      TextDedup.winnowPairs(Tables(s, dir, "documents"), "doc_id", "text")))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -266,4 +266,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"epoch repeat should not shuffle:\n$p")
     assert(p.contains("Generate"), s"expected the sequence explode:\n$p")
   }
+
+  test("x50 boilerplate strip: digest anti-join, no cartesian, no single-partition exchange") {
+    val p = plan("x50_boilerplate_strip")
+    assert(p.contains("LeftAnti"),
+      s"boilerplate removal should be an ANTI join on the digest:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in x50:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in x50:\n$p")
+  }
+
+  test("x52 winnow fingerprint window is hash-partitioned by document") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+
+    val docs = Tables(spark, sfDir, "documents")
+    val exec: SparkPlan = graft.operators.TextDedup
+      .winnowFingerprints(docs, "doc_id", "text")
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p                        => p
+      }
+    val windows = exec.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"winnow min-window missing:\n$exec")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned winnow window:\n$w")
+      assert(w.collectFirst {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }.nonEmpty, s"winnow window not fed by a hash exchange:\n$w")
+    }
+  }
+
+  test("x52 pair join groups by fingerprint — no cartesian, no single partition") {
+    val p = plan("x52_winnow_pairs")
+    assert(!p.contains("CartesianProduct"), s"cartesian in x52:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in x52:\n$p")
+  }
 }

@@ -331,4 +331,31 @@ class TextAnalysisSpec extends SparkSpec {
     val c075 = counts(0.75)
     assert(kept.toSet.subsetOf((1L to 100L).filter(c075.contains).toSet))
   }
+
+  test("dataCard: counts, dup rate, and token shares per (source, lang) (x51)") {
+    val corpus = Seq(
+      (1L, "a b c d", "s1", "en"),      // 4 tokens
+      (2L, "a b c d", "s1", "en"),      // exact dup of 1
+      (3L, "e f", "s1", "en"),          // 2 tokens
+      (4L, "g h i j k l", "s2", "en"),  // 6 tokens
+      (5L, "m n", "s2", "de")           // 2 tokens
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = TextAnalysis.dataCard(corpus, "doc_id", "text", "source", "lang")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) -> r)
+      .toMap
+    assert(out.size == 3)
+    val s1en = out(("s1", "en"))
+    assert(s1en.getAs[Long]("n_docs") == 3L)
+    assert(s1en.getAs[Long]("n_tokens") == 10L)
+    assert(s1en.getAs[Long]("n_distinct_texts") == 2L)
+    assert(s1en.getAs[Double]("avg_doc_tokens") == 3.3333) // fpRound grid
+    assert(s1en.getAs[Double]("dup_rate") == 0.3333)
+    assert(s1en.getAs[Double]("token_share") == 0.5556)    // 10/18
+    val s2de = out(("s2", "de"))
+    assert(s2de.getAs[Double]("dup_rate") == 0.0)
+    assert(s2de.getAs[Double]("token_share") == 0.1111)    // 2/18
+    // shares cover the corpus (up to grid rounding)
+    val shareSum = out.values.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 0.001)
+  }
 }

@@ -41,6 +41,35 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.exists(p => p._1 == 1L && p._2 == 5L && p._3 == 1.0))
   }
 
+  test("winnowPairs: identical docs share every fingerprint (x52)") {
+    val pairs = TextDedup.winnowPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L))) // identical after normalization
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
+  }
+
+  test("winnowPairs: a shared run of >= window+k-1 tokens guarantees a shared fingerprint") {
+    // docs 1 and 2 share a 9-token prefix run (>= 4 + 3 - 1 = 6)
+    val pairs = TextDedup.winnowPairs(docs, "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("winnowFingerprints: too-short documents yield no full frame") {
+    import spark.implicits._
+    val short = Seq((9L, "only five tokens right here")).toDF("doc_id", "text")
+    // 5 tokens -> 3 positional 3-grams -> no full window of 4
+    assert(TextDedup.winnowFingerprints(short, "doc_id", "text").count() == 0L)
+  }
+
+  test("winnowPairs guard trips on a hot fingerprint (maxFpDf)") {
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.winnowPairs(docs, "doc_id", "text", maxFpDf = 1L)
+    }
+    assert(e.getMessage.contains("winnowPairs"))
+    assert(e.getMessage.contains("stripBoilerplate"))
+  }
+
   test("simhashPairs finds hamming<=3 pairs; identical docs at distance 0 (x7)") {
     val out = TextDedup.simhashPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming")))

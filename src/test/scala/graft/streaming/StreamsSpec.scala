@@ -184,6 +184,54 @@ class StreamsSpec extends SparkSpec {
     assert(gated.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
   }
 
+  test("boilerplateScrub rewrites docs against the batch-built sketch (x50 twin)") {
+    val corpus = Seq(
+      (1L, "subscribe now click here unique alpha content words"),
+      (2L, "subscribe now click here other beta distinct body text")
+    ).toDF("doc_id", "text")
+    val sketch = graft.operators.Cleaning
+      .boilerplateSketch(corpus, "doc_id", "text", passageTokens = 4, maxDf = 1)
+    assert(sketch != null)
+
+    val dir = Files.createTempDirectory("bscrub-in").toString
+    Seq(
+      (1L, ts("2024-01-01 00:01:00"),
+        "subscribe now click here fresh gamma payload words"),
+      (2L, ts("2024-01-01 00:02:00"),
+        "entirely original phrasing with no template chrome")
+    ).toDF("event_id", "ts", "text")
+      .write.mode("overwrite").parquet(dir)
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val scrubbed = Streams.boilerplateScrub(stream, "text", sketch,
+      passageTokens = 4)
+
+    val q = scrubbed.writeStream.outputMode("append")
+      .format("memory").queryName("bscrub_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("bscrub_out")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("text")).toMap
+    assert(out(1L) == "fresh gamma payload words") // template prefix scrubbed
+    assert(out(2L) == "entirely original phrasing with no template chrome")
+    // schema-transparent: the text column is rewritten in place
+    assert(scrubbed.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
+  }
+
+  test("boilerplateScrub passes through on a null (no-boilerplate) sketch") {
+    val unique = Seq(
+      (1L, "every document here is entirely unique text")
+    ).toDF("doc_id", "text")
+    assert(graft.operators.Cleaning
+      .boilerplateSketch(unique, "doc_id", "text", passageTokens = 4) == null)
+    val scrubbed = Streams.boilerplateScrub(unique, "text", null, 4)
+    assert(scrubbed.collect().map(_.getString(1)).toSeq ==
+      Seq("every document here is entirely unique text"))
+  }
+
   test("decontaminationGate drops benchmark-overlapping docs in-stream (x44 twin)") {
     val bench = Seq((1L, "held out eval phrase one two three"))
       .toDF("bench_id", "text")
