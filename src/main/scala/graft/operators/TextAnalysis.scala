@@ -186,6 +186,71 @@ object TextAnalysis {
         .otherwise(lit("test")))
   }
 
+  /** Train/val/test LEAKAGE audit: near-duplicate pairs (exact n-gram
+    * Jaccard >= threshold, the x8 machinery) whose two documents land in
+    * DIFFERENT [[hashSplit]] splits — the contamination a random
+    * per-document split always produces on an un-deduplicated corpus,
+    * reported as (split1, split2, n_leaky_pairs, avg_jaccard).
+    *
+    * Scale shape: the expensive stage is [[TextDedup.jaccardPairs]]
+    * (prefix-filtered inverted index — no all-pairs); the split labels
+    * are then derived directly from the pair's ids (`split` is a pure
+    * md5 function of the id), so labeling adds ZERO joins and zero
+    * shuffles on top of the pair stream — the corpus-sized split frame
+    * never materializes into this plan. avg_jaccard sums the 1e-4-grid
+    * jaccards as DECIMAL(38,6) (order-independent) per the float laws. */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, threshold: Double): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val h = substring(md5(c.cast("string")), 1, 1)
+      when(h <= "9", lit("train")).when(h <= "b", lit("val"))
+        .otherwise(lit("test"))
+    }
+    TextDedup.jaccardPairs(docs, idCol, textCol, k, threshold)
+      .withColumn("_s1", splitOf(col("doc1")))
+      .withColumn("_s2", splitOf(col("doc2")))
+      .filter(col("_s1") =!= col("_s2"))
+      .groupBy(least(col("_s1"), col("_s2")).as("split1"),
+        greatest(col("_s1"), col("_s2")).as("split2"))
+      .agg(count(lit(1)).as("n_leaky_pairs"),
+        Num.davg(col("jaccard"), 4).as("avg_jaccard"))
+  }
+
+  /** Source lexical-similarity matrix: vocabulary Jaccard for every
+    * source pair — |V_a ∩ V_b| / |V_a ∪ V_b| over distinct whitespace
+    * terms — the "how close are these domains" report that drives
+    * mixture and curriculum decisions.
+    *
+    * Scale shape: distinct (source, term) pairs come from the per-row
+    * [[TextExpressions.termCounts]] kernel (a document's repeats
+    * collapse before any shuffle), and the term equi-join's group for
+    * one term is bounded by the SOURCE COUNT — a hot term appears in
+    * every source, producing #sources rows, never a corpus-sized group.
+    * Output is one row per source pair sharing at least one term. The
+    * (source, term) frame is cached: the size aggregate and both join
+    * sides read it. */
+  def sourceSimilarity(docs: DataFrame, textCol: String,
+                       sourceCol: String): DataFrame = {
+    val v = Par.spread(docs).select(col(sourceCol).as("source"),
+        explode(TextExpressions.termCounts(col(textCol))).as("tc"))
+      .select(col("source"), col("tc.term").as("_term"))
+      .distinct()
+      .cache()
+    val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("_n"))
+    v.as("a").join(v.as("b"),
+        col("a._term") === col("b._term") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source1"), col("b.source").as("source2"))
+      .agg(count(lit(1)).as("n_shared_terms"))
+      .join(broadcast(sizes.select(col("source").as("source1"),
+        col("_n").as("_n1"))), Seq("source1"))
+      .join(broadcast(sizes.select(col("source").as("source2"),
+        col("_n").as("_n2"))), Seq("source2"))
+      .select(col("source1"), col("source2"), col("n_shared_terms"),
+        Num.fpRound(col("n_shared_terms").cast("double") /
+          (col("_n1") + col("_n2") - col("n_shared_terms")).cast("double"), 4)
+          .as("vocab_jaccard"))
+  }
+
   /** Token-window chunking for training-data preparation: each document
     * becomes ceil((n-size)/stride)+1 overlapping windows of `size` tokens
     * advancing by `stride` (one chunk when n <= size). A pure per-row

@@ -365,7 +365,21 @@ object ExtensionQueries {
     // fingerprint — locality x14's global bottom-k sketch lacks.
     "x52_winnow_pairs" -> ((s, dir) =>
       TextDedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleK = 3, window = 4, minShared = 2))
+        shingleK = 3, window = 4, minShared = 2)),
+
+    // x53 — source lexical-similarity matrix: vocabulary Jaccard per
+    // source pair (kernel-distinct terms; per-term join groups bounded
+    // by the source count).
+    "x53_source_similarity" -> ((s, dir) =>
+      TextAnalysis.sourceSimilarity(t(s, dir, "documents"), "text",
+        "source")),
+
+    // x54 — train/test LEAKAGE audit: cross-split near-dup pairs
+    // (jaccard >= 0.5 over 3-shingles) under the x26 md5 split, counted
+    // per split pair — zero extra shuffles over the x8 pair stream.
+    "x54_split_leakage" -> ((s, dir) =>
+      TextAnalysis.splitLeakage(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.5))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1008,6 +1022,51 @@ object ExtensionQueries {
          SELECT a.doc_id AS doc1, b.doc_id AS doc2,
            count(*) AS n_shared
          FROM fp a JOIN fp b ON a.mh = b.mh AND a.doc_id < b.doc_id
-         GROUP BY 1, 2 HAVING count(*) >= 2"""
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
+    "x53_source_similarity" ->
+      """WITH v AS (SELECT DISTINCT source,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         sz AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+         inter AS (SELECT a.source AS source1, b.source AS source2,
+           count(*) AS c
+           FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT source1, source2, CAST(c AS BIGINT) AS n_shared_terms,
+           floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0
+             AS vocab_jaccard
+         FROM inter JOIN sz x ON source1 = x.source
+           JOIN sz y ON source2 = y.source""",
+    // the x8 pair stream labeled by the x26 md5 split rule; avg over
+    // the 1e-4-grid jaccards as DECIMAL(38,6) (order-independent), the
+    // davg float law.
+    "x54_split_leakage" ->
+      s"""WITH $duckShingles,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2,
+           floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0 AS j
+           FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+           WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0
+             >= 0.5),
+         lab AS (SELECT j,
+           CASE WHEN substring(md5(CAST(d1 AS VARCHAR)), 1, 1) <= '9'
+                  THEN 'train'
+                WHEN substring(md5(CAST(d1 AS VARCHAR)), 1, 1) <= 'b'
+                  THEN 'val'
+                ELSE 'test' END AS s1,
+           CASE WHEN substring(md5(CAST(d2 AS VARCHAR)), 1, 1) <= '9'
+                  THEN 'train'
+                WHEN substring(md5(CAST(d2 AS VARCHAR)), 1, 1) <= 'b'
+                  THEN 'val'
+                ELSE 'test' END AS s2
+           FROM pairs)
+         SELECT least(s1, s2) AS split1, greatest(s1, s2) AS split2,
+           count(*) AS n_leaky_pairs,
+           floor(CAST(SUM(CAST(j AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+             * 10000 + 0.5) / 10000 AS avg_jaccard
+         FROM lab WHERE s1 <> s2 GROUP BY 1, 2"""
   )
 }

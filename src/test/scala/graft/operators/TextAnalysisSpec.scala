@@ -358,4 +358,42 @@ class TextAnalysisSpec extends SparkSpec {
     val shareSum = out.values.map(_.getAs[Double]("token_share")).sum
     assert(math.abs(shareSum - 1.0) < 0.001)
   }
+
+  test("sourceSimilarity: identical vocab -> 1.0, disjoint -> absent (x53)") {
+    val corpus = Seq(
+      (1L, "a b c", "s1"),
+      (2L, "c b a a b", "s2"), // same vocabulary as s1, different counts
+      (3L, "a b x y", "s3"),   // shares {a, b} with s1/s2
+      (4L, "p q r", "s4")      // disjoint
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceSimilarity(corpus, "text", "source")
+      .collect().map(r => (r.getAs[String]("source1"), r.getAs[String]("source2")) ->
+        ((r.getAs[Long]("n_shared_terms"), r.getAs[Double]("vocab_jaccard"))))
+      .toMap
+    assert(out(("s1", "s2")) == ((3L, 1.0)))
+    assert(out(("s1", "s3")) == ((2L, 0.4))) // |{a,b}| / |{a,b,c,x,y}|
+    assert(!out.keys.exists(p => p._1 == "s4" || p._2 == "s4"))
+  }
+
+  test("splitLeakage counts cross-split near-dup pairs under the md5 rule (x54)") {
+    // six identical docs: ids 1,2,3,5 -> test, 4 -> val, 6 -> train
+    // (md5 first hex: c,c,e,a,e,1), so 9 of the 15 j=1.0 pairs leak
+    val corpus = (1L to 6L).map((_, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.splitLeakage(corpus, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[String]("split1"), r.getAs[String]("split2")) ->
+        ((r.getAs[Long]("n_leaky_pairs"), r.getAs[Double]("avg_jaccard"))))
+      .toMap
+    assert(out(("test", "train")) == ((4L, 1.0)))
+    assert(out(("test", "val")) == ((4L, 1.0)))
+    assert(out(("train", "val")) == ((1L, 1.0)))
+    assert(out.size == 3)
+    // sanity: the labels match hashSplit itself
+    val splits = TextAnalysis.hashSplit(corpus, "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    assert(splits(4L) == "val" && splits(6L) == "train" &&
+      splits(1L) == "test")
+  }
 }
