@@ -284,6 +284,37 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("term"))
       .limit(topK)
 
+  /** Tokenizer-coverage / OOV-rate report: per document, how many token
+    * occurrences fall outside the corpus's top-`vocabSize` vocabulary —
+    * the coverage metric that sizes a tokenizer's vocab (and flags
+    * out-of-domain documents) before training.
+    *
+    * Scale shape: the vocabulary is the [[vocabulary]] aggregate
+    * (kernel tf → TakeOrderedAndProject), whose result is
+    * vocabSize-BOUNDED — collecting it to the driver is the same
+    * k-bounded collect as IVF centroids, not a corpus collect. The
+    * per-document pass is then the [[TextExpressions.stopHits]] kernel
+    * with the vocab as its dictionary: one tokenize + O(1) hash probes
+    * per token inside whole-stage codegen, zero shuffles (the
+    * broadcast-join formulation would shuffle every (doc, term) pair
+    * for the same answer). */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val vocab = vocabulary(docs, idCol, textCol, vocabSize)
+      .select("term").collect().map(_.getString(0)).toSeq
+    val hits = element_at(
+      TextExpressions.stopHits(col(textCol), Seq(vocab)), 1)
+    Par.spread(docs).select(col(idCol).as("doc_id"),
+        size(Text.tokens(col(textCol))).cast("long").as("n_tokens"),
+        hits.cast("long").as("_hits"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("_hits")).as("n_oov"),
+        when(col("n_tokens") > 0, Num.fpRound(
+          (col("n_tokens") - col("_hits")).cast("double") /
+            col("n_tokens").cast("double"), 4)).as("oov_rate"))
+  }
+
   /** Repetition quality signals (the Gopher-rule family): top-bigram
     * fraction (occurrences of the most frequent bigram over all bigram
     * occurrences) and duplicate-trigram fraction (occurrences of

@@ -379,7 +379,15 @@ object ExtensionQueries {
     // per split pair — zero extra shuffles over the x8 pair stream.
     "x54_split_leakage" -> ((s, dir) =>
       TextAnalysis.splitLeakage(t(s, dir, "documents"), "doc_id", "text",
-        k = 3, threshold = 0.5))
+        k = 3, threshold = 0.5)),
+
+    // x55 — tokenizer-coverage / OOV rate vs the top-20 corpus vocab
+    // (the fixture corpus has ~31 distinct terms, so a 20-term vocab
+    // leaves a real OOV tail); vocab = x33 aggregate (K-bounded
+    // collect), then one zero-shuffle hash-probe kernel pass.
+    "x55_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 20))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1067,6 +1075,26 @@ object ExtensionQueries {
            count(*) AS n_leaky_pairs,
            floor(CAST(SUM(CAST(j AS DECIMAL(38,6))) AS DOUBLE) / count(*)
              * 10000 + 0.5) / 10000 AS avg_jaccard
-         FROM lab WHERE s1 <> s2 GROUP BY 1, 2"""
+         FROM lab WHERE s1 <> s2 GROUP BY 1, 2""",
+    // vocab = the x33 aggregate at K=20 (same occurrences-desc, term-asc
+    // tie-break), then per-occurrence membership.
+    "x55_oov_rate" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         voc AS (SELECT term FROM (
+           SELECT term, sum(tf) AS occ FROM tf GROUP BY 1
+           ORDER BY occ DESC, term LIMIT 20)),
+         stat AS (SELECT doc_id, count(*) AS n_tokens,
+           sum(CASE WHEN term IN (SELECT term FROM voc) THEN 0 ELSE 1 END)
+             AS n_oov
+           FROM toks GROUP BY 1)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           CASE WHEN n_tokens > 0 THEN
+             floor(n_oov * 1.0 / n_tokens * 10000 + 0.5) / 10000.0
+           END AS oov_rate
+         FROM stat"""
   )
 }

@@ -79,4 +79,61 @@ class PropertySpec extends SparkSpec {
       assert(groups.map(_.getAs[Long]("n_dups")).sum == docs.size)
     }
   }
+
+  test("boilerplate strip: passage accounting closes; clean text is an ordered subsequence") {
+    // tiny vocabulary so cross-document passage collisions actually occur
+    val genCorpus: Gen[List[(Long, String)]] = (for {
+      n <- Gen.choose(2, 5)
+      texts <- Gen.listOfN(n, Gen.choose(1, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("w0", "w1", "w2"))))
+    } yield texts.zipWithIndex.map { case (ts, i) =>
+      ((i + 1).toLong, ts.mkString(" ")) }).suchThat(_.nonEmpty)
+    def isSubseq(sub: Seq[String], full: Seq[String]): Boolean = {
+      var i = 0
+      full.foreach(t => if (i < sub.length && sub(i) == t) i += 1)
+      i == sub.length
+    }
+    samples(genCorpus, 4).foreach { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      val out = operators.Cleaning
+        .stripBoilerplate(df, "doc_id", "text", passageTokens = 2, maxDf = 1)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+            r.getAs[Long]("n_dropped")))).toMap
+      assert(out.size == corpus.size) // every document survives as a row
+      corpus.foreach { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val nChunks = if (toks.size <= 2) 1L else ((toks.size + 1) / 2).toLong
+        val (clean, kept, dropped) = out(id)
+        assert(kept + dropped == nChunks)
+        val cleanToks =
+          if (clean.isEmpty) Seq.empty[String] else clean.split(" ").toSeq
+        assert(isSubseq(cleanToks, toks),
+          s"'$clean' is not an ordered subsequence of '$text'")
+      }
+    }
+  }
+
+  test("winnowing guarantee: a planted run of >= window+k-1 tokens shares a fingerprint") {
+    val alphabet = (0 until 20).map(i => s"t$i")
+    val genCase: Gen[(List[String], List[String], List[String], List[String], List[String])] =
+      for {
+        run <- Gen.listOfN(7, Gen.oneOf(alphabet)) // 7 >= 4 + 3 - 1
+        pre1 <- Gen.listOf(Gen.oneOf(alphabet))
+        suf1 <- Gen.listOf(Gen.oneOf(alphabet))
+        pre2 <- Gen.listOf(Gen.oneOf(alphabet))
+        suf2 <- Gen.listOf(Gen.oneOf(alphabet))
+      } yield (run, pre1, suf1, pre2, suf2)
+    samples(genCase, 4).foreach { case (run, pre1, suf1, pre2, suf2) =>
+      val df = Seq(
+        (1L, (pre1 ++ run ++ suf1).mkString(" ")),
+        (2L, (pre2 ++ run ++ suf2).mkString(" "))
+      ).toDF("doc_id", "text")
+      val pairs = operators.TextDedup
+        .winnowPairs(df, "doc_id", "text", minShared = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)),
+        s"planted run '${run.mkString(" ")}' produced no shared fingerprint")
+    }
+  }
 }

@@ -375,6 +375,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.keys.exists(p => p._1 == "s4" || p._2 == "s4"))
   }
 
+  test("oovRate: occurrences outside the top-K vocab (x55)") {
+    val corpus = Seq(
+      (1L, "a a a b c"), // occ: a 4, b 3, c 1, d 1 -> top-2 vocab {a, b}
+      (2L, "a b b d")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(corpus, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate")))).toMap
+    assert(out(1L) == ((5L, 1L, 0.2)))  // c is OOV
+    assert(out(2L) == ((4L, 1L, 0.25))) // d is OOV
+  }
+
   test("splitLeakage counts cross-split near-dup pairs under the md5 rule (x54)") {
     // six identical docs: ids 1,2,3,5 -> test, 4 -> val, 6 -> train
     // (md5 first hex: c,c,e,a,e,1), so 9 of the 15 j=1.0 pairs leak
