@@ -307,4 +307,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       s"single-partition exchange in x52:\n$p")
   }
+
+  test("x53 source-similarity term join is an equi-join (no cartesian)") {
+    val p = plan("x53_source_similarity")
+    assert(!p.contains("CartesianProduct"), s"cartesian in x53:\n$p")
+  }
+
+  test("x55 oov rate is a pure projection after the bounded vocab collect") {
+    // the only permitted exchange is Par.spread's round-robin parallelism
+    // spread — no hash/single-partition exchange computes anything
+    val p = plan("x55_oov_rate")
+    val dataExchanges = "Exchange (?!RoundRobinPartitioning)".r
+      .findAllIn(p).size
+    assert(dataExchanges == 0,
+      s"oov projection should not shuffle by key (vocab is a " +
+        s"pre-collected K-bounded literal):\n$p")
+    assert(p.contains("stophitsexpr"), s"vocab hash-probe kernel missing:\n$p")
+  }
 }
