@@ -39,7 +39,15 @@ object PipelineQueries {
         groupCol = "lang", pctByGroup = Map("en" -> 50, "zh" -> 20),
         defaultPct = 10,
         chunkSize = 64, chunkStride = 48)
-    })
+    }),
+
+    // x56 — the round-7 cleaning-first curation pipeline: boilerplate
+    // strip (8-token passages, df > 1) → drop emptied docs → exact
+    // dedup ON the cleaned text (stripping can create new exact dups —
+    // the stage-ordering this composition checks) → split label.
+    "x56_clean_pipeline" -> ((s, dir) =>
+      CorpusPipeline.curate(t(s, dir, "documents"), "doc_id", "text",
+        passageTokens = 8, maxDf = 1))
   )
 
   // The oracle chains the per-stage SQL (x35 gate signals, x34 exact
@@ -121,6 +129,41 @@ object PipelineQueries {
                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
                   THEN 'val'
                 ELSE 'test' END AS split
-         FROM counted, unnest(generate_series(0, n_chunks - 1)) AS g(i)"""
+         FROM counted, unnest(generate_series(0, n_chunks - 1)) AS g(i)""",
+    // chains the x50 strip CTEs, the x34 min-id dedup on clean_text, and
+    // the x26 split rule; both engines key the strip on md5(passage).
+    "x56_clean_pipeline" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         counted AS (SELECT doc_id, t,
+           CASE WHEN len(t) <= 8 THEN 1
+                ELSE CAST(ceil((len(t) - 8) * 1.0 / 8) AS BIGINT) + 1
+           END AS n_chunks FROM toks),
+         ch AS (SELECT doc_id, g.i AS cid,
+           md5(array_to_string(t[(g.i * 8 + 1):(g.i * 8 + 8)], ' ')) AS h,
+           array_to_string(t[(g.i * 8 + 1):(g.i * 8 + 8)], ' ') AS p
+           FROM counted, unnest(generate_series(0, n_chunks - 1)) AS g(i)),
+         boiler AS (SELECT h FROM ch GROUP BY h
+           HAVING count(DISTINCT doc_id) > 1),
+         kept AS (SELECT ch.doc_id, ch.cid, ch.p FROM ch
+           LEFT JOIN boiler USING (h) WHERE boiler.h IS NULL),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+           string_agg(p, ' ' ORDER BY cid) AS clean_text
+           FROM kept GROUP BY doc_id),
+         strip AS (SELECT c.doc_id, a.clean_text,
+           CAST(a.n_kept AS BIGINT) AS n_kept,
+           CAST(c.n_chunks - a.n_kept AS BIGINT) AS n_dropped
+           FROM counted c JOIN agg a USING (doc_id)),
+         ex AS (SELECT s.* FROM strip s JOIN (
+             SELECT min(doc_id) AS doc_id FROM strip
+             GROUP BY sha256(lower(trim(clean_text)))) k
+           USING (doc_id))
+         SELECT doc_id, clean_text, n_dropped,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '9'
+                  THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM ex"""
   )
 }

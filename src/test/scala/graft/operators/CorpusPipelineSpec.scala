@@ -66,4 +66,29 @@ class CorpusPipelineSpec extends SparkSpec {
     // every chunk carries a split label
     assert(out.filter(col("split").isNull).count() == 0)
   }
+
+  test("curate: cleaning creates exact dups that dedup then collapses (x56)") {
+    // docs 1/2 differ ONLY in boilerplate ("a b" / "c d" each appear in
+    // 3 docs -> stripped at maxDf=2); their shared residue "u v" has
+    // df=2 <= maxDf and survives, making the cleaned texts IDENTICAL —
+    // the dedup-after-cleaning collapse this stage ordering exists for.
+    val docs = Seq(
+      (1L, "u v a b"),
+      (2L, "u v c d"),
+      (3L, "a b p1 q1"),
+      (4L, "a b p2 q2"),
+      (5L, "c d p3 q3"),
+      (6L, "c d p4 q4"),
+      (7L, "a b c d") // all passages boilerplate -> dropped entirely
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.curate(docs, "doc_id", "text",
+        passageTokens = 2, maxDf = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("split")))).toMap
+    assert(out.keySet == Set(1L, 3L, 4L, 5L, 6L)) // 2 collapsed into 1; 7 emptied
+    assert(out(1L)._1 == "u v" && out(1L)._2 == 1L)
+    assert(out(3L)._1 == "p1 q1")
+    assert(out.values.forall(v => Set("train", "val", "test")(v._3)))
+  }
 }
