@@ -313,6 +313,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in x53:\n$p")
   }
 
+  test("x51 data card broadcasts the 1-row total; no corpus-sized single partition") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+    val exec: SparkPlan =
+      SparkEntry.queries("x51_data_card")(spark, sfDir)
+        .queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.initialPlan
+          case p                        => p
+        }
+    // the corpus-total join side arrives as a broadcast, not a shuffle
+    assert(exec.toString.contains("BroadcastExchange"),
+      s"1-row total not broadcast in x51:\n$exec")
+    // any SinglePartition exchange sits above an aggregate (the 1-row
+    // total / cell-bounded frames), never over raw corpus rows
+    exec.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }.foreach { e =>
+      assert(e.child.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+        s"SinglePartition exchange over non-aggregated data in x51:\n$e")
+    }
+  }
+
   test("x55 oov rate is a pure projection after the bounded vocab collect") {
     // the only permitted exchange is Par.spread's round-robin parallelism
     // spread — no hash/single-partition exchange computes anything
