@@ -22,6 +22,8 @@ object Multimodal {
                       meta_lang: String, meta_chars: Long)
   case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
                            height: Int, n_frames: Int, checksum: Long)
+  case class FrameRef(doc_id: Long, n_frames: Int, frame_idx: Int,
+                      frame_ref: String)
 
   /** Decoder contract: one call per payload, invoked partition-batched. */
   trait MediaDecoder extends Serializable {
@@ -121,6 +123,70 @@ object Multimodal {
       encode(col("text"), "utf-8").as("payload"),
       lit("text/plain").as("media_type"),
       struct(col("lang").as("lang"), col("n_chars").as("chars")).as("meta"))
+
+  /** Deterministic uniform FRAME SAMPLING — the "pick k frames for the
+    * vision encoder" stage of a video/multimodal pipeline: decode yields
+    * the frame count, then indices floor(j·n/k) for j < k = min(target,
+    * n) are selected (strictly increasing, endpoint-anchored — the
+    * standard uniform-stride rule). One partition-batched pass does
+    * decode AND explode (flatMap inside the same mapPartitions), so
+    * there is no join back to the payload and no shuffle at all — the
+    * frame stream inherits the scan's partitioning like chunking does.
+    *
+    * `frame_ref` is md5(base64(payload) + '#' + index) — the
+    * deterministic STUB for actual pixel extraction (a production build
+    * slices the real frame bytes at this seam); the plumbing around it
+    * (decode-derived counts, batch shape, handle schema) is real and
+    * oracle-checked. */
+  def frameSample(spark: SparkSession, media: DataFrame, targetFrames: Int,
+                  decoder: MediaDecoder = ImageIoDecoder): Dataset[FrameRef] = {
+    import spark.implicits._
+    require(targetFrames >= 1, s"targetFrames must be >= 1, got $targetFrames")
+    media.select(col("doc_id"), col("payload"), col("media_type"),
+        col("meta.lang").as("meta_lang"), col("meta.chars").as("meta_chars"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val b64 = java.util.Base64.getEncoder
+        rows.flatMap { r =>
+          val (_, _, n) = decoder.decode(r.payload)
+          val k = math.min(targetFrames, n)
+          val base = b64.encodeToString(r.payload) + "#"
+          (0 until k).map { j =>
+            val idx = (j.toLong * n / k).toInt
+            md.reset()
+            val hex = md.digest((base + idx).getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            FrameRef(r.doc_id, n, idx, hex)
+          }
+        }
+      }
+  }
+
+  /** Aspect-preserving RESIZE PLAN (never upscales): pure integer-math
+    * projection of decoded dimensions into a target box — the metadata
+    * half of a resize stage (the pixel resample itself lives behind the
+    * decoder seam like frame extraction). All comparisons and the
+    * floor-division are exact integer/IEEE ops, so the plan is
+    * bit-identical across engines; dims at or under the box pass
+    * through unchanged. */
+  def resizePlan(features: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetH >= 1,
+      s"target box must be positive, got ${targetW}x$targetH")
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    val fits = w <= targetW && h <= targetH
+    val widthBound = w * targetH >= h * targetW
+    val outW = when(fits, w).when(widthBound, lit(targetW.toLong))
+      .otherwise(greatest(lit(1L),
+        floor(w * lit(targetH) / h).cast("long")))
+    val outH = when(fits, h)
+      .when(widthBound, greatest(lit(1L),
+        floor(h * lit(targetW) / w).cast("long")))
+      .otherwise(lit(targetH.toLong))
+    features.select(col("doc_id"), col("width"), col("height"),
+      outW.as("out_w"), outH.as("out_h"))
+  }
 
   /** Partition-batched feature extraction: the decoder is instantiated
     * once per partition (mapPartitions), rows stream through it — the

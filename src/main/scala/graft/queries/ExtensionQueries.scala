@@ -387,7 +387,24 @@ object ExtensionQueries {
     // collect), then one zero-shuffle hash-probe kernel pass.
     "x55_oov_rate" -> ((s, dir) =>
       TextAnalysis.oovRate(t(s, dir, "documents"), "doc_id", "text",
-        vocabSize = 20))
+        vocabSize = 20)),
+
+    // x57 — uniform frame sampling: decode + explode fused in ONE
+    // partition-batched pass (no join back to the payload, no shuffle);
+    // text payloads ride the deterministic stub decoder leg, which the
+    // oracle mirrors; handles = md5(base64(payload) + '#' + idx).
+    "x57_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(s,
+          Multimodal.asMediaTable(t(s, dir, "documents")), targetFrames = 4)
+        .toDF()),
+
+    // x58 — aspect-preserving resize plan (no upscale) into a 320x240
+    // box: pure integer/IEEE projection over the decoded dims.
+    "x58_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.extractFeatures(s,
+          Multimodal.asMediaTable(t(s, dir, "documents"))).toDF(),
+        targetW = 320, targetH = 240))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1095,6 +1112,32 @@ object ExtensionQueries {
            CASE WHEN n_tokens > 0 THEN
              floor(n_oov * 1.0 / n_tokens * 10000 + 0.5) / 10000.0
            END AS oov_rate
-         FROM stat"""
+         FROM stat""",
+    // stub-leg mirror: n = bytes % 30 + 1 frames, k = min(4, n) samples
+    // at floor(j*n/k); handle = md5 over the base64 payload + index.
+    "x57_frame_sample" ->
+      """WITH f AS (SELECT doc_id, encode(text) AS payload,
+           octet_length(encode(text)) % 30 + 1 AS n FROM documents),
+         kk AS (SELECT doc_id, payload, n, least(4, n) AS k FROM f)
+         SELECT doc_id, CAST(n AS INTEGER) AS n_frames,
+           CAST(g.j * n // k AS INTEGER) AS frame_idx,
+           md5(to_base64(payload) || '#' || CAST(g.j * n // k AS VARCHAR))
+             AS frame_ref
+         FROM kk, unnest(generate_series(0, k - 1)) AS g(j)""",
+    "x58_resize_plan" ->
+      """WITH f AS (SELECT doc_id,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
+           FROM documents)
+         SELECT doc_id, width, height,
+           CASE WHEN width <= 320 AND height <= 240 THEN CAST(width AS BIGINT)
+                WHEN width * 240 >= height * 320 THEN 320
+                ELSE greatest(1,
+                  CAST(floor(width * 240.0 / height) AS BIGINT)) END AS out_w,
+           CASE WHEN width <= 320 AND height <= 240 THEN CAST(height AS BIGINT)
+                WHEN width * 240 >= height * 320 THEN greatest(1,
+                  CAST(floor(height * 320.0 / width) AS BIGINT))
+                ELSE 240 END AS out_h
+         FROM f"""
   )
 }

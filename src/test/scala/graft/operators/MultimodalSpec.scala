@@ -78,4 +78,41 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(2L).width == 32 && byId(2L).height == 16)
     assert(byId(3L).width == 12 % 640 + 1) // non-image falls back to stub
   }
+
+  test("frameSample picks floor(j*n/k) indices with deterministic handles (x57)") {
+    // payload "abcd" -> 4 bytes -> stub n_frames = 4 % 30 + 1 = 5; k = 4
+    val docs = Seq((1L, "abcd", "en", 4L)).toDF("doc_id", "text", "lang", "n_chars")
+    val out = Multimodal.frameSample(spark,
+        Multimodal.asMediaTable(docs), targetFrames = 4)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3)) // floor(j*5/4)
+    assert(out.forall(_.n_frames == 5))
+    // the handle is exactly md5(base64(payload) + '#' + idx)
+    val b64 = java.util.Base64.getEncoder.encodeToString("abcd".getBytes)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest((b64 + "#0").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.head.frame_ref == expected)
+    // k caps at n: a 1-frame payload yields exactly one sample
+    val one = Seq((2L, "", "en", 0L)).toDF("doc_id", "text", "lang", "n_chars")
+    assert(Multimodal.frameSample(spark,
+      Multimodal.asMediaTable(one), targetFrames = 4).collect().length == 1)
+  }
+
+  test("resizePlan fits the box, preserves aspect, never upscales (x58)") {
+    val feats = Seq(
+      (1L, 100, 100),  // fits -> unchanged
+      (2L, 640, 240),  // width-bound -> 320 x 120
+      (3L, 320, 480),  // height-bound -> 160 x 240
+      (4L, 6400, 2),   // extreme aspect -> height floors at 1
+      (5L, 320, 240)   // exactly the box -> unchanged
+    ).toDF("doc_id", "width", "height")
+    val out = Multimodal.resizePlan(feats, 320, 240)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("out_w"), r.getAs[Long]("out_h")))).toMap
+    assert(out(1L) == ((100L, 100L)))
+    assert(out(2L) == ((320L, 120L)))
+    assert(out(3L) == ((160L, 240L)))
+    assert(out(4L) == ((320L, 1L)))
+    assert(out(5L) == ((320L, 240L)))
+  }
 }
