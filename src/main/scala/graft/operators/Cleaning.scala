@@ -92,11 +92,26 @@ object Cleaning {
     * no boilerplate at the given bar (the scrub treats null as
     * pass-through). */
   def boilerplateSketch(docs: DataFrame, idCol: String, textCol: String,
-                        passageTokens: Int = 8, maxDf: Int = 1): Array[Byte] = {
+                        passageTokens: Int = 8, maxDf: Int = 1): Array[Byte] =
+    boilerplateSketch(
+      boilerplateHashes(docs, idCol, textCol, passageTokens, maxDf))
+
+  /** The corpus's boilerplate passage-hash frame — one `_h` (xxhash64 of
+    * the passage text) row per passage whose distinct-document frequency
+    * exceeds `maxDf`. This is the PERSISTABLE per-corpus-snapshot
+    * artifact (boilerplate-set-sized, tiny next to the corpus): a
+    * production pipeline writes it once per snapshot, then derives the
+    * streaming sketch from it via the [[boilerplateSketch]] overload
+    * below instead of re-aggregating the corpus on every sketch (re)build
+    * — the same build-once/reuse contract as
+    * [[TextAnalysis.benchmarkSketch]] / decontaminateBloom's prebuilt
+    * form. */
+  def boilerplateHashes(docs: DataFrame, idCol: String, textCol: String,
+                        passageTokens: Int = 8, maxDf: Int = 1): DataFrame = {
     require(passageTokens >= 1,
       s"passageTokens must be >= 1, got $passageTokens")
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
-    val boiler = Par.spread(docs)
+    Par.spread(docs)
       .select(col(idCol).as("doc_id"),
         explode(TextExpressions.chunkTokens(
           col(textCol), passageTokens, passageTokens)).as("_p"))
@@ -104,7 +119,16 @@ object Cleaning {
       .groupBy(col("_h"))
       .agg(countDistinct(col("doc_id")).as("_df"))
       .filter(col("_df") > lit(maxDf))
-      .cache()
+      .select(col("_h"))
+  }
+
+  /** Serialize a PREBUILT [[boilerplateHashes]] frame (or a re-read of
+    * its persisted parquet) into the Bloom sketch the streaming scrub
+    * consumes — no corpus scan, just an aggregate over the small hash
+    * frame. Null when the frame is empty (scrub treats null as
+    * pass-through). */
+  def boilerplateSketch(boilerHashes: DataFrame): Array[Byte] = {
+    val boiler = boilerHashes.select(col("_h")).cache()
     try {
       val n = boiler.count()
       // floor the size estimate: BloomFilterAggregate sizes bits for ~3%

@@ -133,11 +133,15 @@ object Multimodal {
     * there is no join back to the payload and no shuffle at all — the
     * frame stream inherits the scan's partitioning like chunking does.
     *
-    * `frame_ref` is md5(base64(payload) + '#' + index) — the
-    * deterministic STUB for actual pixel extraction (a production build
-    * slices the real frame bytes at this seam); the plumbing around it
+    * `frame_ref` is md5(md5(payload) + '#' + index) — the deterministic
+    * STUB for actual pixel extraction (a production build slices the
+    * real frame bytes at this seam); the plumbing around it
     * (decode-derived counts, batch shape, handle schema) is real and
-    * oracle-checked. */
+    * oracle-checked. The payload is digested ONCE per row and the
+    * per-frame handles derive from the 32-char hex digest, so a k-frame
+    * sample costs O(|payload| + k) hash work — not the k full-payload
+    * passes (plus a base64 string expansion) the first formulation paid,
+    * which is k× the necessary work on multi-MB video payloads. */
   def frameSample(spark: SparkSession, media: DataFrame, targetFrames: Int,
                   decoder: MediaDecoder = ImageIoDecoder): Dataset[FrameRef] = {
     import spark.implicits._
@@ -147,11 +151,11 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        val b64 = java.util.Base64.getEncoder
         rows.flatMap { r =>
           val (_, _, n) = decoder.decode(r.payload)
           val k = math.min(targetFrames, n)
-          val base = b64.encodeToString(r.payload) + "#"
+          md.reset()
+          val base = md.digest(r.payload).map("%02x".format(_)).mkString + "#"
           (0 until k).map { j =>
             val idx = (j.toLong * n / k).toInt
             md.reset()

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graft.TextExpressions
 
-import graft.functions.{Num, Par, Skew, Text}
+import graft.functions.{Guards, Num, Par, Skew, Text}
 
 /** Text analysis suite for training-data pipelines (BASELINE.json
   * extensions; SURVEY §2.4 X4): language ID, quality scoring, token
@@ -178,12 +178,18 @@ object TextAnalysis {
     * Schema-preserving: appends `split` to the input columns, so it
     * composes into a pipeline (x42) as a free projection instead of a
     * corpus-to-corpus join. */
-  def hashSplit(docs: DataFrame, idCol: String): DataFrame = {
-    val h = substring(md5(col(idCol).cast("string")), 1, 1)
-    docs.withColumn("split",
-      when(h <= "9", lit("train"))
-        .when(h <= "b", lit("val"))
-        .otherwise(lit("test")))
+  def hashSplit(docs: DataFrame, idCol: String): DataFrame =
+    docs.withColumn("split", splitLabel(col(idCol)))
+
+  /** The split-label Column expression behind [[hashSplit]] — the ONE
+    * definition of the md5 bucket boundaries, shared with
+    * [[splitLeakage]] so the leakage audit can never silently diverge
+    * from the split it audits. */
+  def splitLabel(id: Column): Column = {
+    val h = substring(md5(id.cast("string")), 1, 1)
+    when(h <= "9", lit("train"))
+      .when(h <= "b", lit("val"))
+      .otherwise(lit("test"))
   }
 
   /** Train/val/test LEAKAGE audit: near-duplicate pairs (exact n-gram
@@ -201,14 +207,9 @@ object TextAnalysis {
     * jaccards as DECIMAL(38,6) (order-independent) per the float laws. */
   def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double): DataFrame = {
-    def splitOf(c: Column): Column = {
-      val h = substring(md5(c.cast("string")), 1, 1)
-      when(h <= "9", lit("train")).when(h <= "b", lit("val"))
-        .otherwise(lit("test"))
-    }
     TextDedup.jaccardPairs(docs, idCol, textCol, k, threshold)
-      .withColumn("_s1", splitOf(col("doc1")))
-      .withColumn("_s2", splitOf(col("doc2")))
+      .withColumn("_s1", splitLabel(col("doc1")))
+      .withColumn("_s2", splitLabel(col("doc2")))
       .filter(col("_s1") =!= col("_s2"))
       .groupBy(least(col("_s1"), col("_s2")).as("split1"),
         greatest(col("_s1"), col("_s2")).as("split2"))
@@ -228,14 +229,26 @@ object TextAnalysis {
     * every source, producing #sources rows, never a corpus-sized group.
     * Output is one row per source pair sharing at least one term. The
     * (source, term) frame is cached: the size aggregate and both join
-    * sides read it. */
+    * sides read it.
+    *
+    * That per-term bound is the right one for source-level strata (tens
+    * to hundreds of values) but the OUTPUT matrix itself is quadratic in
+    * the stratum count: a domain-granular column (10⁵-10⁶ strata) makes
+    * the pairwise matrix — not any one join group — the explosion.
+    * `maxSources` fails fast past the bound (one cheap distinct-count
+    * job at construction time, per the module CACHE CONTRACT) with the
+    * error naming the scale alternative; raise it deliberately if a
+    * quadratic-in-strata matrix is truly intended. */
   def sourceSimilarity(docs: DataFrame, textCol: String,
-                       sourceCol: String): DataFrame = {
+                       sourceCol: String, maxSources: Long = 1000L): DataFrame = {
     val v = Par.spread(docs).select(col(sourceCol).as("source"),
         explode(TextExpressions.termCounts(col(textCol))).as("tc"))
       .select(col("source"), col("tc.term").as("_term"))
       .distinct()
       .cache()
+    Guards.requireSmall(v.select(col("source")).distinct(), maxSources,
+      "sourceSimilarity's pairwise stratum matrix (quadratic in #strata)",
+      "a top-k-neighbors-per-source variant, or a coarser stratum column")
     val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("_n"))
     v.as("a").join(v.as("b"),
         col("a._term") === col("b._term") && col("a.source") < col("b.source"))

@@ -25,13 +25,19 @@ import graft.functions.{Num, Par, Text}
   *  - near-dup, SimHash: 64-bit fingerprint from codegen'd bit-vote sums;
   *    4x16-bit pigeonhole banding gives exact Hamming<=3 retrieval.
   *
-  * CACHE CONTRACT: jaccardPairs/minhashLshPairs cache operator-internal
-  * intermediates (the shingle sets; x8's prefix index) because one plan
-  * references them several times. The caches are keyed to the returned
-  * plan and are NOT unpersisted here — callers running many queries in
-  * one session should `spark.catalog.clearCache()` between queries (as
-  * Bench and Verify do), or the cached partitions persist until Spark
-  * evicts them under memory pressure.
+  * CACHE CONTRACT: jaccardPairs/minhashLshPairs/winnowPairs — and
+  * [[TextAnalysis.sourceSimilarity]] over in that module — cache
+  * operator-internal intermediates (the shingle sets; x8's prefix index;
+  * winnowing's (doc_id, fingerprint) frame; the (source, term) frame)
+  * because one plan references them several times. The caches are keyed
+  * to the returned plan and are NOT unpersisted here — callers running
+  * many queries in one session should `spark.catalog.clearCache()`
+  * between queries (as Bench and Verify do), or the cached partitions
+  * persist until Spark evicts them under memory pressure. Operators with
+  * a degenerate-input guard (winnowPairs' maxFpDf, containmentPairs'
+  * maxProbeDf, sourceSimilarity's maxSources) additionally run ONE eager
+  * counting job at DataFrame-construction time — constructing the frame
+  * is not free of Spark jobs for those.
   */
 object TextDedup {
 

@@ -391,19 +391,25 @@ object ExtensionQueries {
 
     // x57 — uniform frame sampling: decode + explode fused in ONE
     // partition-batched pass (no join back to the payload, no shuffle);
-    // text payloads ride the deterministic stub decoder leg, which the
-    // oracle mirrors; handles = md5(base64(payload) + '#' + idx).
+    // handles = md5(md5(payload) + '#' + idx). StubDecoder is passed
+    // EXPLICITLY: the oracle hard-codes the stub byte formulas, so the
+    // registration must not ride the ImageIoDecoder→Ppm→Stub chain — a
+    // fixture text that happened to start like a P6 header would
+    // silently take the real-decode leg and diverge from the oracle.
     "x57_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(s,
-          Multimodal.asMediaTable(t(s, dir, "documents")), targetFrames = 4)
+          Multimodal.asMediaTable(t(s, dir, "documents")), targetFrames = 4,
+          decoder = Multimodal.StubDecoder)
         .toDF()),
 
     // x58 — aspect-preserving resize plan (no upscale) into a 320x240
     // box: pure integer/IEEE projection over the decoded dims.
+    // StubDecoder explicit for the same oracle-coupling reason as x57.
     "x58_resize_plan" -> ((s, dir) =>
       Multimodal.resizePlan(
         Multimodal.extractFeatures(s,
-          Multimodal.asMediaTable(t(s, dir, "documents"))).toDF(),
+          Multimodal.asMediaTable(t(s, dir, "documents")),
+          decoder = Multimodal.StubDecoder).toDF(),
         targetW = 320, targetH = 240))
   )
 
@@ -1114,14 +1120,16 @@ object ExtensionQueries {
            END AS oov_rate
          FROM stat""",
     // stub-leg mirror: n = bytes % 30 + 1 frames, k = min(4, n) samples
-    // at floor(j*n/k); handle = md5 over the base64 payload + index.
+    // at floor(j*n/k); handle = md5(md5(payload) || '#' || index) — the
+    // payload digest computed once (DuckDB's md5 hashes the VARCHAR's
+    // utf-8 bytes = exactly the Spark side's payload bytes).
     "x57_frame_sample" ->
-      """WITH f AS (SELECT doc_id, encode(text) AS payload,
+      """WITH f AS (SELECT doc_id, md5(text) AS phex,
            octet_length(encode(text)) % 30 + 1 AS n FROM documents),
-         kk AS (SELECT doc_id, payload, n, least(4, n) AS k FROM f)
+         kk AS (SELECT doc_id, phex, n, least(4, n) AS k FROM f)
          SELECT doc_id, CAST(n AS INTEGER) AS n_frames,
            CAST(g.j * n // k AS INTEGER) AS frame_idx,
-           md5(to_base64(payload) || '#' || CAST(g.j * n // k AS VARCHAR))
+           md5(phex || '#' || CAST(g.j * n // k AS VARCHAR))
              AS frame_ref
          FROM kk, unnest(generate_series(0, k - 1)) AS g(j)""",
     "x58_resize_plan" ->

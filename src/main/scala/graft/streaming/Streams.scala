@@ -185,16 +185,26 @@ object Streams {
     * (corpus-sized — not a stream-side artifact): the sketch's false
     * positive rate becomes an over-scrub rate, the standard trade for
     * an ingestion-time filter. A null sketch (no boilerplate at build
-    * time) passes documents through unchanged. */
+    * time) passes documents through unchanged.
+    *
+    * Documents with NO sketch hit pass through byte-identical — the
+    * rewrite (which reassembles from the lowercasing, whitespace-
+    * normalizing chunk kernel) only fires when at least one passage
+    * hits, so a clean document is never silently case/whitespace-
+    * mangled and the hit-free path matches the null-sketch path. */
   def boilerplateScrub(docs: DataFrame, textCol: String,
                        bloomBytes: Array[Byte],
                        passageTokens: Int): DataFrame = {
     if (bloomBytes == null) docs
     else {
       val te = org.apache.spark.sql.graft.TextExpressions
-      docs.withColumn(textCol, array_join(
-        filter(te.chunkTokens(col(textCol), passageTokens, passageTokens),
+      val chunks = te.chunkTokens(col(textCol), passageTokens, passageTokens)
+      val anyHit = exists(chunks,
+        c => te.bloomMightContain(bloomBytes, xxhash64(c)))
+      docs.withColumn(textCol, when(anyHit, array_join(
+        filter(chunks,
           c => !te.bloomMightContain(bloomBytes, xxhash64(c))), " "))
+        .otherwise(col(textCol)))
     }
   }
 

@@ -53,4 +53,20 @@ class CleaningSpec extends SparkSpec {
       Cleaning.stripBoilerplate(docs, "doc_id", "text", maxDf = 0)
     }
   }
+
+  test("boilerplateSketch from a prebuilt hash frame matches the direct build") {
+    val direct = Cleaning.boilerplateSketch(docs, "doc_id", "text",
+      passageTokens = 2, maxDf = 1)
+    val hashes = Cleaning.boilerplateHashes(docs, "doc_id", "text",
+      passageTokens = 2, maxDf = 1)
+    assert(hashes.collect().length == 1) // exactly the "a b" passage
+    // the overload consumes the persisted artifact (parquet round-trip —
+    // the build-once/reuse-bytes contract) and yields identical bytes
+    val dir = java.nio.file.Files.createTempDirectory("bhash").toString
+    hashes.write.mode("overwrite").parquet(dir)
+    val fromArtifact = Cleaning.boilerplateSketch(spark.read.parquet(dir))
+    assert(direct != null && java.util.Arrays.equals(direct, fromArtifact))
+    // and an empty artifact frame serializes to the null pass-through
+    assert(Cleaning.boilerplateSketch(hashes.limit(0)) == null)
+  }
 }

@@ -87,10 +87,13 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(_.frame_idx)
     assert(out.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3)) // floor(j*5/4)
     assert(out.forall(_.n_frames == 5))
-    // the handle is exactly md5(base64(payload) + '#' + idx)
-    val b64 = java.util.Base64.getEncoder.encodeToString("abcd".getBytes)
-    val expected = java.security.MessageDigest.getInstance("MD5")
-      .digest((b64 + "#0").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the handle is exactly md5(md5(payload) + '#' + idx) — one payload
+    // digest per row, handles derived from the 32-char hex
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val phex = md.digest("abcd".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    md.reset()
+    val expected = md.digest((phex + "#0").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     assert(out.head.frame_ref == expected)
     // k caps at n: a 1-frame payload yields exactly one sample
     val one = Seq((2L, "", "en", 0L)).toDF("doc_id", "text", "lang", "n_chars")

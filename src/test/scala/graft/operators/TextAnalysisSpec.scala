@@ -375,6 +375,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.keys.exists(p => p._1 == "s4" || p._2 == "s4"))
   }
 
+  test("sourceSimilarity fails fast past maxSources strata, naming the scale path") {
+    // a domain-granular stratum column: one stratum per document
+    val granular = spark.range(20).selectExpr("id AS doc_id",
+      "concat('shared tok', id) AS text", "concat('domain', id) AS source")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.sourceSimilarity(granular, "text", "source",
+        maxSources = 10L)
+    }
+    assert(e.getMessage.contains("top-k-neighbors"))
+    // raising the bound deliberately admits the same input
+    assert(TextAnalysis.sourceSimilarity(granular, "text", "source",
+      maxSources = 100L).collect().nonEmpty) // all share the "shared" term
+  }
+
   test("oovRate: occurrences outside the top-K vocab (x55)") {
     val corpus = Seq(
       (1L, "a a a b c"), // occ: a 4, b 3, c 1, d 1 -> top-2 vocab {a, b}

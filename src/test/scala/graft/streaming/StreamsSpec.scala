@@ -232,6 +232,26 @@ class StreamsSpec extends SparkSpec {
       Seq("every document here is entirely unique text"))
   }
 
+  test("boilerplateScrub leaves hit-free documents byte-identical") {
+    val corpus = Seq(
+      (1L, "subscribe now click here unique alpha content words"),
+      (2L, "subscribe now click here other beta distinct body text")
+    ).toDF("doc_id", "text")
+    val sketch = graft.operators.Cleaning
+      .boilerplateSketch(corpus, "doc_id", "text", passageTokens = 4, maxDf = 1)
+    // MIXED case + irregular whitespace: the rewrite path would
+    // lowercase and whitespace-normalize this — the no-hit path must not
+    val pristine = "Entirely  Original Phrasing\twith NO Template chrome"
+    val docs = Seq(
+      (1L, "subscribe now click here fresh gamma payload words"),
+      (2L, pristine)
+    ).toDF("doc_id", "text")
+    val out = Streams.boilerplateScrub(docs, "text", sketch, 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "fresh gamma payload words") // hit ⇒ rewritten
+    assert(out(2L) == pristine)                    // no hit ⇒ untouched
+  }
+
   test("decontaminationGate drops benchmark-overlapping docs in-stream (x44 twin)") {
     val bench = Seq((1L, "held out eval phrase one two three"))
       .toDF("bench_id", "text")
