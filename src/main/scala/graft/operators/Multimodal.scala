@@ -25,9 +25,17 @@ object Multimodal {
   case class FrameRef(doc_id: Long, n_frames: Int, frame_idx: Int,
                       frame_ref: String)
 
-  /** Decoder contract: one call per payload, invoked partition-batched. */
+  /** Decoder contract: one call per payload, invoked partition-batched.
+    * `decode` is the header-only metadata pass (dims + frame count — no
+    * rasterization, the 100 TB feature-scan shape); `decodeGray` is the
+    * OPTIONAL pixel pass for content operators ([[ImageDedup]]'s
+    * perceptual hash): grayscale rasterize, or None when this decoder
+    * cannot produce pixels (the caller falls back to a deterministic
+    * byte-derived stub grid, keeping the operator total). */
   trait MediaDecoder extends Serializable {
     def decode(payload: Array[Byte]): (Int, Int, Int) // width, height, frames
+    /** (width, height, row-major grayscale 0..255), or None. */
+    def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = None
   }
 
   /** STUB decoder — deterministic byte-derived fake for formats with no
@@ -59,6 +67,49 @@ object Multimodal {
           else StubDecoder.decode(payload)
         catch { case _: NumberFormatException => StubDecoder.decode(payload) }
       } else StubDecoder.decode(payload)
+
+    /** REAL pixel decode for binary PPM: a full netpbm P6 parse — header
+      * ints with `#`-comment support per the spec, then w*h*3 raw sample
+      * bytes; gray = (r+g+b)/3. Returns None (never throws) for
+      * malformed, truncated or 2-byte-sample payloads — poison-row-safe
+      * like the metadata pass. */
+    override def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+        return None
+      var pos = 2
+      def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+      def nextInt(): Int = { // -1 on parse failure
+        var inComment = false
+        while (pos < payload.length &&
+               (inComment || isWs(payload(pos)) || payload(pos) == '#')) {
+          if (payload(pos) == '#') inComment = true
+          else if (payload(pos) == '\n') inComment = false
+          pos += 1
+        }
+        val start = pos
+        var v = 0L
+        while (pos < payload.length && payload(pos) >= '0' &&
+               payload(pos) <= '9' && v <= Int.MaxValue) {
+          v = v * 10 + (payload(pos) - '0'); pos += 1
+        }
+        if (pos == start || v > Int.MaxValue) -1 else v.toInt
+      }
+      val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+      // exactly ONE whitespace byte separates maxval from the samples
+      if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255 ||
+          pos >= payload.length || !isWs(payload(pos))) return None
+      val px = pos + 1
+      if (payload.length - px < w.toLong * h * 3) return None
+      val gray = new Array[Int](w * h)
+      var i = 0
+      while (i < gray.length) {
+        val o = px + i * 3
+        gray(i) = ((payload(o) & 0xff) + (payload(o + 1) & 0xff) +
+          (payload(o + 2) & 0xff)) / 3
+        i += 1
+      }
+      Some((w, h, gray))
+    }
   }
 
   /** Real image decoder backed by `javax.imageio` — PNG/JPEG/BMP/GIF
@@ -108,12 +159,104 @@ object Multimodal {
         } finally if (iis != null) iis.close()
       } catch { case _: Exception => PpmDecoder.decode(payload) }
     }
+
+    /** REAL pixel decode via `ImageIO.read` for the JDK formats
+      * (PNG/JPEG/BMP/GIF); non-image payloads fall through to
+      * [[PpmDecoder.decodeGray]] (→ None if not P6 either). */
+    override def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      if (!looksLikeImage(payload)) PpmDecoder.decodeGray(payload)
+      else try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) PpmDecoder.decodeGray(payload)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val gray = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              gray(y * w + x) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                (rgb & 0xff)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, gray))
+        }
+      } catch { case _: Exception => PpmDecoder.decodeGray(payload) }
   }
 
   /** Encode a tiny P6 image (used by tests to drive the real decoder). */
   def makePpm(width: Int, height: Int): Array[Byte] = {
     val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
     header ++ Array.fill(width * height * 3)(0x7f.toByte)
+  }
+
+  /** Encode a grayscale P6 image (r=g=b per pixel). `spacedHeader`
+    * produces the equally-legal single-line `P6 w h 255\n` header — a
+    * byte-level RE-ENCODING of the same pixels, used to prove content
+    * hashes survive re-encoding while byte hashes do not. */
+  def makePpmGray(width: Int, height: Int, gray: Array[Int],
+                  spacedHeader: Boolean = false): Array[Byte] = {
+    require(gray.length == width * height,
+      s"gray has ${gray.length} pixels, expected ${width * height}")
+    val header = (if (spacedHeader) s"P6 $width $height 255\n"
+                  else s"P6\n$width $height\n255\n").getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + width * height * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < gray.length) {
+      val v = (gray(i) & 0xff).toByte
+      val o = header.length + i * 3
+      out(o) = v; out(o + 1) = v; out(o + 2) = v
+      i += 1
+    }
+    out
+  }
+
+  /** Deterministic synthetic P6 media table derived from a text corpus —
+    * the fixture adapter behind the x59 image-dedup oracle (the driver
+    * fixtures carry no true image column; this derives one from
+    * `documents` rather than synthesizing foreign data). Two rows per
+    * document:
+    *
+    *  - `doc_id`: a canonical-header [[ImageDedup.GridW]]×[[ImageDedup.GridH]]
+    *    grayscale P6 whose pixel i is `17 * hexdigit_i` of
+    *    md5(text‖":0") ‖ md5(text‖":1") ‖ md5(text‖":2") — a SQL engine
+    *    reproduces every pixel from the text with its own md5, no PPM
+    *    parser needed;
+    *  - `doc_id + copyOffset`: a RE-ENCODED near-duplicate — single-space
+    *    header (different bytes, same image) with pixel 0 inverted, so
+    *    its dHash differs from the original's in at most ONE gradient
+    *    bit while sharing no payload bytes.
+    */
+  def syntheticPpmPairs(spark: SparkSession, docs: DataFrame, idCol: String,
+                        textCol: String, copyOffset: Long): DataFrame = {
+    import spark.implicits._
+    val gw = ImageDedup.GridW; val gh = ImageDedup.GridH
+    require(gw * gh <= 96, "pixel grid exceeds the 3-block md5 chain")
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(s: String): String = {
+          md.reset()
+          md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        }
+        rows.flatMap { case (id, text) =>
+          val hx = hex(text + ":0") + hex(text + ":1") + hex(text + ":2")
+          val gray = Array.tabulate(gw * gh)(
+            i => 17 * Character.digit(hx.charAt(i), 16))
+          val pert = gray.clone(); pert(0) = 255 - pert(0)
+          Seq((id, makePpmGray(gw, gh, gray)),
+            (id + copyOffset, makePpmGray(gw, gh, pert, spacedHeader = true)))
+        }
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("media_type", lit("image/x-portable-pixmap"))
+      .withColumn("meta", struct(lit("und").as("lang"), lit(0L).as("chars")))
   }
 
   /** Wrap a text table as a media table: payload = utf-8 bytes, metadata

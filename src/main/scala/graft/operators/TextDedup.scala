@@ -260,9 +260,11 @@ object TextDedup {
   /** 4-chunk pigeonhole candidate join over a (doc_id, fp) fingerprint
     * frame: docs sharing any `chunkBits`-bit chunk pair up, then exact
     * hamming filter — exact retrieval for hamming <= 3 (a pair differing
-    * in <= 3 bits must agree on at least one of 4 chunks). */
-  private def pigeonholePairs(fp: DataFrame, chunkBits: Int,
-                              maxHamming: Int): DataFrame = {
+    * in <= 3 bits must agree on at least one of 4 chunks). Shared with
+    * [[ImageDedup]] — the banding is fingerprint-agnostic (any
+    * (doc_id, fp) frame, text SimHash or image dHash). */
+  private[operators] def pigeonholePairs(fp: DataFrame, chunkBits: Int,
+                                         maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole is exact only for <= 3")
     val chunks = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(j =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num
-import graft.operators.{Cleaning, Components, Multimodal, Packing, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Cleaning, Components, ImageDedup, Multimodal, Packing, Similarity, TextAnalysis, TextDedup}
 
 /** Extension + capability-proof query inventory (SURVEY §2.4 X1-X6 plus the
   * LLM-training-data operators: dedup family, similarity search, text
@@ -410,7 +410,21 @@ object ExtensionQueries {
         Multimodal.extractFeatures(s,
           Multimodal.asMediaTable(t(s, dir, "documents")),
           decoder = Multimodal.StubDecoder).toDF(),
-        targetW = 320, targetH = 240))
+        targetW = 320, targetH = 240)),
+
+    // x59 — perceptual-hash IMAGE near-dup (the multimodal half of the
+    // dedup brief): deterministic 7x10 P6 images derived from the text
+    // corpus drive the REAL PPM byte parse — each document paired with a
+    // re-encoded copy (different header bytes, pixel 0 inverted) that
+    // shares no payload bytes yet differs in <= 1 dHash gradient bit —
+    // then 60-bit dHash fingerprints pair via the x7 pigeonhole at
+    // hamming <= 3. The DEFAULT decoder chain runs here (unlike x57/x58
+    // there is no stub formula to protect: the oracle recomputes pixels
+    // from the text, so a wrong parse leg diverges and fails the check).
+    "x59_image_neardup" -> ((s, dir) =>
+      ImageDedup.nearDupPairs(s,
+        Multimodal.syntheticPpmPairs(s, t(s, dir, "documents"), "doc_id",
+          "text", copyOffset = 1000000L)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1132,6 +1146,33 @@ object ExtensionQueries {
            md5(phex || '#' || CAST(g.j * n // k AS VARCHAR))
              AS frame_ref
          FROM kk, unnest(generate_series(0, k - 1)) AS g(j)""",
+    // pixels re-derived from the text (17 * hexdigit of the 3-block md5
+    // chain — no PPM parse oracle-side), dHash = 6x10 horizontal
+    // gradient signs, pairs = all-pairs hamming <= 3 (oracle scale).
+    "x59_image_neardup" ->
+      """WITH hx AS (SELECT doc_id,
+           md5(text || ':0') || md5(text || ':1') || md5(text || ':2') AS h
+           FROM documents),
+         g0 AS (SELECT doc_id,
+           list_transform(range(70), i ->
+             17 * (strpos('0123456789abcdef',
+               substr(h, CAST(i + 1 AS INTEGER), 1)) - 1)) AS g
+           FROM hx),
+         gs AS (SELECT doc_id, g FROM g0
+           UNION ALL
+           SELECT doc_id + 1000000, list_concat([255 - g[1]], g[2:70])
+           FROM g0),
+         fp AS (SELECT doc_id,
+           CAST(list_sum(list_transform(range(60), b ->
+             CASE WHEN g[CAST(b // 6 * 7 + b % 6 + 2 AS INTEGER)]
+                     > g[CAST(b // 6 * 7 + b % 6 + 1 AS INTEGER)]
+                  THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+           FROM gs)
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
     "x58_resize_plan" ->
       """WITH f AS (SELECT doc_id,
            CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
