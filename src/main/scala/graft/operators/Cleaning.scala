@@ -81,6 +81,52 @@ object Cleaning {
           .as("n_dropped"))
   }
 
+  /** PII redaction patterns — emails, `555-123-4567`-style phone
+    * numbers (3-3-4 digit groups with `-`/`.`/space separators, optional
+    * `+CC` prefix), dotted-quad IPv4. Portable by construction: plain
+    * character classes and bounded quantifiers only, which behave
+    * identically under Java regex (Spark codegen) and RE2 (DuckDB /
+    * Trino-style engines) — no lookarounds, no word boundaries, no
+    * engine-specific escapes, so the oracle runs the same pattern text
+    * verbatim. Phone requires explicit separators (a bare 10-digit run
+    * is NOT matched — too collision-prone with ids/quantities, and a
+    * dotted-quad's 1-3-digit groups can never satisfy the 3-3-4 shape,
+    * so the passes are order-independent against each other; emails are
+    * redacted FIRST so digits inside a local-part never feed the phone
+    * pass). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII REDACTION — the standard cleaning stage of production corpus
+    * pipelines: replace emails / phone numbers / IPv4 addresses with
+    * `<EMAIL>` / `<PHONE>` / `<IP>` placeholder tokens, counting each
+    * category. Schema-preserving like [[TextAnalysis.hashSplit]]: the
+    * text column is rewritten in place and `n_pii_emails` /
+    * `n_pii_phones` / `n_pii_ips` are appended, so it composes into
+    * [[CorpusPipeline.curate]] as a free projection.
+    *
+    * A pure per-row projection — three codegen'd regexp passes, zero
+    * shuffles, embarrassingly scan-parallel at 100 TB. Each category is
+    * counted on its INPUT text then replaced before the next pass
+    * (sequential semantics, mirrored verbatim in the oracle), and the
+    * placeholders contain no digits or `@`, so the operator is
+    * idempotent: a second pass counts zero and changes nothing. */
+  def redactPii(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("n_pii_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+          .cast("long"))
+      .withColumn(textCol, regexp_replace(col(textCol), EmailPattern, "<EMAIL>"))
+      .withColumn("n_pii_phones",
+        size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0)))
+          .cast("long"))
+      .withColumn(textCol, regexp_replace(col(textCol), PhonePattern, "<PHONE>"))
+      .withColumn("n_pii_ips",
+        size(regexp_extract_all(col(textCol), lit(Ipv4Pattern), lit(0)))
+          .cast("long"))
+      .withColumn(textCol, regexp_replace(col(textCol), Ipv4Pattern, "<IP>"))
+
   /** The serialized Bloom sketch of the corpus's boilerplate passage
     * hashes (xxhash64 of each passage whose distinct-document frequency
     * exceeds `maxDf`) — the shareable artifact behind the streaming

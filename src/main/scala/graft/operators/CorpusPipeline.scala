@@ -72,27 +72,31 @@ object CorpusPipeline {
       "doc_id")
   }
 
-  /** Cleaning-first curation pipeline (x56) — the round-7 composition:
-    * passage-level boilerplate strip (x50) → drop fully-boilerplate
-    * documents → exact dedup ON THE CLEANED TEXT (x34 semantics) →
-    * train/val/test split (x26). The interesting interaction is stage
-    * 2→3: stripping shared chrome can make documents that differed only
-    * in boilerplate EXACTLY identical, so dedup after cleaning collapses
-    * groups dedup before cleaning would miss — the reason production
-    * pipelines order these stages this way.
+  /** Cleaning-first curation pipeline (x56): passage-level boilerplate
+    * strip (x50) → drop fully-boilerplate documents → PII redaction
+    * (x60) → exact dedup ON THE REDACTED TEXT (x34 semantics) →
+    * train/val/test split (x26). The interesting interactions are the
+    * stages BEFORE dedup: stripping shared chrome — and equally,
+    * replacing per-user contact lines with placeholder tokens — can make
+    * documents that differed only in boilerplate or PII EXACTLY
+    * identical, so dedup after cleaning collapses groups dedup before
+    * cleaning would miss — the reason production pipelines order these
+    * stages this way.
     *
     * Scale shape: the strip stage's digest shuffles and anti-join
-    * (Cleaning.stripBoilerplate's notes apply), then a (hash, id)
-    * aggregate and an id-equi join for dedup, then a pure projection
-    * for the split — the cleaned text moves once into the dedup join
-    * and nothing else moves it again. Returns
-    * (doc_id, clean_text, n_dropped, split) for the surviving corpus. */
+    * (Cleaning.stripBoilerplate's notes apply), then a zero-shuffle
+    * regexp projection for redaction, then a (hash, id) aggregate and an
+    * id-equi join for dedup, then a pure projection for the split — the
+    * cleaned text moves once into the dedup join and nothing else moves
+    * it again. Returns (doc_id, clean_text, n_dropped, split) for the
+    * surviving corpus. */
   def curate(corpus: DataFrame, idCol: String, textCol: String,
              passageTokens: Int, maxDf: Int): DataFrame = {
     val stripped = Cleaning.stripBoilerplate(corpus, idCol, textCol,
         passageTokens, maxDf)
       .filter(col("n_kept") > 0)
-    val deduped = TextDedup.dedupedCorpus(stripped, "doc_id", "clean_text")
+    val redacted = Cleaning.redactPii(stripped, "clean_text")
+    val deduped = TextDedup.dedupedCorpus(redacted, "doc_id", "clean_text")
     TextAnalysis.hashSplit(deduped, "doc_id")
       .select(col("doc_id"), col("clean_text"), col("n_dropped"),
         col("split"))

@@ -424,7 +424,34 @@ object ExtensionQueries {
     "x59_image_neardup" -> ((s, dir) =>
       ImageDedup.nearDupPairs(s,
         Multimodal.syntheticPpmPairs(s, t(s, dir, "documents"), "doc_id",
-          "text", copyOffset = 1000000L)))
+          "text", copyOffset = 1000000L))),
+
+    // x60 — PII redaction (cleaning family): emails / phones / IPv4 →
+    // placeholder tokens with per-category counts. The fixture corpus
+    // carries no PII (verified at every SF), so each document is
+    // augmented with a deterministic doc_id-derived contact line —
+    // every row does real redaction work (email always; phone on even
+    // ids; IP on ids not divisible by 3), reproduced verbatim
+    // oracle-side. The email embeds the doc id's digits, checking the
+    // email-before-phone sequencing.
+    "x60_pii_redaction" -> ((s, dir) =>
+      Cleaning.redactPii(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" reach doc"), col("doc_id").cast("string"),
+            lit("@mail.example.com"),
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              concat(lit(" tel 555-123-"),
+                lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(3)) =!= 0,
+              concat(lit(" from 10."),
+                pmod(col("doc_id"), lit(200)).cast("string"),
+                lit(".0."), pmod(col("doc_id"), lit(250)).cast("string")))
+              .otherwise(lit(""))).as("text")),
+        "text")
+      .select(col("doc_id"), col("text").as("clean_text"),
+        col("n_pii_emails"), col("n_pii_phones"), col("n_pii_ips")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1146,6 +1173,41 @@ object ExtensionQueries {
            md5(phex || '#' || CAST(g.j * n // k AS VARCHAR))
              AS frame_ref
          FROM kk, unnest(generate_series(0, k - 1)) AS g(j)""",
+    // identical augmentation, then the same sequential redact chain:
+    // each category counted on its input text, then replaced ('g' =
+    // global, matching Spark's regexp_replace default).
+    "x60_pii_redaction" ->
+      """WITH aug AS (SELECT doc_id,
+           text || ' reach doc' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com'
+             || CASE WHEN doc_id % 2 = 0 THEN ' tel 555-123-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+             || CASE WHEN doc_id % 3 <> 0 THEN ' from 10.'
+                  || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                  || CAST(doc_id % 250 AS VARCHAR)
+                ELSE '' END AS t0
+           FROM documents),
+         e AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_pii_emails,
+           regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1 FROM aug),
+         p AS (SELECT doc_id, n_pii_emails,
+           CAST(len(regexp_extract_all(t1,
+             '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT)
+             AS n_pii_phones,
+           regexp_replace(t1, '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}',
+             '<PHONE>', 'g') AS t2 FROM e),
+         i AS (SELECT doc_id, n_pii_emails, n_pii_phones,
+           CAST(len(regexp_extract_all(t2,
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+             AS n_pii_ips,
+           regexp_replace(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+             '<IP>', 'g') AS t3 FROM p)
+         SELECT doc_id, t3 AS clean_text, n_pii_emails, n_pii_phones,
+           n_pii_ips FROM i""",
     // pixels re-derived from the text (17 * hexdigit of the 3-block md5
     // chain — no PPM parse oracle-side), dHash = 6x10 horizontal
     // gradient signs, pairs = all-pairs hamming <= 3 (oracle scale).

@@ -41,10 +41,12 @@ object PipelineQueries {
         chunkSize = 64, chunkStride = 48)
     }),
 
-    // x56 — the round-7 cleaning-first curation pipeline: boilerplate
-    // strip (8-token passages, df > 1) → drop emptied docs → exact
-    // dedup ON the cleaned text (stripping can create new exact dups —
-    // the stage-ordering this composition checks) → split label.
+    // x56 — the cleaning-first curation pipeline: boilerplate strip
+    // (8-token passages, df > 1) → drop emptied docs → PII redaction
+    // (x60 semantics; identity on the PII-free fixture but mirrored in
+    // the oracle regardless) → exact dedup ON the cleaned text
+    // (cleaning can create new exact dups — the stage-ordering this
+    // composition checks) → split label.
     "x56_clean_pipeline" -> ((s, dir) =>
       CorpusPipeline.curate(t(s, dir, "documents"), "doc_id", "text",
         passageTokens = 8, maxDf = 1))
@@ -154,8 +156,17 @@ object PipelineQueries {
            CAST(a.n_kept AS BIGINT) AS n_kept,
            CAST(c.n_chunks - a.n_kept AS BIGINT) AS n_dropped
            FROM counted c JOIN agg a USING (doc_id)),
-         ex AS (SELECT s.* FROM strip s JOIN (
-             SELECT min(doc_id) AS doc_id FROM strip
+         -- x60 redaction chain (email -> phone -> IPv4), mirrored even
+         -- though the fixture is PII-free so the stage is load-bearing
+         -- the moment any text matches
+         red AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(clean_text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+             AS clean_text, n_kept, n_dropped FROM strip),
+         ex AS (SELECT s.* FROM red s JOIN (
+             SELECT min(doc_id) AS doc_id FROM red
              GROUP BY sha256(lower(trim(clean_text)))) k
            USING (doc_id))
          SELECT doc_id, clean_text, n_dropped,

@@ -54,6 +54,45 @@ class CleaningSpec extends SparkSpec {
     }
   }
 
+  test("redactPii replaces emails, phones, IPs with counts (x60)") {
+    val rows = Seq(
+      (1L, "write to alice.smith+work@corp.example.org today"),
+      (2L, "call 555-123-4567 or +1 555.987.6543 at 192.168.0.1"),
+      (3L, "server 10.0.3.17 and 172.16.254.1 are down"),
+      (4L, "no pii in this perfectly ordinary sentence"),
+      (5L, "bob@ex.io wrote from 8.8.8.8 dial 800 555 1234")
+    ).toDF("doc_id", "text")
+    val out = Cleaning.redactPii(rows, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_pii_emails"),
+          r.getAs[Long]("n_pii_phones"), r.getAs[Long]("n_pii_ips")))).toMap
+    assert(out(1L) == (("write to <EMAIL> today", 1L, 0L, 0L)))
+    assert(out(2L) == (("call <PHONE> or +1 <PHONE> at <IP>", 0L, 2L, 1L)))
+    assert(out(3L) == (("server <IP> and <IP> are down", 0L, 0L, 2L)))
+    assert(out(4L) == (("no pii in this perfectly ordinary sentence",
+      0L, 0L, 0L)))
+    assert(out(5L) == (("<EMAIL> wrote from <IP> dial <PHONE>", 1L, 1L, 1L)))
+  }
+
+  test("redactPii is idempotent and sequences email before phone") {
+    // the email's local part is all digits — without the email-first
+    // order the phone pass would eat it
+    val rows = Seq((1L, "mail 555.123.4567x@ex.org then 555.123.4567"))
+      .toDF("doc_id", "text")
+    val once = Cleaning.redactPii(rows, "text")
+    val r1 = once.collect().head
+    assert(r1.getAs[String]("text") == "mail <EMAIL> then <PHONE>")
+    assert(r1.getAs[Long]("n_pii_emails") == 1L &&
+      r1.getAs[Long]("n_pii_phones") == 1L)
+    // second pass: nothing left to redact, text unchanged
+    val twice = Cleaning.redactPii(
+      once.select("doc_id", "text"), "text").collect().head
+    assert(twice.getAs[String]("text") == r1.getAs[String]("text"))
+    assert(twice.getAs[Long]("n_pii_emails") == 0L &&
+      twice.getAs[Long]("n_pii_phones") == 0L &&
+      twice.getAs[Long]("n_pii_ips") == 0L)
+  }
+
   test("boilerplateSketch from a prebuilt hash frame matches the direct build") {
     val direct = Cleaning.boilerplateSketch(docs, "doc_id", "text",
       passageTokens = 2, maxDf = 1)

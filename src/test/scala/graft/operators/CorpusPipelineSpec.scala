@@ -91,4 +91,21 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out(3L)._1 == "p1 q1")
     assert(out.values.forall(v => Set("train", "val", "test")(v._3)))
   }
+
+  test("curate: PII redaction creates exact dups that dedup then collapses (x60 stage)") {
+    // docs 1/2 are the same message to different recipients — identical
+    // only AFTER their contact lines become placeholder tokens; the
+    // boilerplate bar is raised so stripping alone cannot collapse them
+    val docs = Seq(
+      (1L, "hello please contact alice@ex.org soon"),
+      (2L, "hello please contact bob.jones@corp.io soon"),
+      (3L, "entirely unrelated text body here")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.curate(docs, "doc_id", "text",
+        passageTokens = 2, maxDf = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("clean_text")).toMap
+    assert(out.keySet == Set(1L, 3L)) // 2 collapsed into 1 via redaction
+    assert(out(1L) == "hello please contact <EMAIL> soon")
+  }
 }
