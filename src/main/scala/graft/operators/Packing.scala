@@ -143,6 +143,55 @@ object Packing {
           .as("start_offset"))
   }
 
+  /** The placement core shared by [[packChunks]] (arrival-order
+    * first-fit, `maxOpen` = [[MaxOpenPacks]]) and [[packDeterministic]]
+    * (hash-order next-fit, `maxOpen` = 1 — with one open pack, "first
+    * pack that fits" degenerates to exactly the classic next-fit rule,
+    * which is what makes the deterministic variant SQL-simulable). */
+  private final class Packer(budget: Int, maxOpen: Int, prefix: String)
+      extends Serializable {
+    private final case class Open(seq: Int, var rem: Int,
+                                  members: scala.collection.mutable.ArrayBuffer[Chunk])
+    private val open = scala.collection.mutable.ArrayBuffer.empty[Open]
+    private var nextSeq = 0
+    private def emit(p: Open): Iterator[Packed] = {
+      val total = p.members.iterator.map(_.n_tokens).sum
+      p.members.iterator.map(c =>
+        Packed(s"$prefix-${p.seq}", c.doc_id, c.chunk_idx, c.n_tokens, total))
+    }
+    def place(c: Chunk): Iterator[Packed] = {
+      val fit = open.indexWhere(_.rem >= c.n_tokens)
+      if (fit >= 0) {
+        val p = open(fit)
+        p.rem -= c.n_tokens
+        p.members += c
+        // a full pack can never fit another chunk — stream it out now
+        if (p.rem == 0) { open.remove(fit); emit(p) } else Iterator.empty
+      } else {
+        // no open pack fits; retire the fullest pack if at capacity
+        val retired =
+          if (open.size >= maxOpen) {
+            val fullest = open.minBy(_.rem)
+            open -= fullest
+            emit(fullest)
+          } else Iterator.empty
+        val rem = math.max(0, budget - c.n_tokens)
+        val p = Open(nextSeq, rem,
+          scala.collection.mutable.ArrayBuffer(c))
+        nextSeq += 1
+        // oversized chunks (rem 0) retire immediately as singletons
+        if (rem == 0) retired ++ emit(p)
+        else { open += p; retired }
+      }
+    }
+    /** Retire every still-open pack (end of partition / bucket). */
+    def flush(): Iterator[Packed] = {
+      val packs = open.toArray
+      open.clear()
+      packs.iterator.flatMap(emit)
+    }
+  }
+
   def packChunks(spark: SparkSession, chunks: DataFrame, budget: Int): Dataset[Packed] = {
     import spark.implicits._
     require(budget > 0, s"budget must be positive, got $budget")
@@ -151,42 +200,71 @@ object Packing {
       .as[Chunk]
     ds.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      final case class Open(seq: Int, var rem: Int,
-                            members: scala.collection.mutable.ArrayBuffer[Chunk])
-      val open = scala.collection.mutable.ArrayBuffer.empty[Open]
-      var nextSeq = 0
-      def emit(p: Open): Iterator[Packed] = {
-        val total = p.members.iterator.map(_.n_tokens).sum
-        p.members.iterator.map(c =>
-          Packed(s"$pid-${p.seq}", c.doc_id, c.chunk_idx, c.n_tokens, total))
-      }
-      def place(c: Chunk): Iterator[Packed] = {
-        val fit = open.indexWhere(_.rem >= c.n_tokens)
-        if (fit >= 0) {
-          val p = open(fit)
-          p.rem -= c.n_tokens
-          p.members += c
-          // a full pack can never fit another chunk — stream it out now
-          if (p.rem == 0) { open.remove(fit); emit(p) } else Iterator.empty
-        } else {
-          // no open pack fits; retire the fullest pack if at capacity
-          val retired =
-            if (open.size >= MaxOpenPacks) {
-              val fullest = open.minBy(_.rem)
-              open -= fullest
-              emit(fullest)
-            } else Iterator.empty
-          val rem = math.max(0, budget - c.n_tokens)
-          val p = Open(nextSeq, rem,
-            scala.collection.mutable.ArrayBuffer(c))
-          nextSeq += 1
-          // oversized chunks (rem 0) retire immediately as singletons
-          if (rem == 0) retired ++ emit(p)
-          else { open += p; retired }
-        }
-      }
-      it.flatMap(place) ++
-        Iterator(()).flatMap(_ => open.iterator.flatMap(emit))
+      val packer = new Packer(budget, MaxOpenPacks, pid.toString)
+      it.flatMap(packer.place) ++
+        Iterator(()).flatMap(_ => packer.flush())
     }
+  }
+
+  /** DETERMINISTIC packing (x61) — the driver-checkable twin of
+    * [[packChunks]]: chunks are routed to 2^`bucketBits` md5 buckets
+    * (top bits of the 60-bit md5 of "doc_id:chunk_idx" — the static
+    * hash-partitioning rule of [[groupedOffsets]]) and packed NEXT-FIT
+    * in ascending hash order within each bucket, the pack stream
+    * resetting at every bucket boundary. The assignment is therefore a
+    * pure function of the data — invariant to input partitioning, task
+    * count and arrival order — which is what lets a SQL oracle simulate
+    * it row for row (a recursive scan per bucket), closing the one
+    * operator family that had no registered correctness row
+    * ([[packChunks]]'s arrival-order first-fit is inherently
+    * layout-dependent; it shares [[Packer]], so the placement arithmetic
+    * x61 checks is the same code the production form runs).
+    *
+    * Scale shape: one hash exchange of (doc_id, chunk_idx, n_tokens)
+    * triples — the text never moves — then a per-partition sort and a
+    * sequential scan per bucket; buckets are processed independently, so
+    * at 100 TB raise `bucketBits` until a bucket's triples fit a task
+    * (the same sizing rule as [[groupedOffsets]]). Next-fit is within
+    * 2x of optimal waste (vs first-fit's 1.7x bound) — the price of the
+    * deterministic/auditable form; production runs wanting tighter fill
+    * keep [[packChunks]].
+    */
+  def packDeterministic(spark: SparkSession, chunks: DataFrame, budget: Int,
+                        bucketBits: Int = 3): Dataset[Packed] = {
+    import spark.implicits._
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(bucketBits >= 1 && bucketBits <= 20,
+      s"bucketBits must be in [1,20], got $bucketBits")
+    val hk = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), col("chunk_idx").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    Par.spread(chunks)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"))
+      .withColumn("_hk", hk)
+      .withColumn("_bucket", shiftright(col("_hk"), 60 - bucketBits))
+      .repartition(col("_bucket"))
+      .sortWithinPartitions(col("_bucket"), col("_hk"), col("doc_id"),
+        col("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("n_tokens").cast("int").as("n_tokens"), col("_bucket"))
+      .as[(Long, Long, Int, Long)]
+      .mapPartitions { it =>
+        // a partition holds whole buckets (hash-routed); the packer
+        // resets at each bucket boundary so which partition a bucket
+        // lands in cannot affect the assignment
+        var packer: Packer = null
+        var bucket = Long.MinValue
+        it.flatMap { case (id, cidx, n, b) =>
+          val head =
+            if (packer == null || b != bucket) {
+              val flushed = if (packer != null) packer.flush() else Iterator.empty
+              packer = new Packer(budget, 1, b.toString)
+              bucket = b
+              flushed
+            } else Iterator.empty
+          head ++ packer.place(Chunk(id, cidx, n))
+        } ++ Iterator(()).flatMap(_ =>
+          if (packer != null) packer.flush() else Iterator.empty)
+      }
   }
 }

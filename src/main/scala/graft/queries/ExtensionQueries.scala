@@ -451,7 +451,20 @@ object ExtensionQueries {
               .otherwise(lit(""))).as("text")),
         "text")
       .select(col("doc_id"), col("text").as("clean_text"),
-        col("n_pii_emails"), col("n_pii_phones"), col("n_pii_ips")))
+        col("n_pii_emails"), col("n_pii_phones"), col("n_pii_ips"))),
+
+    // x61 — sequence packing, registered: the deterministic md5-bucketed
+    // next-fit form over the x31 chunk stream (64-token windows, stride
+    // 48; 200-token packs). Shares packChunks' placement core, but the
+    // hash-order-within-bucket rule makes the assignment a pure function
+    // of the data, so the oracle can simulate it with a recursive
+    // per-bucket scan — the packing family's first driver-checked row.
+    "x61_pack_chunks" -> ((s, dir) =>
+      Packing.packDeterministic(s,
+        TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
+            size = 64, stride = 48)
+          .withColumn("n_tokens", size(split(col("chunk"), " "))),
+        budget = 200).toDF())
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1173,6 +1186,42 @@ object ExtensionQueries {
            md5(phex || '#' || CAST(g.j * n // k AS VARCHAR))
              AS frame_ref
          FROM kk, unnest(generate_series(0, k - 1)) AS g(j)""",
+    // x31 chunk stage -> 60-bit md5 bucket route -> per-bucket
+    // recursive next-fit scan (seq/rem state machine = Packer with
+    // maxOpen 1, transition for transition).
+    "x61_pack_chunks" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+           AS t FROM documents),
+         counted AS (SELECT doc_id, t,
+           CASE WHEN len(t) <= 64 THEN 1
+                ELSE CAST(ceil((len(t) - 64) * 1.0 / 48) AS BIGINT) + 1
+           END AS n_chunks FROM toks),
+         ch AS (SELECT doc_id, g.i AS chunk_idx,
+             CAST(least(64, len(t) - g.i * 48) AS INTEGER) AS n
+           FROM counted, unnest(generate_series(0, n_chunks - 1)) AS g(i)),
+         hk AS (SELECT doc_id, chunk_idx, n,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(chunk_idx AS VARCHAR)), 1, 15))::BIGINT AS h FROM ch),
+         ord AS (SELECT doc_id, chunk_idx, n, h >> 57 AS bucket,
+           row_number() OVER (PARTITION BY (h >> 57)
+             ORDER BY h, doc_id, chunk_idx) AS pos FROM hk),
+         sim AS (
+           SELECT bucket, pos, doc_id, chunk_idx, n, CAST(0 AS BIGINT) AS seq,
+             CAST(greatest(0, 200 - n) AS BIGINT) AS rem
+           FROM ord WHERE pos = 1
+           UNION ALL
+           SELECT o.bucket, o.pos, o.doc_id, o.chunk_idx, o.n,
+             CASE WHEN o.n <= s.rem THEN s.seq ELSE s.seq + 1 END,
+             CASE WHEN o.n <= s.rem THEN s.rem - o.n
+                  ELSE CAST(greatest(0, 200 - o.n) AS BIGINT) END
+           FROM sim s JOIN ord o ON o.bucket = s.bucket AND o.pos = s.pos + 1)
+         SELECT CAST(bucket AS VARCHAR) || '-' || CAST(seq AS VARCHAR)
+             AS pack_id,
+           doc_id, chunk_idx, n AS n_tokens,
+           CAST(sum(n) OVER (PARTITION BY bucket, seq) AS INTEGER)
+             AS pack_tokens
+         FROM sim""",
     // identical augmentation, then the same sequential redact chain:
     // each category counted on its input text, then replaced ('g' =
     // global, matching Spark's regexp_replace default).

@@ -28,6 +28,41 @@ class PackingSpec extends SparkSpec {
     assert(fill > 0.7, s"fill rate $fill too low for first-fit")
   }
 
+  test("packDeterministic: assignment invariant to input partitioning (x61)") {
+    val chunks = (1L to 200L).map(i =>
+      (i % 40, i / 40, 5 + (i % 60).toInt))
+      .toDF("doc_id", "chunk_idx", "n_tokens")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.packDeterministic(spark, df, budget = 100)
+        .collect().map(p => (p.pack_id, p.doc_id, p.chunk_idx, p.n_tokens,
+          p.pack_tokens)).sortBy(x => (x._2, x._3)).toSeq
+    val base = run(chunks)
+    assert(base.length == 200)
+    // repartitioning / reordering the INPUT cannot change the assignment
+    assert(run(chunks.repartition(13)) == base)
+    assert(run(chunks.repartition(1).orderBy(desc("n_tokens"))) == base)
+    // budget + exactly-once hold like the first-fit form
+    base.groupBy(_._1).foreach { case (id, ms) =>
+      val total = ms.map(_._4).sum
+      assert(total <= 100, s"pack $id over budget: $total")
+      assert(ms.forall(_._5 == total))
+    }
+  }
+
+  test("packDeterministic: oversized chunks become singleton packs") {
+    val chunks = Seq((1L, 0L, 250), (2L, 0L, 30), (3L, 0L, 40))
+      .toDF("doc_id", "chunk_idx", "n_tokens")
+    val packed = Packing.packDeterministic(spark, chunks, budget = 100)
+      .collect()
+    assert(packed.length == 3)
+    val oversize = packed.find(_.doc_id == 1L).get
+    assert(oversize.pack_tokens == 250)
+    assert(packed.count(_.pack_id == oversize.pack_id) == 1)
+    assertThrows[IllegalArgumentException] {
+      Packing.packDeterministic(spark, chunks, budget = 0)
+    }
+  }
+
   test("concatOffsets: contiguous spans covering the token stream (x46)") {
     val docs = (1L to 200L).map(i => (i, ("w " * (1 + (i % 17).toInt)).trim))
       .toDF("doc_id", "text")
