@@ -36,6 +36,21 @@ object Multimodal {
     def decode(payload: Array[Byte]): (Int, Int, Int) // width, height, frames
     /** (width, height, row-major grayscale 0..255), or None. */
     def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = None
+    /** Content handles for the sampled frame indices `idxs` of this
+      * payload. Default = the deterministic STUB derivation
+      * md5(md5(payload) + '#' + idx) — one payload digest, handles
+      * derived from the 32-char hex, O(|payload| + k) — for formats
+      * whose individual frames can't be rasterized on the JVM (video/
+      * audio). Decoders that CAN read per-frame rasters override with
+      * real pixel digests ([[ImageIoDecoder]]: animated GIF). */
+    def frameHandles(payload: Array[Byte], idxs: Seq[Int]): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val base = md.digest(payload).map("%02x".format(_)).mkString + "#"
+      idxs.map { idx =>
+        md.reset()
+        md.digest((base + idx).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+    }
   }
 
   /** STUB decoder — deterministic byte-derived fake for formats with no
@@ -186,6 +201,60 @@ object Multimodal {
           Some((w, h, gray))
         }
       } catch { case _: Exception => PpmDecoder.decodeGray(payload) }
+
+    /** REAL per-frame handles for multi-image containers (animated GIF —
+      * the one JDK-readable multi-frame format): each sampled frame is
+      * rasterized with `reader.read(i)` and its (dims + ARGB rows)
+      * digested — two payloads with the same frame pixels get the same
+      * handle regardless of container bytes, the content-address
+      * property the stub derivation cannot give. Single-frame images and
+      * anything unreadable keep the stub derivation (so the x57 stub leg
+      * and this real leg agree on schema and determinism, differing only
+      * in what the handle is a digest OF). */
+    override def frameHandles(payload: Array[Byte], idxs: Seq[Int]): Seq[String] = {
+      import javax.imageio.ImageIO
+      if (!looksLikeImage(payload)) return super.frameHandles(payload, idxs)
+      try {
+        val iis = ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) super.frameHandles(payload, idxs)
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val frames =
+                try math.max(r.getNumImages(true), 1)
+                catch { case _: Exception => 1 }
+              if (frames <= 1) super.frameHandles(payload, idxs)
+              else {
+                val md = java.security.MessageDigest.getInstance("MD5")
+                idxs.map { i =>
+                  val img = r.read(math.min(i, frames - 1))
+                  md.reset()
+                  val w = img.getWidth; val h = img.getHeight
+                  val bb = java.nio.ByteBuffer.allocate(math.max(w * 4, 8))
+                  bb.putInt(w).putInt(h)
+                  md.update(bb.array(), 0, 8)
+                  val row = new Array[Int](w)
+                  var y = 0
+                  while (y < h) {
+                    img.getRGB(0, y, w, 1, row, 0, w)
+                    bb.clear()
+                    var x = 0
+                    while (x < w) { bb.putInt(row(x)); x += 1 }
+                    md.update(bb.array(), 0, w * 4)
+                    y += 1
+                  }
+                  md.digest().map("%02x".format(_)).mkString
+                }
+              }
+            } finally r.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      } catch { case _: Exception => super.frameHandles(payload, idxs) }
+    }
   }
 
   /** Encode a tiny P6 image (used by tests to drive the real decoder). */
@@ -276,15 +345,15 @@ object Multimodal {
     * there is no join back to the payload and no shuffle at all — the
     * frame stream inherits the scan's partitioning like chunking does.
     *
-    * `frame_ref` is md5(md5(payload) + '#' + index) — the deterministic
-    * STUB for actual pixel extraction (a production build slices the
-    * real frame bytes at this seam); the plumbing around it
-    * (decode-derived counts, batch shape, handle schema) is real and
-    * oracle-checked. The payload is digested ONCE per row and the
-    * per-frame handles derive from the 32-char hex digest, so a k-frame
-    * sample costs O(|payload| + k) hash work — not the k full-payload
-    * passes (plus a base64 string expansion) the first formulation paid,
-    * which is k× the necessary work on multi-MB video payloads. */
+    * `frame_ref` comes from the decoder's [[MediaDecoder.frameHandles]]
+    * seam: REAL per-frame pixel digests where the JVM can rasterize
+    * individual frames (animated GIF via [[ImageIoDecoder]]), else the
+    * deterministic stub derivation md5(md5(payload) + '#' + index) —
+    * one payload digest per row with handles derived from the 32-char
+    * hex, so a k-frame sample costs O(|payload| + k) hash work, not k
+    * full-payload passes. The x57 registration pins [[StubDecoder]]
+    * (pure stub leg) so its oracle stays closed-form; the GIF real leg
+    * is spec-checked. */
   def frameSample(spark: SparkSession, media: DataFrame, targetFrames: Int,
                   decoder: MediaDecoder = ImageIoDecoder): Dataset[FrameRef] = {
     import spark.implicits._
@@ -293,18 +362,12 @@ object Multimodal {
         col("meta.lang").as("meta_lang"), col("meta.chars").as("meta_chars"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { r =>
           val (_, _, n) = decoder.decode(r.payload)
           val k = math.min(targetFrames, n)
-          md.reset()
-          val base = md.digest(r.payload).map("%02x".format(_)).mkString + "#"
-          (0 until k).map { j =>
-            val idx = (j.toLong * n / k).toInt
-            md.reset()
-            val hex = md.digest((base + idx).getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString
-            FrameRef(r.doc_id, n, idx, hex)
+          val idxs = (0 until k).map(j => (j.toLong * n / k).toInt)
+          idxs.zip(decoder.frameHandles(r.payload, idxs)).map {
+            case (idx, hex) => FrameRef(r.doc_id, n, idx, hex)
           }
         }
       }

@@ -101,6 +101,75 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.asMediaTable(one), targetFrames = 4).collect().length == 1)
   }
 
+  private def encodeAnimatedGif(nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, ((x * 31 + y * 7 + f * 97) % 255) * 0x010101)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("frameSample emits real distinct per-frame pixel handles for animated GIFs") {
+    val gif = encodeAnimatedGif(3, 8, 8)
+    assert(Multimodal.ImageIoDecoder.decode(gif)._3 == 3) // real frame count
+    val media = Seq((1L, gif)).toDF("doc_id", "payload")
+      .withColumn("media_type", lit("image/gif"))
+      .withColumn("meta", struct(lit("und").as("lang"), lit(0L).as("chars")))
+    val out = Multimodal.frameSample(spark, media, targetFrames = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    // each frame digests its OWN raster: three distinct handles...
+    assert(out.map(_.frame_ref).distinct.length == 3)
+    // ...none of which is the stub (payload-digest) derivation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val stubBase = md.digest(gif).map("%02x".format(_)).mkString + "#"
+    val stubs = (0 until 3).map { i =>
+      md.reset()
+      md.digest((stubBase + i).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(out.map(_.frame_ref).toSet.intersect(stubs.toSet).isEmpty)
+    // deterministic across runs
+    val again = Multimodal.frameSample(spark, media, targetFrames = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(again.map(_.frame_ref).toSeq == out.map(_.frame_ref).toSeq)
+    // content-addressing: the same frames re-encoded (fresh writer run)
+    // produce the same handles
+    val media2 = Seq((2L, encodeAnimatedGif(3, 8, 8))).toDF("doc_id", "payload")
+      .withColumn("media_type", lit("image/gif"))
+      .withColumn("meta", struct(lit("und").as("lang"), lit(0L).as("chars")))
+    val enc2 = Multimodal.frameSample(spark, media2, targetFrames = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(enc2.map(_.frame_ref).toSeq == out.map(_.frame_ref).toSeq)
+  }
+
+  test("single-frame images keep the stub handle derivation") {
+    val png = encodeImage("png", 16, 12)
+    val media = Seq((1L, png)).toDF("doc_id", "payload")
+      .withColumn("media_type", lit("image/png"))
+      .withColumn("meta", struct(lit("und").as("lang"), lit(0L).as("chars")))
+    val out = Multimodal.frameSample(spark, media, targetFrames = 4)
+      .collect()
+    assert(out.length == 1) // k caps at n_frames = 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val base = md.digest(png).map("%02x".format(_)).mkString + "#0"
+    md.reset()
+    val expected = md.digest(base.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out.head.frame_ref == expected)
+  }
+
   test("resizePlan fits the box, preserves aspect, never upscales (x58)") {
     val feats = Seq(
       (1L, 100, 100),  // fits -> unchanged
