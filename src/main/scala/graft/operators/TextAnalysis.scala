@@ -248,7 +248,8 @@ object TextAnalysis {
       .cache()
     Guards.requireSmall(v.select(col("source")).distinct(), maxSources,
       "sourceSimilarity's pairwise stratum matrix (quadratic in #strata)",
-      "a top-k-neighbors-per-source variant, or a coarser stratum column")
+      "TextAnalysis.sourceNeighbors (LSH-banded, linear in strata), or " +
+        "a coarser stratum column")
     val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("_n"))
     v.as("a").join(v.as("b"),
         col("a._term") === col("b._term") && col("a.source") < col("b.source"))
@@ -262,6 +263,78 @@ object TextAnalysis {
         Num.fpRound(col("n_shared_terms").cast("double") /
           (col("_n1") + col("_n2") - col("n_shared_terms")).cast("double"), 4)
           .as("vocab_jaccard"))
+  }
+
+  /** Source similarity at DOMAIN granularity — the scale path
+    * [[sourceSimilarity]]'s guard names: vocabulary-overlapping stratum
+    * pairs at jaccard >= `threshold` WITHOUT the quadratic pair matrix.
+    *
+    *  1. per-stratum MinHash signatures built by AGGREGATION — numPerms
+    *     codegen'd `min(xxhash64(i, term_hash))` aggregates over the
+    *     distinct (stratum, term-hash) stream: one output row per
+    *     stratum and map-side partial mins, never a buffered vocabulary
+    *     (the `collect_set` formulation would hold a 10⁶-term domain's
+    *     vocab in one aggregation buffer);
+    *  2. LSH banding over the signature (b bands × r rows, the x2
+    *     calibration): candidates are strata agreeing on any band —
+    *     group size per band key is collision-bounded, so candidate
+    *     count is near-linear in #strata for a fixed similarity
+    *     structure;
+    *  3. exact vocab-jaccard verify on the CANDIDATE pairs only: each
+    *     pair's term sets meet through an equi-join keyed on
+    *     (candidate, term), so verify cost is Σ|V| over candidate
+    *     pairs — the honest cost of the answer, not of the matrix.
+    *
+    * Banding at the x2 calibration (20×4) has negligible false-negative
+    * mass at the threshold (P(miss at j=0.95) ≈ 4e-15), and the exact
+    * verify removes every false positive — which is why the x53 SQL
+    * plus a threshold filter serves as the oracle, the x2 convention.
+    * Output shape matches [[sourceSimilarity]] filtered to >= threshold. */
+  def sourceNeighbors(docs: DataFrame, textCol: String, sourceCol: String,
+                      threshold: Double, numBands: Int = 20,
+                      rowsPerBand: Int = 4): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    require(numBands >= 1 && rowsPerBand >= 1,
+      s"bad banding: $numBands x $rowsPerBand")
+    val v = Par.spread(docs).select(col(sourceCol).as("source"),
+        explode(TextExpressions.termCounts(col(textCol))).as("tc"))
+      .select(col("source"), col("tc.term").as("_term"))
+      .distinct()
+      .cache() // read by the signature build, both verify sides, sizes
+    val withH = v.select(col("source"), xxhash64(col("_term")).as("_h"))
+    val numPerms = numBands * rowsPerBand
+    val perms = (0 until numPerms).map(i =>
+      min(xxhash64(lit(i), col("_h"))).as(s"_p$i"))
+    val sig = withH.groupBy(col("source")).agg(perms.head, perms.tail: _*)
+    val bands = sig.select(col("source"),
+      posexplode(array((0 until numBands).map(b =>
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"_p$i")): _*)): _*))
+        .as(Seq("band_idx", "band_key")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.source") < col("y.source"))
+      .select(col("x.source").as("source1"), col("y.source").as("source2"))
+      .distinct()
+    val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("_n"))
+    val inter = cand
+      .join(v.as("a"), col("source1") === col("a.source"))
+      .join(v.as("b"),
+        col("source2") === col("b.source") && col("a._term") === col("b._term"))
+      .groupBy(col("source1"), col("source2"))
+      .agg(count(lit(1)).as("n_shared_terms"))
+    inter
+      .join(sizes.select(col("source").as("source1"), col("_n").as("_n1")),
+        Seq("source1"))
+      .join(sizes.select(col("source").as("source2"), col("_n").as("_n2")),
+        Seq("source2"))
+      .select(col("source1"), col("source2"), col("n_shared_terms"),
+        Num.fpRound(col("n_shared_terms").cast("double") /
+          (col("_n1") + col("_n2") - col("n_shared_terms")).cast("double"), 4)
+          .as("vocab_jaccard"))
+      .filter(col("vocab_jaccard") >= lit(threshold))
   }
 
   /** Token-window chunking for training-data preparation: each document

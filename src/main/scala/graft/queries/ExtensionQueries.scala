@@ -453,6 +453,21 @@ object ExtensionQueries {
       .select(col("doc_id"), col("text").as("clean_text"),
         col("n_pii_emails"), col("n_pii_phones"), col("n_pii_ips"))),
 
+    // x62 — DOMAIN-granular source neighbors: the LSH-banded scale path
+    // sourceSimilarity's maxSources guard names, run on 140 derived
+    // strata (source × doc_id%7 — per-stratum vocab subsampling gives a
+    // real 0.80-1.0 jaccard spread, unlike the full corpus where every
+    // source sees the whole vocab). Aggregated minhash signatures ->
+    // banded candidates -> exact verify at >= 0.95; the oracle is the
+    // x53 matrix on the same strata plus the threshold filter (x2's
+    // no-false-negatives-at-calibration convention).
+    "x62_source_neighbors" -> ((s, dir) =>
+      TextAnalysis.sourceNeighbors(
+        t(s, dir, "documents").withColumn("stratum",
+          concat(col("source"), lit("_"),
+            pmod(col("doc_id"), lit(7)).cast("string"))),
+        "text", "stratum", threshold = 0.95)),
+
     // x61 — sequence packing, registered: the deterministic md5-bucketed
     // next-fit form over the x31 chunk stream (64-token windows, stride
     // 48; 200-token packs). Shares packChunks' placement core, but the
@@ -1122,6 +1137,25 @@ object ExtensionQueries {
              AS vocab_jaccard
          FROM inter JOIN sz x ON source1 = x.source
            JOIN sz y ON source2 = y.source""",
+    // the x53 matrix over the derived strata + the threshold filter —
+    // exact by the banding calibration + exact-verify argument.
+    "x62_source_neighbors" ->
+      """WITH v AS (SELECT DISTINCT
+           source || '_' || CAST(doc_id % 7 AS VARCHAR) AS source,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         sz AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+         inter AS (SELECT a.source AS source1, b.source AS source2,
+           count(*) AS c
+           FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT source1, source2, CAST(c AS BIGINT) AS n_shared_terms,
+           floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0
+             AS vocab_jaccard
+         FROM inter JOIN sz x ON source1 = x.source
+           JOIN sz y ON source2 = y.source
+         WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0
+           >= 0.95""",
     // the x8 pair stream labeled by the x26 md5 split rule; avg over
     // the 1e-4-grid jaccards as DECIMAL(38,6) (order-independent), the
     // davg float law.

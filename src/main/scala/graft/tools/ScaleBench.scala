@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{LocalSession, Tables}
-import graft.operators.{Cleaning, Components, Packing, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Cleaning, Components, CorpusPipeline, ImageDedup, Multimodal, Packing, Similarity, TextAnalysis, TextDedup}
 
 /** Empirical scale probe for the dedup family (x8/x32/x36/x39/x40): runs
   * each pipeline at sf0.1 (5000 documents / 2000 embeddings) and at a
@@ -112,7 +112,26 @@ object ScaleBench {
       Cleaning.stripBoilerplate(Tables(s, dir, "documents"), "doc_id",
         "text", passageTokens = 8, maxDf = 1)),
     ("x52_winnow_pairs", (s: SparkSession, dir: String) =>
-      TextDedup.winnowPairs(Tables(s, dir, "documents"), "doc_id", "text")))
+      TextDedup.winnowPairs(Tables(s, dir, "documents"), "doc_id", "text")),
+    // source values are IDENTICAL across copies, so the stratum count —
+    // and with it the pair matrix — is constant while each source's
+    // vocabulary grows 10x (the `_k` suffix): exactly the shape the
+    // per-term #sources bound claims to keep linear
+    ("x53_source_similarity", (s: SparkSession, dir: String) =>
+      TextAnalysis.sourceSimilarity(Tables(s, dir, "documents"), "text",
+        "source")),
+    // strip -> redact -> dedup -> split composition; the `_k` suffix
+    // keeps passages and cleaned texts disjoint across copies, so the
+    // collapse structure replicates exactly 10x
+    ("x56_clean_pipeline", (s: SparkSession, dir: String) =>
+      CorpusPipeline.curate(Tables(s, dir, "documents"), "doc_id", "text",
+        passageTokens = 8, maxDf = 1)),
+    // per-copy distinct texts give distinct images; each doc pairs with
+    // its re-encoded copy, so pair count scales exactly with the corpus
+    ("x59_image_neardup", (s: SparkSession, dir: String) =>
+      ImageDedup.nearDupPairs(s,
+        Multimodal.syntheticPpmPairs(s, Tables(s, dir, "documents"),
+          "doc_id", "text", copyOffset = 10000000L))))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

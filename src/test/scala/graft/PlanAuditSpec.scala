@@ -350,4 +350,35 @@ class PlanAuditSpec extends SparkSpec {
         s"pre-collected K-bounded literal):\n$p")
     assert(p.contains("stophitsexpr"), s"vocab hash-probe kernel missing:\n$p")
   }
+
+  test("x59 image pair join is the banded pigeonhole equi-join (no all-pairs)") {
+    val p = plan("x59_image_neardup")
+    assert(!p.contains("CartesianProduct"), s"cartesian in x59:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in x59:\n$p")
+    // candidates join on (chunk_idx, chunk_val) — a SortMergeJoin or
+    // shuffled hash join keyed on the chunk pair, never fp inequality
+    assert(p.contains("chunk_val"), s"pigeonhole chunk key missing:\n$p")
+  }
+
+  test("x60 PII redaction is a zero-shuffle per-row projection") {
+    val p = plan("x60_pii_redaction")
+    val dataExchanges = "Exchange (?!RoundRobinPartitioning)".r
+      .findAllIn(p).size
+    assert(dataExchanges == 0,
+      s"redaction should be a pure scan-side projection:\n$p")
+  }
+
+  test("x61 deterministic packing: one bucket exchange, no global sort") {
+    val p = plan("x61_pack_chunks")
+    // the route is ONE hash exchange on _bucket; the order within a
+    // bucket comes from sortWithinPartitions — a global Sort (range
+    // exchange) would funnel hash order through sampled boundaries
+    assert(p.contains("hashpartitioning(_bucket"),
+      s"bucket hash route missing in x61:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"global sort leaked into x61:\n$p")
+    val singles = "SinglePartition".r.findAllIn(p).size
+    assert(singles == 0, s"single-partition exchange in x61:\n$p")
+  }
 }

@@ -375,6 +375,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.keys.exists(p => p._1 == "s4" || p._2 == "s4"))
   }
 
+  test("sourceNeighbors: banded candidates + exact verify match the matrix semantics (x62)") {
+    val corpus = Seq(
+      (1L, "a b c d e", "s1"),
+      (2L, "e d c b a a", "s2"), // same vocab as s1 -> j = 1.0
+      (3L, "a b c d x", "s3"),   // j(s1,s3) = 4/6 = 0.6667 — below bar
+      (4L, "p q r", "s4")        // disjoint
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceNeighbors(corpus, "text", "source",
+        threshold = 0.9)
+      .collect().map(r => (r.getAs[String]("source1"),
+        r.getAs[String]("source2"), r.getAs[Long]("n_shared_terms"),
+        r.getAs[Double]("vocab_jaccard")))
+    assert(out.toSeq == Seq(("s1", "s2", 5L, 1.0)))
+  }
+
+  test("sourceNeighbors handles stratum counts that trip sourceSimilarity's guard") {
+    // domain-granular strata (one per doc — the shape the guard rejects)
+    // with identical vocabularies, so every pair is a true neighbor
+    val granular = spark.range(20).selectExpr("id AS doc_id",
+      "'alpha beta gamma delta' AS text", "concat('domain', id) AS source")
+    val out = TextAnalysis.sourceNeighbors(granular, "text", "source",
+      threshold = 0.9)
+    assert(out.count() == 190L) // 20 choose 2, all at jaccard 1.0
+    assert(out.collect().forall(_.getAs[Double]("vocab_jaccard") == 1.0))
+  }
+
   test("sourceSimilarity fails fast past maxSources strata, naming the scale path") {
     // a domain-granular stratum column: one stratum per document
     val granular = spark.range(20).selectExpr("id AS doc_id",
@@ -383,7 +409,7 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.sourceSimilarity(granular, "text", "source",
         maxSources = 10L)
     }
-    assert(e.getMessage.contains("top-k-neighbors"))
+    assert(e.getMessage.contains("sourceNeighbors")) // names the real path
     // raising the bound deliberately admits the same input
     assert(TextAnalysis.sourceSimilarity(granular, "text", "source",
       maxSources = 100L).collect().nonEmpty) // all share the "shared" term

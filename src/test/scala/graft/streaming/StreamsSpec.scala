@@ -252,6 +252,34 @@ class StreamsSpec extends SparkSpec {
     assert(out(2L) == pristine)                    // no hit ⇒ untouched
   }
 
+  test("redactPii runs unchanged inside a streaming plan (x60 twin)") {
+    val dir = Files.createTempDirectory("redact-in").toString
+    Seq(
+      (1L, ts("2024-01-01 00:01:00"),
+        "ping alice@ex.org from 10.1.2.3 now"),
+      (2L, ts("2024-01-01 00:02:00"), "no pii here at all")
+    ).toDF("event_id", "ts", "text")
+      .write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    // a pure per-row projection composes into a streaming plan with no
+    // state and no watermark — the same stateless-gate property as
+    // qualityGate/boilerplateScrub
+    val redacted = graft.operators.Cleaning.redactPii(
+      spark.readStream.schema(schema).parquet(dir), "text")
+    val q = redacted.writeStream.outputMode("append")
+      .format("memory").queryName("redact_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("redact_out")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_pii_emails"),
+          r.getAs[Long]("n_pii_ips")))).toMap
+    assert(out(1L) == (("ping <EMAIL> from <IP> now", 1L, 1L)))
+    assert(out(2L) == (("no pii here at all", 0L, 0L)))
+  }
+
   test("decontaminationGate drops benchmark-overlapping docs in-stream (x44 twin)") {
     val bench = Seq((1L, "held out eval phrase one two three"))
       .toDF("bench_id", "text")
