@@ -91,4 +91,29 @@ object ImageDedup {
     TextDedup.pigeonholePairs(dHashes(spark, media, decoder),
         chunkBits = 15, maxHamming)
       .withColumn("hamming", col("hamming").cast("long"))
+
+  /** Image dedup APPLIED (x63) — the multimodal twin of the text
+    * family's x36/x39 apply forms: dHash pairs, connected components
+    * over the pair graph (pointer-jumping — O(log diameter) rounds),
+    * keep each cluster's min-id representative plus every singleton.
+    * Returns `(doc_id, fp)` — the surviving ids with their content
+    * fingerprint (payload bytes are not a cross-engine-comparable
+    * artifact; the 60-bit fingerprint is, which is what makes this form
+    * oracle-checkable).
+    *
+    * The fingerprint frame is CACHED (module cache contract): the pair
+    * join reads it twice and the survivor anti-join a third time —
+    * without the cache the whole decode scan re-runs per consumer. The
+    * drop set is near-dup-sized, so the final anti-join broadcasts in
+    * practice; every upstream stage is the banded path. */
+  def dedupedImages(spark: SparkSession, media: DataFrame,
+                    maxHamming: Int = 3,
+                    decoder: Multimodal.MediaDecoder = Multimodal.ImageIoDecoder): DataFrame = {
+    val fps = dHashes(spark, media, decoder).cache()
+    val pairs = TextDedup.pigeonholePairs(fps, chunkBits = 15, maxHamming)
+    val comps = Components.connectedComponents(pairs, "doc1", "doc2")
+    val drops = comps.filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    fps.join(drops, Seq("doc_id"), "left_anti")
+  }
 }

@@ -398,6 +398,54 @@ object Multimodal {
       outW.as("out_w"), outH.as("out_h"))
   }
 
+  case class ImageStats(doc_id: Long, width: Int, height: Int,
+                        brightness: Double, contrast: Double, aspect: Double)
+
+  /** Image QUALITY SIGNALS from real decoded pixels — the multimodal
+    * analog of the text quality score (x12): per image, mean gray
+    * (`brightness`, 0-255 scale), population standard deviation
+    * (`contrast` — near-zero flags blank/flat frames the way repetition
+    * flags spam text), and `aspect` = w/h. A filter stage drops
+    * blank / extreme-aspect images before they cost dedup or training
+    * budget.
+    *
+    * Cross-engine float law: sum and sum-of-squares accumulate as exact
+    * integers, so for images up to ~12 MP (where n·Σg² and (Σg)² stay
+    * inside a signed 64-bit long) `contrast` = sqrt(n·Σg² − (Σg)²)/n
+    * touches floating point only at the final sqrt and divide — both
+    * correctly-rounded IEEE ops — then rounds on the 1e-4 grid like
+    * every exported ratio. Past 12 MP the variance numerator switches
+    * to double accumulation (relative error ~1e-16 — far inside the
+    * grid — but no longer bit-provable; documented, not silent).
+    * Undecodable payloads take the [[ImageDedup.stubGray]] grid,
+    * keeping the operator total. */
+  def imageStats(spark: SparkSession, media: DataFrame,
+                 decoder: MediaDecoder = ImageIoDecoder): Dataset[ImageStats] = {
+    import spark.implicits._
+    def grid4(v: Double): Double = math.floor(v * 10000 + 0.5) / 10000.0
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (w, h, gray) = decoder.decodeGray(payload)
+            .getOrElse((ImageDedup.GridW, ImageDedup.GridH,
+              ImageDedup.stubGray(payload)))
+          val n = w * h
+          var sum = 0L; var sumSq = 0L
+          var i = 0
+          while (i < n) { val g = gray(i).toLong; sum += g; sumSq += g * g; i += 1 }
+          val nL = n.toLong
+          val varNum = // exact-integer law while it fits a long
+            if (nL <= 12000000L) (nL * sumSq - sum * sum).toDouble
+            else nL.toDouble * sumSq - sum.toDouble * sum
+          ImageStats(id, w, h,
+            grid4(sum.toDouble / nL),
+            grid4(math.sqrt(varNum) / nL),
+            grid4(w.toDouble / h))
+        }
+      }
+  }
+
   /** Partition-batched feature extraction: the decoder is instantiated
     * once per partition (mapPartitions), rows stream through it — the
     * Scala analog of `mapInPandas` batch shape. */

@@ -453,6 +453,26 @@ object ExtensionQueries {
       .select(col("doc_id"), col("text").as("clean_text"),
         col("n_pii_emails"), col("n_pii_phones"), col("n_pii_ips"))),
 
+    // x63 — image dedup APPLIED: the multimodal twin of x36/x39's apply
+    // forms — dHash pairs -> connected components -> keep min-id
+    // representative per cluster + singletons, on the same synthetic
+    // PPM corpus as x59 (each doc + its re-encoded copy collapse to the
+    // original). Survivors as (doc_id, fp) — the fingerprint is the
+    // cross-engine-comparable content artifact.
+    "x63_image_dedup_apply" -> ((s, dir) =>
+      ImageDedup.dedupedImages(s,
+        Multimodal.syntheticPpmPairs(s, t(s, dir, "documents"), "doc_id",
+          "text", copyOffset = 1000000L))),
+
+    // x64 — image quality signals from REAL decoded pixels (the x12
+    // analog for the image half): brightness mean / contrast std /
+    // aspect per image over the synthetic PPM corpus; exact-integer
+    // sums -> one IEEE sqrt+divide -> 1e-4 grid.
+    "x64_image_stats" -> ((s, dir) =>
+      Multimodal.imageStats(s,
+        Multimodal.syntheticPpmPairs(s, t(s, dir, "documents"), "doc_id",
+          "text", copyOffset = 1000000L)).toDF()),
+
     // x62 — DOMAIN-granular source neighbors: the LSH-banded scale path
     // sourceSimilarity's maxSources guard names, run on 140 derived
     // strata (source × doc_id%7 — per-stratum vocab subsampling gives a
@@ -1291,6 +1311,66 @@ object ExtensionQueries {
              '<IP>', 'g') AS t3 FROM p)
          SELECT doc_id, t3 AS clean_text, n_pii_emails, n_pii_phones,
            n_pii_ips FROM i""",
+    // x59's fp derivation + hamming pairs + the x32-style recursive
+    // walk; survivors = ids not dropped as non-representatives.
+    "x63_image_dedup_apply" ->
+      """WITH RECURSIVE hx AS (SELECT doc_id,
+           md5(text || ':0') || md5(text || ':1') || md5(text || ':2') AS h
+           FROM documents),
+         g0 AS (SELECT doc_id,
+           list_transform(range(70), i ->
+             17 * (strpos('0123456789abcdef',
+               substr(h, CAST(i + 1 AS INTEGER), 1)) - 1)) AS g
+           FROM hx),
+         gs AS (SELECT doc_id, g FROM g0
+           UNION ALL
+           SELECT doc_id + 1000000, list_concat([255 - g[1]], g[2:70])
+           FROM g0),
+         fp AS (SELECT doc_id,
+           CAST(list_sum(list_transform(range(60), b ->
+             CASE WHEN g[CAST(b // 6 * 7 + b % 6 + 2 AS INTEGER)]
+                     > g[CAST(b // 6 * 7 + b % 6 + 1 AS INTEGER)]
+                  THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+           FROM gs),
+         prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         edges AS (SELECT d1 AS a, d2 AS b FROM prs
+           UNION SELECT d2, d1 FROM prs),
+         walk(node, reach) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+         comp AS (SELECT node, min(reach) AS rep FROM walk GROUP BY 1)
+         SELECT f.doc_id, f.fp FROM fp f
+         WHERE f.doc_id NOT IN (SELECT node FROM comp WHERE node <> rep)""",
+    // same pixel derivation; exact-integer sum/sumsq -> one IEEE sqrt
+    // and divide -> the 1e-4 grid (the Scala side's identical law).
+    "x64_image_stats" ->
+      """WITH hx AS (SELECT doc_id,
+           md5(text || ':0') || md5(text || ':1') || md5(text || ':2') AS h
+           FROM documents),
+         g0 AS (SELECT doc_id,
+           list_transform(range(70), i ->
+             17 * (strpos('0123456789abcdef',
+               substr(h, CAST(i + 1 AS INTEGER), 1)) - 1)) AS g
+           FROM hx),
+         gs AS (SELECT doc_id, g FROM g0
+           UNION ALL
+           SELECT doc_id + 1000000, list_concat([255 - g[1]], g[2:70])
+           FROM g0),
+         st AS (SELECT doc_id,
+           CAST(list_sum(g) AS BIGINT) AS s,
+           CAST(list_sum(list_transform(g, x -> x * x)) AS BIGINT) AS sq
+           FROM gs)
+         SELECT doc_id, CAST(7 AS INTEGER) AS width,
+           CAST(10 AS INTEGER) AS height,
+           floor(s * 1.0 / 70 * 10000 + 0.5) / 10000.0 AS brightness,
+           floor(sqrt(CAST(70 * sq - s * s AS DOUBLE)) / 70 * 10000 + 0.5)
+             / 10000.0 AS contrast,
+           CAST(0.7 AS DOUBLE) AS aspect
+         FROM st""",
     // pixels re-derived from the text (17 * hexdigit of the 3-block md5
     // chain — no PPM parse oracle-side), dHash = 6x10 horizontal
     // gradient signs, pairs = all-pairs hamming <= 3 (oracle scale).

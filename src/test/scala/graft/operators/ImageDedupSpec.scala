@@ -78,6 +78,57 @@ class ImageDedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(a ^ b) <= 1)
   }
 
+  test("dHash is invariant under uniform brightness shifts") {
+    // gradient SIGNS don't move when every pixel shifts equally (no
+    // clipping) — the robustness byte hashes lack
+    val dim = baseGray.map(v => math.min(v, 215))
+    val brightened = dim.map(_ + 40)
+    assert(ImageDedup.dHash60(7, 10, dim) ==
+      ImageDedup.dHash60(7, 10, brightened))
+  }
+
+  test("dedupedImages keeps one representative per cluster (x63 shape)") {
+    val unrelated = grid(i => (i * 101 + 7) % 256)
+    val m = media(Seq(
+      1L -> Multimodal.makePpmGray(7, 10, baseGray),
+      2L -> encodeImage("png", baseGray),      // re-encode of 1 -> drops
+      3L -> encodeImage("bmp", baseGray),      // another re-encode -> drops
+      4L -> encodeImage("png", unrelated)))    // singleton -> survives
+    val out = ImageDedup.dedupedImages(spark, m)
+      .collect().map(r => r.getAs[Long]("doc_id")).sorted
+    assert(out.toSeq == Seq(1L, 4L))
+  }
+
+  test("imageStats: brightness/contrast/aspect from real decoded pixels (x64)") {
+    val flat = Array.fill(70)(100)
+    val split = Array.tabulate(8)(i => if (i % 2 == 0) 0 else 255) // 4x2
+    val m = Seq(
+      1L -> Multimodal.makePpmGray(7, 10, flat),
+      2L -> encodeImage4x2(split))
+      .toDF("doc_id", "payload")
+      .withColumn("media_type", lit("image/*"))
+      .withColumn("meta", struct(lit("und").as("lang"), lit(0L).as("chars")))
+    val out = Multimodal.imageStats(spark, m)
+      .collect().map(s => s.doc_id -> s).toMap
+    assert(out(1L).brightness == 100.0 && out(1L).contrast == 0.0)
+    assert(out(1L).aspect == 0.7)
+    assert(out(2L).width == 4 && out(2L).height == 2)
+    assert(out(2L).brightness == 127.5 && out(2L).contrast == 127.5)
+    assert(out(2L).aspect == 2.0)
+  }
+
+  private def encodeImage4x2(gray: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val v = gray(y * 4 + x)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   test("nearDupPairs surfaces a re-encoded image and its original (x59 shape)") {
     val unrelated = grid(i => (i * 101 + 7) % 256)
     val m = media(Seq(
