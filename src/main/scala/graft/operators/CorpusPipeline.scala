@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.streaming.Streams
@@ -100,5 +100,33 @@ object CorpusPipeline {
     TextAnalysis.hashSplit(deduped, "doc_id")
       .select(col("doc_id"), col("clean_text"), col("n_dropped"),
         col("split"))
+  }
+
+  /** IMAGE curation pipeline (x65) — the multimodal twin of [[curate]]:
+    * quality gate on decoded-pixel contrast ([[Multimodal.imageStats]] —
+    * blank/flat frames dropped before they cost dedup state, the same
+    * gate-first ordering as the text pipelines) → perceptual dedup
+    * applied ([[ImageDedup.dedupedImages]]) → train/val/test split
+    * (x26). Returns (doc_id, fp, split) for the surviving images.
+    *
+    * The gate can break a near-dup cluster asymmetrically (one encoding
+    * of a picture passes the bar, another misses it) — dedup therefore
+    * runs on the GATED survivors, exactly as text dedup runs on the
+    * quality-gated corpus; the oracle mirrors this composition.
+    *
+    * Scale shape: the gate is one decode scan feeding a left-semi join
+    * on ids (only ids move); dedup shuffles 16-byte fingerprints through
+    * the banded pigeonhole join; the split is a pure projection. Payload
+    * bytes never move past the two decode scans. */
+  def curateImages(spark: SparkSession, media: DataFrame, minContrast: Double,
+                   maxHamming: Int = 3,
+                   decoder: Multimodal.MediaDecoder = Multimodal.ImageIoDecoder): DataFrame = {
+    val good = media.join(
+      Multimodal.imageStats(spark, media, decoder)
+        .filter(col("contrast") >= minContrast)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    TextAnalysis.hashSplit(
+      ImageDedup.dedupedImages(spark, good, maxHamming, decoder), "doc_id")
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.CorpusPipeline
+import graft.operators.{CorpusPipeline, Multimodal}
 
 /** The end-to-end training-corpus pipeline as ONE registered oracle
   * query (x42): quality gate (x35 signals) → exact dedup apply (x34) →
@@ -49,7 +49,18 @@ object PipelineQueries {
     // composition checks) → split label.
     "x56_clean_pipeline" -> ((s, dir) =>
       CorpusPipeline.curate(t(s, dir, "documents"), "doc_id", "text",
-        passageTokens = 8, maxDf = 1))
+        passageTokens = 8, maxDf = 1)),
+
+    // x65 — the IMAGE curation composition over the synthetic PPM corpus
+    // (originals + re-encoded copies): contrast gate at >= 75 (the
+    // corpus's contrast spread is 64-90, so the bar does real work and
+    // can break a (doc, copy) cluster asymmetrically) → perceptual
+    // dedup on the gated survivors → split label.
+    "x65_image_pipeline" -> ((s, dir) =>
+      CorpusPipeline.curateImages(s,
+        Multimodal.syntheticPpmPairs(s, t(s, dir, "documents"), "doc_id",
+          "text", copyOffset = 1000000L),
+        minContrast = 75.0))
   )
 
   // The oracle chains the per-stage SQL (x35 gate signals, x34 exact
@@ -175,6 +186,53 @@ object PipelineQueries {
                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
                   THEN 'val'
                 ELSE 'test' END AS split
-         FROM ex"""
+         FROM ex""",
+    // the x64 stats CTEs gate on gridded contrast, then the x63 dedup
+    // walk runs on the GATED population only, then the x26 split rule.
+    "x65_image_pipeline" ->
+      """WITH RECURSIVE hx AS (SELECT doc_id,
+           md5(text || ':0') || md5(text || ':1') || md5(text || ':2') AS h
+           FROM documents),
+         g0 AS (SELECT doc_id,
+           list_transform(range(70), i ->
+             17 * (strpos('0123456789abcdef',
+               substr(h, CAST(i + 1 AS INTEGER), 1)) - 1)) AS g
+           FROM hx),
+         gs AS (SELECT doc_id, g FROM g0
+           UNION ALL
+           SELECT doc_id + 1000000, list_concat([255 - g[1]], g[2:70])
+           FROM g0),
+         st AS (SELECT doc_id, g,
+           CAST(list_sum(g) AS BIGINT) AS s,
+           CAST(list_sum(list_transform(g, x -> x * x)) AS BIGINT) AS sq
+           FROM gs),
+         gated AS (SELECT doc_id, g FROM st
+           WHERE floor(sqrt(CAST(70 * sq - s * s AS DOUBLE)) / 70 * 10000
+             + 0.5) / 10000.0 >= 75.0),
+         fp AS (SELECT doc_id,
+           CAST(list_sum(list_transform(range(60), b ->
+             CASE WHEN g[CAST(b // 6 * 7 + b % 6 + 2 AS INTEGER)]
+                     > g[CAST(b // 6 * 7 + b % 6 + 1 AS INTEGER)]
+                  THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+           FROM gated),
+         prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         edges AS (SELECT d1 AS a, d2 AS b FROM prs
+           UNION SELECT d2, d1 FROM prs),
+         walk(node, reach) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+         comp AS (SELECT node, min(reach) AS rep FROM walk GROUP BY 1)
+         SELECT f.doc_id, f.fp,
+           CASE WHEN substring(md5(CAST(f.doc_id AS VARCHAR)), 1, 1) <= '9'
+                  THEN 'train'
+                WHEN substring(md5(CAST(f.doc_id AS VARCHAR)), 1, 1) <= 'b'
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM fp f
+         WHERE f.doc_id NOT IN (SELECT node FROM comp WHERE node <> rep)"""
   )
 }

@@ -108,4 +108,32 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 3L)) // 2 collapsed into 1 via redaction
     assert(out(1L) == "hello please contact <EMAIL> soon")
   }
+
+  test("curateImages: gate drops flat frames, dedup collapses re-encodes (x65)") {
+    import org.apache.spark.sql.functions.{lit, struct}
+    val gray = Array.tabulate(70)(i => (i * 37 + 11) % 256)
+    val png = {
+      val img = new java.awt.image.BufferedImage(7, 10,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 7; y <- 0 until 10) {
+        val v = gray(y * 7 + x)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      1L -> Multimodal.makePpmGray(7, 10, gray), // survives, representative
+      2L -> png,                                 // same picture -> collapses
+      3L -> Multimodal.makePpmGray(7, 10, Array.fill(70)(128))) // flat -> gated
+      .toDF("doc_id", "payload")
+      .withColumn("media_type", lit("image/*"))
+      .withColumn("meta", struct(lit("und").as("lang"), lit(0L).as("chars")))
+    val out = CorpusPipeline.curateImages(spark, media, minContrast = 10.0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    assert(out.keySet == Set(1L))
+    assert(Set("train", "val", "test")(out(1L)))
+  }
 }
