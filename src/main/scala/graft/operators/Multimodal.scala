@@ -419,6 +419,26 @@ object Multimodal {
     * grid — but no longer bit-provable; documented, not silent).
     * Undecodable payloads take the [[ImageDedup.stubGray]] grid,
     * keeping the operator total. */
+  /** Exact-integer (Σg, Σg²) of the first n gray values. */
+  private[graft] def grayMoments(gray: Array[Int], n: Int): (Long, Long) = {
+    var sum = 0L; var sumSq = 0L
+    var i = 0
+    while (i < n) { val g = gray(i).toLong; sum += g; sumSq += g * g; i += 1 }
+    (sum, sumSq)
+  }
+
+  /** The ONE definition of the contrast law (gridded population std) —
+    * shared by [[imageStats]] and the streaming
+    * [[graft.streaming.Streams.imageGate]], so the gate can never
+    * silently diverge from the stat it thresholds (the splitLabel
+    * lesson). See [[imageStats]] for the exactness argument. */
+  private[graft] def contrastLaw(n: Long, sum: Long, sumSq: Long): Double = {
+    val varNum =
+      if (n <= 12000000L) (n * sumSq - sum * sum).toDouble
+      else n.toDouble * sumSq - sum.toDouble * sum
+    math.floor(math.sqrt(varNum) / n * 10000 + 0.5) / 10000.0
+  }
+
   def imageStats(spark: SparkSession, media: DataFrame,
                  decoder: MediaDecoder = ImageIoDecoder): Dataset[ImageStats] = {
     import spark.implicits._
@@ -430,20 +450,130 @@ object Multimodal {
           val (w, h, gray) = decoder.decodeGray(payload)
             .getOrElse((ImageDedup.GridW, ImageDedup.GridH,
               ImageDedup.stubGray(payload)))
-          val n = w * h
-          var sum = 0L; var sumSq = 0L
-          var i = 0
-          while (i < n) { val g = gray(i).toLong; sum += g; sumSq += g * g; i += 1 }
-          val nL = n.toLong
-          val varNum = // exact-integer law while it fits a long
-            if (nL <= 12000000L) (nL * sumSq - sum * sum).toDouble
-            else nL.toDouble * sumSq - sum.toDouble * sum
+          val n = w.toLong * h
+          val (sum, sumSq) = grayMoments(gray, w * h)
           ImageStats(id, w, h,
-            grid4(sum.toDouble / nL),
-            grid4(math.sqrt(varNum) / nL),
+            grid4(sum.toDouble / n),
+            contrastLaw(n, sum, sumSq),
             grid4(w.toDouble / h))
         }
       }
+  }
+
+  case class AudioMeta(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                       nSamples: Long)
+  case class AudioStats(doc_id: Long, channels: Int, sample_rate: Int,
+                        bits_per_sample: Int, n_samples: Long,
+                        duration_ms: Long)
+
+  /** REAL audio container parse for RIFF/WAVE — like [[PpmDecoder]], a
+    * pure-JVM byte-level parse, no codec libraries: walks the chunk list
+    * (RIFF size header, `fmt ` for channels/rate/bits, `data` for the
+    * sample payload length), returns None — never throws — for
+    * malformed/truncated/non-PCM payloads. Compressed formats (MP3,
+    * AAC…) have no JVM decoder and take the stub leg, exactly the
+    * image family's split between PPM/ImageIO and the stub. */
+  object WavParser extends Serializable {
+    def parse(payload: Array[Byte]): Option[AudioMeta] = {
+      def u16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      def u32(o: Int): Long =
+        (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+          ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+      def tag(o: Int): String =
+        if (o + 4 <= payload.length)
+          new String(payload, o, 4, "US-ASCII")
+        else ""
+      if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+        return None
+      var pos = 12
+      var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+      var dataBytes = -1L
+      while (pos + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
+        val id = tag(pos)
+        val sz = u32(pos + 4)
+        if (id == "fmt " && pos + 24 <= payload.length) {
+          val audioFormat = u16(pos + 8)
+          if (audioFormat != 1) return None // PCM only
+          fmt = Some((u16(pos + 10), u32(pos + 12).toInt, u16(pos + 22)))
+        } else if (id == "data") {
+          // truncated payloads cap at the bytes actually present
+          dataBytes = math.min(sz, (payload.length - pos - 8).toLong)
+        }
+        // clamp the declared size to the bytes present BEFORE the int
+        // narrowing — a hostile 4 GB chunk size must not wrap negative
+        // and stall the walk
+        val step = math.min(sz, (payload.length - pos - 8).toLong).toInt
+        pos += 8 + step + (step & 1) // chunks are word-aligned
+      }
+      fmt.collect { case (ch, rate, bits)
+          if ch >= 1 && rate >= 1 && bits >= 8 && dataBytes >= 0 =>
+        AudioMeta(ch, rate, bits, dataBytes / (ch.toLong * (bits / 8)))
+      }
+    }
+  }
+
+  /** Encode a PCM RIFF/WAVE payload with silent samples (used by tests
+    * and the x66 registration to drive the real parser). */
+  def makeWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+              nSamples: Long): Array[Byte] = {
+    val dataBytes = (nSamples * channels * (bitsPerSample / 8)).toInt
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * (bitsPerSample / 8))
+      .putShort((channels * (bitsPerSample / 8)).toShort)
+      .putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    bb.array()
+  }
+
+  /** Audio stream properties from the REAL container parse — the audio
+    * analog of [[extractFeatures]]/[[imageStats]]: per payload,
+    * channels / sample rate / sample width / sample count and the
+    * derived duration (exact integer math: floor(n·1000/rate) — no
+    * floating point anywhere, so the oracle mirrors it closed-form).
+    * Non-WAV payloads take a deterministic byte-derived stub (rate 8000
+    * mono 8-bit, one "sample" per payload byte), keeping the operator
+    * total. */
+  def audioStats(spark: SparkSession, media: DataFrame): Dataset[AudioStats] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val m = WavParser.parse(payload)
+            .getOrElse(AudioMeta(1, 8000, 8, payload.length.toLong))
+          AudioStats(id, m.channels, m.sampleRate, m.bitsPerSample,
+            m.nSamples, m.nSamples * 1000L / m.sampleRate)
+        }
+      }
+  }
+
+  /** Deterministic synthetic WAV media table derived from a text corpus
+    * — the x66 fixture adapter (the driver fixtures carry no audio
+    * column), mirroring [[syntheticPpmPairs]]: every field is a
+    * closed-form function of driver columns, so a SQL engine reproduces
+    * the expected stats without a RIFF parser while the Spark side must
+    * actually parse the bytes it built. */
+  def syntheticWavTable(spark: SparkSession, docs: DataFrame, idCol: String,
+                        charsCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(charsCol).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nChars) =>
+          val channels = 1 + (id % 2).toInt
+          val rate = 8000 * (1 + (id % 3).toInt)
+          val bits = if (id % 4 < 2) 8 else 16
+          (id, makeWav(channels, rate, bits, nChars + 50L))
+        }
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("media_type", lit("audio/wav"))
+      .withColumn("meta", struct(lit("und").as("lang"), lit(0L).as("chars")))
   }
 
   /** Partition-batched feature extraction: the decoder is instantiated

@@ -473,6 +473,17 @@ object ExtensionQueries {
         Multimodal.syntheticPpmPairs(s, t(s, dir, "documents"), "doc_id",
           "text", copyOffset = 1000000L)).toDF()),
 
+    // x66 — audio stream properties via the REAL RIFF/WAVE byte parse
+    // (the audio analog of the PPM leg): synthetic PCM WAVs whose
+    // header fields are closed-form functions of driver columns — the
+    // Spark side must parse the bytes it built; the oracle recomputes
+    // the stats from the formulas with no RIFF parser. Exact integer
+    // math throughout (duration = floor(n*1000/rate)).
+    "x66_audio_stats" -> ((s, dir) =>
+      Multimodal.audioStats(s,
+        Multimodal.syntheticWavTable(s, t(s, dir, "documents"), "doc_id",
+          "n_chars")).toDF()),
+
     // x62 — DOMAIN-granular source neighbors: the LSH-banded scale path
     // sourceSimilarity's maxSources guard names, run on 140 derived
     // strata (source × doc_id%7 — per-stratum vocab subsampling gives a
@@ -1311,6 +1322,18 @@ object ExtensionQueries {
              '<IP>', 'g') AS t3 FROM p)
          SELECT doc_id, t3 AS clean_text, n_pii_emails, n_pii_phones,
            n_pii_ips FROM i""",
+    // header fields re-derived from driver columns; duration is integer
+    // floor division in both engines.
+    "x66_audio_stats" ->
+      """SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+           CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 4 < 2 THEN 8 ELSE 16 END AS INTEGER)
+             AS bits_per_sample,
+           CAST(n_chars + 50 AS BIGINT) AS n_samples,
+           CAST((n_chars + 50) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT)
+             AS duration_ms
+         FROM documents""",
     // x59's fp derivation + hamming pairs + the x32-style recursive
     // walk; survivors = ids not dropped as non-representatives.
     "x63_image_dedup_apply" ->

@@ -208,6 +208,33 @@ object Streams {
     }
   }
 
+  /** Streaming IMAGE quality gate — the multimodal twin of
+    * [[qualityGate]]: drop frames whose decoded-pixel contrast falls
+    * below `minContrast` (blank / flat / synthetic-filler imagery)
+    * before any stateful stage pays state for them. Schema-transparent
+    * (a row-level typed filter over whatever columns ride along) and
+    * stateless — no watermark, composes identically in batch and
+    * streaming plans. The threshold applies to the SAME gridded
+    * contrast law `Multimodal.imageStats` exports (single shared
+    * definition — the gate cannot drift from the stat it thresholds);
+    * undecodable payloads take the deterministic stub grid, so the gate
+    * is total. Decode runs inside the filter row by row — the scan-side
+    * cost profile of the other gates, with no shuffle and no payload
+    * movement. */
+  def imageGate(media: DataFrame, minContrast: Double,
+                decoder: graft.operators.Multimodal.MediaDecoder =
+                  graft.operators.Multimodal.ImageIoDecoder): DataFrame = {
+    import graft.operators.{ImageDedup, Multimodal}
+    media.filter { (row: org.apache.spark.sql.Row) =>
+      val payload = row.getAs[Array[Byte]]("payload")
+      val (w, h, gray) = decoder.decodeGray(payload)
+        .getOrElse((ImageDedup.GridW, ImageDedup.GridH,
+          ImageDedup.stubGray(payload)))
+      val (sum, sumSq) = Multimodal.grayMoments(gray, w * h)
+      Multimodal.contrastLaw(w.toLong * h, sum, sumSq) >= minContrast
+    }
+  }
+
   /** Streaming exact dedup — the streaming twin of the batch x1 operator:
     * exactly one representative per content digest, with BOUNDED state
     * (the first-seen row across micro-batches; within one micro-batch the

@@ -131,7 +131,34 @@ object ScaleBench {
     ("x59_image_neardup", (s: SparkSession, dir: String) =>
       ImageDedup.nearDupPairs(s,
         Multimodal.syntheticPpmPairs(s, Tables(s, dir, "documents"),
-          "doc_id", "text", copyOffset = 10000000L))))
+          "doc_id", "text", copyOffset = 10000000L))),
+    // one bucket exchange + per-bucket sequential scans — near-linear
+    ("x61_pack_chunks", (s: SparkSession, dir: String) =>
+      Packing.packDeterministic(s,
+        TextAnalysis.chunk(Tables(s, dir, "documents"), "doc_id", "text",
+            size = 64, stride = 48)
+          .withColumn("n_tokens", size(split(col("chunk"), " "))),
+        budget = 200).toDF()),
+    // stratum count constant (140) while each stratum's vocabulary
+    // grows 10x — signature aggregation is the scaling stage, the
+    // banded candidate join is not
+    ("x62_source_neighbors", (s: SparkSession, dir: String) =>
+      TextAnalysis.sourceNeighbors(
+        Tables(s, dir, "documents").withColumn("stratum",
+          concat(col("source"), lit("_"),
+            pmod(col("doc_id"), lit(7)).cast("string"))),
+        "text", "stratum", threshold = 0.95)),
+    // components + anti-join on top of the x59 pair machinery
+    ("x63_image_dedup_apply", (s: SparkSession, dir: String) =>
+      ImageDedup.dedupedImages(s,
+        Multimodal.syntheticPpmPairs(s, Tables(s, dir, "documents"),
+          "doc_id", "text", copyOffset = 10000000L))),
+    // the full image composition: gate -> dedup -> split
+    ("x65_image_pipeline", (s: SparkSession, dir: String) =>
+      CorpusPipeline.curateImages(s,
+        Multimodal.syntheticPpmPairs(s, Tables(s, dir, "documents"),
+          "doc_id", "text", copyOffset = 10000000L),
+        minContrast = 75.0)))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -369,6 +369,17 @@ class PlanAuditSpec extends SparkSpec {
       s"redaction should be a pure scan-side projection:\n$p")
   }
 
+  test("x62 source neighbors: aggregated signatures, banded equi-join, no cartesian") {
+    val p = plan("x62_source_neighbors")
+    assert(!p.contains("CartesianProduct"), s"cartesian in x62:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in x62:\n$p")
+    // signatures come from min-AGGREGATES (map-side combinable), never a
+    // buffered collect_set of the vocabulary
+    assert(!p.contains("collect_set"), s"buffered vocab in x62:\n$p")
+    assert(p.contains("band_key"), s"LSH band key missing in x62:\n$p")
+  }
+
   test("x61 deterministic packing: one bucket exchange, no global sort") {
     val p = plan("x61_pack_chunks")
     // the route is ONE hash exchange on _bucket; the order within a

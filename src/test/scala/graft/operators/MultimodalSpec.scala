@@ -170,6 +170,45 @@ class MultimodalSpec extends SparkSpec {
     assert(out.head.frame_ref == expected)
   }
 
+  test("WavParser round-trips real RIFF/WAVE headers; rejects malformed (x66)") {
+    assert(Multimodal.WavParser.parse(Multimodal.makeWav(2, 44100, 16, 1234))
+      .contains(Multimodal.AudioMeta(2, 44100, 16, 1234L)))
+    assert(Multimodal.WavParser.parse(Multimodal.makeWav(1, 8000, 8, 0))
+      .contains(Multimodal.AudioMeta(1, 8000, 8, 0L)))
+    // an odd-sized chunk before data exercises the word-alignment walk
+    val base = Multimodal.makeWav(1, 8000, 8, 10)
+    val withList = base.take(12) ++
+      ("LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)) ++
+      base.drop(12)
+    assert(Multimodal.WavParser.parse(withList)
+      .contains(Multimodal.AudioMeta(1, 8000, 8, 10L)))
+    // truncated data chunk caps at the bytes present
+    assert(Multimodal.WavParser.parse(
+        Multimodal.makeWav(1, 8000, 8, 100).dropRight(40))
+      .contains(Multimodal.AudioMeta(1, 8000, 8, 60L)))
+    // malformed payloads are None, never a throw
+    assert(Multimodal.WavParser.parse("RIFFnope".getBytes).isEmpty)
+    assert(Multimodal.WavParser.parse(Array[Byte]()).isEmpty)
+    // non-PCM (IEEE float format tag) is out of parser scope
+    val floatFmt = Multimodal.makeWav(1, 8000, 8, 4)
+    floatFmt(20) = 3 // audioFormat = 3
+    assert(Multimodal.WavParser.parse(floatFmt).isEmpty)
+  }
+
+  test("audioStats parses real WAV bytes end-to-end; stub leg for non-audio (x66)") {
+    val media = Seq(
+      (1L, Multimodal.makeWav(2, 16000, 16, 16000)),
+      (2L, "definitely not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .withColumn("media_type", lit("audio/wav"))
+      .withColumn("meta", struct(lit("und").as("lang"), lit(0L).as("chars")))
+    val out = Multimodal.audioStats(spark, media)
+      .collect().map(s => s.doc_id -> s).toMap
+    assert(out(1L).channels == 2 && out(1L).sample_rate == 16000)
+    assert(out(1L).n_samples == 16000L && out(1L).duration_ms == 1000L)
+    assert(out(2L).sample_rate == 8000 && out(2L).n_samples == 20L)
+  }
+
   test("resizePlan fits the box, preserves aspect, never upscales (x58)") {
     val feats = Seq(
       (1L, 100, 100),  // fits -> unchanged

@@ -252,6 +252,31 @@ class StreamsSpec extends SparkSpec {
     assert(out(2L) == pristine)                    // no hit ⇒ untouched
   }
 
+  test("imageGate drops flat frames in-stream with the shared contrast law (x64 twin)") {
+    import graft.operators.Multimodal
+    val textured = Array.tabulate(70)(i => (i * 37 + 11) % 256)
+    val dir = Files.createTempDirectory("igate-in").toString
+    Seq(
+      (1L, Multimodal.makePpmGray(7, 10, textured)),
+      (2L, Multimodal.makePpmGray(7, 10, Array.fill(70)(128))), // flat
+      (3L, "not an image at all".getBytes("UTF-8")) // stub grid, textured
+    ).toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", org.apache.spark.sql.types.BinaryType)))
+    val gated = Streams.imageGate(
+      spark.readStream.schema(schema).parquet(dir), minContrast = 10.0)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("igate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table("igate_out")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L)) // flat frame gated out in-stream
+    assert(gated.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
+  }
+
   test("redactPii runs unchanged inside a streaming plan (x60 twin)") {
     val dir = Files.createTempDirectory("redact-in").toString
     Seq(
