@@ -510,6 +510,31 @@ object Multimodal {
         AudioMeta(ch, rate, bits, dataBytes / (ch.toLong * (bits / 8)))
       }
     }
+
+    /** Locate the `data` chunk's sample bytes: (offset, length) into the
+      * payload, length capped at the bytes actually present. The seam
+      * behind [[Multimodal.audioFingerprints]] — content addressing must
+      * hash the SAMPLES, not the container (a re-tagged file with an
+      * extra LIST chunk is the same audio). */
+    def dataChunk(payload: Array[Byte]): Option[(Int, Int)] = {
+      def u32(o: Int): Long =
+        (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+          ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+      def tag(o: Int): String =
+        if (o + 4 <= payload.length)
+          new String(payload, o, 4, "US-ASCII")
+        else ""
+      if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+        return None
+      var pos = 12
+      while (pos + 8 <= payload.length) {
+        val sz = u32(pos + 4)
+        val avail = math.min(sz, (payload.length - pos - 8).toLong).toInt
+        if (tag(pos) == "data") return Some((pos + 8, avail))
+        pos += 8 + avail + (avail & 1)
+      }
+      None
+    }
   }
 
   /** Encode a PCM RIFF/WAVE payload with silent samples (used by tests
@@ -528,6 +553,64 @@ object Multimodal {
       .putShort(bitsPerSample.toShort)
       .put("data".getBytes("US-ASCII")).putInt(dataBytes)
     bb.array()
+  }
+
+  /** Encode a PCM RIFF/WAVE payload carrying the GIVEN sample bytes;
+    * `withListChunk` injects a metadata LIST chunk before `data` — a
+    * byte-level RE-ENCODING of the same audio (different container,
+    * identical samples), the WAV analog of [[makePpmGray]]'s spaced
+    * header. */
+  def makeWavWithSamples(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                         samples: Array[Byte],
+                         withListChunk: Boolean = false): Array[Byte] = {
+    val list =
+      if (withListChunk)
+        "LIST".getBytes("US-ASCII") ++
+          Array[Byte](6, 0, 0, 0) ++ "INFOta".getBytes("US-ASCII")
+      else Array.emptyByteArray
+    val bb = java.nio.ByteBuffer
+      .allocate(36 + list.length + 8 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+      .putInt(28 + list.length + 8 + samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * (bitsPerSample / 8))
+      .putShort((channels * (bitsPerSample / 8)).toShort)
+      .putShort(bitsPerSample.toShort)
+      .put(list)
+      .put("data".getBytes("US-ASCII")).putInt(samples.length)
+      .put(samples)
+    bb.array()
+  }
+
+  /** Audio CONTENT fingerprints — the audio half of the dedup brief's
+    * content addressing (the image half is [[ImageDedup.dHashes]]):
+    * md5 over the `data` chunk's SAMPLE BYTES, located by the real
+    * container walk, so two encodings of the same audio — different
+    * metadata chunks, different header layouts — share a fingerprint
+    * while a byte hash (x1's sha256) sees different payloads.
+    * Non-WAV payloads degrade to md5 of the whole payload (without a
+    * parser, content address = byte address), keeping the operator
+    * total. One decode scan; only (doc_id, 32-char hex) ever leaves
+    * the task. */
+  def audioFingerprints(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, payload) =>
+          md.reset()
+          WavParser.dataChunk(payload) match {
+            case Some((off, len)) => md.update(payload, off, len)
+            case None             => md.update(payload)
+          }
+          (id, md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+      .toDF("doc_id", "audio_hash")
   }
 
   /** Audio stream properties from the REAL container parse — the audio
@@ -550,6 +633,37 @@ object Multimodal {
             m.nSamples, m.nSamples * 1000L / m.sampleRate)
         }
       }
+  }
+
+  /** Synthetic WAV NEAR-DUP pair table — the x67 fixture adapter,
+    * mirroring [[syntheticPpmPairs]]: per document, a canonical mono
+    * 8 kHz WAV whose samples are the ascii bytes of
+    * md5(text‖":0") ‖ md5(text‖":1") (so a SQL engine reproduces the
+    * content hash as md5 of that very string), and (id + copyOffset) a
+    * RE-ENCODED copy — stereo 16 kHz header plus an injected LIST
+    * metadata chunk, sharing not one container byte with the original
+    * but carrying identical samples. */
+  def syntheticWavPairs(spark: SparkSession, docs: DataFrame, idCol: String,
+                        textCol: String, copyOffset: Long): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(s: String): String = {
+          md.reset()
+          md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        }
+        rows.flatMap { case (id, text) =>
+          val smp = (hex(text + ":0") + hex(text + ":1")).getBytes("US-ASCII")
+          Seq((id, makeWavWithSamples(1, 8000, 8, smp)),
+            (id + copyOffset,
+              makeWavWithSamples(2, 16000, 8, smp, withListChunk = true)))
+        }
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("media_type", lit("audio/wav"))
+      .withColumn("meta", struct(lit("und").as("lang"), lit(0L).as("chars")))
   }
 
   /** Deterministic synthetic WAV media table derived from a text corpus

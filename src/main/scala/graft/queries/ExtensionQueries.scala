@@ -484,6 +484,19 @@ object ExtensionQueries {
         Multimodal.syntheticWavTable(s, t(s, dir, "documents"), "doc_id",
           "n_chars")).toDF()),
 
+    // x67 — audio CONTENT dedup (the audio half of the multimodal dedup
+    // brief, image half = x59/x63): md5 over the data chunk's sample
+    // bytes located by the real RIFF walk — each document's canonical
+    // mono-8kHz encoding groups with its re-encoded copy (stereo-16kHz
+    // header + injected LIST chunk; zero shared container bytes,
+    // identical samples), the x1 exact-dedup output shape.
+    "x67_audio_dedup" -> ((s, dir) =>
+      Multimodal.audioFingerprints(s,
+          Multimodal.syntheticWavPairs(s, t(s, dir, "documents"), "doc_id",
+            "text", copyOffset = 1000000L))
+        .groupBy(col("audio_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))),
+
     // x62 — DOMAIN-granular source neighbors: the LSH-banded scale path
     // sourceSimilarity's maxSources guard names, run on 140 derived
     // strata (source × doc_id%7 — per-stratum vocab subsampling gives a
@@ -1322,6 +1335,16 @@ object ExtensionQueries {
              '<IP>', 'g') AS t3 FROM p)
          SELECT doc_id, t3 AS clean_text, n_pii_emails, n_pii_phones,
            n_pii_ips FROM i""",
+    // samples are the ascii md5 chain, so the content hash is md5 of
+    // that string; both encodings of a document carry the same samples.
+    "x67_audio_dedup" ->
+      """WITH s AS (SELECT doc_id,
+           md5(text || ':0') || md5(text || ':1') AS smp FROM documents),
+         u AS (SELECT doc_id, smp FROM s
+           UNION ALL SELECT doc_id + 1000000, smp FROM s),
+         f AS (SELECT doc_id, md5(smp) AS audio_hash FROM u)
+         SELECT audio_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM f GROUP BY 1""",
     // header fields re-derived from driver columns; duration is integer
     // floor division in both engines.
     "x66_audio_stats" ->

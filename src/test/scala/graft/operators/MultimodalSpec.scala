@@ -209,6 +209,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).sample_rate == 8000 && out(2L).n_samples == 20L)
   }
 
+  test("audioFingerprints hash the samples, not the container (x67)") {
+    val smp = "deterministic sample payload bytes".getBytes("US-ASCII")
+    val other = "different audio content entirely!!".getBytes("US-ASCII")
+    val media = Seq(
+      (1L, Multimodal.makeWavWithSamples(1, 8000, 8, smp)),
+      // same samples, different container: stereo 16 kHz + LIST chunk
+      (2L, Multimodal.makeWavWithSamples(2, 16000, 8, smp,
+        withListChunk = true)),
+      (3L, Multimodal.makeWavWithSamples(1, 8000, 8, other)),
+      (4L, "not audio".getBytes("UTF-8"))) // degrades to payload md5
+      .toDF("doc_id", "payload")
+      .withColumn("media_type", lit("audio/wav"))
+      .withColumn("meta", struct(lit("und").as("lang"), lit(0L).as("chars")))
+    val fps = Multimodal.audioFingerprints(spark, media)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("audio_hash")).toMap
+    assert(fps(1L) == fps(2L)) // re-encode invariance
+    assert(fps(1L) != fps(3L))
+    // the byte-level payloads of 1 and 2 share no container bytes, so a
+    // byte hash could never group them — the content-address property
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest(smp).map("%02x".format(_)).mkString
+    assert(fps(1L) == expected) // hash of exactly the sample bytes
+    md.reset()
+    assert(fps(4L) == md.digest("not audio".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+  }
+
   test("resizePlan fits the box, preserves aspect, never upscales (x58)") {
     val feats = Seq(
       (1L, 100, 100),  // fits -> unchanged
