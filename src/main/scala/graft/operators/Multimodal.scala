@@ -257,6 +257,92 @@ object Multimodal {
     }
   }
 
+  /** REAL video leg for MOTION-JPEG streams — the one video container
+    * parseable with zero codec libraries: an MJPEG stream is
+    * back-to-back JPEG images, and JPEG byte-stuffing guarantees 0xFFD8
+    * (SOI) / 0xFFD9 (EOI) never occur inside entropy-coded data, so the
+    * frame boundaries are recoverable by a byte scan. Each frame slice
+    * is then a plain JPEG for `ImageIO`: `decode` reports the first
+    * frame's dims and the real frame count; [[frameHandles]] digests
+    * each sampled frame's decoded raster (the same content-address law
+    * as the animated-GIF leg). Payloads with fewer than two frames fall
+    * through to [[ImageIoDecoder]] (a single JPEG is just an image);
+    * true codec video (H.264…) still takes the stub. Known limit of the
+    * naive scan: an APP-segment-embedded thumbnail (EXIF) would be seen
+    * as a frame of its own — a production build walks the marker-length
+    * chain instead; camera-style MJPEG streams don't carry them. */
+  object MjpegDecoder extends MediaDecoder {
+    private[operators] def frameSlices(p: Array[Byte]): IndexedSeq[(Int, Int)] = {
+      val out = IndexedSeq.newBuilder[(Int, Int)]
+      var i = 0
+      var start = -1
+      while (i + 1 < p.length) {
+        if ((p(i) & 0xff) == 0xff) {
+          val m = p(i + 1) & 0xff
+          if (m == 0xd8 && start < 0) start = i
+          else if (m == 0xd9 && start >= 0) {
+            out += ((start, i + 2 - start)); start = -1
+          }
+        }
+        i += 1
+      }
+      out.result()
+    }
+
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      val fs = frameSlices(payload)
+      if (fs.length < 2) ImageIoDecoder.decode(payload)
+      else {
+        val (off, len) = fs.head
+        val (w, h, _) = ImageIoDecoder.decode(
+          java.util.Arrays.copyOfRange(payload, off, off + len))
+        (w, h, fs.length)
+      }
+    }
+
+    override def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      val fs = frameSlices(payload)
+      if (fs.length < 2) ImageIoDecoder.decodeGray(payload)
+      else {
+        val (off, len) = fs.head
+        ImageIoDecoder.decodeGray(
+          java.util.Arrays.copyOfRange(payload, off, off + len))
+      }
+    }
+
+    override def frameHandles(payload: Array[Byte], idxs: Seq[Int]): Seq[String] = {
+      val fs = frameSlices(payload)
+      if (fs.length < 2) ImageIoDecoder.frameHandles(payload, idxs)
+      else try {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        idxs.map { i =>
+          val (off, len) = fs(math.min(i, fs.length - 1))
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            java.util.Arrays.copyOfRange(payload, off, off + len)))
+          if (img == null) throw new java.io.IOException("undecodable frame")
+          md.reset()
+          val w = img.getWidth; val h = img.getHeight
+          val bb = java.nio.ByteBuffer.allocate(math.max(w * 4, 8))
+          bb.putInt(w).putInt(h)
+          md.update(bb.array(), 0, 8)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            bb.clear()
+            var x = 0
+            while (x < w) { bb.putInt(row(x)); x += 1 }
+            md.update(bb.array(), 0, w * 4)
+            y += 1
+          }
+          md.digest().map("%02x".format(_)).mkString
+        }
+      } catch {
+        case _: Exception => super.frameHandles(payload, idxs)
+      }
+    }
+  }
+
   /** Encode a tiny P6 image (used by tests to drive the real decoder). */
   def makePpm(width: Int, height: Int): Array[Byte] = {
     val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")

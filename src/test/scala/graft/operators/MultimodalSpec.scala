@@ -154,6 +154,42 @@ class MultimodalSpec extends SparkSpec {
     assert(enc2.map(_.frame_ref).toSeq == out.map(_.frame_ref).toSeq)
   }
 
+  private def encodeJpegFrame(seed: Int, w: Int = 16, h: Int = 12): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((x * 31 + y * 7 + seed * 83) % 255) * 0x010101)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    bos.toByteArray
+  }
+
+  test("MjpegDecoder: real frame count, dims and per-frame raster handles") {
+    val frames = (0 until 3).map(encodeJpegFrame(_))
+    val stream = frames.reduce(_ ++ _)
+    assert(Multimodal.MjpegDecoder.decode(stream) == ((16, 12, 3)))
+    val media = Seq((1L, stream)).toDF("doc_id", "payload")
+      .withColumn("media_type", lit("video/x-motion-jpeg"))
+      .withColumn("meta", struct(lit("und").as("lang"), lit(0L).as("chars")))
+    val out = Multimodal.frameSample(spark, media, targetFrames = 3,
+        decoder = Multimodal.MjpegDecoder)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    assert(out.map(_.frame_ref).distinct.length == 3) // real raster digests
+    // container invariance: inter-frame padding changes every offset but
+    // no frame content — handles must not move
+    val padded = frames.map(f => f ++ Array.fill(7)(0.toByte)).reduce(_ ++ _)
+    val media2 = Seq((2L, padded)).toDF("doc_id", "payload")
+      .withColumn("media_type", lit("video/x-motion-jpeg"))
+      .withColumn("meta", struct(lit("und").as("lang"), lit(0L).as("chars")))
+    val out2 = Multimodal.frameSample(spark, media2, targetFrames = 3,
+        decoder = Multimodal.MjpegDecoder)
+      .collect().sortBy(_.frame_idx)
+    assert(out2.map(_.frame_ref).toSeq == out.map(_.frame_ref).toSeq)
+    // a single JPEG is just an image: the image-decoder path applies
+    assert(Multimodal.MjpegDecoder.decode(frames.head) == ((16, 12, 1)))
+  }
+
   test("single-frame images keep the stub handle derivation") {
     val png = encodeImage("png", 16, 12)
     val media = Seq((1L, png)).toDF("doc_id", "payload")
