@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: in local mode the 32 executor threads share this one
+  // heap, and at the 80-query suite size 8g showed ~5% broad GC drag
+  // (measured round 8: shared-set 1.11x at 8g vs 1.05x at 16g; 24g no
+  // better). Override with SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // start G1 concurrent cycles earlier + cap pauses: long multi-query
   // sessions otherwise hit occasional multi-second stalls mid-suite
   "-XX:InitiatingHeapOccupancyPercent=30",
