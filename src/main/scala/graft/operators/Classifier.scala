@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Num, Par, Text}
+
+/** Model-based quality classification for training-data curation — the
+  * "fastText-style quality classifier" stage every large corpus pipeline
+  * runs between heuristic cleaning and dedup (CCNet / LLaMA-style
+  * wikiref classifiers, GPT-3's WebText logistic regression): score each
+  * document with a linear bag-of-words model and gate on the score.
+  *
+  * The SCORING PLUMBING here is the real thing: a per-row, zero-shuffle
+  * projection of `mean(weight(token))`, embarrassingly parallel with
+  * input splits, with the weight function injected as a `Column =>
+  * Column` seam. A production deployment plugs a learned weight table
+  * into that seam (a broadcast map-literal or a static join against a
+  * vocabulary-sized weight table); this container has no trained model,
+  * so the DEFAULT weights are a deterministic hash surrogate —
+  * `md5`-derived integers in [-10, 10] — which keeps every downstream
+  * gate decision oracle-checkable cross-engine (the same seam pattern as
+  * [[Multimodal]]'s StubDecoder: fake model, real dataflow).
+  */
+object Classifier {
+
+  /** Deterministic surrogate weight for one (lower-cased) token: the
+    * first 15 hex chars of its md5, read as a 60-bit integer, mapped to
+    * [-10, 10] via `% 21 - 10`. Uniform-ish, mean ~0, so per-document
+    * mean scores spread either side of 0 like a real classifier's
+    * logit. Portable verbatim to any SQL engine with md5(). */
+  def hashedWeight(token: Column): Column =
+    conv(substring(md5(token), 1, 15), 16, 10).cast("long") % 21 - 10
+
+  /** Per-document linear score: `round(sum(weight(token)) / n_tokens,
+    * 4)` over the whitespace tokens — output
+    * `(doc_id, n_tokens, score)`. Pure narrow projection: the token
+    * array, the weight fold and the division all happen per row inside
+    * the scan stage; nothing shuffles, nothing collects. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            weight: Column => Column = hashedWeight): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val wsum = aggregate(toks, lit(0L), (acc, t) => acc + weight(t))
+    Par.spread(docs).select(
+      col(idCol).as("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      Num.fpRound(wsum.cast("double") / size(toks), 4).as("score"))
+  }
+
+  /** Classifier gate: [[score]] plus the keep/drop decision at
+    * `threshold` (keep when score >= threshold) — the auditable form
+    * that reports every document's score and fate, like
+    * [[TextAnalysis.qualityReport]]. `kept` is 0/1 so the oracle can
+    * hash-compare it. */
+  def gate(docs: DataFrame, idCol: String, textCol: String,
+           threshold: Double,
+           weight: Column => Column = hashedWeight): DataFrame =
+    score(docs, idCol, textCol, weight)
+      .withColumn("kept", (col("score") >= threshold).cast("int"))
+
+  /** Filtering form of [[gate]]: input schema preserved, only documents
+    * at or above `threshold` survive — composable inside a curation
+    * pipeline (and reused verbatim as the streaming classifier gate:
+    * the predicate is stateless and per-row). */
+  def keep(docs: DataFrame, textCol: String, threshold: Double,
+           weight: Column => Column = hashedWeight): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val wsum = aggregate(toks, lit(0L), (acc, t) => acc + weight(t))
+    docs.filter(
+      Num.fpRound(wsum.cast("double") / size(toks), 4) >= threshold)
+  }
+}

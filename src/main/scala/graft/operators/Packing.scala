@@ -143,6 +143,80 @@ object Packing {
           .as("start_offset"))
   }
 
+  /** Deterministic global shuffle + fixed-size shard assignment — the
+    * export step of a training-data pipeline: order the corpus by
+    * `md5(id)` (a reproducible, seed-free shuffle — the same trick as
+    * [[concatOffsets]]' virtual concatenation order) and cut it into
+    * consecutive `shardSize`-document shards, so a trainer streams
+    * shard files in a fixed, well-mixed order. Returns
+    * `(doc_id, shuffle_key, n_tokens, rank, shard_id)` with `rank` the
+    * 0-based position in the global md5 order and
+    * `shard_id = rank / shardSize`.
+    *
+    * The global rank is the same TWO-PHASE distributed prefix pattern
+    * as [[groupedOffsets]], with count in place of token sum: bucket =
+    * first `bucketHexChars` hex chars of the key (a static range
+    * partitioning of the hash order — buckets are contiguous runs of
+    * the global order because fixed-length lowercase hex compares
+    * lexicographically as it does numerically), local `row_number` per
+    * bucket, per-bucket counts rolled into exclusive offsets over the
+    * ≤ 16^bucketHexChars-row totals frame and re-joined broadcast.
+    * Never a global sort, never a single corpus-sized window. Shards
+    * are contiguous in the key order by construction, so the actual
+    * file write is `repartitionByRange(col("shard_id"))` +
+    * `partitionBy("shard_id")` with no further shuffle thought.
+    *
+    * Same determinism requirement and working-projection cache as
+    * [[groupedOffsets]] (two scans of `docs`). */
+  def shardAssign(docs: DataFrame, idCol: String, textCol: String,
+                  shardSize: Long, bucketHexChars: Int = 2): DataFrame = {
+    require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    require(bucketHexChars >= 1 && bucketHexChars <= 4,
+      s"bucketHexChars must be in [1,4], got $bucketHexChars " +
+        "(16^5 bucket-offset rows would stress the broadcast for no gain)")
+    val keyed = Par.spread(docs).select(
+      col(idCol).as("doc_id"),
+      size(split(lower(trim(col(textCol))), "\\s+")).cast("long")
+        .as("n_tokens"),
+      md5(col(idCol).cast("string")).as("shuffle_key"))
+      .withColumn("_bucket", substring(col("shuffle_key"), 1, bucketHexChars))
+      .cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bucket"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    val local = keyed.withColumn("_lrank", row_number().over(w).cast("long"))
+    // exclusive doc-count offsets over the tiny per-bucket totals frame
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("_bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val offsets = keyed.groupBy(col("_bucket"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_boff", coalesce(sum(col("_cnt")).over(wB), lit(0L)))
+      .select(col("_bucket"), col("_boff"))
+    local.join(broadcast(offsets), Seq("_bucket"))
+      .withColumn("rank", col("_boff") + col("_lrank") - 1)
+      .select(col("doc_id"), col("shuffle_key"), col("n_tokens"),
+        col("rank"), floor(col("rank") / lit(shardSize)).cast("long")
+          .as("shard_id"))
+  }
+
+  /** Shard MANIFEST over [[shardAssign]]: one row per output shard with
+    * its document count, token total and key range — the index a
+    * training job reads to plan epochs (and the partition-invariant,
+    * oracle-checkable summary of the shard layout: every column is a
+    * pure function of the data). All shards hold exactly `shardSize`
+    * docs except the last. The aggregate groups by shard id — output
+    * cardinality n/shardSize, a high-reduction single hash agg. */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+                    shardSize: Long, bucketHexChars: Int = 2): DataFrame =
+    shardAssign(docs, idCol, textCol, shardSize, bucketHexChars)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("shuffle_key")).as("first_key"),
+        max(col("shuffle_key")).as("last_key"))
+
   /** The placement core shared by [[packChunks]] (arrival-order
     * first-fit, `maxOpen` = [[MaxOpenPacks]]) and [[packDeterministic]]
     * (hash-order next-fit, `maxOpen` = 1 — with one open pack, "first

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -178,5 +178,76 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"),
         graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
+  }
+
+  /** kNN label propagation — semi-supervised labeling for corpus
+    * curation: each unlabeled query vector takes the MAJORITY label of
+    * its k nearest LABELED neighbors (quality tiers, topic tags, source
+    * classes propagated from a hand-labeled seed set to the full
+    * corpus). Neighbor search is [[ivfTopK]] — bucketed probes, never
+    * all-pairs — so the cost model is the ANN query path's, not a
+    * brute-force classifier's.
+    *
+    * Output: `(query_id, predicted_label, votes, n_neighbors)` — votes
+    * the winning label's count, n_neighbors the actual neighbor count
+    * (< k when the probed buckets are thin), so confidence = votes /
+    * n_neighbors is auditable downstream.
+    *
+    * Determinism: neighbor ranks tie-break by neighbor id (in
+    * [[ivfTopK]]); vote ties break toward the SMALLEST label. The vote
+    * aggregate groups the k×|queries| neighbor stream — tiny relative
+    * to the corpus — and the ranking window partitions by query, whose
+    * group is bounded by the label-alphabet size. */
+  def knnLabel(queries: DataFrame, labeled: DataFrame, centroids: DataFrame,
+               idCol: String, vecCol: String, labelCol: String, k: Int,
+               nprobe: Int): DataFrame = {
+    val nn = ivfTopK(queries, labeled, centroids, idCol, vecCol, k, nprobe)
+    val labels = labeled.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("_nl"))
+    val votes = nn.join(labels, "neighbor_id")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        collect_list(col("_nl")).as("_ls"))
+    // winner = max (count, -label) over the k-bounded per-query list —
+    // computed per row instead of a second shuffle + ranking window
+    val winner = array_max(transform(array_distinct(col("_ls")),
+      l => struct(
+        size(filter(col("_ls"), x => x === l)).as("votes"),
+        (-l.cast("long")).as("_negl"))))
+    votes.select(col("query_id"),
+      (-winner.getField("_negl")).as("predicted_label"),
+      winner.getField("votes").cast("long").as("votes"),
+      col("n_neighbors"))
+  }
+
+  /** int8 scalar quantization report — the storage/serving prep step for
+    * an embedding corpus (store 64 bytes, not 256): per vector, the
+    * symmetric scale `max|v| / 127`, the round-trip RMSE at that scale,
+    * and the quantized max magnitude (≤ 127 by construction — a
+    * checkable invariant, not an assumption). Pure per-row projection —
+    * zero shuffles, scales with input splits.
+    *
+    * Rounding is an explicit `floor(x/scale + 0.5)` (half-toward-+inf)
+    * rather than an engine `round()` so the quantized grid is identical
+    * in any IEEE engine; the RMSE accumulates in the element order of
+    * the vector on both sides (the [[Vectors.dot]] precedent). */
+  def quantizeReport(emb: DataFrame, idCol: String,
+                     vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val absMax = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale = absMax / lit(127.0)
+    def quant(x: Column): Column = floor(x.cast("double") / scale + 0.5)
+    val sqErr = aggregate(v, lit(0.0d), (acc, x) => {
+      val d = x.cast("double") - quant(x) * scale
+      acc + d * d
+    })
+    val qMax = array_max(transform(v, x => abs(quant(x))))
+    Par.spread(emb).select(
+      col(idCol).as("vec_id"),
+      graft.functions.Num.fpRound(scale, 6).as("scale"),
+      when(absMax > 0,
+        graft.functions.Num.fpRound(sqrt(sqErr / size(v)), 6))
+        .otherwise(lit(0.0d)).as("rmse"),
+      when(absMax > 0, qMax.cast("long")).otherwise(lit(0L)).as("q_max"))
   }
 }

@@ -780,4 +780,36 @@ object TextAnalysis {
           count(lit(1)), 4).as("avg_tokens"),
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
+
+  /** Tokenizer-training prep: corpus-wide adjacent token-pair (bigram)
+    * frequencies — the statistic a BPE/unigram trainer's first merge
+    * iteration ranks ("which adjacent pair is most frequent"), plus the
+    * pair's document frequency (merges that concentrate in one document
+    * are usually noise, so a trainer wants both counts).
+    *
+    * Scale shape: the pair stream is a narrow per-row explode (no text
+    * shuffle — only the pair strings move), the count is ONE hash
+    * aggregate with map-side partial combining, and the top-K cut plans
+    * as TakeOrderedAndProject (per-partition top-k, k-row driver merge —
+    * never a global sort). The distinct-doc count rides Spark's standard
+    * two-phase count-distinct expansion over the same aggregate keys.
+    * Ties at the K boundary are cut deterministically by pair text. */
+  def bigramCounts(docs: DataFrame, idCol: String, textCol: String,
+                   topK: Int): DataFrame = {
+    require(topK >= 1 && topK <= 100000,
+      s"topK must be in [1, 100000], got $topK (the result is collected " +
+        "to one node by design — a merge table is vocabulary-sized)")
+    val toks = Text.tokens(col(textCol))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - lit(2)),
+        i => concat(element_at(toks, i + 1), lit(" "),
+          element_at(toks, i + 2)))).otherwise(array())
+    Par.spread(docs)
+      .select(col(idCol).as("doc_id"), explode(pairs).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(topK)
+  }
 }

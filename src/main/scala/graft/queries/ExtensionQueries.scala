@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num
-import graft.operators.{Cleaning, Components, ImageDedup, Multimodal, Packing, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Classifier, Cleaning, Components, ImageDedup, Multimodal, Packing, Similarity, TextAnalysis, TextDedup}
 
 /** Extension + capability-proof query inventory (SURVEY §2.4 X1-X6 plus the
   * LLM-training-data operators: dedup family, similarity search, text
@@ -523,7 +523,55 @@ object ExtensionQueries {
         TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
             size = 64, stride = 48)
           .withColumn("n_tokens", size(split(col("chunk"), " "))),
-        budget = 200).toDF())
+        budget = 200).toDF()),
+
+    // x68 — tokenizer-training prep: corpus-wide adjacent-token-pair
+    // (bigram) frequencies — the statistic a BPE trainer's first merge
+    // iteration ranks — plus document frequency; top-50 cut with
+    // deterministic pair tie-break. One hash aggregate with map-side
+    // combine; the cut plans as TakeOrderedAndProject, never a global
+    // sort.
+    "x68_bigram_stats" -> ((s, dir) =>
+      TextAnalysis.bigramCounts(t(s, dir, "documents"), "doc_id", "text",
+        topK = 50)),
+
+    // x69 — model-scored classifier gate: linear bag-of-words score
+    // with the deterministic md5-surrogate weights (a learned weight
+    // table plugs the same seam — fake model, real dataflow, as the
+    // multimodal StubDecoder), keep at score >= 0. Zero-shuffle
+    // per-row projection.
+    "x69_classifier_gate" -> ((s, dir) =>
+      Classifier.gate(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.0)),
+
+    // x70 — kNN label propagation: vec_id % 5 == 0 plays the unlabeled
+    // query set, the rest the labeled seed corpus; k=5 neighbors inside
+    // nprobe=2 IVF buckets (fixed vec_id<16 codebook, as x10/x22);
+    // majority vote, ties to the smallest label.
+    "x70_knn_label" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnLabel(
+        e.filter(pmod(col("vec_id"), lit(5)) === 0),
+        e.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", "label", k = 5, nprobe = 2)
+    }),
+
+    // x71 — shard manifest: deterministic md5-order global shuffle cut
+    // into 64-doc shards, one manifest row per shard (doc count, token
+    // total, key range). The global rank is the two-phase bucket
+    // prefix pattern — no global sort, no corpus-sized window.
+    "x71_shard_manifest" -> ((s, dir) =>
+      Packing.shardManifest(t(s, dir, "documents"), "doc_id", "text",
+        shardSize = 64)),
+
+    // x72 — int8 scalar quantization report per embedding: symmetric
+    // scale max|v|/127; the quantized grid uses an explicit half-up
+    // floor so it is engine-identical; RMSE on the 1e-6 grid; the
+    // q_max <= 127 invariant exposed as a column.
+    "x72_quantize_embeddings" -> ((s, dir) =>
+      Similarity.quantizeReport(t(s, dir, "embeddings"), "vec_id",
+        "embedding"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1458,6 +1506,106 @@ object ExtensionQueries {
                 WHEN width * 240 >= height * 320 THEN greatest(1,
                   CAST(floor(height * 320.0 / width) AS BIGINT))
                 ELSE 240 END AS out_h
-         FROM f"""
+         FROM f""",
+    // adjacent (not distinct) token pairs; 1-token docs contribute none;
+    // ties at the top-50 boundary cut by pair text on both sides.
+    "x68_bigram_stats" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         p AS (SELECT doc_id, t[g.i] || ' ' || t[g.i + 1] AS pair
+           FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i))
+         SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM p GROUP BY 1
+         ORDER BY n_occurrences DESC, pair LIMIT 50""",
+    // surrogate weight = 60-bit md5 prefix % 21 - 10 (the x61 hex-parse
+    // idiom); score = mean weight on the 1e-4 grid, identical IEEE
+    // expression both sides.
+    "x69_classifier_gate" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         s AS (SELECT doc_id, len(t) AS n_tokens,
+           list_sum(list_transform(t, x ->
+             ('0x' || substring(md5(x), 1, 15))::BIGINT % 21 - 10)) AS wsum
+           FROM toks)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           floor(CAST(wsum AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000.0
+             AS score,
+           CAST(CASE WHEN
+             floor(CAST(wsum AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000.0
+               >= 0.0 THEN 1 ELSE 0 END AS INTEGER) AS kept
+         FROM s""",
+    // x10's assigned/probes skeleton over the labeled subset, rank <= 5
+    // on raw cosine (ties by neighbor id), then majority vote with ties
+    // to the smallest label.
+    "x70_knn_label" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+           FROM embeddings WHERE vec_id < 16),
+         lab AS (SELECT vec_id AS vid, embedding AS v, label
+           FROM embeddings WHERE vec_id % 5 <> 0),
+         q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id % 5 = 0),
+         assigned AS (SELECT vid, v, label, centroid_id FROM (
+           SELECT vid, v, label, centroid_id, row_number() OVER
+             (PARTITION BY vid
+              ORDER BY ${duckCos("v", "centv")} DESC, centroid_id) AS arn
+           FROM lab, cent) WHERE arn = 1),
+         probes AS (SELECT query_id, qv, centroid_id FROM (
+           SELECT query_id, qv, centroid_id, row_number() OVER
+             (PARTITION BY query_id
+              ORDER BY ${duckCos("qv", "centv")} DESC, centroid_id) AS prn
+           FROM q, cent) WHERE prn <= 2),
+         nn AS (SELECT query_id, label FROM (
+           SELECT query_id, label, row_number() OVER
+             (PARTITION BY query_id
+              ORDER BY ${duckCos("qv", "v")} DESC, vid) AS rnk
+           FROM assigned JOIN probes USING (centroid_id)
+           WHERE query_id <> vid) WHERE rnk <= 5),
+         votes AS (SELECT query_id, label, count(*) AS votes
+           FROM nn GROUP BY 1, 2),
+         tot AS (SELECT query_id, sum(votes) AS n_neighbors
+           FROM votes GROUP BY 1)
+         SELECT query_id, CAST(predicted_label AS BIGINT) AS predicted_label,
+           CAST(votes AS BIGINT) AS votes,
+           CAST(n_neighbors AS BIGINT) AS n_neighbors
+         FROM (SELECT v.query_id, v.label AS predicted_label, v.votes,
+             t.n_neighbors, row_number() OVER (PARTITION BY v.query_id
+               ORDER BY v.votes DESC, v.label) AS wrn
+           FROM votes v JOIN tot t USING (query_id)) WHERE wrn = 1""",
+    // naive global window is fine oracle-side; the Spark side's bucket
+    // prefix reproduces exactly the same rank because fixed-length
+    // lowercase hex orders lexicographically as it does numerically.
+    "x71_shard_manifest" ->
+      """WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key,
+           len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+           FROM documents),
+         r AS (SELECT doc_id, key, n_tokens,
+           row_number() OVER (ORDER BY key, doc_id) - 1 AS rnk FROM k)
+         SELECT CAST(rnk // 64 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           min(key) AS first_key, max(key) AS last_key
+         FROM r GROUP BY 1""",
+    // same fold order as the Spark aggregate (list order), same explicit
+    // half-up grid, squared via y*y (pow() could round differently).
+    "x72_quantize_embeddings" ->
+      """WITH s AS (SELECT vec_id, embedding, len(embedding) AS dim,
+           list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+           FROM embeddings),
+         d AS (SELECT vec_id, sc, dim,
+           list_sum(list_transform(
+             list_transform(embedding, x -> CAST(x AS DOUBLE) -
+               floor(CAST(x AS DOUBLE) / sc + 0.5) * sc),
+             y -> y * y)) AS sq,
+           list_max(list_transform(embedding,
+             x -> abs(floor(CAST(x AS DOUBLE) / sc + 0.5)))) AS qm
+           FROM s)
+         SELECT vec_id, floor(sc * 1000000 + 0.5) / 1000000.0 AS scale,
+           CASE WHEN sc > 0 THEN
+             floor(sqrt(sq / dim) * 1000000 + 0.5) / 1000000.0
+             ELSE 0.0 END AS rmse,
+           CAST(CASE WHEN sc > 0 THEN qm ELSE 0 END AS BIGINT) AS q_max
+         FROM d"""
   )
 }

@@ -123,6 +123,17 @@ object Streams {
       }
   }
 
+  /** Streaming classifier gate — the model-scored twin of
+    * [[qualityGate]]: [[graft.operators.Classifier.keep]]'s linear
+    * bag-of-words score is a stateless per-row projection, so the SAME
+    * operator body runs unchanged inside a streaming plan (batch/stream
+    * parity is by construction, pinned by a spec). A learned weight
+    * table plugs into the same seam; the gate stays stateless either
+    * way, so it composes before any stateful stage. */
+  def classifierGate(docs: DataFrame, textCol: String,
+                     threshold: Double): DataFrame =
+    graft.operators.Classifier.keep(docs, textCol, threshold)
+
   /** Streaming corpus quality gate — the stateless pre-filter of an
     * ingestion pipeline: the per-row kernels (repetition signals) are
     * ordinary Catalyst projections, so they run UNCHANGED inside a

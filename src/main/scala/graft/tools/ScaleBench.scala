@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{LocalSession, Tables}
-import graft.operators.{Cleaning, Components, CorpusPipeline, ImageDedup, Multimodal, Packing, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Classifier, Cleaning, Components, CorpusPipeline, ImageDedup, Multimodal, Packing, Similarity, TextAnalysis, TextDedup}
 
 /** Empirical scale probe for the dedup family (x8/x32/x36/x39/x40): runs
   * each pipeline at sf0.1 (5000 documents / 2000 embeddings) and at a
@@ -158,7 +158,34 @@ object ScaleBench {
       CorpusPipeline.curateImages(s,
         Multimodal.syntheticPpmPairs(s, Tables(s, dir, "documents"),
           "doc_id", "text", copyOffset = 10000000L),
-        minContrast = 75.0)))
+        minContrast = 75.0)),
+    // one hash agg + TakeOrderedAndProject; the `_k` suffix multiplies
+    // the distinct-pair alphabet 10x but the top-K cut stays K rows
+    ("x68_bigram_stats", (s: SparkSession, dir: String) =>
+      TextAnalysis.bigramCounts(Tables(s, dir, "documents"), "doc_id",
+        "text", topK = 50)),
+    // pure per-row projection — the zero-shuffle floor of the suite
+    ("x69_classifier_gate", (s: SparkSession, dir: String) =>
+      Classifier.gate(Tables(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.0)),
+    // ANN query path: assignment kernel + probed-bucket join; k ∝ n
+    // centroids keep the bucket size (and so per-query work) constant
+    ("x70_knn_label", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.knnLabel(
+        e.filter(pmod(col("vec_id"), lit(5)) === 0),
+        e.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        e.filter(col("vec_id") < nCent),
+        "vec_id", "embedding", "label", k = 5, nprobe = 2)
+    }),
+    // two-phase bucket prefix rank + one high-reduction agg
+    ("x71_shard_manifest", (s: SparkSession, dir: String) =>
+      Packing.shardManifest(Tables(s, dir, "documents"), "doc_id", "text",
+        shardSize = 64)),
+    // per-row vector math only
+    ("x72_quantize", (s: SparkSession, dir: String) =>
+      Similarity.quantizeReport(Tables(s, dir, "embeddings"), "vec_id",
+        "embedding")))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -173,4 +173,47 @@ class PackingSpec extends SparkSpec {
     // nothing else joined the oversized pack
     assert(packed.count(_.pack_id == big.pack_id) == 1)
   }
+
+  test("shardAssign: md5-order ranks are a permutation; shards contiguous " +
+      "and full except the last (x71)") {
+    val docs = (0L until 10L).map(i => (i, s"tok$i words here"))
+      .toDF("doc_id", "text")
+    val out = Packing.shardAssign(docs, "doc_id", "text", shardSize = 3)
+      .collect()
+    assert(out.map(_.getAs[Long]("rank")).sorted.toSeq == (0L until 10L))
+    // rank order IS ascending (shuffle_key, doc_id) order
+    val byRank = out.sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[String]("shuffle_key"), r.getAs[Long]("doc_id")))
+    assert(byRank.toSeq == byRank.sortBy(identity).toSeq)
+    // shard = rank / shardSize: sizes 3,3,3,1
+    val sizes = out.groupBy(_.getAs[Long]("shard_id"))
+      .map { case (s, rs) => s -> rs.length }
+    assert(sizes == Map(0L -> 3, 1L -> 3, 2L -> 3, 3L -> 1))
+  }
+
+  test("shardAssign: invariant to the bucket split (1 vs 3 hex chars)") {
+    val docs = (0L until 50L).map(i => (i, s"alpha beta $i"))
+      .toDF("doc_id", "text")
+    val a = Packing.shardAssign(docs, "doc_id", "text", 8, bucketHexChars = 1)
+      .select("doc_id", "rank", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val b = Packing.shardAssign(docs, "doc_id", "text", 8, bucketHexChars = 3)
+      .select("doc_id", "rank", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("shardManifest: key ranges tile the hash order without overlap") {
+    val docs = (0L until 40L).map(i => (i, s"w$i x y")).toDF("doc_id", "text")
+    val m = Packing.shardManifest(docs, "doc_id", "text", shardSize = 16)
+      .collect().sortBy(_.getAs[Long]("shard_id"))
+    assert(m.map(_.getAs[Long]("n_docs")).toSeq == Seq(16L, 16L, 8L))
+    assert(m.forall(r => r.getAs[Long]("n_tokens") == 3 * r.getAs[Long]("n_docs")))
+    // consecutive shards: strictly increasing, non-overlapping key ranges
+    m.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[String]("last_key") < hi.getAs[String]("first_key"))
+      case _ =>
+    }
+  }
 }

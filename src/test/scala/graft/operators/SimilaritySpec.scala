@@ -63,4 +63,54 @@ class SimilaritySpec extends SparkSpec {
     // rank-1 neighbor must be vector 1 (same bucket, near-parallel)
     assert(out.head.getAs[Long]("neighbor_id") == 1L)
   }
+
+  test("knnLabel takes the majority label, ties to the smallest (x70)") {
+    import spark.implicits._
+    val centroids = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    // labeled seed: 1/4/5 assign to centroid 0's bucket, 2 to centroid 3's
+    val labeled = Seq(
+      (1L, Array(0.9f, 0.1f, 0.0f), 7),
+      (4L, Array(0.5f, 0.5f, 0.0f), 7),
+      (5L, Array(0.8f, 0.2f, 0.0f), 3),
+      (2L, Array(-1.0f, 0.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label")
+    val q = Seq((100L, Array(1.0f, 0.0f, 0.0f), -1),
+      (101L, Array(0.9f, 0.1f, 0.0f), -1)).toDF("vec_id", "embedding", "label")
+
+    // k=3 in centroid-0's bucket: neighbors 1(7), 5(3), 4(7) => 7 by 2 votes
+    val maj = Similarity.knnLabel(q.filter("vec_id = 100"), labeled,
+        centroids, "vec_id", "embedding", "label", k = 3, nprobe = 1)
+      .collect()
+    assert(maj.length == 1)
+    assert(maj.head.getAs[Long]("predicted_label") == 7L)
+    assert(maj.head.getAs[Long]("votes") == 2L)
+    assert(maj.head.getAs[Long]("n_neighbors") == 3L)
+
+    // k=2 from 101: neighbors 1(7) then 5(3) => 1-1 tie, smallest label
+    val tie = Similarity.knnLabel(q.filter("vec_id = 101"), labeled,
+        centroids, "vec_id", "embedding", "label", k = 2, nprobe = 1)
+      .collect()
+    assert(tie.head.getAs[Long]("predicted_label") == 3L)
+    assert(tie.head.getAs[Long]("votes") == 1L)
+    assert(tie.head.getAs[Long]("n_neighbors") == 2L)
+  }
+
+  test("quantizeReport: exact scale/rmse/q_max, zero-vector guarded (x72)") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(127.0f, 0.0f, -63.5f)),
+      (1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeReport(emb, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("scale"), r.getAs[Double]("rmse"),
+          r.getAs[Long]("q_max"))).toMap
+    // scale 1.0; q = [127, 0, floor(-63.5+0.5) = -63]; err = [0,0,-0.5]
+    // => rmse = sqrt(0.25/3) on the 1e-6 grid; |q| max = 127
+    assert(out(0L)._1 == 1.0)
+    assert(out(0L)._2 == math.floor(math.sqrt(0.25 / 3) * 1e6 + 0.5) / 1e6)
+    assert(out(0L)._3 == 127L)
+    // all-zero vector: scale 0, rmse 0, q_max 0 (guarded, not NaN)
+    assert(out(1L) == ((0.0, 0.0, 0L)))
+  }
 }

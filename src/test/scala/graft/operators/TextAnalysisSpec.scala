@@ -449,4 +449,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(splits(4L) == "val" && splits(6L) == "train" &&
       splits(1L) == "test")
   }
+
+  test("bigramCounts: adjacent pairs with occurrence + doc frequency, " +
+      "deterministic top-K cut (x68)") {
+    val docs = Seq(
+      (1L, "a b a b"),  // pairs: "a b", "b a", "a b"
+      (2L, "a b c"),    // pairs: "a b", "b c"
+      (3L, "x")         // single token: no pairs
+    ).toDF("doc_id", "text")
+    val all = TextAnalysis.bigramCounts(docs, "doc_id", "text", topK = 10)
+      .collect().map(r => r.getAs[String]("pair") ->
+        ((r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_docs")))).toMap
+    assert(all == Map("a b" -> ((3L, 2L)), "b a" -> ((1L, 1L)),
+      "b c" -> ((1L, 1L))))
+    // the K boundary cuts ties by pair text: "b a" < "b c"
+    val top2 = TextAnalysis.bigramCounts(docs, "doc_id", "text", topK = 2)
+      .collect().map(_.getAs[String]("pair")).toSeq
+    assert(top2 == Seq("a b", "b a"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bigramCounts(docs, "doc_id", "text", topK = 0)
+    }
+  }
 }

@@ -184,6 +184,37 @@ class StreamsSpec extends SparkSpec {
     assert(gated.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
   }
 
+  test("classifierGate filters by the linear score inside a streaming plan " +
+      "(x69 twin)") {
+    val dir = Files.createTempDirectory("cgate-in").toString
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:01:00"), "the quick brown fox jumps"),
+      (2L, ts("2024-01-01 00:02:00"), "over the lazy dog today"),
+      (3L, ts("2024-01-01 00:03:00"), "some words score low here"))
+    rows.toDF("event_id", "ts", "text").write.mode("overwrite").parquet(dir)
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val gated = Streams.classifierGate(stream, "text", threshold = 0.0)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("cgate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("cgate_out")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // batch/stream parity by construction: same operator body
+    val batch = graft.operators.Classifier
+      .keep(rows.toDF("event_id", "ts", "text"), "text", 0.0)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    // the gate must actually discriminate on this fixture
+    assert(streamed.nonEmpty && streamed.size < rows.size)
+    // schema-transparent: no derived signal columns leak out
+    assert(gated.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
+  }
+
   test("boilerplateScrub rewrites docs against the batch-built sketch (x50 twin)") {
     val corpus = Seq(
       (1L, "subscribe now click here unique alpha content words"),
