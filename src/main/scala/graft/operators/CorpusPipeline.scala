@@ -129,4 +129,25 @@ object CorpusPipeline {
     TextAnalysis.hashSplit(
       ImageDedup.dedupedImages(spark, good, maxHamming, decoder), "doc_id")
   }
+
+  /** Export pipeline (x73): model-scored classifier gate (x69) → exact
+    * dedup applied (x34) → deterministic shard manifest (x71) — the
+    * tail of a curation run, where the corpus that survives filtering
+    * is cut into the fixed-size, reproducibly-shuffled shards a trainer
+    * consumes. The composition is what's under test: the gate and the
+    * dedup change WHICH documents exist, so every downstream rank —
+    * and therefore every shard boundary and key range — moves; a bug
+    * that reorders or double-counts survivors shifts whole shards.
+    *
+    * Scale shape: zero-shuffle score filter, (hash, id)-only dedup
+    * shuffles, then the two-phase bucket prefix rank — the only
+    * text-bearing exchange in the whole chain is dedup's id-equi join
+    * back to the corpus. */
+  def exportShards(corpus: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, shardSize: Long): DataFrame = {
+    val kept = Classifier.keep(corpus, textCol, threshold)
+    val deduped = TextDedup.dedupedCorpus(kept, idCol, textCol)
+      .drop("n_dups")
+    Packing.shardManifest(deduped, idCol, textCol, shardSize)
+  }
 }

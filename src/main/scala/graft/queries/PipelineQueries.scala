@@ -60,7 +60,17 @@ object PipelineQueries {
       CorpusPipeline.curateImages(s,
         Multimodal.syntheticPpmPairs(s, t(s, dir, "documents"), "doc_id",
           "text", copyOffset = 1000000L),
-        minContrast = 75.0))
+        minContrast = 75.0)),
+
+    // x73 — the EXPORT composition: classifier gate (x69 semantics, at
+    // -2.2 — the fixture score median is ~-2.27, so the bar keeps ~46%
+    // and does real work) → exact dedup applied (x34) → deterministic
+    // 64-doc shard manifest (x71). Gate and dedup change which
+    // documents exist, so every rank/shard boundary/key range moves —
+    // the composition is what's under test.
+    "x73_export_shards" -> ((s, dir) =>
+      CorpusPipeline.exportShards(t(s, dir, "documents"), "doc_id",
+        "text", threshold = -2.2, shardSize = 64))
   )
 
   // The oracle chains the per-stage SQL (x35 gate signals, x34 exact
@@ -233,6 +243,26 @@ object PipelineQueries {
                   THEN 'val'
                 ELSE 'test' END AS split
          FROM fp f
-         WHERE f.doc_id NOT IN (SELECT node FROM comp WHERE node <> rep)"""
+         WHERE f.doc_id NOT IN (SELECT node FROM comp WHERE node <> rep)""",
+    // chains the x69 score filter, the x34 min-id dedup, and the x71
+    // rank/manifest rule over the surviving corpus.
+    "x73_export_shards" ->
+      """WITH toks AS (SELECT doc_id, text,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         kept AS (SELECT doc_id, text, len(t) AS n_tokens FROM toks
+           WHERE floor(CAST(list_sum(list_transform(t, x ->
+               ('0x' || substring(md5(x), 1, 15))::BIGINT % 21 - 10))
+               AS DOUBLE) / len(t) * 10000 + 0.5) / 10000.0 >= -2.2),
+         surv AS (SELECT k.doc_id, k.n_tokens FROM kept k JOIN (
+             SELECT min(doc_id) AS doc_id FROM kept
+             GROUP BY sha256(lower(trim(text)))) g USING (doc_id)),
+         r AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key, n_tokens,
+           row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             - 1 AS rnk FROM surv)
+         SELECT CAST(rnk // 64 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           min(key) AS first_key, max(key) AS last_key
+         FROM r GROUP BY 1"""
   )
 }

@@ -392,4 +392,88 @@ class PlanAuditSpec extends SparkSpec {
     val singles = "SinglePartition".r.findAllIn(p).size
     assert(singles == 0, s"single-partition exchange in x61:\n$p")
   }
+
+  test("x68 bigram top-K plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("x68_bigram_stats")
+    assert(p.contains("TakeOrderedAndProject"), s"x68 global sort:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"global sort leaked into x68:\n$p")
+  }
+
+  test("x69 classifier gate is a pure per-row projection (no hash exchange)") {
+    val p = plan("x69_classifier_gate")
+    // Par.spread's round-robin is the only exchange; the score itself
+    // never shuffles, never aggregates
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"classifier gate should not hash-shuffle:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"classifier gate should not aggregate:\n$p")
+  }
+
+  test("x71 shard rank: corpus window hash-partitioned; SinglePartition " +
+      "only above the bucket-totals aggregate") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
+
+    val exec: SparkPlan =
+      SparkEntry.queries("x71_shard_manifest")(spark, sfDir)
+        .queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.initialPlan
+          case p                        => p
+        }
+    // the corpus-side row_number window is partitioned + hash-fed
+    val corpusWindows = exec.collect {
+      case w: WindowExec if w.partitionSpec.nonEmpty => w
+    }
+    assert(corpusWindows.nonEmpty, s"per-bucket rank window missing:\n$exec")
+    corpusWindows.foreach { w =>
+      assert(w.collectFirst {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }.nonEmpty, s"rank window not fed by a hash exchange:\n$w")
+    }
+    // SinglePartition / unpartitioned windows only above the
+    // ≤16^bucketHexChars-row totals aggregate, never the corpus
+    exec.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }.foreach { e =>
+      assert(e.child.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+        s"SinglePartition exchange over corpus-sized data in x71:\n$e")
+    }
+    exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .foreach { w =>
+        assert(w.child.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+          s"global window over corpus-sized data in x71:\n$w")
+      }
+  }
+
+  test("x72 quantization report is a pure per-row projection (no hash exchange)") {
+    val p = plan("x72_quantize_embeddings")
+    // Par.spread's round-robin is the only exchange
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quantize should not hash-shuffle:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"quantize should not aggregate:\n$p")
+  }
+
+  test("x70 knn label vote stays k-bounded: no window after the topk stage") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("x70_knn_label")(spark, sfDir)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p                        => p
+      }
+    // exactly ONE ranking window (ivfTopK's); the vote itself is an
+    // aggregate + per-row fold, not a second corpus-wide window
+    val windows = exec.collect { case w: WindowExec => w }
+    assert(windows.size == 1, s"expected 1 window (ivfTopK rank):\n$exec")
+    val joins = exec.toString
+    assert(!joins.contains("CartesianProduct"),
+      s"cartesian leaked into x70:\n$joins")
+  }
 }

@@ -136,4 +136,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.keySet == Set(1L))
     assert(Set("train", "val", "test")(out(1L)))
   }
+
+  test("exportShards: gate and dedup reshape the shard layout (x73)") {
+    import spark.implicits._
+    // surrogate scores are bounded in [-10, 10], so -100/+100 pin the
+    // gate to keep-all/keep-none — the layout consequences are what's
+    // under test, not absolute scores (ClassifierSpec covers those)
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"), // exact dup of 1 -> collapses to 1
+      (3L, "delta epsilon zeta eta"),
+      (4L, "theta iota kappa")).toDF("doc_id", "text")
+    // keep-all: 3 survivors (dedup folds 2 into 1), shardSize 2 -> 2,1
+    val all = CorpusPipeline.exportShards(docs, "doc_id", "text",
+        threshold = -100.0, shardSize = 2)
+      .collect().sortBy(_.getAs[Long]("shard_id"))
+    assert(all.map(_.getAs[Long]("n_docs")).toSeq == Seq(2L, 1L))
+    assert(all.map(_.getAs[Long]("n_tokens")).sum == 3 + 4 + 3)
+    // keep-none: empty manifest, not a crash
+    assert(CorpusPipeline.exportShards(docs, "doc_id", "text",
+      threshold = 100.0, shardSize = 2).count() == 0)
+  }
 }
