@@ -25,7 +25,8 @@ import graft.functions.{Num, Par, Text}
   *  - near-dup, SimHash: 64-bit fingerprint from codegen'd bit-vote sums;
   *    4x16-bit pigeonhole banding gives exact Hamming<=3 retrieval.
   *
-  * CACHE CONTRACT: jaccardPairs/minhashLshPairs/winnowPairs — and
+  * CACHE CONTRACT: jaccardPairs/minhashLshPairs/winnowPairs/
+  * crossNeardupSurvivors (two set frames: batch + existing) — and
   * [[TextAnalysis.sourceSimilarity]] over in that module — cache
   * operator-internal intermediates (the shingle sets; x8's prefix index;
   * winnowing's (doc_id, fingerprint) frame; the (source, term) frame)
@@ -336,7 +337,7 @@ object TextDedup {
     docs.join(drops, Seq(idCol), "left_anti")
   }
 
-  /** Incremental exact dedup (x44) — the production ingest shape: dedup
+  /** Incremental exact dedup (x74) — the production ingest shape: dedup
     * a NEW batch against the digest index of the EXISTING corpus AND
     * within itself, without touching (let alone recomputing) the corpus
     * text. The existing side contributes only its distinct digests
@@ -346,13 +347,63 @@ object TextDedup {
     * per batch digest, minus anything the corpus already has. */
   def incrementalExactDedup(newDocs: DataFrame, existing: DataFrame,
                             idCol: String, textCol: String): DataFrame = {
-    def digest(c: org.apache.spark.sql.Column) = sha2(lower(trim(c)), 256)
+    def digest(c: Column) = sha2(lower(trim(c)), 256)
     val existingH = existing.select(digest(col(textCol)).as("_h")).distinct()
     val withH = newDocs.withColumn("_h", digest(col(textCol)))
     val reps = withH.groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
     withH.join(reps, Seq("_h", idCol), "left_semi")
       .join(existingH, Seq("_h"), "left_anti")
       .drop("_h")
+  }
+
+  /** Incremental NEAR-dup dedup (x75) — [[incrementalExactDedup]]'s
+    * fuzzy stage: drop every batch document whose shingle Jaccard
+    * against SOME existing-corpus document reaches `threshold`. The
+    * candidate generation is the x2 banded-MinHash machinery applied
+    * CROSS-corpus: both sides band their signatures, candidates are
+    * batch×existing band-key matches only (never batch×batch or
+    * existing×existing, and never all-pairs), and candidates are
+    * exact-verified on the full shingle sets before anything drops —
+    * same no-false-negatives-at-calibration convention as x2/x36.
+    *
+    * At 100 TB the existing side's (signature, band) index — like the
+    * digest index above — is the PERSISTED artifact of the last run
+    * (numPerms longs per doc, stored bucketed by band key), so a daily
+    * batch joins against it without rescanning corpus text; only the
+    * verify stage rereads the (corpus-sized, but candidate-pruned)
+    * shingle sets. Intra-batch near-dups are [[neardupSurvivors]]'s
+    * job — the two compose in either order; this operator is the
+    * cross-corpus filter alone. */
+  def crossNeardupSurvivors(newDocs: DataFrame, existing: DataFrame,
+                            idCol: String, textCol: String, k: Int,
+                            threshold: Double, numBands: Int = 20,
+                            rowsPerBand: Int = 4): DataFrame = {
+    val numPerms = numBands * rowsPerBand
+    val bSets = shingleSets(newDocs, idCol, textCol, k)
+    val eSets = shingleSets(existing, idCol, textCol, k)
+    def bandsOf(sets: DataFrame): DataFrame = sets.select(col("doc_id"),
+      posexplode(Text.lshBands(
+        TextExpressions.minhashSigFromHashes(col("sh"), numPerms),
+        numBands, rowsPerBand)).as(Seq("band_idx", "band_key")))
+    val candidates = bandsOf(bSets).alias("x")
+      .join(bandsOf(eSets).alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
+      .distinct()
+    val drops = candidates
+      .join(bSets.select(col("doc_id").as("new_id"), col("sh").as("sh1"),
+        col("n").as("n1")), "new_id")
+      .join(eSets.select(col("doc_id").as("old_id"), col("sh").as("sh2"),
+        col("n").as("n2")), "old_id")
+      .withColumn("inter",
+        TextExpressions.sortedLongIntersectSize(col("sh1"), col("sh2")))
+      .withColumn("jaccard", Num.fpRound(
+        col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    newDocs.join(drops, Seq(idCol), "left_anti")
   }
 
   /** Winnowing-style document fingerprint: the `keep` lexicographically

@@ -571,7 +571,38 @@ object ExtensionQueries {
     // q_max <= 127 invariant exposed as a column.
     "x72_quantize_embeddings" -> ((s, dir) =>
       Similarity.quantizeReport(t(s, dir, "embeddings"), "vec_id",
-        "embedding"))
+        "embedding")),
+
+    // x74 — incremental EXACT dedup (the continuous-ingestion shape):
+    // existing corpus = even ids; the new batch is every doc_id%3==0
+    // text twice (offsets 1M/2M — the synthetic-pairs convention), so
+    // intra-batch collapse picks the 1M rep and the cross anti-join
+    // then drops every text the even half already has.
+    "x74_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val third = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val batch = third
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(third
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      TextDedup.incrementalExactDedup(batch,
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+    }),
+
+    // x75 — incremental NEAR-dup dedup: odd ids (re-keyed +1M) play the
+    // new batch, even ids the existing corpus; cross-banded MinHash
+    // candidates, exact Jaccard verify at >= 0.8 (the fixture has a
+    // real cross-parity near-dup population), survivors = batch minus
+    // matches. Oracle = exact cross pairs (x2's no-false-negatives-at-
+    // calibration convention).
+    "x75_incremental_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextDedup.crossNeardupSurvivors(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", k = 3, threshold = 0.8)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1606,6 +1637,46 @@ object ExtensionQueries {
              floor(sqrt(sq / dim) * 1000000 + 0.5) / 1000000.0
              ELSE 0.0 END AS rmse,
            CAST(CASE WHEN sc > 0 THEN qm ELSE 0 END AS BIGINT) AS q_max
-         FROM d"""
+         FROM d""",
+    // batch reps by min id per digest, then the cross anti-join on the
+    // existing half's digest set.
+    "x74_incremental_dedup" ->
+      """WITH third AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 3 = 0),
+         batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM third
+           UNION ALL SELECT doc_id + 2000000, text FROM third),
+         reps AS (SELECT min(doc_id) AS doc_id FROM batch
+           GROUP BY sha256(lower(trim(text))))
+         SELECT b.doc_id, b.text FROM batch b JOIN reps USING (doc_id)
+         WHERE sha256(lower(trim(b.text))) NOT IN (
+           SELECT sha256(lower(trim(text))) FROM documents
+           WHERE doc_id % 2 = 0)""",
+    // exact cross-corpus 3-shingle Jaccard pairs at >= 0.8; survivors =
+    // batch docs with no qualifying existing partner (shingle-less docs
+    // are never candidates on either side, matching the kernel).
+    "x75_incremental_neardup" ->
+      """WITH tb AS (SELECT doc_id + 1000000 AS doc_id, text
+           FROM documents WHERE doc_id % 2 = 1),
+         te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         tkb AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM tb),
+         tke AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM te),
+         shb AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM tkb, unnest(generate_series(1, len(t) - 2)) AS g(i)),
+         she AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM tke, unnest(generate_series(1, len(t) - 2)) AS g(i)),
+         szb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY 1),
+         sze AS (SELECT doc_id, count(*) AS n FROM she GROUP BY 1),
+         inter AS (SELECT b.doc_id AS new_id, e.doc_id AS old_id,
+             count(*) AS c
+           FROM shb b JOIN she e ON b.s = e.s GROUP BY 1, 2),
+         drops AS (SELECT DISTINCT new_id FROM inter
+           JOIN szb x ON new_id = x.doc_id
+           JOIN sze y ON old_id = y.doc_id
+           WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0
+             >= 0.8)
+         SELECT doc_id, text FROM tb
+         WHERE doc_id NOT IN (SELECT new_id FROM drops)"""
   )
 }

@@ -185,7 +185,26 @@ object ScaleBench {
     // per-row vector math only
     ("x72_quantize", (s: SparkSession, dir: String) =>
       Similarity.quantizeReport(Tables(s, dir, "embeddings"), "vec_id",
-        "embedding")))
+        "embedding")),
+    // digest anti-join: only (hash, id) pairs move on either side
+    ("x74_incremental_dedup", (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      val third = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      TextDedup.incrementalExactDedup(
+        third.select((col("doc_id") + 10000000L).as("doc_id"), col("text")),
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+    }),
+    // cross-banded candidates only (batch x existing band matches); the
+    // `_k` suffix keeps the per-copy near-dup graphs disjoint, so the
+    // cross-pair population scales with the corpus
+    ("x75_incremental_neardup", (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      TextDedup.crossNeardupSurvivors(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")),
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", k = 3, threshold = 0.8)
+    }))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -176,4 +176,42 @@ class TextDedupSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
     assert(fp(1L).split('|').length == 4) // 4 joined digests
   }
+
+  test("incrementalExactDedup: in-batch collapse + cross anti-join (x74)") {
+    import spark.implicits._
+    val existing = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALPHA beta gamma delta"),   // normalized match of existing 1
+      (11L, "iota kappa lambda mu"),     // fresh, duplicated in-batch
+      (12L, "iota kappa lambda mu"),
+      (13L, "nu xi omicron pi")          // fresh, unique
+    ).toDF("doc_id", "text")
+    val out = TextDedup.incrementalExactDedup(batch, existing,
+      "doc_id", "text").collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out == Seq(11L, 13L)) // 10 cross-dropped; 12 lost to rep 11
+    // schema preserved
+    assert(TextDedup.incrementalExactDedup(batch, existing, "doc_id",
+      "text").schema == batch.schema)
+  }
+
+  test("crossNeardupSurvivors: batch near-dups of the corpus drop; " +
+      "batch-internal near-dups do NOT (x75)") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog today again"
+    val existing = Seq(
+      (1L, base),
+      (2L, "completely different existing content here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + " ok"),   // j vs 1 well above 0.8 -> dropped
+      (11L, "fresh unrelated new document text entirely"),
+      (12L, "fresh unrelated new document text entirely plus"), // near-dup of 11: must SURVIVE (cross-only)
+      (13L, "tiny")          // < k tokens: no shingles, never a candidate
+    ).toDF("doc_id", "text")
+    val out = TextDedup.crossNeardupSurvivors(batch, existing,
+        "doc_id", "text", k = 3, threshold = 0.8)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out == Seq(11L, 12L, 13L))
+  }
 }
