@@ -136,4 +136,83 @@ class PropertySpec extends SparkSpec {
         s"planted run '${run.mkString(" ")}' produced no shared fingerprint")
     }
   }
+
+  test("shard partition law: ranks are a permutation; every shard is full " +
+      "except possibly the last") {
+    val genCase = for {
+      n <- Gen.choose(1, 40)
+      shardSize <- Gen.choose(1L, 12L)
+    } yield (n, shardSize)
+    samples(genCase, 5).foreach { case (n, shardSize) =>
+      val docs = (0L until n.toLong).map(i => (i * 7 + 3, s"w$i x"))
+        .toDF("doc_id", "text")
+      val out = operators.Packing
+        .shardAssign(docs, "doc_id", "text", shardSize)
+        .collect()
+      assert(out.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (0L until n.toLong), s"ranks not a permutation (n=$n)")
+      val sizes = out.groupBy(_.getAs[Long]("shard_id"))
+        .map { case (s, rs) => s -> rs.length.toLong }
+      val lastShard = (n - 1) / shardSize
+      sizes.foreach { case (s, sz) =>
+        if (s < lastShard) assert(sz == shardSize,
+          s"shard $s not full: $sz of $shardSize (n=$n)")
+        else assert(sz == n - lastShard * shardSize,
+          s"last shard wrong size (n=$n, shardSize=$shardSize)")
+      }
+    }
+  }
+
+  test("classifier score law: surrogate scores live in [-10, 10] and are " +
+      "invariant to case/leading-trailing whitespace") {
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(6).mkString)
+    val genDoc = Gen.nonEmptyListOf(word).map(_.take(12).mkString(" "))
+    samples(Gen.listOfN(4, genDoc), 4).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val scores = operators.Classifier.score(docs, "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Double]("score")).toMap
+      assert(scores.values.forall(s => s >= -10 && s <= 10))
+      val shouted = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, "  " + t.toUpperCase + " ") }.toDF("doc_id", "text")
+      val scores2 = operators.Classifier.score(shouted, "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Double]("score")).toMap
+      assert(scores2 == scores, "score not normalization-invariant")
+    }
+  }
+
+  test("incremental dedup stability: survivors re-run against " +
+      "(existing + survivors) all drop; against existing alone are a fixpoint") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val genDoc = Gen.listOfN(4, word).map(_.mkString(" "))
+    val genCase = for {
+      ex <- Gen.listOfN(5, genDoc)
+      nw <- Gen.listOfN(6, genDoc)
+    } yield (ex, nw)
+    samples(genCase, 4).foreach { case (ex, nw) =>
+      val existing = ex.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val batch = nw.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text")
+      val surv = operators.TextDedup
+        .incrementalExactDedup(batch, existing, "doc_id", "text")
+      val survRows = surv.collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+      // fixpoint: survivors are already distinct and disjoint from
+      // existing, so re-running them as a batch changes nothing
+      val again = operators.TextDedup
+        .incrementalExactDedup(surv, existing, "doc_id", "text")
+        .collect().map(r =>
+          (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+      assert(again.toSet == survRows.toSet)
+      // absorption: once the corpus has ingested the survivors, the
+      // same batch dedups to nothing
+      val absorbed = operators.TextDedup
+        .incrementalExactDedup(batch, existing.unionByName(surv),
+          "doc_id", "text")
+      assert(absorbed.count() == 0)
+    }
+  }
 }
