@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num
-import graft.operators.{Classifier, Cleaning, Components, ImageDedup, Multimodal, Packing, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Classifier, Cleaning, Components, ImageDedup, Multimodal, Packing, Project, Similarity, TextAnalysis, TextDedup}
 
 /** Extension + capability-proof query inventory (SURVEY §2.4 X1-X6 plus the
   * LLM-training-data operators: dedup family, similarity search, text
@@ -602,6 +602,24 @@ object ExtensionQueries {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
         d.filter(pmod(col("doc_id"), lit(2)) === 0),
         "doc_id", "text", k = 3, threshold = 0.8)
+    }),
+
+    // x76 — malformed-record quarantine over the events JSON payloads,
+    // with injected corruption (the synthetic-fixture convention) so
+    // every verdict class has a real population: id%7==1 not JSON,
+    // ==2 missing the required key, ==3 wrong type. Both engines use
+    // try_cast's null-on-miscast to express the verdict as data.
+    "x76_quarantine" -> ((s, dir) => {
+      val corrupted = t(s, dir, "events").select(col("event_id"),
+        when(pmod(col("event_id"), lit(7)) === 1, lit("oops{"))
+          .when(pmod(col("event_id"), lit(7)) === 2, lit("""{"other": 1}"""))
+          .when(pmod(col("event_id"), lit(7)) === 3, lit("""{"k": "bad"}"""))
+          .otherwise(col("props")).as("props"))
+      Project.quarantineJson(corrupted, "props",
+          Seq("k" -> org.apache.spark.sql.types.LongType))
+        .select(col("event_id"), col("verdict"),
+          get_json_object(col("props"), "$.k").try_cast("long")
+            .as("k_value"))
     })
   )
 
@@ -1677,6 +1695,26 @@ object ExtensionQueries {
            WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0
              >= 0.8)
          SELECT doc_id, text FROM tb
-         WHERE doc_id NOT IN (SELECT new_id FROM drops)"""
+         WHERE doc_id NOT IN (SELECT new_id FROM drops)""",
+    // json functions guarded through try_cast(... AS JSON) so malformed
+    // payloads classify instead of erroring; verdict precedence mirrors
+    // the operator (not_json > missing > wrong type > ok).
+    "x76_quarantine" ->
+      """WITH raw AS (SELECT event_id,
+           CASE WHEN event_id % 7 = 1 THEN 'oops{'
+                WHEN event_id % 7 = 2 THEN '{"other": 1}'
+                WHEN event_id % 7 = 3 THEN '{"k": "bad"}'
+                ELSE props END AS props
+           FROM events)
+         SELECT event_id,
+           CASE WHEN try_cast(props AS JSON) IS NULL THEN 'not_json'
+                WHEN json_extract_string(try_cast(props AS JSON), '$.k')
+                  IS NULL THEN 'missing_required:k'
+                WHEN try_cast(json_extract_string(try_cast(props AS JSON),
+                  '$.k') AS BIGINT) IS NULL THEN 'wrong_type:k'
+                ELSE 'ok' END AS verdict,
+           try_cast(json_extract_string(try_cast(props AS JSON), '$.k')
+             AS BIGINT) AS k_value
+         FROM raw"""
   )
 }

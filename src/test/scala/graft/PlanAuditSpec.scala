@@ -460,6 +460,11 @@ class PlanAuditSpec extends SparkSpec {
       s"quantize should not aggregate:\n$p")
   }
 
+  test("x76 quarantine is a pure per-row projection (zero exchanges)") {
+    val p = plan("x76_quarantine")
+    assert(!p.contains("Exchange"), s"quarantine should not shuffle:\n$p")
+  }
+
   test("x70 knn label vote stays k-bounded: no window after the topk stage") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
