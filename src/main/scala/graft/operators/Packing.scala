@@ -169,12 +169,31 @@ object Packing {
     * Same determinism requirement and working-projection cache as
     * [[groupedOffsets]] (two scans of `docs`). */
   def shardAssign(docs: DataFrame, idCol: String, textCol: String,
-                  shardSize: Long, bucketHexChars: Int = 2): DataFrame = {
+                  shardSize: Long, bucketHexChars: Int = 2): DataFrame =
+    groupedShardAssign(docs.withColumn("_sg", lit(0)), idCol, textCol,
+      "_sg", shardSize, bucketHexChars)
+      .select(col("doc_id"), col("shuffle_key"), col("n_tokens"),
+        col("rank"), col("shard_id"))
+
+  /** Per-GROUP shard assignment — [[shardAssign]] generalized to an
+    * independent md5-order layout within each value of `groupCol` (one
+    * shard sequence per train/val/test split, per source, per epoch):
+    * a trainer streams each split's shards separately, so the rank —
+    * and the shard numbering — must restart per group. Same two-phase
+    * prefix shape with the group key threaded through both phases
+    * (windows partition by (group, bucket); offsets roll up PER GROUP),
+    * so distinct groups proceed fully in parallel and nothing ever
+    * funnels through one task — the [[groupedOffsets]] argument. The
+    * broadcast carries (#groups × 16^bucketHexChars) rows. */
+  def groupedShardAssign(docs: DataFrame, idCol: String, textCol: String,
+                         groupCol: String, shardSize: Long,
+                         bucketHexChars: Int = 2): DataFrame = {
     require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
     require(bucketHexChars >= 1 && bucketHexChars <= 4,
       s"bucketHexChars must be in [1,4], got $bucketHexChars " +
         "(16^5 bucket-offset rows would stress the broadcast for no gain)")
     val keyed = Par.spread(docs).select(
+      col(groupCol).as("_g"),
       col(idCol).as("doc_id"),
       size(split(lower(trim(col(textCol))), "\\s+")).cast("long")
         .as("n_tokens"),
@@ -182,24 +201,39 @@ object Packing {
       .withColumn("_bucket", substring(col("shuffle_key"), 1, bucketHexChars))
       .cache()
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_bucket"))
+      .partitionBy(col("_g"), col("_bucket"))
       .orderBy(col("shuffle_key"), col("doc_id"))
     val local = keyed.withColumn("_lrank", row_number().over(w).cast("long"))
-    // exclusive doc-count offsets over the tiny per-bucket totals frame
+    // exclusive doc-count offsets over the tiny per-(group, bucket)
+    // totals frame, cumulated per group
     val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(col("_bucket"))
+      .partitionBy(col("_g")).orderBy(col("_bucket"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         -1)
-    val offsets = keyed.groupBy(col("_bucket"))
+    val offsets = keyed.groupBy(col("_g"), col("_bucket"))
       .agg(count(lit(1)).as("_cnt"))
       .withColumn("_boff", coalesce(sum(col("_cnt")).over(wB), lit(0L)))
-      .select(col("_bucket"), col("_boff"))
-    local.join(broadcast(offsets), Seq("_bucket"))
+      .select(col("_g"), col("_bucket"), col("_boff"))
+    local.join(broadcast(offsets), Seq("_g", "_bucket"))
       .withColumn("rank", col("_boff") + col("_lrank") - 1)
-      .select(col("doc_id"), col("shuffle_key"), col("n_tokens"),
-        col("rank"), floor(col("rank") / lit(shardSize)).cast("long")
-          .as("shard_id"))
+      .select(col("doc_id"), col("_g").as(groupCol), col("shuffle_key"),
+        col("n_tokens"), col("rank"),
+        floor(col("rank") / lit(shardSize)).cast("long").as("shard_id"))
   }
+
+  /** Per-group shard MANIFEST over [[groupedShardAssign]] (x77): one row
+    * per (group, shard) — the split-aware export index a training job
+    * reads to plan each split's epoch independently. */
+  def groupedShardManifest(docs: DataFrame, idCol: String, textCol: String,
+                           groupCol: String, shardSize: Long,
+                           bucketHexChars: Int = 2): DataFrame =
+    groupedShardAssign(docs, idCol, textCol, groupCol, shardSize,
+      bucketHexChars)
+      .groupBy(col(groupCol), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("shuffle_key")).as("first_key"),
+        max(col("shuffle_key")).as("last_key"))
 
   /** Shard MANIFEST over [[shardAssign]]: one row per output shard with
     * its document count, token total and key range — the index a

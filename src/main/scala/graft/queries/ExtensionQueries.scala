@@ -620,7 +620,17 @@ object ExtensionQueries {
         .select(col("event_id"), col("verdict"),
           get_json_object(col("props"), "$.k").try_cast("long")
             .as("k_value"))
-    })
+    }),
+
+    // x77 — split-aware shard export: hash split (x26) then an
+    // INDEPENDENT md5-order shard layout per split (rank and shard
+    // numbering restart per group; 32-doc shards) — the export index a
+    // trainer reads per split. Every window partitions by (split,
+    // bucket); offsets roll up per split — nothing global anywhere.
+    "x77_split_shards" -> ((s, dir) =>
+      Packing.groupedShardManifest(
+        TextAnalysis.hashSplit(t(s, dir, "documents"), "doc_id"),
+        "doc_id", "text", "split", shardSize = 32))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1715,6 +1725,26 @@ object ExtensionQueries {
                 ELSE 'ok' END AS verdict,
            try_cast(json_extract_string(try_cast(props AS JSON), '$.k')
              AS BIGINT) AS k_value
-         FROM raw"""
+         FROM raw""",
+    // the x26 split rule + a per-split row_number window; the Spark
+    // side's grouped bucket prefix reproduces the same per-split rank.
+    "x77_split_shards" ->
+      """WITH k AS (SELECT doc_id,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '9'
+                  THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                  THEN 'val'
+                ELSE 'test' END AS split,
+           md5(CAST(doc_id AS VARCHAR)) AS key,
+           len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+           FROM documents),
+         r AS (SELECT split, doc_id, key, n_tokens,
+           row_number() OVER (PARTITION BY split ORDER BY key, doc_id) - 1
+             AS rnk FROM k)
+         SELECT split, CAST(rnk // 32 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           min(key) AS first_key, max(key) AS last_key
+         FROM r GROUP BY 1, 2"""
   )
 }

@@ -203,6 +203,29 @@ class PackingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("groupedShardAssign: ranks restart per group; groups lay out " +
+      "independently (x77)") {
+    val docs = (0L until 30L).map(i => (i, s"a b c", if (i % 3 == 0) "x" else "y"))
+      .toDF("doc_id", "text", "grp")
+    val out = Packing.groupedShardAssign(docs, "doc_id", "text", "grp",
+      shardSize = 4).collect()
+    val byGroup = out.groupBy(_.getAs[String]("grp"))
+    assert(byGroup.keySet == Set("x", "y"))
+    byGroup.foreach { case (g, rows) =>
+      val n = rows.length.toLong
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (0L until n),
+        s"group $g ranks not a fresh permutation")
+      // a group's layout equals running shardAssign on that group alone
+      val solo = Packing.shardAssign(docs.filter(col("grp") === g),
+          "doc_id", "text", shardSize = 4)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("rank"), r.getAs[Long]("shard_id"))).sorted.toSeq
+      val grouped = rows.map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rank"), r.getAs[Long]("shard_id"))).sorted.toSeq
+      assert(solo == grouped, s"group $g layout differs from solo run")
+    }
+  }
+
   test("shardManifest: key ranges tile the hash order without overlap") {
     val docs = (0L until 40L).map(i => (i, s"w$i x y")).toDF("doc_id", "text")
     val m = Packing.shardManifest(docs, "doc_id", "text", shardSize = 16)

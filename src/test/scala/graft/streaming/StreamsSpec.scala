@@ -184,6 +184,30 @@ class StreamsSpec extends SparkSpec {
     assert(gated.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
   }
 
+  test("quarantineJson routes records inside a streaming plan (x76 twin)") {
+    import graft.operators.Project
+    val dir = Files.createTempDirectory("quar-in").toString
+    Seq(
+      (1L, """{"k": 5}"""),
+      (2L, "garbage{"),
+      (3L, """{"other": 1}"""))
+      .toDF("event_id", "props").write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    // the SAME stateless operator body; split = one filter per route
+    val routed = Project.quarantineJson(stream, "props", Seq("k" -> LongType))
+    val q = routed.writeStream.outputMode("append")
+      .format("memory").queryName("quar_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val verdicts = spark.table("quar_out")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[String]("verdict")).toMap
+    assert(verdicts == Map(1L -> "ok", 2L -> "not_json",
+      3L -> "missing_required:k"))
+  }
+
   test("classifierGate filters by the linear score inside a streaming plan " +
       "(x69 twin)") {
     val dir = Files.createTempDirectory("cgate-in").toString
