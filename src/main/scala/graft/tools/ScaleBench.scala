@@ -204,7 +204,16 @@ object ScaleBench {
           .select((col("doc_id") + 10000000L).as("doc_id"), col("text")),
         d.filter(pmod(col("doc_id"), lit(2)) === 0),
         "doc_id", "text", k = 3, threshold = 0.8)
-    }))
+    }),
+    // the export composition: gate + (hash, id) dedup + bucket prefix
+    ("x73_export_shards", (s: SparkSession, dir: String) =>
+      CorpusPipeline.exportShards(Tables(s, dir, "documents"), "doc_id",
+        "text", threshold = -2.2, shardSize = 64)),
+    // per-split grouped prefix layout - groups proceed in parallel
+    ("x77_split_shards", (s: SparkSession, dir: String) =>
+      Packing.groupedShardManifest(
+        TextAnalysis.hashSplit(Tables(s, dir, "documents"), "doc_id"),
+        "doc_id", "text", "split", shardSize = 32)))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
