@@ -47,6 +47,11 @@ object Project {
   def quarantineJson(df: DataFrame, jsonCol: String,
                      required: Seq[(String, DataType)]): DataFrame = {
     require(required.nonEmpty, "declare at least one required field")
+    // JSON parsing is the per-row cost here (each get_json_object call
+    // re-parses the payload), so spread a single-split local input
+    // across cores like the other per-row-expensive projections;
+    // streaming inputs pass through repartition unchanged semantically
+    val spread = if (df.isStreaming) df else graft.functions.Par.spread(df)
     val isJson = get_json_object(col(jsonCol), "$").isNotNull
     val checks = required.map { case (name, dt) =>
       val raw = get_json_object(col(jsonCol), "$." + name)
@@ -61,7 +66,7 @@ object Project {
       case ((name, raw, _), acc) =>
         when(raw.isNull, lit(s"missing_required:$name")).otherwise(acc)
     }
-    df.withColumn("verdict",
+    spread.withColumn("verdict",
       when(!isJson, lit("not_json")).otherwise(missing))
   }
 }

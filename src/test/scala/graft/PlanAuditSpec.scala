@@ -460,9 +460,14 @@ class PlanAuditSpec extends SparkSpec {
       s"quantize should not aggregate:\n$p")
   }
 
-  test("x76 quarantine is a pure per-row projection (zero exchanges)") {
+  test("x76 quarantine is a pure per-row projection (no hash exchange)") {
     val p = plan("x76_quarantine")
-    assert(!p.contains("Exchange"), s"quarantine should not shuffle:\n$p")
+    // Par.spread's round-robin is the only exchange; the verdict itself
+    // never shuffles, never aggregates
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quarantine should not hash-shuffle:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"quarantine should not aggregate:\n$p")
   }
 
   test("x70 knn label vote stays k-bounded: no window after the topk stage") {
