@@ -32,41 +32,47 @@ object Classifier {
   def hashedWeight(token: Column): Column =
     conv(substring(md5(token), 1, 15), 16, 10).cast("long") % 21 - 10
 
+  /** The ONE scoring expression behind [[score]], [[gate]] and
+    * [[keep]] — a single definition so the reporting and filtering
+    * forms can never diverge (the splitLabel/hashSplit convention).
+    * NULL text scores NULL. */
+  private def scoreCol(textCol: String,
+                       weight: Column => Column): Column = {
+    val toks = Text.tokens(col(textCol))
+    val wsum = aggregate(toks, lit(0L), (acc, t) => acc + weight(t))
+    Num.fpRound(wsum.cast("double") / size(toks), 4)
+  }
+
   /** Per-document linear score: `round(sum(weight(token)) / n_tokens,
     * 4)` over the whitespace tokens — output
     * `(doc_id, n_tokens, score)`. Pure narrow projection: the token
     * array, the weight fold and the division all happen per row inside
     * the scan stage; nothing shuffles, nothing collects. */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            weight: Column => Column = hashedWeight): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    val wsum = aggregate(toks, lit(0L), (acc, t) => acc + weight(t))
+            weight: Column => Column = hashedWeight): DataFrame =
     Par.spread(docs).select(
       col(idCol).as("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      Num.fpRound(wsum.cast("double") / size(toks), 4).as("score"))
-  }
+      size(Text.tokens(col(textCol))).cast("long").as("n_tokens"),
+      scoreCol(textCol, weight).as("score"))
 
   /** Classifier gate: [[score]] plus the keep/drop decision at
     * `threshold` (keep when score >= threshold) — the auditable form
     * that reports every document's score and fate, like
-    * [[TextAnalysis.qualityReport]]. `kept` is 0/1 so the oracle can
-    * hash-compare it. */
+    * [[TextAnalysis.qualityReport]]. `kept` is 0/1 for EVERY row — a
+    * NULL-text document scores NULL and is kept=0 (dropped), exactly
+    * as [[keep]]'s filter treats it. */
   def gate(docs: DataFrame, idCol: String, textCol: String,
            threshold: Double,
            weight: Column => Column = hashedWeight): DataFrame =
     score(docs, idCol, textCol, weight)
-      .withColumn("kept", (col("score") >= threshold).cast("int"))
+      .withColumn("kept",
+        coalesce((col("score") >= threshold).cast("int"), lit(0)))
 
   /** Filtering form of [[gate]]: input schema preserved, only documents
     * at or above `threshold` survive — composable inside a curation
     * pipeline (and reused verbatim as the streaming classifier gate:
     * the predicate is stateless and per-row). */
   def keep(docs: DataFrame, textCol: String, threshold: Double,
-           weight: Column => Column = hashedWeight): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    val wsum = aggregate(toks, lit(0L), (acc, t) => acc + weight(t))
-    docs.filter(
-      Num.fpRound(wsum.cast("double") / size(toks), 4) >= threshold)
-  }
+           weight: Column => Column = hashedWeight): DataFrame =
+    docs.filter(scoreCol(textCol, weight) >= threshold)
 }

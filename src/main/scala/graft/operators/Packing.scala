@@ -195,7 +195,7 @@ object Packing {
     val keyed = Par.spread(docs).select(
       col(groupCol).as("_g"),
       col(idCol).as("doc_id"),
-      size(split(lower(trim(col(textCol))), "\\s+")).cast("long")
+      size(graft.functions.Text.tokens(col(textCol))).cast("long")
         .as("n_tokens"),
       md5(col(idCol).cast("string")).as("shuffle_key"))
       .withColumn("_bucket", substring(col("shuffle_key"), 1, bucketHexChars))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, get_json_object, lit, when}
+import org.apache.spark.sql.functions.{col, get_json_object, json_tuple, lit, trim, when}
 import org.apache.spark.sql.types.DataType
 
 /** Projection to a declared schema (SURVEY §2.1 P1): the reference keeps
@@ -37,25 +37,33 @@ object Project {
     *
     * The ingest split is then one filter per route (`verdict = 'ok'` vs
     * the quarantine sink, which keeps the raw payload for replay after
-    * a schema fix). Pure per-row projection — `get_json_object` +
-    * `try_cast` per declared field, zero shuffles — so it runs
+    * a schema fix). Pure per-row projection, zero shuffles — so it runs
     * unchanged as a stateless pre-stage in a streaming ingest, like the
-    * corpus gates. `try_cast`'s null-on-miscast (not ANSI `cast`, which
-    * throws under Spark 4's default ANSI mode) is what makes the
-    * verdict expressible — and oracle-checkable — as data instead of
-    * as a crash. */
+    * corpus gates. All declared fields (top-level keys) come out of ONE
+    * `json_tuple` parse of the payload; `try_cast`'s null-on-miscast
+    * (not ANSI `cast`, which throws under Spark 4's default ANSI mode)
+    * is what makes the verdict expressible — and oracle-checkable — as
+    * data instead of as a crash. The JSON scalar `null` is a VALID
+    * payload (missing its required fields), not `not_json` — matching
+    * engines whose JSON cast accepts it. */
   def quarantineJson(df: DataFrame, jsonCol: String,
                      required: Seq[(String, DataType)]): DataFrame = {
     require(required.nonEmpty, "declare at least one required field")
-    // JSON parsing is the per-row cost here (each get_json_object call
-    // re-parses the payload), so spread a single-split local input
-    // across cores like the other per-row-expensive projections;
-    // streaming inputs pass through repartition unchanged semantically
+    // JSON parsing is the per-row cost, so spread a single-split local
+    // input across cores like the other per-row-expensive projections;
+    // streaming inputs pass through (repartition is semantics-neutral)
     val spread = if (df.isStreaming) df else graft.functions.Par.spread(df)
-    val isJson = get_json_object(col(jsonCol), "$").isNotNull
-    val checks = required.map { case (name, dt) =>
-      val raw = get_json_object(col(jsonCol), "$." + name)
-      (name, raw, raw.try_cast(dt))
+    val rawNames = required.indices.map(i => s"_q$i")
+    val withRaw = spread.select(col("*"),
+      json_tuple(col(jsonCol), required.map(_._1): _*)
+        .as(rawNames))
+    // get_json_object('$') is SQL NULL both for malformed payloads and
+    // for the valid JSON scalar `null` — disambiguate the latter (the
+    // isNotNull guard keeps a SQL-NULL payload out of three-valued ||)
+    val isJson = get_json_object(col(jsonCol), "$").isNotNull ||
+      (col(jsonCol).isNotNull && trim(col(jsonCol)) === "null")
+    val checks = required.zip(rawNames).map { case ((name, dt), rn) =>
+      (name, col(rn), col(rn).try_cast(dt))
     }
     val wrongType = checks.foldRight(lit("ok"): Column) {
       case ((name, raw, casted), acc) =>
@@ -66,7 +74,8 @@ object Project {
       case ((name, raw, _), acc) =>
         when(raw.isNull, lit(s"missing_required:$name")).otherwise(acc)
     }
-    spread.withColumn("verdict",
+    withRaw.withColumn("verdict",
       when(!isJson, lit("not_json")).otherwise(missing))
+      .drop(rawNames: _*)
   }
 }

@@ -201,6 +201,13 @@ object Similarity {
   def knnLabel(queries: DataFrame, labeled: DataFrame, centroids: DataFrame,
                idCol: String, vecCol: String, labelCol: String, k: Int,
                nprobe: Int): DataFrame = {
+    // the vote's tie-break negates the label, so a non-numeric label
+    // column would cast to NULL and silently predict NULL everywhere —
+    // fail loudly instead (the connectedComponents convention)
+    val labelType = labeled.schema(labelCol).dataType
+    require(labelType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"knnLabel needs a numeric label column; '$labelCol' is $labelType " +
+        "(map string classes to codes before propagating)")
     val nn = ivfTopK(queries, labeled, centroids, idCol, vecCol, k, nprobe)
     val labels = labeled.select(col(idCol).as("neighbor_id"),
       col(labelCol).as("_nl"))

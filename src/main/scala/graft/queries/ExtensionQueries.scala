@@ -1667,7 +1667,10 @@ object ExtensionQueries {
            CAST(CASE WHEN sc > 0 THEN qm ELSE 0 END AS BIGINT) AS q_max
          FROM d""",
     // batch reps by min id per digest, then the cross anti-join on the
-    // existing half's digest set.
+    // existing half's digest set. NOT EXISTS (not NOT IN): a NULL text
+    // anywhere in the existing half must not three-value the whole
+    // predicate — equality against a NULL digest simply never matches,
+    // which is exactly the Spark anti-join's null-key behavior.
     "x74_incremental_dedup" ->
       """WITH third AS (SELECT doc_id, text FROM documents
            WHERE doc_id % 3 = 0),
@@ -1676,9 +1679,9 @@ object ExtensionQueries {
          reps AS (SELECT min(doc_id) AS doc_id FROM batch
            GROUP BY sha256(lower(trim(text))))
          SELECT b.doc_id, b.text FROM batch b JOIN reps USING (doc_id)
-         WHERE sha256(lower(trim(b.text))) NOT IN (
-           SELECT sha256(lower(trim(text))) FROM documents
-           WHERE doc_id % 2 = 0)""",
+         WHERE NOT EXISTS (
+           SELECT 1 FROM documents e WHERE e.doc_id % 2 = 0
+           AND sha256(lower(trim(e.text))) = sha256(lower(trim(b.text))))""",
     // exact cross-corpus 3-shingle Jaccard pairs at >= 0.8; survivors =
     // batch docs with no qualifying existing partner (shingle-less docs
     // are never candidates on either side, matching the kernel).

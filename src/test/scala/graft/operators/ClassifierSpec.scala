@@ -54,6 +54,16 @@ class ClassifierSpec extends SparkSpec {
     assert(kept == gated.filter(_._2 == 1).keySet)
     // input schema preserved by the filtering form
     assert(Classifier.keep(docs, "text", thr).schema == docs.schema)
+    // NULL text: kept is 0 (never NULL) and keep() drops the row — the
+    // gate and the filter agree on its fate
+    val withNull = docs.unionByName(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val g9 = Classifier.gate(withNull, "doc_id", "text", -100.0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("kept"))
+      .toMap
+    assert(g9(9L) == 0)
+    assert(!Classifier.keep(withNull, "text", -100.0)
+      .collect().map(_.getAs[Long]("doc_id")).contains(9L))
   }
 
   test("the weight seam accepts an injected (learned) weight table") {

@@ -14,7 +14,8 @@ class ProjectSpec extends SparkSpec {
       (3L, """{"name": "b"}"""),                // missing k
       (4L, """{"k": "bad", "name": "c"}"""),    // k wrong type
       (5L, """{"k": 1}"""),                     // name missing (second field)
-      (6L, null.asInstanceOf[String])           // SQL NULL payload
+      (6L, null.asInstanceOf[String]),          // SQL NULL payload
+      (7L, "null")                              // VALID JSON scalar null
     ).toDF("event_id", "props")
     val out = Project.quarantineJson(rows, "props",
         Seq("k" -> LongType, "name" -> StringType))
@@ -26,7 +27,8 @@ class ProjectSpec extends SparkSpec {
       3L -> "missing_required:k",
       4L -> "wrong_type:k",
       5L -> "missing_required:name",
-      6L -> "not_json"))
+      6L -> "not_json",
+      7L -> "missing_required:k")) // parses, just has no fields
     // missing-of-an-earlier-field outranks wrong-type-of-a-later one
     val both = Seq((7L, """{"name": 3}""")).toDF("event_id", "props")
     val v = Project.quarantineJson(both, "props",
