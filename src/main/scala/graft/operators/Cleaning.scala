@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graft.TextExpressions
 
-import graft.functions.Par
+import graft.functions.{Par, Text}
 
 /** Corpus cleaning for training-data preparation: passage-level
   * boilerplate removal (the RefinedWeb / C4 "line dedup" stage, adapted
@@ -186,5 +186,41 @@ object Cleaning {
           math.max(n, 4096L)).as("bf"))
         .head().getAs[Array[Byte]](0)
     } finally boiler.unpersist()
+  }
+
+  /** Run-collapse DE-REPETITION (x78) — the removal counterpart of
+    * x35's repetition SIGNALS (the Gopher-rule family measures; this
+    * cleans): any run of the same token longer than `maxRun` is
+    * truncated to its first `maxRun` occurrences, and the document is
+    * reassembled in order. Output is schema-like [[stripBoilerplate]]:
+    * `(doc_id, clean_text, n_tokens, n_removed)`.
+    *
+    * Pure per-row projection: the keep-decision for position p only
+    * looks at the `maxRun` tokens before p, so the whole operator is
+    * one codegen'd array `filter` with an index lambda — zero shuffles,
+    * scan-parallel at any scale. Deterministic and idempotent (a
+    * collapsed document contains no run longer than `maxRun`, so a
+    * second pass removes nothing). */
+  def collapseRuns(docs: DataFrame, idCol: String, textCol: String,
+                   maxRun: Int = 1): DataFrame = {
+    require(maxRun >= 1 && maxRun <= 100,
+      s"maxRun must be in [1,100], got $maxRun")
+    val toks = Text.tokens(col(textCol))
+    // keep position i (0-based) unless the maxRun tokens before it all
+    // equal it; greatest() keeps the probe index >= 1 because Spark's
+    // boolean operators do not short-circuit element_at's ANSI bounds
+    // check on the i < maxRun rows
+    val kept = filter(toks, (t, i) => {
+      val allPrevSame = (1 to maxRun)
+        .map(j => element_at(toks,
+          greatest(i + lit(1 - j), lit(1))) === t)
+        .reduce(_ && _)
+      (i < maxRun) || !allPrevSame
+    })
+    Par.spread(docs).select(
+      col(idCol).as("doc_id"),
+      array_join(kept, " ").as("clean_text"),
+      size(toks).cast("long").as("n_tokens"),
+      (size(toks) - size(kept)).cast("long").as("n_removed"))
   }
 }

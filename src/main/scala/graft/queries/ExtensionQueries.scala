@@ -630,7 +630,14 @@ object ExtensionQueries {
     "x77_split_shards" -> ((s, dir) =>
       Packing.groupedShardManifest(
         TextAnalysis.hashSplit(t(s, dir, "documents"), "doc_id"),
-        "doc_id", "text", "split", shardSize = 32))
+        "doc_id", "text", "split", shardSize = 32)),
+
+    // x78 — run-collapse de-repetition (the removal counterpart of
+    // x35's signals): runs of the same token longer than 1 truncate to
+    // their first occurrence; the fixture corpus has real runs
+    // ("batch batch batch"), so n_removed has a live population.
+    "x78_collapse_runs" -> ((s, dir) =>
+      Cleaning.collapseRuns(t(s, dir, "documents"), "doc_id", "text"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1748,6 +1755,21 @@ object ExtensionQueries {
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
            min(key) AS first_key, max(key) AS last_key
-         FROM r GROUP BY 1, 2"""
+         FROM r GROUP BY 1, 2""",
+    // keep position i unless it equals its predecessor; string_agg
+    // skips the NULLed-out drops and reassembles in position order.
+    "x78_collapse_runs" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         pos AS (SELECT doc_id, g.i AS i, t[g.i] AS tok,
+           CASE WHEN g.i = 1 OR t[g.i] <> t[g.i - 1] THEN 1 ELSE 0 END
+             AS keep
+           FROM toks, unnest(generate_series(1, len(t))) AS g(i))
+         SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep = 1 THEN tok END, ' '
+             ORDER BY i), '') AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(1 - keep) AS BIGINT) AS n_removed
+         FROM pos GROUP BY doc_id"""
   )
 }

@@ -108,4 +108,37 @@ class CleaningSpec extends SparkSpec {
     // and an empty artifact frame serializes to the null pass-through
     assert(Cleaning.boilerplateSketch(hashes.limit(0)) == null)
   }
+
+  test("collapseRuns truncates runs to maxRun and is idempotent (x78)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam end"),
+      (2L, "a b a b"),            // alternation is not a run
+      (3L, "x X x stop"),         // case-normalized => a 3-run of "x"
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val out = Cleaning.collapseRuns(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    assert(out(1L) == (("spam end", 3L)))
+    assert(out(2L) == (("a b a b", 0L)))
+    assert(out(3L) == (("x stop", 2L)))
+    assert(out(4L) == (("solo", 0L)))
+    // maxRun = 2 keeps doubled tokens, truncates beyond
+    val two = Cleaning.collapseRuns(docs, "doc_id", "text", maxRun = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("clean_text")).toMap
+    assert(two(1L) == "spam spam end")
+    assert(two(3L) == "x x stop")
+    // idempotence: collapsing the cleaned text removes nothing
+    val again = Cleaning.collapseRuns(
+        Cleaning.collapseRuns(docs, "doc_id", "text")
+          .selectExpr("doc_id", "clean_text AS text"),
+        "doc_id", "text")
+      .collect()
+    assert(again.forall(_.getAs[Long]("n_removed") == 0L))
+    intercept[IllegalArgumentException] {
+      Cleaning.collapseRuns(docs, "doc_id", "text", maxRun = 0)
+    }
+  }
 }
