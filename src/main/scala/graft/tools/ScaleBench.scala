@@ -213,7 +213,10 @@ object ScaleBench {
     ("x77_split_shards", (s: SparkSession, dir: String) =>
       Packing.groupedShardManifest(
         TextAnalysis.hashSplit(Tables(s, dir, "documents"), "doc_id"),
-        "doc_id", "text", "split", shardSize = 32)))
+        "doc_id", "text", "split", shardSize = 32)),
+    // zero-shuffle per-row array filter
+    ("x78_collapse_runs", (s: SparkSession, dir: String) =>
+      Cleaning.collapseRuns(Tables(s, dir, "documents"), "doc_id", "text")))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
