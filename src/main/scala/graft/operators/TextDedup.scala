@@ -406,6 +406,36 @@ object TextDedup {
     newDocs.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** The serialized Bloom sketch of a corpus's LSH BAND KEYS — the
+    * shareable artifact behind the streaming
+    * [[graft.streaming.Streams.neardupGate]] (the x75 ingest gate's
+    * stateless form): build once per corpus snapshot from the same
+    * banded signatures [[crossNeardupSurvivors]] joins on, then probe
+    * per arriving document with zero state. Each entry is
+    * `xxhash64(band_idx, band_key)` so keys from different bands never
+    * alias. Null when the corpus has no shingle-bearing documents
+    * (gate treats null as pass-through) — the
+    * [[TextAnalysis.benchmarkSketch]] conventions throughout. */
+  def bandSketch(existing: DataFrame, textCol: String, k: Int,
+                 numBands: Int = 20, rowsPerBand: Int = 4): Array[Byte] = {
+    val numPerms = numBands * rowsPerBand
+    val bands = Par.spread(existing)
+      .select(TextExpressions.shingleHashSet(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(posexplode(Text.lshBands(
+        TextExpressions.minhashSigFromHashes(col("sh"), numPerms),
+        numBands, rowsPerBand)).as(Seq("band_idx", "band_key")))
+      .select(xxhash64(col("band_idx"), col("band_key")).as("_h"))
+      .distinct().cache()
+    try {
+      val n = bands.count()
+      if (n == 0L) null
+      else bands.agg(TextExpressions.bloomAgg(col("_h"),
+          math.max(n, 4096L)).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    } finally bands.unpersist()
+  }
+
   /** Winnowing-style document fingerprint: the `keep` lexicographically
     * smallest md5 digests of the document's shingles, joined by '|'.
     * Fully fused per-row kernel (shingle set -> digests -> k-smallest) —

@@ -160,6 +160,33 @@ object Streams {
       .drop("_st", "_top_bigram_frac")
   }
 
+  /** Streaming cross-corpus NEAR-dup gate — the stateless ingest form
+    * of batch x75 ([[graft.operators.TextDedup.crossNeardupSurvivors]]):
+    * the Bloom sketch of the existing corpus's LSH band keys (built
+    * ONCE batch-side via [[graft.operators.TextDedup.bandSketch]])
+    * becomes a per-row predicate — an arriving document is dropped when
+    * ANY of its band keys hits the sketch, i.e. when batch x75 would
+    * have generated a candidate pair for it. No exact verify join on
+    * the stream (the [[decontaminationGate]] trade): the gate's
+    * over-drop rate is the LSH false-candidate rate plus the sketch fp
+    * rate, both calibrated batch-side. Documents too short to shingle
+    * have no signature and pass through, as in batch. */
+  def neardupGate(docs: DataFrame, textCol: String,
+                  bloomBytes: Array[Byte], k: Int, numBands: Int = 20,
+                  rowsPerBand: Int = 4): DataFrame = {
+    if (bloomBytes == null) return docs
+    val te = org.apache.spark.sql.graft.TextExpressions
+    val sig = te.minhashSigFromHashes(
+      te.shingleHashSet(col(textCol), k), numBands * rowsPerBand)
+    // the combined per-band key must hash (band_idx, band_key) with the
+    // SAME types as the sketch build (int position, long key)
+    val combined = transform(
+      graft.functions.Text.lshBands(sig, numBands, rowsPerBand),
+      (b, i) => xxhash64(i, b))
+    docs.filter(sig.isNull ||
+      !exists(combined, h => te.bloomMightContain(bloomBytes, h)))
+  }
+
   /** Streaming benchmark-decontamination gate — the streaming twin of
     * the batch x44 prefilter: the Bloom sketch of the benchmark's
     * k-shingle hashes (built ONCE, batch-side, via

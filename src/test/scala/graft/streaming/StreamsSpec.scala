@@ -184,6 +184,43 @@ class StreamsSpec extends SparkSpec {
     assert(gated.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
   }
 
+  test("neardupGate drops stream docs near-duplicate to the batch corpus " +
+      "(x75 twin)") {
+    import graft.operators.TextDedup
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today again")
+    ).toDF("doc_id", "text")
+    val sketch = TextDedup.bandSketch(existing, "text", k = 3)
+    assert(sketch != null)
+
+    val dir = Files.createTempDirectory("ndgate-in").toString
+    Seq(
+      // identical text: every band matches -> guaranteed candidate -> drop
+      (10L, "the quick brown fox jumps over the lazy dog today again"),
+      (11L, "completely fresh unrelated arriving document text here"),
+      (12L, "ok")) // too short to shingle: passes through, as in batch
+      .toDF("event_id", "text").write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val gated = Streams.neardupGate(stream, "text", sketch, k = 3)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("ndgate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table("ndgate_out")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(11L, 12L))
+    // null (empty-corpus) sketch is a pass-through, by convention
+    val empty = TextDedup.bandSketch(
+      Seq((1L, "ok")).toDF("doc_id", "text"), "text", k = 3)
+    assert(empty == null)
+    val all = Streams.neardupGate(
+      Seq((1L, "any text at all works here")).toDF("event_id", "text"),
+      "text", empty, k = 3)
+    assert(all.count() == 1)
+  }
+
   test("quarantineJson routes records inside a streaming plan (x76 twin)") {
     import graft.operators.Project
     val dir = Files.createTempDirectory("quar-in").toString
