@@ -75,4 +75,37 @@ object Classifier {
   def keep(docs: DataFrame, textCol: String, threshold: Double,
            weight: Column => Column = hashedWeight): DataFrame =
     docs.filter(scoreCol(textCol, weight) >= threshold)
+
+  /** Weight-TABLE scoring — the 100 TB form of the seam: when the
+    * learned model's vocabulary is too large to inline as a `Column`
+    * expression (a fastText-scale model carries millions of terms), the
+    * weights live in a `(term, weight)` table and scoring becomes a
+    * token-explode + join + per-document mean. Same output schema and
+    * — when the table covers every token — bit-identical scores to
+    * [[score]] (ClassifierSpec pins the parity on a table derived from
+    * the corpus's own vocabulary); unseen tokens take `defaultWeight`.
+    *
+    * Movement: only (doc_id, token) pairs move — never documents; the
+    * planner broadcasts the weight table while it fits (vocabularies
+    * usually do) and falls back to a shuffled join keyed on the token
+    * beyond that, where a persisted weight table bucketed by term makes
+    * the join co-located. The mean is one high-reduction hash
+    * aggregate. Weights are integers (quantized model weights) so the
+    * sum stays exact — only the final division is IEEE, exactly as in
+    * [[score]]. */
+  def scoreWithTable(docs: DataFrame, idCol: String, textCol: String,
+                     weights: DataFrame, termCol: String = "term",
+                     weightCol: String = "weight",
+                     defaultWeight: Long = 0L): DataFrame = {
+    val perToken = Par.spread(docs).select(col(idCol).as("doc_id"),
+      explode(Text.tokens(col(textCol))).as("_t"))
+    val w = weights.select(col(termCol).as("_t"),
+      col(weightCol).cast("long").as("_w"))
+    perToken.join(w, Seq("_t"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        Num.fpRound(
+          sum(coalesce(col("_w"), lit(defaultWeight))).cast("double") /
+            count(lit(1)), 4).as("score"))
+  }
 }

@@ -637,7 +637,22 @@ object ExtensionQueries {
     // their first occurrence; the fixture corpus has real runs
     // ("batch batch batch"), so n_removed has a live population.
     "x78_collapse_runs" -> ((s, dir) =>
-      Cleaning.collapseRuns(t(s, dir, "documents"), "doc_id", "text"))
+      Cleaning.collapseRuns(t(s, dir, "documents"), "doc_id", "text")),
+
+    // x79 — classifier scoring through the WEIGHT-TABLE join path (the
+    // large-model form of the x69 seam): the weight table is the
+    // corpus's own vocabulary with the surrogate weights, so the scores
+    // equal x69's bit-for-bit while the PLAN under test is the
+    // token-explode + join + mean aggregate.
+    "x79_classifier_join" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val vocab = d
+        .select(explode(graft.functions.Text.tokens(col("text")))
+          .as("term"))
+        .distinct()
+        .withColumn("weight", Classifier.hashedWeight(col("term")))
+      Classifier.scoreWithTable(d, "doc_id", "text", vocab)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1770,6 +1785,21 @@ object ExtensionQueries {
              ORDER BY i), '') AS clean_text,
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(sum(1 - keep) AS BIGINT) AS n_removed
-         FROM pos GROUP BY doc_id"""
+         FROM pos GROUP BY doc_id""",
+    // the x69 weight rule routed through an explicit vocab join — the
+    // left join + coalesce(default) mirrors scoreWithTable verbatim.
+    "x79_classifier_join" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         w AS (SELECT term,
+           ('0x' || substring(md5(term), 1, 15))::BIGINT % 21 - 10 AS wt
+           FROM (SELECT DISTINCT term FROM tok)),
+         j AS (SELECT doc_id, coalesce(wt, 0) AS wt
+           FROM tok LEFT JOIN w USING (term))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(CAST(sum(wt) AS DOUBLE) / count(*) * 10000 + 0.5)
+             / 10000.0 AS score
+         FROM j GROUP BY 1"""
   )
 }

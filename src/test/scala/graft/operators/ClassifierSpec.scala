@@ -75,4 +75,31 @@ class ClassifierSpec extends SparkSpec {
     assert(out(1L) == (3 + 5 + 5 + 3).toDouble / 4)
     assert(out(2L) == 3.0)
   }
+
+  test("scoreWithTable ≡ score when the table covers the vocabulary " +
+      "(the large-model join path)") {
+    import org.apache.spark.sql.functions.{col => c, explode}
+    // weight table = the corpus's own vocabulary with the surrogate
+    // weights, computed through the SAME Catalyst expression
+    val vocab = docs
+      .select(explode(graft.functions.Text.tokens(c("text"))).as("term"))
+      .distinct()
+      .withColumn("weight", Classifier.hashedWeight(c("term")))
+    val viaTable = Classifier
+      .scoreWithTable(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("score")))).toMap
+    val viaColumn = Classifier.score(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("score")))).toMap
+    assert(viaTable == viaColumn) // bit-identical, not approximately
+    // out-of-vocabulary tokens take the default weight
+    val partial = vocab.filter(c("term") =!= "the")
+    val oov = Classifier
+      .scoreWithTable(docs, "doc_id", "text", partial, defaultWeight = 0L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("score")).toMap
+    // doc 2 is "the the the": all tokens OOV => mean of defaults = 0
+    assert(oov(2L) == 0.0)
+  }
 }
