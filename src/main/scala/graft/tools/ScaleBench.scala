@@ -216,7 +216,17 @@ object ScaleBench {
         "doc_id", "text", "split", shardSize = 32)),
     // zero-shuffle per-row array filter
     ("x78_collapse_runs", (s: SparkSession, dir: String) =>
-      Cleaning.collapseRuns(Tables(s, dir, "documents"), "doc_id", "text")))
+      Cleaning.collapseRuns(Tables(s, dir, "documents"), "doc_id", "text")),
+    // weight-table join path: the `_k` suffix grows the vocabulary 10x
+    // with the corpus, so the broadcast side scales too
+    ("x79_classifier_join", (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      val vocab = d
+        .select(explode(graft.functions.Text.tokens(col("text"))).as("term"))
+        .distinct()
+        .withColumn("weight", Classifier.hashedWeight(col("term")))
+      Classifier.scoreWithTable(d, "doc_id", "text", vocab)
+    }))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
