@@ -99,8 +99,15 @@ object Classifier {
                      defaultWeight: Long = 0L): DataFrame = {
     val perToken = Par.spread(docs).select(col(idCol).as("doc_id"),
       explode(Text.tokens(col(textCol))).as("_t"))
+    // one row per term, enforced: a duplicated term in the weight table
+    // would multiply its (doc_id, token) pairs through the join,
+    // silently inflating n_tokens and skewing every containing doc's
+    // score. max() keeps the dedup deterministic; the aggregate is
+    // map-side-combinable over the vocabulary-sized table — noise next
+    // to the corpus-sized explode it guards.
     val w = weights.select(col(termCol).as("_t"),
       col(weightCol).cast("long").as("_w"))
+      .groupBy(col("_t")).agg(max(col("_w")).as("_w"))
     perToken.join(w, Seq("_t"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, get_json_object, json_tuple, lit, trim, when}
+import org.apache.spark.sql.functions.{col, lit, try_parse_json, try_variant_get, when}
 import org.apache.spark.sql.types.DataType
 
 /** Projection to a declared schema (SURVEY §2.1 P1): the reference keeps
@@ -39,31 +39,43 @@ object Project {
     * the quarantine sink, which keeps the raw payload for replay after
     * a schema fix). Pure per-row projection, zero shuffles — so it runs
     * unchanged as a stateless pre-stage in a streaming ingest, like the
-    * corpus gates. All declared fields (top-level keys) come out of ONE
-    * `json_tuple` parse of the payload; `try_cast`'s null-on-miscast
-    * (not ANSI `cast`, which throws under Spark 4's default ANSI mode)
-    * is what makes the verdict expressible — and oracle-checkable — as
-    * data instead of as a crash. The JSON scalar `null` is a VALID
-    * payload (missing its required fields), not `not_json` — matching
-    * engines whose JSON cast accepts it. */
+    * corpus gates.
+    *
+    * The payload is parsed exactly ONCE per row, into a Spark 4
+    * `variant` (`try_parse_json`) — at 100 TB of raw JSON ingest the
+    * parse is the dominant per-row cost, so validation must not pay it
+    * twice (the earlier `json_tuple` + `get_json_object` formulation
+    * did). Every declared field is then a cheap binary traversal of the
+    * variant, with semantics identical to `json_tuple`'s: string-cast
+    * extraction is SQL NULL exactly when the key is absent OR its value
+    * is JSON null; strings come out unquoted; nested objects come out
+    * as their JSON text (so a non-castable object is `wrong_type`, not
+    * missing). `try_parse_json` is SQL NULL only for malformed
+    * payloads — the JSON scalar `null` parses to a non-null variant, so
+    * it is a VALID payload (missing its required fields), not
+    * `not_json`, matching engines whose JSON cast accepts it.
+    * `try_cast`'s null-on-miscast (not ANSI `cast`, which throws under
+    * Spark 4's default ANSI mode) is what makes the verdict
+    * expressible — and oracle-checkable — as data instead of a crash.
+    *
+    * `keepParsedAs`: optionally retain the parsed variant as a named
+    * column, so downstream field extraction (the ok-route's projection
+    * to the declared schema) reuses THIS parse instead of re-parsing
+    * the payload. Field names are top-level keys addressed as `$.name`
+    * variant paths (names with path metacharacters are out of scope,
+    * as they were for `json_tuple`). */
   def quarantineJson(df: DataFrame, jsonCol: String,
-                     required: Seq[(String, DataType)]): DataFrame = {
+                     required: Seq[(String, DataType)],
+                     keepParsedAs: Option[String] = None): DataFrame = {
     require(required.nonEmpty, "declare at least one required field")
     // JSON parsing is the per-row cost, so spread a single-split local
     // input across cores like the other per-row-expensive projections;
     // streaming inputs pass through (repartition is semantics-neutral)
     val spread = if (df.isStreaming) df else graft.functions.Par.spread(df)
-    val rawNames = required.indices.map(i => s"_q$i")
-    val withRaw = spread.select(col("*"),
-      json_tuple(col(jsonCol), required.map(_._1): _*)
-        .as(rawNames))
-    // get_json_object('$') is SQL NULL both for malformed payloads and
-    // for the valid JSON scalar `null` — disambiguate the latter (the
-    // isNotNull guard keeps a SQL-NULL payload out of three-valued ||)
-    val isJson = get_json_object(col(jsonCol), "$").isNotNull ||
-      (col(jsonCol).isNotNull && trim(col(jsonCol)) === "null")
-    val checks = required.zip(rawNames).map { case ((name, dt), rn) =>
-      (name, col(rn), col(rn).try_cast(dt))
+    val withV = spread.withColumn("_qv", try_parse_json(col(jsonCol)))
+    val checks = required.map { case (name, dt) =>
+      val raw = try_variant_get(col("_qv"), s"$$.$name", "string")
+      (name, raw, raw.try_cast(dt))
     }
     val wrongType = checks.foldRight(lit("ok"): Column) {
       case ((name, raw, casted), acc) =>
@@ -74,8 +86,11 @@ object Project {
       case ((name, raw, _), acc) =>
         when(raw.isNull, lit(s"missing_required:$name")).otherwise(acc)
     }
-    withRaw.withColumn("verdict",
-      when(!isJson, lit("not_json")).otherwise(missing))
-      .drop(rawNames: _*)
+    val out = withV.withColumn("verdict",
+      when(col("_qv").isNull, lit("not_json")).otherwise(missing))
+    keepParsedAs match {
+      case Some(n) => out.withColumnRenamed("_qv", n)
+      case None    => out.drop("_qv")
+    }
   }
 }

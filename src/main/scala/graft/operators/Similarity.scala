@@ -201,13 +201,16 @@ object Similarity {
   def knnLabel(queries: DataFrame, labeled: DataFrame, centroids: DataFrame,
                idCol: String, vecCol: String, labelCol: String, k: Int,
                nprobe: Int): DataFrame = {
-    // the vote's tie-break negates the label, so a non-numeric label
-    // column would cast to NULL and silently predict NULL everywhere —
-    // fail loudly instead (the connectedComponents convention)
+    // the vote's tie-break negates the label cast to long, so a
+    // non-numeric label would predict NULL everywhere and a fractional
+    // Double/Decimal label would silently truncate (distinct labels
+    // colliding in the tie-break AND in predicted_label) — fail loudly
+    // on both instead (the connectedComponents convention)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val labelType = labeled.schema(labelCol).dataType
-    require(labelType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"knnLabel needs a numeric label column; '$labelCol' is $labelType " +
-        "(map string classes to codes before propagating)")
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(labelType),
+      s"knnLabel needs an integral label column; '$labelCol' is $labelType " +
+        "(map string/fractional classes to integer codes before propagating)")
     val nn = ivfTopK(queries, labeled, centroids, idCol, vecCol, k, nprobe)
     val labels = labeled.select(col(idCol).as("neighbor_id"),
       col(labelCol).as("_nl"))

@@ -615,10 +615,13 @@ object ExtensionQueries {
           .when(pmod(col("event_id"), lit(7)) === 2, lit("""{"other": 1}"""))
           .when(pmod(col("event_id"), lit(7)) === 3, lit("""{"k": "bad"}"""))
           .otherwise(col("props")).as("props"))
+      // keepParsedAs: k_value extracts from the SAME parse the verdict
+      // used — the whole query parses each payload exactly once
       Project.quarantineJson(corrupted, "props",
-          Seq("k" -> org.apache.spark.sql.types.LongType))
+          Seq("k" -> org.apache.spark.sql.types.LongType),
+          keepParsedAs = Some("_parsed"))
         .select(col("event_id"), col("verdict"),
-          get_json_object(col("props"), "$.k").try_cast("long")
+          try_variant_get(col("_parsed"), "$.k", "string").try_cast("long")
             .as("k_value"))
     }),
 
@@ -652,10 +655,87 @@ object ExtensionQueries {
         .distinct()
         .withColumn("weight", Classifier.hashedWeight(col("term")))
       Classifier.scoreWithTable(d, "doc_id", "text", vocab)
+    }),
+
+    // x80 — x75 through its PERSISTED band-index artifact: the existing
+    // (even-id) corpus's shingle sets + LSH band hashes are built ONCE
+    // per fixture as bucketed catalog tables (the prior ingest run's
+    // output), and the query proper joins the batch against them with
+    // zero recompute — and zero text scan — on the existing side. Same
+    // rows as x75 (same oracle); the PLAN is the production shape.
+    // Build-if-missing keys the table names to the fixture dir, so
+    // sf0.01 and sf0.1 never collide.
+    "x80_neardup_indexed" -> ((s, dir) => {
+      val (sets, bands) = neardupIndexFor(s, dir)
+      val d = t(s, dir, "documents")
+      TextDedup.crossNeardupSurvivorsIndexed(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+        "doc_id", "text", k = 3, threshold = 0.8, sets, bands)
+    }),
+
+    // x81 — x74 through its persisted digest index (same pairing): the
+    // existing corpus contributes one bucketed digest table; the batch
+    // dedups within itself and anti-joins the index. Same oracle as
+    // x74.
+    "x81_dedup_indexed" -> ((s, dir) => {
+      val digests = digestIndexFor(s, dir)
+      val d = t(s, dir, "documents")
+      val third = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val batch = third
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(third
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      TextDedup.incrementalExactDedupIndexed(batch, "doc_id", "text",
+        digests)
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  /** Build-if-missing the x80 index tables for a fixture dir; returns
+    * (setsTable, bandsTable). One eager build per session+fixture — the
+    * steady state (and every timed Bench pass) only reads. */
+  private def neardupIndexFor(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val sets = s"graft_idx.nd_sets_$tag"
+    val bands = s"graft_idx.nd_bands_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!s.catalog.tableExists(sets) || !s.catalog.tableExists(bands)) {
+      Seq(sets, bands).foreach(dropStaleManaged(s, _))
+      TextDedup.writeNeardupIndex(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", k = 3, sets, bands)
+    }
+    (sets, bands)
+  }
+
+  /** Build-if-missing the x81 digest index; returns the table name. */
+  private def digestIndexFor(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_idx.digests_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!s.catalog.tableExists(table)) {
+      dropStaleManaged(s, table)
+      TextDedup.writeDigestIndex(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(2)) === 0),
+        "text", table)
+    }
+    table
+  }
+
+  /** With the in-memory catalog, table METADATA dies with the session
+    * but the managed LOCATION under spark-warehouse survives — a fresh
+    * JVM re-building the index would hit LOCATION_ALREADY_EXISTS. Drop
+    * both (the DROP TABLE is a no-op when the catalog has no entry). */
+  private def dropStaleManaged(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val Array(db, name) = table.split('.')
+    val p = new org.apache.hadoop.fs.Path(
+      s"${s.conf.get("spark.sql.warehouse.dir")}/$db.db/$name")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  private val baseOracleSql: Map[String, String] = Map(
     "x1_exact_dedup" ->
       """SELECT sha256(lower(trim(text))) AS text_hash,
          min(doc_id) AS keep_id, count(*) AS n_dups
@@ -1801,5 +1881,13 @@ object ExtensionQueries {
            floor(CAST(sum(wt) AS DOUBLE) / count(*) * 10000 + 0.5)
              / 10000.0 AS score
          FROM j GROUP BY 1"""
+  )
+
+  // x80/x81 return the same rows as x75/x74 BY CONSTRUCTION — the
+  // persisted-index path changes the plan (what gets scanned), never
+  // the result — so they share those oracles verbatim.
+  val oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    "x80_neardup_indexed" -> baseOracleSql("x75_incremental_neardup"),
+    "x81_dedup_indexed" -> baseOracleSql("x74_incremental_dedup")
   )
 }

@@ -63,7 +63,8 @@ object ScaleBench {
     * x44 benchmark id bound, which rides the doc_id*Copies+k renumbering,
     * and the x45 quotas — inputs a real deployment sizes with its
     * corpus). Shapes mirror the registered queries. */
-  private def probes(nCent: Int, mult: Int): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+  private def probes(nCent: Int, mult: Int,
+                     gateThr: Double = -2.2): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     ("x8_ngram_jaccard", (s: SparkSession, dir: String) =>
       TextDedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
         k = 3, threshold = 0.5)),
@@ -194,21 +195,33 @@ object ScaleBench {
         third.select((col("doc_id") + 10000000L).as("doc_id"), col("text")),
         d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
     }),
-    // cross-banded candidates only (batch x existing band matches); the
-    // `_k` suffix keeps the per-copy near-dup graphs disjoint, so the
-    // cross-pair population scales with the corpus
+    // cross-banded candidates only (batch x existing band matches). The
+    // batch/existing split keys on ORIGINAL-document parity — under the
+    // doc_id*Copies+k renumbering, raw-id parity would equal copy
+    // parity (Copies is even), making the sides disjoint `_k`-suffixed
+    // copies with ZERO cross near-dups: a 10x probe of an empty verify
+    // join. Splitting on floor(doc_id/mult) replicates the 1x fixture's
+    // cross-parity near-dup population once per copy, so candidates AND
+    // verified pairs scale with the corpus.
     ("x75_incremental_neardup", (s: SparkSession, dir: String) => {
       val d = Tables(s, dir, "documents")
+      val orig = floor(col("doc_id") / lit(mult))
       TextDedup.crossNeardupSurvivors(
-        d.filter(pmod(col("doc_id"), lit(2)) === 1)
+        d.filter(pmod(orig, lit(2)) === 1)
           .select((col("doc_id") + 10000000L).as("doc_id"), col("text")),
-        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(orig, lit(2)) === 0),
         "doc_id", "text", k = 3, threshold = 0.8)
     }),
-    // the export composition: gate + (hash, id) dedup + bucket prefix
+    // the export composition: gate + (hash, id) dedup + bucket prefix.
+    // The gate threshold is the FIXTURE's measured score median (passed
+    // in, computed outside the timed region): the `_k` suffix rehashes
+    // every surrogate token weight, so a constant calibrated on the 1x
+    // score distribution (-2.2 keeps ~47%) turns near-pass-through
+    // (~97%) at 10x — the growth figure would compare different
+    // selectivities. Median-derived, both runs gate ~50%.
     ("x73_export_shards", (s: SparkSession, dir: String) =>
       CorpusPipeline.exportShards(Tables(s, dir, "documents"), "doc_id",
-        "text", threshold = -2.2, shardSize = 64)),
+        "text", threshold = gateThr, shardSize = 64)),
     // per-split grouped prefix layout - groups proceed in parallel
     ("x77_split_shards", (s: SparkSession, dir: String) =>
       Packing.groupedShardManifest(
@@ -253,15 +266,24 @@ object ScaleBench {
       (best, rows)
     }
 
+    // per-fixture x73 gate threshold (score median; see the x73 probe
+    // note) — computed here, outside every timed region
+    def medianScore(dir: String): Double =
+      Classifier.score(Tables(spark, dir, "documents"), "doc_id", "text")
+        .agg(expr("percentile_approx(score, 0.5, 10000)")).head().getDouble(0)
+    val thr1 = medianScore(srcDir)
+    val thr10 = medianScore(scaleDir)
+    System.err.println(f"[scale] x73 gate thresholds: 1x $thr1%.4f, 10x $thr10%.4f")
+
     // one untimed warmup of every probe at 1× (JIT + codegen)
-    probes(16, 1).foreach { case (n, f) =>
+    probes(16, 1, thr1).foreach { case (n, f) =>
       try f(spark, srcDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[scale] warmup $n failed: ${e.getMessage}") }
       spark.catalog.clearCache()
     }
 
-    val results = probes(16, 1).zip(probes(16 * Copies, Copies)).map {
+    val results = probes(16, 1, thr1).zip(probes(16 * Copies, Copies, thr10)).map {
       case ((name, f1), (_, f10)) =>
         val (t1, r1) = run(srcDir, 16, name, f1)
         val (t10, r10) = run(scaleDir, 160, name, f10)

@@ -470,6 +470,29 @@ class PlanAuditSpec extends SparkSpec {
       s"quarantine should not aggregate:\n$p")
   }
 
+  test("x76 quarantine parses each payload exactly once (variant, " +
+      "no json_tuple/get_json_object double parse)") {
+    val p = plan("x76_quarantine")
+    val parses = "(?i)parse_?json".r.findAllIn(p).size
+    assert(parses >= 1, s"expected a variant parse:\n$p")
+    assert(!p.contains("json_tuple") && !p.contains("get_json_object"),
+      s"legacy double-parse path still present:\n$p")
+  }
+
+  test("x80 existing side reads the persisted index, never corpus text") {
+    val p = plan("x80_neardup_indexed")
+    assert(p.contains("nd_bands_") && p.contains("nd_sets_"),
+      s"index tables not scanned:\n$p")
+    // the only shingle kernel left in the plan is the BATCH side's one
+    // cached frame; x75's self-contained form carries the existing
+    // side's kernel too
+    val k80 = "(?i)shinglehashset".r.findAllIn(p).size
+    val k75 = "(?i)shinglehashset".r
+      .findAllIn(plan("x75_incremental_neardup")).size
+    assert(k80 > 0 && k80 < k75,
+      s"existing side still recomputes signatures (x80=$k80, x75=$k75):\n$p")
+  }
+
   test("x70 knn label vote stays k-bounded: no window after the topk stage") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec

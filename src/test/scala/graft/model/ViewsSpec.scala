@@ -37,4 +37,47 @@ class ViewsSpec extends SparkSpec {
     Views.register(spark, "wrike", "tasks", tasks)
     assert(spark.table("wrike_tasks").count() == 4)
   }
+
+  test("taskDurationsSql view text matches the DataFrame form row-for-row") {
+    tasks.createOrReplaceTempView("vs_tasks_src")
+    val viaSql = spark.sql(Views.taskDurationsSql("vs_tasks_src", "%proposal%"))
+      .collect().map(r => (r.getAs[String]("id"),
+        r.getAs[Double]("duration_days"))).toSeq
+    val viaDf = Views.proposalDurations(tasks)
+      .collect().map(r => (r.getAs[String]("id"),
+        r.getAs[Double]("duration_days"))).toSeq
+    assert(viaSql == viaDf && viaSql == Seq(("t1", 2.5)))
+  }
+
+  // The dbt-parity claim: `<system>.<stream>` tables and model VIEWS
+  // live in a metastore-backed spark_catalog and survive the session.
+  // Two fresh subprocess JVMs against one Derby metastore + warehouse:
+  // the writer registers, the reader only RESOLVES names.
+  test("persistent catalog: wrike.tasks + model views survive a new JVM") {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("graft_cat")
+      .toFile.getAbsolutePath
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala
+      .filter(a => a == "--add-opens" || a.endsWith("=ALL-UNNAMED")).toSeq
+    def runMode(mode: String): (Int, String) = {
+      val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++
+        addOpens ++ Seq("-Xmx2g",
+          "-Dspark.ui.enabled=false",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.tools.CatalogRoundTrip", mode,
+          s"$base/warehouse", s"$base/metastore_db")
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      pb.directory(new java.io.File(base)) // derby.log stays out of the repo
+      val p = pb.start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+      (p.waitFor(), out)
+    }
+    val (rc1, o1) = runMode("write")
+    assert(rc1 == 0 && o1.contains("WRITE_OK tables=3"), o1.takeRight(2000))
+    val (rc2, o2) = runMode("read")
+    assert(rc2 == 0 &&
+      o2.contains("READ_OK tasks=4 proposals=t1:2.5 quotes=1"),
+      o2.takeRight(2000))
+  }
 }

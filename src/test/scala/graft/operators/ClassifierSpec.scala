@@ -102,4 +102,23 @@ class ClassifierSpec extends SparkSpec {
     // doc 2 is "the the the": all tokens OOV => mean of defaults = 0
     assert(oov(2L) == 0.0)
   }
+
+  test("scoreWithTable is immune to duplicate weight-table rows") {
+    import org.apache.spark.sql.functions.{col => c, explode}
+    val vocab = docs
+      .select(explode(graft.functions.Text.tokens(c("text"))).as("term"))
+      .distinct()
+      .withColumn("weight", Classifier.hashedWeight(c("term")))
+    // duplicate every row: without the per-term pre-aggregate this
+    // would double each (doc_id, token) pair through the join,
+    // inflating n_tokens and corrupting score for every document
+    val duped = vocab.unionByName(vocab)
+    val clean = Classifier.scoreWithTable(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("score")))).toMap
+    val viaDuped = Classifier.scoreWithTable(docs, "doc_id", "text", duped)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("score")))).toMap
+    assert(viaDuped == clean)
+  }
 }

@@ -94,6 +94,15 @@ class SimilaritySpec extends SparkSpec {
     assert(tie.head.getAs[Long]("predicted_label") == 3L)
     assert(tie.head.getAs[Long]("votes") == 1L)
     assert(tie.head.getAs[Long]("n_neighbors") == 2L)
+
+    // fractional label types would silently truncate through the
+    // -cast("long") tie-break (distinct labels colliding): rejected
+    val fractional = labeled.withColumn("label",
+      org.apache.spark.sql.functions.col("label").cast("double"))
+    intercept[IllegalArgumentException] {
+      Similarity.knnLabel(q, fractional, centroids, "vec_id",
+        "embedding", "label", k = 3, nprobe = 1)
+    }
   }
 
   test("quantizeReport: exact scale/rmse/q_max, zero-vector guarded (x72)") {

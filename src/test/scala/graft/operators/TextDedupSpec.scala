@@ -214,4 +214,57 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(out == Seq(11L, 12L, 13L))
   }
+
+  private def dropIdxTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val Array(db, t) = name.split('.')
+    val loc = java.nio.file.Paths.get("spark-warehouse", s"$db.db", t)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("indexed incremental dedup (x80/x81): persisted-index paths " +
+      "return identical rows to the self-contained forms") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    Seq("graft_idx_test.nd_sets", "graft_idx_test.nd_bands",
+      "graft_idx_test.digests").foreach(dropIdxTable)
+
+    // near-dup: same fixture as the crossNeardupSurvivors test
+    val base = "the quick brown fox jumps over the lazy dog today again"
+    val existing = Seq(
+      (1L, base),
+      (2L, "completely different existing content here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + " ok"),
+      (11L, "fresh unrelated new document text entirely"),
+      (12L, "fresh unrelated new document text entirely plus"),
+      (13L, "tiny")).toDF("doc_id", "text")
+    TextDedup.writeNeardupIndex(existing, "doc_id", "text", k = 3,
+      "graft_idx_test.nd_sets", "graft_idx_test.nd_bands", numBuckets = 2)
+    val viaIndex = TextDedup.crossNeardupSurvivorsIndexed(batch, "doc_id",
+        "text", k = 3, threshold = 0.8,
+        "graft_idx_test.nd_sets", "graft_idx_test.nd_bands")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(viaIndex == Seq(11L, 12L, 13L)) // == self-contained x75 rows
+
+    // exact: same fixture as the incrementalExactDedup test
+    val existingE = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val batchE = Seq(
+      (10L, "ALPHA beta gamma delta"),
+      (11L, "iota kappa lambda mu"),
+      (12L, "iota kappa lambda mu"),
+      (13L, "nu xi omicron pi")).toDF("doc_id", "text")
+    TextDedup.writeDigestIndex(existingE, "text", "graft_idx_test.digests",
+      numBuckets = 2)
+    val viaDigests = TextDedup.incrementalExactDedupIndexed(batchE,
+        "doc_id", "text", "graft_idx_test.digests")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(viaDigests == Seq(11L, 13L))
+  }
 }
