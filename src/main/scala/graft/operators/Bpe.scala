@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Par, Text}
+
+/** Byte-pair-encoding merge training (tokenizer prep — the iterative
+  * stage x68's single-round bigram statistics feed into): N rounds of
+  * count-adjacent-pairs → pick the most frequent → merge it everywhere.
+  *
+  * 100 TB shape: the corpus is touched EXACTLY ONCE, by the word-count
+  * aggregate (high-reduction hash agg — the standard BPE-trainer trick
+  * of working over the frequency-weighted VOCABULARY, not the token
+  * stream). Every merge round then runs over the vocab-sized table:
+  * pair counts are another high-reduction agg, the winner is a 1-row
+  * `limit(1).collect()` (k-bounded by construction — the argmax is the
+  * algorithm's inherent sequential dependency; every production BPE
+  * trainer synchronizes here), and the merge-apply is a per-row string
+  * `replace`. Lineage is truncated per round with `localCheckpoint`
+  * (the [[Components]] iterative-plan pattern), so N rounds never
+  * re-plan round 1.
+  *
+  * Merge-apply determinism: a word's symbol sequence is materialized as
+  * a separator-wrapped string — every symbol wrapped in U+001F — so one
+  * `replace(s, ␟l␟␟r␟, ␟lr␟)` performs EXACTLY the greedy left-to-right
+  * non-overlapping merge BPE specifies ("aaa" + (a,a) → [aa, a]), with
+  * identical semantics in any engine's `replace` (DuckDB oracle
+  * included: both scan the original string left to right and resume
+  * after the replaced region; per-symbol wrapping keeps adjacent
+  * matches from sharing separator characters, so "aaaa" → [aa, aa]).
+  * Ties on pair count break lexicographically on (lhs, rhs).
+  * Precondition: text must not contain U+001F (true of any plain-text
+  * corpus; assert upstream if ingesting binary-ish data).
+  *
+  * Note: constructing the returned frame RUNS the training loop (N
+  * bounded Spark jobs) — the [[TextDedup.bandSketch]] convention for
+  * driver-side artifacts.
+  */
+object Bpe {
+  private val Sep = "\u001F"
+
+  /** Each character wrapped in separators: "abc" → "␟a␟␟b␟␟c␟". */
+  private def wrapChars(word: Column): Column =
+    regexp_replace(word, "(.)", s"$Sep$$1$Sep")
+
+  /** Frequency-weighted vocabulary with the wrapped symbol string —
+    * the ONE corpus-touching stage. */
+  def vocab(docs: DataFrame, textCol: String): DataFrame =
+    Par.spread(docs)
+      .select(explode(Text.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("wrapped", wrapChars(col("word")))
+
+  /** The merge table after `rounds` iterations:
+    * `(merge_round, lhs, rhs, pair_count)`, one row per round in merge
+    * order. Stops early if no pair remains (fully merged vocab). */
+  def merges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    var v = vocab(docs, textCol).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var k = 0
+    var exhausted = false
+    while (k < rounds && !exhausted) {
+      val syms = split(
+        regexp_replace(col("wrapped"), s"^$Sep|$Sep$$", ""), s"$Sep$Sep")
+      val pairs = v
+        .select(col("freq"), syms.as("s"))
+        .select(col("freq"), explode(zip_with(
+          slice(col("s"), lit(1), size(col("s")) - 1),
+          slice(col("s"), lit(2), size(col("s")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("freq")).as("pair_count"))
+      val win = pairs
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (win.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (win.head.getAs[String]("lhs"),
+          win.head.getAs[String]("rhs"), win.head.getAs[Long]("pair_count"))
+        out += ((k, l, r, c))
+        v = v.withColumn("wrapped", call_function("replace", col("wrapped"),
+            lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep")))
+          .localCheckpoint()
+        k += 1
+      }
+    }
+    spark.createDataFrame(out.toSeq)
+      .toDF("merge_round", "lhs", "rhs", "pair_count")
+  }
+}

@@ -471,11 +471,15 @@ object TextDedup {
           numBands, rowsPerBand)).as(Seq("band_idx", "band_key")))
       .select(xxhash64(col("band_idx"), col("band_key")).as("band_hash"),
         col("new_id"))
-    val eBands = spark.table(bandsTable)
+    val eBands = spark.table(bandsTable).hint("shuffle_hash")
       .select(col("band_hash"), col("doc_id").as("old_id"))
     val candidates = bBands.join(eBands, "band_hash")
       .select(col("new_id"), col("old_id")).distinct()
-    val eSets = spark.table(setsTable)
+    // the corpus-side sets table is NEVER broadcast (at scale it is the
+    // corpus): the shuffle_hash hint makes the candidate stream shuffle
+    // TO the table's doc_id bucketing instead — the index stays where
+    // it is, candidates (tiny) move
+    val eSets = spark.table(setsTable).hint("shuffle_hash")
     val drops = candidates
       .join(bSets.select(col("doc_id").as("new_id"), col("sh").as("sh1"),
         col("n").as("n1")), "new_id")
@@ -563,6 +567,72 @@ object TextDedup {
           TextExpressions.shingleSet(col(textCol), shingleK), keep)
           .as("fingerprint"))
       .filter(col("fingerprint").isNotNull)
+
+  /** Substring-SPAN exact dedup (the suffix-array dedup family, Lee et
+    * al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better"): find every maximal token span of >= `spanTokens` tokens
+    * that also occurs elsewhere in the corpus, and emit the (doc, span)
+    * REMOVAL decisions — every occurrence except the globally first —
+    * the span-level verdict winnowing (x52) and containment (x43) only
+    * approximate. A shared run of m >= spanTokens tokens is covered by
+    * m - spanTokens + 1 duplicated positional grams, so merging
+    * adjacent/overlapping duplicated positions reconstructs the maximal
+    * span exactly — no suffix array needed, and every stage is
+    * bounded:
+    *
+    *  1. positional `spanTokens`-grams from the fused
+    *     [[org.apache.spark.sql.graft.TextExpressions.chunkTokens]]
+    *     kernel (stride 1 = every full frame), digested to 8-byte
+    *     xxhash64 — a narrow explode, linear in corpus tokens;
+    *  2. per-digest `(count, min(doc·10⁶ + pos))` — ONE high-reduction
+    *     hash aggregate (never a pair join: a gram shared by df docs
+    *     costs df aggregate rows, not df² join rows, so corpus-wide
+    *     boilerplate cannot go quadratic here);
+    *  3. digest-keyed equi-join back to the gram stream marks every
+    *     non-first duplicated position;
+    *  4. gaps-and-islands merge per document (lag + running sum over a
+    *     doc-partitioned window — duplicated positions only, never the
+    *     corpus) into maximal spans; spans separated by a gap <
+    *     spanTokens of unique material coalesce (they share or touch
+    *     tokens).
+    *
+    * Output: `(doc_id, span_start, span_len)` in token units,
+    * span_start 0-based — the drop list a span-surgery pass consumes.
+    * "Globally first" = smallest (doc_id, pos) lexicographically,
+    * encoded as doc_id·10⁶ + pos for engine-portable argmin (documents
+    * of < 10⁶ tokens — a documented precondition, ~4 MB of text; raise
+    * the factor for pathological inputs). 64-bit digest
+    * collisions (~1e-9 corpus-wide) are the standard sketch trade, same
+    * as [[shingleSets]]. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     spanTokens: Int = 8): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    val grams = Par.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        TextExpressions.chunkTokens(col(textCol), spanTokens, 1).as("_g"),
+        graft.functions.Text.tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= spanTokens) // full frames only
+      .select(col("doc_id"), posexplode(col("_g")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("_h"))
+    val enc = col("doc_id") * lit(1000000L) + col("pos")
+    val agg = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_n"), min(enc).as("_first"))
+    val removals = grams.join(agg, "_h")
+      .filter(col("_n") >= 2 && enc =!= col("_first"))
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = removals
+      .withColumn("_new",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= spanTokens, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("_grp", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("doc_id"), col("_grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(spanTokens)).cast("long")
+          .as("span_len"))
+      .drop("_grp")
+  }
 
   /** POSITIONAL winnowing (the MOSS scheme, Schleimer et al. 2003):
     * slide a `window`-wide frame over the document's positional

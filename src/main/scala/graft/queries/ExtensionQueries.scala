@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num
-import graft.operators.{Classifier, Cleaning, Components, ImageDedup, Multimodal, Packing, Project, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Bpe, Classifier, Cleaning, Components, ImageDedup, Multimodal, Packing, Project, Similarity, TextAnalysis, TextDedup}
 
 /** Extension + capability-proof query inventory (SURVEY §2.4 X1-X6 plus the
   * LLM-training-data operators: dedup family, similarity search, text
@@ -688,7 +688,26 @@ object ExtensionQueries {
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       TextDedup.incrementalExactDedupIndexed(batch, "doc_id", "text",
         digests)
-    })
+    }),
+
+    // x82 — BPE merge TRAINING (the iterative loop x68's one-round
+    // bigram statistic feeds): 6 rounds of pair-count → argmax →
+    // merge-apply over the frequency-weighted vocabulary. The corpus is
+    // read once (word counts); the oracle unrolls the same 6 rounds as
+    // chained CTEs with DuckDB's replace() — both engines' replace scan
+    // left-to-right non-overlapping, which IS the BPE merge rule.
+    "x82_bpe_merges" -> ((s, dir) =>
+      Bpe.merges(t(s, dir, "documents"), "text", rounds = 6)),
+
+    // x83 — substring-SPAN exact dedup (the suffix-array family):
+    // every maximal >= 8-token span that occurs elsewhere in the
+    // corpus, emitted as (doc, span_start, span_len) removal decisions
+    // for all but the globally-first occurrence. The exact duplicate
+    // population of the fixture (x1's groups) plus its long shared
+    // prefixes give every stage a live population.
+    "x83_span_dedup" -> ((s, dir) =>
+      TextDedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        spanTokens = 8))
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -1883,11 +1902,79 @@ object ExtensionQueries {
          FROM j GROUP BY 1"""
   )
 
+  /** x82's oracle: the SAME `rounds` BPE iterations, unrolled as
+    * chained CTEs (DuckDB has no iterative argmax loop). Each round is
+    * pair-count → (count DESC, lhs, rhs) argmax → replace-apply over
+    * the separator-wrapped vocabulary — `replace` in both engines
+    * scans left-to-right non-overlapping, which IS the BPE merge rule,
+    * and per-symbol U+001F wrapping stops adjacent matches from
+    * sharing characters. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val blocks = (0 until rounds).map { k =>
+      s"""pairs$k AS (
+         |  SELECT s[i] AS lhs, s[i+1] AS rhs,
+         |    CAST(sum(freq) AS BIGINT) AS pair_count
+         |  FROM (SELECT freq,
+         |          string_split(trim(wrapped, chr(31)),
+         |                       chr(31) || chr(31)) AS s
+         |        FROM vocab$k) v,
+         |       unnest(generate_series(1, len(s) - 1)) AS g(i)
+         |  GROUP BY 1, 2),
+         |win$k AS (SELECT lhs, rhs, pair_count FROM pairs$k
+         |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |vocab${k + 1} AS (SELECT freq,
+         |  replace(wrapped, chr(31)||lhs||chr(31)||chr(31)||rhs||chr(31),
+         |          chr(31)||lhs||rhs||chr(31)) AS wrapped
+         |  FROM vocab$k, win$k)""".stripMargin
+    }.mkString(",\n")
+    val finals = (0 until rounds).map(k =>
+      s"SELECT CAST($k AS INT) AS merge_round, lhs, rhs, pair_count " +
+        s"FROM win$k").mkString("\nUNION ALL ")
+    s"""WITH vocab0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS freq,
+       |    regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g')
+       |      AS wrapped
+       |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+       |          AS word FROM documents)
+       |  WHERE len(word) > 0 GROUP BY word),
+       |$blocks
+       |$finals""".stripMargin
+  }
+
   // x80/x81 return the same rows as x75/x74 BY CONSTRUCTION — the
   // persisted-index path changes the plan (what gets scanned), never
   // the result — so they share those oracles verbatim.
   val oracleSql: Map[String, String] = baseOracleSql ++ Map(
     "x80_neardup_indexed" -> baseOracleSql("x75_incremental_neardup"),
-    "x81_dedup_indexed" -> baseOracleSql("x74_incremental_dedup")
+    "x81_dedup_indexed" -> baseOracleSql("x74_incremental_dedup"),
+    "x82_bpe_merges" -> bpeOracleSql(6),
+    // positional 8-gram digests -> per-gram (count, first-occurrence
+    // argmin via the doc*1e6+pos encoding) -> non-first duplicated
+    // positions -> gaps-and-islands merge (lag + running sum) into
+    // maximal spans. hash() here vs xxhash64 in Spark is fine: digests
+    // never leave their engine.
+    "x83_span_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         g AS (SELECT doc_id, i - 1 AS pos,
+             hash(array_to_string(t[i:i+7], ' ')) AS h
+           FROM toks, unnest(generate_series(1, len(t) - 7)) AS s(i)),
+         agg AS (SELECT h, count(*) AS n,
+             min(doc_id * 1000000 + pos) AS first_enc
+           FROM g GROUP BY h),
+         rem AS (SELECT doc_id, pos FROM g JOIN agg USING (h)
+           WHERE n >= 2 AND doc_id * 1000000 + pos <> first_enc),
+         seg AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos)
+                 OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+               THEN 0 ELSE 1 END AS newseg
+           FROM rem),
+         isl AS (SELECT doc_id, pos,
+             sum(newseg) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM seg)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
+         FROM isl GROUP BY doc_id, grp"""
   )
 }

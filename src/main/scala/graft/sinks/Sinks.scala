@@ -18,9 +18,13 @@ import graft.operators.Upsert
   * makes the reference's post-hoc state write safe (wrike
   * `runner/__init__.py:189-193`).
   *
-  * No live Postgres exists in this environment, so `upsertSql`/`ddlFor`
-  * (pure) are unit-tested and `writeJdbcUpsert` is exercised only up to
-  * the JDBC boundary.
+  * No Postgres JDBC driver ships in this environment (zero egress), so
+  * `writeJdbcUpsert` is integration-tested end-to-end against embedded
+  * Derby (the "merge" dialect). The PostgreSQL branch's statement
+  * sequence is validated against a REAL throwaway Postgres cluster via
+  * psql — insert / replay-idempotence / update-wins through actual
+  * ON CONFLICT — in PostgresUpsertSpec (gated: cancels where no local
+  * postgres binaries exist).
   */
 object Sinks {
 
@@ -158,7 +162,15 @@ object Sinks {
     * key plans with zero Exchange operators. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
+    // one writer task per bucket: without this, every upstream
+    // partition writes its own file PER bucket (numPartitions×numBuckets
+    // small files — measured 508 for a 4.5 MB index table), and every
+    // later scan schedules one near-empty task per file. The repartition
+    // is the same hash the bucketing uses, so each bucket lands as ONE
+    // file; at warehouse scale the bucket count is sized so a bucket is
+    // a healthy file (hundreds of MB), which is exactly this layout.
+    val w = df.repartition(numBuckets, bucketCols.map(col): _*)
+      .write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .format("parquet")

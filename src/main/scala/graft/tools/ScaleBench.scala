@@ -230,6 +230,16 @@ object ScaleBench {
     // zero-shuffle per-row array filter
     ("x78_collapse_runs", (s: SparkSession, dir: String) =>
       Cleaning.collapseRuns(Tables(s, dir, "documents"), "doc_id", "text")),
+    // one corpus pass (word counts) + 6 bounded rounds over the vocab —
+    // the `_k` suffix grows the vocabulary (the iterated table) 10x
+    ("x82_bpe_merges", (s: SparkSession, dir: String) =>
+      graft.operators.Bpe.merges(Tables(s, dir, "documents"), "text",
+        rounds = 6)),
+    // narrow gram explode + high-reduction digest agg + islands window;
+    // duplicated-span population replicates once per disjoint copy
+    ("x83_span_dedup", (s: SparkSession, dir: String) =>
+      TextDedup.duplicateSpans(Tables(s, dir, "documents"), "doc_id",
+        "text", spanTokens = 8)),
     // weight-table join path: the `_k` suffix grows the vocabulary 10x
     // with the corpus, so the broadcast side scales too
     ("x79_classifier_join", (s: SparkSession, dir: String) => {

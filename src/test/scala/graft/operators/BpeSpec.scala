@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merges: greedy pair argmax with lexicographic ties, early stop " +
+      "when fully merged (x82)") {
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab xy"))
+      .toDF("doc_id", "text")
+    val out = Bpe.merges(docs, "text", rounds = 6).collect()
+      .map(r => (r.getAs[Int]("merge_round"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("pair_count"))).toSeq
+    // vocab: aaab x3, ab x1, xy x1
+    // r0: (a,a)=6 beats (a,b)=4        -> merge a+a (greedy: aaab=[aa,a,b])
+    // r1: (a,b)=4 beats (aa,a)=3       -> merge a+b
+    // r2: (aa,ab)=3                    -> merge aa+ab
+    // r3: (x,y)=1                      -> merge x+y
+    // r4: nothing left => early stop at 4 rows, not 6
+    assert(out == Seq(
+      (0, "a", "a", 6L),
+      (1, "a", "b", 4L),
+      (2, "aa", "ab", 3L),
+      (3, "x", "y", 1L)))
+  }
+
+  test("merge-apply is greedy left-to-right non-overlapping") {
+    // "aaaa": merging (a,a) must give [aa][aa] -> round 2 pairs (aa,aa)
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val out = Bpe.merges(docs, "text", rounds = 2).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[Long]("pair_count"))).toSeq
+    assert(out == Seq(("a", "a", 3L), ("aa", "aa", 1L)))
+  }
+}

@@ -267,4 +267,20 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(viaDigests == Seq(11L, 13L))
   }
+
+  test("duplicateSpans: maximal repeated spans, first occurrence kept, " +
+      "overlapping grams coalesce (x83)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),  // first occurrence: kept whole
+      (2L, "a b c d e f g h i j k l"),  // exact dup -> whole-doc span
+      (3L, "x a b c d e f g h i y z"),  // shares a 9-token run at pos 1
+      (4L, "short text only here")      // < 8 tokens: no grams
+    ).toDF("doc_id", "text")
+    val out = TextDedup.duplicateSpans(docs, "doc_id", "text",
+        spanTokens = 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_len"))).toSet
+    assert(out == Set((2L, 0L, 12L), (3L, 1L, 9L)))
+  }
 }
