@@ -91,4 +91,41 @@ object Bpe {
     spark.createDataFrame(out.toSeq)
       .toDF("merge_round", "lhs", "rhs", "pair_count")
   }
+
+  /** The trained merge list as driver-side pairs, for [[encodeStats]] —
+    * merge tables are tokenizer-sized (tens of thousands of rows in a
+    * full trainer), a k-bounded collect by construction. */
+  def mergeList(docs: DataFrame, textCol: String,
+                rounds: Int): Seq[(String, String)] =
+    merges(docs, textCol, rounds).collect()
+      .sortBy(_.getAs[Int]("merge_round"))
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+
+  /** ENCODE the corpus with a trained merge list — the apply side of
+    * [[merges]], and the statistic a tokenizer-prep pipeline actually
+    * ships (subtoken counts drive packing budgets, x46/x61): per
+    * document, every word's symbol sequence after applying the merges
+    * in training order. Pure per-row projection — the merge chain is
+    * `rounds` nested `replace` calls on the wrapped-symbol encoding
+    * inside an array lambda, so the corpus never shuffles and the
+    * operator composes into any scan-side pipeline stage. Output:
+    * `(doc_id, n_words, n_subtokens)`; a NULL text stays NULL-rowed
+    * (never invents zeros), empty text is (0, 0). */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val toks = filter(Text.tokens(col(textCol)), w => length(w) > 0)
+    def encoded(w: Column): Column =
+      merges.foldLeft(wrapChars(w)) { case (acc, (l, r)) =>
+        call_function("replace", acc,
+          lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep"))
+      }
+    def nSubtokens(w: Column): Column =
+      size(split(regexp_replace(encoded(w), s"^$Sep|$Sep$$", ""),
+        s"$Sep$Sep"))
+    Par.spread(docs).select(
+      col(idCol).as("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      aggregate(toks, lit(0L),
+        (acc, w) => acc + nSubtokens(w).cast("long")).as("n_subtokens"))
+  }
 }

@@ -368,11 +368,13 @@ object TextDedup {
     * same no-false-negatives-at-calibration convention as x2/x36.
     *
     * At 100 TB the existing side's (signature, band) index — like the
-    * digest index above — is the PERSISTED artifact of the last run
-    * (numPerms longs per doc, stored bucketed by band key), so a daily
-    * batch joins against it without rescanning corpus text; only the
-    * verify stage rereads the (corpus-sized, but candidate-pruned)
-    * shingle sets. Intra-batch near-dups are [[neardupSurvivors]]'s
+    * digest index above — is the PERSISTED artifact of the last run:
+    * that path is implemented as [[writeNeardupIndex]] +
+    * [[crossNeardupSurvivorsIndexed]] (x80), which joins the batch
+    * against the bucketed index tables with zero recompute and zero
+    * text scan on the existing side; THIS self-contained form is the
+    * bootstrap/one-shot shape that builds both sides from text.
+    * Intra-batch near-dups are [[neardupSurvivors]]'s
     * job — the two compose in either order; this operator is the
     * cross-corpus filter alone. */
   def crossNeardupSurvivors(newDocs: DataFrame, existing: DataFrame,

@@ -707,7 +707,17 @@ object ExtensionQueries {
     // prefixes give every stage a live population.
     "x83_span_dedup" -> ((s, dir) =>
       TextDedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
-        spanTokens = 8))
+        spanTokens = 8)),
+
+    // x84 — BPE ENCODE: x82's trained merge table applied back to the
+    // corpus as a zero-shuffle per-row projection (train on the vocab,
+    // encode the corpus — the tokenizer-prep pair). Per-doc subtoken
+    // counts are what packing budgets (x46/x61) consume.
+    "x84_bpe_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Bpe.encodeStats(d, "doc_id", "text",
+        Bpe.mergeList(d, "text", rounds = 6))
+    })
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -1909,7 +1919,10 @@ object ExtensionQueries {
     * scans left-to-right non-overlapping, which IS the BPE merge rule,
     * and per-symbol U+001F wrapping stops adjacent matches from
     * sharing characters. */
-  private def bpeOracleSql(rounds: Int): String = {
+  /** The shared WITH-chain of the BPE oracles: vocab0 (wrapped,
+    * frequency-weighted) plus `rounds` unrolled pair-count / argmax /
+    * replace-apply blocks. */
+  private def bpeCtes(rounds: Int): String = {
     val blocks = (0 until rounds).map { k =>
       s"""pairs$k AS (
          |  SELECT s[i] AS lhs, s[i+1] AS rhs,
@@ -1927,9 +1940,6 @@ object ExtensionQueries {
          |          chr(31)||lhs||rhs||chr(31)) AS wrapped
          |  FROM vocab$k, win$k)""".stripMargin
     }.mkString(",\n")
-    val finals = (0 until rounds).map(k =>
-      s"SELECT CAST($k AS INT) AS merge_round, lhs, rhs, pair_count " +
-        s"FROM win$k").mkString("\nUNION ALL ")
     s"""WITH vocab0 AS (
        |  SELECT CAST(count(*) AS BIGINT) AS freq,
        |    regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g')
@@ -1937,8 +1947,41 @@ object ExtensionQueries {
        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
        |          AS word FROM documents)
        |  WHERE len(word) > 0 GROUP BY word),
-       |$blocks
-       |$finals""".stripMargin
+       |$blocks""".stripMargin
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
+    val finals = (0 until rounds).map(k =>
+      s"SELECT CAST($k AS INT) AS merge_round, lhs, rhs, pair_count " +
+        s"FROM win$k").mkString("\nUNION ALL ")
+    s"${bpeCtes(rounds)}\n$finals"
+  }
+
+  /** x84's oracle: the x82 CTE chain trains the merges, then every
+    * document's words are encoded through the same `rounds` nested
+    * replace calls inside a list lambda (the win CTEs cross-join in as
+    * 1-row scalars). */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val wins = (0 until rounds).map(k => s"win$k").mkString(", ")
+    val chain = (0 until rounds).foldLeft(
+      "regexp_replace(x, '(.)', chr(31) || '\\1' || chr(31), 'g')") {
+      case (acc, k) =>
+        s"""replace($acc,
+           |  chr(31)||win$k.lhs||chr(31)||chr(31)||win$k.rhs||chr(31),
+           |  chr(31)||win$k.lhs||win$k.rhs||chr(31))""".stripMargin
+    }
+    s"""${bpeCtes(rounds)},
+       |w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                x -> len(x) > 0) AS wl
+       |  FROM documents)
+       |SELECT doc_id, CAST(len(wl) AS BIGINT) AS n_words,
+       |  CASE WHEN wl IS NULL THEN NULL ELSE CAST(coalesce(list_sum(
+       |    list_transform(wl, x -> len(string_split(trim(
+       |      $chain,
+       |      chr(31)), chr(31)||chr(31))))), 0) AS BIGINT) END
+       |    AS n_subtokens
+       |FROM w, $wins""".stripMargin
   }
 
   // x80/x81 return the same rows as x75/x74 BY CONSTRUCTION — the
@@ -1948,6 +1991,7 @@ object ExtensionQueries {
     "x80_neardup_indexed" -> baseOracleSql("x75_incremental_neardup"),
     "x81_dedup_indexed" -> baseOracleSql("x74_incremental_dedup"),
     "x82_bpe_merges" -> bpeOracleSql(6),
+    "x84_bpe_encode" -> bpeEncodeOracleSql(6),
     // positional 8-gram digests -> per-gram (count, first-occurrence
     // argmin via the doc*1e6+pos encoding) -> non-first duplicated
     // positions -> gaps-and-islands merge (lag + running sum) into

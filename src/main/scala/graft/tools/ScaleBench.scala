@@ -240,6 +240,13 @@ object ScaleBench {
     ("x83_span_dedup", (s: SparkSession, dir: String) =>
       TextDedup.duplicateSpans(Tables(s, dir, "documents"), "doc_id",
         "text", spanTokens = 8)),
+    // train on the 10x vocab, then encode the 10x corpus as a per-row
+    // projection — both halves of the tokenizer-prep pair scale
+    ("x84_bpe_encode", (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      graft.operators.Bpe.encodeStats(d, "doc_id", "text",
+        graft.operators.Bpe.mergeList(d, "text", rounds = 6))
+    }),
     // weight-table join path: the `_k` suffix grows the vocabulary 10x
     // with the corpus, so the broadcast side scales too
     ("x79_classifier_join", (s: SparkSession, dir: String) => {

@@ -479,6 +479,15 @@ class PlanAuditSpec extends SparkSpec {
       s"legacy double-parse path still present:\n$p")
   }
 
+  test("x84 bpe encode is a zero-shuffle projection (training collects " +
+      "happen at construction; the returned plan is scan-side only)") {
+    val p = plan("x84_bpe_encode")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"encode should not hash-shuffle:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"encode should not aggregate:\n$p")
+  }
+
   test("x80 existing side reads the persisted index, never corpus text") {
     val p = plan("x80_neardup_indexed")
     assert(p.contains("nd_bands_") && p.contains("nd_sets_"),

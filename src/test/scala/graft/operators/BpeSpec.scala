@@ -33,4 +33,22 @@ class BpeSpec extends SparkSpec {
         r.getAs[Long]("pair_count"))).toSeq
     assert(out == Seq(("a", "a", 3L), ("aa", "aa", 1L)))
   }
+
+  test("encodeStats applies the trained merges in order (x84)") {
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab xy"))
+      .toDF("doc_id", "text")
+    def stats(merges: Seq[(String, String)]) =
+      Bpe.encodeStats(docs, "doc_id", "text", merges)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_words"), r.getAs[Long]("n_subtokens")))).toMap
+    // one merge (a,a): aaab -> [aa,a,b]=3, ab -> [a,b]=2, xy -> [x,y]=2
+    assert(stats(Seq(("a", "a"))) ==
+      Map(1L -> ((3L, 8L)), 2L -> ((2L, 5L))))
+    // the full trained list collapses every word to one symbol except
+    // none: aaab -> [aaab], ab -> [ab], xy -> [xy]
+    val trained = Bpe.mergeList(docs, "text", rounds = 6)
+    assert(trained == Seq(("a", "a"), ("a", "b"), ("aa", "ab"),
+      ("x", "y")))
+    assert(stats(trained) == Map(1L -> ((3L, 3L)), 2L -> ((2L, 2L))))
+  }
 }
