@@ -63,7 +63,8 @@ object Project {
     * to the declared schema) reuses THIS parse instead of re-parsing
     * the payload. Field names are top-level keys addressed as `$.name`
     * variant paths (names with path metacharacters are out of scope,
-    * as they were for `json_tuple`). */
+    * as they were for `json_tuple`). `_qv` is reserved as the working
+    * column name: an input column named `_qv` would be overwritten. */
   def quarantineJson(df: DataFrame, jsonCol: String,
                      required: Seq[(String, DataType)],
                      keepParsedAs: Option[String] = None): DataFrame = {

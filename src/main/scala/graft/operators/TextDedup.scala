@@ -27,7 +27,9 @@ import graft.sinks.Sinks
   *    4x16-bit pigeonhole banding gives exact Hamming<=3 retrieval.
   *
   * CACHE CONTRACT: jaccardPairs/minhashLshPairs/winnowPairs/
-  * crossNeardupSurvivors (two set frames: batch + existing) — and
+  * crossNeardupSurvivors (two set frames: batch + existing) /
+  * crossNeardupSurvivorsIndexed (batch frame only — the existing side
+  * reads persisted tables) — and
   * [[TextAnalysis.sourceSimilarity]] over in that module — cache
   * operator-internal intermediates (the shingle sets; x8's prefix index;
   * winnowing's (doc_id, fingerprint) frame; the (source, term) frame)

@@ -34,6 +34,17 @@ class BpeSpec extends SparkSpec {
     assert(out == Seq(("a", "a", 3L), ("aa", "aa", 1L)))
   }
 
+  test("symbols with regex metacharacters never corrupt merge-apply") {
+    // '(', '.', '$' as symbols: the replace chain is plain-string, and
+    // only the SUBJECT side ever sees them — a regex-built apply would
+    // throw or mis-merge here
+    val docs = Seq((1L, "(.$ (.$ (.)")).toDF("doc_id", "text")
+    val trained = Bpe.mergeList(docs, "text", rounds = 3)
+    assert(trained.head == (("(", ".")))
+    val enc = Bpe.encodeStats(docs, "doc_id", "text", trained).head()
+    assert(enc.getAs[Long]("n_words") == 3L)
+  }
+
   test("encodeStats applies the trained merges in order (x84)") {
     val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab xy"))
       .toDF("doc_id", "text")

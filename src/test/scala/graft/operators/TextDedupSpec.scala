@@ -282,5 +282,17 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_id"),
         r.getAs[Long]("span_start"), r.getAs[Long]("span_len"))).toSet
     assert(out == Set((2L, 0L, 12L), (3L, 1L, 9L)))
+
+    // WITHIN-document repetition: the second copy of an 8-token run in
+    // the same doc is a removal span too (self-dedup), anchored at the
+    // repeat (first occurrence kept)
+    val selfRep = Seq(
+      (1L, "a b c d e f g h x y z a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val spans = TextDedup.duplicateSpans(selfRep, "doc_id", "text",
+        spanTokens = 8)
+      .collect().map(r => (r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_len"))).toSet
+    assert(spans == Set((11L, 8L)))
   }
 }
