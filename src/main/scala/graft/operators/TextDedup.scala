@@ -557,6 +557,36 @@ object TextDedup {
     } finally bands.unpersist()
   }
 
+  /** The serialized Bloom sketch of a corpus's positional
+    * `spanTokens`-gram digests — [[duplicateSpans]]' shareable
+    * artifact, behind the streaming
+    * [[graft.streaming.Streams.spanGate]]: an arriving document
+    * sharing any full `spanTokens`-token frame with the corpus
+    * (modulo the sketch fp rate) can be held for span surgery instead
+    * of ingested verbatim. Digests are xxhash64 of the gram text —
+    * the SAME family [[duplicateSpans]] aggregates, so batch and
+    * stream agree on what a gram is. Null when no document reaches
+    * `spanTokens` tokens (gate treats null as pass-through) — the
+    * [[bandSketch]] conventions. */
+  def gramSketch(existing: DataFrame, textCol: String,
+                 spanTokens: Int = 8): Array[Byte] = {
+    val grams = Par.spread(existing)
+      .select(
+        TextExpressions.chunkTokens(col(textCol), spanTokens, 1).as("_g"),
+        graft.functions.Text.tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= spanTokens) // full frames only
+      .select(explode(col("_g")).as("gram"))
+      .select(xxhash64(col("gram")).as("_h"))
+      .distinct().cache()
+    try {
+      val n = grams.count()
+      if (n == 0L) null
+      else grams.agg(TextExpressions.bloomAgg(col("_h"),
+          math.max(n, 4096L)).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    } finally grams.unpersist()
+  }
+
   /** Winnowing-style document fingerprint: the `keep` lexicographically
     * smallest md5 digests of the document's shingles, joined by '|'.
     * Fully fused per-row kernel (shingle set -> digests -> k-smallest) —

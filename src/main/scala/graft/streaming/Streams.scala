@@ -187,6 +187,33 @@ object Streams {
       !exists(combined, h => te.bloomMightContain(bloomBytes, h)))
   }
 
+  /** Streaming span-contamination gate — the streaming twin of batch
+    * x83 ([[graft.operators.TextDedup.duplicateSpans]]): the Bloom
+    * sketch of the corpus's positional `spanTokens`-gram digests
+    * (built ONCE batch-side via
+    * [[graft.operators.TextDedup.gramSketch]]) becomes a stateless
+    * per-row predicate — a document whose full-frame grams hit the
+    * sketch at least `maxHits` times shares (modulo the fp rate) a
+    * duplicated run with the corpus and is dropped/held for the batch
+    * span-surgery pass. Documents shorter than `spanTokens` tokens
+    * have no full frame and always pass, exactly as they produce no
+    * grams in batch x83. Null sketch (corpus with no full frames) =
+    * pass-through. Like the other gates: per-row, zero state,
+    * composes before any stateful stage; the fp-rate over-drop is the
+    * standard sketch trade ([[decontaminationGate]]'s note). */
+  def spanGate(docs: DataFrame, textCol: String, bloomBytes: Array[Byte],
+               spanTokens: Int = 8, maxHits: Int = 1): DataFrame = {
+    if (bloomBytes == null) return docs
+    val te = org.apache.spark.sql.graft.TextExpressions
+    val toks = graft.functions.Text.tokens(col(textCol))
+    val hits = when(toks.isNull || size(toks) < spanTokens, lit(0))
+      .otherwise(size(filter(
+        transform(te.chunkTokens(col(textCol), spanTokens, 1),
+          g => xxhash64(g)),
+        h => te.bloomMightContain(bloomBytes, h))))
+    docs.filter(hits < lit(maxHits))
+  }
+
   /** Streaming benchmark-decontamination gate — the streaming twin of
     * the batch x44 prefilter: the Bloom sketch of the benchmark's
     * k-shingle hashes (built ONCE, batch-side, via

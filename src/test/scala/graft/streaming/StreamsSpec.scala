@@ -221,6 +221,43 @@ class StreamsSpec extends SparkSpec {
     assert(all.count() == 1)
   }
 
+  test("spanGate drops stream docs sharing a full gram frame with the " +
+      "corpus (x83 twin)") {
+    import graft.operators.TextDedup
+    val existing = Seq(
+      (1L, "a b c d e f g h i j k l")
+    ).toDF("doc_id", "text")
+    val sketch = TextDedup.gramSketch(existing, "text", spanTokens = 8)
+    assert(sketch != null)
+
+    val dir = Files.createTempDirectory("spangate-in").toString
+    Seq(
+      // embeds the corpus's 8-token run "a b c d e f g h" -> drop
+      (10L, "x a b c d e f g h y z w"),
+      // 12 tokens, no shared 8-frame -> pass
+      (11L, "q r s t u v w x0 y0 z0 a0 b0"),
+      (12L, "short doc")) // < spanTokens tokens: passes, as in batch
+      .toDF("event_id", "text").write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val gated = Streams.spanGate(stream, "text", sketch, spanTokens = 8)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("spangate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table("spangate_out")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(11L, 12L))
+    // null sketch (corpus below spanTokens everywhere) = pass-through
+    val empty = TextDedup.gramSketch(
+      Seq((1L, "too short")).toDF("doc_id", "text"), "text", 8)
+    assert(empty == null)
+    assert(Streams.spanGate(
+      Seq((1L, "any text")).toDF("event_id", "text"), "text", empty, 8)
+      .count() == 1)
+  }
+
   test("quarantineJson routes records inside a streaming plan (x76 twin)") {
     import graft.operators.Project
     val dir = Files.createTempDirectory("quar-in").toString
