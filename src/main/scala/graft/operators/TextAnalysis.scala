@@ -812,4 +812,58 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(topK)
   }
+
+  /** Bigram language-model quality score (the KenLM-perplexity signal
+    * of the CCNet pipeline, add-one smoothed): each document is scored
+    * by the mean log-probability of its adjacent token pairs under the
+    * corpus's own bigram model,
+    * `ln((c(w1,w2) + 1) / (c(w1) + V))` — low scores flag documents
+    * whose token transitions are unlike the corpus (gibberish,
+    * boilerplate soup), the standard LM-based quality filter.
+    *
+    * Plan shape / 100 TB design: three hash aggregates over the pair
+    * stream (per-doc-pair multiplicities, corpus bigram counts, corpus
+    * unigram counts — all map-side combined, all vocabulary-bounded
+    * outputs), then the DISTINCT per-doc pair stream (not the token
+    * stream — multiplicities were folded first, so a repeated pair
+    * crosses the wire once per document) equi-joins the two count
+    * tables and folds per document. V rides a 1-row broadcast
+    * (cross-join of an aggregate, the x51 totals idiom). Nothing
+    * driver-side; no UDFs.
+    *
+    * Cross-engine determinism: ln() is not correctly-rounded and JVM vs
+    * DuckDB may disagree by an ulp, so each pair's log-probability is
+    * pre-rounded on the 1e-4 grid BEFORE the multiplicity multiply
+    * (the x25/x33 convention); the weighted mean is an exact
+    * DECIMAL(38,6) sum over deterministic addends ([[Num.davg]] recipe).
+    * Documents with fewer than two tokens have no bigrams and are
+    * absent from the output. */
+  def bigramLmScores(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - lit(2)),
+        i => struct(element_at(toks, i + 1).as("w1"),
+          element_at(toks, i + 2).as("w2")))).otherwise(array())
+    val p = Par.spread(docs)
+      .select(col(idCol).as("doc_id"), explode(pairs).as("pr"))
+      .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val docPairs = p.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val bi = p.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val uni = Par.spread(docs)
+      .select(explode(Text.tokens(col(textCol))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val lp = Num.fpRound(
+      log((col("cb") + lit(1)).cast("double") /
+        (col("cu") + col("v")).cast("double")), 4)
+    docPairs.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("_add", (col("m") * lp).cast("decimal(38,6)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        Num.fpRound(sum(col("_add")).cast("double") / sum(col("m")), 4)
+          .as("avg_logprob"))
+  }
 }

@@ -668,6 +668,58 @@ object TextDedup {
       .drop("_grp")
   }
 
+  /** Paragraph-level exact dedup (the CCNet recipe, Wenzek et al. 2020:
+    * drop duplicated paragraphs, keep the document): the corpus is cut
+    * into non-overlapping `chunk`-token "paragraphs" (stride = size in
+    * [[org.apache.spark.sql.graft.TextExpressions.chunkTokens]], the
+    * last one possibly short — the fixture text carries no newline
+    * structure, so fixed token windows stand in for paragraph breaks;
+    * on real corpora pre-split on the delimiter and feed one row per
+    * paragraph), every occurrence of a repeated paragraph EXCEPT the
+    * globally first (min (doc_id, chunk_idx), the [[duplicateSpans]]
+    * encoding) is dropped, and each document is reassembled from its
+    * surviving paragraphs in order. Unlike document-level dedup (x1)
+    * the document SURVIVES with its unique material; unlike span dedup
+    * (x83) the verdicts are aligned to the chunk grid, which is what
+    * makes the rewrite a pure local reassembly.
+    *
+    * Plan shape / 100 TB design: one narrow posexplode (paragraph
+    * strings, not corpus text, move), ONE high-reduction hash aggregate
+    * per distinct paragraph digest (df occurrences cost df aggregate
+    * rows — never a pair join), a digest equi-join back, and a per-doc
+    * reassembly aggregate (hash-partitioned by doc id; `collect_list`
+    * here is per-DOCUMENT — bounded by a single document's paragraph
+    * count, never a corpus-scale buffer). 64-bit digest collisions
+    * (~1e-9 corpus-wide) are the standard sketch trade ([[shingleSets]]).
+    *
+    * Output: `(doc_id, n_kept, n_dropped, clean_text)`; documents whose
+    * every paragraph was dropped (full duplicates of earlier material)
+    * are removed entirely, the document-dedup limit case. */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                      chunk: Int = 12): DataFrame = {
+    require(chunk >= 1, s"chunk must be >= 1, got $chunk")
+    val paras = Par.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextExpressions.chunkTokens(col(textCol), chunk, chunk))
+          .as(Seq("pos", "para")))
+    val enc = col("doc_id") * lit(1000000L) + col("pos")
+    val firsts = paras.groupBy(xxhash64(col("para")).as("_h"))
+      .agg(min(enc).as("_first"))
+    val flagged = paras.withColumn("_h", xxhash64(col("para")))
+      .join(firsts, "_h")
+      .withColumn("_keep", enc === col("_first"))
+    flagged.groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("_keep"), 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when(col("_keep"), 0).otherwise(1)).cast("long")
+          .as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("pos"), col("para"))))),
+          s => s.getField("para"))).as("clean_text"))
+      .filter(col("n_kept") >= 1)
+  }
+
   /** POSITIONAL winnowing (the MOSS scheme, Schleimer et al. 2003):
     * slide a `window`-wide frame over the document's positional
     * `shingleK`-gram digest sequence and select each frame's minimum —

@@ -717,7 +717,27 @@ object ExtensionQueries {
       val d = t(s, dir, "documents")
       Bpe.encodeStats(d, "doc_id", "text",
         Bpe.mergeList(d, "text", rounds = 6))
-    })
+    }),
+
+    // x85 — paragraph-level dedup (the CCNet recipe): repeated
+    // 12-token chunks are dropped everywhere but their globally-first
+    // occurrence and each document is REASSEMBLED from its survivors —
+    // the document keeps its unique material (vs x1 dropping whole
+    // docs, vs x83 emitting span verdicts without the rewrite). The
+    // fixture's exact-duplicate groups make whole documents collapse
+    // (n_kept = 0) while shared prefixes shed only their head chunks.
+    "x85_paragraph_dedup" -> ((s, dir) =>
+      TextDedup.dedupParagraphs(t(s, dir, "documents"), "doc_id", "text",
+        chunk = 12)),
+
+    // x86 — bigram LM quality score (CCNet's KenLM-perplexity signal,
+    // add-one smoothed, trained on the corpus itself): mean
+    // log-probability of each document's token transitions. ln()
+    // pre-rounded on the 1e-4 grid before the multiplicity multiply
+    // (x25/x33 convention) so both engines fold identical addends.
+    "x86_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScores(t(s, dir, "documents"), "doc_id",
+        "text"))
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -2019,6 +2039,55 @@ object ExtensionQueries {
            FROM seg)
          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
            CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
-         FROM isl GROUP BY doc_id, grp"""
+         FROM isl GROUP BY doc_id, grp""",
+    // non-overlapping 12-token chunks (generate_series step = size;
+    // the tail chunk short, as chunkTokens'); keep = globally-first
+    // occurrence via the doc*1e6+chunk_idx argmin; reassembly =
+    // pos-ordered string_agg over kept chunks (string_agg skips the
+    // NULLs the CASE leaves for dropped ones).
+    "x85_paragraph_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         c AS (SELECT doc_id, CAST((i - 1) / 12 AS BIGINT) AS pos,
+             array_to_string(t[i:i+11], ' ') AS para
+           FROM toks, unnest(generate_series(1, len(t), 12)) AS s(i)),
+         a AS (SELECT para, min(doc_id * 1000000 + pos) AS first_enc
+           FROM c GROUP BY para),
+         f AS (SELECT doc_id, pos, para,
+             (doc_id * 1000000 + pos = first_enc) AS keep
+           FROM c JOIN a USING (para))
+         SELECT doc_id,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped,
+           string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY pos)
+             AS clean_text
+         FROM f GROUP BY doc_id
+         HAVING sum(CASE WHEN keep THEN 1 ELSE 0 END) >= 1""",
+    // add-one-smoothed bigram conditional log-prob, ln on the 1e-4
+    // grid BEFORE the multiplicity multiply (the x25/x33 ln-parity
+    // convention); weighted mean = exact DECIMAL(38,6) sum of
+    // deterministic addends / total bigrams, result on the 1e-4 grid.
+    "x86_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         p AS (SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+           FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+         dp AS (SELECT doc_id, w1, w2, count(*) AS m
+           FROM p GROUP BY ALL),
+         bi AS (SELECT w1, w2, count(*) AS cb FROM p GROUP BY ALL),
+         uni AS (SELECT w AS w1, count(*) AS cu
+           FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+         v AS (SELECT count(*) AS vs FROM uni)
+         SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+           floor(sum(CAST(m * (floor(ln(
+                 (cb + 1.0) / (cu + vs)) * 10000 + 0.5) / 10000.0)
+               AS DECIMAL(38,6)))::DOUBLE
+             / sum(m) * 10000 + 0.5) / 10000 AS avg_logprob
+         FROM dp JOIN bi USING (w1, w2) JOIN uni USING (w1), v
+         GROUP BY doc_id"""
   )
 }

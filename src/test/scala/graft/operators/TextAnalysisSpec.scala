@@ -470,4 +470,26 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bigramCounts(docs, "doc_id", "text", topK = 0)
     }
   }
+
+  test("bigramLmScores: add-one smoothed conditional log-prob, " +
+      "multiplicity-weighted mean, bigram-less docs absent (x86)") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "c")  // V=3; c(a)=2; c(a,b)=2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScores(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob"))).toSet
+    // lp(a,b) = round4(ln((2+1)/(2+3))) = round4(ln(0.6)) = -0.5108
+    assert(out == Set((1L, 1L, -0.5108), (2L, 1L, -0.5108)))
+
+    // repeated pair weights the mean by its multiplicity:
+    // "x y x y": V=2, c(x,y)=2, c(y,x)=1, c(x)=c(y)=2
+    // lp(x,y) = round4(ln(3/4)) = -0.2877; lp(y,x) = round4(ln(2/4))
+    //         = -0.6931; mean = (2*(-0.2877) + 1*(-0.6931)) / 3
+    val rep = TextAnalysis.bigramLmScores(
+      Seq((9L, "x y x y")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("avg_logprob"))).toSet
+    assert(rep == Set((3L, -0.4228)))
+  }
 }

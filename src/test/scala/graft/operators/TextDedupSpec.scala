@@ -295,4 +295,31 @@ class TextDedupSpec extends SparkSpec {
         r.getAs[Long]("span_len"))).toSet
     assert(spans == Set((11L, 8L)))
   }
+
+  test("dedupParagraphs: repeated chunks drop everywhere but first, " +
+      "docs reassemble from survivors, all-dup docs vanish (x85)") {
+    import spark.implicits._
+    val first24 = "a b c d e f g h i j k l m n o p q r s t u v w x"
+    val docs = Seq(
+      (1L, first24),                                   // both chunks first
+      (2L, first24),                                   // exact dup -> gone
+      (3L, "a b c d e f g h i j k l c1 c2 c3 c4 c5"),  // dup head + tail
+      (4L, "zz yy xx"),                                // short unique doc
+      (5L, ("p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12 " * 2).trim)
+    ).toDF("doc_id", "text")
+    val out = TextDedup.dedupParagraphs(docs, "doc_id", "text", chunk = 12)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"),
+        r.getAs[String]("clean_text"))).toSet
+    assert(out == Set(
+      (1L, 2L, 0L, first24),
+      (3L, 1L, 1L, "c1 c2 c3 c4 c5"),
+      (4L, 1L, 0L, "zz yy xx"),
+      // within-doc repeat: second copy drops, first survives
+      (5L, 1L, 1L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12")))
+    // chunk grid must be >= 1 token wide
+    intercept[IllegalArgumentException] {
+      TextDedup.dedupParagraphs(docs, "doc_id", "text", chunk = 0)
+    }
+  }
 }
