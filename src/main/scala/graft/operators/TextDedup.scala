@@ -451,6 +451,41 @@ object TextDedup {
     Sinks.writeBucketed(bands, bandsTable, Seq("band_hash"), numBuckets)
   }
 
+  /** The incremental-maintenance half of [[writeNeardupIndex]]'s
+    * contract ("an append of the surviving batch's own (sets, bands)
+    * rows after each ingest"): append `batch`'s shingle sets and band
+    * hashes to the two index tables. The batch is tokenized exactly
+    * once (the sets frame is cached across the two writes — batch-sized,
+    * not corpus-sized); each append lands one file per bucket, so the
+    * index stays scan-efficient across ingests (compact by rewriting
+    * via [[writeNeardupIndex]] when file counts warrant). Same band
+    * conventions as the writer, so appended rows are
+    * indistinguishable from originals to [[crossNeardupSurvivorsIndexed]]. */
+  def appendNeardupIndex(batch: DataFrame, idCol: String, textCol: String,
+                         k: Int, setsTable: String, bandsTable: String,
+                         numBands: Int = 20, rowsPerBand: Int = 4,
+                         numBuckets: Int = 16): Unit = {
+    val numPerms = numBands * rowsPerBand
+    val sets = Par.spread(batch)
+      .select(col(idCol).as("doc_id"),
+        TextExpressions.shingleHashSet(col(textCol), k).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .filter(col("n") > 0)
+      .cache()
+    try {
+      Sinks.writeBucketed(sets, setsTable, Seq("doc_id"), numBuckets,
+        append = true)
+      val bands = sets.select(col("doc_id"),
+          posexplode(Text.lshBands(
+            TextExpressions.minhashSigFromHashes(col("sh"), numPerms),
+            numBands, rowsPerBand)).as(Seq("band_idx", "band_key")))
+        .select(xxhash64(col("band_idx"), col("band_key")).as("band_hash"),
+          col("doc_id"))
+      Sinks.writeBucketed(bands, bandsTable, Seq("band_hash"), numBuckets,
+        append = true)
+    } finally sets.unpersist()
+  }
+
   /** [[crossNeardupSurvivors]] over a [[writeNeardupIndex]] artifact —
     * the shape the production contract actually promises: the existing
     * corpus contributes ONLY its persisted index tables (band hashes

@@ -161,7 +161,8 @@ object Sinks {
     * Verified by BucketingSpec: a join of two tables bucketed on the same
     * key plans with zero Exchange operators. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+                    numBuckets: Int, sortCols: Seq[String] = Nil,
+                    append: Boolean = false): Unit = {
     // one writer task per bucket: without this, every upstream
     // partition writes its own file PER bucket (numPartitions×numBuckets
     // small files — measured 508 for a 4.5 MB index table), and every
@@ -169,8 +170,10 @@ object Sinks {
     // is the same hash the bucketing uses, so each bucket lands as ONE
     // file; at warehouse scale the bucket count is sized so a bucket is
     // a healthy file (hundreds of MB), which is exactly this layout.
+    // append = incremental maintenance (each ingest adds one file per
+    // bucket; Spark validates the bucket spec matches the table's).
     val w = df.repartition(numBuckets, bucketCols.map(col): _*)
-      .write.mode("overwrite")
+      .write.mode(if (append) "append" else "overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .format("parquet")

@@ -214,6 +214,48 @@ object Streams {
     docs.filter(hits < lit(maxHits))
   }
 
+  /** Streaming INDEXED near-dup ingest — the streaming twin of batch
+    * x80 ([[graft.operators.TextDedup.crossNeardupSurvivorsIndexed]])
+    * and the closing of [[graft.operators.TextDedup.writeNeardupIndex]]'s
+    * incremental-maintenance contract: each micro-batch is (1) checked
+    * EXACTLY against the persisted band index (LSH candidates from the
+    * bands table, exact-Jaccard verify against the sets table — zero
+    * corpus text scanned, zero signatures recomputed, unlike the
+    * stateless [[neardupGate]] whose Bloom sketch trades fp over-drops
+    * for statelessness), (2) handed to `sink` with its batch id, and
+    * (3) appended to the index, so a document in batch N+1 near-duping
+    * a batch-N survivor is dropped — corpus state lives in the bucketed
+    * tables, not in stream state, which is why this composes as
+    * `foreachBatch` rather than a stateful operator (Spark's stream
+    * state cannot host a bucketed join index; the catalog can).
+    *
+    * Semantics match x80: batch-internal near-dup pairs both survive
+    * (the batch checks against the CORPUS, not itself — compose
+    * [[graft.operators.TextDedup.minhashLshDedup]] inside `sink` when
+    * within-batch collapse is wanted). Replayed micro-batches (the
+    * at-least-once window after a crash, before the checkpoint commit)
+    * re-append their survivors; dedup the index on doc_id at the next
+    * compaction, or make `sink` idempotent by batch id as usual. */
+  def indexedNeardupIngest(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int, threshold: Double, setsTable: String,
+                           bandsTable: String, numBands: Int = 20,
+                           rowsPerBand: Int = 4, numBuckets: Int = 16)
+                          (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val td = graft.operators.TextDedup
+        val survivors = td.crossNeardupSurvivorsIndexed(batch.toDF(),
+          idCol, textCol, k, threshold, setsTable, bandsTable,
+          numBands, rowsPerBand).cache()
+        try {
+          sink(survivors, batchId)
+          td.appendNeardupIndex(survivors, idCol, textCol, k,
+            setsTable, bandsTable, numBands, rowsPerBand, numBuckets)
+        } finally survivors.unpersist()
+    }
+
   /** Streaming benchmark-decontamination gate — the streaming twin of
     * the batch x44 prefilter: the Bloom sketch of the benchmark's
     * k-shingle hashes (built ONCE, batch-side, via

@@ -258,6 +258,71 @@ class StreamsSpec extends SparkSpec {
       .count() == 1)
   }
 
+  private def dropIdxTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val Array(db, t) = name.split('.')
+    val loc = java.nio.file.Paths.get("spark-warehouse", s"$db.db", t)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("indexedNeardupIngest: exact gate vs the persisted index; " +
+      "survivors extend the index across micro-batches (x80 twin)") {
+    import graft.operators.TextDedup
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val sets = "graft_idx_test.st_sets"; val bands = "graft_idx_test.st_bands"
+    Seq(sets, bands).foreach(dropIdxTable)
+
+    // 30 distinct tokens; the near-dup variants change ONE trailing
+    // token: 27 of 28 3-shingles shared, exact J = 27/29 ~ 0.931 >= 0.8
+    val corpusText = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearCorpus = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val freshText = (1 to 30).map(i => s"f$i").mkString(" ")
+    val nearFresh = (1 to 29).map(i => s"f$i").mkString(" ") + " qq"
+    TextDedup.writeNeardupIndex(
+      Seq((100L, corpusText)).toDF("doc_id", "text"), "doc_id", "text",
+      k = 3, sets, bands, numBuckets = 2)
+
+    val dir = Files.createTempDirectory("ndingest-in").toString
+    val ckpt = Files.createTempDirectory("ndingest-ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = Streams.indexedNeardupIngest(stream, "doc_id", "text",
+          k = 3, threshold = 0.8, sets, bands, numBuckets = 2) {
+        (df, _) =>
+          val ids = df.select("doc_id").collect().map(_.getLong(0))
+          got.synchronized { got ++= ids; () }
+      }.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // batch 1: the corpus near-dup drops, the fresh doc survives
+    Seq((1L, nearCorpus), (2L, freshText)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    run()
+    assert(got.toSet == Set(2L))
+    // batch 2: a near-dup of batch 1's SURVIVOR drops — only possible
+    // because the ingest appended doc 2's sets/bands to the index
+    Seq((3L, nearFresh)).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    run()
+    assert(got.toSet == Set(2L))
+    // and the index now holds exactly the corpus doc + the survivor.
+    // (the appends ran in the stream's cloned session — this session's
+    // cached file listing must be refreshed, standard Spark semantics
+    // for out-of-session writes)
+    spark.catalog.refreshTable(sets)
+    assert(spark.table(sets).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(100L, 2L))
+  }
+
   test("quarantineJson routes records inside a streaming plan (x76 twin)") {
     import graft.operators.Project
     val dir = Files.createTempDirectory("quar-in").toString
