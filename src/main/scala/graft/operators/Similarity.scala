@@ -260,4 +260,52 @@ object Similarity {
         .otherwise(lit(0.0d)).as("rmse"),
       when(absMax > 0, qMax.cast("long")).otherwise(lit(0L)).as("q_max"))
   }
+
+  /** Top-k ANN over the int8-QUANTIZED grid — the search half of
+    * [[quantizeReport]] (report the error, then actually search the
+    * compressed index): both sides are quantized to the per-vector
+    * symmetric int8 grid and ranked by QUANTIZED cosine. The per-vector
+    * scales cancel in the cosine — `(Σq₁q₂·s₁s₂) / (√Σq₁²·s₁ · √Σq₂²·s₂)
+    * = Σq₁q₂ / (√Σq₁² · √Σq₂²)` — so the similarity derives entirely
+    * from INTEGER sums (64 dims × 127² fits comfortably in a long):
+    * exact, engine-portable, and the memory story at 100 TB is the
+    * point — the scan side moves 8-bit codes, 4× less than float32,
+    * which is what makes a brute-force re-rank tier affordable.
+    *
+    * Plan shape mirrors [[bruteForceTopK]]: quantization is a scan-side
+    * per-row projection on BOTH sides (no quantized index table needed
+    * here — persist the projected codes via `Sinks.writeBucketed` for
+    * the production read path), the query set broadcasts, per-query
+    * top-k is a ranking window partitioned by query. Direction-less
+    * vectors (all-zero: no grid) are excluded on both sides; ties break
+    * by ascending neighbor id as everywhere. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    def absMax(v: Column): Column =
+      array_max(transform(v, x => abs(x.cast("double"))))
+    def prep(df: DataFrame, id: String, q: String, n: String): DataFrame = {
+      val v = col(vecCol)
+      val scale = absMax(v) / lit(127.0)
+      df.filter(absMax(col(vecCol)) > 0)
+        .select(col(idCol).as(id),
+          transform(v, x => floor(x.cast("double") / scale + 0.5)).as(q))
+        .withColumn(n, sqrt(
+          aggregate(col(q), lit(0L), (a, x) => a + x * x).cast("double")))
+    }
+    val qs = prep(queries, "query_id", "qq", "qn")
+    val cs = Par.spread(prep(corpus, "neighbor_id", "cq", "cn"))
+    val scored = cs.join(broadcast(qs),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("similarity",
+        aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
+          lit(0L), (a, x) => a + x).cast("double") /
+          (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("similarity").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
+  }
 }

@@ -755,6 +755,41 @@ object TextDedup {
       .filter(col("n_kept") >= 1)
   }
 
+  /** Span SURGERY — the apply half of [[duplicateSpans]] (the
+    * decisions/apply pairing of x1/x34): rewrite each document with its
+    * removal spans cut out, keeping everything else in order. Output is
+    * the normalized token stream rejoined (`tokens()` casing/whitespace,
+    * the engine's canonical text form), one row per input document:
+    * `(doc_id, n_tokens_removed, clean_text)` — documents with no spans
+    * pass through with 0 removed; documents entirely covered (exact
+    * duplicates of earlier material) emit an empty `clean_text`, the
+    * caller's drop decision (vs [[dedupParagraphs]], which drops them).
+    *
+    * Plan shape / 100 TB design: the span list folds per document (ONE
+    * hash aggregate over the decisions frame — span counts per doc are
+    * small by construction), broadcast-or-shuffle equi-joins the corpus
+    * ONCE on doc id, and the cut itself is a per-row fused
+    * `filter(tokens, (t, pos) => !covered)` projection — no explode, no
+    * window, corpus text crosses the wire at most once. */
+  def applySpanRemovals(docs: DataFrame, idCol: String, textCol: String,
+                        spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_len").as("l"))).as("_spans"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .join(sp, Seq("doc_id"), "left")
+      .withColumn("_toks", graft.functions.Text.tokens(col("_text")))
+      .withColumn("_kept",
+        when(col("_spans").isNull, col("_toks")).otherwise(
+          filter(col("_toks"), (_, i) =>
+            !exists(col("_spans"), s =>
+              i >= s.getField("s") && i < s.getField("s") + s.getField("l")))))
+      .select(col("doc_id"),
+        (size(col("_toks")) - size(col("_kept"))).cast("long")
+          .as("n_tokens_removed"),
+        concat_ws(" ", col("_kept")).as("clean_text"))
+  }
+
   /** POSITIONAL winnowing (the MOSS scheme, Schleimer et al. 2003):
     * slide a `window`-wide frame over the document's positional
     * `shingleK`-gram digest sequence and select each frame's minimum —

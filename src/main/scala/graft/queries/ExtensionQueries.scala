@@ -737,7 +737,27 @@ object ExtensionQueries {
     // (x25/x33 convention) so both engines fold identical addends.
     "x86_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLmScores(t(s, dir, "documents"), "doc_id",
-        "text"))
+        "text")),
+
+    // x87 — span SURGERY: x83's (doc, span) removal decisions applied
+    // back to the corpus (the decisions/apply pairing of x1/x34) — a
+    // per-row positional cut after one doc-id join; exact-duplicate
+    // docs come out empty, partial overlaps keep their unique material.
+    "x87_span_apply" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextDedup.applySpanRemovals(d, "doc_id", "text",
+        TextDedup.duplicateSpans(d, "doc_id", "text", spanTokens = 8))
+    }),
+
+    // x88 — ANN over the int8-quantized grid (the search half of the
+    // x-series quantize report): scales cancel in the quantized cosine,
+    // so ranking derives from exact integer sums — same query set and
+    // window shape as x3, 4x less data on the scan side at scale.
+    "x88_quantized_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5)
+    })
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -2088,6 +2108,78 @@ object ExtensionQueries {
                AS DECIMAL(38,6)))::DOUBLE
              / sum(m) * 10000 + 0.5) / 10000 AS avg_logprob
          FROM dp JOIN bi USING (w1, w2) JOIN uni USING (w1), v
-         GROUP BY doc_id"""
+         GROUP BY doc_id""",
+    // the x83 span chain, then a per-token covered test against the
+    // doc's spans and a pos-ordered reassembly of the survivors; docs
+    // with no spans pass through whole, fully-covered docs come out
+    // with clean_text = '' (COALESCE matches Spark's concat_ws on an
+    // empty survivor array).
+    "x87_span_apply" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         g AS (SELECT doc_id, i - 1 AS pos,
+             hash(array_to_string(t[i:i+7], ' ')) AS h
+           FROM toks, unnest(generate_series(1, len(t) - 7)) AS s(i)),
+         agg AS (SELECT h, count(*) AS n,
+             min(doc_id * 1000000 + pos) AS first_enc
+           FROM g GROUP BY h),
+         rem AS (SELECT doc_id, pos FROM g JOIN agg USING (h)
+           WHERE n >= 2 AND doc_id * 1000000 + pos <> first_enc),
+         seg AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos)
+                 OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+               THEN 0 ELSE 1 END AS newseg
+           FROM rem),
+         isl AS (SELECT doc_id, pos,
+             sum(newseg) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM seg),
+         spans AS (SELECT doc_id, min(pos) AS s,
+             max(pos) - min(pos) + 8 AS l
+           FROM isl GROUP BY doc_id, grp),
+         tok AS (SELECT doc_id, i - 1 AS pos, t[i] AS tk
+           FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+         cov AS (SELECT tok.doc_id, tok.pos, tok.tk,
+             EXISTS (SELECT 1 FROM spans sp
+               WHERE sp.doc_id = tok.doc_id
+                 AND tok.pos >= sp.s AND tok.pos < sp.s + sp.l)
+               AS covered
+           FROM tok)
+         SELECT doc_id,
+           CAST(count(*) FILTER (WHERE covered) AS BIGINT)
+             AS n_tokens_removed,
+           COALESCE(string_agg(tk, ' ' ORDER BY pos)
+             FILTER (WHERE NOT covered), '') AS clean_text
+         FROM cov GROUP BY doc_id""",
+    // symmetric per-vector int8 grid (floor(x/(max|x|/127) + 0.5) as
+    // BIGINT), then cosine over the INTEGER codes — the scales cancel,
+    // so both engines rank identical exact integer ratios; one final
+    // double division + the 1e-6 grid, as x3.
+    "x88_quantized_ann" ->
+      """WITH am AS (SELECT vec_id, embedding,
+           list_max(list_transform(generate_series(1, 64),
+             i -> abs(CAST(embedding[i] AS DOUBLE)))) AS m
+           FROM embeddings),
+         qv AS (SELECT vec_id,
+             list_transform(generate_series(1, 64),
+               i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
+                 / (m / 127.0) + 0.5) AS BIGINT)) AS q
+           FROM am WHERE m > 0),
+         nq AS (SELECT vec_id, q,
+             sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+               i -> q[i] * q[i])) AS DOUBLE)) AS n
+           FROM qv),
+         qs AS (SELECT vec_id AS query_id, q AS qq, n AS qn
+           FROM nq WHERE vec_id < 10),
+         scored AS (SELECT query_id, nq.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               i -> qq[i] * q[i])) AS DOUBLE) / (qn * n) AS sim
+           FROM nq, qs WHERE nq.vec_id <> query_id)
+         SELECT query_id, neighbor_id,
+           CAST(row_number() OVER w AS BIGINT) AS rank,
+           floor(sim * 1000000 + 0.5) / 1000000.0 AS similarity
+         FROM scored
+         WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         QUALIFY row_number() OVER w <= 5"""
   )
 }

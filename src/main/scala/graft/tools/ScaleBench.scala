@@ -247,6 +247,31 @@ object ScaleBench {
       graft.operators.Bpe.encodeStats(d, "doc_id", "text",
         graft.operators.Bpe.mergeList(d, "text", rounds = 6))
     }),
+    // narrow chunk explode + ONE high-reduction digest agg + per-doc
+    // reassembly; the `_k` suffix keeps chunks disjoint across copies,
+    // so the duplicate-chunk structure replicates exactly 10x
+    ("x85_paragraph_dedup", (s: SparkSession, dir: String) =>
+      TextDedup.dedupParagraphs(Tables(s, dir, "documents"), "doc_id",
+        "text", chunk = 12)),
+    // pair stream + two vocabulary-bounded count tables (both 10x under
+    // the `_k` suffix) + the folded distinct-doc-pair join
+    ("x86_bigram_lm", (s: SparkSession, dir: String) =>
+      TextAnalysis.bigramLmScores(Tables(s, dir, "documents"), "doc_id",
+        "text")),
+    // decisions (x83 chain) + one doc-id join + per-row positional cut;
+    // the disjoint copies replicate the span population exactly 10x
+    ("x87_span_apply", (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      TextDedup.applySpanRemovals(d, "doc_id", "text",
+        TextDedup.duplicateSpans(d, "doc_id", "text", spanTokens = 8))
+    }),
+    // constant 10-query broadcast x 10x corpus scan over int8 codes —
+    // the brute-force re-rank tier's linearity in corpus size
+    ("x88_quantized_ann", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.quantizedTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5)
+    }),
     // weight-table join path: the `_k` suffix grows the vocabulary 10x
     // with the corpus, so the broadcast side scales too
     ("x79_classifier_join", (s: SparkSession, dir: String) => {

@@ -488,6 +488,57 @@ class PlanAuditSpec extends SparkSpec {
       s"encode should not aggregate:\n$p")
   }
 
+  test("x85 paragraph dedup reassembles via hash-partitioned aggregate, " +
+      "never a global sort or pair join") {
+    val p = plan("x85_paragraph_dedup")
+    // per-doc ordering happens INSIDE the aggregate (array_sort over the
+    // collected chunk structs), so no range partitioning anywhere; the
+    // duplicate decision is one digest aggregate, never doc x doc
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"reassembly should not globally sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin ["
+      + "doc_id"), s"chunk dedup must stay digest-keyed:\n$p")
+  }
+
+  test("x86 bigram LM joins folded doc-pairs to vocab-bounded counts; " +
+      "V rides the only nested-loop (1-row broadcast)") {
+    val p = plan("x86_bigram_lm")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl == 1, s"expected exactly the 1-row V broadcast, got $bnl:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian leaked into x86:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"x86 should not globally sort:\n$p")
+  }
+
+  test("x87 span apply cuts per-row: no explode/window after the one " +
+      "doc-id join of decisions to corpus") {
+    val p = plan("x87_span_apply")
+    // the decisions chain has its own window (x83's islands merge); the
+    // APPLY half must add none — count stays at x83's
+    val w87 = "RunningWindowFunction|Window ".r.findAllIn(p).size
+    val w83 = "RunningWindowFunction|Window ".r
+      .findAllIn(plan("x83_span_dedup")).size
+    assert(w87 == w83, s"apply added windows (x87=$w87, x83=$w83):\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+    // the kept-token cut is a fused projection, not a posexplode of the
+    // corpus: exactly the decision chain's explode count survives
+    val e87 = "Generate posexplode".r.findAllIn(p).size
+    val e83 = "Generate posexplode".r.findAllIn(plan("x83_span_dedup")).size
+    assert(e87 == e83, s"apply added explodes (x87=$e87, x83=$e83):\n$p")
+  }
+
+  test("x88 quantized ANN broadcasts the query side; quantization is " +
+      "scan-side (no pre-join shuffle)") {
+    val p = plan("x88_quantized_ann")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query set should broadcast (x3's shape):\n$p")
+    // the only hash exchange is the top-k window's partition-by-query;
+    // quantization must not force one before the join
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected at most the window's exchange:\n$p")
+  }
+
   test("x80 existing side reads the persisted index, never corpus text") {
     val p = plan("x80_neardup_indexed")
     assert(p.contains("nd_bands_") && p.contains("nd_sets_"),

@@ -122,4 +122,26 @@ class SimilaritySpec extends SparkSpec {
     // all-zero vector: scale 0, rmse 0, q_max 0 (guarded, not NaN)
     assert(out(1L) == ((0.0, 0.0, 0L)))
   }
+
+  test("quantizedTopK ranks by integer-exact quantized cosine; " +
+      "zero vectors excluded on both sides (x88)") {
+    val corpus = Seq(
+      (10L, Array(2.0f, 0.0f)),   // q=(127,0): sim 1.0 with the query
+      (11L, Array(1.0f, 1.0f)),   // q=(127,127): sim 1/sqrt(2)
+      (12L, Array(0.0f, 0.0f)),   // zero vector: no grid, excluded
+      (13L, Array(-1.0f, 0.5f))   // q=(-127,64): negative sim
+    ).toDF("vec_id", "embedding")
+    val queries = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f))     // zero QUERY also excluded
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizedTopK(queries, corpus, "vec_id",
+        "embedding", k = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"),
+        r.getAs[Double]("similarity"))).toSet
+    assert(out == Set(
+      (1L, 10L, 1L, 1.0),
+      (1L, 11L, 2L, 0.707107)))  // floor(1/sqrt(2)*1e6 + 0.5)/1e6
+  }
 }

@@ -296,6 +296,27 @@ class TextDedupSpec extends SparkSpec {
     assert(spans == Set((11L, 8L)))
   }
 
+  test("applySpanRemovals: spans cut out positionally, span-less docs " +
+      "pass whole, fully-covered docs come out empty (x87)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),  // first occurrence: kept whole
+      (2L, "a b c d e f g h i j k l"),  // exact dup -> fully covered
+      (3L, "x a b c d e f g h i y z"),  // 9-token span at pos 1 cut
+      (4L, "short text only here")      // no grams -> untouched
+    ).toDF("doc_id", "text")
+    val out = TextDedup.applySpanRemovals(docs, "doc_id", "text",
+        TextDedup.duplicateSpans(docs, "doc_id", "text", spanTokens = 8))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens_removed"),
+        r.getAs[String]("clean_text"))).toSet
+    assert(out == Set(
+      (1L, 0L, "a b c d e f g h i j k l"),
+      (2L, 12L, ""),
+      (3L, 9L, "x y z"),
+      (4L, 0L, "short text only here")))
+  }
+
   test("dedupParagraphs: repeated chunks drop everywhere but first, " +
       "docs reassemble from survivors, all-dup docs vanish (x85)") {
     import spark.implicits._
