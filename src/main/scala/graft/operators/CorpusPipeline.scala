@@ -150,4 +150,28 @@ object CorpusPipeline {
       .drop("n_dups")
     Packing.shardManifest(deduped, idCol, textCol, shardSize)
   }
+
+  /** LM-curation pipeline (x89): paragraph dedup (x85) → bigram LM
+    * scoring (x86) trained on the DEDUPED text → quality gate. The
+    * ORDER is the point and the hazard under test: the LM must be
+    * trained after dedup (duplicated paragraphs would otherwise inflate
+    * their own transition probabilities and score themselves fluent —
+    * the circularity the CCNet pipeline avoids the same way), so the
+    * score stage consumes x85's reassembled `clean_text`, not the raw
+    * corpus, and a document's score can CHANGE when someone else's
+    * duplicate of its paragraphs is removed. Survivors =
+    * `(doc_id, n_bigrams, avg_logprob)` at `avg_logprob >= minLogprob`;
+    * documents deduped to < 2 tokens have no transitions and drop out
+    * (the empty-doc limit of an LM gate).
+    *
+    * Scale shape: x85's digest aggregate + per-doc reassembly, then
+    * x86's vocabulary-bounded count tables — the only text-bearing
+    * exchanges are x85's own; the gate itself is a projection. */
+  def lmCurate(corpus: DataFrame, idCol: String, textCol: String,
+               chunk: Int, minLogprob: Double): DataFrame = {
+    val deduped = TextDedup.dedupParagraphs(corpus, idCol, textCol, chunk)
+      .select(col("doc_id"), col("clean_text"))
+    TextAnalysis.bigramLmScores(deduped, "doc_id", "clean_text")
+      .filter(col("avg_logprob") >= minLogprob)
+  }
 }

@@ -622,6 +622,33 @@ object TextDedup {
     } finally grams.unpersist()
   }
 
+  /** The serialized Bloom sketch of a corpus's paragraph-chunk digests
+    * — [[dedupParagraphs]]' shareable artifact, the streaming pairing
+    * of the x85 batch pass: feed it to
+    * [[graft.streaming.Streams.boilerplateScrub]] with the SAME `chunk`
+    * as `passageTokens` and arriving documents are rewritten with every
+    * corpus-known paragraph cut out (the scrub's chunk grid and digest
+    * family are identical — stride = size, xxhash64 of the chunk text —
+    * so batch and stream agree on what a paragraph is). The fp-rate
+    * over-scrub is the standard sketch trade; null when the corpus is
+    * empty (scrub treats null as pass-through). */
+  def paragraphSketch(existing: DataFrame, textCol: String,
+                      chunk: Int = 12): Array[Byte] = {
+    val digests = Par.spread(existing)
+      .select(explode(
+        TextExpressions.chunkTokens(col(textCol), chunk, chunk))
+        .as("para"))
+      .select(xxhash64(col("para")).as("_h"))
+      .distinct().cache()
+    try {
+      val n = digests.count()
+      if (n == 0L) null
+      else digests.agg(TextExpressions.bloomAgg(col("_h"),
+          math.max(n, 4096L)).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    } finally digests.unpersist()
+  }
+
   /** Winnowing-style document fingerprint: the `keep` lexicographically
     * smallest md5 digests of the document's shingles, joined by '|'.
     * Fully fused per-row kernel (shingle set -> digests -> k-smallest) —

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num
-import graft.operators.{Bpe, Classifier, Cleaning, Components, ImageDedup, Multimodal, Packing, Project, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Bpe, Classifier, Cleaning, Components, CorpusPipeline, ImageDedup, Multimodal, Packing, Project, Similarity, TextAnalysis, TextDedup}
 
 /** Extension + capability-proof query inventory (SURVEY §2.4 X1-X6 plus the
   * LLM-training-data operators: dedup family, similarity search, text
@@ -757,7 +757,16 @@ object ExtensionQueries {
       val e = t(s, dir, "embeddings")
       Similarity.quantizedTopK(e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", k = 5)
-    })
+    }),
+
+    // x89 — LM-curation composition: paragraph dedup, THEN the bigram
+    // LM trained on the deduped text, then the quality gate — the
+    // stage order (dedup before LM training) is what the oracle checks;
+    // a pipeline that trains on raw text lets duplicated paragraphs
+    // score themselves fluent.
+    "x89_lm_curate" -> ((s, dir) =>
+      CorpusPipeline.lmCurate(t(s, dir, "documents"), "doc_id", "text",
+        chunk = 12, minLogprob = -3.4))
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -2180,6 +2189,45 @@ object ExtensionQueries {
            floor(sim * 1000000 + 0.5) / 1000000.0 AS similarity
          FROM scored
          WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
-         QUALIFY row_number() OVER w <= 5"""
+         QUALIFY row_number() OVER w <= 5""",
+    // x85's chunk-dedup chain reassembles clean_text, THEN x86's LM
+    // chain runs over the deduped text (retokenized from clean_text),
+    // then the gate. Same grids and conventions as the two parents.
+    "x89_lm_curate" ->
+      """WITH toks0 AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         c AS (SELECT doc_id, CAST((i - 1) / 12 AS BIGINT) AS pos,
+             array_to_string(t[i:i+11], ' ') AS para
+           FROM toks0, unnest(generate_series(1, len(t), 12)) AS s(i)),
+         a AS (SELECT para, min(doc_id * 1000000 + pos) AS first_enc
+           FROM c GROUP BY para),
+         f AS (SELECT doc_id, pos, para,
+             (doc_id * 1000000 + pos = first_enc) AS keep
+           FROM c JOIN a USING (para)),
+         clean AS (SELECT doc_id,
+             string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY pos)
+               AS clean_text
+           FROM f GROUP BY doc_id
+           HAVING sum(CASE WHEN keep THEN 1 ELSE 0 END) >= 1),
+         toks AS (SELECT doc_id,
+             string_split_regex(clean_text, '\s+') AS t FROM clean),
+         p AS (SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+           FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+         dp AS (SELECT doc_id, w1, w2, count(*) AS m
+           FROM p GROUP BY ALL),
+         bi AS (SELECT w1, w2, count(*) AS cb FROM p GROUP BY ALL),
+         uni AS (SELECT w AS w1, count(*) AS cu
+           FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+         v AS (SELECT count(*) AS vs FROM uni),
+         scored AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+             floor(sum(CAST(m * (floor(ln(
+                   (cb + 1.0) / (cu + vs)) * 10000 + 0.5) / 10000.0)
+                 AS DECIMAL(38,6)))::DOUBLE
+               / sum(m) * 10000 + 0.5) / 10000 AS avg_logprob
+           FROM dp JOIN bi USING (w1, w2) JOIN uni USING (w1), v
+           GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, avg_logprob FROM scored
+         WHERE avg_logprob >= -3.4"""
   )
 }

@@ -272,6 +272,11 @@ object ScaleBench {
       Similarity.quantizedTopK(e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", k = 5)
     }),
+    // x85's digest agg + reassembly feeding x86's vocab-bounded counts;
+    // the gate constant is scale-free (score ratios ride the corpus)
+    ("x89_lm_curate", (s: SparkSession, dir: String) =>
+      CorpusPipeline.lmCurate(Tables(s, dir, "documents"), "doc_id",
+        "text", chunk = 12, minLogprob = -3.4)),
     // weight-table join path: the `_k` suffix grows the vocabulary 10x
     // with the corpus, so the broadcast side scales too
     ("x79_classifier_join", (s: SparkSession, dir: String) => {

@@ -157,4 +157,26 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(CorpusPipeline.exportShards(docs, "doc_id", "text",
       threshold = 100.0, shardSize = 2).count() == 0)
   }
+
+  test("lmCurate: LM trains on the DEDUPED text; bigram-less docs drop; " +
+      "the gate thresholds the deduped scores (x89)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),  // 2-token chunks: "a b" twice -> deduped to "a b"
+      (2L, "a b c d"),  // head chunk dups doc 1's -> deduped to "c d"
+      (3L, "x")         // single token: no transitions after dedup
+    ).toDF("doc_id", "text")
+    // deduped corpus = {"a b", "c d", "x"}: V=5, every unigram count 1,
+    // each doc's one bigram count 1 -> lp = round4(ln(2/6)) = -1.0986.
+    // (training on RAW text would give doc 1 three bigrams incl. the
+    // duplicated "a b" twice — the circularity the order prevents)
+    val out = CorpusPipeline.lmCurate(docs, "doc_id", "text",
+        chunk = 2, minLogprob = -1.1)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob"))).toSet
+    assert(out == Set((1L, 1L, -1.0986), (2L, 1L, -1.0986)))
+    // the gate is live: nudging it past the scores keeps nothing
+    assert(CorpusPipeline.lmCurate(docs, "doc_id", "text",
+      chunk = 2, minLogprob = -1.0).count() == 0)
+  }
 }

@@ -258,6 +258,40 @@ class StreamsSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("paragraphSketch + boilerplateScrub cut corpus-known paragraphs " +
+      "from arriving docs (x85 twin)") {
+    import graft.operators.TextDedup
+    val existing = Seq(
+      (1L, "a b c d e f g h i j k l")  // one full 12-token paragraph
+    ).toDF("doc_id", "text")
+    val sketch = TextDedup.paragraphSketch(existing, "text", chunk = 12)
+    assert(sketch != null)
+
+    val dir = Files.createTempDirectory("parascrub-in").toString
+    Seq(
+      // head chunk == the corpus paragraph -> cut; unique tail kept
+      (10L, "a b c d e f g h i j k l n1 n2 n3"),
+      // no corpus paragraph: byte-identical pass-through
+      (11L, "q r s t u"))
+      .toDF("event_id", "text").write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val scrubbed = Streams.boilerplateScrub(stream, "text", sketch,
+      passageTokens = 12)
+    val q = scrubbed.writeStream.outputMode("append")
+      .format("memory").queryName("parascrub_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("parascrub_out")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[String]("text")).toMap
+    assert(out == Map(10L -> "n1 n2 n3", 11L -> "q r s t u"))
+    // empty corpus -> null sketch -> pass-through convention
+    assert(TextDedup.paragraphSketch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", 12) == null)
+  }
+
   private def dropIdxTable(name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val Array(db, t) = name.split('.')
