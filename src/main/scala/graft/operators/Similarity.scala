@@ -308,4 +308,143 @@ object Similarity {
         col("rank").cast("long").as("rank"),
         graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
   }
+
+  /** Lloyd k-means codebook TRAINING — the missing front of the IVF
+    * family (x10/x22/x70 consume a centroid table; this trains one).
+    * `init` seeds the k clusters (cluster_id = the seed's id); each
+    * round assigns every vector to its argmax-cosine centroid (the
+    * [[VectorExpressions.nearestCentroid]] codegen kernel — one
+    * zero-shuffle corpus pass) and recomputes centroids as member
+    * means. Returns the final per-vector assignment
+    * `(vec_id, cluster_id)` under the round-`rounds` codebook; clusters
+    * that lose all members drop out (SQL GROUP BY semantics, which is
+    * what an oracle can mirror).
+    *
+    * Cross-engine determinism: vectors are first snapped to the 1e-6
+    * integer grid (half-up, cosine is scale-invariant), so the mean
+    * aggregate is an EXACT integer sum — no float-accumulation drift —
+    * and new centroid components are the IEEE double `sum/count`
+    * rounded through float (the kernel's storage type), a computation
+    * DuckDB replicates bit-for-bit (`CAST(CAST(s/n AS REAL) AS
+    * DOUBLE)`). Grid values stay < 2^24 for any |x| < 16, so the
+    * float-typed kernel input is lossless.
+    *
+    * Scale shape: `rounds` passes over the quantized corpus (cached
+    * here; at warehouse scale persist it once — it is the 100 TB
+    * artifact, the k×dims stats rows per round are the only driver
+    * traffic, the [[collectCentroids]] tier). Each pass is one
+    * map-side-combined aggregate: k×dims partials per partition, no
+    * row blowup beyond the dims-explode, no join anywhere. */
+  def kmeansCodebook(corpus: DataFrame, init: DataFrame, idCol: String,
+                     vecCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    def grid(v: Column): Column =
+      transform(v, x => floor(x.cast("double") * lit(1e6) + lit(0.5)))
+    val quant = Par.spread(corpus.select(col(idCol).cast("long").as("vec_id"),
+        grid(col(vecCol)).cast("array<long>").as("qv")))
+      .withColumn("qf", col("qv").cast("array<float>"))
+      .cache() // read once per round + once for the result (CACHE
+               // CONTRACT: keyed to the returned plan, caller clears)
+    var cents: Array[(Long, Array[Float])] = init
+      .select(col(idCol).cast("long"), grid(col(vecCol)).cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "init must seed at least one cluster")
+    (1 to rounds).foreach { _ =>
+      val ids = cents.map(_._1); val vecs = cents.map(_._2)
+      val stats = quant
+        .select(VectorExpressions.nearestCentroid(col("qf"), ids, vecs)
+            .as("cid"),
+          posexplode(col("qv")).as(Seq("d", "q")))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .collect() // k × dims rows — codebook-sized, never corpus-sized
+      cents = stats
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_._2).map(t => (t._3.toDouble / t._4).toFloat)) }
+        .toArray.sortBy(_._1)
+    }
+    val ids = cents.map(_._1); val vecs = cents.map(_._2)
+    quant.select(col("vec_id"),
+      VectorExpressions.nearestCentroid(col("qf"), ids, vecs)
+        .as("cluster_id"))
+  }
+
+  /** Persist the IVF index as catalog tables — the [[ivfTopK]] scale
+    * contract ("at 100 TB the assignment is computed once and
+    * persisted/bucketed by centroid_id") made real, the embedding-side
+    * twin of [[TextDedup.writeNeardupIndex]] (x80/x81):
+    *  - `centTable`: the codebook (centroid_id, centv) — tiny, read
+    *    whole by every query.
+    *  - `assignTable`: (centroid_id, neighbor_id, cv, cn) BUCKETED by
+    *    centroid_id — corpus vectors with their PRE-COMPUTED norms,
+    *    assigned by one pass of the nearest-centroid kernel at build
+    *    time. A probe reads only its buckets' files; nothing about the
+    *    corpus is recomputed at query time. */
+  def writeAnnIndex(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                    vecCol: String, assignTable: String, centTable: String,
+                    numBuckets: Int = 16): Unit = {
+    val (ids, vecs) = collectCentroids(centroids, idCol, vecCol)
+    require(ids.nonEmpty, "centroids must be non-empty to build an index")
+    centroids.select(col(idCol).cast("long").as("centroid_id"),
+        col(vecCol).as("centv"))
+      .write.mode("overwrite").format("parquet").saveAsTable(centTable)
+    val assigned = Par.spread(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv"), Vectors.norm(col(vecCol)).as("cn")))
+      .withColumn("centroid_id",
+        VectorExpressions.nearestCentroid(col("cv"), ids, vecs))
+    graft.sinks.Sinks.writeBucketed(assigned, assignTable,
+      Seq("centroid_id"), numBuckets)
+  }
+
+  /** [[ivfTopK]] over a [[writeAnnIndex]] artifact: centroids come from
+    * the codebook table (collected — codebook-sized), corpus vectors and
+    * their norms from the bucketed assignment table. The corpus side is
+    * a pure index scan — no nearest-centroid kernel, no norm recompute —
+    * and the probe list broadcasts, so the only exchange in the plan is
+    * the per-query top-k window's.
+    *
+    * The probed centroid set is collected first (ONE eager job at
+    * construction time, bounded by the query count × nprobe — the
+    * degenerate-input-guard tier) and pushed as an IN predicate on the
+    * bucket column: a broadcast join alone would scan the whole table,
+    * but an IN on the bucketing key engages Spark's bucket pruning
+    * (`SelectedBucketsCount` in the scan, spec-pinned), so the query
+    * READS only nprobe/numCentroids of the index files — the actual
+    * IVF promise. Rows are identical to [[ivfTopK]] with the same
+    * centroid set (the same assignment kernel ran at build time). */
+  def ivfTopKIndexed(queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nprobe: Int, assignTable: String,
+                     centTable: String): DataFrame = {
+    val spark = queries.sparkSession
+    val (ids, vecs) = collectCentroids(
+      spark.table(centTable), "centroid_id", "centv")
+    if (ids.isEmpty)
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(null).cast("long").as("rank"),
+        lit(null).cast("double").as("similarity")).limit(0)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        Vectors.norm(col(vecCol)).as("qn"))
+      .withColumn("centroid_id", explode(
+        VectorExpressions.probeCentroids(col("qv"), ids, vecs, nprobe)))
+    val probed = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("similarity").desc, col("neighbor_id"))
+    spark.table(assignTable)
+      .filter(col("centroid_id").isin(probed: _*))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("similarity", Vectors.cosinePrenormed(
+        col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
+  }
 }

@@ -766,7 +766,33 @@ object ExtensionQueries {
     // score themselves fluent.
     "x89_lm_curate" -> ((s, dir) =>
       CorpusPipeline.lmCurate(t(s, dir, "documents"), "doc_id", "text",
-        chunk = 12, minLogprob = -3.4))
+        chunk = 12, minLogprob = -3.4)),
+
+    // x90 — k-means codebook TRAINING (Lloyd rounds over the 1e-6
+    // integer grid): the IVF family's missing front — x10/x22/x70
+    // consume a centroid table, this trains one. Seeds = the 8 smallest
+    // vec_ids; 3 assignment→mean rounds; output is the final
+    // per-vector assignment. The grid makes every mean an exact
+    // integer sum, so both engines fold identical doubles (see
+    // Similarity.kmeansCodebook's determinism note).
+    "x90_kmeans_codebook" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.kmeansCodebook(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", rounds = 3)
+    }),
+
+    // x91 — x10 through its PERSISTED IVF index (the x80/x81 pairing on
+    // the embedding side): the codebook + the centroid-bucketed
+    // assignment table (vectors WITH pre-computed norms) are catalog
+    // artifacts built once per snapshot; the query probes buckets and
+    // recomputes nothing about the corpus. Same rows as x10 — shared
+    // oracle.
+    "x91_ann_indexed" -> ((s, dir) => {
+      val (assignT, centT) = annIndexFor(s, dir)
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nprobe = 2, assignT, centT)
+    })
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -804,6 +830,24 @@ object ExtensionQueries {
     * but the managed LOCATION under spark-warehouse survives — a fresh
     * JVM re-building the index would hit LOCATION_ALREADY_EXISTS. Drop
     * both (the DROP TABLE is a no-op when the catalog has no entry). */
+  /** Build-if-missing the x91 IVF index tables (codebook = the 16
+    * smallest vec_ids, x10's centroid set); returns (assignTable,
+    * centTable). Same build-once-read-steady contract as
+    * [[neardupIndexFor]]. */
+  private def annIndexFor(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val assignT = s"graft_idx.ann_assign_$tag"
+    val centT = s"graft_idx.ann_cent_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!s.catalog.tableExists(assignT) || !s.catalog.tableExists(centT)) {
+      Seq(assignT, centT).foreach(dropStaleManaged(s, _))
+      val e = t(s, dir, "embeddings")
+      Similarity.writeAnnIndex(e, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", assignT, centT)
+    }
+    (assignT, centT)
+  }
+
   private def dropStaleManaged(s: SparkSession, table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
     val Array(db, name) = table.split('.')
@@ -1999,6 +2043,51 @@ object ExtensionQueries {
        |$blocks""".stripMargin
   }
 
+  /** x90's oracle: the Lloyd rounds unrolled as chained CTEs. Mirrors
+    * Similarity.kmeansCodebook bit-for-bit: vectors snap to the 1e-6
+    * integer grid (exact in DOUBLE and in the kernel's FLOAT), each
+    * round's assignment is argmax cosine (double math, dims order —
+    * duckCos's shape) with ties to the smallest cluster id, and each
+    * new centroid component is the exact integer SUM over members
+    * divided by the count in IEEE double, rounded through REAL (the
+    * kernel's float storage). */
+  private def kmeansOracleSql(k: Int, rounds: Int): String = {
+    def cos(q: String, c: String): String =
+      s"""(list_sum(list_transform(generate_series(1, 64),
+            i -> CAST($q[i] AS DOUBLE) * $c[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> CAST($q[i] AS DOUBLE) * CAST($q[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> $c[i] * $c[i])))))"""
+    def assign(r: Int): String =
+      s"""assign$r AS (SELECT vec_id, qv, cid FROM (
+           SELECT q.vec_id, q.qv, c.cid, row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ${cos("q.qv", "c.cv")} DESC, c.cid) AS rn
+           FROM qv q CROSS JOIN cent${r - 1} c) WHERE rn = 1)"""
+    def cent(r: Int): String =
+      s"""cent$r AS (SELECT cid, list(cvd ORDER BY d) AS cv FROM (
+           SELECT cid, d,
+             CAST(CAST(SUM(q) / COUNT(*) AS REAL) AS DOUBLE) AS cvd
+           FROM (SELECT cid, unnest(qv) AS q,
+                   generate_subscripts(qv, 1) AS d FROM assign$r)
+           GROUP BY cid, d) GROUP BY cid)"""
+    val chain = (1 to rounds).map(r => s"${assign(r)},\n${cent(r)}")
+      .mkString(",\n")
+    s"""WITH qv AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+           AS qv
+         FROM embeddings),
+       cent0 AS (SELECT vec_id AS cid,
+           list_transform(qv, q -> CAST(q AS DOUBLE)) AS cv
+         FROM qv WHERE vec_id < $k),
+       $chain
+       SELECT vec_id, cid AS cluster_id FROM (
+         SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY ${cos("q.qv", "c.cv")} DESC, c.cid) AS rn
+         FROM qv q CROSS JOIN cent$rounds c) WHERE rn = 1"""
+  }
+
   private def bpeOracleSql(rounds: Int): String = {
     val finals = (0 until rounds).map(k =>
       s"SELECT CAST($k AS INT) AS merge_round, lhs, rhs, pair_count " +
@@ -2228,6 +2317,10 @@ object ExtensionQueries {
            FROM dp JOIN bi USING (w1, w2) JOIN uni USING (w1), v
            GROUP BY doc_id)
          SELECT doc_id, n_bigrams, avg_logprob FROM scored
-         WHERE avg_logprob >= -3.4"""
+         WHERE avg_logprob >= -3.4""",
+    "x90_kmeans_codebook" -> kmeansOracleSql(8, 3),
+    // identical rows to x10 by construction: the index persists the
+    // same kernel's assignment and the same norms
+    "x91_ann_indexed" -> baseOracleSql("x10_ann_ivf")
   )
 }

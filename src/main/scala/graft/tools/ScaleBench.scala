@@ -64,7 +64,10 @@ object ScaleBench {
     * and the x45 quotas — inputs a real deployment sizes with its
     * corpus). Shapes mirror the registered queries. */
   private def probes(nCent: Int, mult: Int,
-                     gateThr: Double = -2.2): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+                     gateThr: Double = -2.2,
+                     lmThr: Double = -3.4,
+                     annTables: (String, String) = ("", "")
+                    ): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     ("x8_ngram_jaccard", (s: SparkSession, dir: String) =>
       TextDedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
         k = 3, threshold = 0.5)),
@@ -272,11 +275,36 @@ object ScaleBench {
       Similarity.quantizedTopK(e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", k = 5)
     }),
-    // x85's digest agg + reassembly feeding x86's vocab-bounded counts;
-    // the gate constant is scale-free (score ratios ride the corpus)
+    // x85's digest agg + reassembly feeding x86's vocab-bounded counts.
+    // The gate threshold is the FIXTURE's measured avg_logprob median
+    // (passed in, computed outside the timed region): add-one smoothing
+    // divides by count(w)+V, and the `_k` suffix grows V 10×, so every
+    // log-prob shifts down ~ln(10) at 10× — the constant −3.4 kept 134
+    // docs at 1× but only 50 at 10× (different selectivities, the x73
+    // trap). Median-derived, both runs gate ~50%.
     ("x89_lm_curate", (s: SparkSession, dir: String) =>
       CorpusPipeline.lmCurate(Tables(s, dir, "documents"), "doc_id",
-        "text", chunk = 12, minLogprob = -3.4)),
+        "text", chunk = 12, minLogprob = lmThr)),
+    // codebook TRAINING cost is rounds × n × k with k a model
+    // hyperparameter, so hold k = 8 fixed (the 10× fixture's 8 smallest
+    // vec_ids are sign-pattern variants of original vector 0 — still 8
+    // distinct seed directions) and let the probe isolate the
+    // corpus-linear term: 3 kernel passes + 3 k×dims aggregates
+    ("x90_kmeans_codebook", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.kmeansCodebook(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", rounds = 3)
+    }),
+    // FIXED 10-query probe set over the persisted index (built untimed
+    // per fixture): k ∝ n keeps bucket sizes constant and bucket
+    // pruning keeps the read at nprobe/k of the index, so per-query
+    // cost — and the whole probe — should stay ~flat as the corpus
+    // grows 10×: the IVF index promise, measured
+    ("x91_ann_indexed", (s: SparkSession, dir: String) =>
+      Similarity.ivfTopKIndexed(
+        Tables(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nprobe = 2,
+        annTables._1, annTables._2)),
     // weight-table join path: the `_k` suffix grows the vocabulary 10x
     // with the corpus, so the broadcast side scales too
     ("x79_classifier_join", (s: SparkSession, dir: String) => {
@@ -322,15 +350,53 @@ object ScaleBench {
     val thr10 = medianScore(scaleDir)
     System.err.println(f"[scale] x73 gate thresholds: 1x $thr1%.4f, 10x $thr10%.4f")
 
+    // per-fixture x89 LM gate threshold (avg_logprob median over the
+    // deduped text; see the x89 probe note) — also untimed
+    def medianLogprob(dir: String): Double = {
+      val deduped = TextDedup.dedupParagraphs(
+        Tables(spark, dir, "documents"), "doc_id", "text", chunk = 12)
+        .select(col("doc_id"), col("clean_text"))
+      TextAnalysis.bigramLmScores(deduped, "doc_id", "clean_text")
+        .agg(expr("percentile_approx(avg_logprob, 0.5, 10000)"))
+        .head().getDouble(0)
+    }
+    val lm1 = medianLogprob(srcDir)
+    val lm10 = medianLogprob(scaleDir)
+    System.err.println(f"[scale] x89 LM thresholds: 1x $lm1%.4f, 10x $lm10%.4f")
+
+    // untimed: build the x91 IVF index artifact per fixture (the
+    // registered query's contract — built once per snapshot, timed
+    // queries only read it)
+    def buildAnnIndex(dir: String, nC: Int, tag: String): (String, String) = {
+      val at = s"graft_idx.ann_assign_probe_$tag"
+      val ct = s"graft_idx.ann_cent_probe_$tag"
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+      Seq(at, ct).foreach { tb =>
+        spark.sql(s"DROP TABLE IF EXISTS $tb")
+        val Array(db, nm) = tb.split('.')
+        val p = new org.apache.hadoop.fs.Path(
+          s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.db/$nm")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val e = Tables(spark, dir, "embeddings")
+      Similarity.writeAnnIndex(e, e.filter(col("vec_id") < nC),
+        "vec_id", "embedding", at, ct)
+      (at, ct)
+    }
+    val ann1 = buildAnnIndex(srcDir, 16, "1x")
+    val ann10 = buildAnnIndex(scaleDir, 16 * Copies, "10x")
+
     // one untimed warmup of every probe at 1× (JIT + codegen)
-    probes(16, 1, thr1).foreach { case (n, f) =>
+    probes(16, 1, thr1, lm1, ann1).foreach { case (n, f) =>
       try f(spark, srcDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[scale] warmup $n failed: ${e.getMessage}") }
       spark.catalog.clearCache()
     }
 
-    val results = probes(16, 1, thr1).zip(probes(16 * Copies, Copies, thr10)).map {
+    val results = probes(16, 1, thr1, lm1, ann1)
+      .zip(probes(16 * Copies, Copies, thr10, lm10, ann10)).map {
       case ((name, f1), (_, f10)) =>
         val (t1, r1) = run(srcDir, 16, name, f1)
         val (t10, r10) = run(scaleDir, 160, name, f10)

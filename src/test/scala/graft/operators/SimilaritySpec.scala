@@ -144,4 +144,87 @@ class SimilaritySpec extends SparkSpec {
       (1L, 10L, 1L, 1.0),
       (1L, 11L, 2L, 0.707107)))  // floor(1/sqrt(2)*1e6 + 0.5)/1e6
   }
+
+  test("kmeansCodebook assigns to argmax-cosine centroid after Lloyd " +
+      "rounds; clusters with no members drop (x90)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.95f, 0.05f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.05f, 0.95f, 0.0f)),
+      (5L, Array(0.1f, 0.9f, 0.0f))).toDF("vec_id", "embedding")
+    // seeds 100/200 sit on the two direction clusters; seed 300 points
+    // away from every corpus vector (argmax-cosine never picks it), so
+    // its cluster is empty after round 1 and drops from the codebook
+    val init = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (200L, Array(0.0f, 1.0f, 0.0f)),
+      (300L, Array(-1.0f, -0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansCodebook(corpus, init, "vec_id",
+        "embedding", rounds = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("cluster_id")).toMap
+    assert(out.size == 6) // every vector assigned exactly once
+    assert(out.values.toSet == Set(100L, 200L)) // 300 dropped
+    assert(Seq(0L, 1L, 2L).forall(out(_) == 100L))
+    assert(Seq(3L, 4L, 5L).forall(out(_) == 200L))
+  }
+
+  test("ivfTopKIndexed returns ivfTopK's rows via the persisted index; " +
+      "the corpus side is a pure index scan (x91)") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    Seq("graft_idx_test.ann_assign", "graft_idx_test.ann_cent").foreach {
+      name =>
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val Array(db, t) = name.split('.')
+        val loc = java.nio.file.Paths.get("spark-warehouse", s"$db.db", t)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+    }
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.8f, 0.2f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.1f, 0.9f, 0.0f)),
+      (5L, Array(0.2f, 0.8f, 0.0f)),
+      (6L, Array(0.5f, 0.5f, 0.0f)),
+      (7L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = corpus.filter("vec_id IN (0, 3, 7)")
+    val queries = corpus.filter("vec_id IN (1, 4)")
+    Similarity.writeAnnIndex(corpus, cents, "vec_id", "embedding",
+      "graft_idx_test.ann_assign", "graft_idx_test.ann_cent",
+      numBuckets = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"),
+        r.getAs[Double]("similarity"))).toSet
+    val direct = rows(Similarity.ivfTopK(queries, corpus, cents,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    val indexed = Similarity.ivfTopKIndexed(queries, "vec_id",
+      "embedding", k = 3, nprobe = 2,
+      "graft_idx_test.ann_assign", "graft_idx_test.ann_cent")
+    assert(rows(indexed) == direct)
+    assert(direct.nonEmpty)
+    // plan pin: the corpus side comes from the bucketed artifact with
+    // ZERO assignment-kernel or norm recompute (the kernel appears only
+    // in the build; the probe list is probeCentroids on the query side)
+    val p = indexed.queryExecution.optimizedPlan.toString
+    assert(p.contains("ann_assign"), s"index table not scanned:\n$p")
+    assert("(?i)nearestcentroid".r.findAllIn(p).isEmpty,
+      s"corpus assignment recomputed at query time:\n$p")
+    // the probed-centroid IN predicate engages bucket pruning: the scan
+    // reads only the probed buckets' files, not the whole index
+    val exec = indexed.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(exec)
+    assert(sel.isDefined, s"bucket pruning not engaged:\n$exec")
+    assert(sel.get.group(1).toInt <= sel.get.group(2).toInt)
+  }
 }
