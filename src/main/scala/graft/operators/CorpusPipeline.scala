@@ -174,4 +174,37 @@ object CorpusPipeline {
     TextAnalysis.bigramLmScores(deduped, "doc_id", "clean_text")
       .filter(col("avg_logprob") >= minLogprob)
   }
+
+  /** Dedup-AWARE train/val/test split: split assignment by near-dup
+    * CLUSTER, not by document — the fix for the leakage x54 audits. A
+    * per-document hash split on an un-deduplicated corpus always
+    * leaks (near-identical docs straddle the boundary and the eval
+    * split scores memorization); assigning every document its
+    * cluster's split makes straddling impossible BY CONSTRUCTION:
+    * near-dup pairs (exact n-gram Jaccard ≥ threshold, the x8
+    * machinery) feed connected components, each document inherits the
+    * split of its component representative (min id; a singleton is its
+    * own rep), via the same [[TextAnalysis.splitLabel]] boundaries the
+    * per-document split uses. Output `(doc_id, cluster_rep, split)`;
+    * running [[TextAnalysis.splitLeakage]]'s pair audit against this
+    * split finds zero cross-split pairs (spec-pinned).
+    *
+    * Scale shape: the expensive stage is [[TextDedup.jaccardPairs]]
+    * (prefix-filtered inverted index, no all-pairs) and the O(log d)
+    * components loop; the component table is near-dup-sized — tiny
+    * against the corpus — so the final rep join broadcasts (x34's
+    * anti-join shape), and the split label is a pure projection of the
+    * rep. */
+  def clusterSplit(corpus: DataFrame, idCol: String, textCol: String,
+                   k: Int, threshold: Double): DataFrame = {
+    val pairs = TextDedup.jaccardPairs(corpus, idCol, textCol, k, threshold)
+      .select(col("doc1"), col("doc2"))
+    val comp = Components.connectedComponents(pairs, "doc1", "doc2")
+      .withColumnRenamed("node", "doc_id")
+    corpus.select(col(idCol).cast("long").as("doc_id"))
+      .join(broadcast(comp), Seq("doc_id"), "left")
+      .withColumn("cluster_rep", coalesce(col("component"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_rep"),
+        TextAnalysis.splitLabel(col("cluster_rep")).as("split"))
+  }
 }

@@ -447,4 +447,68 @@ object Similarity {
         col("rank").cast("long").as("rank"),
         graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
   }
+
+  /** Incremental EMBEDDING near-dup over the persisted IVF index — the
+    * x74/x75/x80 continuous-ingestion shape on the vector side: a new
+    * vector is dropped when its cosine to ANY indexed vector in its
+    * `nprobe` probed buckets reaches `threshold`; survivors return
+    * unchanged. Blocking is deliberately approximate exactly like x22
+    * (cross-bucket pairs are out of scope by construction — an oracle
+    * mirrors the probe list), and the existing corpus contributes ONLY
+    * its index artifact: no corpus vector is re-assigned, no norm
+    * recomputed.
+    *
+    * Scale shape: the probed-centroid IN predicate engages bucket
+    * pruning on the scan, and the index side takes a shuffle-hash join
+    * (x80's convention) so candidates shuffle TO the table's bucketing
+    * — the index stays where it is; probe rows (batch × nprobe) move.
+    * One eager job collects the probed-centroid set (codebook-bounded).
+    */
+  def embeddingSurvivorsIndexed(batch: DataFrame, idCol: String,
+                                vecCol: String, threshold: Double,
+                                nprobe: Int, assignTable: String,
+                                centTable: String): DataFrame = {
+    val spark = batch.sparkSession
+    val (ids, vecs) = collectCentroids(
+      spark.table(centTable), "centroid_id", "centv")
+    if (ids.isEmpty) return batch
+    val probes = Par.spread(batch.select(col(idCol).as("new_id"),
+        col(vecCol).as("qv"), Vectors.norm(col(vecCol)).as("qn")))
+      .withColumn("centroid_id", explode(
+        VectorExpressions.probeCentroids(col("qv"), ids, vecs, nprobe)))
+    val probed = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0))
+    val drops = spark.table(assignTable)
+      .filter(col("centroid_id").isin(probed: _*))
+      .hint("shuffle_hash")
+      .join(probes, Seq("centroid_id"))
+      .withColumn("similarity", Vectors.cosinePrenormed(
+        col("qv"), col("cv"), col("qn"), col("cn")))
+      .filter(col("similarity") >= threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    batch.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Incremental maintenance of [[writeAnnIndex]] — the
+    * [[TextDedup.appendNeardupIndex]] pairing on the vector side:
+    * assign `batch` with the PERSISTED codebook (no re-clustering;
+    * codebook drift is a rebuild decision, made offline) and append
+    * its (centroid_id, neighbor_id, cv, cn) rows to the bucketed
+    * assignment table — one file per bucket per ingest, so the index
+    * stays scan-efficient; compact by rebuilding via [[writeAnnIndex]]
+    * when file counts warrant. */
+  def appendAnnIndex(batch: DataFrame, idCol: String, vecCol: String,
+                     assignTable: String, centTable: String,
+                     numBuckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val (ids, vecs) = collectCentroids(
+      spark.table(centTable), "centroid_id", "centv")
+    require(ids.nonEmpty, "codebook table is empty — build the index first")
+    val assigned = Par.spread(batch.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv"), Vectors.norm(col(vecCol)).as("cn")))
+      .withColumn("centroid_id",
+        VectorExpressions.nearestCentroid(col("cv"), ids, vecs))
+    graft.sinks.Sinks.writeBucketed(assigned, assignTable,
+      Seq("centroid_id"), numBuckets, append = true)
+  }
 }

@@ -792,7 +792,33 @@ object ExtensionQueries {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 3, nprobe = 2, assignT, centT)
-    })
+    }),
+
+    // x92 — incremental EMBEDDING near-dup over the persisted index:
+    // the x74/x75/x80 continuous-ingestion pairing on the vector side.
+    // Existing corpus = even vec_ids (indexed, 16 even centroids);
+    // batch = odd vec_ids; a batch vector probing 2 buckets drops when
+    // any indexed vector there reaches cosine 0.4. The oracle mirrors
+    // the probe list exactly (blocking is approximate BY CONSTRUCTION,
+    // as in x22).
+    "x92_embedding_dedup_indexed" -> ((s, dir) => {
+      val (assignT, centT) = annDedupIndexFor(s, dir)
+      val e = t(s, dir, "embeddings")
+      Similarity.embeddingSurvivorsIndexed(
+        e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", threshold = 0.4, nprobe = 2,
+        assignT, centT)
+        .select(col("vec_id"))
+    }),
+
+    // x93 — dedup-aware split: split by near-dup CLUSTER (x8 pairs →
+    // components → rep's split label), the constructive fix for the
+    // leakage x54 audits — near-dups cannot straddle splits because
+    // they share a rep. Same k/threshold as x54 so the two queries
+    // describe the same near-dup graph.
+    "x93_cluster_split" -> ((s, dir) =>
+      CorpusPipeline.clusterSplit(t(s, dir, "documents"), "doc_id",
+        "text", k = 3, threshold = 0.5))
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -843,6 +869,24 @@ object ExtensionQueries {
       Seq(assignT, centT).foreach(dropStaleManaged(s, _))
       val e = t(s, dir, "embeddings")
       Similarity.writeAnnIndex(e, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", assignT, centT)
+    }
+    (assignT, centT)
+  }
+
+  /** Build-if-missing the x92 dedup index (existing corpus = EVEN
+    * vec_ids, codebook = the 16 smallest even ids); returns
+    * (assignTable, centTable). */
+  private def annDedupIndexFor(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val assignT = s"graft_idx.ann2_assign_$tag"
+    val centT = s"graft_idx.ann2_cent_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!s.catalog.tableExists(assignT) || !s.catalog.tableExists(centT)) {
+      Seq(assignT, centT).foreach(dropStaleManaged(s, _))
+      val even = t(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(2)) === 0)
+      Similarity.writeAnnIndex(even, even.filter(col("vec_id") < 32),
         "vec_id", "embedding", assignT, centT)
     }
     (assignT, centT)
@@ -2321,6 +2365,56 @@ object ExtensionQueries {
     "x90_kmeans_codebook" -> kmeansOracleSql(8, 3),
     // identical rows to x10 by construction: the index persists the
     // same kernel's assignment and the same norms
-    "x91_ann_indexed" -> baseOracleSql("x10_ann_ivf")
+    "x91_ann_indexed" -> baseOracleSql("x10_ann_ivf"),
+    // mirrors x92's blocking exactly: existing (even) side assigned to
+    // its argmax centroid at index-build time, batch (odd) side probes
+    // its top-2 centroids (cos DESC, id ASC — probeCentroids' order),
+    // drop on any same-bucket cosine >= 0.4
+    "x92_embedding_dedup_indexed" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS centv
+           FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 32),
+         ex AS (SELECT vec_id AS old_id, embedding AS ev
+           FROM embeddings WHERE vec_id % 2 = 0),
+         exa AS (SELECT old_id, ev, cid FROM (
+           SELECT old_id, ev, cid, row_number() OVER (PARTITION BY old_id
+             ORDER BY ${duckCos("ev", "centv")} DESC, cid) AS rn
+           FROM ex, cent) WHERE rn = 1),
+         nw AS (SELECT vec_id AS new_id, embedding AS nv
+           FROM embeddings WHERE vec_id % 2 = 1),
+         np AS (SELECT new_id, nv, cid FROM (
+           SELECT new_id, nv, cid, row_number() OVER (PARTITION BY new_id
+             ORDER BY ${duckCos("nv", "centv")} DESC, cid) AS rn
+           FROM nw, cent) WHERE rn <= 2),
+         drops AS (SELECT DISTINCT new_id FROM np JOIN exa USING (cid)
+           WHERE ${duckCos("nv", "ev")} >= 0.4)
+         SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1
+           AND vec_id NOT IN (SELECT new_id FROM drops)""",
+    // the x8 pair population at 0.5 (x54's), closed into components by
+    // the recursive walk (x32's), then every doc takes its rep's split
+    // label (singletons are their own rep)
+    "x93_cluster_split" ->
+      s"""WITH RECURSIVE $duckShingles,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM inter
+           JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+           WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0
+             >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+           UNION SELECT d2, d1 FROM pairs),
+         walk(node, reach) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+         comp AS (SELECT node, min(reach) AS rep FROM walk GROUP BY 1)
+         SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS cluster_rep,
+           CASE WHEN substring(md5(CAST(coalesce(c.rep, d.doc_id)
+                  AS VARCHAR)), 1, 1) <= '9' THEN 'train'
+                WHEN substring(md5(CAST(coalesce(c.rep, d.doc_id)
+                  AS VARCHAR)), 1, 1) <= 'b' THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"""
   )
 }

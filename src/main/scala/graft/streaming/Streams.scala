@@ -256,6 +256,40 @@ object Streams {
         } finally survivors.unpersist()
     }
 
+  /** Streaming INDEXED embedding near-dup ingest — the vector-side
+    * twin of [[indexedNeardupIngest]] (same contract, x92's operator):
+    * each micro-batch is (1) checked against the persisted IVF index
+    * ([[graft.operators.Similarity.embeddingSurvivorsIndexed]] — probed
+    * buckets only, zero corpus re-assignment), (2) handed to `sink`
+    * with its batch id, and (3) appended to the assignment table under
+    * the SAME persisted codebook, so a vector in batch N+1 near-duping
+    * a batch-N survivor is dropped. Corpus state lives in the bucketed
+    * catalog tables, not stream state — `foreachBatch`, not a stateful
+    * operator, for the same reason as the text twin. Batch-internal
+    * near-dup pairs both survive (the batch checks the CORPUS, not
+    * itself); replayed micro-batches re-append survivors — dedup the
+    * index on neighbor_id at compaction, or make `sink` idempotent by
+    * batch id. */
+  def indexedAnnIngest(vecs: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nprobe: Int,
+                       assignTable: String, centTable: String,
+                       numBuckets: Int = 16)
+                      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sim = graft.operators.Similarity
+        val survivors = sim.embeddingSurvivorsIndexed(batch.toDF(),
+          idCol, vecCol, threshold, nprobe, assignTable, centTable)
+          .cache()
+        try {
+          sink(survivors, batchId)
+          sim.appendAnnIndex(survivors, idCol, vecCol,
+            assignTable, centTable, numBuckets)
+        } finally survivors.unpersist()
+    }
+
   /** Streaming benchmark-decontamination gate — the streaming twin of
     * the batch x44 prefilter: the Bloom sketch of the benchmark's
     * k-shingle hashes (built ONCE, batch-side, via

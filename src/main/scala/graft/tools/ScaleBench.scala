@@ -66,7 +66,8 @@ object ScaleBench {
   private def probes(nCent: Int, mult: Int,
                      gateThr: Double = -2.2,
                      lmThr: Double = -3.4,
-                     annTables: (String, String) = ("", "")
+                     annTables: (String, String) = ("", ""),
+                     annDedupTables: (String, String) = ("", "")
                     ): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     ("x8_ngram_jaccard", (s: SparkSession, dir: String) =>
       TextDedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
@@ -305,6 +306,20 @@ object ScaleBench {
         Tables(s, dir, "embeddings").filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 3, nprobe = 2,
         annTables._1, annTables._2)),
+    // batch/existing split on ORIGINAL parity (the corrected-x75
+    // lesson: renumbered-id parity == copy parity, which would make
+    // the split disjoint copy families with no cross near-dups); the
+    // same-sign-pattern pairs replicate ~10× while the probed-bucket
+    // candidate population stays bucket-bounded under k ∝ n
+    ("x92_embedding_dedup_indexed", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val orig = floor(col("vec_id") / lit(mult)).cast("long")
+      Similarity.embeddingSurvivorsIndexed(
+        e.filter(pmod(orig, lit(2)) === 1),
+        "vec_id", "embedding", threshold = 0.4, nprobe = 2,
+        annDedupTables._1, annDedupTables._2)
+        .select(col("vec_id"))
+    }),
     // weight-table join path: the `_k` suffix grows the vocabulary 10x
     // with the corpus, so the broadcast side scales too
     ("x79_classifier_join", (s: SparkSession, dir: String) => {
@@ -387,16 +402,43 @@ object ScaleBench {
     val ann1 = buildAnnIndex(srcDir, 16, "1x")
     val ann10 = buildAnnIndex(scaleDir, 16 * Copies, "10x")
 
+    // untimed: the x92 dedup index — existing corpus = EVEN-original
+    // vectors, codebook = the nC smallest of them (all copies of the
+    // 16 smallest even originals at 10×, distinct directions under the
+    // per-copy sign patterns)
+    def buildAnnDedupIndex(dir: String, mult: Int,
+                           tag: String): (String, String) = {
+      val at = s"graft_idx.ann2_assign_probe_$tag"
+      val ct = s"graft_idx.ann2_cent_probe_$tag"
+      Seq(at, ct).foreach { tb =>
+        spark.sql(s"DROP TABLE IF EXISTS $tb")
+        val Array(db, nm) = tb.split('.')
+        val p = new org.apache.hadoop.fs.Path(
+          s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.db/$nm")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val orig = floor(col("vec_id") / lit(mult)).cast("long")
+      val even = Tables(spark, dir, "embeddings")
+        .filter(pmod(orig, lit(2)) === 0)
+      Similarity.writeAnnIndex(even,
+        even.filter(col("vec_id") < lit(32 * mult)),
+        "vec_id", "embedding", at, ct)
+      (at, ct)
+    }
+    val ann2_1 = buildAnnDedupIndex(srcDir, 1, "1x")
+    val ann2_10 = buildAnnDedupIndex(scaleDir, Copies, "10x")
+
     // one untimed warmup of every probe at 1× (JIT + codegen)
-    probes(16, 1, thr1, lm1, ann1).foreach { case (n, f) =>
+    probes(16, 1, thr1, lm1, ann1, ann2_1).foreach { case (n, f) =>
       try f(spark, srcDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[scale] warmup $n failed: ${e.getMessage}") }
       spark.catalog.clearCache()
     }
 
-    val results = probes(16, 1, thr1, lm1, ann1)
-      .zip(probes(16 * Copies, Copies, thr10, lm10, ann10)).map {
+    val results = probes(16, 1, thr1, lm1, ann1, ann2_1)
+      .zip(probes(16 * Copies, Copies, thr10, lm10, ann10, ann2_10)).map {
       case ((name, f1), (_, f10)) =>
         val (t1, r1) = run(srcDir, 16, name, f1)
         val (t10, r10) = run(scaleDir, 160, name, f10)

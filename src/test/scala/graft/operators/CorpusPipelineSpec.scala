@@ -179,4 +179,37 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(CorpusPipeline.lmCurate(docs, "doc_id", "text",
       chunk = 2, minLogprob = -1.0).count() == 0)
   }
+
+  test("clusterSplit: near-dup clusters share one split — zero leaky " +
+      "pairs by construction; singletons are their own rep (x93)") {
+    import spark.implicits._
+    // 12/14 3-shingles shared between each neighboring pair: a 3-doc
+    // near-dup chain (1-2, 2-3) that components close into ONE cluster
+    // even though docs 1 and 3 may fall under the pair threshold
+    val base = (1 to 14).map(i => s"t$i").mkString(" ")
+    val var2 = (1 to 13).map(i => s"t$i").mkString(" ") + " zz"
+    val var3 = "zz " + (2 to 14).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, var2), (3L, var3),
+      (40L, "completely different content lives here"),
+      (41L, "another unrelated standalone document")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.clusterSplit(docs, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_rep"), r.getAs[String]("split"))).toMap
+    assert(out.size == 5)
+    // the chain collapses to rep 1 and ONE split for all three
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).toSet == Set(1L))
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).toSet.size == 1)
+    // singletons: own rep, own hash split
+    assert(out(40L)._1 == 40L && out(41L)._1 == 41L)
+    // leakage-zero invariant: every near-dup pair shares a split
+    val split = out.map { case (id, (_, s)) => id -> s }
+    val leaky = graft.operators.TextDedup.jaccardPairs(docs, "doc_id",
+        "text", k = 3, threshold = 0.5)
+      .collect().filter(r => split(r.getAs[Long]("doc1")) !=
+        split(r.getAs[Long]("doc2")))
+    assert(leaky.isEmpty)
+  }
 }

@@ -227,4 +227,49 @@ class SimilaritySpec extends SparkSpec {
     assert(sel.isDefined, s"bucket pruning not engaged:\n$exec")
     assert(sel.get.group(1).toInt <= sel.get.group(2).toInt)
   }
+
+  test("embeddingSurvivorsIndexed drops batch vectors near the indexed " +
+      "corpus; appendAnnIndex extends the index (x92)") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    Seq("graft_idx_test.ann2_assign", "graft_idx_test.ann2_cent").foreach {
+      name =>
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val Array(db, t) = name.split('.')
+        val loc = java.nio.file.Paths.get("spark-warehouse", s"$db.db", t)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+    }
+    val existing = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    Similarity.writeAnnIndex(existing, existing, "vec_id", "embedding",
+      "graft_idx_test.ann2_assign", "graft_idx_test.ann2_cent",
+      numBuckets = 2)
+    val batch = Seq(
+      (10L, Array(0.99f, 0.01f, 0.0f)), // ~corpus 0: dropped
+      (11L, Array(0.0f, 0.0f, 1.0f)),   // orthogonal to both: survives
+      (12L, Array(0.05f, 0.95f, 0.0f))  // ~corpus 3: dropped
+    ).toDF("vec_id", "embedding")
+    def survivors(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Similarity.embeddingSurvivorsIndexed(df, "vec_id", "embedding",
+          threshold = 0.9, nprobe = 2,
+          "graft_idx_test.ann2_assign", "graft_idx_test.ann2_cent")
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(survivors(batch) == Set(11L))
+    // append the survivor; a later batch near it now drops — only
+    // possible because the index grew under the SAME codebook
+    Similarity.appendAnnIndex(batch.filter("vec_id = 11"), "vec_id",
+      "embedding", "graft_idx_test.ann2_assign",
+      "graft_idx_test.ann2_cent", numBuckets = 2)
+    spark.catalog.refreshTable("graft_idx_test.ann2_assign")
+    val batch2 = Seq(
+      (20L, Array(0.0f, 0.0f, 0.9f)),   // ~survivor 11: dropped now
+      (21L, Array(-1.0f, 0.0f, 0.0f))   // negative cosine: survives
+    ).toDF("vec_id", "embedding")
+    assert(survivors(batch2) == Set(21L))
+  }
 }

@@ -357,6 +357,54 @@ class StreamsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(100L, 2L))
   }
 
+  test("indexedAnnIngest: embedding gate vs the persisted IVF index; " +
+      "survivors extend the index across micro-batches (x92 twin)") {
+    import graft.operators.Similarity
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val assignT = "graft_idx_test.st_ann_assign"
+    val centT = "graft_idx_test.st_ann_cent"
+    Seq(assignT, centT).foreach(dropIdxTable)
+
+    val corpus = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    Similarity.writeAnnIndex(corpus, corpus, "vec_id", "embedding",
+      assignT, centT, numBuckets = 2)
+
+    val dir = Files.createTempDirectory("annin-in").toString
+    val ckpt = Files.createTempDirectory("annin-ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = Streams.indexedAnnIngest(stream, "vec_id", "embedding",
+          threshold = 0.9, nprobe = 2, assignT, centT, numBuckets = 2) {
+        (df, _) =>
+          val ids = df.select("vec_id").collect().map(_.getLong(0))
+          got.synchronized { got ++= ids; () }
+      }.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // batch 1: the corpus near-dup drops, the orthogonal vector survives
+    Seq((1L, Array(0.99f, 0.01f, 0.0f)), (2L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    run()
+    assert(got.toSet == Set(2L))
+    // batch 2: a near-dup of batch 1's SURVIVOR drops — only possible
+    // because the ingest appended vector 2 to the assignment table
+    Seq((3L, Array(0.0f, 0.0f, 0.95f)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(dir)
+    run()
+    assert(got.toSet == Set(2L))
+    spark.catalog.refreshTable(assignT)
+    assert(spark.table(assignT).select("neighbor_id").collect()
+      .map(_.getLong(0)).toSet == Set(100L, 101L, 2L))
+  }
+
   test("quarantineJson routes records inside a streaming plan (x76 twin)") {
     import graft.operators.Project
     val dir = Files.createTempDirectory("quar-in").toString
