@@ -337,6 +337,35 @@ object Similarity {
     * row blowup beyond the dims-explode, no join anywhere. */
   def kmeansCodebook(corpus: DataFrame, init: DataFrame, idCol: String,
                      vecCol: String, rounds: Int): DataFrame = {
+    val (quant, cents) = lloyd(corpus, init, idCol, vecCol, rounds)
+    val ids = cents.map(_._1); val vecs = cents.map(_._2)
+    quant.select(col("vec_id"),
+      VectorExpressions.nearestCentroid(col("qf"), ids, vecs)
+        .as("cluster_id"))
+  }
+
+  /** The TRAINED codebook itself as a `(centroid_id, centv)` frame —
+    * [[kmeansCodebook]]'s centroids instead of its assignment, in
+    * [[writeAnnIndex]]'s centroid-table shape, so the self-trained ANN
+    * stack composes: train (x90) → build the index under the learned
+    * codebook → query (x91/x92). Components are the grid-scale float
+    * means (cosine is scale-invariant, so assignment against them
+    * equals assignment against the down-scaled codebook). */
+  def kmeansCentroids(corpus: DataFrame, init: DataFrame, idCol: String,
+                      vecCol: String, rounds: Int): DataFrame = {
+    val (quant, cents) = lloyd(corpus, init, idCol, vecCol, rounds)
+    quant.unpersist()
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.toSeq.toDF("centroid_id", "centv")
+  }
+
+  /** Shared Lloyd loop: returns the cached quantized corpus and the
+    * round-`rounds` centroids (sorted by cluster id). See
+    * [[kmeansCodebook]] for the determinism and scale notes. */
+  private def lloyd(corpus: DataFrame, init: DataFrame, idCol: String,
+                    vecCol: String, rounds: Int)
+      : (DataFrame, Array[(Long, Array[Float])]) = {
     require(rounds >= 1, "rounds must be >= 1")
     def grid(v: Column): Column =
       transform(v, x => floor(x.cast("double") * lit(1e6) + lit(0.5)))
@@ -367,10 +396,7 @@ object Similarity {
           (cid, rows.sortBy(_._2).map(t => (t._3.toDouble / t._4).toFloat)) }
         .toArray.sortBy(_._1)
     }
-    val ids = cents.map(_._1); val vecs = cents.map(_._2)
-    quant.select(col("vec_id"),
-      VectorExpressions.nearestCentroid(col("qf"), ids, vecs)
-        .as("cluster_id"))
+    (quant, cents)
   }
 
   /** Persist the IVF index as catalog tables — the [[ivfTopK]] scale

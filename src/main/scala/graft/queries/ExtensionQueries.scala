@@ -818,7 +818,19 @@ object ExtensionQueries {
     // describe the same near-dup graph.
     "x93_cluster_split" -> ((s, dir) =>
       CorpusPipeline.clusterSplit(t(s, dir, "documents"), "doc_id",
-        "text", k = 3, threshold = 0.5))
+        "text", k = 3, threshold = 0.5)),
+
+    // x94 — the SELF-TRAINED ANN stack end-to-end: x90 trains the
+    // codebook (8 seeds, 3 Lloyd rounds), the index is built under the
+    // LEARNED centroids, x91's indexed query runs against it. The
+    // oracle chains the x90 CTEs into the x10 query shape — the one
+    // statement checks training AND search agree across engines.
+    "x94_selftrained_ann" -> ((s, dir) => {
+      val (assignT, centT) = annKmeansIndexFor(s, dir)
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nprobe = 2, assignT, centT)
+    })
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -888,6 +900,26 @@ object ExtensionQueries {
         .filter(pmod(col("vec_id"), lit(2)) === 0)
       Similarity.writeAnnIndex(even, even.filter(col("vec_id") < 32),
         "vec_id", "embedding", assignT, centT)
+    }
+    (assignT, centT)
+  }
+
+  /** Build-if-missing the x94 index: codebook TRAINED by
+    * `Similarity.kmeansCentroids` (8 seeds, 3 rounds), assignment
+    * table built under it; returns (assignTable, centTable). */
+  private def annKmeansIndexFor(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val assignT = s"graft_idx.ann3_assign_$tag"
+    val centT = s"graft_idx.ann3_cent_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!s.catalog.tableExists(assignT) || !s.catalog.tableExists(centT)) {
+      Seq(assignT, centT).foreach(dropStaleManaged(s, _))
+      val e = t(s, dir, "embeddings")
+      val trained = Similarity.kmeansCentroids(e,
+          e.filter(col("vec_id") < 8), "vec_id", "embedding", rounds = 3)
+        .select(col("centroid_id").as("vec_id"), col("centv").as("embedding"))
+      Similarity.writeAnnIndex(e, trained, "vec_id", "embedding",
+        assignT, centT)
     }
     (assignT, centT)
   }
@@ -2095,19 +2127,23 @@ object ExtensionQueries {
     * new centroid component is the exact integer SUM over members
     * divided by the count in IEEE double, rounded through REAL (the
     * kernel's float storage). */
-  private def kmeansOracleSql(k: Int, rounds: Int): String = {
-    def cos(q: String, c: String): String =
-      s"""(list_sum(list_transform(generate_series(1, 64),
-            i -> CAST($q[i] AS DOUBLE) * $c[i]))
-          / (sqrt(list_sum(list_transform(generate_series(1, 64),
-               i -> CAST($q[i] AS DOUBLE) * CAST($q[i] AS DOUBLE))))
-           * sqrt(list_sum(list_transform(generate_series(1, 64),
-               i -> $c[i] * $c[i])))))"""
+  private def kmeansCos(q: String, c: String): String =
+    s"""(list_sum(list_transform(generate_series(1, 64),
+          i -> CAST($q[i] AS DOUBLE) * $c[i]))
+        / (sqrt(list_sum(list_transform(generate_series(1, 64),
+             i -> CAST($q[i] AS DOUBLE) * CAST($q[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, 64),
+             i -> $c[i] * $c[i])))))"""
+
+  /** The Lloyd-round CTE chain shared by x90's and x94's oracles:
+    * defines qv (the 1e-6 grid), cent0 (seeds = the k smallest
+    * vec_ids) and assign1/cent1 … assign{rounds}/cent{rounds}. */
+  private def kmeansCtes(k: Int, rounds: Int): String = {
     def assign(r: Int): String =
       s"""assign$r AS (SELECT vec_id, qv, cid FROM (
            SELECT q.vec_id, q.qv, c.cid, row_number() OVER (
              PARTITION BY q.vec_id
-             ORDER BY ${cos("q.qv", "c.cv")} DESC, c.cid) AS rn
+             ORDER BY ${kmeansCos("q.qv", "c.cv")} DESC, c.cid) AS rn
            FROM qv q CROSS JOIN cent${r - 1} c) WHERE rn = 1)"""
     def cent(r: Int): String =
       s"""cent$r AS (SELECT cid, list(cvd ORDER BY d) AS cv FROM (
@@ -2118,19 +2154,57 @@ object ExtensionQueries {
            GROUP BY cid, d) GROUP BY cid)"""
     val chain = (1 to rounds).map(r => s"${assign(r)},\n${cent(r)}")
       .mkString(",\n")
-    s"""WITH qv AS (SELECT vec_id, list_transform(embedding,
+    s"""qv AS (SELECT vec_id, list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
            AS qv
          FROM embeddings),
        cent0 AS (SELECT vec_id AS cid,
            list_transform(qv, q -> CAST(q AS DOUBLE)) AS cv
          FROM qv WHERE vec_id < $k),
-       $chain
+       $chain"""
+  }
+
+  private def kmeansOracleSql(k: Int, rounds: Int): String =
+    s"""WITH ${kmeansCtes(k, rounds)}
        SELECT vec_id, cid AS cluster_id FROM (
          SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
-           ORDER BY ${cos("q.qv", "c.cv")} DESC, c.cid) AS rn
+           ORDER BY ${kmeansCos("q.qv", "c.cv")} DESC, c.cid) AS rn
          FROM qv q CROSS JOIN cent$rounds c) WHERE rn = 1"""
-  }
+
+  /** x94's oracle: the x90 CTE chain trains the codebook, then the
+    * x10-shaped ANN query runs against cent{rounds} — corpus assigned
+    * by argmax cosine to the TRAINED (grid-scale, float-rounded)
+    * centroids, queries probe their top-`nprobe`, top-k inside probed
+    * buckets. Cosine is scale-invariant, so grid-scale centroids
+    * assign identically to down-scaled ones (the Scaladoc note on
+    * `Similarity.kmeansCentroids`). */
+  private def kmeansAnnOracleSql(k: Int, rounds: Int, nprobe: Int,
+                                 topK: Int): String =
+    s"""WITH ${kmeansCtes(k, rounds)},
+       corp AS (SELECT vec_id AS neighbor_id, embedding AS cv2
+         FROM embeddings),
+       assignedx AS (SELECT neighbor_id, cv2, cid FROM (
+         SELECT neighbor_id, cv2, c.cid, row_number() OVER (
+           PARTITION BY neighbor_id
+           ORDER BY ${kmeansCos("cv2", "c.cv")} DESC, c.cid) AS arn
+         FROM corp, cent$rounds c) WHERE arn = 1),
+       qx AS (SELECT vec_id AS query_id, embedding AS qv2
+         FROM embeddings WHERE vec_id < 10),
+       probes AS (SELECT query_id, qv2, cid FROM (
+         SELECT query_id, qv2, c.cid, row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY ${kmeansCos("qv2", "c.cv")} DESC, c.cid) AS prn
+         FROM qx, cent$rounds c) WHERE prn <= $nprobe),
+       scored AS (SELECT query_id, neighbor_id,
+           ${duckCos("qv2", "cv2")} AS sim
+         FROM probes JOIN assignedx USING (cid)
+         WHERE query_id <> neighbor_id)
+       SELECT query_id, neighbor_id,
+         CAST(row_number() OVER w AS BIGINT) AS rank,
+         floor(sim * 1000000 + 0.5) / 1000000.0 AS similarity
+       FROM scored
+       WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+       QUALIFY row_number() OVER w <= $topK"""
 
   private def bpeOracleSql(rounds: Int): String = {
     val finals = (0 until rounds).map(k =>
@@ -2415,6 +2489,8 @@ object ExtensionQueries {
                 WHEN substring(md5(CAST(coalesce(c.rep, d.doc_id)
                   AS VARCHAR)), 1, 1) <= 'b' THEN 'val'
                 ELSE 'test' END AS split
-         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"""
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""",
+    "x94_selftrained_ann" -> kmeansAnnOracleSql(8, 3, nprobe = 2,
+      topK = 3)
   )
 }

@@ -170,6 +170,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.toSet == Set(100L, 200L)) // 300 dropped
     assert(Seq(0L, 1L, 2L).forall(out(_) == 100L))
     assert(Seq(3L, 4L, 5L).forall(out(_) == 200L))
+
+    // the trained codebook itself (x94's input): exact grid means of
+    // each cluster's members — integer sums make them exact floats
+    val cb = Similarity.kmeansCentroids(corpus, init, "vec_id",
+        "embedding", rounds = 2)
+      .collect().map(r => r.getAs[Long]("centroid_id") ->
+        r.getSeq[Float](1).toList).toMap
+    assert(cb.keySet == Set(100L, 200L))
+    assert(cb(100L) == List(950000f, 50000f, 0f))
+    assert(cb(200L) == List(50000f, 950000f, 0f))
   }
 
   test("ivfTopKIndexed returns ivfTopK's rows via the persisted index; " +
