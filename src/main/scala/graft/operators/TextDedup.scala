@@ -501,6 +501,24 @@ object TextDedup {
                                    threshold: Double, setsTable: String,
                                    bandsTable: String, numBands: Int = 20,
                                    rowsPerBand: Int = 4): DataFrame = {
+    val drops = crossNeardupMatchesIndexed(newDocs, idCol, textCol, k,
+        threshold, setsTable, bandsTable, numBands, rowsPerBand)
+      .select(col("new_id").as(idCol)).distinct()
+    newDocs.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** The MATCH PAIRS under [[crossNeardupSurvivorsIndexed]] —
+    * `(new_id, old_id, jaccard)` for every batch×corpus near-dup at
+    * `threshold` — exposed for consumers that need the matched corpus
+    * document, not just the drop verdict: provenance audits, and
+    * split INHERITANCE on ingest ([[graft.streaming.Streams
+    * .splitAssignIngest]] routes a new near-dup to its match's split).
+    * Same plan as the survivors form up to the final anti-join. */
+  def crossNeardupMatchesIndexed(newDocs: DataFrame, idCol: String,
+                                 textCol: String, k: Int,
+                                 threshold: Double, setsTable: String,
+                                 bandsTable: String, numBands: Int = 20,
+                                 rowsPerBand: Int = 4): DataFrame = {
     val spark = newDocs.sparkSession
     val numPerms = numBands * rowsPerBand
     val bSets = shingleSets(newDocs, idCol, textCol, k)
@@ -519,7 +537,7 @@ object TextDedup {
     // TO the table's doc_id bucketing instead — the index stays where
     // it is, candidates (tiny) move
     val eSets = spark.table(setsTable).hint("shuffle_hash")
-    val drops = candidates
+    candidates
       .join(bSets.select(col("doc_id").as("new_id"), col("sh").as("sh1"),
         col("n").as("n1")), "new_id")
       .join(eSets.select(col("doc_id").as("old_id"), col("sh").as("sh2"),
@@ -530,8 +548,7 @@ object TextDedup {
         col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
-      .select(col("new_id").as(idCol)).distinct()
-    newDocs.join(drops, Seq(idCol), "left_anti")
+      .select(col("new_id"), col("old_id"), col("jaccard"))
   }
 
   /** The exact-dedup twin of [[writeNeardupIndex]]: persist the

@@ -256,6 +256,64 @@ object Streams {
         } finally survivors.unpersist()
     }
 
+  /** Streaming SPLIT ASSIGNMENT on ingest — the online counterpart of
+    * batch x93 ([[graft.operators.CorpusPipeline.clusterSplit]]): a
+    * new document that near-dups an indexed corpus document INHERITS
+    * that document's train/val/test split (so a near-dup of training
+    * data can never land in the eval split); an unmatched document
+    * takes its own [[graft.operators.TextAnalysis.splitLabel]] hash
+    * split. Each micro-batch then extends BOTH artifacts — the split
+    * table and the near-dup index — so later batches inherit from
+    * earlier ones.
+    *
+    * Matching multiple corpus docs with DIFFERENT splits inherits the
+    * smallest matched id's split (deterministic). This is the greedy
+    * online approximation of x93's global components: chains
+    * discovered across batches in the wrong order can diverge from
+    * the global recompute — re-run the batch op offline when exact
+    * component splits matter; the streaming gate guarantees the
+    * direction that matters operationally (nothing near TRAINING data
+    * enters eval, because every match inherits).
+    *
+    * `splitTable` rows are `(doc_id, split)`; seed it with the
+    * existing corpus's assignment before starting the stream. */
+  def splitAssignIngest(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, threshold: Double, setsTable: String,
+                        bandsTable: String, splitTable: String,
+                        numBands: Int = 20, rowsPerBand: Int = 4,
+                        numBuckets: Int = 16)
+                       (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val td = graft.operators.TextDedup
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val best = td.crossNeardupMatchesIndexed(b, idCol, textCol, k,
+            threshold, setsTable, bandsTable, numBands, rowsPerBand)
+          .groupBy(col("new_id"))
+          .agg(min(col("old_id")).as("match_id"))
+        val inherited = best
+          .join(spark.table(splitTable).hint("shuffle_hash")
+              .select(col("doc_id").as("match_id"), col("split")),
+            Seq("match_id"))
+          .select(col("new_id").as(idCol), col("split"))
+        val assigned = b.select(col(idCol))
+          .join(inherited, Seq(idCol), "left")
+          .withColumn("split", coalesce(col("split"),
+            graft.operators.TextAnalysis.splitLabel(col(idCol))))
+          .select(col(idCol).cast("long").as("doc_id"), col("split"))
+          .cache()
+        try {
+          sink(assigned, batchId)
+          assigned.write.mode("append").format("parquet")
+            .saveAsTable(splitTable)
+          td.appendNeardupIndex(b, idCol, textCol, k, setsTable,
+            bandsTable, numBands, rowsPerBand, numBuckets)
+        } finally assigned.unpersist()
+    }
+
   /** Streaming INDEXED embedding near-dup ingest — the vector-side
     * twin of [[indexedNeardupIngest]] (same contract, x92's operator):
     * each micro-batch is (1) checked against the persisted IVF index

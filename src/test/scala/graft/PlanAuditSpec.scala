@@ -569,4 +569,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!joins.contains("CartesianProduct"),
       s"cartesian leaked into x70:\n$joins")
   }
+
+  test("x91/x92 read the persisted ANN index with bucket pruning and " +
+      "zero corpus-side kernel recompute") {
+    Seq("x91_ann_indexed" -> "ann_assign_",
+        "x92_embedding_dedup_indexed" -> "ann2_assign_").foreach {
+      case (q, table) =>
+        val p = plan(q)
+        assert(p.contains(table), s"$q: index table not scanned:\n$p")
+        // the nearest-centroid kernel ran at BUILD time only; at query
+        // time the corpus side is a pure scan (probeCentroids on the
+        // query side is a different expression)
+        assert("(?i)nearestcentroid".r.findAllIn(p).isEmpty,
+          s"$q: corpus assignment recomputed at query time:\n$p")
+        // the probed-centroid IN predicate engages bucket pruning
+        assert(p.contains("SelectedBucketsCount"),
+          s"$q: bucket pruning not engaged:\n$p")
+    }
+  }
 }

@@ -357,6 +357,69 @@ class StreamsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(100L, 2L))
   }
 
+  test("splitAssignIngest: near-dups inherit the matched doc's split; " +
+      "fresh docs hash-split; later batches inherit from earlier " +
+      "(x93 twin)") {
+    import graft.operators.{TextAnalysis, TextDedup}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val sets = "graft_idx_test.sp_sets"; val bands = "graft_idx_test.sp_bands"
+    val splits = "graft_idx_test.sp_splits"
+    Seq(sets, bands, splits).foreach(dropIdxTable)
+
+    val corpusText = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearCorpus = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val freshText = (1 to 30).map(i => s"f$i").mkString(" ")
+    val nearFresh = (1 to 29).map(i => s"f$i").mkString(" ") + " qq"
+    TextDedup.writeNeardupIndex(
+      Seq((100L, corpusText)).toDF("doc_id", "text"), "doc_id", "text",
+      k = 3, sets, bands, numBuckets = 2)
+    // seed with a sentinel split no hash can produce, so inheritance
+    // is distinguishable from hash coincidence
+    Seq((100L, "heldout")).toDF("doc_id", "split")
+      .write.format("parquet").saveAsTable(splits)
+
+    def lbl(id: Long): String = spark.range(1)
+      .select(TextAnalysis.splitLabel(lit(id))).head.getString(0)
+
+    val dir = Files.createTempDirectory("spl-in").toString
+    val ckpt = Files.createTempDirectory("spl-ckpt").toString
+    val got = scala.collection.mutable.Map[Long, String]()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = Streams.splitAssignIngest(stream, "doc_id", "text",
+          k = 3, threshold = 0.8, sets, bands, splits, numBuckets = 2) {
+        (df, _) =>
+          val rows = df.collect()
+            .map(r => r.getLong(0) -> r.getString(1))
+          got.synchronized { got ++= rows; () }
+      }.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // batch 1: the corpus near-dup INHERITS the sentinel; fresh hashes
+    Seq((1L, nearCorpus), (2L, freshText)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    run()
+    assert(got(1L) == "heldout")
+    assert(got(2L) == lbl(2L))
+    // batch 2: a near-dup of batch 1's doc 2 inherits ITS split (the
+    // split table and index grew); an unrelated doc hashes. Doc id 6
+    // chosen so its own hash split DIFFERS from doc 2's (md5("6")='1'
+    // → train vs md5("2")='c' → test) — inheritance is observable
+    assert(lbl(6L) != lbl(2L))
+    Seq((6L, nearFresh), (4L, "totally distinct standalone payload"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    run()
+    assert(got(6L) == lbl(2L)) // inherited, not lbl(6)
+    assert(got(4L) == lbl(4L))
+    // the split table now covers corpus + all four ingested docs
+    spark.catalog.refreshTable(splits)
+    assert(spark.table(splits).count() == 5)
+  }
+
   test("indexedAnnIngest: embedding gate vs the persisted IVF index; " +
       "survivors extend the index across micro-batches (x92 twin)") {
     import graft.operators.Similarity
