@@ -747,6 +747,52 @@ object TextDedup {
       .drop("_grp")
   }
 
+  /** Span-level DECONTAMINATION — [[duplicateSpans]]'s islands
+    * machinery against a BENCHMARK instead of the corpus's own grams:
+    * every maximal ≥ `spanTokens`-token corpus span that appears
+    * VERBATIM in the benchmark, emitted as `(doc_id, span_start,
+    * span_len)` removal decisions that [[applySpanRemovals]] (x87)
+    * consumes directly. Completes the decontamination family the way
+    * x83 completed dedup: x38/x44 give document-level overlap VERDICTS
+    * (drop or keep whole docs); this gives the span-level SURGERY form
+    * (cut the leaked benchmark text, keep the document) of Lee et al.
+    * 2022's decontamination appendix.
+    *
+    * Scale shape: the benchmark's distinct gram digests are
+    * benchmark-sized — the exact-set analog of x44's Bloom sketch —
+    * and the match is a semi-join of (doc, pos, digest) triples
+    * against them (broadcast at typical benchmark scale); corpus TEXT
+    * never crosses the wire, and there is no (count, argmin) stage at
+    * all — any benchmark hit is contamination, first occurrence
+    * included. Islands merge as in [[duplicateSpans]] step 4. */
+  def contaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String,
+                        spanTokens: Int = 8): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    def grams(df: DataFrame): DataFrame = Par.spread(df)
+      .select(col(idCol).as("doc_id"),
+        TextExpressions.chunkTokens(col(textCol), spanTokens, 1).as("_g"),
+        graft.functions.Text.tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= spanTokens)
+      .select(col("doc_id"), posexplode(col("_g")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("_h"))
+    val bench = grams(benchmark).select(col("_h")).distinct()
+    val matched = grams(corpus).join(bench, Seq("_h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    matched
+      .withColumn("_new",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= spanTokens, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("_grp", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(spanTokens)).cast("long")
+          .as("span_len"))
+      .drop("_grp")
+  }
+
   /** Paragraph-level exact dedup (the CCNet recipe, Wenzek et al. 2020:
     * drop duplicated paragraphs, keep the document): the corpus is cut
     * into non-overlapping `chunk`-token "paragraphs" (stride = size in

@@ -830,6 +830,17 @@ object ExtensionQueries {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 3, nprobe = 2, assignT, centT)
+    }),
+
+    // x95 — span-level DECONTAMINATION (the surgery form of x38/x44's
+    // verdicts, x83's machinery vs a benchmark): maximal ≥8-token
+    // corpus spans appearing verbatim in the benchmark (doc_id < 30,
+    // x44's split), as removal decisions x87 can apply. ANY benchmark
+    // hit is contamination — no first-occurrence exemption.
+    "x95_contaminated_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextDedup.contaminatedSpans(d.filter(col("doc_id") >= 30),
+        d.filter(col("doc_id") < 30), "doc_id", "text", spanTokens = 8)
     })
   )
 
@@ -2491,6 +2502,29 @@ object ExtensionQueries {
                 ELSE 'test' END AS split
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""",
     "x94_selftrained_ann" -> kmeansAnnOracleSql(8, 3, nprobe = 2,
-      topK = 3)
+      topK = 3),
+    // x83's islands shape minus the (count, argmin) stage: membership
+    // in the benchmark's distinct 8-gram set IS the contamination mark
+    "x95_contaminated_spans" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         g AS (SELECT doc_id, i - 1 AS pos,
+             array_to_string(t[i:i+7], ' ') AS gs
+           FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+         bench AS (SELECT DISTINCT gs FROM g WHERE doc_id < 30),
+         rem AS (SELECT doc_id, pos FROM g
+           WHERE doc_id >= 30 AND gs IN (SELECT gs FROM bench)),
+         seg AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos)
+                 OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+               THEN 0 ELSE 1 END AS newseg
+           FROM rem),
+         isl AS (SELECT doc_id, pos,
+             sum(newseg) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM seg)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
+         FROM isl GROUP BY doc_id, grp"""
   )
 }

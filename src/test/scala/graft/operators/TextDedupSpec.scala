@@ -296,6 +296,28 @@ class TextDedupSpec extends SparkSpec {
     assert(spans == Set((11L, 8L)))
   }
 
+  test("contaminatedSpans: corpus spans matching benchmark grams, NO " +
+      "first-occurrence exemption; unmatched and short docs silent " +
+      "(x95)") {
+    import spark.implicits._
+    val bench = Seq(
+      (1L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // the whole benchmark text embedded at pos 2: one 10-token span
+      (10L, "x y q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 z"),
+      // an 8-token benchmark prefix at pos 0 — matched even though it
+      // is the corpus's own "first occurrence" of that material
+      (11L, "q1 q2 q3 q4 q5 q6 q7 q8 k l m n"),
+      (12L, "entirely unrelated words fill this document body here ok"),
+      (13L, "q1 q2 q3")  // < spanTokens: no grams, silent
+    ).toDF("doc_id", "text")
+    val out = TextDedup.contaminatedSpans(corpus, bench, "doc_id",
+        "text", spanTokens = 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_len"))).toSet
+    assert(out == Set((10L, 2L, 10L), (11L, 0L, 8L)))
+  }
+
   test("applySpanRemovals: spans cut out positionally, span-less docs " +
       "pass whole, fully-covered docs come out empty (x87)") {
     import spark.implicits._
