@@ -106,7 +106,27 @@ object Packing {
     * delivers that running total without ever sorting a hot source in
     * one task. */
   def groupedOffsets(docs: DataFrame, idCol: String, textCol: String,
-                     groupCol: String, bucketBits: Int = 8): DataFrame = {
+                     groupCol: String, bucketBits: Int = 8): DataFrame =
+    groupedOffsetsCore(docs, idCol,
+      size(split(lower(trim(col(textCol))), "\\s+")).cast("long"),
+      groupCol, bucketBits)
+
+  /** [[concatOffsets]] with the token count supplied as a COLUMN
+    * instead of derived by whitespace split — the TOKENIZER-AWARE
+    * form: x84's BPE subtoken counts (or any learned tokenizer's)
+    * drive the offsets, so packing budgets measure what the trainer
+    * actually consumes rather than a whitespace proxy. Same two-phase
+    * prefix sum, same md5 concatenation order. */
+  def concatOffsetsBy(docs: DataFrame, idCol: String, nTokensCol: String,
+                      bucketBits: Int = 8): DataFrame =
+    groupedOffsetsCore(docs.withColumn("_cg", lit(0)), idCol,
+      col(nTokensCol).cast("long"), "_cg", bucketBits)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"))
+
+  private def groupedOffsetsCore(docs: DataFrame, idCol: String,
+                                 nTokens: org.apache.spark.sql.Column,
+                                 groupCol: String,
+                                 bucketBits: Int): DataFrame = {
     require(bucketBits >= 1 && bucketBits <= 24,
       s"bucketBits must be in [1,24], got $bucketBits")
     val hk = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
@@ -114,8 +134,7 @@ object Packing {
     val keyed = Par.spread(docs).select(
       col(groupCol).as("_g"),
       col(idCol).as("doc_id"),
-      size(split(lower(trim(col(textCol))), "\\s+")).cast("long")
-        .as("n_tokens"),
+      nTokens.as("n_tokens"),
       hk.as("_hk"))
       .withColumn("_bucket", shiftright(col("_hk"), 60 - bucketBits))
       .cache()

@@ -841,6 +841,18 @@ object ExtensionQueries {
       val d = t(s, dir, "documents")
       TextDedup.contaminatedSpans(d.filter(col("doc_id") >= 30),
         d.filter(col("doc_id") < 30), "doc_id", "text", spanTokens = 8)
+    }),
+
+    // x96 — TOKENIZER-AWARE packing offsets: x84's BPE subtoken counts
+    // drive x46's concat-offset index, so packing budgets measure what
+    // the trainer consumes (subtokens), not the whitespace proxy. The
+    // x82→x84→x46 chain is the full tokenizer-prep story in one query.
+    "x96_bpe_offsets" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Packing.concatOffsetsBy(
+        Bpe.encodeStats(d, "doc_id", "text",
+          Bpe.mergeList(d, "text", rounds = 6)),
+        "doc_id", "n_subtokens")
     })
   )
 
@@ -2525,6 +2537,19 @@ object ExtensionQueries {
            FROM seg)
          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
            CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
-         FROM isl GROUP BY doc_id, grp"""
+         FROM isl GROUP BY doc_id, grp""",
+    // the x84 encode statement as a CTE, then x46's offsets logic over
+    // n_subtokens — aliased to n_tokens, the offsets-schema contract
+    "x96_bpe_offsets" ->
+      s"""WITH enc AS (${bpeEncodeOracleSql(6)}),
+         tok AS (SELECT doc_id, n_subtokens AS n_tokens,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             AS hk
+           FROM enc)
+         SELECT doc_id, n_tokens,
+           CAST(coalesce(SUM(n_tokens) OVER (ORDER BY hk, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_offset
+         FROM tok"""
   )
 }

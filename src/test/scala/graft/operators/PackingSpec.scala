@@ -92,6 +92,21 @@ class PackingSpec extends SparkSpec {
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(naive.toSet == out.toSet)
+
+    // the column-count form (x96's engine): identical when fed the
+    // whitespace counts, and arbitrary counts drive the prefix sum
+    val counted = docs.withColumn("n",
+      size(split(lower(trim(col("text"))), "\\s+")))
+    val viaCol = Packing.concatOffsetsBy(counted, "doc_id", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaCol.toSet == out.toSet)
+    val doubled = Packing.concatOffsetsBy(
+        counted.withColumn("n", col("n") * 2), "doc_id", "n")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    out.foreach { case (id, n, s) =>
+      assert(doubled(id) == ((2 * n, 2 * s)),
+        s"doc $id: expected doubled counts/offsets") }
   }
 
   test("concatOffsets: bucketBits-invariant at high fan-out (16 vs 8)") {
