@@ -334,7 +334,11 @@ object Similarity {
     * artifact, the k×dims stats rows per round are the only driver
     * traffic, the [[collectCentroids]] tier). Each pass is one
     * map-side-combined aggregate: k×dims partials per partition, no
-    * row blowup beyond the dims-explode, no join anywhere. */
+    * row blowup beyond the dims-explode, no join anywhere.
+    *
+    * Precondition: non-null vectors (a NULL row would take a NULL
+    * cluster in the output while vanishing from the mean aggregate —
+    * filter upstream; the fixtures carry none). */
   def kmeansCodebook(corpus: DataFrame, init: DataFrame, idCol: String,
                      vecCol: String, rounds: Int): DataFrame = {
     val (quant, cents) = lloyd(corpus, init, idCol, vecCol, rounds)

@@ -270,10 +270,13 @@ object Streams {
     * smallest matched id's split (deterministic). This is the greedy
     * online approximation of x93's global components: chains
     * discovered across batches in the wrong order can diverge from
-    * the global recompute — re-run the batch op offline when exact
-    * component splits matter; the streaming gate guarantees the
-    * direction that matters operationally (nothing near TRAINING data
-    * enters eval, because every match inherits).
+    * the global recompute, and near-dup pairs WITHIN one micro-batch
+    * are not linked to each other (the batch checks the CORPUS, not
+    * itself — they only converge once both are in the index) — re-run
+    * the batch op offline when exact component splits matter; the
+    * streaming gate guarantees the direction that matters
+    * operationally (nothing near already-SPLIT data lands on the
+    * other side of its boundary, because every match inherits).
     *
     * `splitTable` rows are `(doc_id, split)`; seed it with the
     * existing corpus's assignment before starting the stream. */

@@ -281,5 +281,13 @@ class SimilaritySpec extends SparkSpec {
       (21L, Array(-1.0f, 0.0f, 0.0f))   // negative cosine: survives
     ).toDF("vec_id", "embedding")
     assert(survivors(batch2) == Set(21L))
+    // empty batch: empty probe set -> empty IN list -> empty result,
+    // no degenerate plan
+    assert(survivors(batch.limit(0)) == Set.empty[Long])
+    // a degenerate round count is rejected, not silently absorbed
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansCodebook(batch, batch, "vec_id", "embedding",
+        rounds = 0)
+    }
   }
 }
