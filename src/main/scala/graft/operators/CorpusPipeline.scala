@@ -196,7 +196,18 @@ object CorpusPipeline {
     * anti-join shape), and the split label is a pure projection of the
     * rep. */
   def clusterSplit(corpus: DataFrame, idCol: String, textCol: String,
-                   k: Int, threshold: Double): DataFrame = {
+                   k: Int, threshold: Double): DataFrame =
+    clusterReps(corpus, idCol, textCol, k, threshold)
+      .select(col("doc_id"), col("cluster_rep"),
+        TextAnalysis.splitLabel(col("cluster_rep")).as("split"))
+
+  /** Every document's near-dup component representative (min id;
+    * singletons are their own rep) — the shared core under
+    * [[clusterSplit]] and [[dedupClusterStats]]: x8 pairs → connected
+    * components → broadcast rep join (the component table is
+    * near-dup-sized). */
+  def clusterReps(corpus: DataFrame, idCol: String, textCol: String,
+                  k: Int, threshold: Double): DataFrame = {
     val pairs = TextDedup.jaccardPairs(corpus, idCol, textCol, k, threshold)
       .select(col("doc1"), col("doc2"))
     val comp = Components.connectedComponents(pairs, "doc1", "doc2")
@@ -204,7 +215,23 @@ object CorpusPipeline {
     corpus.select(col(idCol).cast("long").as("doc_id"))
       .join(broadcast(comp), Seq("doc_id"), "left")
       .withColumn("cluster_rep", coalesce(col("component"), col("doc_id")))
-      .select(col("doc_id"), col("cluster_rep"),
-        TextAnalysis.splitLabel(col("cluster_rep")).as("split"))
+      .select(col("doc_id"), col("cluster_rep"))
   }
+
+  /** Near-dup cluster SIZE HISTOGRAM — the data-card companion for the
+    * dedup family (x51 reports corpus composition; this reports its
+    * REDUNDANCY): `(cluster_size, n_clusters)` over the x8 near-dup
+    * graph, singletons included as size-1 clusters, so duplicated
+    * mass = 1 − n_clusters·size>1-weighted … readable directly:
+    * sum(size·n) = corpus size, sum(n) = cluster count, and the
+    * duplicated fraction is 1 − sum(n)/sum(size·n). Two tiny
+    * aggregates over the rep frame — nothing here is corpus-shaped
+    * except the pair generation it shares with x93. */
+  def dedupClusterStats(corpus: DataFrame, idCol: String, textCol: String,
+                        k: Int, threshold: Double): DataFrame =
+    clusterReps(corpus, idCol, textCol, k, threshold)
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
 }

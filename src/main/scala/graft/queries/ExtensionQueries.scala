@@ -853,7 +853,15 @@ object ExtensionQueries {
         Bpe.encodeStats(d, "doc_id", "text",
           Bpe.mergeList(d, "text", rounds = 6)),
         "doc_id", "n_subtokens")
-    })
+    }),
+
+    // x97 — near-dup cluster size histogram: the data-card companion
+    // for the dedup family (how redundant IS the corpus) — x93's rep
+    // frame folded to (cluster_size, n_clusters), singletons included
+    // as size-1 clusters.
+    "x97_dedup_stats" -> ((s, dir) =>
+      CorpusPipeline.dedupClusterStats(t(s, dir, "documents"), "doc_id",
+        "text", k = 3, threshold = 0.5))
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -2550,6 +2558,31 @@ object ExtensionQueries {
            CAST(coalesce(SUM(n_tokens) OVER (ORDER BY hk, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              AS BIGINT) AS start_offset
-         FROM tok"""
+         FROM tok""",
+    // x93's component chain folded to the size histogram; singletons
+    // enter via the left join's coalesce as size-1 clusters
+    "x97_dedup_stats" ->
+      s"""WITH RECURSIVE $duckShingles,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM inter
+           JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+           WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0
+             >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+           UNION SELECT d2, d1 FROM pairs),
+         walk(node, reach) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+         comp AS (SELECT node, min(reach) AS rep FROM walk GROUP BY 1),
+         reps AS (SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         sizes AS (SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM reps GROUP BY 1)
+         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM sizes GROUP BY 1"""
   )
 }

@@ -211,5 +211,13 @@ class CorpusPipelineSpec extends SparkSpec {
       .collect().filter(r => split(r.getAs[Long]("doc1")) !=
         split(r.getAs[Long]("doc2")))
     assert(leaky.isEmpty)
+
+    // the size histogram over the same graph (x97): one 3-doc chain
+    // cluster, two singletons; total mass = corpus size
+    val hist = CorpusPipeline.dedupClusterStats(docs, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("cluster_size") ->
+        r.getAs[Long]("n_clusters")).toMap
+    assert(hist == Map(3L -> 1L, 1L -> 2L))
   }
 }
