@@ -89,10 +89,26 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $best%8.2f s")
       name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST ~2000 chars of output; a
+    // full-name per-query map (~110 queries × ~28 chars) blows past that
+    // and the driver records "parsed: null" (this is exactly what happened
+    // to BENCH_r09/BENCH_r10). Key the printed map by each query's unique
+    // id prefix ("q1".."q13", "x1".."x97" — the prefix before the first
+    // '_'), which keeps the whole line under ~1.7k chars. Full names ↔ id
+    // mapping is one-to-one (ids are the canonical handles used in
+    // SCALING.md / VERDICT.md); full-name timings also go to stderr above
+    // and to the committed BENCH_local_r{N}.json ledger.
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + f"\":$v%.3f"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+    assert(line.length < 1900,
+      s"bench JSON line ${line.length} chars — would overflow the driver's " +
+        "2000-char tail capture; shrink the printed map")
+    println(line)
     spark.stop()
   }
 }

@@ -29,9 +29,14 @@ object Dates {
 
   private def try_cast_long(c: Column): Column = c.try_cast("long")
 
+  // unix_millis rejects TIMESTAMP_NTZ (how parquet timestamps without
+  // isAdjustedToUTC land in Spark 4). The session runs UTC, so the
+  // NTZ→LTZ cast is epoch-identity; on an already-LTZ column it's a no-op.
+  private def epochMs(ts: Column): Column = unix_millis(ts.cast("timestamp"))
+
   /** Render a timestamp as a MS-JSON date string (test-vector generator). */
   def toMsJsonDate(ts: Column, offset: String = "+0000"): Column =
-    concat(lit("/Date("), unix_millis(ts).cast("string"), lit(offset + ")/"))
+    concat(lit("/Date("), epochMs(ts).cast("string"), lit(offset + ")/"))
 
   /** ISO-8601 with millisecond precision and Z suffix — the reference's
     * canonical output shape (`tap_xero/utility.py:371-372`). */
@@ -39,5 +44,5 @@ object Dates {
     date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
 
   /** Epoch millis (reference `iso_to_unix`, `tap_wrike/utility.py:248-251`). */
-  def toEpochMillis(ts: Column): Column = unix_millis(ts)
+  def toEpochMillis(ts: Column): Column = epochMs(ts)
 }

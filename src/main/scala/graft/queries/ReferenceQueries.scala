@@ -131,7 +131,8 @@ object ReferenceQueries {
       t(s, dir, "events")
         .withColumn("_brk",
           when(lag(col("ts"), 1).over(w).isNull ||
-            unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w))
+            Dates.toEpochMillis(col("ts")) -
+              Dates.toEpochMillis(lag(col("ts"), 1).over(w))
               > gapMs, 1).otherwise(0))
         .withColumn("sess", sum(col("_brk")).over(run))
         .groupBy(col("user_id"), col("sess"))
