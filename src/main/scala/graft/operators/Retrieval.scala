@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graft.TextExpressions
+
+import graft.functions.{Num, Par, Skew, Text}
+
+/** Sparse lexical retrieval (x98) — BM25 scoring and top-k search over
+  * the corpus, the inverted-index complement of the dense-embedding ANN
+  * family (`Similarity`): given a bag of query terms, rank documents by
+  * Okapi BM25 and return the best k. This is the retrieval shape used
+  * both for RAG serving and for targeted corpus curation ("find the
+  * training documents most relevant to this probe").
+  *
+  * Scale shape: the ONLY corpus-sized work is two scan-side kernel
+  * passes (corpus length stats; per-doc term counts) — the term-count
+  * explode is filtered to the query's terms IN THE SCAN STAGE, so the
+  * exchange after it carries at most |query| rows per matching document,
+  * never the corpus vocabulary. Document frequencies aggregate over that
+  * same filtered stream (a |query|-row table), corpus length stats are a
+  * 1-row broadcast, and the final top-k plans as TakeOrderedAndProject
+  * (per-partition heaps + one k-row driver merge — no global sort). At
+  * 100 TB the length stats and per-term postings would come from the
+  * persisted corpus-metadata tables a production index maintains
+  * ([[graft.sinks.Sinks.writeBucketed]] artifacts, the x80/x91
+  * convention) instead of the bootstrap text scans this self-contained
+  * form pays.
+  *
+  * Numeric law: idf = ln(1 + (N - df + ½)/(df + ½)) is rounded at 1e-4
+  * BEFORE use (the x25 libm-divergence shim); the tf normalization
+  * tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) is pure IEEE-exact-rounded
+  * arithmetic on identical inputs, rounded at 1e-4; the per-document sum
+  * of per-term contributions runs as an exact DECIMAL sum
+  * ([[Num.dsum]]) so the score is independent of term order and
+  * partitioning — the same laws the oracle SQL mirrors term by term.
+  */
+object Retrieval {
+
+  /** BM25 top-k: `(doc_id, n_terms, score)` for the `topK` highest-
+    * scoring documents, ties broken by ascending doc id. Documents
+    * matching no query term score 0 and are not returned.
+    *
+    * @param queryTerms bag of query terms (deduplicated; matching is on
+    *                   the whitespace-token convention, lowercased)
+    * @param k1 term-frequency saturation (Okapi default 1.2)
+    * @param b  length-normalization strength (Okapi default 0.75)
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+
+    // corpus length statistics: one kernel scan, 1-row broadcast. avgdl
+    // = exact long sum / exact count, one IEEE division — bit-identical
+    // cross-engine (no float accumulation order anywhere).
+    val stats = docs
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col(textCol))).cast("long")).as("sum_dl"))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .select(col("n_docs"), col("avgdl"))
+
+    // (doc, term, tf, dl) for query terms only: the isin filter runs in
+    // the scan stage, before any exchange — non-query terms never move.
+    val tf = Par.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        size(Text.tokens(col(textCol))).cast("long").as("dl"),
+        explode(TextExpressions.termCounts(col(textCol))).as("tc"))
+      .select(col("doc_id"), col("dl"), col("tc.term").as("term"),
+        col("tc.tf").cast("long").as("tf"))
+      .filter(col("term").isin(terms: _*))
+
+    // document frequency per query term: aggregates the filtered stream
+    // — the result is at most |query| rows, broadcast back.
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val idf = Num.fpRound(
+      log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))), 4)
+    val tfNorm = Num.fpRound(
+      col("tf").cast("double") * lit(k1 + 1.0) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") / col("avgdl"))), 4)
+
+    tf.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", Num.fpRound(idf * tfNorm, 4))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), Num.dsum(col("contrib")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Per-source QUALITY cap (x99) — "keep each source's best n" by the
+    * x12 quality score: the Gopher-style per-domain budget that stops
+    * one crawl domain from flooding the mix, ranking by MERIT (score
+    * desc, doc id asc) where x45's quota sampler ranks by hash. Returns
+    * `(doc_id, source, quality_score, rank)` for survivors.
+    *
+    * Scale shape: the score is a zero-shuffle per-row kernel projection
+    * (x12), and the per-source top-n rides the salted two-phase grouped
+    * top-k ([[Skew.saltedTopK]]) — a hot source (half the crawl is one
+    * domain) heaps in parallel across salt shards before the per-source
+    * merge, so no single task ever sorts a whole domain. */
+  def sourceQualityCap(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, maxPerSource: Int): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs, idCol, textCol)
+      .select(col("doc_id"), col("quality_score"))
+    val withSrc = docs.select(col(idCol).as("doc_id"),
+        col(sourceCol).as("source"))
+      .join(scored, "doc_id")
+    Skew.saltedTopK(withSrc, Seq("source"), "quality_score", maxPerSource,
+        tieCols = Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Contamination ATTRIBUTION (x100) — the pair-level audit behind
+    * x38's per-document verdict: WHICH corpus documents leak WHICH
+    * benchmark items, as `(bench_id, doc_id, n_overlap)` for every pair
+    * sharing at least `threshold` distinct k-shingles. x38 answers "is
+    * this training doc contaminated"; this emits the evidence a
+    * benchmark steward needs to fix the leak at its source.
+    *
+    * Scale shape: identical to x38 — the benchmark side's distinct
+    * shingle hashes are benchmark-sized and broadcast; corpus shingles
+    * stream through the join scan-side and only MATCHING (bench, doc,
+    * shingle) rows reach the pair-count aggregate. The corpus text
+    * never shuffles; the output is leak-pair-sized. */
+  def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int, threshold: Int): DataFrame = {
+    def shingled(df: DataFrame, as: String): DataFrame =
+      Par.spread(df).select(col(idCol).as(as),
+          explode(TextExpressions.shingleHashSet(col(textCol), k)).as("sh"))
+    shingled(corpus, "doc_id")
+      .join(broadcast(shingled(benchmark, "bench_id")), "sh")
+      .groupBy(col("bench_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= threshold)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num
-import graft.operators.{Bpe, Classifier, Cleaning, Components, CorpusPipeline, ImageDedup, Multimodal, Packing, Project, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Bpe, Classifier, Cleaning, Components, CorpusPipeline, ImageDedup, Multimodal, Packing, Project, Retrieval, Similarity, TextAnalysis, TextDedup}
 
 /** Extension + capability-proof query inventory (SURVEY §2.4 X1-X6 plus the
   * LLM-training-data operators: dedup family, similarity search, text
@@ -861,7 +861,32 @@ object ExtensionQueries {
     // as size-1 clusters.
     "x97_dedup_stats" -> ((s, dir) =>
       CorpusPipeline.dedupClusterStats(t(s, dir, "documents"), "doc_id",
-        "text", k = 3, threshold = 0.5))
+        "text", k = 3, threshold = 0.5)),
+
+    // x98 — BM25 top-k lexical retrieval: the sparse complement of the
+    // ANN family — rank the corpus against a bag of query terms, only
+    // query-term postings ever shuffle, top-k as TakeOrderedAndProject.
+    "x98_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("join", "hash", "window", "spark"), topK = 50)),
+
+    // x99 — per-source quality cap (the Gopher-style domain budget):
+    // keep each source's 10 BEST documents by the x12 quality score —
+    // merit-ranked where x45's quota sampler is hash-ranked.
+    "x99_source_cap" -> ((s, dir) =>
+      Retrieval.sourceQualityCap(t(s, dir, "documents"), "doc_id", "text",
+        "source", maxPerSource = 10)),
+
+    // x100 — contamination attribution: the pair-level evidence behind
+    // x38's verdicts — WHICH corpus docs share ≥3 distinct 3-shingles
+    // with WHICH benchmark items (doc_id < 20 = the benchmark, the x38
+    // split).
+    "x100_contam_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Retrieval.contaminationPairs(d.filter(col("doc_id") >= 20),
+        d.filter(col("doc_id") < 20), "doc_id", "text", k = 3,
+        threshold = 3)
+    })
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -2583,6 +2608,77 @@ object ExtensionQueries {
          sizes AS (SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size
            FROM reps GROUP BY 1)
          SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
-         FROM sizes GROUP BY 1"""
+         FROM sizes GROUP BY 1""",
+    // BM25 laws mirrored term by term: idf pre-rounded at 1e-4 (the x25
+    // ln shim), tf-norm all IEEE-exact ops then rounded, per-doc sum as
+    // exact DECIMAL (order-free). k1+1 is written (1.2 + 1.0) — the
+    // same IEEE add the Scala side computes — NOT the literal 2.2,
+    // whose nearest double differs from the sum by ~1 ulp.
+    "x98_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM lens),
+         tf AS (SELECT doc_id, u.term AS term,
+             CAST(count(*) AS DOUBLE) AS tf
+           FROM toks, unnest(t) AS u(term)
+           WHERE u.term IN ('join', 'hash', 'window', 'spark')
+           GROUP BY 1, 2),
+         dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+           FROM tf GROUP BY 1),
+         contrib AS (SELECT doc_id,
+             floor((floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                      * 10000 + 0.5) / 10000.0)
+                 * (floor(tf * (1.2 + 1.0)
+                      / (tf + 1.2 * ((1.0 - 0.75)
+                          + 0.75 * dl / avgdl))
+                      * 10000 + 0.5) / 10000.0)
+               * 10000 + 0.5) / 10000.0 AS c
+           FROM tf JOIN lens USING (doc_id) JOIN dfq USING (term)
+           CROSS JOIN stats)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE) AS score
+         FROM contrib GROUP BY 1
+         ORDER BY score DESC, doc_id LIMIT 50""",
+    // the x12 quality_score expression verbatim, then a per-source
+    // (score DESC, doc_id) row_number cap
+    "x99_source_cap" ->
+      """WITH qs AS (SELECT doc_id, source,
+           floor((0.4 * (CASE WHEN length(trim(text)) >= 100
+               AND length(trim(text)) <= 20000 THEN 1 ELSE 0 END)
+           + 0.3 * greatest(0.0, 1.0 -
+               ((length(trim(text)) - length(regexp_replace(
+                 lower(trim(text)), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                / length(trim(text))) * 5)
+           + 0.3 * least(1.0,
+               (len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is',
+                            'der','die','das','und','ist','ein','zu',
+                            'el','la','de','que','y','en','un',
+                            'le','et','les','des','une',
+                            '的','是','了','在','和','有','我'))) * 1.0
+                / len(string_split_regex(lower(trim(text)), '\s+'))) * 5))
+           * 10000 + 0.5) / 10000.0 AS quality_score
+           FROM documents),
+         r AS (SELECT doc_id, source, quality_score,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank
+           FROM qs)
+         SELECT doc_id, source, quality_score, rank FROM r
+         WHERE rank <= 10""",
+    // x38's broadcast-join shape kept at PAIR grain instead of folding
+    // to a per-doc count
+    "x100_contam_pairs" ->
+      s"""WITH $duckShingles,
+         pairs AS (SELECT b.doc_id AS bench_id, c.doc_id AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_overlap
+           FROM sh c JOIN sh b ON c.s = b.s
+           WHERE b.doc_id < 20 AND c.doc_id >= 20
+           GROUP BY 1, 2)
+         SELECT bench_id, doc_id, n_overlap FROM pairs
+         WHERE n_overlap >= 3"""
   )
 }
