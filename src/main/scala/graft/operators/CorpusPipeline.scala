@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.Streams
+import graft.functions.Par
 
 /** The composed training-corpus preparation pipeline (x42) — the product
   * claim of the extension suite as ONE operator: quality gate → exact
@@ -40,33 +40,64 @@ object CorpusPipeline {
               groupCol: String, pctByGroup: Map[String, Int],
               defaultPct: Int,
               chunkSize: Int, chunkStride: Int): DataFrame = {
-    // 1) quality gate — the batch run of the SAME stateless operator the
-    //    streaming ingestion plan uses (all-Catalyst, so it runs in both)
-    val gated = Streams.qualityGate(corpus, textCol, maxTopBigramFrac, minChars)
-    // 2) exact dedup applied (x34); group sizes are not needed downstream.
-    //    The dedup outputs are cached (the TextDedup-internal pattern —
-    //    harnesses clearCache between queries): each is consumed by 2-3
-    //    downstream stages, and without the cache the whole upstream
-    //    chain re-executes per consumer. At 100 TB the same boundaries
-    //    are where a production run materializes stage tables
-    //    (Sinks.writeParquet/writeBucketed) instead of caching.
-    val exact = TextDedup.dedupedCorpus(gated, idCol, textCol)
-      .drop("n_dups").cache()
-    // 3) near-dup dedup applied (x36): LSH → verify → components → drop
-    val survivors = TextDedup.neardupSurvivors(exact, idCol, textCol,
-      shingleK, neardupThreshold).cache()
-    // 4) decontaminate (x38): drop docs overlapping the benchmark — the
-    //    contaminated set is eval-leak-sized, so the anti-join broadcasts
-    val contaminated = TextAnalysis.decontaminate(survivors, benchmark,
-        idCol, textCol, shingleK, decontamThreshold)
-      .filter(col("contaminated") === 1)
-      .select(col("doc_id").as(idCol))
+    import org.apache.spark.sql.graft.TextExpressions
+    // FUSED SCAN: gate signals (x35 kernel), the exact-dedup digest and
+    // the hashed shingle sets are all computed in ONE pass over the
+    // corpus text and cached TOGETHER — the gate filter runs scan-side
+    // so rejected docs never enter the cache. The per-stage operators
+    // each pay their own text scan when run standalone (correct for
+    // single queries); composed, those scans fuse: text kernels run
+    // once here + once in the chunker, instead of once per stage. At
+    // 100 TB this cached frame is the materialized stage table a
+    // production run writes (Sinks.writeBucketed) between phases.
+    // Gate predicate == Streams.qualityGate (same kernel, same nulls
+    // law); digest == TextDedup.exactGroups; sets == TextDedup
+    // .shingleSets — equivalences pinned by the x42 oracle and
+    // CorpusPipelineSpec.
+    val st = TextExpressions.repetitionStats(col(textCol))
+    val tbf = when(element_at(col("_st"), 1) > 0,
+      element_at(col("_st"), 2).cast("double") /
+        element_at(col("_st"), 1).cast("double"))
+    val base = Par.spread(corpus)
+      .withColumn("_st", st)
+      .filter(length(trim(col(textCol))) >= minChars &&
+        (tbf.isNull || tbf <= maxTopBigramFrac))
+      .drop("_st")
+      .withColumn("_digest", sha2(lower(trim(col(textCol))), 256))
+      .withColumn("_sh", TextExpressions.shingleHashSet(col(textCol), shingleK))
+      .cache()
+    // exact dedup applied (x34 semantics): representative = min id per
+    // digest; one (digest, id) shuffle — the text never moves
+    val reps = base.groupBy(col("_digest")).agg(min(col(idCol)).as(idCol))
+    val exact = base.join(reps, Seq("_digest", idCol), "left_semi")
+    // near-dup applied (x36): LSH → verify → components → drop, over
+    // the CACHED sets column — no second text pass
+    val sets = exact.select(col(idCol).as("doc_id"), col("_sh").as("sh"))
+      .withColumn("n", size(col("sh"))).filter(col("n") > 0)
+    val pairs = TextDedup.minhashLshPairsFromSets(sets, neardupThreshold)
+    val comps = Components.connectedComponents(pairs, "doc1", "doc2")
+    val drops = comps.filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    val survivors = exact.join(drops, Seq(idCol), "left_anti")
+    // decontaminate (x38): benchmark shingles are eval-suite-sized; the
+    // corpus side explodes the cached sets column
+    val benchShingles = benchmark
+      .select(explode(TextExpressions.shingleHashSet(col(textCol),
+        shingleK)).as("_h"))
+      .distinct()
+    val contaminated = survivors
+      .select(col(idCol), explode(col("_sh")).as("_h"))
+      .join(benchShingles, "_h")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_n_overlap"))
+      .filter(col("_n_overlap") >= decontamThreshold)
+      .select(col(idCol))
     val clean = survivors.join(contaminated, Seq(idCol), "left_anti")
-    // 5) stratified sample (x37): deterministic md5-bucket corpus mixing
+      .drop("_digest", "_sh")
+    // stratified sample (x37): deterministic md5-bucket corpus mixing
     val sampled = TextAnalysis.stratifiedSample(clean, idCol, groupCol,
       pctByGroup, defaultPct)
-    // 6+7) chunk (x31) then stamp the split label (x26) — commuting
-    //    projections, see the object note
+    // chunk (x31) then stamp the split label (x26) — commuting
+    // projections, see the object note
     TextAnalysis.hashSplit(
       TextAnalysis.chunk(sampled, idCol, textCol, chunkSize, chunkStride),
       "doc_id")

@@ -243,9 +243,20 @@ object TextDedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, threshold: Double,
-                      numBands: Int = 20, rowsPerBand: Int = 4): DataFrame = {
+                      numBands: Int = 20, rowsPerBand: Int = 4): DataFrame =
+    minhashLshPairsFromSets(shingleSets(docs, idCol, textCol, k), threshold,
+      numBands, rowsPerBand)
+
+  /** [[minhashLshPairs]] over a PRECOMPUTED `(doc_id, sh, n)` hashed-
+    * shingle-set frame (the [[shingleSets]] shape) — the fused-scan entry
+    * point: a composed pipeline that already carries the shingle sets as
+    * a column (x42's one-scan base frame) generates candidates without a
+    * second text pass. The caller owns caching of `sets`: this plan
+    * references it three times (band self-join + both verify sides). */
+  private[operators] def minhashLshPairsFromSets(
+      sets: DataFrame, threshold: Double,
+      numBands: Int = 20, rowsPerBand: Int = 4): DataFrame = {
     val numPerms = numBands * rowsPerBand
-    val sets = shingleSets(docs, idCol, textCol, k)
     val sigs = sets.select(col("doc_id"),
       TextExpressions.minhashSigFromHashes(col("sh"), numPerms).as("sig"))
     val bands = sigs.select(col("doc_id"),
