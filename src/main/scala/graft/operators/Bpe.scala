@@ -128,4 +128,31 @@ object Bpe {
       aggregate(toks, lit(0L),
         (acc, w) => acc + nSubtokens(w).cast("long")).as("n_subtokens"))
   }
+
+  /** Tokenizer COMPRESSION-RATIO report by group (x102): per language,
+    * how many subtokens the trained merge list spends per word —
+    * subtokens/word is THE acceptance metric for a tokenizer on a
+    * multilingual mix (a language the merges never saw tokenizes near
+    * characters-per-word; the dominant language near 1), and the number
+    * that converts corpus word counts into trainer token budgets
+    * (x46/x47/x61). Composition: [[encodeStats]] (per-row projection)
+    * → one id-equi join to the group column → one group-count agg.
+    * Ratio = exact long sums into one IEEE division — bit-identical
+    * cross-engine; docs with zero words contribute nothing to either
+    * sum. Output `(group, n_docs, n_words, n_subtokens, subtokens_per_word)`.
+    */
+  def compressionByGroup(docs: DataFrame, idCol: String, textCol: String,
+                         groupCol: String,
+                         merges: Seq[(String, String)]): DataFrame =
+    encodeStats(docs, idCol, textCol, merges)
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(groupCol).as("group")), "doc_id")
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subtokens")).as("n_subtokens"))
+      .withColumn("subtokens_per_word",
+        when(col("n_words") > 0, graft.functions.Num.fpRound(
+          col("n_subtokens").cast("double") /
+            col("n_words").cast("double"), 4)))
 }

@@ -241,6 +241,40 @@ object Similarity {
     * rather than an engine `round()` so the quantized grid is identical
     * in any IEEE engine; the RMSE accumulates in the element order of
     * the vector on both sides (the [[Vectors.dot]] precedent). */
+  /** IVF index BALANCE audit (x101) — the health report for every
+    * IVF-family operator (x10/x22/x91): per-centroid assigned-vector
+    * counts plus each bucket's load factor n·k/N (1.0 = perfectly
+    * balanced; a hot bucket's factor is its slowdown multiple for any
+    * probe that hits it, since probed-bucket cost is bucket size).
+    * Empty centroids appear with 0 — a dead codebook entry is exactly
+    * what the audit exists to surface.
+    *
+    * Scale shape: one zero-shuffle assignment kernel pass ([[
+    * VectorExpressions.nearestCentroid]], the x22 convention) + one
+    * k-row aggregate; the centroid list and the 1-row total broadcast.
+    * load factor = (n·k)/N — two exact-long products into one IEEE
+    * division, bit-identical cross-engine. */
+  def ivfBalanceReport(corpus: DataFrame, centroids: DataFrame,
+                       idCol: String, vecCol: String): DataFrame = {
+    val (ids, vecs) = collectCentroids(centroids, idCol, vecCol)
+    require(ids.nonEmpty, "ivfBalanceReport needs >= 1 centroid")
+    val assigned = Par.spread(corpus.select(col(idCol).as("vid"),
+        col(vecCol).as("v")))
+      .withColumn("centroid_id",
+        VectorExpressions.nearestCentroid(col("v"), ids, vecs))
+    val counts = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val total = corpus.agg(count(lit(1)).as("total"))
+    centroids.select(col(idCol).cast("long").as("centroid_id"))
+      .join(counts, Seq("centroid_id"), "left")
+      .withColumn("n_vectors", coalesce(col("n_vectors"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("centroid_id"), col("n_vectors"),
+        graft.functions.Num.fpRound(
+          col("n_vectors").cast("double") * lit(ids.length.toDouble) /
+            col("total").cast("double"), 4).as("load_factor"))
+  }
+
   def quantizeReport(emb: DataFrame, idCol: String,
                      vecCol: String): DataFrame = {
     val v = col(vecCol)

@@ -886,6 +886,27 @@ object ExtensionQueries {
       Retrieval.contaminationPairs(d.filter(col("doc_id") >= 20),
         d.filter(col("doc_id") < 20), "doc_id", "text", k = 3,
         threshold = 3)
+    }),
+
+    // x101 — IVF index balance audit: per-centroid bucket sizes + load
+    // factors over the x10/x22 codebook (vec_id < 16) — the health
+    // report that surfaces hot buckets (probe slowdown multiples) and
+    // dead codebook entries.
+    "x101_ivf_balance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfBalanceReport(e, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding")
+    }),
+
+    // x102 — tokenizer compression ratio by language: subtokens/word of
+    // the x82-trained merge list (6 rounds, the x84 convention) per
+    // lang — the acceptance metric for a tokenizer on a multilingual
+    // mix, and the words→tokens conversion factor the packing budgets
+    // (x46/x47/x61) consume.
+    "x102_bpe_compression" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Bpe.compressionByGroup(d, "doc_id", "text", "lang",
+        Bpe.mergeList(d, "text", rounds = 6))
     })
   )
 
@@ -2679,6 +2700,40 @@ object ExtensionQueries {
            WHERE b.doc_id < 20 AND c.doc_id >= 20
            GROUP BY 1, 2)
          SELECT bench_id, doc_id, n_overlap FROM pairs
-         WHERE n_overlap >= 3"""
+         WHERE n_overlap >= 3""",
+    // the x10/x22 assignment CTE folded to bucket sizes; empty
+    // centroids enter via the left join as 0-vector buckets. load
+    // factor = (n·k)/N with k=16 — the same left-assoc IEEE ops as the
+    // Spark side.
+    "x101_ivf_balance" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+           FROM embeddings WHERE vec_id < 16),
+         corp AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+         assigned AS (SELECT vid, centroid_id FROM (
+           SELECT vid, centroid_id, row_number() OVER (PARTITION BY vid
+             ORDER BY ${duckCos("v", "centv")} DESC, centroid_id) AS rn
+           FROM corp, cent) WHERE rn = 1),
+         counts AS (SELECT centroid_id, count(*) AS n
+           FROM assigned GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM corp)
+         SELECT c.centroid_id,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_vectors,
+           floor(CAST(coalesce(n, 0) AS DOUBLE) * 16.0 / total
+             * 10000 + 0.5) / 10000.0 AS load_factor
+         FROM cent c LEFT JOIN counts USING (centroid_id) CROSS JOIN tot""",
+    // the x84 encode statement as a CTE, aggregated per language; the
+    // ratio divides two exact long sums (one IEEE division, no float
+    // accumulation)
+    "x102_bpe_compression" ->
+      s"""WITH enc AS (${bpeEncodeOracleSql(6)})
+         SELECT d.lang AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(enc.n_words) AS BIGINT) AS n_words,
+           CAST(sum(enc.n_subtokens) AS BIGINT) AS n_subtokens,
+           CASE WHEN sum(enc.n_words) > 0 THEN
+             floor(CAST(sum(enc.n_subtokens) AS DOUBLE)
+               / CAST(sum(enc.n_words) AS DOUBLE) * 10000 + 0.5) / 10000.0
+           END AS subtokens_per_word
+         FROM enc JOIN documents d USING (doc_id)
+         GROUP BY d.lang"""
   )
 }

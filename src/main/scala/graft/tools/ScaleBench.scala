@@ -329,6 +329,52 @@ object ScaleBench {
         .distinct()
         .withColumn("weight", Classifier.hashedWeight(col("term")))
       Classifier.scoreWithTable(d, "doc_id", "text", vocab)
+    }),
+    // the `_k` suffix renames every token, so the 1x query terms match
+    // nothing at 10x — probe with all per-copy variants instead (4×mult
+    // terms): per-term df stays constant, postings scale exactly 10x,
+    // and the top-k cut stays 50 rows. |q| growing with the corpus is
+    // the probe artifact, not the operator's law (a real query is
+    // corpus-independent); the corpus-linear stages are the two scans.
+    ("x98_bm25_topk", (s: SparkSession, dir: String) => {
+      val base = Seq("join", "hash", "window", "spark")
+      val terms = if (mult == 1) base
+        else (0 until mult).flatMap(k => base.map(t => s"${t}_$k"))
+      graft.operators.Retrieval.bm25TopK(Tables(s, dir, "documents"),
+        "doc_id", "text", terms, topK = 50)
+    }),
+    // source values are identical across copies → constant stratum
+    // count with 10x docs per stratum; cap ∝ corpus keeps the output
+    // fraction constant (the deployment sizing), and the salted top-k
+    // is the skew-proof stage under test
+    ("x99_source_cap", (s: SparkSession, dir: String) =>
+      graft.operators.Retrieval.sourceQualityCap(
+        Tables(s, dir, "documents"), "doc_id", "text", "source",
+        maxPerSource = 10 * mult)),
+    // benchmark = all copies of original ids < 20 (the x44 renumbering
+    // bound): bench side scales with mult, per-copy shingle disjointness
+    // replicates the leak-pair population exactly 10x
+    ("x100_contam_pairs", (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      val bound = 20L * mult
+      graft.operators.Retrieval.contaminationPairs(
+        d.filter(col("doc_id") >= bound), d.filter(col("doc_id") < bound),
+        "doc_id", "text", k = 3, threshold = 3)
+    }),
+    // one assignment kernel pass + a k-row agg; k ∝ n keeps per-bucket
+    // sizes (and the report's row count growth) linear
+    ("x101_ivf_balance", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.ivfBalanceReport(e, e.filter(col("vec_id") < nCent),
+        "vec_id", "embedding")
+    }),
+    // train on the 10x vocab (untimed would be x82's probe; here the
+    // whole composition is timed like x84) then one projection + join +
+    // 5-row agg — the encode scan is the corpus-linear stage
+    ("x102_bpe_compression", (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      graft.operators.Bpe.compressionByGroup(d, "doc_id", "text", "lang",
+        graft.operators.Bpe.mergeList(d, "text", rounds = 6))
     }))
 
   def main(args: Array[String]): Unit = {

@@ -62,4 +62,23 @@ class BpeSpec extends SparkSpec {
       ("x", "y")))
     assert(stats(trained) == Map(1L -> ((3L, 3L)), 2L -> ((2L, 2L))))
   }
+
+  test("compressionByGroup: exact-sum ratio per group (x102)") {
+    val docs = Seq(
+      (1L, "en", "aaab aaab ab"), (2L, "en", "aaab xy"),
+      (3L, "de", "qq qq"), (4L, "de", "")
+    ).toDF("doc_id", "lang", "text")
+    // merge (a,a) only: en doc1 [aa,a,b]x2+[a,b] = 8 sub / 3 words,
+    // doc2 [aa,a,b]+[x,y] = 5 / 2; de "qq" -> [q,q] = 2 sub each word
+    val out = Bpe.compressionByGroup(docs, "doc_id", "text", "lang",
+        Seq(("a", "a")))
+      .collect().map(r => r.getAs[String]("group") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_subtokens"),
+          r.getAs[Double]("subtokens_per_word")))).toMap
+    assert(out("en") == ((2L, 5L, 13L,
+      math.floor(13.0 / 5.0 * 1e4 + 0.5) / 1e4)))
+    // empty doc contributes n_words=0 to the de sums
+    assert(out("de") == ((2L, 2L, 4L, 2.0)))
+  }
 }

@@ -290,4 +290,28 @@ class SimilaritySpec extends SparkSpec {
         rounds = 0)
     }
   }
+
+  test("ivfBalanceReport: bucket sizes, dead centroids, load factor " +
+      "(x101)") {
+    // centroids 0 (x-axis) and 3 (y-axis): vecs 0,1,2,4 -> 0-ish...
+    // cosine argmax: 0->0, 1->0, 2 (-x, cos -1 vs 0 on y) -> 3,
+    // 4 (45°, tie 0.707/0.707) -> smaller centroid id 0, 3->3
+    val cents = vecs.filter("vec_id IN (0, 3)")
+    val out = Similarity.ivfBalanceReport(vecs, cents, "vec_id",
+        "embedding")
+      .collect().map(r => r.getAs[Long]("centroid_id") ->
+        ((r.getAs[Long]("n_vectors"), r.getAs[Double]("load_factor"))))
+      .toMap
+    val lf = (n: Long) =>
+      math.floor(n.toDouble * 2.0 / 5.0 * 1e4 + 0.5) / 1e4
+    assert(out(0L) == ((3L, lf(3))))
+    assert(out(3L) == ((2L, lf(2))))
+    // a centroid no vector chooses reports 0, not absence
+    val far = Seq((9L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val withDead = Similarity.ivfBalanceReport(vecs,
+        cents.union(far.limit(0)).union(far), "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("centroid_id") ->
+        r.getAs[Long]("n_vectors")).toMap
+    assert(withDead(9L) == 0L)
+  }
 }
