@@ -96,6 +96,74 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Frozen BM25 corpus statistics for a query — the driver-held,
+    * query-sized artifact behind [[scoreAgainst]] and the streaming
+    * relevance gate (the [[graft.operators.TextDedup.bandSketch]]
+    * convention: build once per corpus snapshot, reuse across batch
+    * runs and stream restarts). */
+  final case class Bm25Stats(termDf: Map[String, Long], nDocs: Long,
+                             avgdl: Double)
+
+  /** Snapshot [[Bm25Stats]] from a corpus: one stats scan + one
+    * filtered-postings aggregate (the [[bm25TopK]] plan's first half),
+    * collected — the result is |query|-sized, never corpus-sized. */
+  def bm25Stats(corpus: DataFrame, textCol: String,
+                queryTerms: Seq[String]): Bm25Stats = {
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val s = corpus
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col(textCol))).cast("long")).as("sum_dl"))
+      .head()
+    val n = s.getLong(0)
+    val avgdl = s.getLong(1).toDouble / n.toDouble
+    val df = Par.spread(corpus)
+      .select(explode(TextExpressions.termCounts(col(textCol))).as("tc"))
+      .select(col("tc.term").as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Bm25Stats(terms.map(t => t -> df.getOrElse(t, 0L)).toMap, n, avgdl)
+  }
+
+  /** Per-row BM25 relevance against FROZEN stats — the stateless form
+    * of [[bm25TopK]]'s scoring: every idf is a driver-side constant
+    * (same 1e-4-rounded law), the per-term fold runs inside a
+    * higher-order `aggregate` over the row's own term counts with an
+    * exact DECIMAL accumulator (same order-free sum as the batch
+    * form — parity is by construction, pinned by StreamsSpec), and no
+    * shuffle or state exists anywhere — so the SAME operator body runs
+    * unchanged in a streaming plan. Terms absent from the stats (df=0
+    * never observed) score idf at df=0 — a term the corpus has never
+    * seen is maximally informative. Appends `relevance` (double). */
+  def scoreAgainst(docs: DataFrame, textCol: String, stats: Bm25Stats,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(stats.termDf.nonEmpty, "stats must cover >= 1 query term")
+    require(stats.nDocs > 0, "stats must describe a non-empty corpus")
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val idf = stats.termDf.map { case (t, df) =>
+      t -> r4(math.log(1.0 + (stats.nDocs - df + 0.5) / (df + 0.5)))
+    }
+    val idfMap = map_from_arrays(
+      array(idf.keys.toSeq.map(lit): _*),
+      array(idf.values.toSeq.map(lit): _*))
+    val dl = size(Text.tokens(col(textCol))).cast("double")
+    val score = aggregate(
+      filter(TextExpressions.termCounts(col(textCol)),
+        tc => element_at(idfMap, tc.getField("term")).isNotNull),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)"),
+      (acc, tc) => {
+        val tf = tc.getField("tf").cast("double")
+        val tfn = Num.fpRound(tf * lit(k1 + 1.0) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(stats.avgdl))),
+          4)
+        val contrib = Num.fpRound(
+          element_at(idfMap, tc.getField("term")) * tfn, 4)
+        acc + contrib.cast("decimal(38,6)")
+      },
+      acc => acc.cast("double"))
+    docs.withColumn("relevance", score)
+  }
+
   /** Per-source QUALITY cap (x99) — "keep each source's best n" by the
     * x12 quality score: the Gopher-style per-domain budget that stops
     * one crawl domain from flooding the mix, ranking by MERIT (score

@@ -134,6 +134,25 @@ object Streams {
                      threshold: Double): DataFrame =
     graft.operators.Classifier.keep(docs, textCol, threshold)
 
+  /** Streaming RELEVANCE gate — the retrieval-scored sibling of
+    * [[classifierGate]]: keep documents whose BM25 relevance against a
+    * fixed query reaches `threshold`, scored with
+    * [[graft.operators.Retrieval.scoreAgainst]] against FROZEN corpus
+    * statistics ([[graft.operators.Retrieval.bm25Stats]] — built once
+    * per corpus snapshot batch-side, the bandSketch convention). Every
+    * idf is a broadcast constant and the per-row fold is a stateless
+    * projection, so the same operator body runs unchanged in a
+    * streaming plan; schema-preserving like every gate here (the score
+    * is the batch x98 surface — re-derivable, not carried). Targeted
+    * curation at ingest: "keep what looks like `queryTerms`" without a
+    * shuffle or state store. */
+  def relevanceGate(docs: DataFrame, textCol: String,
+                    stats: graft.operators.Retrieval.Bm25Stats,
+                    threshold: Double): DataFrame =
+    graft.operators.Retrieval.scoreAgainst(docs, textCol, stats)
+      .filter(col("relevance") >= threshold)
+      .drop("relevance")
+
   /** Streaming corpus quality gate — the stateless pre-filter of an
     * ingestion pipeline: the per-row kernels (repetition signals) are
     * ordinary Catalyst projections, so they run UNCHANGED inside a

@@ -523,6 +523,46 @@ class StreamsSpec extends SparkSpec {
     assert(gated.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
   }
 
+  test("relevanceGate keeps query-relevant docs in-stream; score parity " +
+      "with batch x98 (BM25 twin)") {
+    import graft.operators.Retrieval
+    val corpus = Seq(
+      (10L, "apple pie apple tart"),
+      (11L, "apple sauce with toast"),
+      (12L, "banana split"),
+      (13L, "plain bread loaf here")).toDF("doc_id", "text")
+    val stats = Retrieval.bm25Stats(corpus, "text", Seq("apple", "banana"))
+    assert(stats.nDocs == 4 && stats.termDf("apple") == 2L)
+
+    // batch parity first: per-row relevance == the x98 plan's score for
+    // every doc the top-k surfaces (same laws, same decimal sum)
+    val topk = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("apple", "banana"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val perRow = Retrieval.scoreAgainst(corpus, "text", stats)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("relevance")).toMap
+    topk.foreach { case (id, s) => assert(perRow(id) == s, s"doc $id") }
+    assert(perRow(13L) == 0.0) // no query term -> zero relevance
+
+    // now the same operator body inside a streaming plan
+    val dir = Files.createTempDirectory("rgate-in").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val thr = topk.values.min // admits exactly the matching docs
+    val gated = Streams.relevanceGate(stream, "text", stats, thr)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("rgate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("rgate_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == topk.keySet)
+    assert(gated.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
+  }
+
   test("boilerplateScrub rewrites docs against the batch-built sketch (x50 twin)") {
     val corpus = Seq(
       (1L, "subscribe now click here unique alpha content words"),
