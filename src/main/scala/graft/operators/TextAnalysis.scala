@@ -192,6 +192,58 @@ object TextAnalysis {
       .otherwise(lit("test"))
   }
 
+  /** Quality-ordered CURRICULUM phases (x103): every document's EXACT
+    * global rank under (quality_score desc, doc_id asc) and its phase
+    * `floor((rank-1)·nPhases/N)` — the curriculum-learning assignment
+    * (train on the cleanest quantile first, widen per phase), which
+    * needs a corpus-wide total order that naive `row_number()` over an
+    * unpartitioned window computes in ONE task.
+    *
+    * Scale shape — exact distributed rank with NO global sort and NO
+    * sampling: the x12 score is bounded in [0,1], so documents land in
+    * deterministic STATIC range buckets (`floor(score·2^bucketBits)` —
+    * the score-domain twin of the md5-hash buckets under
+    * [[graft.operators.Packing.groupedOffsets]]); each bucket ranks
+    * locally (windows partition by bucket — ≤2^bucketBits parallel
+    * groups), a ≤2^bucketBits-row rollup of bucket counts broadcasts
+    * higher-bucket offsets back, and rank = offset + local rank.
+    * Deterministic under any partitioning (no RNG, no sampled range
+    * boundaries — the `repartitionByRange` alternative samples). The
+    * documented caveat matches groupedOffsets': a bucket's window is
+    * single-task for that bucket, so a score distribution collapsed
+    * into one 2^-bucketBits-wide band degrades to a single sort —
+    * widen bucketBits for spiky score distributions. */
+  def curriculumPhases(docs: DataFrame, idCol: String, textCol: String,
+                       nPhases: Int, bucketBits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nPhases >= 1, s"nPhases must be >= 1, got $nPhases")
+    val b = 1 << bucketBits
+    val scored = qualityScore(docs, idCol, textCol)
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("_b", least(lit(b - 1),
+        floor(col("quality_score") * lit(b.toDouble)).cast("int")))
+    // local rank within each score-range bucket (best first)
+    val wLocal = Window.partitionBy(col("_b"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val local = scored.withColumn("_lrn", row_number().over(wLocal))
+    // bucket totals: ≤ 2^bucketBits rows; offsets accumulate from the
+    // HIGHEST bucket down (rank 1 = best score)
+    val counts = local.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
+    val wOff = Window.orderBy(col("_b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))
+      .withColumn("_total", sum(col("_n")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("_b"), col("_off"), col("_total"))
+    local.join(broadcast(offsets), Seq("_b"))
+      .withColumn("rank", col("_off") + col("_lrn").cast("long"))
+      .select(col("doc_id"), col("quality_score"), col("rank"),
+        floor((col("rank") - 1).cast("double") * lit(nPhases.toDouble) /
+          col("_total").cast("double")).cast("int").as("phase"))
+  }
+
   /** Train/val/test LEAKAGE audit: near-duplicate pairs (exact n-gram
     * Jaccard >= threshold, the x8 machinery) whose two documents land in
     * DIFFERENT [[hashSplit]] splits — the contamination a random

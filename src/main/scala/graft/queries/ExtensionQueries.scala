@@ -907,7 +907,14 @@ object ExtensionQueries {
       val d = t(s, dir, "documents")
       Bpe.compressionByGroup(d, "doc_id", "text", "lang",
         Bpe.mergeList(d, "text", rounds = 6))
-    })
+    }),
+
+    // x103 — quality-ordered curriculum phases: exact global rank under
+    // (x12 score desc, id) via deterministic static score-range buckets
+    // (no global sort, no sampled boundaries), phase = quartile of rank.
+    "x103_curriculum" -> ((s, dir) =>
+      TextAnalysis.curriculumPhases(t(s, dir, "documents"), "doc_id",
+        "text", nPhases = 4))
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -2734,6 +2741,35 @@ object ExtensionQueries {
                / CAST(sum(enc.n_words) AS DOUBLE) * 10000 + 0.5) / 10000.0
            END AS subtokens_per_word
          FROM enc JOIN documents d USING (doc_id)
-         GROUP BY d.lang"""
+         GROUP BY d.lang""",
+    // the x12 quality_score expression, a single-window exact rank (the
+    // oracle may sort globally; the Spark plan must not), and the same
+    // left-assoc phase arithmetic
+    "x103_curriculum" ->
+      """WITH qs AS (SELECT doc_id,
+           floor((0.4 * (CASE WHEN length(trim(text)) >= 100
+               AND length(trim(text)) <= 20000 THEN 1 ELSE 0 END)
+           + 0.3 * greatest(0.0, 1.0 -
+               ((length(trim(text)) - length(regexp_replace(
+                 lower(trim(text)), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                / length(trim(text))) * 5)
+           + 0.3 * least(1.0,
+               (len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is',
+                            'der','die','das','und','ist','ein','zu',
+                            'el','la','de','que','y','en','un',
+                            'le','et','les','des','une',
+                            '的','是','了','在','和','有','我'))) * 1.0
+                / len(string_split_regex(lower(trim(text)), '\s+'))) * 5))
+           * 10000 + 0.5) / 10000.0 AS quality_score
+           FROM documents),
+         r AS (SELECT doc_id, quality_score,
+             CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
+               AS BIGINT) AS rank,
+             count(*) OVER () AS n
+           FROM qs)
+         SELECT doc_id, quality_score, rank,
+           CAST(floor((rank - 1) * 4.0 / n) AS INTEGER) AS phase
+         FROM r"""
   )
 }

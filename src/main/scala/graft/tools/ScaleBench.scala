@@ -375,7 +375,13 @@ object ScaleBench {
       val d = Tables(s, dir, "documents")
       graft.operators.Bpe.compressionByGroup(d, "doc_id", "text", "lang",
         graft.operators.Bpe.mergeList(d, "text", rounds = 6))
-    }))
+    }),
+    // static 256-bucket distributed rank: bucket count fixed, each
+    // bucket's local sort grows 10x — the no-global-sort rank's
+    // linearity is what's probed
+    ("x103_curriculum", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.curriculumPhases(
+        Tables(s, dir, "documents"), "doc_id", "text", nPhases = 4)))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -492,4 +492,35 @@ class TextAnalysisSpec extends SparkSpec {
         r.getAs[Double]("avg_logprob"))).toSet
     assert(rep == Set((3L, -0.4228)))
   }
+
+  test("curriculumPhases: bucketed rank equals the single-window " +
+      "reference under any partitioning (x103)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // varied lengths/punctuation give a spread of scores WITH ties
+    // (identical docs 40/41 tie and must order by id)
+    val docs = ((1L to 39L).map { i =>
+      (i, Seq.fill(i.toInt * 3)("the quick fox").mkString(" ") +
+        ("!" * (i.toInt % 7)))
+    } ++ Seq((40L, "same tied text here"), (41L, "same tied text here")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.curriculumPhases(
+        docs.repartition(7), "doc_id", "text", nPhases = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("rank"), r.getAs[Int]("phase")))).toMap
+    // reference: plain global window on the same score frame
+    val ref = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("quality_score").desc, col("doc_id"))).cast("long"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank"))
+      .toMap
+    assert(out.size == 41)
+    ref.foreach { case (id, r) =>
+      assert(out(id)._1 == r, s"doc $id")
+      assert(out(id)._2 == ((r - 1) * 4 / 41).toInt)
+    }
+    // the tie orders by id
+    assert(out(40L)._1 + 1 == out(41L)._1)
+  }
 }
