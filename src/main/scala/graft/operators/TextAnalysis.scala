@@ -192,6 +192,41 @@ object TextAnalysis {
       .otherwise(lit("test"))
   }
 
+  /** Per-document n-gram NOVELTY (x104) — the diversity-contribution
+    * signal: what fraction of a document's distinct k-shingles appears
+    * NOWHERE else in the corpus (df = 1). High novelty marks documents
+    * that add unique content to the mix; near-zero novelty marks
+    * templated/boilerplate mass even when no single document is a
+    * near-duplicate — the corpus-level complement of the pairwise
+    * dedup family. Returns `(doc_id, n_shingles, n_unique, novelty)`;
+    * docs shorter than k tokens have no shingles and report (0, 0,
+    * NULL).
+    *
+    * Scale shape: one scan-side shingle-kernel pass, one (hash)
+    * df-aggregate over 8-byte hashed shingles, one hash-equi join back
+    * — the same movement budget as x25's df stage; text never
+    * shuffles. novelty = exact long/long division (bit-identical
+    * cross-engine, no rounding shim needed — but rounded at 1e-4
+    * anyway to keep the surface uniform with the other ratios). */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val grams = Par.spread(docs).select(col(idCol).as("doc_id"),
+      explode(TextExpressions.shingleHashSet(col(textCol), k)).as("_h"))
+    val dfh = grams.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+    val perDoc = grams.join(dfh, "_h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(col("n_shingles") > 0, Num.fpRound(
+          col("n_unique").cast("double") /
+            col("n_shingles").cast("double"), 4)).as("novelty"))
+  }
+
   /** Quality-ordered CURRICULUM phases (x103): every document's EXACT
     * global rank under (quality_score desc, doc_id asc) and its phase
     * `floor((rank-1)·nPhases/N)` — the curriculum-learning assignment

@@ -914,7 +914,14 @@ object ExtensionQueries {
     // (no global sort, no sampled boundaries), phase = quartile of rank.
     "x103_curriculum" -> ((s, dir) =>
       TextAnalysis.curriculumPhases(t(s, dir, "documents"), "doc_id",
-        "text", nPhases = 4))
+        "text", nPhases = 4)),
+
+    // x104 — n-gram novelty: fraction of each doc's distinct 3-shingles
+    // unique to it corpus-wide (df=1) — the diversity-contribution
+    // signal complementing the pairwise dedup family.
+    "x104_novelty" -> ((s, dir) =>
+      TextAnalysis.noveltyScores(t(s, dir, "documents"), "doc_id",
+        "text", k = 3))
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -2770,6 +2777,24 @@ object ExtensionQueries {
            FROM qs)
          SELECT doc_id, quality_score, rank,
            CAST(floor((rank - 1) * 4.0 / n) AS INTEGER) AS phase
-         FROM r"""
+         FROM r""",
+    // the duckShingles distinct-gram stream with its df table joined
+    // back; short docs enter via the left join as (0, 0, NULL)
+    "x104_novelty" ->
+      s"""WITH $duckShingles,
+         dfh AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+         per AS (SELECT sh.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+           FROM sh JOIN dfh USING (s) GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(n_unique, 0) AS BIGINT) AS n_unique,
+           CASE WHEN coalesce(n_shingles, 0) > 0 THEN
+             floor(CAST(n_unique AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+               * 10000 + 0.5) / 10000.0
+           END AS novelty
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
   )
 }

@@ -381,7 +381,13 @@ object ScaleBench {
     // linearity is what's probed
     ("x103_curriculum", (s: SparkSession, dir: String) =>
       graft.operators.TextAnalysis.curriculumPhases(
-        Tables(s, dir, "documents"), "doc_id", "text", nPhases = 4)))
+        Tables(s, dir, "documents"), "doc_id", "text", nPhases = 4)),
+    // the `_k` suffix keeps copies' shingle alphabets disjoint, so each
+    // copy's df structure — and every novelty value — replicates
+    // exactly; the df agg + hash join are the scaling stages
+    ("x104_novelty", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.noveltyScores(
+        Tables(s, dir, "documents"), "doc_id", "text", k = 3)))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -481,16 +487,26 @@ object ScaleBench {
     val ann2_1 = buildAnnDedupIndex(srcDir, 1, "1x")
     val ann2_10 = buildAnnDedupIndex(scaleDir, Copies, "10x")
 
+    // dev knob (mirrors Bench): SPARK_GRAFT_SCALE_ONLY=x88_...,x104_...
+    // restricts the probed set for re-measuring individual probes; the
+    // partial BENCH_scale.json it writes is merged into the full table
+    // by the caller
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    def selected(ps: Seq[(String, (SparkSession, String) => DataFrame)]) =
+      ps.filter { case (n, _) => only.forall(_.contains(n)) }
+
     // one untimed warmup of every probe at 1× (JIT + codegen)
-    probes(16, 1, thr1, lm1, ann1, ann2_1).foreach { case (n, f) =>
+    selected(probes(16, 1, thr1, lm1, ann1, ann2_1)).foreach { case (n, f) =>
       try f(spark, srcDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[scale] warmup $n failed: ${e.getMessage}") }
       spark.catalog.clearCache()
     }
 
-    val results = probes(16, 1, thr1, lm1, ann1, ann2_1)
-      .zip(probes(16 * Copies, Copies, thr10, lm10, ann10, ann2_10)).map {
+    val results = selected(probes(16, 1, thr1, lm1, ann1, ann2_1))
+      .zip(selected(probes(16 * Copies, Copies, thr10, lm10, ann10,
+        ann2_10))).map {
       case ((name, f1), (_, f10)) =>
         val (t1, r1) = run(srcDir, 16, name, f1)
         val (t10, r10) = run(scaleDir, 160, name, f10)

@@ -523,4 +523,20 @@ class TextAnalysisSpec extends SparkSpec {
     // the tie orders by id
     assert(out(40L)._1 + 1 == out(41L)._1)
   }
+
+  test("noveltyScores: corpus-unique shingle fraction; short docs " +
+      "report (0, 0, null) (x104)") {
+    val docs = Seq(
+      (1L, "a b c d"),  // shingles {a b c, b c d}; "a b c" shared w/ 2
+      (2L, "a b c x"),  // shingles {a b c, b c x}
+      (3L, "zz")        // < 3 tokens: no shingles
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScores(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_unique"),
+          Option(r.getAs[java.lang.Double]("novelty"))))).toMap
+    assert(out(1L) == ((2L, 1L, Some(0.5))))
+    assert(out(2L) == ((2L, 1L, Some(0.5))))
+    assert(out(3L) == ((0L, 0L, None)))
+  }
 }
