@@ -127,6 +127,25 @@ object Cleaning {
           .cast("long"))
       .withColumn(textCol, regexp_replace(col(textCol), Ipv4Pattern, "<IP>"))
 
+  /** Unicode CANONICALIZATION (x105) — NFC normalization + C0-control
+    * strip (newline/tab/CR kept), the pass a crawl corpus needs BEFORE
+    * any hash-based stage: a decomposed "é" (e + U+0301) and its
+    * composed form are different bytes — they defeat exact dedup (x1),
+    * split vocabularies (x33), and double-count shingles (x2/x8) while
+    * rendering identically. Returns `(doc_id, clean_text, changed)`.
+    *
+    * A single codegen'd per-row kernel ([[TextExpressions.nfcClean]] —
+    * `java.text.Normalizer` NFC, mirroring DuckDB's `nfc_normalize`;
+    * both implement UAX #15), zero shuffles, idempotent (NFC is a
+    * normal form; the control class contains no NFC output). */
+  def nfcClean(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Par.spread(docs).select(col(idCol).as("doc_id"),
+        TextExpressions.nfcClean(col(textCol)).as("clean_text"),
+        col(textCol).as("_orig"))
+      .withColumn("changed",
+        (col("clean_text") =!= col("_orig")).cast("int"))
+      .drop("_orig")
+
   /** The serialized Bloom sketch of the corpus's boilerplate passage
     * hashes (xxhash64 of each passage whose distinct-document frequency
     * exceeds `maxDf`) — the shareable artifact behind the streaming

@@ -921,7 +921,18 @@ object ExtensionQueries {
     // signal complementing the pairwise dedup family.
     "x104_novelty" -> ((s, dir) =>
       TextAnalysis.noveltyScores(t(s, dir, "documents"), "doc_id",
-        "text", k = 3))
+        "text", k = 3)),
+
+    // x105 — Unicode NFC canonicalization + control strip. The ASCII
+    // fixture would make the op an identity, so every row is augmented
+    // with a decomposed "é" (e + U+0301) and a BEL control char —
+    // mirrored in the oracle — making the normalize+strip observable on
+    // every row (changed = 1 corpus-wide).
+    "x105_nfc_clean" -> ((s, dir) =>
+      Cleaning.nfcClean(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"), lit(" caf"), lit("e\u0301"), lit("\u0007"))),
+        "doc_id", "text"))
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -2795,6 +2806,20 @@ object ExtensionQueries {
              floor(CAST(n_unique AS DOUBLE) / CAST(n_shingles AS DOUBLE)
                * 10000 + 0.5) / 10000.0
            END AS novelty
-         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
+    // nfc_normalize (UAX #15, same normal form as java.text.Normalizer)
+    // + the identical RE2/Java control character class
+    "x105_nfc_clean" ->
+      """WITH aug AS (SELECT doc_id,
+           text || ' caf' || 'e' || chr(769) || chr(7) AS t
+           FROM documents),
+         c AS (SELECT doc_id, t,
+             regexp_replace(nfc_normalize(t),
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS clean_text
+           FROM aug)
+         SELECT doc_id, clean_text,
+           CAST(CASE WHEN clean_text <> t THEN 1 ELSE 0 END AS INTEGER)
+             AS changed
+         FROM c"""
   )
 }

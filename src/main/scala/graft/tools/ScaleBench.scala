@@ -387,7 +387,12 @@ object ScaleBench {
     // exactly; the df agg + hash join are the scaling stages
     ("x104_novelty", (s: SparkSession, dir: String) =>
       graft.operators.TextAnalysis.noveltyScores(
-        Tables(s, dir, "documents"), "doc_id", "text", k = 3)))
+        Tables(s, dir, "documents"), "doc_id", "text", k = 3)),
+    // pure per-row normalize kernel — the zero-shuffle floor (x69/x78
+    // class)
+    ("x105_nfc_clean", (s: SparkSession, dir: String) =>
+      graft.operators.Cleaning.nfcClean(
+        Tables(s, dir, "documents"), "doc_id", "text")))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -282,6 +282,21 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  private val ControlChars =
+    java.util.regex.Pattern.compile("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")
+
+  /** Unicode NFC normalization + C0-control strip (newline/tab/CR kept)
+    * — the canonicalization pass a crawl corpus needs before hashing or
+    * tokenizing (decomposed é vs composed é would otherwise defeat
+    * exact dedup and split vocabularies). NFC via `java.text.Normalizer`
+    * mirrors DuckDB's `nfc_normalize` (both implement UAX #15); the
+    * control class is a plain RE2/Java-identical character class. */
+  def nfcClean(text: UTF8String): UTF8String = {
+    val s = java.text.Normalizer.normalize(text.toString,
+      java.text.Normalizer.Form.NFC)
+    UTF8String.fromString(ControlChars.matcher(s).replaceAll(""))
+  }
+
   /** Repetition signals over the token stream (the Gopher-style quality
     * rules): returns [total_bigrams, top_bigram_count, total_trigrams,
     * dup_trigram_occurrences] as longs, one HashMap pass per n-gram
@@ -429,6 +444,20 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+case class NfcCleanExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.nfcClean(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextKernels.nfcClean($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHashMd5Expr(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -551,6 +580,8 @@ object TextExpressions {
     ExpressionUtils.column(SimHash64Expr(e(text)))
   def simhashMd5(text: Column): Column =
     ExpressionUtils.column(SimHashMd5Expr(e(text)))
+  def nfcClean(text: Column): Column =
+    ExpressionUtils.column(NfcCleanExpr(e(text)))
   def termCounts(text: Column): Column =
     ExpressionUtils.column(TermCountsExpr(e(text)))
   def chunkTokens(text: Column, size: Int, stride: Int): Column =

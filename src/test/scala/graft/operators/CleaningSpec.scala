@@ -141,4 +141,28 @@ class CleaningSpec extends SparkSpec {
       Cleaning.collapseRuns(docs, "doc_id", "text", maxRun = 0)
     }
   }
+
+  test("nfcClean composes decomposed sequences, strips C0 controls, " +
+      "keeps \\n/\\t, and is idempotent (x105)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "café time"),         // e + combining acute -> é
+      (2L, "a\u0007b\u0000c"),         // BEL + NUL stripped
+      (3L, "line1\nline2\tend\r"),     // structural whitespace kept
+      (4L, "café already")        // composed already: unchanged
+    ).toDF("doc_id", "text")
+    val out = Cleaning.nfcClean(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Int]("changed")))).toMap
+    assert(out(1L) == (("café time", 1)))
+    assert(out(2L) == (("abc", 1)))
+    assert(out(3L) == (("line1\nline2\tend\r", 0)))
+    assert(out(4L) == (("café already", 0)))
+    // idempotent: a second pass changes nothing
+    val again = Cleaning.nfcClean(
+        Cleaning.nfcClean(docs, "doc_id", "text")
+          .selectExpr("doc_id", "clean_text AS text"),
+        "doc_id", "text").collect()
+    assert(again.forall(_.getAs[Int]("changed") == 0))
+  }
 }
