@@ -65,11 +65,16 @@ object CorpusPipeline {
       .drop("_st")
       .withColumn("_digest", sha2(lower(trim(col(textCol))), 256))
       .withColumn("_sh", TextExpressions.shingleHashSet(col(textCol), shingleK))
-      .cache()
     // exact dedup applied (x34 semantics): representative = min id per
-    // digest; one (digest, id) shuffle — the text never moves
+    // digest; one (digest, id) shuffle — the text never moves. The
+    // CACHE sits HERE, not on `base`: every later stage consumes
+    // `exact`, so pinning it stops each reference re-running the
+    // digest shuffle + semi join, while Catalyst prunes the (pricey)
+    // shingle kernel out of the reps branch below — so per run the
+    // text pays one gate+digest scan (reps) + one gate+digest+shingle
+    // scan (this cache's fill) + the chunker, and nothing else.
     val reps = base.groupBy(col("_digest")).agg(min(col(idCol)).as(idCol))
-    val exact = base.join(reps, Seq("_digest", idCol), "left_semi")
+    val exact = base.join(reps, Seq("_digest", idCol), "left_semi").cache()
     // near-dup applied (x36): LSH → verify → components → drop, over
     // the CACHED sets column — no second text pass
     val sets = exact.select(col(idCol).as("doc_id"), col("_sh").as("sh"))

@@ -115,6 +115,8 @@ object Retrieval {
         sum(size(Text.tokens(col(textCol))).cast("long")).as("sum_dl"))
       .head()
     val n = s.getLong(0)
+    require(n > 0,
+      "bm25Stats: empty corpus — frozen retrieval stats need >= 1 document")
     val avgdl = s.getLong(1).toDouble / n.toDouble
     val df = Par.spread(corpus)
       .select(explode(TextExpressions.termCounts(col(textCol))).as("tc"))

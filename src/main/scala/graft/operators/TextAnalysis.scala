@@ -210,8 +210,12 @@ object TextAnalysis {
     * anyway to keep the surface uniform with the other ratios). */
   def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
+    // CACHED (the TextDedup shingle-sets convention): the gram stream
+    // feeds both the df aggregate and the join back — without pinning
+    // it the shingle kernel scans the corpus text twice per run
     val grams = Par.spread(docs).select(col(idCol).as("doc_id"),
-      explode(TextExpressions.shingleHashSet(col(textCol), k)).as("_h"))
+        explode(TextExpressions.shingleHashSet(col(textCol), k)).as("_h"))
+      .cache()
     val dfh = grams.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
     val perDoc = grams.join(dfh, "_h")
       .groupBy(col("doc_id"))
