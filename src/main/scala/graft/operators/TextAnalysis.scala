@@ -192,6 +192,61 @@ object TextAnalysis {
       .otherwise(lit("test"))
   }
 
+  /** Per-source DISTRIBUTION DRIFT (x106) — KL(source ‖ corpus) over
+    * the corpus's top-`vocabSize` unigram vocabulary: the data-card
+    * companion that quantifies how far each source's language deviates
+    * from the mix (a drifting crawl source shows up here long before
+    * it shows up in loss curves). Both distributions are normalized
+    * over the SAME top-V term set, so the divergence is well-defined
+    * and bounded; terms a source never uses contribute 0 (the p→0
+    * limit). Returns `(source, n_terms, kl_divergence)`; a source with
+    * zero top-V occurrences reports NULL divergence.
+    *
+    * Scale shape: one kernel term-count pass; the top-V vocabulary is
+    * a V-row broadcast (x33's TakeOrdered cut), so only top-V term
+    * rows survive the scan — the exchange after it is bounded by
+    * #sources × V however large the corpus vocabulary is. Numeric
+    * law: p and q are exact long/long divisions; ln(p/q) is rounded
+    * at 1e-4 (the x25 libm shim); each p·ln-term is rounded and the
+    * per-source sum runs as exact DECIMAL — order-free. */
+  def sourceDrift(docs: DataFrame, idCol: String, textCol: String,
+                  sourceCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val tf = Par.spread(docs)
+      .select(col(sourceCol).as("source"),
+        explode(TextExpressions.termCounts(col(textCol))).as("tc"))
+      .select(col("source"), col("tc.term").as("term"),
+        col("tc.tf").cast("long").as("tf"))
+    // corpus top-V vocabulary with its counts: TakeOrdered cut,
+    // (count desc, term asc) total order — V rows, broadcast
+    val vocab = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("corpus_tf"))
+      .orderBy(col("corpus_tf").desc, col("term"))
+      .limit(vocabSize)
+    val corpusTotal = vocab.agg(sum(col("corpus_tf")).as("corpus_total"))
+    val srcTf = tf.join(broadcast(vocab), "term")
+      .groupBy(col("source"), col("term"))
+      .agg(sum(col("tf")).as("src_tf"),
+        first(col("corpus_tf")).as("corpus_tf"))
+    val srcTotals = srcTf.groupBy(col("source"))
+      .agg(sum(col("src_tf")).as("src_total"))
+    val p = col("src_tf").cast("double") / col("src_total").cast("double")
+    val q = col("corpus_tf").cast("double") /
+      col("corpus_total").cast("double")
+    val contrib = Num.fpRound(p * Num.fpRound(log(p / q), 4), 4)
+    val drift = srcTf
+      .join(srcTotals, "source")
+      .crossJoin(broadcast(corpusTotal))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        Num.dsum(contrib).as("kl_divergence"))
+    docs.select(col(sourceCol).as("source")).distinct()
+      .join(drift, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        col("kl_divergence"))
+  }
+
   /** Per-document n-gram NOVELTY (x104) — the diversity-contribution
     * signal: what fraction of a document's distinct k-shingles appears
     * NOWHERE else in the corpus (df = 1). High novelty marks documents

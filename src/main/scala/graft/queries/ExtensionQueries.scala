@@ -932,7 +932,14 @@ object ExtensionQueries {
       Cleaning.nfcClean(
         t(s, dir, "documents").withColumn("text",
           concat(col("text"), lit(" caf"), lit("e\u0301"), lit("\u0007"))),
-        "doc_id", "text"))
+        "doc_id", "text")),
+
+    // x106 — per-source distribution drift: KL(source ‖ corpus) over
+    // the corpus top-200 unigram vocabulary — the mixture-monitoring
+    // audit (a drifting source surfaces here before loss curves).
+    "x106_source_drift" -> ((s, dir) =>
+      TextAnalysis.sourceDrift(t(s, dir, "documents"), "doc_id", "text",
+        "source", vocabSize = 200))
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -2820,6 +2827,42 @@ object ExtensionQueries {
          SELECT doc_id, clean_text,
            CAST(CASE WHEN clean_text <> t THEN 1 ELSE 0 END AS INTEGER)
              AS changed
-         FROM c"""
+         FROM c""",
+    // p and q are exact long/long divisions over the SAME top-200 term
+    // set; ln rounded at 1e-4 (the x25 shim), each p*ln term rounded,
+    // per-source sum in exact DECIMAL — order-free on both engines
+    "x106_source_drift" ->
+      """WITH toks AS (SELECT source,
+           string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         tf AS (SELECT source, u.term AS term,
+             CAST(count(*) AS BIGINT) AS tf
+           FROM toks, unnest(t) AS u(term) GROUP BY 1, 2),
+         vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS corpus_tf
+           FROM tf GROUP BY 1
+           ORDER BY corpus_tf DESC, term LIMIT 200),
+         ct AS (SELECT CAST(sum(corpus_tf) AS DOUBLE) AS corpus_total
+           FROM vocab),
+         st AS (SELECT source, tf.term AS term, tf AS src_tf, corpus_tf
+           FROM tf JOIN vocab USING (term)),
+         tot AS (SELECT source, CAST(sum(src_tf) AS BIGINT) AS src_total
+           FROM st GROUP BY 1),
+         contrib AS (SELECT st.source,
+             floor((CAST(src_tf AS DOUBLE) / CAST(src_total AS DOUBLE))
+                 * (floor(ln((CAST(src_tf AS DOUBLE)
+                       / CAST(src_total AS DOUBLE))
+                     / (CAST(corpus_tf AS DOUBLE) / corpus_total))
+                     * 10000 + 0.5) / 10000.0)
+               * 10000 + 0.5) / 10000.0 AS c
+           FROM st JOIN tot USING (source) CROSS JOIN ct),
+         drift AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE)
+               AS kl_divergence
+           FROM contrib GROUP BY 1)
+         SELECT d.source,
+           CAST(coalesce(n_terms, 0) AS BIGINT) AS n_terms,
+           kl_divergence
+         FROM (SELECT DISTINCT source FROM documents) d
+         LEFT JOIN drift USING (source)"""
   )
 }

@@ -392,7 +392,15 @@ object ScaleBench {
     // class)
     ("x105_nfc_clean", (s: SparkSession, dir: String) =>
       graft.operators.Cleaning.nfcClean(
-        Tables(s, dir, "documents"), "doc_id", "text")))
+        Tables(s, dir, "documents"), "doc_id", "text")),
+    // the `_k` suffix grows the vocabulary 10x but the top-V cut stays
+    // V rows; sources are identical across copies, so the
+    // (#sources × V)-bounded exchange is constant while the term-count
+    // scan scales — the broadcast-cut design under test
+    ("x106_source_drift", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.sourceDrift(
+        Tables(s, dir, "documents"), "doc_id", "text", "source",
+        vocabSize = 200)))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

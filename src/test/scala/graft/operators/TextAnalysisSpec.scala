@@ -524,6 +524,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(40L)._1 + 1 == out(41L)._1)
   }
 
+  test("sourceDrift: hand-derived KL over the shared top-V vocabulary; " +
+      "identical distributions score 0 (x106)") {
+    val docs = Seq(
+      (1L, "a", "x x x y"),   // src a: x:3 y:1 over {x,y}
+      (2L, "b", "x y x y"),   // src b: x:2 y:2
+      (3L, "c", "x x x y")    // src c == src a's distribution
+    ).toDF("doc_id", "source", "text")
+    def r4(v: Double) = math.floor(v * 1e4 + 0.5) / 1e4
+    // corpus over {x,y}: x:8, y:4, total 12
+    def kl(px: Double, py: Double): Double = {
+      val qx = 8.0 / 12.0; val qy = 4.0 / 12.0
+      r4(px * r4(math.log(px / qx))) + r4(py * r4(math.log(py / qy)))
+    }
+    val out = TextAnalysis.sourceDrift(docs, "doc_id", "text", "source",
+        vocabSize = 10)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_terms"), r.getAs[Double]("kl_divergence"))))
+      .toMap
+    assert(out("a") == ((2L, kl(0.75, 0.25))))
+    assert(out("c") == ((2L, kl(0.75, 0.25))))
+    assert(out("b") == ((2L, kl(0.5, 0.5))))
+    assert(out("b")._2 > 0) // 1:1 vs the 2:1 corpus: nonzero drift
+    // vocabSize 1 keeps only "x": a source never using it reports
+    // (0, null)
+    val noX = Seq((1L, "a", "x x x"), (2L, "b", "z z"))
+      .toDF("doc_id", "source", "text")
+    val v1 = TextAnalysis.sourceDrift(noX, "doc_id", "text", "source",
+        vocabSize = 1)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_terms"),
+          Option(r.getAs[java.lang.Double]("kl_divergence"))))).toMap
+    assert(v1("b") == ((0L, None)))
+    assert(v1("a")._1 == 1L) // p=q=1 over {x}: KL exactly 0
+    assert(v1("a")._2 == Some(0.0))
+  }
+
   test("noveltyScores: corpus-unique shingle fraction; short docs " +
       "report (0, 0, null) (x104)") {
     val docs = Seq(
