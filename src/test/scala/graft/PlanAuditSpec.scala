@@ -593,4 +593,34 @@ class PlanAuditSpec extends SparkSpec {
           s"$q: bucket pruning not engaged:\n$p")
     }
   }
+
+  test("x98 BM25 broadcasts df + stats and plans top-k without a " +
+      "global sort") {
+    val p = plan("x98_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k should be TakeOrderedAndProject:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      s"the |query|-row df table should broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"the 1-row stats frame should broadcast:\n$p")
+  }
+
+  test("x103 curriculum ranks without a corpus-sized global sort") {
+    val p = plan("x103_curriculum")
+    // the ONLY single-partition exchange is the ≤256-row bucket
+    // rollup; the corpus-sized frames move through hash exchanges
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"expected exactly the tiny-rollup single-partition exchange:\n$p")
+    assert(!p.contains("TakeOrderedAndProject"),
+      s"rank must cover ALL rows, not a cut:\n$p")
+  }
+
+  test("x106 source drift broadcasts the top-V vocabulary cut") {
+    val p = plan("x106_source_drift")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-V cut should be TakeOrderedAndProject:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the V-row vocabulary should broadcast into the tf stream:\n$p")
+  }
 }
