@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time: ..." epilogue after runMain: the bench
+// driver parses the LAST stdout line as the metric JSON, and sbt's
+// success banner otherwise lands after it (BENCH_r11 "parsed: null").
+Global / showSuccess := false
+// showSuccess is consumed by the command loop, not a task — exclude it
+// from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bench main (driver contract): times every registered query at the given
@@ -58,11 +60,30 @@ object Bench {
     // min over repeated steady-state runs is the standard estimator of
     // the actual cost of the work.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
-    // returns (duration, succeeded): a failed pass must not win the min —
-    // an exception after 0.2s is not a 0.2s query
+
+    // Host-condition instrumentation: the min-over-passes estimator
+    // rejects one-off stalls, but when the WHOLE window is degraded
+    // (GC drag from an undersized heap, CPU steal from a noisy
+    // neighbor) every pass is slow and the artifact used to carry no
+    // evidence either way. Record, per query per pass: JVM GC time
+    // (sum over collectors), process CPU time (≈ cores kept busy when
+    // divided by wall), and the 1-min system load average — so a level
+    // shift between two artifacts can be attributed from the artifacts
+    // alone.
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    def gcMillis: Long = gcBeans.map(_.getCollectionTime).sum
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuNanos: Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    /** One timed run: (duration s, succeeded, gc ms, cpu-cores busy).
+      * A failed pass must not win the min — an exception after 0.2s is
+      * not a 0.2s query. */
     def timeOnce(name: String, pass: Int,
-                 fn: (SparkSession, String) => DataFrame): (Double, Boolean) = {
-      val t0 = System.nanoTime()
+        fn: (SparkSession, String) => DataFrame): (Double, Boolean, Long, Double) = {
+      val (gc0, cpu0, t0) = (gcMillis, cpuNanos, System.nanoTime())
       // materialize every InternalRow on the executors (cannot be pruned
       // like count()), without paying external-Row deserialization
       val ok =
@@ -72,15 +93,26 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      val gc = gcMillis - gc0
+      val cores = if (cpu0 < 0) -1.0 else (cpuNanos - cpu0) / 1e9 / dt
       System.err.println(f"[bench] pass $pass $name%-28s $dt%8.2f s" +
+        f"  gc=$gc%4d ms  cpu=$cores%5.1f cores" +
         (if (ok) "" else "  (FAILED)"))
       // drop operator-internal caches so queries don't contend
       spark.catalog.clearCache()
-      (dt, ok)
+      (dt, ok, gc, cores)
     }
+    val timedStart = (gcMillis, cpuNanos, System.nanoTime())
     val allPasses = (1 to passes).map { p =>
       selected.map { case (name, fn) => timeOnce(name, p, fn) }
     }
+    val timedWallS = (System.nanoTime() - timedStart._3) / 1e9
+    val envGcMs = gcMillis - timedStart._1
+    val envCpuUtil =
+      if (timedStart._2 < 0) -1.0
+      else (cpuNanos - timedStart._2) / 1e9 / timedWallS /
+        Runtime.getRuntime.availableProcessors()
+    val envLoad = osBean.getSystemLoadAverage
     val results = selected.zipWithIndex.map { case ((name, _), i) =>
       val runs = allPasses.map(_(i))
       val good = runs.filter(_._2).map(_._1)
@@ -89,26 +121,62 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $best%8.2f s")
       name -> best
     }
+    // Full per-query, per-pass detail (times + GC + cpu-cores for EVERY
+    // pass, not just the winning min) → a JSON file the committed
+    // BENCH_local_r{N}.json ledger snapshots; the driver's stdout line
+    // stays compact. Override path via SPARK_GRAFT_BENCH_DETAIL.
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "target/bench_detail.json"))
+    val detail = selected.zipWithIndex.map { case ((name, _), i) =>
+      val runs = allPasses.map(_(i))
+      s""""$name":{"passes":[${runs.map(r => f"${r._1}%.3f").mkString(",")}]""" +
+        s""","gc_ms":[${runs.map(_._3).mkString(",")}]""" +
+        f""","cpu_cores":[${runs.map(r => f"${r._4}%.1f").mkString(",")}]}"""
+    }.mkString("{\n", ",\n", "\n}")
+    try {
+      if (detailPath.getParent != null)
+        java.nio.file.Files.createDirectories(detailPath.getParent)
+      java.nio.file.Files.writeString(detailPath,
+        f"""{"sf":"$sfDir","passes":$passes,"wall_s":$timedWallS%.1f,""" +
+          f""""env":{"gc_ms":$envGcMs,"cpu_util":$envCpuUtil%.3f,""" +
+          f""""load1m":$envLoad%.1f},%n"queries":$detail}%n""")
+      System.err.println(s"[bench] detail -> $detailPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
     // The driver captures only the LAST ~2000 chars of output; a
-    // full-name per-query map (~110 queries × ~28 chars) blows past that
+    // full-name per-query map (~120 queries × ~28 chars) blows past that
     // and the driver records "parsed: null" (this is exactly what happened
     // to BENCH_r09/BENCH_r10). Key the printed map by each query's unique
-    // id prefix ("q1".."q13", "x1".."x97" — the prefix before the first
-    // '_'), which keeps the whole line under ~1.7k chars. Full names ↔ id
-    // mapping is one-to-one (ids are the canonical handles used in
-    // SCALING.md / VERDICT.md); full-name timings also go to stderr above
-    // and to the committed BENCH_local_r{N}.json ledger.
+    // id prefix ("q1".."q13", "x1"..the current top of the x-suite — the
+    // prefix before the first '_'), which keeps the whole line under
+    // ~1.8k chars. Full names ↔ id mapping is one-to-one (ids are the
+    // canonical handles used in SCALING.md / VERDICT.md); full-name
+    // timings also go to stderr above and to the committed
+    // BENCH_local_r{N}.json ledger (built from the detail file).
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    assert(prefixes.distinct.size == prefixes.size,
+      "duplicate short-id prefixes — the printed map would silently " +
+        "drop a timing (last-wins on json parse): " +
+        prefixes.diff(prefixes.distinct).distinct.mkString(","))
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + f"\":$v%.3f"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""env":{"gc_ms":$envGcMs,"cpu_util":$envCpuUtil%.3f,""" +
+        f""""load1m":$envLoad%.1f,"wall_s":$timedWallS%.1f},""" +
+        f""""sf":"$sfLabel"}"""
     assert(line.length < 1900,
       s"bench JSON line ${line.length} chars — would overflow the driver's " +
         "2000-char tail capture; shrink the printed map")
-    println(line)
+    // stop Spark BEFORE printing: executor/context shutdown writes its
+    // own log lines, and the metric line must be the last thing on
+    // stdout for the driver's tail parser
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

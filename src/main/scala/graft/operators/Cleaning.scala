@@ -143,7 +143,11 @@ object Cleaning {
         TextExpressions.nfcClean(col(textCol)).as("clean_text"),
         col(textCol).as("_orig"))
       .withColumn("changed",
-        (col("clean_text") =!= col("_orig")).cast("int"))
+        // null-safe: the kernel is null-intolerant (NULL text -> NULL
+        // clean_text), and NULL <> NULL is NULL — but the oracle's CASE
+        // WHEN ... THEN 1 ELSE 0 lands in the ELSE branch, so a NULL
+        // row must report changed = 0, not NULL
+        coalesce((col("clean_text") =!= col("_orig")).cast("int"), lit(0)))
       .drop("_orig")
 
   /** The serialized Bloom sketch of the corpus's boilerplate passage

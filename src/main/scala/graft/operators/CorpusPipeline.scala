@@ -243,15 +243,24 @@ object CorpusPipeline {
     * components → broadcast rep join (the component table is
     * near-dup-sized). */
   def clusterReps(corpus: DataFrame, idCol: String, textCol: String,
-                  k: Int, threshold: Double): DataFrame = {
-    val pairs = TextDedup.jaccardPairs(corpus, idCol, textCol, k, threshold)
-      .select(col("doc1"), col("doc2"))
-    val comp = Components.connectedComponents(pairs, "doc1", "doc2")
-      .withColumnRenamed("node", "doc_id")
+                  k: Int, threshold: Double): DataFrame =
     corpus.select(col(idCol).cast("long").as("doc_id"))
-      .join(broadcast(comp), Seq("doc_id"), "left")
+      .join(broadcast(componentTable(corpus, idCol, textCol, k, threshold)),
+        Seq("doc_id"), "left")
       .withColumn("cluster_rep", coalesce(col("component"), col("doc_id")))
       .select(col("doc_id"), col("cluster_rep"))
+
+  /** The `(doc_id, component)` table of the x8 near-dup graph —
+    * near-dup-sized (only documents WITH a near-dup appear), so
+    * downstream joins broadcast it. Shared by [[clusterReps]] and
+    * [[sourceDuplication]]. */
+  private def componentTable(corpus: DataFrame, idCol: String,
+                             textCol: String, k: Int,
+                             threshold: Double): DataFrame = {
+    val pairs = TextDedup.jaccardPairs(corpus, idCol, textCol, k, threshold)
+      .select(col("doc1"), col("doc2"))
+    Components.connectedComponents(pairs, "doc1", "doc2")
+      .withColumnRenamed("node", "doc_id")
   }
 
   /** Near-dup cluster SIZE HISTOGRAM — the data-card companion for the
@@ -270,4 +279,48 @@ object CorpusPipeline {
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
+
+  /** Per-SOURCE duplication mass (x108) — the data-card row x97's
+    * corpus-level histogram can't answer: how much of EACH source is
+    * duplicated mass, in documents and in tokens. A document is
+    * "duplicated mass" when it is a non-representative member of a
+    * near-dup cluster (the mass dedup would remove; the rep carries the
+    * cluster's one kept copy — x93's keep rule), so for every source:
+    * `(n_docs, n_dup_docs, total_tokens, dup_tokens, dup_frac)` with
+    * dup_frac = dup_tokens/total_tokens (the token-weighted fraction a
+    * steward budgets by, not the doc count — a source whose duplicates
+    * are its longest documents is worse than its doc count suggests).
+    *
+    * Scale shape: pure COMPOSITION of bounded pieces — the x8 pair
+    * machinery + O(log d) components produce the near-dup-sized
+    * component table (broadcast), the corpus contributes ONE scan
+    * projecting `(doc_id, source, n_tokens)` (the x13 whitespace-token
+    * kernel; text never moves), and the per-source rollup is a
+    * #sources-row aggregate. No corpus-sized shuffle beyond what x93
+    * already pays. */
+  def sourceDuplication(corpus: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, k: Int,
+                        threshold: Double): DataFrame = {
+    val comp = componentTable(corpus, idCol, textCol, k, threshold)
+    Par.spread(corpus)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).as("source"),
+        size(graft.functions.Text.tokens(col(textCol))).cast("long")
+          .as("n_tokens"))
+      .join(broadcast(comp), Seq("doc_id"), "left")
+      .withColumn("_dup",
+        when(coalesce(col("component"), col("doc_id")) =!= col("doc_id"), 1L)
+          .otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_dup")).as("n_dup_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("_dup") * col("n_tokens")).as("dup_tokens"))
+      .withColumn("dup_frac",
+        when(col("total_tokens") > 0,
+          graft.functions.Num.fpRound(
+            col("dup_tokens").cast("double") /
+              col("total_tokens").cast("double"), 4))
+          .otherwise(lit(0.0d)))
+  }
 }

@@ -22,11 +22,13 @@ import graft.functions.{Num, Par, Skew, Text}
   * same filtered stream (a |query|-row table), corpus length stats are a
   * 1-row broadcast, and the final top-k plans as TakeOrderedAndProject
   * (per-partition heaps + one k-row driver merge — no global sort). At
-  * 100 TB the length stats and per-term postings would come from the
+  * 100 TB the length stats and per-term postings come from the
   * persisted corpus-metadata tables a production index maintains
   * ([[graft.sinks.Sinks.writeBucketed]] artifacts, the x80/x91
-  * convention) instead of the bootstrap text scans this self-contained
-  * form pays.
+  * convention): [[writeBm25Index]] builds them in one text scan and
+  * [[bm25TopKIndexed]] serves from them with zero text-kernel work —
+  * the self-contained [[bm25TopK]] bootstrap form pays the two text
+  * scans instead.
   *
   * Numeric law: idf = ln(1 + (N - df + ½)/(df + ½)) is rounded at 1e-4
   * BEFORE use (the x25 libm-divergence shim); the tf normalization
@@ -73,6 +75,17 @@ object Retrieval {
         col("tc.tf").cast("long").as("tf"))
       .filter(col("term").isin(terms: _*))
 
+    scoreTopK(tf, stats, topK, k1, b)
+  }
+
+  /** The shared BM25 scoring tail: rank a `(doc_id, dl, term, tf)`
+    * postings stream (already restricted to query terms) against a
+    * 1-row `(n_docs, avgdl)` stats frame. [[bm25TopK]] (bootstrap text
+    * scans) and [[bm25TopKIndexed]] (persisted index scans) both end
+    * here, so the scoring LAW — idf/tf-norm rounding, DECIMAL sum,
+    * (score desc, doc_id) top-k — cannot diverge between the forms. */
+  private def scoreTopK(tf: DataFrame, stats: DataFrame, topK: Int,
+                        k1: Double, b: Double): DataFrame = {
     // document frequency per query term: aggregates the filtered stream
     // — the result is at most |query| rows, broadcast back.
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -96,6 +109,60 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Persist the BM25 corpus-metadata artifact (the x80/x91 index
+    * convention): the FULL postings table `(term, doc_id, tf, dl)` —
+    * one row per distinct term per document — bucketed BY TERM so a
+    * query's `term IN (...)` scan prunes to the query terms' buckets,
+    * plus a 1-row `(n_docs, sum_dl)` length-stats table. Built in one
+    * corpus text scan; after it, retrieval never touches text again.
+    *
+    * At 100 TB the postings table is token-stream-sized (the classic
+    * inverted-index trade: index ≈ corpus, queries ≈ free); bucket
+    * count is sized so a term bucket is a healthy file, and incremental
+    * ingest appends per-batch postings files into the same bucket
+    * layout ([[graft.sinks.Sinks.writeBucketed]] `append`). */
+  def writeBm25Index(corpus: DataFrame, idCol: String, textCol: String,
+                     postingsTable: String, statsTable: String,
+                     numBuckets: Int = 8): Unit = {
+    val post = Par.spread(corpus)
+      .select(col(idCol).as("doc_id"),
+        size(Text.tokens(col(textCol))).cast("long").as("dl"),
+        explode(TextExpressions.termCounts(col(textCol))).as("tc"))
+      .select(col("tc.term").as("term"), col("doc_id"),
+        col("tc.tf").cast("long").as("tf"), col("dl"))
+    graft.sinks.Sinks.writeBucketed(post, postingsTable, Seq("term"),
+      numBuckets, sortCols = Seq("term"))
+    corpus
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col(textCol))).cast("long")).as("sum_dl"))
+      .write.mode("overwrite").format("parquet").saveAsTable(statsTable)
+  }
+
+  /** [[bm25TopK]] through its PERSISTED index — the production serving
+    * shape the bootstrap form's Scaladoc promises: zero text-kernel
+    * work, zero corpus text scans. The postings scan carries the
+    * `term IN (...)` filter on the BUCKETING column (bucket pruning:
+    * only the query terms' buckets are read), document frequencies
+    * aggregate that pruned stream, and length stats read a 1-row
+    * table. Same rows as [[bm25TopK]] by construction — both forms
+    * share [[scoreTopK]], and the index stores exactly the frame the
+    * bootstrap form computes. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                      postingsTable: String, statsTable: String,
+                      queryTerms: Seq[String], topK: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val tf = spark.table(postingsTable)
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val stats = spark.table(statsTable)
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .select(col("n_docs"), col("avgdl"))
+    scoreTopK(tf, stats, topK, k1, b)
+  }
+
   /** Frozen BM25 corpus statistics for a query — the driver-held,
     * query-sized artifact behind [[scoreAgainst]] and the streaming
     * relevance gate (the [[graft.operators.TextDedup.bandSketch]]
@@ -117,6 +184,11 @@ object Retrieval {
     val n = s.getLong(0)
     require(n > 0,
       "bm25Stats: empty corpus — frozen retrieval stats need >= 1 document")
+    // sum(dl) is NULL (not 0) when every text is NULL — size(tokens(NULL))
+    // is NULL and SUM skips nulls; a primitive getLong would NPE here
+    require(!s.isNullAt(1),
+      "bm25Stats: corpus has no tokenizable text (every text NULL) — " +
+        "frozen retrieval stats need >= 1 non-null document")
     val avgdl = s.getLong(1).toDouble / n.toDouble
     val df = Par.spread(corpus)
       .select(explode(TextExpressions.termCounts(col(textCol))).as("tc"))

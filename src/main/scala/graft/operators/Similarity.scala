@@ -270,9 +270,13 @@ object Similarity {
       .withColumn("n_vectors", coalesce(col("n_vectors"), lit(0L)))
       .crossJoin(broadcast(total))
       .select(col("centroid_id"), col("n_vectors"),
-        graft.functions.Num.fpRound(
-          col("n_vectors").cast("double") * lit(ids.length.toDouble) /
-            col("total").cast("double"), 4).as("load_factor"))
+        // empty corpus: 0·k/0 is NaN for every centroid — report the
+        // defined value 0.0 (an index over nothing has no load anywhere)
+        when(col("total") > 0,
+          graft.functions.Num.fpRound(
+            col("n_vectors").cast("double") * lit(ids.length.toDouble) /
+              col("total").cast("double"), 4))
+          .otherwise(lit(0.0d)).as("load_factor"))
   }
 
   def quantizeReport(emb: DataFrame, idCol: String,

@@ -265,12 +265,22 @@ object TextAnalysis {
     * anyway to keep the surface uniform with the other ratios). */
   def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
-    // CACHED (the TextDedup shingle-sets convention): the gram stream
-    // feeds both the df aggregate and the join back — without pinning
-    // it the shingle kernel scans the corpus text twice per run
+    // PERSISTED AT DISK_ONLY (the TextDedup CACHE CONTRACT applies:
+    // caller-owned — clearCache() between queries, as Bench/Verify do):
+    // the gram stream feeds both the df aggregate and the join back, so
+    // without pinning it the shingle kernel scans the corpus text twice
+    // per run. The pin is DISK_ONLY, not MEMORY: the frame is
+    // token-stream-sized (one 8-byte hash per shingle occurrence) —
+    // smaller than the text but still corpus-SCALE, and a memory pin of
+    // a corpus-scale frame is exactly the thing that evicts working
+    // memory at 100 TB. Serialized-on-local-disk is the shuffle-file
+    // cost model, which this stage already pays anyway. A repeated-
+    // novelty user (score every incoming batch) should instead persist
+    // the df-aggregate as a table (the x80/x91 index convention) — that
+    // artifact is vocabulary-sized, not corpus-sized.
     val grams = Par.spread(docs).select(col(idCol).as("doc_id"),
         explode(TextExpressions.shingleHashSet(col(textCol), k)).as("_h"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val dfh = grams.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
     val perDoc = grams.join(dfh, "_h")
       .groupBy(col("doc_id"))

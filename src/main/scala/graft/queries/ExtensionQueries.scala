@@ -939,7 +939,26 @@ object ExtensionQueries {
     // audit (a drifting source surfaces here before loss curves).
     "x106_source_drift" -> ((s, dir) =>
       TextAnalysis.sourceDrift(t(s, dir, "documents"), "doc_id", "text",
-        "source", vocabSize = 200))
+        "source", vocabSize = 200)),
+
+    // x107 — x98 through its PERSISTED BM25 index (the x80/x91 pairing
+    // on the retrieval side): postings bucketed by term + a 1-row
+    // length-stats table are built once per fixture; the query proper
+    // scans only the query terms' buckets — zero text-kernel work, zero
+    // corpus text scans. Same rows as x98 (same oracle).
+    "x107_bm25_indexed" -> ((s, dir) => {
+      val (post, stats) = bm25IndexFor(s, dir)
+      Retrieval.bm25TopKIndexed(s, post, stats,
+        queryTerms = Seq("join", "hash", "window", "spark"), topK = 50)
+    }),
+
+    // x108 — per-source duplication mass: the data-card composition of
+    // x97's cluster machinery with source + token counts — how much of
+    // each SOURCE is near-dup mass, in docs and tokens (same k=3,
+    // threshold=0.5 graph as x93/x97).
+    "x108_source_duplication" -> ((s, dir) =>
+      CorpusPipeline.sourceDuplication(t(s, dir, "documents"), "doc_id",
+        "text", "source", k = 3, threshold = 0.5))
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -957,6 +976,22 @@ object ExtensionQueries {
         "doc_id", "text", k = 3, sets, bands)
     }
     (sets, bands)
+  }
+
+  /** Build-if-missing the x107 BM25 index tables (postings bucketed by
+    * term + 1-row length stats); returns (postingsTable, statsTable).
+    * Same build-once-read-steady contract as [[neardupIndexFor]]. */
+  private def bm25IndexFor(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val post = s"graft_idx.bm25_post_$tag"
+    val stats = s"graft_idx.bm25_stats_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!s.catalog.tableExists(post) || !s.catalog.tableExists(stats)) {
+      Seq(post, stats).foreach(dropStaleManaged(s, _))
+      Retrieval.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
+        post, stats)
+    }
+    (post, stats)
   }
 
   /** Build-if-missing the x81 digest index; returns the table name. */
@@ -2352,7 +2387,12 @@ object ExtensionQueries {
   // x80/x81 return the same rows as x75/x74 BY CONSTRUCTION — the
   // persisted-index path changes the plan (what gets scanned), never
   // the result — so they share those oracles verbatim.
-  val oracleSql: Map[String, String] = baseOracleSql ++ Map(
+  val oracleSql: Map[String, String] = extendedOracleSql +
+    // x107 serves the SAME rows as x98 from the persisted index — the
+    // x80/x81/x91 shared-oracle convention
+    ("x107_bm25_indexed" -> extendedOracleSql("x98_bm25_topk"))
+
+  private lazy val extendedOracleSql: Map[String, String] = baseOracleSql ++ Map(
     "x80_neardup_indexed" -> baseOracleSql("x75_incremental_neardup"),
     "x81_dedup_indexed" -> baseOracleSql("x74_incremental_dedup"),
     "x82_bpe_merges" -> bpeOracleSql(6),
@@ -2863,6 +2903,43 @@ object ExtensionQueries {
            CAST(coalesce(n_terms, 0) AS BIGINT) AS n_terms,
            kl_divergence
          FROM (SELECT DISTINCT source FROM documents) d
-         LEFT JOIN drift USING (source)"""
+         LEFT JOIN drift USING (source)""",
+    // the x97 component chain (same k=3/0.5 graph), then per-source
+    // rollup of non-rep (duplicated) docs and their x13 whitespace
+    // token mass; dup_frac = exact long/long division rounded at 1e-4
+    "x108_source_duplication" ->
+      s"""WITH RECURSIVE $duckShingles,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM inter
+           JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+           WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0
+             >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+           UNION SELECT d2, d1 FROM pairs),
+         walk(node, reach) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+         comp AS (SELECT node, min(reach) AS rep FROM walk GROUP BY 1),
+         reps AS (SELECT d.doc_id, d.source,
+             CAST(len(string_split_regex(lower(trim(d.text)), '\\s+'))
+               AS BIGINT) AS n_tokens,
+             coalesce(c.rep, d.doc_id) AS rep
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rep <> doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN rep <> doc_id THEN n_tokens ELSE 0 END)
+             AS BIGINT) AS dup_tokens,
+           CASE WHEN sum(n_tokens) > 0 THEN
+             floor(CAST(sum(CASE WHEN rep <> doc_id THEN n_tokens ELSE 0 END)
+                 AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) * 10000 + 0.5)
+               / 10000.0
+           ELSE 0.0 END AS dup_frac
+         FROM reps GROUP BY 1"""
   )
 }

@@ -8,9 +8,14 @@ import org.apache.spark.sql.functions._
   * The reference's sources are paginated REST scans; in the engine they are
   * modeled as a driver-side page fetcher that lands raw JSON lines, which
   * then enter the declarative plan via `spark.read.json` — from that point
-  * on, flatten/explode/project are ordinary Catalyst operators. Live HTTP
-  * is out of scope (§7.5); the fetcher trait is exercised with file/seq
-  * backed fakes in tests.
+  * on, flatten/explode/project are ordinary Catalyst operators. Live
+  * EXTERNAL HTTP stays out of scope (§7.5 — zero egress), but the seams
+  * compose into a real socket client: [[HttpPageFetcher]] wires
+  * [[TokenCache]] (C4) + [[RateLimiter]] (C1) + [[withRetries]] (C2)
+  * around a JDK-only GET, and SourcesHttpSpec drives the whole stack
+  * against an in-process HTTP fixture with injected 401/429/500s —
+  * the `tap_wrike/utility.py:82-143` / `tap_xero/__init__.py:48-136`
+  * request loop, end-to-end.
   */
 object Sources {
 
@@ -258,6 +263,88 @@ object Sources {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** One HTTP response, status + lower-cased headers + body. */
+  final case class HttpResponse(status: Int, headers: Map[String, String],
+                                body: String)
+
+  /** Minimal JDK-only HTTP GET (no dependencies): returns status,
+    * lower-cased headers, and the UTF-8 body — error bodies included
+    * (a 429's Retry-After and a 500's message are data here, not
+    * exceptions; connection-level failures still throw `IOException`,
+    * which is what [[withRetries]] retries). */
+  def httpGet(url: String, headers: Map[String, String] = Map.empty,
+              timeoutMs: Int = 30000): HttpResponse = {
+    import scala.jdk.CollectionConverters._
+    val conn = new java.net.URI(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setRequestMethod("GET")
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      val status = conn.getResponseCode
+      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val body = if (stream == null) "" else
+        try new String(stream.readAllBytes(), "UTF-8") finally stream.close()
+      val hdrs = conn.getHeaderFields.asScala.collect {
+        case (k, vs) if k != null && !vs.isEmpty =>
+          k.toLowerCase -> vs.get(vs.size() - 1)
+      }.toMap
+      HttpResponse(status, hdrs, body)
+    } finally conn.disconnect()
+  }
+
+  /** A [[PageFetcher]] over live HTTP — the composition of the
+    * connector seams into the reference's actual request loop
+    * (`tap_wrike/utility.py:82-143`: Bearer auth, 429/5xx retry with
+    * backoff; `tap_xero/__init__.py:48-136`: refresh-on-401 token
+    * lifecycle):
+    *
+    *  - every attempt paces through the [[RateLimiter]] (C1) — retries
+    *    are attempts too, so a retry storm can't breach the API budget;
+    *  - auth comes from the [[TokenCache]] (C4) per attempt: a 401
+    *    invalidates the cache and fails the attempt, so the retry
+    *    refreshes and carries the NEW token;
+    *  - a 429 honors `Retry-After` (seconds, capped at `maxBackoffMs`)
+    *    before failing the attempt; 5xx and connection errors fail the
+    *    attempt directly; [[withRetries]] (C2) supplies the exponential
+    *    backoff between attempts;
+    *  - a 200 parses through `parsePage` into the (records, next
+    *    continuation) shape [[readPaginated]] drains.
+    *
+    * Driven end-to-end against an in-process HTTP server (injected
+    * 401/429/500s, observed request timeline) by SourcesHttpSpec. */
+  final class HttpPageFetcher(
+      buildUrl: Option[String] => String,
+      parsePage: String => (Seq[String], Option[String]),
+      tokens: Option[TokenCache] = None,
+      limiter: Option[RateLimiter] = None,
+      attempts: Int = 5,
+      backoffMs: Long = 100,
+      maxBackoffMs: Long = 2000,
+      timeoutMs: Int = 30000) extends PageFetcher {
+    def fetch(pageToken: Option[String]): (Seq[String], Option[String]) =
+      withRetries(attempts, backoffMs, maxBackoffMs) {
+        limiter.foreach(_.acquire())
+        val auth = tokens.map(t => "Authorization" -> s"Bearer ${t.get()}")
+        val resp = httpGet(buildUrl(pageToken), auth.toMap, timeoutMs)
+        resp.status match {
+          case 200 => parsePage(resp.body)
+          case 401 =>
+            tokens.foreach(_.invalidate())
+            throw new java.io.IOException(
+              "HTTP 401 — token invalidated, retry refreshes")
+          case 429 =>
+            val waitMs = resp.headers.get("retry-after")
+              .flatMap(_.toLongOption).map(_ * 1000).getOrElse(0L)
+            if (waitMs > 0) Thread.sleep(math.min(waitMs, maxBackoffMs))
+            throw new java.io.IOException("HTTP 429 — rate limited")
+          case s =>
+            throw new java.io.IOException(s"HTTP $s: ${resp.body.take(200)}")
+        }
+      }
   }
 
   /** Interval-chunked scan windows (S4, `tap_xero/utility.py:221-240`):

@@ -67,7 +67,8 @@ object ScaleBench {
                      gateThr: Double = -2.2,
                      lmThr: Double = -3.4,
                      annTables: (String, String) = ("", ""),
-                     annDedupTables: (String, String) = ("", "")
+                     annDedupTables: (String, String) = ("", ""),
+                     bm25Tables: (String, String) = ("", "")
                     ): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     ("x8_ngram_jaccard", (s: SparkSession, dir: String) =>
       TextDedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
@@ -400,7 +401,26 @@ object ScaleBench {
     ("x106_source_drift", (s: SparkSession, dir: String) =>
       graft.operators.TextAnalysis.sourceDrift(
         Tables(s, dir, "documents"), "doc_id", "text", "source",
-        vocabSize = 200)))
+        vocabSize = 200)),
+    // x98's query set over the PERSISTED index (built untimed per
+    // fixture): postings scale 10× but bucket pruning reads only the
+    // query terms' buckets, and df-per-term stays constant under the
+    // `_k` vocabulary renaming — the inverted-index promise (queries
+    // pay |postings(q)|, never the corpus), measured
+    ("x107_bm25_indexed", (s: SparkSession, dir: String) => {
+      val base = Seq("join", "hash", "window", "spark")
+      val terms = if (mult == 1) base
+        else (0 until mult).flatMap(k => base.map(t => s"${t}_$k"))
+      graft.operators.Retrieval.bm25TopKIndexed(s, bm25Tables._1,
+        bm25Tables._2, terms, topK = 50)
+    }),
+    // x97's component machinery + one corpus projection; per-copy
+    // shingle disjointness replicates the cluster structure exactly
+    // 10×, sources are identical across copies → constant output rows
+    ("x108_source_duplication", (s: SparkSession, dir: String) =>
+      graft.operators.CorpusPipeline.sourceDuplication(
+        Tables(s, dir, "documents"), "doc_id", "text", "source",
+        k = 3, threshold = 0.5)))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -500,6 +520,27 @@ object ScaleBench {
     val ann2_1 = buildAnnDedupIndex(srcDir, 1, "1x")
     val ann2_10 = buildAnnDedupIndex(scaleDir, Copies, "10x")
 
+    // untimed: the x107 BM25 index per fixture (postings bucketed by
+    // term + 1-row stats — the registered query's build-once contract)
+    def buildBm25Index(dir: String, tag: String): (String, String) = {
+      val pt = s"graft_idx.bm25_post_probe_$tag"
+      val st = s"graft_idx.bm25_stats_probe_$tag"
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+      Seq(pt, st).foreach { tb =>
+        spark.sql(s"DROP TABLE IF EXISTS $tb")
+        val Array(db, nm) = tb.split('.')
+        val p = new org.apache.hadoop.fs.Path(
+          s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.db/$nm")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      graft.operators.Retrieval.writeBm25Index(
+        Tables(spark, dir, "documents"), "doc_id", "text", pt, st)
+      (pt, st)
+    }
+    val bm25_1 = buildBm25Index(srcDir, "1x")
+    val bm25_10 = buildBm25Index(scaleDir, "10x")
+
     // dev knob (mirrors Bench): SPARK_GRAFT_SCALE_ONLY=x88_...,x104_...
     // restricts the probed set for re-measuring individual probes; the
     // partial BENCH_scale.json it writes is merged into the full table
@@ -510,16 +551,16 @@ object ScaleBench {
       ps.filter { case (n, _) => only.forall(_.contains(n)) }
 
     // one untimed warmup of every probe at 1× (JIT + codegen)
-    selected(probes(16, 1, thr1, lm1, ann1, ann2_1)).foreach { case (n, f) =>
+    selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1)).foreach { case (n, f) =>
       try f(spark, srcDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[scale] warmup $n failed: ${e.getMessage}") }
       spark.catalog.clearCache()
     }
 
-    val results = selected(probes(16, 1, thr1, lm1, ann1, ann2_1))
+    val results = selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1))
       .zip(selected(probes(16 * Copies, Copies, thr10, lm10, ann10,
-        ann2_10))).map {
+        ann2_10, bm25_10))).map {
       case ((name, f1), (_, f10)) =>
         val (t1, r1) = run(srcDir, 16, name, f1)
         val (t10, r10) = run(scaleDir, 160, name, f10)

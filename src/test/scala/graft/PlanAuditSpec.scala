@@ -616,6 +616,70 @@ class PlanAuditSpec extends SparkSpec {
       s"rank must cover ALL rows, not a cut:\n$p")
   }
 
+  test("x107 serves BM25 from the persisted index: bucket-pruned " +
+      "postings scan, zero text-kernel work") {
+    val p = plan("x107_bm25_indexed")
+    assert(p.contains("bm25_post_") && p.contains("bm25_stats_"),
+      s"index tables not scanned:\n$p")
+    // the term-count and tokenize kernels ran at BUILD time only
+    assert("(?i)termcounts".r.findAllIn(p).isEmpty,
+      s"postings recomputed from text at query time:\n$p")
+    assert(!p.contains("documents"),
+      s"corpus text scanned at query time:\n$p")
+    // term IN (...) on the bucketing column engages bucket pruning
+    assert(p.contains("SelectedBucketsCount"),
+      s"bucket pruning not engaged on the postings scan:\n$p")
+    // same serving tail as x98
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k should be TakeOrderedAndProject:\n$p")
+  }
+
+  test("x108 joins the component table by broadcast — no corpus-wide " +
+      "shuffle join on doc_id") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val exec = SparkEntry.queries("x108_source_duplication")(spark, sfDir)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p                        => p
+      }
+    def onDocId(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      keys.exists(_.references.exists(_.name == "doc_id"))
+    // the x8 pair machinery shuffles on shingle hashes — fine; the
+    // doc_id-keyed rep join must be the broadcast of the near-dup-sized
+    // component table, never a corpus-vs-corpus exchange
+    exec.foreach {
+      case j: SortMergeJoinExec =>
+        assert(!onDocId(j.leftKeys),
+          s"corpus-sized sort-merge join on doc_id:\n$exec")
+      case j: ShuffledHashJoinExec =>
+        assert(!onDocId(j.leftKeys),
+          s"corpus-sized shuffled-hash join on doc_id:\n$exec")
+      case _ => ()
+    }
+    val bcastOnDocId = exec.collect {
+      case j: BroadcastHashJoinExec if onDocId(j.leftKeys) => j
+    }
+    assert(bcastOnDocId.nonEmpty,
+      s"component rep join is not a broadcast join:\n$exec")
+  }
+
+  test("x104 novelty pins the gram stream on DISK_ONLY, never memory") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val df = SparkEntry.queries("x104_novelty")(spark, sfDir)
+    val levels = df.queryExecution.optimizedPlan.collect {
+      case im: InMemoryRelation => im.cacheBuilder.storageLevel
+    }
+    assert(levels.nonEmpty, "gram stream no longer persisted — the " +
+      "shingle kernel would scan corpus text twice per run")
+    // corpus-scale frame: serialized local disk (the shuffle-file cost
+    // model), NOT a memory pin that evicts working memory at 100 TB
+    levels.foreach { l =>
+      assert(l.useDisk && !l.useMemory,
+        s"x104 gram stream persisted at $l — expected DISK_ONLY")
+    }
+  }
+
   test("x106 source drift broadcasts the top-V vocabulary cut") {
     val p = plan("x106_source_drift")
     assert(p.contains("TakeOrderedAndProject"),

@@ -165,4 +165,16 @@ class CleaningSpec extends SparkSpec {
         "doc_id", "text").collect()
     assert(again.forall(_.getAs[Int]("changed") == 0))
   }
+
+  test("nfcClean on NULL text: clean_text NULL, changed 0 (the oracle's " +
+      "ELSE branch, not NULL)") {
+    import spark.implicits._
+    val docs = Seq((1L, null: String), (2L, "plain")).toDF("doc_id", "text")
+    val out = Cleaning.nfcClean(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[String]("clean_text")), r.getAs[Int]("changed"))))
+      .toMap
+    assert(out(1L) === ((None, 0)))
+    assert(out(2L) === ((Some("plain"), 0)))
+  }
 }

@@ -220,4 +220,27 @@ class CorpusPipelineSpec extends SparkSpec {
         r.getAs[Long]("n_clusters")).toMap
     assert(hist == Map(3L -> 1L, 1L -> 2L))
   }
+
+  test("sourceDuplication (x108): per-source doc and token dup mass, " +
+      "non-rep members count as duplicated") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog today"
+    val docs = Seq(
+      (1L, base, "web"),                                     // rep of {1,2,4}
+      (2L, base + " ok", "web"),                             // dup, 11 tokens
+      (3L, "completely different unrelated content sits here now", "web"),
+      (4L, base + " yes", "books"),                          // dup, 11 tokens
+      (5L, "another entirely separate book text", "books")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.sourceDuplication(docs, "doc_id", "text",
+        "source", k = 3, threshold = 0.5)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"),
+          r.getAs[Long]("total_tokens"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Double]("dup_frac")))).toMap
+    // web: docs 1(10t, rep) 2(11t, dup) 3(7t); books: 4(11t, dup) 5(5t)
+    assert(out("web") === ((3L, 1L, 28L, 11L,
+      math.floor(11.0 / 28.0 * 1e4 + 0.5) / 1e4)))
+    assert(out("books") === ((2L, 1L, 16L, 11L, 0.6875)))
+  }
 }

@@ -110,4 +110,47 @@ class RetrievalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  private def dropIdxTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val Array(db, t) = name.split('.')
+    val loc = java.nio.file.Paths.get("spark-warehouse", s"$db.db", t)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("indexed BM25 (x107): the persisted-index path returns identical " +
+      "rows to the bootstrap form and never reads text") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val (post, stats) =
+      ("graft_idx_test.bm25_post", "graft_idx_test.bm25_stats")
+    Seq(post, stats).foreach(dropIdxTable)
+    Retrieval.writeBm25Index(docs, "doc_id", "text", post, stats,
+      numBuckets = 2)
+    val boot = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("apple", "banana", "cherry"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaIndex = Retrieval.bm25TopKIndexed(spark, post, stats,
+      Seq("apple", "banana", "cherry"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaIndex === boot)
+    // query-time plan: postings + stats tables only, no text kernels
+    val p = Retrieval.bm25TopKIndexed(spark, post, stats, Seq("apple"), 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("termcounts"), p)
+    assert(p.contains("SelectedBucketsCount"),
+      s"term filter should prune buckets:\n$p")
+  }
+
+  test("bm25Stats rejects an all-NULL-text corpus with a clear message") {
+    val nulls = Seq((1L, null: String), (2L, null: String))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25Stats(nulls, "text", Seq("apple"))
+    }
+    assert(e.getMessage.contains("no tokenizable text"))
+  }
 }

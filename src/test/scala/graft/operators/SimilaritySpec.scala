@@ -313,5 +313,13 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("centroid_id") ->
         r.getAs[Long]("n_vectors")).toMap
     assert(withDead(9L) == 0L)
+
+    // empty corpus: every load factor is the defined 0.0, never NaN
+    val empty = Similarity.ivfBalanceReport(vecs.limit(0), cents,
+        "vec_id", "embedding")
+      .collect().map(r => (r.getAs[Long]("n_vectors"),
+        r.getAs[Double]("load_factor")))
+    assert(empty.nonEmpty)
+    assert(empty.forall { case (n, lf) => n == 0L && lf == 0.0 })
   }
 }
