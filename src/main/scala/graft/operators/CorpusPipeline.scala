@@ -280,6 +280,36 @@ object CorpusPipeline {
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
 
+  /** Cross-SOURCE near-duplication matrix (x109) — WHERE the duplicated
+    * mass travels: for every unordered source pair (a ≤ b), how many
+    * near-dup pairs (exact n-gram Jaccard ≥ threshold, the x8 graph)
+    * have one member in a and the other in b. The syndication audit:
+    * a hot off-diagonal cell means two crawl sources republish each
+    * other (dedup one against the other BEFORE mixing); the diagonal
+    * is within-source redundancy (x108's mass, at pair grain). x53
+    * measures source VOCABULARY overlap; this measures actual
+    * document-level duplication between sources.
+    *
+    * Scale shape: the x8 pair machinery dominates (prefix-filtered
+    * inverted index — no all-pairs); the source stamping is two
+    * id-equi joins of the near-dup-PAIR-sized frame against a
+    * `(doc_id, source)` projection (ids + a source string move, never
+    * text), and the matrix aggregate is ≤ #sources² rows. */
+  def crossSourceDuplication(corpus: DataFrame, idCol: String,
+                             textCol: String, sourceCol: String, k: Int,
+                             threshold: Double): DataFrame = {
+    val pairs = TextDedup.jaccardPairs(corpus, idCol, textCol, k, threshold)
+      .select(col("doc1"), col("doc2"))
+    val src = corpus.select(col(idCol).cast("long").as("_id"),
+      col(sourceCol).as("_src"))
+    pairs
+      .join(src.select(col("_id").as("doc1"), col("_src").as("s1")), "doc1")
+      .join(src.select(col("_id").as("doc2"), col("_src").as("s2")), "doc2")
+      .groupBy(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Per-SOURCE duplication mass (x108) — the data-card row x97's
     * corpus-level histogram can't answer: how much of EACH source is
     * duplicated mass, in documents and in tokens. A document is

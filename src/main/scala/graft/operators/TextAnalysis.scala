@@ -282,7 +282,17 @@ object TextAnalysis {
         explode(TextExpressions.shingleHashSet(col(textCol), k)).as("_h"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val dfh = grams.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
-    val perDoc = grams.join(dfh, "_h")
+    noveltyTail(docs, idCol, grams.join(dfh, "_h"))
+  }
+
+  /** The shared novelty tail: fold a per-gram `(doc_id, _df)` stream to
+    * per-document `(n_shingles, n_unique, novelty)`, short docs entering
+    * as (0, 0, NULL). [[noveltyScores]] (self-contained, df from a
+    * same-run aggregate) and [[noveltyScoresIndexed]] (df from the
+    * persisted index) both end here — parity by construction. */
+  private def noveltyTail(docs: DataFrame, idCol: String,
+                          gramsWithDf: DataFrame): DataFrame = {
+    val perDoc = gramsWithDf
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_unique"))
@@ -294,6 +304,44 @@ object TextAnalysis {
         when(col("n_shingles") > 0, Num.fpRound(
           col("n_unique").cast("double") /
             col("n_shingles").cast("double"), 4)).as("novelty"))
+  }
+
+  /** Persist the novelty GRAM-DF index (the x80/x91/x107 convention):
+    * the corpus's `(_h, _df)` shingle-hash document frequencies as a
+    * catalog table bucketed by hash — vocabulary-scale (one row per
+    * DISTINCT gram, 16 bytes each), not corpus-scale, and built in one
+    * text scan. After it, novelty scoring never re-aggregates the
+    * corpus — and never needs [[noveltyScores]]' corpus-scale DISK_ONLY
+    * gram pin at all. */
+  def writeNoveltyIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        k: Int, dfTable: String,
+                        numBuckets: Int = 8): Unit =
+    graft.sinks.Sinks.writeBucketed(
+      Par.spread(corpus)
+        .select(explode(TextExpressions.shingleHashSet(col(textCol), k))
+          .as("_h"))
+        .groupBy(col("_h")).agg(count(lit(1)).as("_df")),
+      dfTable, Seq("_h"), numBuckets)
+
+  /** [[noveltyScores]] through its PERSISTED gram-df index — the
+    * incremental serving form: score a batch's novelty against the
+    * index's document frequencies with ONE batch text scan and zero
+    * corpus work (the index side is a pre-bucketed table scan). The
+    * batch's gram stream is consumed exactly once (the join), so the
+    * self-contained form's DISK_ONLY persist disappears entirely —
+    * nothing is pinned anywhere. Run over the index's own corpus it
+    * returns [[noveltyScores]]' rows identically (shared
+    * [[noveltyTail]]; x110 reuses x104's oracle); grams absent from
+    * the index don't join and drop from both counts, so a DISJOINT
+    * batch scores (0, 0, NULL) — novelty here is "new relative to the
+    * INDEXED corpus", which is the incremental-ingest question. */
+  def noveltyScoresIndexed(spark: org.apache.spark.sql.SparkSession,
+                           batch: DataFrame, idCol: String,
+                           textCol: String, k: Int,
+                           dfTable: String): DataFrame = {
+    val grams = Par.spread(batch).select(col(idCol).as("doc_id"),
+      explode(TextExpressions.shingleHashSet(col(textCol), k)).as("_h"))
+    noveltyTail(batch, idCol, grams.join(spark.table(dfTable), "_h"))
   }
 
   /** Quality-ordered CURRICULUM phases (x103): every document's EXACT

@@ -958,7 +958,24 @@ object ExtensionQueries {
     // threshold=0.5 graph as x93/x97).
     "x108_source_duplication" -> ((s, dir) =>
       CorpusPipeline.sourceDuplication(t(s, dir, "documents"), "doc_id",
-        "text", "source", k = 3, threshold = 0.5))
+        "text", "source", k = 3, threshold = 0.5)),
+
+    // x109 — cross-source near-dup matrix: WHERE the duplicated mass
+    // travels — near-dup pair counts per unordered source pair over
+    // the same x8 graph (syndication audit; x53 is vocabulary overlap,
+    // this is document-level duplication).
+    "x109_cross_source_dups" -> ((s, dir) =>
+      CorpusPipeline.crossSourceDuplication(t(s, dir, "documents"),
+        "doc_id", "text", "source", k = 3, threshold = 0.5)),
+
+    // x110 — x104 through its PERSISTED gram-df index (the x107
+    // pairing on the novelty side): document frequencies come from a
+    // hash-bucketed vocabulary-scale table built once per fixture; the
+    // query pays one batch text scan, no df aggregate, no DISK_ONLY
+    // gram pin. Same rows as x104 (same oracle).
+    "x110_novelty_indexed" -> ((s, dir) =>
+      TextAnalysis.noveltyScoresIndexed(s, t(s, dir, "documents"),
+        "doc_id", "text", k = 3, noveltyIndexFor(s, dir)))
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -992,6 +1009,21 @@ object ExtensionQueries {
         post, stats)
     }
     (post, stats)
+  }
+
+  /** Build-if-missing the x110 novelty gram-df index; returns the
+    * table name. Same build-once-read-steady contract as
+    * [[neardupIndexFor]]. */
+  private def noveltyIndexFor(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_idx.nov_df_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!s.catalog.tableExists(table)) {
+      dropStaleManaged(s, table)
+      TextAnalysis.writeNoveltyIndex(t(s, dir, "documents"), "doc_id",
+        "text", k = 3, table)
+    }
+    table
   }
 
   /** Build-if-missing the x81 digest index; returns the table name. */
@@ -2388,9 +2420,10 @@ object ExtensionQueries {
   // persisted-index path changes the plan (what gets scanned), never
   // the result — so they share those oracles verbatim.
   val oracleSql: Map[String, String] = extendedOracleSql +
-    // x107 serves the SAME rows as x98 from the persisted index — the
-    // x80/x81/x91 shared-oracle convention
-    ("x107_bm25_indexed" -> extendedOracleSql("x98_bm25_topk"))
+    // indexed forms serve the SAME rows as their self-contained twins —
+    // the x80/x81/x91 shared-oracle convention
+    ("x107_bm25_indexed" -> extendedOracleSql("x98_bm25_topk")) +
+    ("x110_novelty_indexed" -> extendedOracleSql("x104_novelty"))
 
   private lazy val extendedOracleSql: Map[String, String] = baseOracleSql ++ Map(
     "x80_neardup_indexed" -> baseOracleSql("x75_incremental_neardup"),
@@ -2940,6 +2973,24 @@ object ExtensionQueries {
                  AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) * 10000 + 0.5)
                / 10000.0
            ELSE 0.0 END AS dup_frac
-         FROM reps GROUP BY 1"""
+         FROM reps GROUP BY 1""",
+    // the x8 pair CTE (same k=3/0.5 graph as x97/x108), pair endpoints
+    // stamped with their sources, folded to the unordered source matrix
+    "x109_cross_source_dups" ->
+      s"""WITH $duckShingles,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM inter
+           JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+           WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0
+             >= 0.5)
+         SELECT least(s1.source, s2.source) AS source_a,
+           greatest(s1.source, s2.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+         FROM pairs JOIN documents s1 ON d1 = s1.doc_id
+         JOIN documents s2 ON d2 = s2.doc_id
+         GROUP BY 1, 2"""
   )
 }

@@ -68,7 +68,8 @@ object ScaleBench {
                      lmThr: Double = -3.4,
                      annTables: (String, String) = ("", ""),
                      annDedupTables: (String, String) = ("", ""),
-                     bm25Tables: (String, String) = ("", "")
+                     bm25Tables: (String, String) = ("", ""),
+                     novTable: String = ""
                     ): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     ("x8_ngram_jaccard", (s: SparkSession, dir: String) =>
       TextDedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
@@ -420,7 +421,20 @@ object ScaleBench {
     ("x108_source_duplication", (s: SparkSession, dir: String) =>
       graft.operators.CorpusPipeline.sourceDuplication(
         Tables(s, dir, "documents"), "doc_id", "text", "source",
-        k = 3, threshold = 0.5)))
+        k = 3, threshold = 0.5)),
+    // the x8 graph again with pair-sized source stamping; per-copy
+    // pair replication × constant source set → constant matrix rows
+    ("x109_cross_source_dups", (s: SparkSession, dir: String) =>
+      graft.operators.CorpusPipeline.crossSourceDuplication(
+        Tables(s, dir, "documents"), "doc_id", "text", "source",
+        k = 3, threshold = 0.5)),
+    // x104's serving form over the persisted df index (built untimed):
+    // one batch kernel scan + the bucketed index join — the df
+    // aggregate drops out of the timed path
+    ("x110_novelty_indexed", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.noveltyScoresIndexed(s,
+        Tables(s, dir, "documents"), "doc_id", "text", k = 3,
+        novTable)))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -541,6 +555,23 @@ object ScaleBench {
     val bm25_1 = buildBm25Index(srcDir, "1x")
     val bm25_10 = buildBm25Index(scaleDir, "10x")
 
+    // untimed: the x110 novelty gram-df index per fixture
+    def buildNovIndex(dir: String, tag: String): String = {
+      val tb = s"graft_idx.nov_df_probe_$tag"
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+      val Array(db, nm) = tb.split('.')
+      val p = new org.apache.hadoop.fs.Path(
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.db/$nm")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.operators.TextAnalysis.writeNoveltyIndex(
+        Tables(spark, dir, "documents"), "doc_id", "text", k = 3, tb)
+      tb
+    }
+    val nov1 = buildNovIndex(srcDir, "1x")
+    val nov10 = buildNovIndex(scaleDir, "10x")
+
     // dev knob (mirrors Bench): SPARK_GRAFT_SCALE_ONLY=x88_...,x104_...
     // restricts the probed set for re-measuring individual probes; the
     // partial BENCH_scale.json it writes is merged into the full table
@@ -551,16 +582,16 @@ object ScaleBench {
       ps.filter { case (n, _) => only.forall(_.contains(n)) }
 
     // one untimed warmup of every probe at 1× (JIT + codegen)
-    selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1)).foreach { case (n, f) =>
+    selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1, nov1)).foreach { case (n, f) =>
       try f(spark, srcDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[scale] warmup $n failed: ${e.getMessage}") }
       spark.catalog.clearCache()
     }
 
-    val results = selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1))
+    val results = selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1, nov1))
       .zip(selected(probes(16 * Copies, Copies, thr10, lm10, ann10,
-        ann2_10, bm25_10))).map {
+        ann2_10, bm25_10, nov10))).map {
       case ((name, f1), (_, f10)) =>
         val (t1, r1) = run(srcDir, 16, name, f1)
         val (t10, r10) = run(scaleDir, 160, name, f10)

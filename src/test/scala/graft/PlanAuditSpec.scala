@@ -664,6 +664,36 @@ class PlanAuditSpec extends SparkSpec {
       s"component rep join is not a broadcast join:\n$exec")
   }
 
+  test("x110 scores novelty from the persisted gram-df index: one batch " +
+      "text scan, no df aggregate, nothing cached") {
+    val p = plan("x110_novelty_indexed")
+    assert(p.contains("nov_df_"), s"df index table not scanned:\n$p")
+    // batch side pays exactly one shingle-kernel pass; the index side
+    // is a table scan (df never recomputed)
+    assert("(?i)shinglehashset".r.findAllIn(p).size == 1,
+      s"expected exactly the batch-side kernel pass:\n$p")
+    // the self-contained form's DISK_ONLY gram pin is GONE — the gram
+    // stream is consumed once, so nothing needs persisting
+    assert(!p.contains("InMemoryTableScan"),
+      s"indexed novelty should not cache anything:\n$p")
+  }
+
+  test("x109 stamps sources onto pair-sized frames — no cartesian, " +
+      "no text kernels beyond x8's own") {
+    val p = plan("x109_cross_source_dups")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian leaked into the source matrix:\n$p")
+    // the plan string inlines the cached shingle-set build at every
+    // InMemoryTableScan, so compare against the x8 pair query itself:
+    // the source stamping must add ZERO kernel sites on top of the
+    // inherited machinery
+    val k109 = "(?i)shinglehashset".r.findAllIn(p).size
+    val k8 = "(?i)shinglehashset".r
+      .findAllIn(plan("x8_ngram_jaccard")).size
+    assert(k109 <= k8,
+      s"source stamping re-scanned text (x109=$k109, x8=$k8):\n$p")
+  }
+
   test("x104 novelty pins the gram stream on DISK_ONLY, never memory") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val df = SparkEntry.queries("x104_novelty")(spark, sfDir)

@@ -243,4 +243,23 @@ class CorpusPipelineSpec extends SparkSpec {
       math.floor(11.0 / 28.0 * 1e4 + 0.5) / 1e4)))
     assert(out("books") === ((2L, 1L, 16L, 11L, 0.6875)))
   }
+
+  test("crossSourceDuplication (x109): near-dup pairs folded to the " +
+      "unordered source matrix") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog today"
+    val docs = Seq(
+      (1L, base, "web"),
+      (2L, base + " ok", "web"),
+      (3L, "completely different unrelated content sits here now", "web"),
+      (4L, base + " yes", "books"),
+      (5L, "another entirely separate book text", "books")
+    ).toDF("doc_id", "text", "source")
+    // pairs: (1,2) web-web; (1,4) and (2,4) web-books
+    val out = CorpusPipeline.crossSourceDuplication(docs, "doc_id",
+        "text", "source", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b")) -> r.getAs[Long]("n_pairs")).toMap
+    assert(out === Map(("web", "web") -> 1L, ("books", "web") -> 2L))
+  }
 }

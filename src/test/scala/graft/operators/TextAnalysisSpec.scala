@@ -575,4 +575,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1L, Some(0.5))))
     assert(out(3L) == ((0L, 0L, None)))
   }
+
+  test("indexed novelty (x110): persisted gram-df index returns the " +
+      "self-contained rows; a disjoint batch scores (0, 0, null)") {
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c x"),
+      (3L, "zz")
+    ).toDF("doc_id", "text")
+    val table = "graft_idx_test.nov_df"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = java.nio.file.Paths.get("spark-warehouse",
+      "graft_idx_test.db", "nov_df")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    TextAnalysis.writeNoveltyIndex(docs, "doc_id", "text", k = 3, table,
+      numBuckets = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_unique"),
+          Option(r.getAs[java.lang.Double]("novelty"))))).toMap
+    val viaIndex = rows(
+      TextAnalysis.noveltyScoresIndexed(spark, docs, "doc_id", "text",
+        k = 3, table))
+    assert(viaIndex ==
+      rows(TextAnalysis.noveltyScores(docs, "doc_id", "text", k = 3)))
+    // a batch sharing NO grams with the indexed corpus: everything is
+    // new relative to the index — no joined grams, (0, 0, null)
+    val disjoint = rows(TextAnalysis.noveltyScoresIndexed(spark,
+      Seq((9L, "p q r s")).toDF("doc_id", "text"), "doc_id", "text",
+      k = 3, table))
+    assert(disjoint(9L) == ((0L, 0L, None)))
+  }
 }
