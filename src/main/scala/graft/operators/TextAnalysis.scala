@@ -247,6 +247,133 @@ object TextAnalysis {
         col("kl_divergence"))
   }
 
+  /** Zipf power-law AUDIT (x111) — the one-row corpus health report on
+    * the token frequency distribution: least-squares fit of
+    * ln(freq) = intercept + slope·ln(rank) over the corpus's
+    * top-`vocabSize` terms, plus the fit's r². Natural text sits near
+    * slope ≈ −1 with high r²; a corpus dominated by templated or
+    * machine-generated mass bends the curve (flat head = boilerplate
+    * flooding, collapsed tail = vocabulary starvation) long before any
+    * per-document signal fires. Returns
+    * `(n_terms, slope, intercept, r2)`; r2 is NULL when degenerate
+    * (all-equal frequencies or a single term — zero variance).
+    *
+    * Scale shape: one kernel term-count pass and a TakeOrdered top-V
+    * cut (x106's movement budget); ranks and the regression run on a
+    * V-row frame, so the only single-partition work is V rows. Numeric
+    * law: ln(rank)/ln(freq) rounded at 1e-4 (the x25 shim), each
+    * product term rounded, the five regression sums in exact DECIMAL
+    * (order-free), and the closed-form slope/intercept/r² are IEEE
+    * ops on those identical sums, rounded at 1e-4 — mirrored term by
+    * term in the oracle. */
+  def zipfAudit(docs: DataFrame, textCol: String,
+                vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val tf = Par.spread(docs)
+      .select(explode(TextExpressions.termCounts(col(textCol))).as("tc"))
+      .select(col("tc.term").as("term"), col("tc.tf").cast("long").as("tf"))
+      .groupBy(col("term")).agg(sum(col("tf")).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(vocabSize)
+    // rank within the V-row cut: the window is single-partition but
+    // V-bounded (the x103 caveat does not apply — V is a knob, not the
+    // corpus)
+    val ranked = tf.withColumn("r", row_number()
+      .over(Window.orderBy(col("freq").desc, col("term"))).cast("long"))
+    val pts = ranked.select(
+      Num.fpRound(log(col("r").cast("double")), 4).as("x"),
+      Num.fpRound(log(col("freq").cast("double")), 4).as("y"))
+    val s = pts.agg(
+      count(lit(1)).cast("double").as("n"),
+      Num.dsum(col("x")).as("sx"),
+      Num.dsum(col("y")).as("sy"),
+      Num.dsum(Num.fpRound(col("x") * col("x"), 4)).as("sxx"),
+      Num.dsum(Num.fpRound(col("x") * col("y"), 4)).as("sxy"),
+      Num.dsum(Num.fpRound(col("y") * col("y"), 4)).as("syy"))
+    val dx = s("n") * col("sxx") - col("sx") * col("sx")
+    val dy = s("n") * col("syy") - col("sy") * col("sy")
+    val cov = s("n") * col("sxy") - col("sx") * col("sy")
+    s.select(
+      col("n").cast("long").as("n_terms"),
+      when(dx > 0, Num.fpRound(cov / dx, 4)).as("slope"),
+      when(dx > 0, Num.fpRound(
+        (col("sy") * col("sxx") - col("sx") * col("sxy")) / dx, 4))
+        .as("intercept"),
+      when(dx > 0 && dy > 0,
+        Num.fpRound(cov * cov / (dx * dy), 4)).as("r2"))
+  }
+
+  /** Per-source sequence-LENGTH histogram (x112) — the packing-planner
+    * data card: document counts and token mass per (source, power-of-2
+    * length bucket). Context-window budgeting (x46/x61) needs the
+    * length DISTRIBUTION, not the mean — a source whose mass sits in
+    * the 4096+ buckets packs completely differently from one at 128 —
+    * and per source because mixes are budgeted per source. Bucket =
+    * number of binary digits of the token count (1→1, 2-3→2, 4-7→3,
+    * …): an exact INTEGER law (base-2 digit string length — no
+    * floating log2 whose libm rounding could flip a power-of-2
+    * boundary cross-engine). Empty docs land in bucket 0.
+    *
+    * Scale shape: a zero-shuffle per-row kernel projection + one
+    * (#sources × ~40)-row aggregate — the x13 class. */
+  def lengthHistogram(docs: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String): DataFrame =
+    Par.spread(docs)
+      .select(col(sourceCol).as("source"),
+        size(Text.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("len_bucket",
+        when(col("n_tokens") > 0, length(conv(col("n_tokens"), 10, 2)))
+          .otherwise(lit(0)).cast("long"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"))
+
+  /** Mixture token-share ENTROPY (x113) — the one-row diversity number
+    * for a training mix: Shannon entropy (nats) of the per-source
+    * token-mass distribution, plus its normalized form
+    * H/ln(#sources) ∈ [0,1] (1 = perfectly balanced mix, → 0 = one
+    * source dominates). The scalar complement of x51's composition
+    * table and x106's per-source drift: mix rebalancing work (x45/x47
+    * quotas) moves THIS number. Returns
+    * `(n_sources, total_tokens, entropy, balance)`; balance is NULL
+    * for a single-source corpus (ln 1 = 0).
+    *
+    * Scale shape: one zero-shuffle token-count kernel pass, a
+    * #sources-row aggregate, and a 1-row fold. Numeric law: shares
+    * are exact long/long divisions; each −p·ln(p) term is rounded at
+    * 1e-4 (ln via the x25 shim) and the sum runs in exact DECIMAL —
+    * order-free; sources with zero tokens contribute 0 (the p→0
+    * limit). */
+  def mixEntropy(docs: DataFrame, idCol: String, textCol: String,
+                 sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // total via an unbounded window over the #sources-row aggregate —
+    // the x103 rollup idiom — so the corpus is scanned ONCE (a second
+    // aggregate branch would re-evaluate the whole lineage; the window
+    // is single-partition but #sources-bounded). Plan-pinned.
+    val perSource = Par.spread(docs)
+      .select(col(sourceCol).as("source"),
+        size(Text.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("total_tokens", sum(col("src_tokens")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val p = col("src_tokens").cast("double") /
+      col("total_tokens").cast("double")
+    val term = when(col("src_tokens") > 0,
+      Num.fpRound(-p * Num.fpRound(log(p), 4), 4)).otherwise(lit(0.0d))
+    perSource
+      .agg(count(lit(1)).as("n_sources"),
+        first(col("total_tokens")).as("total_tokens"),
+        Num.dsum(term).as("entropy"))
+      .select(col("n_sources"), col("total_tokens"), col("entropy"),
+        when(col("n_sources") > 1, Num.fpRound(
+          col("entropy") / Num.fpRound(
+            log(col("n_sources").cast("double")), 4), 4)).as("balance"))
+  }
+
   /** Per-document n-gram NOVELTY (x104) — the diversity-contribution
     * signal: what fraction of a document's distinct k-shingles appears
     * NOWHERE else in the corpus (df = 1). High novelty marks documents

@@ -975,7 +975,29 @@ object ExtensionQueries {
     // gram pin. Same rows as x104 (same oracle).
     "x110_novelty_indexed" -> ((s, dir) =>
       TextAnalysis.noveltyScoresIndexed(s, t(s, dir, "documents"),
-        "doc_id", "text", k = 3, noveltyIndexFor(s, dir)))
+        "doc_id", "text", k = 3, noveltyIndexFor(s, dir))),
+
+    // x111 — Zipf power-law audit: least-squares ln(freq)~ln(rank) fit
+    // over the top-200 vocabulary — the one-row corpus-health number
+    // (natural text ≈ slope −1, high r²; templated mass bends it).
+    "x111_zipf_audit" -> ((s, dir) =>
+      TextAnalysis.zipfAudit(t(s, dir, "documents"), "text",
+        vocabSize = 200)),
+
+    // x112 — per-source sequence-length histogram: doc counts + token
+    // mass per (source, power-of-2 length bucket) — what the packing
+    // budgets (x46/x61) plan against; bucket = exact integer binary
+    // digit count, no floating log2.
+    "x112_length_histogram" -> ((s, dir) =>
+      TextAnalysis.lengthHistogram(t(s, dir, "documents"), "doc_id",
+        "text", "source")),
+
+    // x113 — mixture token-share entropy: Shannon entropy of per-source
+    // token mass + its ln(#sources)-normalized balance — the scalar the
+    // quota samplers (x45/x47) move.
+    "x113_mix_entropy" -> ((s, dir) =>
+      TextAnalysis.mixEntropy(t(s, dir, "documents"), "doc_id", "text",
+        "source"))
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -2991,6 +3013,92 @@ object ExtensionQueries {
            CAST(count(*) AS BIGINT) AS n_pairs
          FROM pairs JOIN documents s1 ON d1 = s1.doc_id
          JOIN documents s2 ON d2 = s2.doc_id
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    // ln(rank)/ln(freq) rounded at 1e-4, products rounded, regression
+    // sums in exact DECIMAL (order-free), closed-form fit IEEE-exact
+    // on those sums, outputs rounded — mirrored term by term
+    "x111_zipf_audit" ->
+      """WITH toks AS (SELECT
+           string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         tf AS (SELECT u.term AS term, CAST(count(*) AS BIGINT) AS freq
+           FROM toks, unnest(t) AS u(term) GROUP BY 1),
+         top AS (SELECT term, freq FROM tf
+           ORDER BY freq DESC, term LIMIT 200),
+         ranked AS (SELECT freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT)
+               AS r
+           FROM top),
+         pts AS (SELECT
+             floor(ln(CAST(r AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS x,
+             floor(ln(CAST(freq AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS y
+           FROM ranked),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(floor(x * x * 10000 + 0.5) / 10000.0
+               AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(floor(x * y * 10000 + 0.5) / 10000.0
+               AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(floor(y * y * 10000 + 0.5) / 10000.0
+               AS DECIMAL(38,6))) AS DOUBLE) AS syy
+           FROM pts)
+         SELECT CAST(n AS BIGINT) AS n_terms,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+               * 10000 + 0.5) / 10000.0 END AS slope,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             floor((sy * sxx - sx * sxy) / (n * sxx - sx * sx)
+               * 10000 + 0.5) / 10000.0 END AS intercept,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+               * 10000 + 0.5) / 10000.0 END AS r2
+         FROM s""",
+    // bucket = exact binary digit count (bin() emits no leading
+    // zeros, same as Spark's conv(n, 10, 2)) — integer law, no
+    // floating log2 boundary risk
+    "x112_length_histogram" ->
+      """WITH t AS (SELECT source,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+             AS BIGINT) AS nt
+           FROM documents)
+         SELECT source,
+           CAST(CASE WHEN nt > 0 THEN length(bin(nt)) ELSE 0 END
+             AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS sum_tokens
+         FROM t GROUP BY 1, 2""",
+    // shares are exact long/long divisions; each -p*ln(p) term rounded
+    // at 1e-4 with the inner ln pre-rounded; sum in exact DECIMAL;
+    // balance divides by the rounded ln(#sources)
+    "x113_mix_entropy" ->
+      """WITH t AS (SELECT source,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+             AS BIGINT) AS nt
+           FROM documents),
+         ps AS (SELECT source, CAST(sum(nt) AS BIGINT) AS src_tokens
+           FROM t GROUP BY 1),
+         tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens
+           FROM ps),
+         terms AS (SELECT src_tokens, total_tokens,
+             CASE WHEN src_tokens > 0 THEN
+               floor(-(CAST(src_tokens AS DOUBLE)
+                   / CAST(total_tokens AS DOUBLE))
+                 * (floor(ln(CAST(src_tokens AS DOUBLE)
+                     / CAST(total_tokens AS DOUBLE)) * 10000 + 0.5)
+                   / 10000.0)
+                 * 10000 + 0.5) / 10000.0
+             ELSE 0.0 END AS e
+           FROM ps CROSS JOIN tot)
+         SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(max(total_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(e AS DECIMAL(38,6))) AS DOUBLE) AS entropy,
+           CASE WHEN count(*) > 1 THEN
+             floor(CAST(SUM(CAST(e AS DECIMAL(38,6))) AS DOUBLE)
+               / (floor(ln(CAST(count(*) AS DOUBLE)) * 10000 + 0.5)
+                 / 10000.0)
+               * 10000 + 0.5) / 10000.0 END AS balance
+         FROM terms"""
   )
 }

@@ -434,7 +434,21 @@ object ScaleBench {
     ("x110_novelty_indexed", (s: SparkSession, dir: String) =>
       graft.operators.TextAnalysis.noveltyScoresIndexed(s,
         Tables(s, dir, "documents"), "doc_id", "text", k = 3,
-        novTable)))
+        novTable)),
+    // the `_k` suffix grows the vocabulary 10x; the top-V cut and the
+    // V-row regression stay constant — x106's shape on the fit side
+    ("x111_zipf_audit", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.zipfAudit(
+        Tables(s, dir, "documents"), "text", vocabSize = 200)),
+    // per-copy token counts are preserved by the suffix renaming, so
+    // buckets — and the output rows — are identical at 10x; the
+    // projection scan is the only scaling stage (x105's class)
+    ("x112_length_histogram", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.lengthHistogram(
+        Tables(s, dir, "documents"), "doc_id", "text", "source")),
+    ("x113_mix_entropy", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.mixEntropy(
+        Tables(s, dir, "documents"), "doc_id", "text", "source")))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

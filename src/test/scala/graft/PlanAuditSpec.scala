@@ -694,6 +694,29 @@ class PlanAuditSpec extends SparkSpec {
       s"source stamping re-scanned text (x109=$k109, x8=$k8):\n$p")
   }
 
+  test("x111 zipf audit cuts top-V with TakeOrdered; single-partition " +
+      "work is V-row only") {
+    val p = plan("x111_zipf_audit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-V cut should be TakeOrderedAndProject:\n$p")
+    // no corpus-sized global sort anywhere: the only Sort nodes serve
+    // the V-row rank window AFTER the TakeOrdered cut
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"corpus-sized global sort leaked into the fit:\n$p")
+  }
+
+  test("x112/x113 histogram and entropy: one corpus scan, one hash " +
+      "exchange each") {
+    Seq("x112_length_histogram", "x113_mix_entropy").foreach { q =>
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$q: expected exactly the per-source aggregate exchange:\n$p")
+      assert("FileScan parquet".r.findAllIn(p).size == 1,
+        s"$q: corpus scanned more than once:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("x104 novelty pins the gram stream on DISK_ONLY, never memory") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val df = SparkEntry.queries("x104_novelty")(spark, sfDir)

@@ -576,6 +576,84 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, None)))
   }
 
+  test("zipfAudit (x111): closed-form fit matches a plain-Scala " +
+      "re-derivation of the same numeric law") {
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // reference regression under the operator's law: rounded lns,
+    // rounded products, exact decimal sums, IEEE closed form
+    def fit(pts: Seq[(Long, Long)]): (Long, Double, Double, Double) = {
+      def d(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val xs = pts.map { case (r, _) => r4(math.log(r.toDouble)) }
+      val ys = pts.map { case (_, f) => r4(math.log(f.toDouble)) }
+      val n = pts.size.toDouble
+      val sx = xs.map(d).sum.toDouble
+      val sy = ys.map(d).sum.toDouble
+      val sxx = xs.map(x => d(r4(x * x))).sum.toDouble
+      val sxy = xs.zip(ys).map { case (x, y) => d(r4(x * y)) }.sum.toDouble
+      val syy = ys.map(y => d(r4(y * y))).sum.toDouble
+      val dx = n * sxx - sx * sx
+      val dy = n * syy - sy * sy
+      val cov = n * sxy - sx * sy
+      (pts.size.toLong, r4(cov / dx), r4((sy * sxx - sx * sxy) / dx),
+        r4(cov * cov / (dx * dy)))
+    }
+    // freq: a=4, b=2, c=1 -> ranks 1, 2, 3
+    val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.zipfAudit(docs, "text", vocabSize = 10).head()
+    val (n, slope, intercept, r2) = fit(Seq((1L, 4L), (2L, 2L), (3L, 1L)))
+    assert(out.getLong(0) === n)
+    assert(out.getDouble(1) === slope)
+    assert(out.getDouble(2) === intercept)
+    assert(out.getDouble(3) === r2)
+    assert(slope < 0, "frequency must fall with rank")
+
+    // single term: zero x-variance -> every fit output NULL
+    val degenerate = TextAnalysis.zipfAudit(
+      Seq((1L, "a a a")).toDF("doc_id", "text"), "text", 10).head()
+    assert(degenerate.getLong(0) === 1L)
+    assert(degenerate.isNullAt(1) && degenerate.isNullAt(2) &&
+      degenerate.isNullAt(3))
+  }
+
+  test("lengthHistogram (x112): exact power-of-2 buckets by binary " +
+      "digit count, token mass per bucket") {
+    val docs = Seq(
+      (1L, "t1", "s"),                      // 1 token  -> bucket 1
+      (2L, "t1 t2", "s"),                   // 2        -> bucket 2
+      (3L, "t1 t2 t3", "s"),                // 3        -> bucket 2
+      (4L, "t1 t2 t3 t4", "s"),             // 4        -> bucket 3
+      (5L, "a b c d e f g", "s"),           // 7        -> bucket 3
+      (6L, "a b c d e f g h", "s")          // 8        -> bucket 4
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.lengthHistogram(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[Long]("len_bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens")))).toMap
+    assert(out === Map(1L -> ((1L, 1L)), 2L -> ((2L, 5L)),
+      3L -> ((2L, 11L)), 4L -> ((1L, 8L))))
+  }
+
+  test("mixEntropy (x113): balanced two-source mix scores the rounded " +
+      "maximum; single source has NULL balance") {
+    val docs = Seq(
+      (1L, "a b", "s1"), (2L, "c d", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.mixEntropy(docs, "doc_id", "text", "source")
+      .head()
+    assert(out.getLong(0) === 2L)
+    assert(out.getLong(1) === 4L)
+    // each term: r4(-0.5 * r4(ln 0.5)) = r4(0.5 * 0.6931) = 0.3466
+    assert(out.getDouble(2) === 0.6932)
+    // balance = r4(0.6932 / r4(ln 2)) — rounding puts it 1 ulp above 1
+    assert(out.getDouble(3) === 1.0001)
+
+    val solo = TextAnalysis.mixEntropy(
+      Seq((1L, "a b", "only")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source").head()
+    assert(solo.getLong(0) === 1L)
+    assert(solo.getDouble(2) === 0.0)
+    assert(solo.isNullAt(3))
+  }
+
   test("indexed novelty (x110): persisted gram-df index returns the " +
       "self-contained rows; a disjoint batch scores (0, 0, null)") {
     val docs = Seq(
