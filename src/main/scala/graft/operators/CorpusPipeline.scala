@@ -280,6 +280,46 @@ object CorpusPipeline {
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
 
+  /** Per-source EXACT-dup savings (x115) — x108's data-card row for the
+    * exact tier: how many documents and tokens each source would shed
+    * under exact dedup alone (x1's keep rule: the minimum doc id of
+    * each sha256(lower(trim(text))) group survives, every other member
+    * is removable mass). Read next to x108: the gap between the exact
+    * and near-dup rows is the mass only fuzzy matching can find —
+    * which prices the MinHash stage for this corpus. Same shape as
+    * x108: `(source, n_docs, n_dup_docs, total_tokens, dup_tokens,
+    * dup_frac)`.
+    *
+    * Scale shape: one scan projecting `(digest, source, n_tokens)` —
+    * text is hashed scan-side and never moves — then a digest-
+    * partitioned window picks each group's keeper (groups are
+    * duplicate-family-sized) and a #sources-row rollup follows. One
+    * corpus-sized exchange total, carrying 32-byte digests + counts. */
+  def exactDupSavings(corpus: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Par.spread(corpus)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).as("source"),
+        size(graft.functions.Text.tokens(col(textCol))).cast("long")
+          .as("n_tokens"),
+        sha2(lower(trim(col(textCol))), 256).as("_h"))
+      .withColumn("_keep",
+        min(col("doc_id")).over(Window.partitionBy(col("_h"))))
+      .withColumn("_dup", (col("doc_id") =!= col("_keep")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_dup")).as("n_dup_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("_dup") * col("n_tokens")).as("dup_tokens"))
+      .withColumn("dup_frac",
+        when(col("total_tokens") > 0,
+          graft.functions.Num.fpRound(
+            col("dup_tokens").cast("double") /
+              col("total_tokens").cast("double"), 4))
+          .otherwise(lit(0.0d)))
+  }
+
   /** Cross-SOURCE near-duplication matrix (x109) — WHERE the duplicated
     * mass travels: for every unordered source pair (a ≤ b), how many
     * near-dup pairs (exact n-gram Jaccard ≥ threshold, the x8 graph)

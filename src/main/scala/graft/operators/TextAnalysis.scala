@@ -494,21 +494,40 @@ object TextAnalysis {
     * widen bucketBits for spiky score distributions. */
   def curriculumPhases(docs: DataFrame, idCol: String, textCol: String,
                        nPhases: Int, bucketBits: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nPhases >= 1, s"nPhases must be >= 1, got $nPhases")
+    bucketedScoreRank(docs, idCol, textCol, bucketBits, bestFirst = true)
+      .select(col("doc_id"), col("quality_score"), col("rank"),
+        floor((col("rank") - 1).cast("double") * lit(nPhases.toDouble) /
+          col("_total").cast("double")).cast("int").as("phase"))
+  }
+
+  /** The shared exact-distributed-rank core under [[curriculumPhases]]
+    * and [[scoreQuantiles]]: every document's global rank under the
+    * x12 quality score via deterministic static score-range buckets —
+    * no global sort, no sampled boundaries. `bestFirst` ranks
+    * (score desc, id asc) — x103's curriculum order; `!bestFirst`
+    * ranks (score asc, id asc) — the quantile order. Returns
+    * `(doc_id, quality_score, rank, _total)`. */
+  private def bucketedScoreRank(docs: DataFrame, idCol: String,
+                                textCol: String, bucketBits: Int,
+                                bestFirst: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val b = 1 << bucketBits
     val scored = qualityScore(docs, idCol, textCol)
       .select(col("doc_id"), col("quality_score"))
       .withColumn("_b", least(lit(b - 1),
         floor(col("quality_score") * lit(b.toDouble)).cast("int")))
-    // local rank within each score-range bucket (best first)
+    // local rank within each score-range bucket
     val wLocal = Window.partitionBy(col("_b"))
-      .orderBy(col("quality_score").desc, col("doc_id"))
+      .orderBy(if (bestFirst) col("quality_score").desc
+               else col("quality_score").asc, col("doc_id"))
     val local = scored.withColumn("_lrn", row_number().over(wLocal))
     // bucket totals: ≤ 2^bucketBits rows; offsets accumulate from the
-    // HIGHEST bucket down (rank 1 = best score)
+    // first-ranked end (highest bucket down for bestFirst, lowest up
+    // otherwise)
     val counts = local.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
-    val wOff = Window.orderBy(col("_b").desc)
+    val wOff = Window
+      .orderBy(if (bestFirst) col("_b").desc else col("_b").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
       .withColumn("_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))
@@ -519,8 +538,41 @@ object TextAnalysis {
     local.join(broadcast(offsets), Seq("_b"))
       .withColumn("rank", col("_off") + col("_lrn").cast("long"))
       .select(col("doc_id"), col("quality_score"), col("rank"),
-        floor((col("rank") - 1).cast("double") * lit(nPhases.toDouble) /
-          col("_total").cast("double")).cast("int").as("phase"))
+        col("_total"))
+  }
+
+  /** EXACT score quantiles (x114) — the distribution summary behind
+    * every gate-threshold decision ("where IS the p25 of quality?"),
+    * computed exactly, with no global sort and no approximation: for
+    * each requested quantile q, the document at ascending rank
+    * ceil(q·N) under (quality_score asc, doc_id asc). Exactness
+    * matters at the tails (p99 of a skewed score is exactly where
+    * `percentile_approx`'s error concentrates) and determinism
+    * matters for the oracle — both engines compute the same IEEE
+    * q·N before ceil. Returns `(quantile, rank, doc_id,
+    * quality_score)`, one row per quantile.
+    *
+    * Scale shape: the x103 bucketed-rank machinery ([[
+    * bucketedScoreRank]] — static range buckets, per-bucket local
+    * windows, a ≤2^bucketBits-row offset rollup), then a |quantiles|-
+    * row broadcast joined on the computed target rank — the join is a
+    * per-row predicate against a handful of constants, and only
+    * |quantiles| rows survive. */
+  def scoreQuantiles(docs: DataFrame, idCol: String, textCol: String,
+                     quantiles: Seq[Double],
+                     bucketBits: Int = 8): DataFrame = {
+    require(quantiles.nonEmpty, "quantiles must be non-empty")
+    require(quantiles.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1], got $quantiles")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranked = bucketedScoreRank(docs, idCol, textCol, bucketBits,
+      bestFirst = false)
+    val qdf = quantiles.toDF("quantile")
+    ranked.join(broadcast(qdf),
+        col("rank") === ceil(col("quantile") * col("_total")).cast("long"))
+      .select(col("quantile"), col("rank"), col("doc_id"),
+        col("quality_score"))
   }
 
   /** Train/val/test LEAKAGE audit: near-duplicate pairs (exact n-gram

@@ -997,7 +997,22 @@ object ExtensionQueries {
     // quota samplers (x45/x47) move.
     "x113_mix_entropy" -> ((s, dir) =>
       TextAnalysis.mixEntropy(t(s, dir, "documents"), "doc_id", "text",
-        "source"))
+        "source")),
+
+    // x114 — exact score quantiles via the x103 bucketed-rank
+    // machinery: the document at ascending rank ceil(q·N) for each
+    // q — gate-threshold calibration with NO global sort and NO
+    // percentile_approx error at the tails.
+    "x114_score_quantiles" -> ((s, dir) =>
+      TextAnalysis.scoreQuantiles(t(s, dir, "documents"), "doc_id",
+        "text", quantiles = Seq(0.1, 0.25, 0.5, 0.75, 0.9))),
+
+    // x115 — per-source EXACT-dup savings (x108's exact-tier row):
+    // docs/tokens each source sheds under x1's keep rule alone; the
+    // gap to x108 prices the fuzzy-matching stage.
+    "x115_exact_dup_savings" -> ((s, dir) =>
+      CorpusPipeline.exactDupSavings(t(s, dir, "documents"), "doc_id",
+        "text", "source"))
   )
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
@@ -3099,6 +3114,60 @@ object ExtensionQueries {
                / (floor(ln(CAST(count(*) AS DOUBLE)) * 10000 + 0.5)
                  / 10000.0)
                * 10000 + 0.5) / 10000.0 END AS balance
-         FROM terms"""
+         FROM terms""",
+    // the x103 quality CTE verbatim, ASCENDING rank, target rank =
+    // ceil(q·N) in the same IEEE double product both engines compute
+    "x114_score_quantiles" ->
+      """WITH qs AS (SELECT doc_id,
+           floor((0.4 * (CASE WHEN length(trim(text)) >= 100
+               AND length(trim(text)) <= 20000 THEN 1 ELSE 0 END)
+           + 0.3 * greatest(0.0, 1.0 -
+               ((length(trim(text)) - length(regexp_replace(
+                 lower(trim(text)), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                / length(trim(text))) * 5)
+           + 0.3 * least(1.0,
+               (len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is',
+                            'der','die','das','und','ist','ein','zu',
+                            'el','la','de','que','y','en','un',
+                            'le','et','les','des','une',
+                            '的','是','了','在','和','有','我'))) * 1.0
+                / len(string_split_regex(lower(trim(text)), '\s+'))) * 5))
+           * 10000 + 0.5) / 10000.0 AS quality_score
+           FROM documents),
+         r AS (SELECT doc_id, quality_score,
+             CAST(row_number() OVER (ORDER BY quality_score, doc_id)
+               AS BIGINT) AS rank,
+             CAST(count(*) OVER () AS BIGINT) AS n
+           FROM qs)
+         SELECT CAST(q.quantile AS DOUBLE) AS quantile, r.rank,
+           r.doc_id, r.quality_score
+         FROM r JOIN (VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.25 AS DOUBLE)),
+             (CAST(0.5 AS DOUBLE)), (CAST(0.75 AS DOUBLE)),
+             (CAST(0.9 AS DOUBLE))) AS q(quantile)
+           ON r.rank = CAST(ceil(q.quantile * r.n) AS BIGINT)""",
+    // x1's keep rule (min doc_id per sha256 group) + the x13 token
+    // kernel, rolled up per source — the exact-tier twin of x108
+    "x115_exact_dup_savings" ->
+      """WITH t AS (SELECT doc_id, source,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+             AS BIGINT) AS nt,
+           sha256(lower(trim(text))) AS h
+           FROM documents),
+         k AS (SELECT doc_id, source, nt,
+             min(doc_id) OVER (PARTITION BY h) AS keep
+           FROM t)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id <> keep THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dup_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN doc_id <> keep THEN nt ELSE 0 END)
+             AS BIGINT) AS dup_tokens,
+           CASE WHEN sum(nt) > 0 THEN
+             floor(CAST(sum(CASE WHEN doc_id <> keep THEN nt ELSE 0 END)
+                 AS DOUBLE) / CAST(sum(nt) AS DOUBLE) * 10000 + 0.5)
+               / 10000.0
+           ELSE 0.0 END AS dup_frac
+         FROM k GROUP BY 1"""
   )
 }

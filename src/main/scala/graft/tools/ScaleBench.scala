@@ -448,6 +448,17 @@ object ScaleBench {
         Tables(s, dir, "documents"), "doc_id", "text", "source")),
     ("x113_mix_entropy", (s: SparkSession, dir: String) =>
       graft.operators.TextAnalysis.mixEntropy(
+        Tables(s, dir, "documents"), "doc_id", "text", "source")),
+    // x103's bucketed-rank machinery with a 5-row target join — each
+    // static bucket's local sort grows 10x, the rollup stays ≤256 rows
+    ("x114_score_quantiles", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.scoreQuantiles(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        quantiles = Seq(0.1, 0.25, 0.5, 0.75, 0.9))),
+    // digest window + source rollup; the `_k` suffix keeps duplicate
+    // families disjoint across copies, so group structure replicates
+    ("x115_exact_dup_savings", (s: SparkSession, dir: String) =>
+      graft.operators.CorpusPipeline.exactDupSavings(
         Tables(s, dir, "documents"), "doc_id", "text", "source")))
 
   def main(args: Array[String]): Unit = {

@@ -717,6 +717,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x114 quantiles rank without a global sort — x103's machinery, " +
+      "quantile targets broadcast") {
+    val p = plan("x114_score_quantiles")
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"expected exactly the tiny-rollup single-partition exchange:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort leaked into the quantile lookup:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the |quantiles|-row target frame should broadcast:\n$p")
+  }
+
+  test("x115 exact-dup savings: digest window + source rollup — two " +
+      "hash exchanges, one corpus scan") {
+    val p = plan("x115_exact_dup_savings")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected the digest window + source aggregate exchanges only:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"corpus scanned more than once:\n$p")
+  }
+
   test("x104 novelty pins the gram stream on DISK_ONLY, never memory") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val df = SparkEntry.queries("x104_novelty")(spark, sfDir)

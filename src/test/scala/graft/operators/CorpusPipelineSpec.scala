@@ -244,6 +244,27 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out("books") === ((2L, 1L, 16L, 11L, 0.6875)))
   }
 
+  test("exactDupSavings (x115): min-id keep rule per digest group, " +
+      "per-source doc and token mass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text here now", "web"),     // keeper of the group
+      (2L, "same text here now", "web"),     // dup, 4 tokens
+      (3L, "Same   Text Here Now", "books"), // dup after lower/trim? no — inner whitespace differs
+      (4L, "unique content in this one", "books")
+    ).toDF("doc_id", "text", "source")
+    // doc 3's internal double-space survives lower(trim(·)) so its
+    // digest differs — only doc 2 is removable mass
+    val out = CorpusPipeline.exactDupSavings(docs, "doc_id", "text",
+        "source")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"),
+          r.getAs[Long]("total_tokens"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(out("web") === ((2L, 1L, 8L, 4L, 0.5)))
+    assert(out("books") === ((2L, 0L, 9L, 0L, 0.0)))
+  }
+
   test("crossSourceDuplication (x109): near-dup pairs folded to the " +
       "unordered source matrix") {
     import spark.implicits._

@@ -654,6 +654,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(solo.isNullAt(3))
   }
 
+  test("scoreQuantiles (x114): the document at ascending rank ceil(qN) " +
+      "— matches a local sort of the operator's own scores") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a short one"),
+      (3L, "!!! ??? $$$ %%% ^^^"),
+      (4L, "the and of to in is a document with stopwords " * 5),
+      (5L, "middle quality text with the usual words in it"),
+      (6L, "zz"),
+      (7L, "another perfectly ordinary document of the corpus")
+    ).toDF("doc_id", "text")
+    val sorted = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select("doc_id", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (s, id) }
+    val qs = Seq(0.1, 0.5, 1.0)
+    val expected = qs.map { q =>
+      val rank = math.ceil(q * sorted.size).toLong
+      val (id, s) = sorted(rank.toInt - 1)
+      (q, rank, id, s)
+    }.toSet
+    val out = TextAnalysis.scoreQuantiles(docs, "doc_id", "text", qs)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(out === expected)
+  }
+
   test("indexed novelty (x110): persisted gram-df index returns the " +
       "self-contained rows; a disjoint batch scores (0, 0, null)") {
     val docs = Seq(
