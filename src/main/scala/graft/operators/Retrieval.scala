@@ -138,6 +138,43 @@ object Retrieval {
       .write.mode("overwrite").format("parquet").saveAsTable(statsTable)
   }
 
+  /** Incremental BM25 index MAINTENANCE: append a new batch's postings
+    * into the existing bucket layout (one file per bucket per ingest —
+    * [[graft.sinks.Sinks.writeBucketed]] `append`, which validates the
+    * bucket spec matches) and fold the batch's length counts into the
+    * 1-row stats table. After the append, [[bm25TopKIndexed]] serves
+    * the UNION corpus identically to a one-shot rebuild (spec-pinned) —
+    * the x74/x75/x80 continuous-ingestion contract on the retrieval
+    * side. The stats update is driver-side arithmetic on two 1-row
+    * reads — the cheap half; the batch postings scan is the only
+    * corpus-class work, and it touches batch text only. */
+  def appendBm25Index(spark: org.apache.spark.sql.SparkSession,
+                      batch: DataFrame, idCol: String, textCol: String,
+                      postingsTable: String, statsTable: String,
+                      numBuckets: Int = 8): Unit = {
+    val post = Par.spread(batch)
+      .select(col(idCol).as("doc_id"),
+        size(Text.tokens(col(textCol))).cast("long").as("dl"),
+        explode(TextExpressions.termCounts(col(textCol))).as("tc"))
+      .select(col("tc.term").as("term"), col("doc_id"),
+        col("tc.tf").cast("long").as("tf"), col("dl"))
+    graft.sinks.Sinks.writeBucketed(post, postingsTable, Seq("term"),
+      numBuckets, sortCols = Seq("term"), append = true)
+    // stats: two 1-row reads summed on the driver, then overwrite —
+    // reading and overwriting the same table in one plan is illegal,
+    // and both sides are single rows anyway
+    val old = spark.table(statsTable).head()
+    val add = batch
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col(textCol))).cast("long")).as("sum_dl"))
+      .head()
+    val addDl = if (add.isNullAt(1)) 0L else add.getLong(1)
+    import spark.implicits._
+    Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + addDl))
+      .toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").format("parquet").saveAsTable(statsTable)
+  }
+
   /** [[bm25TopK]] through its PERSISTED index — the production serving
     * shape the bootstrap form's Scaladoc promises: zero text-kernel
     * work, zero corpus text scans. The postings scan carries the

@@ -450,6 +450,43 @@ object TextAnalysis {
         .groupBy(col("_h")).agg(count(lit(1)).as("_df")),
       dfTable, Seq("_h"), numBuckets)
 
+  /** Incremental novelty-index MAINTENANCE: append a batch's gram
+    * document frequencies into the existing bucket layout (one file
+    * per bucket per ingest). Appended ingests can duplicate a hash
+    * across files — PRESENCE queries (the streaming
+    * [[graft.streaming.Streams.noveltyIngest]] gate, which joins
+    * anti/semi) are unaffected, but exact-df serving
+    * ([[noveltyScoresIndexed]]) requires one row per hash — run
+    * [[compactNoveltyIndex]] before serving, the usual
+    * append-then-compact lifecycle of an LSM-shaped index. */
+  def appendNoveltyIndex(batch: DataFrame, idCol: String, textCol: String,
+                         k: Int, dfTable: String,
+                         numBuckets: Int = 8): Unit =
+    graft.sinks.Sinks.writeBucketed(
+      Par.spread(batch)
+        .select(explode(TextExpressions.shingleHashSet(col(textCol), k))
+          .as("_h"))
+        .groupBy(col("_h")).agg(count(lit(1)).as("_df")),
+      dfTable, Seq("_h"), numBuckets, append = true)
+
+  /** Fold an appended novelty index back to one row per hash (sum of
+    * per-ingest counts — gram SETS are disjoint per document, so the
+    * sum IS the union df). The aggregate groups on the bucketing
+    * column — shuffle-free — and stages through a side table because
+    * Spark cannot overwrite a table from a plan that reads it. */
+  def compactNoveltyIndex(spark: org.apache.spark.sql.SparkSession,
+                          dfTable: String, numBuckets: Int = 8): Unit = {
+    val tmp = dfTable + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    graft.sinks.Sinks.writeBucketed(
+      spark.table(dfTable).groupBy(col("_h"))
+        .agg(sum(col("_df")).as("_df")),
+      tmp, Seq("_h"), numBuckets)
+    graft.sinks.Sinks.writeBucketed(spark.table(tmp), dfTable,
+      Seq("_h"), numBuckets)
+    spark.sql(s"DROP TABLE $tmp")
+  }
+
   /** [[noveltyScores]] through its PERSISTED gram-df index — the
     * incremental serving form: score a batch's novelty against the
     * index's document frequencies with ONE batch text scan and zero

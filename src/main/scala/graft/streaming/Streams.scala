@@ -370,6 +370,72 @@ object Streams {
         } finally survivors.unpersist()
     }
 
+  /** Streaming NOVELTY gate on ingest — the online form of the x110
+    * index pairing, third member of the indexed-ingest family
+    * ([[indexedNeardupIngest]], [[indexedAnnIngest]]): keep an
+    * arriving document only when at least `minNewFrac` of its distinct
+    * k-shingles are ABSENT from the persisted gram index — "does this
+    * document add new content", the diversity-budget question the
+    * pairwise gates can't ask (a document can near-dup nothing yet
+    * still be 100% recombined boilerplate). Each micro-batch is (1)
+    * scored against the index via an anti-join presence probe (hash-
+    * equi against the bucketed table, batch text read once, corpus
+    * never), (2) survivors handed to `sink`, and (3) survivors' grams
+    * appended to the index ([[
+    * graft.operators.TextAnalysis.appendNoveltyIndex]]) so batch N+1
+    * is measured against everything batch N admitted. Corpus state
+    * lives in the catalog, not stream state — `foreachBatch` for the
+    * family's usual reason.
+    *
+    * The gate law is an exact long/long comparison (n_new ≥ minNewFrac
+    * · n_grams as `n_new · 1 ≥ frac · n` in doubles — one IEEE product
+    * each side, no accumulation), so it is deterministic under any
+    * partitioning. Documents with fewer than k tokens have no grams
+    * and are DROPPED (nothing measurable is admitted). Presence
+    * probing tolerates the duplicate hash rows appends create; run
+    * [[graft.operators.TextAnalysis.compactNoveltyIndex]] before
+    * exact-df serving (x110), per the append-then-compact lifecycle.
+    * Replayed micro-batches re-append survivor grams — compaction
+    * sums them, which over-counts df by the replay multiplicity in
+    * the at-least-once window; make `sink` idempotent by batch id as
+    * usual and compact from a checkpoint-committed offset when exact
+    * df matters. */
+  def noveltyIngest(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, minNewFrac: Double, dfTable: String,
+                    numBuckets: Int = 8)
+                   (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val te = org.apache.spark.sql.graft.TextExpressions
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val grams = graft.functions.Par.spread(b)
+          .select(col(idCol).as("_nid"),
+            explode(te.shingleHashSet(col(textCol), k)).as("_h"))
+        // distinct-per-bucket presence set: appended ingests may hold a
+        // hash several times; distinct on the bucketing column plans
+        // without an exchange
+        val known = spark.table(dfTable).select(col("_h")).distinct()
+          .withColumn("_seen", lit(1))
+        val perDoc = grams.join(known, Seq("_h"), "left")
+          .groupBy(col("_nid"))
+          .agg(count(lit(1)).as("_n_grams"),
+            sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("_n_new"))
+        val keepIds = perDoc.filter(
+          col("_n_new").cast("double") >=
+            lit(minNewFrac) * col("_n_grams").cast("double"))
+          .select(col("_nid"))
+        val survivors = b.join(keepIds,
+          b(idCol) === keepIds("_nid"), "left_semi").cache()
+        try {
+          sink(survivors, batchId)
+          graft.operators.TextAnalysis.appendNoveltyIndex(survivors,
+            idCol, textCol, k, dfTable, numBuckets)
+        } finally survivors.unpersist()
+    }
+
   /** Streaming benchmark-decontamination gate — the streaming twin of
     * the batch x44 prefilter: the Bloom sketch of the benchmark's
     * k-shingle hashes (built ONCE, batch-side, via

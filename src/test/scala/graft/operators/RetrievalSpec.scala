@@ -145,6 +145,32 @@ class RetrievalSpec extends SparkSpec {
       s"term filter should prune buckets:\n$p")
   }
 
+  test("indexed BM25: incremental append equals the one-shot build " +
+      "(the ingest-maintenance contract)") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val (post1, stats1) =
+      ("graft_idx_test.bm25_post_full", "graft_idx_test.bm25_stats_full")
+    val (post2, stats2) =
+      ("graft_idx_test.bm25_post_incr", "graft_idx_test.bm25_stats_incr")
+    Seq(post1, stats1, post2, stats2).foreach(dropIdxTable)
+    // one-shot over the full corpus
+    Retrieval.writeBm25Index(docs, "doc_id", "text", post1, stats1,
+      numBuckets = 2)
+    // incremental: build on batch 1 (docs 1-2), append batch 2 (3-4)
+    Retrieval.writeBm25Index(docs.filter(col("doc_id") <= 2), "doc_id",
+      "text", post2, stats2, numBuckets = 2)
+    Retrieval.appendBm25Index(spark, docs.filter(col("doc_id") > 2),
+      "doc_id", "text", post2, stats2, numBuckets = 2)
+    def serve(post: String, stats: String) =
+      Retrieval.bm25TopKIndexed(spark, post, stats,
+        Seq("apple", "banana", "cherry"), topK = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    val incremental = serve(post2, stats2)
+    assert(incremental === serve(post1, stats1))
+    assert(incremental.nonEmpty)
+  }
+
   test("bm25Stats rejects an all-NULL-text corpus with a clear message") {
     val nulls = Seq((1L, null: String), (2L, null: String))
       .toDF("doc_id", "text")

@@ -303,6 +303,71 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("noveltyIngest: new-content gate vs the persisted gram index; " +
+      "survivors extend the index; compaction restores exact df " +
+      "(x110 twin)") {
+    import graft.operators.TextAnalysis
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val dfT = "graft_idx_test.st_nov_df"
+    dropIdxTable(dfT)
+
+    // indexed corpus doc: grams over w1..w30
+    val corpusText = (1 to 30).map(i => s"w$i").mkString(" ")
+    // near-copy: 29 of its 30 tokens -> most grams known, low novelty
+    val nearCorpus = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val freshText = (1 to 30).map(i => s"f$i").mkString(" ")
+    val nearFresh = (1 to 29).map(i => s"f$i").mkString(" ") + " qq"
+    val fresh2 = (1 to 30).map(i => s"g$i").mkString(" ")
+    TextAnalysis.writeNoveltyIndex(
+      Seq((100L, corpusText)).toDF("doc_id", "text"), "doc_id", "text",
+      k = 3, dfT, numBuckets = 2)
+
+    val dir = Files.createTempDirectory("novingest-in").toString
+    val ckpt = Files.createTempDirectory("novingest-ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = Streams.noveltyIngest(stream, "doc_id", "text", k = 3,
+          minNewFrac = 0.5, dfT, numBuckets = 2) { (df, _) =>
+        val ids = df.select("doc_id").collect().map(_.getLong(0))
+        got.synchronized { got ++= ids; () }
+      }.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // batch 1: the near-copy of the INDEXED doc is mostly-known mass
+    // (1 of 28 grams new = 4%) and drops; the fresh doc is 100% new
+    Seq((1L, nearCorpus), (2L, freshText)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    run()
+    assert(got.toSet == Set(2L))
+    // batch 2: a near-copy of batch 1's SURVIVOR drops — only possible
+    // because the ingest appended doc 2's grams; a second fresh doc
+    // passes
+    Seq((3L, nearFresh), (4L, fresh2)).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    run()
+    assert(got.toSet == Set(2L, 4L))
+
+    // append-then-compact: after compaction the index is one row per
+    // hash again and exact-df serving works — the indexed corpus,
+    // scored against itself, reports full coverage (nothing unique
+    // since doc 2/4's grams are disjoint from w*)
+    spark.catalog.refreshTable(dfT)
+    TextAnalysis.compactNoveltyIndex(spark, dfT, numBuckets = 2)
+    val rows = spark.table(dfT).count()
+    val distinct = spark.table(dfT).select("_h").distinct().count()
+    assert(rows == distinct, "compaction must leave one row per hash")
+    val scored = TextAnalysis.noveltyScoresIndexed(spark,
+      Seq((100L, corpusText)).toDF("doc_id", "text"), "doc_id", "text",
+      k = 3, dfT).head()
+    assert(scored.getAs[Long]("n_shingles") == 28L)
+    assert(scored.getAs[Long]("n_unique") == 28L) // df=1: only w-doc has them
+  }
+
   test("indexedNeardupIngest: exact gate vs the persisted index; " +
       "survivors extend the index across micro-batches (x80 twin)") {
     import graft.operators.TextDedup
