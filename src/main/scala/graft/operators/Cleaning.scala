@@ -127,6 +127,51 @@ object Cleaning {
           .cast("long"))
       .withColumn(textCol, regexp_replace(col(textCol), Ipv4Pattern, "<IP>"))
 
+  /** Per-source PII INCIDENCE audit (x118) — the data-card row behind
+    * [[redactPii]]: before a release decides to scrub, the steward
+    * asks WHERE the PII lives — which crawl sources carry it and how
+    * dense it is. Per source: document count, documents carrying any
+    * PII, total email/phone/IPv4 match counts (x60's exact patterns
+    * under x60's sequential-pass semantics, so the audit's counts are
+    * exactly what the redaction pass would replace), and the
+    * PII-document rate. Read next to x108/x115: those price dedup per
+    * source, this prices the cleaning stage.
+    *
+    * Scale shape: the same pure per-row projection as x60 (three
+    * codegen'd regexp passes, zero shuffles) followed by a
+    * #sources-row rollup — nothing corpus-shaped ever moves; text is
+    * counted scan-side and only per-row counts reach the exchange. */
+  def piiRate(docs: DataFrame, textCol: String,
+              sourceCol: String): DataFrame = {
+    val nEmails =
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .cast("long")
+    // mirror redactPii's pass order: phones count on the email-redacted
+    // text, IPs on the phone-redacted text
+    val afterEmail = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
+    val nPhones =
+      size(regexp_extract_all(afterEmail, lit(PhonePattern), lit(0)))
+        .cast("long")
+    val afterPhone = regexp_replace(afterEmail, PhonePattern, "<PHONE>")
+    val nIps =
+      size(regexp_extract_all(afterPhone, lit(Ipv4Pattern), lit(0)))
+        .cast("long")
+    Par.spread(docs)
+      .select(col(sourceCol).as("source"), nEmails.as("_e"),
+        nPhones.as("_p"), nIps.as("_i"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(((col("_e") + col("_p") + col("_i")) > 0).cast("long"))
+          .as("docs_with_pii"),
+        sum(col("_e")).as("n_emails"),
+        sum(col("_p")).as("n_phones"),
+        sum(col("_i")).as("n_ips"))
+      .withColumn("pii_doc_rate",
+        graft.functions.Num.fpRound(
+          col("docs_with_pii").cast("double") / col("n_docs").cast("double"),
+          4))
+  }
+
   /** Unicode CANONICALIZATION (x105) — NFC normalization + C0-control
     * strip (newline/tab/CR kept), the pass a crawl corpus needs BEFORE
     * any hash-based stage: a decomposed "é" (e + U+0301) and its

@@ -250,6 +250,42 @@ object CorpusPipeline {
       .withColumn("cluster_rep", coalesce(col("component"), col("doc_id")))
       .select(col("doc_id"), col("cluster_rep"))
 
+  /** QUALITY-keep near-dup cluster representatives (x116) — the
+    * keep-rule variant every production dedup actually wants: instead
+    * of [[clusterReps]]' arbitrary min-id survivor, each near-dup
+    * component keeps its HIGHEST-QUALITY member (x12's quality score,
+    * ties broken by min doc_id — fully deterministic). Deduplicating
+    * with `doc_id === cluster_rep` then drops the low-quality copies
+    * of each template instead of whichever copy crawled first.
+    * Returns `(doc_id, cluster_rep)` — same shape as x93, different
+    * keep rule.
+    *
+    * Scale shape: the x8 pair machinery dominates as in [[clusterReps]].
+    * Member quality is resolved by joining the corpus-sized score
+    * projection against the BROADCAST component table (near-dup-sized),
+    * so only component members reach the argmax aggregate, and the
+    * aggregate output is component-count-sized — broadcast again for
+    * the final stamp. The argmax is a `max(struct(quality, -id))` —
+    * one pass, no per-component sort. Text never moves: the score
+    * kernel runs scan-side. */
+  def qualityReps(corpus: DataFrame, idCol: String, textCol: String,
+                  k: Int, threshold: Double): DataFrame = {
+    val comp = componentTable(corpus, idCol, textCol, k, threshold)
+    val scores = TextAnalysis.qualityScore(corpus, idCol, textCol)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("quality_score"))
+    val reps = scores.join(broadcast(comp), Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(max(struct(col("quality_score").as("q"),
+        (-col("doc_id")).as("nid"))).as("_m"))
+      .select(col("component"), (-col("_m.nid")).as("rep"))
+    corpus.select(col(idCol).cast("long").as("doc_id"))
+      .join(broadcast(comp), Seq("doc_id"), "left")
+      .join(broadcast(reps), Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+  }
+
   /** The `(doc_id, component)` table of the x8 near-dup graph —
     * near-dup-sized (only documents WITH a near-dup appear), so
     * downstream joins broadcast it. Shared by [[clusterReps]] and

@@ -374,6 +374,82 @@ object TextAnalysis {
             log(col("n_sources").cast("double")), 4), 4)).as("balance"))
   }
 
+  /** Token-budget MIXTURE PLAN (x117) — the sampling-rate solver a
+    * training run consumes: given the corpus's per-source token mass
+    * and a total token budget, allocate the budget by temperature-
+    * smoothed mass (weight ∝ √mass, the α=0.5 exponent smoothing the
+    * multilingual-pretraining literature uses to up-weight small
+    * sources without letting a giant crawl drown them) and report,
+    * per source, the achievable plan: `(source, src_tokens, weight,
+    * target_tokens, planned_tokens, sample_rate, deficit_tokens)`.
+    * `planned = min(target, mass)` — a source can't supply more than
+    * it has (without repetition); `deficit` is the shortfall the run
+    * either re-epochs (x49's repeat machinery) or redistributes.
+    *
+    * Scale shape: one corpus scan → a #sources-row aggregate; the
+    * weight normalization is an unbounded window over that
+    * #sources-row frame (the x103 rollup idiom — single-partition but
+    * #sources-bounded, never corpus-shaped). Float laws: √mass and
+    * every ratio round at 1e-4; the weight total sums the rounded
+    * addends as DECIMAL (order-free), so the plan is bit-stable
+    * cross-engine. */
+  def mixturePlan(docs: DataFrame, idCol: String, textCol: String,
+                  sourceCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val perSource = Par.spread(docs)
+      .select(col(sourceCol).as("source"),
+        size(Text.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("_w", Num.fpRound(sqrt(col("src_tokens").cast("double")), 4))
+      .withColumn("_wtot", sum(col("_w").cast("decimal(38,6)")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).cast("double"))
+    val weight = Num.fpRound(col("_w") / col("_wtot"), 4)
+    val target = floor(lit(budgetTokens.toDouble) * col("weight") + lit(0.5))
+      .cast("long")
+    perSource
+      .withColumn("weight", weight)
+      .withColumn("target_tokens", target)
+      .withColumn("planned_tokens", least(col("target_tokens"),
+        col("src_tokens")))
+      .select(col("source"), col("src_tokens"), col("weight"),
+        col("target_tokens"), col("planned_tokens"),
+        when(col("src_tokens") > 0, Num.fpRound(
+          col("planned_tokens").cast("double") /
+            col("src_tokens").cast("double"), 4))
+          .otherwise(lit(0.0d)).as("sample_rate"),
+        (col("target_tokens") - col("planned_tokens")).as("deficit_tokens"))
+  }
+
+  /** Quantile-CALIBRATED quality gate (x119) — the closed loop between
+    * the distribution summary and the filter: instead of a hand-picked
+    * quality bar (x35's fixed 0.5), the threshold IS the corpus's own
+    * exact q-quantile score ("drop the worst quarter"), so the gate
+    * self-calibrates as the corpus shifts. Returns the kept documents
+    * `(doc_id, quality_score, threshold)` — every document whose score
+    * is ≥ the score at ascending rank ceil(q·N) under (score asc, id).
+    * Ties at the threshold score are all kept (the gate is on SCORE,
+    * not rank — a document is never dropped while an equal-scored one
+    * survives).
+    *
+    * Scale shape: two passes of the x103 bucketed-rank machinery's
+    * cost — one [[scoreQuantiles]] call for the 1-row threshold (no
+    * global sort) and one scoring scan for the gate itself; the
+    * threshold joins in as a broadcast 1-row frame, so the gate is a
+    * zero-shuffle kernel filter exactly like x35. */
+  def calibratedGate(docs: DataFrame, idCol: String, textCol: String,
+                     q: Double): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"q must lie in (0, 1], got $q")
+    val thr = scoreQuantiles(docs, idCol, textCol, Seq(q))
+      .select(col("quality_score").as("threshold"))
+    qualityScore(docs, idCol, textCol)
+      .select(col("doc_id"), col("quality_score"))
+      .crossJoin(broadcast(thr))
+      .filter(col("quality_score") >= col("threshold"))
+  }
+
   /** Per-document n-gram NOVELTY (x104) — the diversity-contribution
     * signal: what fraction of a document's distinct k-shingles appears
     * NOWHERE else in the corpus (df = 1). High novelty marks documents

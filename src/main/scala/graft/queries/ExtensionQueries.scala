@@ -1012,8 +1012,58 @@ object ExtensionQueries {
     // gap to x108 prices the fuzzy-matching stage.
     "x115_exact_dup_savings" -> ((s, dir) =>
       CorpusPipeline.exactDupSavings(t(s, dir, "documents"), "doc_id",
-        "text", "source"))
+        "text", "source")),
+
+    // x116 — quality-keep cluster representatives: x93's component
+    // machinery with the keep rule production dedup wants — each
+    // near-dup cluster keeps its highest-quality member (x12 score,
+    // min-id tie-break), not whichever copy crawled first.
+    "x116_quality_reps" -> ((s, dir) =>
+      CorpusPipeline.qualityReps(t(s, dir, "documents"), "doc_id",
+        "text", k = 3, threshold = 0.5)),
+
+    // x117 — token-budget mixture plan: √mass temperature weights
+    // (α=0.5) allocate a 500k-token budget across sources; planned =
+    // min(target, mass), deficit prices re-epoching.
+    "x117_mixture_plan" -> ((s, dir) =>
+      TextAnalysis.mixturePlan(t(s, dir, "documents"), "doc_id", "text",
+        "source", budgetTokens = 500000L)),
+
+    // x118 — per-source PII incidence audit: x60's exact patterns and
+    // pass order, rolled up to the data-card row that prices the
+    // cleaning stage per source. The fixture carries no natural PII,
+    // so x60's deterministic augmentation line is applied first (same
+    // expression, oracle-mirrored) — every source shows real counts.
+    "x118_pii_rate" -> ((s, dir) =>
+      Cleaning.piiRate(piiAugment(t(s, dir, "documents")), "text",
+        "source")),
+
+    // x119 — quantile-calibrated quality gate: the threshold is the
+    // corpus's own exact p25 score (x114's machinery), so the gate
+    // self-calibrates; ties at the bar all survive.
+    "x119_calibrated_gate" -> ((s, dir) =>
+      TextAnalysis.calibratedGate(t(s, dir, "documents"), "doc_id",
+        "text", q = 0.25))
   )
+
+  /** x60's deterministic PII augmentation (the fixture corpus carries
+    * no natural PII): appends a doc_id-derived contact line — email
+    * always, phone on even ids, IPv4 on ids not divisible by 3 —
+    * reproduced verbatim oracle-side. Shared by x60 (inline) and x118. */
+  private def piiAugment(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        lit(" reach doc"), col("doc_id").cast("string"),
+        lit("@mail.example.com"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" tel 555-123-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) =!= 0,
+          concat(lit(" from 10."),
+            pmod(col("doc_id"), lit(200)).cast("string"),
+            lit(".0."), pmod(col("doc_id"), lit(250)).cast("string")))
+          .otherwise(lit(""))).as("text"))
 
   /** Build-if-missing the x80 index tables for a fixture dir; returns
     * (setsTable, bandsTable). One eager build per session+fixture — the
@@ -3168,6 +3218,146 @@ object ExtensionQueries {
                  AS DOUBLE) / CAST(sum(nt) AS DOUBLE) * 10000 + 0.5)
                / 10000.0
            ELSE 0.0 END AS dup_frac
-         FROM k GROUP BY 1"""
+         FROM k GROUP BY 1""",
+    // x108's component walk + the x12 quality expression; the keeper
+    // is the per-component (quality desc, doc_id) argmax
+    "x116_quality_reps" ->
+      s"""WITH RECURSIVE $duckShingles,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM inter
+           JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+           WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000.0
+             >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+           UNION SELECT d2, d1 FROM pairs),
+         walk(node, reach) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+         comp AS (SELECT node, min(reach) AS rep FROM walk GROUP BY 1),
+         q AS (SELECT doc_id,
+           floor((0.4 * (CASE WHEN length(trim(text)) >= 100
+               AND length(trim(text)) <= 20000 THEN 1 ELSE 0 END)
+           + 0.3 * greatest(0.0, 1.0 -
+               ((length(trim(text)) - length(regexp_replace(
+                 lower(trim(text)), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                / length(trim(text))) * 5)
+           + 0.3 * least(1.0,
+               (len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is',
+                            'der','die','das','und','ist','ein','zu',
+                            'el','la','de','que','y','en','un',
+                            'le','et','les','des','une',
+                            '的','是','了','在','和','有','我'))) * 1.0
+                / len(string_split_regex(lower(trim(text)), '\\s+'))) * 5))
+           * 10000 + 0.5) / 10000.0 AS qs
+           FROM documents),
+         best AS (SELECT component, doc_id AS rep_doc FROM (
+             SELECT c.rep AS component, q.doc_id,
+               row_number() OVER (PARTITION BY c.rep
+                 ORDER BY q.qs DESC, q.doc_id) AS rn
+             FROM comp c JOIN q ON c.node = q.doc_id) WHERE rn = 1)
+         SELECT d.doc_id, coalesce(b.rep_doc, d.doc_id) AS cluster_rep
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+         LEFT JOIN best b ON c.rep = b.component""",
+    // √mass weights rounded at 1e-4, normalized by their exact DECIMAL
+    // total, every downstream ratio re-rounded — mirrored term by term
+    "x117_mixture_plan" ->
+      """WITH m AS (SELECT source,
+           CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+             AS BIGINT) AS src_tokens
+           FROM documents GROUP BY 1),
+         w AS (SELECT source, src_tokens,
+           floor(sqrt(CAST(src_tokens AS DOUBLE)) * 10000 + 0.5) / 10000.0
+             AS wr FROM m),
+         n AS (SELECT source, src_tokens, wr,
+           CAST(sum(CAST(wr AS DECIMAL(38,6))) OVER () AS DOUBLE) AS wtot
+           FROM w),
+         p AS (SELECT source, src_tokens,
+           floor(wr / wtot * 10000 + 0.5) / 10000.0 AS weight FROM n),
+         tg AS (SELECT source, src_tokens, weight,
+           CAST(floor(500000.0 * weight + 0.5) AS BIGINT) AS target_tokens
+           FROM p),
+         pl AS (SELECT source, src_tokens, weight, target_tokens,
+           least(target_tokens, src_tokens) AS planned_tokens FROM tg)
+         SELECT source, src_tokens, weight, target_tokens, planned_tokens,
+           CASE WHEN src_tokens > 0 THEN
+             floor(CAST(planned_tokens AS DOUBLE)
+               / CAST(src_tokens AS DOUBLE) * 10000 + 0.5) / 10000.0
+           ELSE 0.0 END AS sample_rate,
+           target_tokens - planned_tokens AS deficit_tokens
+         FROM pl""",
+    // x60's augmentation + sequential count-then-redact chain, rolled
+    // up per source
+    "x118_pii_rate" ->
+      """WITH aug AS (SELECT doc_id, source,
+           text || ' reach doc' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com'
+             || CASE WHEN doc_id % 2 = 0 THEN ' tel 555-123-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+             || CASE WHEN doc_id % 3 <> 0 THEN ' from 10.'
+                  || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                  || CAST(doc_id % 250 AS VARCHAR)
+                ELSE '' END AS t0
+           FROM documents),
+         e AS (SELECT doc_id, source,
+           CAST(len(regexp_extract_all(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS ne,
+           regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1 FROM aug),
+         p AS (SELECT doc_id, source, ne,
+           CAST(len(regexp_extract_all(t1,
+             '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS np,
+           regexp_replace(t1, '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}',
+             '<PHONE>', 'g') AS t2 FROM e),
+         i AS (SELECT doc_id, source, ne, np,
+           CAST(len(regexp_extract_all(t2,
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+             AS ni FROM p)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii,
+           CAST(sum(ne) AS BIGINT) AS n_emails,
+           CAST(sum(np) AS BIGINT) AS n_phones,
+           CAST(sum(ni) AS BIGINT) AS n_ips,
+           floor(CAST(sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000 + 0.5)
+             / 10000.0 AS pii_doc_rate
+         FROM i GROUP BY 1""",
+    // the x114 threshold row (rank = ceil(0.25·N) under score asc, id)
+    // cross-joined back as the gate bar; ties at the bar all survive
+    "x119_calibrated_gate" ->
+      """WITH qs AS (SELECT doc_id,
+           floor((0.4 * (CASE WHEN length(trim(text)) >= 100
+               AND length(trim(text)) <= 20000 THEN 1 ELSE 0 END)
+           + 0.3 * greatest(0.0, 1.0 -
+               ((length(trim(text)) - length(regexp_replace(
+                 lower(trim(text)), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                / length(trim(text))) * 5)
+           + 0.3 * least(1.0,
+               (len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is',
+                            'der','die','das','und','ist','ein','zu',
+                            'el','la','de','que','y','en','un',
+                            'le','et','les','des','une',
+                            '的','是','了','在','和','有','我'))) * 1.0
+                / len(string_split_regex(lower(trim(text)), '\s+'))) * 5))
+           * 10000 + 0.5) / 10000.0 AS quality_score
+           FROM documents),
+         r AS (SELECT doc_id, quality_score,
+             CAST(row_number() OVER (ORDER BY quality_score, doc_id)
+               AS BIGINT) AS rank,
+             CAST(count(*) OVER () AS BIGINT) AS n
+           FROM qs),
+         thr AS (SELECT quality_score AS threshold FROM r
+           WHERE rank = CAST(ceil(0.25 * n) AS BIGINT))
+         SELECT q.doc_id, q.quality_score, t.threshold
+         FROM qs q CROSS JOIN thr t
+         WHERE q.quality_score >= t.threshold"""
   )
 }

@@ -459,7 +459,28 @@ object ScaleBench {
     // families disjoint across copies, so group structure replicates
     ("x115_exact_dup_savings", (s: SparkSession, dir: String) =>
       graft.operators.CorpusPipeline.exactDupSavings(
-        Tables(s, dir, "documents"), "doc_id", "text", "source")))
+        Tables(s, dir, "documents"), "doc_id", "text", "source")),
+    // the x8 pair machinery dominates (x108's class); the quality
+    // argmax adds one near-dup-sized broadcast aggregate
+    ("x116_quality_reps", (s: SparkSession, dir: String) =>
+      graft.operators.CorpusPipeline.qualityReps(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.5)),
+    // one corpus scan -> #sources-row rollup; the window is
+    // #sources-bounded, so only the scan scales
+    ("x117_mixture_plan", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.mixturePlan(
+        Tables(s, dir, "documents"), "doc_id", "text", "source",
+        budgetTokens = 500000L)),
+    // zero-shuffle regexp scan + #sources rollup (x60's class)
+    ("x118_pii_rate", (s: SparkSession, dir: String) =>
+      graft.operators.Cleaning.piiRate(
+        Tables(s, dir, "documents"), "text", "source")),
+    // two bucketed-rank passes (x114's class twice); the gate filter
+    // itself is zero-shuffle
+    ("x119_calibrated_gate", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.calibratedGate(
+        Tables(s, dir, "documents"), "doc_id", "text", q = 0.25)))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -760,4 +760,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"the V-row vocabulary should broadcast into the tf stream:\n$p")
   }
+
+  test("x116 quality reps: component and keeper tables broadcast — no " +
+      "corpus-sized doc_id join") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val exec = SparkEntry.queries("x116_quality_reps")(spark, sfDir)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p                        => p
+      }
+    def onDocId(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      keys.exists(_.references.exists(_.name == "doc_id"))
+    exec.foreach {
+      case j: SortMergeJoinExec =>
+        assert(!onDocId(j.leftKeys),
+          s"corpus-sized sort-merge join on doc_id:\n$exec")
+      case j: ShuffledHashJoinExec =>
+        assert(!onDocId(j.leftKeys),
+          s"corpus-sized shuffled-hash join on doc_id:\n$exec")
+      case _ => ()
+    }
+    assert(exec.collect {
+      case j: BroadcastHashJoinExec if onDocId(j.leftKeys) => j
+    }.nonEmpty, s"component/keeper joins are not broadcasts:\n$exec")
+  }
+
+  test("x117/x118 mixture plan and PII rate: one corpus scan, one " +
+      "source-rollup hash exchange each") {
+    Seq("x117_mixture_plan", "x118_pii_rate").foreach { q =>
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$q: expected exactly the per-source aggregate exchange:\n$p")
+      assert("FileScan parquet".r.findAllIn(p).size == 1,
+        s"$q: corpus scanned more than once:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("x119 calibrated gate: no global sort; the 1-row threshold " +
+      "broadcasts into a zero-extra-shuffle score filter") {
+    val p = plan("x119_calibrated_gate")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort leaked into the gate:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row threshold should broadcast:\n$p")
+    // the only single-partition exchanges are the bucketed-rank rollup
+    // (threshold side); the gate's scoring scan adds none
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      s"unexpected single-partition stage on the gate side:\n$p")
+  }
 }

@@ -177,4 +177,22 @@ class CleaningSpec extends SparkSpec {
     assert(out(1L) === ((None, 0)))
     assert(out(2L) === ((Some("plain"), 0)))
   }
+
+  test("piiRate (x118): per-source counts under x60's pass order; " +
+      "docs_with_pii counts documents, not matches") {
+    val corpus = Seq(
+      (1L, "contact a@b.com and c@d.org please", "web"),   // 2 emails
+      (2L, "call 555-123-4567 today", "web"),              // 1 phone
+      (3L, "perfectly clean text", "forum"),               // nothing
+      (4L, "from 10.0.0.1 then 1.2.3.4", "forum")          // 2 IPs
+    ).toDF("doc_id", "text", "source")
+    val out = Cleaning.piiRate(corpus, "text", "source")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("docs_with_pii"),
+          r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[Long]("n_ips"), r.getAs[Double]("pii_doc_rate"))))
+      .toMap
+    assert(out("web") === ((2L, 2L, 2L, 1L, 0L, 1.0)))
+    assert(out("forum") === ((2L, 1L, 0L, 0L, 2L, 0.5)))
+  }
 }

@@ -283,4 +283,32 @@ class CorpusPipelineSpec extends SparkSpec {
         r.getAs[String]("source_b")) -> r.getAs[Long]("n_pairs")).toMap
     assert(out === Map(("web", "web") -> 1L, ("books", "web") -> 2L))
   }
+
+  test("qualityReps (x116): the cluster keeps its highest-quality " +
+      "member, not the min id; singletons keep themselves") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base, "s"),                 // 0 stopwords -> score 0.3
+      (2L, base + " the the", "s"),    // 2/12 stopwords -> score 0.55
+      (3L, "entirely unrelated singleton content here", "s")
+    ).toDF("doc_id", "text", "source")
+    // sanity: doc 2 really does outscore doc 1 under x12
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("quality_score"))
+      .toMap
+    assert(q(2L) > q(1L))
+    // shingle sets (k=3): doc1 8 of doc2's 10 -> jaccard 0.8 >= 0.5
+    val out = CorpusPipeline.qualityReps(docs, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cluster_rep")).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 3L))
+    // contrast with the min-id rule: same cluster, different keeper
+    val minId = CorpusPipeline.clusterReps(docs, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cluster_rep")).toMap
+    assert(minId === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
 }

@@ -716,4 +716,56 @@ class TextAnalysisSpec extends SparkSpec {
       k = 3, table))
     assert(disjoint(9L) == ((0L, 0L, None)))
   }
+
+  test("mixturePlan (x117): sqrt-mass weights, capped plan, deficit " +
+      "prices the shortfall") {
+    val docs = Seq(
+      (1L, (1 to 16).map(i => s"t$i").mkString(" "), "s1"), // 16 tokens
+      (2L, "u1 u2 u3 u4", "s2")                             // 4 tokens
+    ).toDF("doc_id", "text", "source")
+    def plan(budget: Long) =
+      TextAnalysis.mixturePlan(docs, "doc_id", "text", "source", budget)
+        .collect().map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("src_tokens"), r.getAs[Double]("weight"),
+            r.getAs[Long]("target_tokens"), r.getAs[Long]("planned_tokens"),
+            r.getAs[Double]("sample_rate"), r.getAs[Long]("deficit_tokens"))))
+        .toMap
+    // weights: r4(4/6) = 0.6667, r4(2/6) = 0.3333
+    // budget 30: targets floor(30*w + .5) = 20 / 10 — both over mass
+    val over = plan(30L)
+    assert(over("s1") === ((16L, 0.6667, 20L, 16L, 1.0, 4L)))
+    assert(over("s2") === ((4L, 0.3333, 10L, 4L, 1.0, 6L)))
+    // budget 12: targets 8 / 4 — s1 subsamples at exactly 0.5
+    val under = plan(12L)
+    assert(under("s1") === ((16L, 0.6667, 8L, 8L, 0.5, 0L)))
+    assert(under("s2") === ((4L, 0.3333, 4L, 4L, 1.0, 0L)))
+  }
+
+  test("calibratedGate (x119): threshold is the exact q-quantile score " +
+      "of the corpus itself; score ties at the bar all survive") {
+    val docs = Seq(
+      (1L, "!!! ??? $$$ %%%"),                                   // worst
+      (2L, "plain middling words without any stop terms here"),
+      (3L, "plain middling words without any stop terms here"),  // tie w/ 2
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "the and of to in is a document with stopwords " * 3),
+      (6L, "another perfectly ordinary document of the corpus"),
+      (7L, "the cat sat on the mat and the dog is in the house"),
+      (8L, "zz yy xx ww vv uu")
+    ).toDF("doc_id", "text")
+    val scores = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("quality_score")))
+    val sorted = scores.sortBy { case (id, s) => (s, id) }
+    val thr = sorted(math.ceil(0.25 * sorted.size).toInt - 1)._2
+    val expected = scores.filter(_._2 >= thr).toSet
+    val out = TextAnalysis.calibratedGate(docs, "doc_id", "text", q = 0.25)
+      .collect().map(r => ((r.getLong(0), r.getAs[Double]("quality_score")),
+        r.getAs[Double]("threshold")))
+    assert(out.map(_._1).toSet === expected)
+    assert(out.map(_._2).distinct.toSeq === Seq(thr))
+    // docs 2 and 3 are byte-identical -> equal scores: if either is
+    // kept, both are (the gate is on score, not rank)
+    val kept = out.map(_._1._1).toSet
+    assert(kept.contains(2L) === kept.contains(3L))
+  }
 }
