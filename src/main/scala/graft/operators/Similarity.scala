@@ -579,4 +579,158 @@ object Similarity {
     graft.sinks.Sinks.writeBucketed(assigned, assignTable,
       Seq("centroid_id"), numBuckets, append = true)
   }
+
+  // ---------- Product quantization (x120/x121) ----------
+  //
+  // The memory tier the rest of the ANN family doesn't cover: IVF
+  // (x10/x91) prunes WHICH vectors a query touches; PQ compresses WHAT
+  // each touched vector costs — m sub-codes instead of `dim` floats
+  // (here 4 codes for 64 floats, a 64× working-set cut at byte-sized
+  // codes), the standard RAM-resident layout for billion-vector search
+  // (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  // TPAMI 2011; the FAISS IVF-PQ layout). Distances are asymmetric
+  // (ADC): the query stays exact, each corpus vector is replaced by its
+  // per-subspace nearest codeword, and L2(q, x) ≈ Σ_j L2(q_j, c_{j,
+  // code_j(x)}) — exact per-subspace tables, summed.
+  //
+  // Cross-engine determinism (the same discipline as [[kmeansCodebook]],
+  // but integer-exact end to end): vectors snap to the 1e-6 grid; the
+  // working scale is grid/1e6 (two IEEE ops both engines replicate);
+  // every per-dimension squared difference is floor-rounded to an
+  // integer at 1e-6 — so subspace distances are EXACT LONGS, argmin and
+  // ranking compare integers, and no float sum ever crosses an
+  // aggregation boundary. Centroid updates divide exact long sums
+  // (CAST(s AS DOUBLE)/n, then /1e6). Ties: argmin → smallest cid;
+  // ranking → ascending neighbor id. Empty clusters drop from the
+  // codebook (both engines rebuild it from the round's assignments).
+
+  /** Per-dimension-rounded integer L2 distance between a grid-long
+    * slice and a down-scaled literal centroid: Σ_d floor(((q_d/1e6) −
+    * c_d)² · 1e6 + 0.5) — exact (each term ≤ 6.4e7, 16-dim sums ≪
+    * 2^63). */
+  private def pqDist(sl: Column, cent: Seq[Double]): Column =
+    aggregate(
+      zip_with(sl, typedlit(cent), (q, c) =>
+        floor(((q.cast("double") / lit(1e6)) - c) *
+          ((q.cast("double") / lit(1e6)) - c) * lit(1e6) + lit(0.5))
+          .cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** (code cid, distance table) for one subspace against a literal
+    * codebook: the table is the k exact-long distances in cid order;
+    * the code is the cid at the FIRST minimum (ties → smallest cid). */
+  private def pqAssign(sl: Column,
+                       cents: Array[(Long, Array[Double])]): (Column, Column) = {
+    val dists = array(cents.map(c => pqDist(sl, c._2.toIndexedSeq)): _*)
+    val cid = element_at(typedlit(cents.map(_._1).toIndexedSeq),
+      array_position(dists, array_min(dists)).cast("int"))
+    (cid, dists)
+  }
+
+  /** Train the m per-subspace codebooks (Lloyd's on each slice) over the
+    * cached grid corpus; returns (quantized corpus with `qv`, per-sub
+    * codebooks as (cid, down-scaled centroid)). CACHE CONTRACT: the
+    * returned frame's cache is caller-owned. */
+  private def pqFit(corpus: DataFrame, idCol: String, vecCol: String,
+                    m: Int, k: Int, rounds: Int)
+      : (DataFrame, Int, Array[Array[(Long, Array[Double])]]) = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val quant = Par.spread(corpus.select(col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol), x =>
+          floor(x.cast("double") * lit(1e6) + lit(0.5)))
+          .cast("array<long>").as("qv")))
+      .cache() // m·rounds stats passes + the encode read
+    val dim = quant.select(size(col("qv"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val books = (0 until m).toArray.map { j =>
+      val sl = slice(col("qv"), j * subDim + 1, subDim)
+      var cents: Array[(Long, Array[Double])] =
+        quant.filter(col("vec_id") < k)
+          .select(col("vec_id"), sl.as("s")).collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Long](1).map(_.toDouble / 1e6).toArray))
+          .sortBy(_._1)
+      require(cents.nonEmpty, "init must seed at least one codeword")
+      (1 to rounds).foreach { _ =>
+        val stats = quant
+          .select(pqAssign(sl, cents)._1.as("cid"),
+            posexplode(sl).as(Seq("d", "q")))
+          .groupBy(col("cid"), col("d"))
+          .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+          .collect() // k × subDim rows — codebook-sized
+        cents = stats
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+          .groupBy(_._1)
+          .map { case (cid, rows) =>
+            (cid, rows.sortBy(_._2)
+              .map(t => (t._3.toDouble / t._4) / 1e6).toArray) }
+          .toArray.sortBy(_._1)
+      }
+      cents
+    }
+    (quant, subDim, books)
+  }
+
+  /** PQ codes for every corpus vector (x120): `(vec_id, code_0 ..
+    * code_{m-1})` — each code the cid of the subspace's nearest
+    * codeword under the integer-exact L2 above. This is the 100 TB
+    * compression artifact: training touches the corpus m·rounds times
+    * for codebook-sized stats (at warehouse scale: train on a sample,
+    * the codebook is k·dim numbers), and the encode itself is ONE scan
+    * whose output is m small ints per vector — the frame a production
+    * deployment persists next to (or instead of) the raw vectors. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int = 4, k: Int = 8, rounds: Int = 2): DataFrame = {
+    val (quant, subDim, books) = pqFit(corpus, idCol, vecCol, m, k, rounds)
+    val codeCols = (0 until m).map { j =>
+      pqAssign(slice(col("qv"), j * subDim + 1, subDim), books(j))._1
+        .as(s"code_$j") }
+    quant.select(col("vec_id") +: codeCols: _*)
+  }
+
+  /** Asymmetric-distance top-k (x121): each query scores the WHOLE
+    * corpus through its codes alone — per-subspace distance tables
+    * (k exact longs each) are computed once per query, broadcast, and
+    * every corpus vector costs m table lookups + an integer add, never
+    * a dim-length float walk. Returns `(query_id, neighbor_id, rank,
+    * adc_dist)`, ranked by (exact integer ADC asc, neighbor id).
+    *
+    * Scale shape: corpus vectors are read once to encode (at
+    * 100 TB the code frame is the persisted artifact — see
+    * [[pqEncode]] — and this stage reads codes only); the query frame
+    * with its tables broadcasts; the only exchange is the per-query
+    * top-k ranking window over (ids, long) tuples, x3's shape. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, topK: Int, m: Int = 4, k: Int = 8,
+             rounds: Int = 2): DataFrame = {
+    val (quant, subDim, books) = pqFit(corpus, idCol, vecCol, m, k, rounds)
+    val codeCols = (0 until m).map { j =>
+      pqAssign(slice(col("qv"), j * subDim + 1, subDim), books(j))._1
+        .as(s"code_$j") }
+    val codes = quant.select(col("vec_id").as("neighbor_id") +: codeCols: _*)
+    val q = Par.spread(queries.select(col(idCol).cast("long").as("query_id"),
+      transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(1e6) + lit(0.5)))
+        .cast("array<long>").as("qv")))
+    val tableCols = (0 until m).map { j =>
+      pqAssign(slice(col("qv"), j * subDim + 1, subDim), books(j))._2
+        .as(s"t_$j") }
+    val qt = q.select(col("query_id") +: tableCols: _*)
+    val adc = (0 until m).map { j =>
+      element_at(col(s"t_$j"),
+        array_position(typedlit(books(j).map(_._1).toIndexedSeq),
+          col(s"code_$j")).cast("int"))
+    }.reduce(_ + _)
+    val scored = codes
+      .join(broadcast(qt), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_int", adc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_int").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        (col("adc_int").cast("double") / lit(1e6)).as("adc_dist"))
+  }
 }

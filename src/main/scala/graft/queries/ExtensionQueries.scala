@@ -1043,7 +1043,24 @@ object ExtensionQueries {
     // self-calibrates; ties at the bar all survive.
     "x119_calibrated_gate" -> ((s, dir) =>
       TextAnalysis.calibratedGate(t(s, dir, "documents"), "doc_id",
-        "text", q = 0.25))
+        "text", q = 0.25)),
+
+    // x120 — product-quantization codes: 4 per-subspace 8-codeword
+    // codebooks (2 Lloyd rounds, integer-exact L2 on the 1e-6 grid)
+    // compress each 64-float vector to 4 codes — the RAM-resident
+    // billion-vector layout (Jégou et al. 2011 / FAISS IVF-PQ).
+    "x120_pq_codes" -> ((s, dir) =>
+      Similarity.pqEncode(t(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 4, k = 8, rounds = 2)),
+
+    // x121 — asymmetric-distance (ADC) top-k over those codes: each
+    // query scores the whole corpus via m table lookups + integer adds
+    // per vector, never a 64-float walk.
+    "x121_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e.filter(col("vec_id") < 10), e, "vec_id",
+        "embedding", topK = 5, m = 4, k = 8, rounds = 2)
+    })
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -2427,6 +2444,99 @@ object ExtensionQueries {
        $chain"""
   }
 
+  /** DuckDB mirror of `Similarity.pqDist`: per-dimension floor-rounded
+    * integer L2 between a grid-long slice and a down-scaled centroid
+    * list — exact BIGINTs, so list_sum is order-free. */
+  private def pqDistSql(sl: String, cv: String, subDim: Int): String =
+    s"""list_sum(list_transform(generate_series(1, $subDim), i ->
+         CAST(floor(((CAST($sl[i] AS DOUBLE)/1000000.0) - $cv[i])
+           * ((CAST($sl[i] AS DOUBLE)/1000000.0) - $cv[i])
+           * 1000000 + 0.5) AS BIGINT)))"""
+
+  /** The PQ training CTE chain (mirror of `Similarity.pqFit`): grid
+    * vectors, m slices, per-subspace init (vec_id < k) and `rounds`
+    * Lloyd rounds — assignment by integer-exact L2 argmin (ties →
+    * smallest cid), centroid update (CAST(SUM AS DOUBLE)/COUNT)/1e6,
+    * empty clusters dropped by reconstruction from the round's
+    * assignments. */
+  private def pqCtes(m: Int, k: Int, rounds: Int, subDim: Int): String = {
+    val qv = s"""pqv AS (SELECT vec_id, list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings)"""
+    val subs = (0 until m).map { j =>
+      s"""sub$j AS (SELECT vec_id,
+           list_slice(qv, ${j * subDim + 1}, ${(j + 1) * subDim}) AS sl
+         FROM pqv)"""
+    }
+    val chains = (0 until m).map { j =>
+      val cent0 = s"""c${j}_0 AS (SELECT vec_id AS cid,
+          list_transform(sl, q -> CAST(q AS DOUBLE)/1000000.0) AS cv
+        FROM sub$j WHERE vec_id < $k)"""
+      val rs = (1 to rounds).map { r =>
+        s"""a${j}_$r AS (SELECT vec_id, sl, cid FROM (
+             SELECT s.vec_id, s.sl, c.cid, row_number() OVER (
+               PARTITION BY s.vec_id
+               ORDER BY ${pqDistSql("s.sl", "c.cv", subDim)} ASC, c.cid)
+               AS rn
+             FROM sub$j s CROSS JOIN c${j}_${r - 1} c) WHERE rn = 1),
+           c${j}_$r AS (SELECT cid, list(cvd ORDER BY d) AS cv FROM (
+             SELECT cid, d, (CAST(SUM(q) AS DOUBLE)/COUNT(*))/1000000.0
+               AS cvd
+             FROM (SELECT cid, unnest(sl) AS q,
+                     generate_subscripts(sl, 1) AS d FROM a${j}_$r)
+             GROUP BY cid, d) GROUP BY cid)"""
+      }
+      (cent0 +: rs).mkString(",\n")
+    }
+    (Seq(qv) ++ subs ++ chains).mkString(",\n")
+  }
+
+  /** Per-subspace encode CTEs e0..e{m-1} against the trained c{j}_R. */
+  private def pqEncodeCtes(m: Int, rounds: Int, subDim: Int): String =
+    (0 until m).map { j =>
+      s"""e$j AS (SELECT vec_id, cid FROM (
+           SELECT s.vec_id, c.cid, row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY ${pqDistSql("s.sl", "c.cv", subDim)} ASC, c.cid) AS rn
+           FROM sub$j s CROSS JOIN c${j}_$rounds c) WHERE rn = 1)"""
+    }.mkString(",\n")
+
+  private def pqEncodeOracle(m: Int, k: Int, rounds: Int,
+                             subDim: Int): String = {
+    val cols = (0 until m).map(j => s"e$j.cid AS code_$j").mkString(", ")
+    val joins = (1 until m).map(j => s"JOIN e$j USING (vec_id)").mkString(" ")
+    s"""WITH ${pqCtes(m, k, rounds, subDim)},
+       ${pqEncodeCtes(m, rounds, subDim)}
+       SELECT e0.vec_id, $cols FROM e0 $joins"""
+  }
+
+  private def pqTopKOracle(m: Int, k: Int, rounds: Int, subDim: Int,
+                           nQueries: Int, topK: Int): String = {
+    val codeCols = (0 until m).map(j => s"e$j.cid AS k$j").mkString(", ")
+    val joins = (1 until m).map(j => s"JOIN e$j USING (vec_id)").mkString(" ")
+    val slJoins = (0 until m)
+      .map(j => s"JOIN sub$j s$j ON s$j.vec_id = q.vec_id").mkString(" ")
+    val cJoins = (0 until m)
+      .map(j => s"JOIN c${j}_$rounds cc$j ON cc$j.cid = n.k$j").mkString(" ")
+    val adc = (0 until m)
+      .map(j => pqDistSql(s"s$j.sl", s"cc$j.cv", subDim)).mkString(" + ")
+    s"""WITH ${pqCtes(m, k, rounds, subDim)},
+       ${pqEncodeCtes(m, rounds, subDim)},
+       codes AS (SELECT e0.vec_id AS neighbor_id, $codeCols FROM e0 $joins),
+       scored AS (SELECT q.vec_id AS query_id, n.neighbor_id,
+           $adc AS adc_int
+         FROM codes n
+         CROSS JOIN (SELECT vec_id FROM pqv WHERE vec_id < $nQueries) q
+         $slJoins $cJoins
+         WHERE q.vec_id <> n.neighbor_id)
+       SELECT query_id, neighbor_id,
+         CAST(row_number() OVER w AS BIGINT) AS rank,
+         CAST(adc_int AS DOUBLE)/1000000.0 AS adc_dist
+       FROM scored
+       WINDOW w AS (PARTITION BY query_id ORDER BY adc_int, neighbor_id)
+       QUALIFY row_number() OVER w <= $topK"""
+  }
+
   private def kmeansOracleSql(k: Int, rounds: Int): String =
     s"""WITH ${kmeansCtes(k, rounds)}
        SELECT vec_id, cid AS cluster_id FROM (
@@ -3358,6 +3468,14 @@ object ExtensionQueries {
            WHERE rank = CAST(ceil(0.25 * n) AS BIGINT))
          SELECT q.doc_id, q.quality_score, t.threshold
          FROM qs q CROSS JOIN thr t
-         WHERE q.quality_score >= t.threshold"""
+         WHERE q.quality_score >= t.threshold""",
+    // the PQ training chain mirrored per subspace (integer-exact L2 on
+    // the 1e-6 grid), then per-subspace argmin encode
+    "x120_pq_codes" -> pqEncodeOracle(m = 4, k = 8, rounds = 2,
+      subDim = 16),
+    // same chain + encode, then ADC: per-pair sum of the m subspace
+    // integer distances, ranked (adc asc, neighbor_id)
+    "x121_pq_topk" -> pqTopKOracle(m = 4, k = 8, rounds = 2, subDim = 16,
+      nQueries = 10, topK = 5)
   )
 }

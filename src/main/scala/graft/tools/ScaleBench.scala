@@ -480,7 +480,21 @@ object ScaleBench {
     // itself is zero-shuffle
     ("x119_calibrated_gate", (s: SparkSession, dir: String) =>
       graft.operators.TextAnalysis.calibratedGate(
-        Tables(s, dir, "documents"), "doc_id", "text", q = 0.25)))
+        Tables(s, dir, "documents"), "doc_id", "text", q = 0.25)),
+    // PQ codebook size is a model hyperparameter (x90's argument): hold
+    // m=4/k=8 fixed and let the probe isolate the corpus-linear terms —
+    // m·rounds codebook-stats passes + the one-scan encode
+    ("x120_pq_codes", (s: SparkSession, dir: String) =>
+      graft.operators.Similarity.pqEncode(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", m = 4, k = 8, rounds = 2)),
+    // FIXED 10-query ADC probe: per-vector cost is m lookups + adds
+    // regardless of dim, so the scan scales linearly and the ranking
+    // exchange carries (ids, long) only
+    ("x121_pq_topk", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Similarity.pqTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", topK = 5, m = 4, k = 8, rounds = 2)
+    }))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

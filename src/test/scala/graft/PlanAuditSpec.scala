@@ -798,6 +798,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x121 PQ ADC search: query tables broadcast; the only exchange " +
+      "is the per-query ranking window over (ids, long) tuples") {
+    val p = plan("x121_pq_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the query frame (with its distance tables) should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the ranking-window exchange:\n$p")
+  }
+
   test("x119 calibrated gate: no global sort; the 1-row threshold " +
       "broadcasts into a zero-extra-shuffle score filter") {
     val p = plan("x119_calibrated_gate")

@@ -322,4 +322,48 @@ class SimilaritySpec extends SparkSpec {
     assert(empty.nonEmpty)
     assert(empty.forall { case (n, lf) => n == 0L && lf == 0.0 })
   }
+
+  // two well-separated groups in 8 dims: A loads the first half, B the
+  // second — with m=2 the subspaces see the groups separately, so PQ
+  // codes must separate them too
+  private lazy val pqVecs = Seq(
+    (0L, Array(1.0f, 0.9f, 1.1f, 1.0f, 0.0f, 0.1f, 0.0f, 0.0f)),  // A (init)
+    (1L, Array(0.0f, 0.1f, 0.0f, 0.0f, 1.0f, 1.1f, 0.9f, 1.0f)),  // B (init)
+    (2L, Array(1.1f, 1.0f, 0.9f, 1.0f, 0.1f, 0.0f, 0.0f, 0.1f)),  // A
+    (3L, Array(0.1f, 0.0f, 0.1f, 0.0f, 0.9f, 1.0f, 1.0f, 1.1f)),  // B
+    (4L, Array(0.9f, 1.1f, 1.0f, 0.9f, 0.0f, 0.0f, 0.1f, 0.0f)),  // A
+    (5L, Array(0.0f, 0.0f, 0.1f, 0.1f, 1.1f, 0.9f, 1.0f, 0.9f))   // B
+  ).toDF("vec_id", "embedding")
+
+  test("pqEncode (x120): codes separate well-clustered groups and are " +
+      "deterministic across runs") {
+    def codes() = Similarity.pqEncode(pqVecs, "vec_id", "embedding",
+        m = 2, k = 2, rounds = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("code_0"), r.getAs[Long]("code_1")))).toMap
+    val c = codes()
+    val a = Set(0L, 2L, 4L); val b = Set(1L, 3L, 5L)
+    // every A member shares A's code pair, every B member B's, and the
+    // two pairs differ in BOTH subspaces (the groups are separated in
+    // each half-space)
+    assert(a.map(c).size == 1 && b.map(c).size == 1)
+    assert(c(0L)._1 != c(1L)._1 && c(0L)._2 != c(1L)._2)
+    assert(codes() === c)
+  }
+
+  test("pqTopK (x121): ADC ranks same-group vectors first, excludes " +
+      "self, monotone distance") {
+    val out = Similarity.pqTopK(pqVecs.filter("vec_id = 0"), pqVecs,
+        "vec_id", "embedding", topK = 5, m = 2, k = 2, rounds = 2)
+      .orderBy("rank").collect()
+    val ids = out.map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(!ids.contains(0L))
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+    // with one codeword per group, ADC collapses each group to one
+    // distance: both A members rank before every B member
+    assert(ids.take(2).toSet == Set(2L, 4L))
+    val d = out.map(_.getAs[Double]("adc_dist"))
+    assert(d.zip(d.tail).forall { case (x, y) => x <= y })
+    assert(d.forall(_ >= 0.0))
+  }
 }
