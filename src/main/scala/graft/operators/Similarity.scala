@@ -689,6 +689,38 @@ object Similarity {
     quant.select(col("vec_id") +: codeCols: _*)
   }
 
+  /** PQ DISTORTION report (x122) — the codebook acceptance metric: how
+    * much information the compression throws away, per subspace. For
+    * every vector, the (exact integer) L2 distance to its OWN assigned
+    * codeword — i.e. the quantization error ADC search inherits —
+    * aggregated to `(sub, n_vectors, avg_dist, max_dist)`. A subspace
+    * whose avg/max dwarf the others needs more codewords (or a
+    * rotation); the report is to PQ what x101's balance audit is to
+    * IVF and x72's RMSE is to int8 quantization.
+    *
+    * Scale shape: training as [[pqEncode]]; the report itself is one
+    * scan (the per-vector min over each subspace's k exact-long
+    * distances — the assignment distance, no second argmin pass) into
+    * an m-row aggregate. Exact-long sums; the two-step average
+    * division and the 1e-6 down-scale are mirrored op-for-op in the
+    * oracle. */
+  def pqDistortion(corpus: DataFrame, idCol: String, vecCol: String,
+                   m: Int = 4, k: Int = 8, rounds: Int = 2): DataFrame = {
+    val (quant, subDim, books) = pqFit(corpus, idCol, vecCol, m, k, rounds)
+    val minCols = (0 until m).map { j =>
+      array_min(pqAssign(slice(col("qv"), j * subDim + 1, subDim),
+        books(j))._2) }
+    quant.select(posexplode(array(minCols: _*)).as(Seq("sub", "d")))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("d")).as("_s"),
+        max(col("d")).as("_mx"))
+      .select(col("sub"), col("n_vectors"),
+        graft.functions.Num.fpRound(
+          (col("_s").cast("double") / col("n_vectors")) / lit(1e6), 6)
+          .as("avg_dist"),
+        (col("_mx").cast("double") / lit(1e6)).as("max_dist"))
+  }
+
   /** Asymmetric-distance top-k (x121): each query scores the WHOLE
     * corpus through its codes alone — per-subspace distance tables
     * (k exact longs each) are computed once per query, broadcast, and

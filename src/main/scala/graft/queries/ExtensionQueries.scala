@@ -1060,7 +1060,14 @@ object ExtensionQueries {
       val e = t(s, dir, "embeddings")
       Similarity.pqTopK(e.filter(col("vec_id") < 10), e, "vec_id",
         "embedding", topK = 5, m = 4, k = 8, rounds = 2)
-    })
+    }),
+
+    // x122 — PQ distortion report: per-subspace quantization error
+    // (each vector's exact L2 to its own codeword) — the codebook
+    // acceptance metric; x101's role for PQ.
+    "x122_pq_distortion" -> ((s, dir) =>
+      Similarity.pqDistortion(t(s, dir, "embeddings"), "vec_id",
+        "embedding", m = 4, k = 8, rounds = 2))
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -2537,6 +2544,26 @@ object ExtensionQueries {
        QUALIFY row_number() OVER w <= $topK"""
   }
 
+  private def pqDistortionOracle(m: Int, k: Int, rounds: Int,
+                                 subDim: Int): String = {
+    val ds = (0 until m).map { j =>
+      s"""d$j AS (SELECT s.vec_id,
+           min(${pqDistSql("s.sl", "c.cv", subDim)}) AS d
+         FROM sub$j s CROSS JOIN c${j}_$rounds c GROUP BY s.vec_id)"""
+    }.mkString(",\n")
+    val rows = (0 until m).map { j =>
+      s"""SELECT CAST($j AS INTEGER) AS sub,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           floor(((CAST(sum(d) AS DOUBLE)/count(*))/1000000.0)
+             * 1000000 + 0.5)/1000000.0 AS avg_dist,
+           CAST(max(d) AS DOUBLE)/1000000.0 AS max_dist
+         FROM d$j"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${pqCtes(m, k, rounds, subDim)},
+       $ds
+       $rows"""
+  }
+
   private def kmeansOracleSql(k: Int, rounds: Int): String =
     s"""WITH ${kmeansCtes(k, rounds)}
        SELECT vec_id, cid AS cluster_id FROM (
@@ -3476,6 +3503,10 @@ object ExtensionQueries {
     // same chain + encode, then ADC: per-pair sum of the m subspace
     // integer distances, ranked (adc asc, neighbor_id)
     "x121_pq_topk" -> pqTopKOracle(m = 4, k = 8, rounds = 2, subDim = 16,
-      nQueries = 10, topK = 5)
+      nQueries = 10, topK = 5),
+    // per-subspace min over the candidate distances IS the assignment
+    // distance; exact-long sums, op-for-op mirrored average
+    "x122_pq_distortion" -> pqDistortionOracle(m = 4, k = 8, rounds = 2,
+      subDim = 16)
   )
 }

@@ -494,7 +494,12 @@ object ScaleBench {
       val e = Tables(s, dir, "embeddings")
       graft.operators.Similarity.pqTopK(e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", topK = 5, m = 4, k = 8, rounds = 2)
-    }))
+    }),
+    // x120's training cost + a one-scan m-row aggregate
+    ("x122_pq_distortion", (s: SparkSession, dir: String) =>
+      graft.operators.Similarity.pqDistortion(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 4, k = 8, rounds = 2)))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

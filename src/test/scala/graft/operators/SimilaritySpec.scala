@@ -366,4 +366,25 @@ class SimilaritySpec extends SparkSpec {
     assert(d.zip(d.tail).forall { case (x, y) => x <= y })
     assert(d.forall(_ >= 0.0))
   }
+
+  test("pqDistortion (x122): exact zero when every vector coincides " +
+      "with its codeword; positive per-subspace error otherwise") {
+    // two distinct vectors, each duplicated: centroids converge to the
+    // exact members, so the quantization error is exactly 0
+    val dup = Seq(
+      (0L, Array(1f, 2f, 3f, 4f)), (1L, Array(5f, 6f, 7f, 8f)),
+      (2L, Array(1f, 2f, 3f, 4f)), (3L, Array(5f, 6f, 7f, 8f))
+    ).toDF("vec_id", "embedding")
+    val z = Similarity.pqDistortion(dup, "vec_id", "embedding",
+        m = 2, k = 2, rounds = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(z === Map(0 -> ((4L, 0.0, 0.0)), 1 -> ((4L, 0.0, 0.0))))
+    // the jittered groups quantize with real, bounded error
+    val out = Similarity.pqDistortion(pqVecs, "vec_id", "embedding",
+        m = 2, k = 2, rounds = 2).collect()
+    assert(out.map(_.getInt(0)).toSet == Set(0, 1))
+    assert(out.forall(r => r.getLong(1) == 6L &&
+      r.getDouble(2) > 0.0 && r.getDouble(2) <= r.getDouble(3)))
+  }
 }
