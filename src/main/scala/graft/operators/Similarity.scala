@@ -721,6 +721,67 @@ object Similarity {
         (col("_mx").cast("double") / lit(1e6)).as("max_dist"))
   }
 
+  /** IVF-PQ top-k (x123) — the two index families COMPOSED, the layout
+    * billion-vector deployments actually run (FAISS `IVF…,PQ…`): IVF
+    * prunes WHICH vectors a query touches (nprobe of numCentroids
+    * buckets, x10's machinery), PQ compresses WHAT each touched vector
+    * costs (m codes + table lookups, x121's machinery). A query reads
+    * nprobe/numCentroids of the corpus and pays m integer ops per
+    * candidate — both cuts at once.
+    *
+    * Scale shape: ONE corpus scan emits (bucket, codes) — the
+    * persistable artifact; at warehouse scale it is written bucketed
+    * by centroid_id ([[writeAnnIndex]]'s contract) so a probe reads
+    * only its buckets' files, and the row is m+1 small ints instead of
+    * cv+norm. The probe join broadcasts nprobe rows per query (each
+    * carrying its m distance tables); ranking is x121's
+    * (ids, long)-tuple window. Bucketing is cosine (the IVF family's
+    * metric here), candidate ranking is integer-exact ADC L2 —
+    * deterministic on both axes. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String, topK: Int, nprobe: Int,
+                m: Int = 4, k: Int = 8, rounds: Int = 2): DataFrame = {
+    val (ids, vecs) = collectCentroids(centroids, idCol, vecCol)
+    require(ids.nonEmpty, "centroids must be non-empty")
+    val (quant, subDim, books) = pqFit(corpus, idCol, vecCol, m, k, rounds)
+    quant.unpersist()
+    def gridded(v: Column): Column =
+      transform(v, x => floor(x.cast("double") * lit(1e6) + lit(0.5)))
+        .cast("array<long>")
+    val codeCols = (0 until m).map { j =>
+      pqAssign(slice(col("_qv"), j * subDim + 1, subDim), books(j))._1
+        .as(s"code_$j") }
+    val assigned = Par.spread(corpus.select(
+        col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"),
+        gridded(col(vecCol)).as("_qv")))
+      .withColumn("centroid_id",
+        VectorExpressions.nearestCentroid(col("cv"), ids, vecs))
+      .select(col("centroid_id") +: col("neighbor_id") +: codeCols: _*)
+    val tableCols = (0 until m).map { j =>
+      pqAssign(slice(col("_qv"), j * subDim + 1, subDim), books(j))._2
+        .as(s"t_$j") }
+    val probes = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("qvf"), gridded(col(vecCol)).as("_qv"))
+      .withColumn("centroid_id", explode(
+        VectorExpressions.probeCentroids(col("qvf"), ids, vecs, nprobe)))
+      .select(col("centroid_id") +: col("query_id") +: tableCols: _*)
+    val adc = (0 until m).map { j =>
+      element_at(col(s"t_$j"),
+        array_position(typedlit(books(j).map(_._1).toIndexedSeq),
+          col(s"code_$j")).cast("int"))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_int").asc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_int", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        (col("adc_int").cast("double") / lit(1e6)).as("adc_dist"))
+  }
+
   /** Asymmetric-distance top-k (x121): each query scores the WHOLE
     * corpus through its codes alone — per-subspace distance tables
     * (k exact longs each) are computed once per query, broadcast, and

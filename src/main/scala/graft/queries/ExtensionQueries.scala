@@ -1067,7 +1067,17 @@ object ExtensionQueries {
     // acceptance metric; x101's role for PQ.
     "x122_pq_distortion" -> ((s, dir) =>
       Similarity.pqDistortion(t(s, dir, "embeddings"), "vec_id",
-        "embedding", m = 4, k = 8, rounds = 2))
+        "embedding", m = 4, k = 8, rounds = 2)),
+
+    // x123 — IVF-PQ: the composed FAISS layout — x10's bucket pruning
+    // picks WHICH vectors a query touches, x121's ADC prices WHAT each
+    // one costs; one corpus scan emits (bucket, codes).
+    "x123_ivf_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e,
+        e.filter(col("vec_id") < 16), "vec_id", "embedding",
+        topK = 5, nprobe = 2, m = 4, k = 8, rounds = 2)
+    })
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -2544,6 +2554,52 @@ object ExtensionQueries {
        QUALIFY row_number() OVER w <= $topK"""
   }
 
+  /** x123's oracle: x10's cosine bucket/probe machinery + the PQ
+    * training/encode chain; ADC ranking runs only inside probed
+    * buckets. */
+  private def ivfPqOracle(m: Int, k: Int, rounds: Int, subDim: Int,
+                          numCentroids: Int, nprobe: Int, nQueries: Int,
+                          topK: Int): String = {
+    val codeCols = (0 until m).map(j => s"e$j.cid AS k$j").mkString(", ")
+    val joins = (1 until m).map(j => s"JOIN e$j USING (vec_id)").mkString(" ")
+    val slJoins = (0 until m)
+      .map(j => s"JOIN sub$j s$j ON s$j.vec_id = p.query_id").mkString(" ")
+    val cJoins = (0 until m)
+      .map(j => s"JOIN c${j}_$rounds cc$j ON cc$j.cid = n.k$j").mkString(" ")
+    val adc = (0 until m)
+      .map(j => pqDistSql(s"s$j.sl", s"cc$j.cv", subDim)).mkString(" + ")
+    s"""WITH ${pqCtes(m, k, rounds, subDim)},
+       ${pqEncodeCtes(m, rounds, subDim)},
+       cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+         FROM embeddings WHERE vec_id < $numCentroids),
+       corp AS (SELECT vec_id AS neighbor_id, embedding AS cv
+         FROM embeddings),
+       assigned AS (SELECT neighbor_id, centroid_id FROM (
+         SELECT neighbor_id, cv, centroid_id, row_number() OVER
+           (PARTITION BY neighbor_id
+            ORDER BY ${duckCos("cv", "centv")} DESC, centroid_id) AS arn
+         FROM corp, cent) WHERE arn = 1),
+       qx AS (SELECT vec_id AS query_id, embedding AS qv2
+         FROM embeddings WHERE vec_id < $nQueries),
+       probes AS (SELECT query_id, centroid_id FROM (
+         SELECT query_id, centroid_id, row_number() OVER
+           (PARTITION BY query_id
+            ORDER BY ${duckCos("qv2", "centv")} DESC, centroid_id) AS prn
+         FROM qx, cent) WHERE prn <= $nprobe),
+       codes AS (SELECT e0.vec_id AS neighbor_id, $codeCols FROM e0 $joins),
+       scored AS (SELECT p.query_id, a.neighbor_id, $adc AS adc_int
+         FROM assigned a JOIN probes p USING (centroid_id)
+         JOIN codes n ON n.neighbor_id = a.neighbor_id
+         $slJoins $cJoins
+         WHERE p.query_id <> a.neighbor_id)
+       SELECT query_id, neighbor_id,
+         CAST(row_number() OVER w AS BIGINT) AS rank,
+         CAST(adc_int AS DOUBLE)/1000000.0 AS adc_dist
+       FROM scored
+       WINDOW w AS (PARTITION BY query_id ORDER BY adc_int, neighbor_id)
+       QUALIFY row_number() OVER w <= $topK"""
+  }
+
   private def pqDistortionOracle(m: Int, k: Int, rounds: Int,
                                  subDim: Int): String = {
     val ds = (0 until m).map { j =>
@@ -3507,6 +3563,10 @@ object ExtensionQueries {
     // per-subspace min over the candidate distances IS the assignment
     // distance; exact-long sums, op-for-op mirrored average
     "x122_pq_distortion" -> pqDistortionOracle(m = 4, k = 8, rounds = 2,
-      subDim = 16)
+      subDim = 16),
+    // x10's cosine bucket/probe CTEs + the PQ chain + ADC ranking
+    // restricted to probed buckets
+    "x123_ivf_pq_topk" -> ivfPqOracle(m = 4, k = 8, rounds = 2,
+      subDim = 16, numCentroids = 16, nprobe = 2, nQueries = 10, topK = 5)
   )
 }

@@ -499,7 +499,16 @@ object ScaleBench {
     ("x122_pq_distortion", (s: SparkSession, dir: String) =>
       graft.operators.Similarity.pqDistortion(
         Tables(s, dir, "embeddings"), "vec_id", "embedding",
-        m = 4, k = 8, rounds = 2)))
+        m = 4, k = 8, rounds = 2)),
+    // IVF bucket count scales with the corpus (nCent, the x10/x90
+    // sizing rule) while PQ's m/k stay fixed — candidates per probe
+    // stay constant, so only training + the (bucket, codes) scan grow
+    ("x123_ivf_pq_topk", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Similarity.ivfPqTopK(e.filter(col("vec_id") < 10),
+        e, e.filter(col("vec_id") < nCent), "vec_id", "embedding",
+        topK = 5, nprobe = 2, m = 4, k = 8, rounds = 2)
+    }))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -367,6 +367,29 @@ class SimilaritySpec extends SparkSpec {
     assert(d.forall(_ >= 0.0))
   }
 
+  test("ivfPqTopK (x123): nprobe=1 restricts candidates to the probed " +
+      "bucket; ADC distances agree with pqTopK on shared candidates") {
+    val cents = pqVecs.filter("vec_id < 2") // one centroid per group
+    val narrow = Similarity.ivfPqTopK(pqVecs.filter("vec_id = 0"), pqVecs,
+        cents, "vec_id", "embedding", topK = 5, nprobe = 1,
+        m = 2, k = 2, rounds = 2)
+      .collect()
+    // query 0 probes only group A's bucket: candidates {2, 4}, no self
+    assert(narrow.map(_.getAs[Long]("neighbor_id")).toSet == Set(2L, 4L))
+    assert(narrow.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L))
+    // with both buckets probed, the result is pqTopK's full-corpus ADC
+    val wide = Similarity.ivfPqTopK(pqVecs.filter("vec_id = 0"), pqVecs,
+        cents, "vec_id", "embedding", topK = 5, nprobe = 2,
+        m = 2, k = 2, rounds = 2)
+      .collect().map(r => r.getAs[Long]("neighbor_id") ->
+        r.getAs[Double]("adc_dist")).toMap
+    val flat = Similarity.pqTopK(pqVecs.filter("vec_id = 0"), pqVecs,
+        "vec_id", "embedding", topK = 5, m = 2, k = 2, rounds = 2)
+      .collect().map(r => r.getAs[Long]("neighbor_id") ->
+        r.getAs[Double]("adc_dist")).toMap
+    assert(wide === flat)
+  }
+
   test("pqDistortion (x122): exact zero when every vector coincides " +
       "with its codeword; positive per-subspace error otherwise") {
     // two distinct vectors, each duplicated: centroids converge to the
