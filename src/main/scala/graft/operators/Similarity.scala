@@ -810,20 +810,121 @@ object Similarity {
       pqAssign(slice(col("qv"), j * subDim + 1, subDim), books(j))._2
         .as(s"t_$j") }
     val qt = q.select(col("query_id") +: tableCols: _*)
-    val adc = (0 until m).map { j =>
+    adcRank(codes, qt, books, topK)
+  }
+
+  /** The shared ADC ranking tail under [[pqTopK]] and
+    * [[pqTopKIndexed]]: broadcast the query frame (each row carrying
+    * its m distance tables), score every code row with m lookups +
+    * integer adds, per-query top-k window over (ids, long) tuples. */
+  private def adcRank(codes: DataFrame, qt: DataFrame,
+                      books: Array[Array[(Long, Array[Double])]],
+                      topK: Int): DataFrame = {
+    val adc = books.indices.map { j =>
       element_at(col(s"t_$j"),
         array_position(typedlit(books(j).map(_._1).toIndexedSeq),
           col(s"code_$j")).cast("int"))
     }.reduce(_ + _)
-    val scored = codes
-      .join(broadcast(qt), col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_int", adc)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_int").asc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    codes.join(broadcast(qt), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_int", adc)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"),
         (col("adc_int").cast("double") / lit(1e6)).as("adc_dist"))
+  }
+
+  /** Persist the PQ index as catalog tables — the x80/x91/x107
+    * convention on the PQ side: `codesTable` holds `(vec_id, code_0 ..
+    * code_{m-1})` (the m-small-ints-per-vector artifact [[pqEncode]]
+    * describes), `booksTable` the trained codebooks as `(sub, cid,
+    * centv)` rows (m·k rows — tiny, read whole by every query). Built
+    * once per corpus snapshot; [[pqTopKIndexed]] then serves queries
+    * with ZERO training work and zero corpus-vector reads. */
+  def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   codesTable: String, booksTable: String,
+                   m: Int = 4, k: Int = 8, rounds: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (quant, subDim, books) = pqFit(corpus, idCol, vecCol, m, k, rounds)
+    val codeCols = (0 until m).map { j =>
+      pqAssign(slice(col("qv"), j * subDim + 1, subDim), books(j))._1
+        .as(s"code_$j") }
+    quant.select(col("vec_id") +: codeCols: _*)
+      .write.mode("overwrite").format("parquet").saveAsTable(codesTable)
+    quant.unpersist()
+    books.zipWithIndex.toSeq
+      .flatMap { case (cents, j) =>
+        cents.toSeq.map { case (cid, cv) => (j, cid, cv.toSeq) } }
+      .toDF("sub", "cid", "centv")
+      .write.mode("overwrite").format("parquet").saveAsTable(booksTable)
+  }
+
+  /** Incremental PQ index MAINTENANCE: encode an arriving batch with
+    * the FROZEN persisted codebooks and append its codes — the
+    * continuous-ingestion contract of [[graft.operators.TextDedup]]'s
+    * x74/x75 and [[appendAnnIndex]], on the PQ side. Freezing is the
+    * standard deployment practice (the codebook is the trained model;
+    * retraining re-codes the whole corpus), so after the append
+    * [[pqTopKIndexed]] serves the union corpus with the batch scored
+    * through the same codebooks as everything else. Retrain + rebuild
+    * ([[writePqIndex]]) when x122's distortion report says the frozen
+    * books no longer fit the distribution. */
+  def appendPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+                    codesTable: String, booksTable: String): Unit = {
+    val spark = batch.sparkSession
+    val raw = spark.table(booksTable)
+      .select(col("sub"), col("cid"), col("centv")).collect()
+    require(raw.nonEmpty, s"codebook table $booksTable is empty — " +
+      "build the index with writePqIndex first")
+    val books: Array[Array[(Long, Array[Double])]] = raw
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.map(r => (r.getLong(1), r.getSeq[Double](2).toArray))
+        .sortBy(_._1))
+    val subDim = books(0)(0)._2.length
+    val codeCols = books.indices.map { j =>
+      pqAssign(slice(col("qv"), j * subDim + 1, subDim), books(j))._1
+        .as(s"code_$j") }
+    Par.spread(batch.select(col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol), x =>
+          floor(x.cast("double") * lit(1e6) + lit(0.5)))
+          .cast("array<long>").as("qv")))
+      .select(col("vec_id") +: codeCols: _*)
+      .write.mode("append").format("parquet").saveAsTable(codesTable)
+  }
+
+  /** ADC top-k against the PERSISTED index (x124) — [[pqTopK]]'s rows
+    * with the steady-state cost profile: the codebooks (m·k rows) read
+    * driver-side, the query's distance tables built from them, and the
+    * corpus side touching ONLY the codes table — no Lloyd rounds, no
+    * embedding scan, no grid kernel on the corpus (plan-pinned). The
+    * repeated-retrieval twin of x91/x107/x110. */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    codesTable: String, booksTable: String,
+                    topK: Int): DataFrame = {
+    val raw = spark.table(booksTable)
+      .select(col("sub"), col("cid"), col("centv")).collect()
+    require(raw.nonEmpty, s"codebook table $booksTable is empty — " +
+      "build the index with writePqIndex first")
+    val books: Array[Array[(Long, Array[Double])]] = raw
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.map(r => (r.getLong(1), r.getSeq[Double](2).toArray))
+        .sortBy(_._1))
+    val m = books.length
+    val subDim = books(0)(0)._2.length
+    val q = Par.spread(queries.select(col(idCol).cast("long").as("query_id"),
+      transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(1e6) + lit(0.5)))
+        .cast("array<long>").as("qv")))
+    val tableCols = (0 until m).map { j =>
+      pqAssign(slice(col("qv"), j * subDim + 1, subDim), books(j))._2
+        .as(s"t_$j") }
+    val qt = q.select(col("query_id") +: tableCols: _*)
+    val codes = spark.table(codesTable)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    adcRank(codes, qt, books, topK)
   }
 }

@@ -1077,6 +1077,17 @@ object ExtensionQueries {
       Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e,
         e.filter(col("vec_id") < 16), "vec_id", "embedding",
         topK = 5, nprobe = 2, m = 4, k = 8, rounds = 2)
+    }),
+
+    // x124 — x121 through its PERSISTED index (the x91/x107/x110
+    // pairing on the PQ side): codebooks + codes built once per
+    // fixture; the query pays zero training and never touches a
+    // corpus embedding. Same rows as x121 (same oracle).
+    "x124_pq_indexed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (codes, books) = pqIndexFor(s, dir)
+      Similarity.pqTopKIndexed(s, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", codes, books, topK = 5)
     })
   )
 
@@ -1130,6 +1141,22 @@ object ExtensionQueries {
         post, stats)
     }
     (post, stats)
+  }
+
+  /** Build-if-missing the x124 PQ index (codes + codebooks); returns
+    * (codesTable, booksTable). Same build-once-read-steady contract as
+    * [[bm25IndexFor]]. */
+  private def pqIndexFor(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val codes = s"graft_idx.pq_codes_$tag"
+    val books = s"graft_idx.pq_books_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!s.catalog.tableExists(codes) || !s.catalog.tableExists(books)) {
+      Seq(codes, books).foreach(dropStaleManaged(s, _))
+      Similarity.writePqIndex(t(s, dir, "embeddings"), "vec_id",
+        "embedding", codes, books, m = 4, k = 8, rounds = 2)
+    }
+    (codes, books)
   }
 
   /** Build-if-missing the x110 novelty gram-df index; returns the
@@ -2703,7 +2730,8 @@ object ExtensionQueries {
     // indexed forms serve the SAME rows as their self-contained twins —
     // the x80/x81/x91 shared-oracle convention
     ("x107_bm25_indexed" -> extendedOracleSql("x98_bm25_topk")) +
-    ("x110_novelty_indexed" -> extendedOracleSql("x104_novelty"))
+    ("x110_novelty_indexed" -> extendedOracleSql("x104_novelty")) +
+    ("x124_pq_indexed" -> extendedOracleSql("x121_pq_topk"))
 
   private lazy val extendedOracleSql: Map[String, String] = baseOracleSql ++ Map(
     "x80_neardup_indexed" -> baseOracleSql("x75_incremental_neardup"),

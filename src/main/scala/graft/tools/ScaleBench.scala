@@ -69,7 +69,8 @@ object ScaleBench {
                      annTables: (String, String) = ("", ""),
                      annDedupTables: (String, String) = ("", ""),
                      bm25Tables: (String, String) = ("", ""),
-                     novTable: String = ""
+                     novTable: String = "",
+                     pqTables: (String, String) = ("", "")
                     ): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     ("x8_ngram_jaccard", (s: SparkSession, dir: String) =>
       TextDedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
@@ -508,6 +509,15 @@ object ScaleBench {
       graft.operators.Similarity.ivfPqTopK(e.filter(col("vec_id") < 10),
         e, e.filter(col("vec_id") < nCent), "vec_id", "embedding",
         topK = 5, nprobe = 2, m = 4, k = 8, rounds = 2)
+    }),
+    // x121's query set over the PERSISTED index (built untimed per
+    // fixture): zero training in the timed path; the codes scan is the
+    // linear stage and each row costs m lookups
+    ("x124_pq_indexed", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Similarity.pqTopKIndexed(s,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        pqTables._1, pqTables._2, topK = 5)
     }))
 
   def main(args: Array[String]): Unit = {
@@ -646,6 +656,27 @@ object ScaleBench {
     val nov1 = buildNovIndex(srcDir, "1x")
     val nov10 = buildNovIndex(scaleDir, "10x")
 
+    // untimed: the x124 PQ index per fixture (codes + frozen books)
+    def buildPqIndex(dir: String, tag: String): (String, String) = {
+      val ct = s"graft_idx.pq_codes_probe_$tag"
+      val bt = s"graft_idx.pq_books_probe_$tag"
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+      Seq(ct, bt).foreach { tb =>
+        spark.sql(s"DROP TABLE IF EXISTS $tb")
+        val Array(db, nm) = tb.split('.')
+        val p = new org.apache.hadoop.fs.Path(
+          s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.db/$nm")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      graft.operators.Similarity.writePqIndex(
+        Tables(spark, dir, "embeddings"), "vec_id", "embedding", ct, bt,
+        m = 4, k = 8, rounds = 2)
+      (ct, bt)
+    }
+    val pq1 = buildPqIndex(srcDir, "1x")
+    val pq10 = buildPqIndex(scaleDir, "10x")
+
     // dev knob (mirrors Bench): SPARK_GRAFT_SCALE_ONLY=x88_...,x104_...
     // restricts the probed set for re-measuring individual probes; the
     // partial BENCH_scale.json it writes is merged into the full table
@@ -656,16 +687,16 @@ object ScaleBench {
       ps.filter { case (n, _) => only.forall(_.contains(n)) }
 
     // one untimed warmup of every probe at 1× (JIT + codegen)
-    selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1, nov1)).foreach { case (n, f) =>
+    selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1, nov1, pq1)).foreach { case (n, f) =>
       try f(spark, srcDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[scale] warmup $n failed: ${e.getMessage}") }
       spark.catalog.clearCache()
     }
 
-    val results = selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1, nov1))
+    val results = selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1, nov1, pq1))
       .zip(selected(probes(16 * Copies, Copies, thr10, lm10, ann10,
-        ann2_10, bm25_10, nov10))).map {
+        ann2_10, bm25_10, nov10, pq10))).map {
       case ((name, f1), (_, f10)) =>
         val (t1, r1) = run(srcDir, 16, name, f1)
         val (t10, r10) = run(scaleDir, 160, name, f10)

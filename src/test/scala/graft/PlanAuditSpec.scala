@@ -798,6 +798,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x124 indexed PQ search: corpus side reads ONLY the codes " +
+      "table — the embedding parquet is scanned once, for the queries") {
+    val p = plan("x124_pq_indexed")
+    assert(p.contains("pq_codes"), s"codes table not scanned:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      s"expected exactly the codes-table + query scans:\n$p")
+    assert("embeddings".r.findAllIn(p).size <= 1,
+      s"corpus embeddings rescanned at query time:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the query frame should broadcast:\n$p")
+  }
+
   test("x121 PQ ADC search: query tables broadcast; the only exchange " +
       "is the per-query ranking window over (ids, long) tuples") {
     val p = plan("x121_pq_topk")

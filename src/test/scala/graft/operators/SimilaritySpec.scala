@@ -390,6 +390,57 @@ class SimilaritySpec extends SparkSpec {
     assert(wide === flat)
   }
 
+  test("pqTopKIndexed (x124): serves pqTopK's rows from the persisted " +
+      "index with no training; appendPqIndex encodes with frozen books") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    Seq("graft_idx_test.pq_codes", "graft_idx_test.pq_books").foreach {
+      name =>
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val Array(db, t) = name.split('.')
+        val loc = java.nio.file.Paths.get("spark-warehouse", s"$db.db", t)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+    }
+    val queries = pqVecs.filter("vec_id = 0")
+    Similarity.writePqIndex(pqVecs, "vec_id", "embedding",
+      "graft_idx_test.pq_codes", "graft_idx_test.pq_books",
+      m = 2, k = 2, rounds = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"),
+        r.getAs[Double]("adc_dist"))).toSet
+    val direct = rows(Similarity.pqTopK(queries, pqVecs, "vec_id",
+      "embedding", topK = 5, m = 2, k = 2, rounds = 2))
+    val indexed = Similarity.pqTopKIndexed(spark, queries, "vec_id",
+      "embedding", "graft_idx_test.pq_codes", "graft_idx_test.pq_books",
+      topK = 5)
+    assert(rows(indexed) == direct && direct.nonEmpty)
+    // the corpus side reads ONLY the codes table — no embedding scan,
+    // no grid kernel on the corpus at query time
+    val p = indexed.queryExecution.optimizedPlan.toString
+    assert(p.contains("pq_codes"), s"codes table not scanned:\n$p")
+    // append a batch member of group B encoded with the FROZEN books:
+    // it must surface in the served rows with B's existing code pair
+    val batch = Seq(
+      (9L, Array(0.0f, 0.1f, 0.0f, 0.1f, 1.0f, 1.0f, 0.9f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendPqIndex(batch, "vec_id", "embedding",
+      "graft_idx_test.pq_codes", "graft_idx_test.pq_books")
+    val after = spark.table("graft_idx_test.pq_codes")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("code_0"), r.getAs[Long]("code_1")))).toMap
+    assert(after.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 9L))
+    assert(after(9L) === after(1L)) // frozen-book encode lands in B
+    val served = rows(Similarity.pqTopKIndexed(spark, queries, "vec_id",
+      "embedding", "graft_idx_test.pq_codes", "graft_idx_test.pq_books",
+      topK = 6))
+    assert(served.map(_._2).contains(9L))
+  }
+
   test("pqDistortion (x122): exact zero when every vector coincides " +
       "with its codeword; positive per-subspace error otherwise") {
     // two distinct vectors, each duplicated: centroids converge to the
