@@ -374,6 +374,55 @@ object TextAnalysis {
             log(col("n_sources").cast("double")), 4), 4)).as("balance"))
   }
 
+  /** Quality-score HISTOGRAM (x125) — the distribution the gate
+    * thresholds (x35's fixed bar, x119's quantile bar) cut through,
+    * as a data-card table: `(score_bucket, n_docs, sum_tokens)` with
+    * bucket = floor(score · buckets). Read next to x114: the
+    * quantiles give exact cut points, this shows the mass between
+    * them — a score distribution collapsing into one bucket is the
+    * signal to retune the score, not the threshold. One scoring scan,
+    * one ≤(buckets+1)-row aggregate (x112's shape on the score
+    * axis). */
+  def scoreHistogram(docs: DataFrame, idCol: String, textCol: String,
+                     buckets: Int = 20): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    qualityScore(docs, idCol, textCol)
+      .select(floor(col("quality_score") * lit(buckets.toDouble))
+          .cast("int").as("score_bucket"),
+        col("n_tokens").cast("long").as("_nt"))
+      .groupBy(col("score_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("sum_tokens"))
+  }
+
+  /** Curriculum PHASE × SOURCE matrix (x126) — what each x103 phase is
+    * MADE OF: `(phase, source, n_docs, sum_tokens)`. The composition
+    * audit behind quality-ordered training: if phase 0 is one source
+    * wall-to-wall, the curriculum is a source filter in disguise and
+    * the mixture (x117) fights the ordering. Returns one row per
+    * (phase, source) cell.
+    *
+    * Scale shape: the x103 bucketed-rank pass (no global sort) plus
+    * one source/token projection scan, joined id-to-id — ids, a
+    * source string and a count cross the wire, never text — then a
+    * ≤ nPhases·#sources-row aggregate. */
+  def phaseSourceMatrix(docs: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, nPhases: Int,
+                        bucketBits: Int = 8): DataFrame = {
+    require(nPhases >= 1, s"nPhases must be >= 1, got $nPhases")
+    val ranked = bucketedScoreRank(docs, idCol, textCol, bucketBits,
+        bestFirst = true)
+      .select(col("doc_id"),
+        floor((col("rank") - 1).cast("double") * lit(nPhases.toDouble) /
+          col("_total").cast("double")).cast("int").as("phase"))
+    val src = Par.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).as("source"),
+        size(Text.tokens(col(textCol))).cast("long").as("_nt"))
+    ranked.join(src, Seq("doc_id"))
+      .groupBy(col("phase"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("sum_tokens"))
+  }
+
   /** Token-budget MIXTURE PLAN (x117) — the sampling-rate solver a
     * training run consumes: given the corpus's per-source token mass
     * and a total token budget, allocate the budget by temperature-

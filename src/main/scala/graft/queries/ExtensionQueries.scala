@@ -1088,7 +1088,21 @@ object ExtensionQueries {
       val (codes, books) = pqIndexFor(s, dir)
       Similarity.pqTopKIndexed(s, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", codes, books, topK = 5)
-    })
+    }),
+
+    // x125 — quality-score histogram: the mass between x114's exact
+    // cut points; a distribution collapsing into one bucket means
+    // retune the score, not the threshold.
+    "x125_score_histogram" -> ((s, dir) =>
+      TextAnalysis.scoreHistogram(t(s, dir, "documents"), "doc_id",
+        "text", buckets = 20)),
+
+    // x126 — curriculum phase × source matrix: what each x103 phase
+    // is made of — if phase 0 is one source wall-to-wall, the
+    // curriculum is a source filter in disguise.
+    "x126_phase_source_matrix" -> ((s, dir) =>
+      TextAnalysis.phaseSourceMatrix(t(s, dir, "documents"), "doc_id",
+        "text", "source", nPhases = 4))
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -3595,6 +3609,67 @@ object ExtensionQueries {
     // x10's cosine bucket/probe CTEs + the PQ chain + ADC ranking
     // restricted to probed buckets
     "x123_ivf_pq_topk" -> ivfPqOracle(m = 4, k = 8, rounds = 2,
-      subDim = 16, numCentroids = 16, nprobe = 2, nQueries = 10, topK = 5)
+      subDim = 16, numCentroids = 16, nprobe = 2, nQueries = 10, topK = 5),
+    // the x12 quality expression bucketed at 20 — same IEEE mul both
+    // sides on the 1e-4-rounded score
+    "x125_score_histogram" ->
+      """WITH qs AS (SELECT doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+             AS BIGINT) AS nt,
+           floor((0.4 * (CASE WHEN length(trim(text)) >= 100
+               AND length(trim(text)) <= 20000 THEN 1 ELSE 0 END)
+           + 0.3 * greatest(0.0, 1.0 -
+               ((length(trim(text)) - length(regexp_replace(
+                 lower(trim(text)), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                / length(trim(text))) * 5)
+           + 0.3 * least(1.0,
+               (len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is',
+                            'der','die','das','und','ist','ein','zu',
+                            'el','la','de','que','y','en','un',
+                            'le','et','les','des','une',
+                            '的','是','了','在','和','有','我'))) * 1.0
+                / len(string_split_regex(lower(trim(text)), '\s+'))) * 5))
+           * 10000 + 0.5) / 10000.0 AS q
+           FROM documents)
+         SELECT CAST(floor(q * 20.0) AS INTEGER) AS score_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS sum_tokens
+         FROM qs GROUP BY 1""",
+    // x103's rank + phase arithmetic (the oracle may sort globally; the
+    // Spark plan must not), joined to source + token mass
+    "x126_phase_source_matrix" ->
+      """WITH qs AS (SELECT doc_id,
+           floor((0.4 * (CASE WHEN length(trim(text)) >= 100
+               AND length(trim(text)) <= 20000 THEN 1 ELSE 0 END)
+           + 0.3 * greatest(0.0, 1.0 -
+               ((length(trim(text)) - length(regexp_replace(
+                 lower(trim(text)), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                / length(trim(text))) * 5)
+           + 0.3 * least(1.0,
+               (len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is',
+                            'der','die','das','und','ist','ein','zu',
+                            'el','la','de','que','y','en','un',
+                            'le','et','les','des','une',
+                            '的','是','了','在','和','有','我'))) * 1.0
+                / len(string_split_regex(lower(trim(text)), '\s+'))) * 5))
+           * 10000 + 0.5) / 10000.0 AS q
+           FROM documents),
+         r AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY q DESC, doc_id) AS BIGINT)
+               AS rank,
+             count(*) OVER () AS n
+           FROM qs),
+         p AS (SELECT doc_id,
+             CAST(floor((rank - 1) * 4.0 / n) AS INTEGER) AS phase
+           FROM r),
+         s AS (SELECT doc_id, source,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+               AS BIGINT) AS nt
+           FROM documents)
+         SELECT p.phase, s.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS sum_tokens
+         FROM p JOIN s USING (doc_id) GROUP BY 1, 2"""
   )
 }

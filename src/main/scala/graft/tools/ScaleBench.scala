@@ -518,7 +518,18 @@ object ScaleBench {
       graft.operators.Similarity.pqTopKIndexed(s,
         e.filter(col("vec_id") < 10), "vec_id", "embedding",
         pqTables._1, pqTables._2, topK = 5)
-    }))
+    }),
+    // one scoring scan into a ≤21-row aggregate (x112's class on the
+    // score axis)
+    ("x125_score_histogram", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.scoreHistogram(
+        Tables(s, dir, "documents"), "doc_id", "text", buckets = 20)),
+    // x103's bucketed-rank pass + an id-equi source join; output stays
+    // nPhases × #sources
+    ("x126_phase_source_matrix", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.phaseSourceMatrix(
+        Tables(s, dir, "documents"), "doc_id", "text", "source",
+        nPhases = 4)))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

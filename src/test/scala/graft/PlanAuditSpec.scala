@@ -798,6 +798,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x125 score histogram: one scoring scan, one bucket exchange") {
+    val p = plan("x125_score_histogram")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the bucket-aggregate exchange:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"corpus scanned more than once:\n$p")
+  }
+
+  test("x126 phase-source matrix ranks without a global sort") {
+    val p = plan("x126_phase_source_matrix")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort leaked into the phase ranking:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"expected exactly the tiny-rollup single-partition exchange:\n$p")
+  }
+
   test("x124 indexed PQ search: corpus side reads ONLY the codes " +
       "table — the embedding parquet is scanned once, for the queries") {
     val p = plan("x124_pq_indexed")

@@ -717,6 +717,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(disjoint(9L) == ((0L, 0L, None)))
   }
 
+  test("scoreHistogram (x125): buckets partition the corpus and agree " +
+      "with the operator's own scores") {
+    val hdocs = Seq(
+      (1L, "!!! ??? $$$"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "plain words without stop terms here"),
+      (4L, "the and of to in is a document with stopwords " * 3),
+      (5L, "zz yy xx")
+    ).toDF("doc_id", "text")
+    val scored = TextAnalysis.qualityScore(hdocs, "doc_id", "text")
+      .collect().map(r => (math.floor(
+        r.getAs[Double]("quality_score") * 20.0).toInt,
+        r.getAs[Int]("n_tokens").toLong))
+    val expected = scored.groupBy(_._1).map { case (b, rows) =>
+      b -> ((rows.size.toLong, rows.map(_._2).sum)) }
+    val out = TextAnalysis.scoreHistogram(hdocs, "doc_id", "text")
+      .collect().map(r => r.getAs[Int]("score_bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens")))).toMap
+    assert(out === expected)
+    assert(out.values.map(_._1).sum === 5L)
+  }
+
+  test("phaseSourceMatrix (x126): cells agree with a local sort of the " +
+      "operator's own scores; cell mass sums to the corpus") {
+    val mdocs = Seq(
+      (1L, "!!! ??? $$$", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog", "web"),
+      (3L, "plain words without stop terms here", "books"),
+      (4L, "the and of to in is a document with stopwords " * 3, "books"),
+      (5L, "zz yy xx", "web"),
+      (6L, "another ordinary document of the corpus", "books")
+    ).toDF("doc_id", "text", "source")
+    val scored = TextAnalysis.qualityScore(mdocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("quality_score"),
+        r.getAs[Int]("n_tokens").toLong))
+    val n = scored.size
+    val phaseOf = scored.sortBy { case (id, s, _) => (-s, id) }
+      .zipWithIndex.map { case ((id, _, nt), i) =>
+        id -> ((math.floor(i.toDouble * 2.0 / n).toInt, nt)) }.toMap
+    val srcOf = Map(1L -> "web", 2L -> "web", 3L -> "books",
+      4L -> "books", 5L -> "web", 6L -> "books")
+    val expected = phaseOf.toSeq.groupBy { case (id, (p, _)) =>
+      (p, srcOf(id)) }.map { case (k, rows) =>
+      k -> ((rows.size.toLong, rows.map(_._2._2).sum)) }
+    val out = TextAnalysis.phaseSourceMatrix(mdocs, "doc_id", "text",
+        "source", nPhases = 2)
+      .collect().map(r => (r.getAs[Int]("phase"),
+        r.getAs[String]("source")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens")))).toMap
+    assert(out === expected)
+    assert(out.values.map(_._1).sum === 6L)
+  }
+
   test("mixturePlan (x117): sqrt-mass weights, capped plan, deficit " +
       "prices the shortfall") {
     val docs = Seq(
