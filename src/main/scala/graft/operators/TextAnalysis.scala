@@ -51,6 +51,26 @@ object TextAnalysis {
       .withColumn("agree", (col("predicted_lang") === col("labeled_lang")).cast("int"))
   }
 
+  /** The x12 quality score as a single per-row column expression
+    * (1e-4-rounded) — the shared body under [[qualityScore]] and the
+    * streaming [[graft.streaming.Streams.scoreGate]]: a pure
+    * projection (stopHits kernel + regexps), so it runs unchanged
+    * inside a streaming plan. */
+  def scoreColumn(textCol: String): org.apache.spark.sql.Column = {
+    val t = trim(col(textCol))
+    val nChars = length(t)
+    val nTokens = size(Text.tokens(col(textCol)))
+    val nAlnumSpace = length(regexp_replace(lower(t), "[^a-z0-9 ]", ""))
+    val punctRatio = (nChars - nAlnumSpace).cast("double") / nChars.cast("double")
+    val stopRatio = element_at(hitsArr(textCol), LangDicts.size + 1)
+      .cast("double") / nTokens.cast("double")
+    val lengthOk = (nChars >= 100 && nChars <= 20000).cast("int")
+    Num.fpRound(
+      lit(0.4) * lengthOk +
+      lit(0.3) * greatest(lit(0.0), lit(1.0) - punctRatio * 5) +
+      lit(0.3) * least(lit(1.0), stopRatio * 5), 4)
+  }
+
   /** Quality scoring: length/punctuation/stopword ratios combined into a
     * bounded [0,1] score. All components are deterministic integer or
     * rational arithmetic rounded at 4. */
@@ -66,18 +86,13 @@ object TextAnalysis {
       .cast("double") / nTokens.cast("double")
     val avgTokLen = (length(regexp_replace(t, "\\s+", "")).cast("double") /
       nTokens.cast("double"))
-    val lengthOk = (nChars >= 100 && nChars <= 20000).cast("int")
     val spread = Par.spread(docs)
-    val score =
-      lit(0.4) * lengthOk +
-      lit(0.3) * greatest(lit(0.0), lit(1.0) - punctRatio * 5) +
-      lit(0.3) * least(lit(1.0), stopRatio * 5)
     spread.select(col(idCol).as("doc_id"),
       nChars.as("n_chars"), nTokens.as("n_tokens"),
       Num.fpRound(punctRatio, 4).as("punct_ratio"),
       Num.fpRound(stopRatio, 4).as("stopword_ratio"),
       Num.fpRound(avgTokLen, 4).as("avg_token_len"),
-      Num.fpRound(score, 4).as("quality_score"))
+      scoreColumn(textCol).as("quality_score"))
   }
 
   /** Token counting: whitespace tokens and a BPE-ish regex tokenization
@@ -455,7 +470,12 @@ object TextAnalysis {
       .withColumn("_wtot", sum(col("_w").cast("decimal(38,6)")).over(
         Window.partitionBy().rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)).cast("double"))
-    val weight = Num.fpRound(col("_w") / col("_wtot"), 4)
+    // _wtot = 0 is unreachable on any non-empty source (√mass ≥ 1 when
+    // a source has ≥ 1 doc), but guard the division so a degenerate
+    // frame yields a defined 0-weight row, not NaN (the
+    // ivfBalanceReport convention)
+    val weight = when(col("_wtot") > 0,
+      Num.fpRound(col("_w") / col("_wtot"), 4)).otherwise(lit(0.0d))
     val target = floor(lit(budgetTokens.toDouble) * col("weight") + lit(0.5))
       .cast("long")
     perSource

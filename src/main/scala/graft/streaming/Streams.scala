@@ -179,6 +179,23 @@ object Streams {
       .drop("_st", "_top_bigram_frac")
   }
 
+  /** Streaming CALIBRATED score gate — x119's serving form: the
+    * threshold is the corpus snapshot's own exact q-quantile score,
+    * computed BATCH-side ([[graft.operators.TextAnalysis
+    * .scoreQuantiles]], no global sort) and frozen into the stream as
+    * a literal — the same frozen-batch-artifact split as
+    * [[bm25Gate]]'s corpus stats and [[neardupGate]]'s band sketch.
+    * The gate itself is the x12 score expression (a pure projection —
+    * stopHits kernel + regexps) and a stateless filter, so arriving
+    * documents pay one kernel pass and no state; recalibrate by
+    * recomputing the quantile on the next snapshot and restarting the
+    * query with the new literal. Schema-preserving. Ties at the bar
+    * survive — gate on score, exactly like the batch twin. */
+  def scoreGate(docs: DataFrame, textCol: String,
+                threshold: Double): DataFrame =
+    docs.filter(
+      graft.operators.TextAnalysis.scoreColumn(textCol) >= threshold)
+
   /** Streaming cross-corpus NEAR-dup gate — the stateless ingest form
     * of batch x75 ([[graft.operators.TextDedup.crossNeardupSurvivors]]):
     * the Bloom sketch of the existing corpus's LSH band keys (built

@@ -184,6 +184,40 @@ class StreamsSpec extends SparkSpec {
     assert(gated.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
   }
 
+  test("scoreGate gates a stream at a batch-calibrated quantile " +
+      "threshold (x119 twin): stream survivors = batch survivors") {
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "!!! ??? $$$ %%%"),
+      (2L, "plain middling words without any stop terms here"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "the and of to in is a document with stopwords " * 3),
+      (5L, "zz yy xx ww vv uu"),
+      (6L, "another perfectly ordinary document of the corpus")
+    ).toDF("doc_id", "text")
+    // calibrate batch-side: the snapshot's exact p25 score
+    val thr = TextAnalysis.scoreQuantiles(corpus, "doc_id", "text",
+      Seq(0.25)).head().getAs[Double]("quality_score")
+    val batchKept = TextAnalysis.calibratedGate(corpus, "doc_id", "text",
+      q = 0.25).collect().map(_.getLong(0)).toSet
+
+    val dir = Files.createTempDirectory("sgate-in").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val gated = Streams.scoreGate(stream, "text", thr)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("sgate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamKept = spark.table("sgate_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamKept === batchKept && batchKept.nonEmpty)
+    // schema-preserving: the score never leaks into the output
+    assert(gated.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
+  }
+
   test("neardupGate drops stream docs near-duplicate to the batch corpus " +
       "(x75 twin)") {
     import graft.operators.TextDedup
