@@ -159,17 +159,24 @@ object Bench {
       "duplicate short-id prefixes — the printed map would silently " +
         "drop a timing (last-wins on json parse): " +
         prefixes.diff(prefixes.distinct).distinct.mkString(","))
+    // 2-decimal values on the printed line (10 ms granularity is plenty
+    // for the driver's round-over-round comparison and saves ~1 char per
+    // query — at 139+ queries that is the difference between fitting the
+    // 1900-char assert and truncating); the 3-decimal figures live in the
+    // detail file and the committed ledger.
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + f"\":$v%.3f"
+      "\"" + k.takeWhile(_ != '_') + f"\":$v%.2f"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    // env keys abbreviated on the printed line only (gc=gc_ms, cpu=
+    // cpu_util, load=load1m, wall=wall_s) — full names in the detail file
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""env":{"gc_ms":$envGcMs,"cpu_util":$envCpuUtil%.3f,""" +
-        f""""load1m":$envLoad%.1f,"wall_s":$timedWallS%.1f},""" +
+        f""""env":{"gc":$envGcMs,"cpu":$envCpuUtil%.2f,""" +
+        f""""load":$envLoad%.1f,"wall":$timedWallS%.0f},""" +
         f""""sf":"$sfLabel"}"""
-    assert(line.length < 1900,
+    assert(line.length < 1800,
       s"bench JSON line ${line.length} chars — would overflow the driver's " +
         "2000-char tail capture; shrink the printed map")
     // stop Spark BEFORE printing: executor/context shutdown writes its

@@ -169,8 +169,13 @@ object Retrieval {
         sum(size(Text.tokens(col(textCol))).cast("long")).as("sum_dl"))
       .head()
     val addDl = if (add.isNullAt(1)) 0L else add.getLong(1)
+    // the stored side needs the same guard: writeBm25Index over an
+    // empty or all-NULL-text corpus stores sum_dl = NULL (SUM skips
+    // nulls), so the first append into a bootstrap-empty index would
+    // NPE on a primitive getLong
+    val oldDl = if (old.isNullAt(1)) 0L else old.getLong(1)
     import spark.implicits._
-    Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + addDl))
+    Seq((old.getLong(0) + add.getLong(0), oldDl + addDl))
       .toDF("n_docs", "sum_dl")
       .write.mode("overwrite").format("parquet").saveAsTable(statsTable)
   }

@@ -630,11 +630,25 @@ object Similarity {
   /** Train the m per-subspace codebooks (Lloyd's on each slice) over the
     * cached grid corpus; returns (quantized corpus with `qv`, per-sub
     * codebooks as (cid, down-scaled centroid)). CACHE CONTRACT: the
-    * returned frame's cache is caller-owned. */
+    * returned frame's cache is caller-owned.
+    *
+    * SEEDING CONTRACT: the initial codewords are the k SMALLEST ids in
+    * the training set (deterministic and id-layout-independent — a
+    * corpus whose ids don't start near 0 still seeds k codewords).
+    *
+    * `trainPct` < 100 trains on a deterministic md5-bucket sample
+    * (md5(id) mod 100 < trainPct — the x26/x37 split convention, no
+    * RNG) while the returned grid frame still covers EVERYTHING, so
+    * encode stays full-corpus. This is the documented 100 TB practice:
+    * the m·rounds Lloyd aggregation passes scan only the sample (a
+    * codebook is k·dim numbers — a bounded sample estimates it as well
+    * as the corpus does), the one encode pass scans everything. */
   private def pqFit(corpus: DataFrame, idCol: String, vecCol: String,
-                    m: Int, k: Int, rounds: Int)
+                    m: Int, k: Int, rounds: Int, trainPct: Int = 100)
       : (DataFrame, Int, Array[Array[(Long, Array[Double])]]) = {
     require(rounds >= 1, "rounds must be >= 1")
+    require(trainPct >= 1 && trainPct <= 100,
+      s"trainPct must be in [1, 100], got $trainPct")
     val quant = Par.spread(corpus.select(col(idCol).cast("long").as("vec_id"),
         transform(col(vecCol), x =>
           floor(x.cast("double") * lit(1e6) + lit(0.5)))
@@ -643,17 +657,20 @@ object Similarity {
     val dim = quant.select(size(col("qv"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
+    val train = if (trainPct >= 100) quant else quant.filter(
+      pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(100L)) < trainPct)
     val books = (0 until m).toArray.map { j =>
       val sl = slice(col("qv"), j * subDim + 1, subDim)
       var cents: Array[(Long, Array[Double])] =
-        quant.filter(col("vec_id") < k)
+        train.orderBy(col("vec_id")).limit(k)
           .select(col("vec_id"), sl.as("s")).collect()
           .map(r => (r.getLong(0),
             r.getSeq[Long](1).map(_.toDouble / 1e6).toArray))
           .sortBy(_._1)
       require(cents.nonEmpty, "init must seed at least one codeword")
       (1 to rounds).foreach { _ =>
-        val stats = quant
+        val stats = train
           .select(pqAssign(sl, cents)._1.as("cid"),
             posexplode(sl).as(Seq("d", "q")))
           .groupBy(col("cid"), col("d"))
@@ -676,13 +693,20 @@ object Similarity {
     * code_{m-1})` — each code the cid of the subspace's nearest
     * codeword under the integer-exact L2 above. This is the 100 TB
     * compression artifact: training touches the corpus m·rounds times
-    * for codebook-sized stats (at warehouse scale: train on a sample,
-    * the codebook is k·dim numbers), and the encode itself is ONE scan
-    * whose output is m small ints per vector — the frame a production
-    * deployment persists next to (or instead of) the raw vectors. */
+    * for codebook-sized stats (at warehouse scale: train on a sample —
+    * `trainPct` < 100 does exactly that via the deterministic md5
+    * bucket cut, the codebook is k·dim numbers), and the encode itself
+    * is ONE scan whose output is m small ints per vector — the frame a
+    * production deployment persists next to (or instead of) the raw
+    * vectors. Codebooks seed from the k smallest training ids (the
+    * [[pqFit]] seeding contract). CACHE CONTRACT: the gridded corpus
+    * backing the returned frame stays cached; caller owns the release
+    * (`spark.catalog.clearCache()` or consume-and-drop). */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               m: Int = 4, k: Int = 8, rounds: Int = 2): DataFrame = {
-    val (quant, subDim, books) = pqFit(corpus, idCol, vecCol, m, k, rounds)
+               m: Int = 4, k: Int = 8, rounds: Int = 2,
+               trainPct: Int = 100): DataFrame = {
+    val (quant, subDim, books) =
+      pqFit(corpus, idCol, vecCol, m, k, rounds, trainPct)
     val codeCols = (0 until m).map { j =>
       pqAssign(slice(col("qv"), j * subDim + 1, subDim), books(j))._1
         .as(s"code_$j") }
@@ -703,10 +727,22 @@ object Similarity {
     * distances — the assignment distance, no second argmin pass) into
     * an m-row aggregate. Exact-long sums; the two-step average
     * division and the 1e-6 down-scale are mirrored op-for-op in the
-    * oracle. */
+    * oracle.
+    *
+    * `trainPct` < 100 trains the books on the md5-bucket sample but
+    * still reports distortion over the WHOLE corpus — exactly the
+    * acceptance question sampled training raises ("how much fit did
+    * the sample cost?"); compare against the trainPct=100 report. The
+    * result is fully aggregated (m rows), so the training cache is
+    * released here rather than left to the caller (the one extra grid
+    * computation on the final scan is one pass — cheaper at corpus
+    * scale than a corpus-sized MEMORY pin). */
   def pqDistortion(corpus: DataFrame, idCol: String, vecCol: String,
-                   m: Int = 4, k: Int = 8, rounds: Int = 2): DataFrame = {
-    val (quant, subDim, books) = pqFit(corpus, idCol, vecCol, m, k, rounds)
+                   m: Int = 4, k: Int = 8, rounds: Int = 2,
+                   trainPct: Int = 100): DataFrame = {
+    val (quant, subDim, books) =
+      pqFit(corpus, idCol, vecCol, m, k, rounds, trainPct)
+    quant.unpersist()
     val minCols = (0 until m).map { j =>
       array_min(pqAssign(slice(col("qv"), j * subDim + 1, subDim),
         books(j))._2) }
@@ -740,14 +776,13 @@ object Similarity {
     * deterministic on both axes. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
                 idCol: String, vecCol: String, topK: Int, nprobe: Int,
-                m: Int = 4, k: Int = 8, rounds: Int = 2): DataFrame = {
+                m: Int = 4, k: Int = 8, rounds: Int = 2,
+                trainPct: Int = 100): DataFrame = {
     val (ids, vecs) = collectCentroids(centroids, idCol, vecCol)
     require(ids.nonEmpty, "centroids must be non-empty")
-    val (quant, subDim, books) = pqFit(corpus, idCol, vecCol, m, k, rounds)
+    val (quant, subDim, books) =
+      pqFit(corpus, idCol, vecCol, m, k, rounds, trainPct)
     quant.unpersist()
-    def gridded(v: Column): Column =
-      transform(v, x => floor(x.cast("double") * lit(1e6) + lit(0.5)))
-        .cast("array<long>")
     val codeCols = (0 until m).map { j =>
       pqAssign(slice(col("_qv"), j * subDim + 1, subDim), books(j))._1
         .as(s"code_$j") }
@@ -793,11 +828,14 @@ object Similarity {
     * 100 TB the code frame is the persisted artifact — see
     * [[pqEncode]] — and this stage reads codes only); the query frame
     * with its tables broadcasts; the only exchange is the per-query
-    * top-k ranking window over (ids, long) tuples, x3's shape. */
+    * top-k ranking window over (ids, long) tuples, x3's shape.
+    * CACHE CONTRACT: as [[pqEncode]] — the gridded corpus stays
+    * cached, caller owns the release. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, topK: Int, m: Int = 4, k: Int = 8,
-             rounds: Int = 2): DataFrame = {
-    val (quant, subDim, books) = pqFit(corpus, idCol, vecCol, m, k, rounds)
+             rounds: Int = 2, trainPct: Int = 100): DataFrame = {
+    val (quant, subDim, books) =
+      pqFit(corpus, idCol, vecCol, m, k, rounds, trainPct)
     val codeCols = (0 until m).map { j =>
       pqAssign(slice(col("qv"), j * subDim + 1, subDim), books(j))._1
         .as(s"code_$j") }
@@ -845,10 +883,12 @@ object Similarity {
     * with ZERO training work and zero corpus-vector reads. */
   def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                    codesTable: String, booksTable: String,
-                   m: Int = 4, k: Int = 8, rounds: Int = 2): Unit = {
+                   m: Int = 4, k: Int = 8, rounds: Int = 2,
+                   trainPct: Int = 100): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (quant, subDim, books) = pqFit(corpus, idCol, vecCol, m, k, rounds)
+    val (quant, subDim, books) =
+      pqFit(corpus, idCol, vecCol, m, k, rounds, trainPct)
     val codeCols = (0 until m).map { j =>
       pqAssign(slice(col("qv"), j * subDim + 1, subDim), books(j))._1
         .as(s"code_$j") }
@@ -872,17 +912,24 @@ object Similarity {
     * through the same codebooks as everything else. Retrain + rebuild
     * ([[writePqIndex]]) when x122's distortion report says the frozen
     * books no longer fit the distribution. */
-  def appendPqIndex(batch: DataFrame, idCol: String, vecCol: String,
-                    codesTable: String, booksTable: String): Unit = {
-    val spark = batch.sparkSession
+  /** Collect a [[writePqIndex]] codebook table back into [[pqFit]]'s
+    * in-memory shape — m·k rows, driver-sized by construction. */
+  private def readBooks(spark: org.apache.spark.sql.SparkSession,
+                        booksTable: String)
+      : Array[Array[(Long, Array[Double])]] = {
     val raw = spark.table(booksTable)
       .select(col("sub"), col("cid"), col("centv")).collect()
     require(raw.nonEmpty, s"codebook table $booksTable is empty — " +
-      "build the index with writePqIndex first")
-    val books: Array[Array[(Long, Array[Double])]] = raw
-      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      "build the index first")
+    raw.groupBy(_.getInt(0)).toArray.sortBy(_._1)
       .map(_._2.map(r => (r.getLong(1), r.getSeq[Double](2).toArray))
         .sortBy(_._1))
+  }
+
+  def appendPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+                    codesTable: String, booksTable: String): Unit = {
+    val spark = batch.sparkSession
+    val books = readBooks(spark, booksTable)
     val subDim = books(0)(0)._2.length
     val codeCols = books.indices.map { j =>
       pqAssign(slice(col("qv"), j * subDim + 1, subDim), books(j))._1
@@ -905,14 +952,7 @@ object Similarity {
                     queries: DataFrame, idCol: String, vecCol: String,
                     codesTable: String, booksTable: String,
                     topK: Int): DataFrame = {
-    val raw = spark.table(booksTable)
-      .select(col("sub"), col("cid"), col("centv")).collect()
-    require(raw.nonEmpty, s"codebook table $booksTable is empty — " +
-      "build the index with writePqIndex first")
-    val books: Array[Array[(Long, Array[Double])]] = raw
-      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
-      .map(_._2.map(r => (r.getLong(1), r.getSeq[Double](2).toArray))
-        .sortBy(_._1))
+    val books = readBooks(spark, booksTable)
     val m = books.length
     val subDim = books(0)(0)._2.length
     val q = Par.spread(queries.select(col(idCol).cast("long").as("query_id"),
@@ -926,5 +966,180 @@ object Similarity {
     val codes = spark.table(codesTable)
       .withColumnRenamed("vec_id", "neighbor_id")
     adcRank(codes, qt, books, topK)
+  }
+
+  /** 1e-6 grid quantization of a float-vector column (the PQ working
+    * representation). */
+  private def gridded(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * lit(1e6) + lit(0.5)))
+      .cast("array<long>")
+
+  /** Persist the COMPOSED IVF-PQ index — the layout FAISS deployments
+    * actually serve (`IVF…,PQ…`), the artifact [[ivfPqTopK]]'s Scaladoc
+    * promises: three catalog tables,
+    *  - `codesTable`: (centroid_id, vec_id, code_0 .. code_{m-1})
+    *    BUCKETED by centroid_id ([[writeAnnIndex]]'s contract) — one
+    *    corpus scan assigns (nearest-centroid kernel) AND encodes
+    *    (integer-exact per-subspace argmin), and the row is m+1 small
+    *    ints instead of dim floats + a norm: IVF's read cut and PQ's
+    *    byte cut in the same file layout;
+    *  - `booksTable`: the m·k trained codewords ([[writePqIndex]]'s
+    *    shape), read whole by every query;
+    *  - `centTable`: the coarse codebook (centroid_id, centv), read
+    *    whole by every query.
+    * [[ivfPqTopKIndexed]] then serves with zero training, zero
+    * embedding reads, and bucket-pruned probes. */
+  def writeIvfPqIndex(corpus: DataFrame, centroids: DataFrame,
+                      idCol: String, vecCol: String,
+                      codesTable: String, booksTable: String,
+                      centTable: String, m: Int = 4, k: Int = 8,
+                      rounds: Int = 2, numBuckets: Int = 16,
+                      trainPct: Int = 100): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (ids, vecs) = collectCentroids(centroids, idCol, vecCol)
+    require(ids.nonEmpty, "centroids must be non-empty to build an index")
+    centroids.select(col(idCol).cast("long").as("centroid_id"),
+        col(vecCol).as("centv"))
+      .write.mode("overwrite").format("parquet").saveAsTable(centTable)
+    val (quant, subDim, books) =
+      pqFit(corpus, idCol, vecCol, m, k, rounds, trainPct)
+    quant.unpersist() // the build scan below re-grids in one pass
+    books.zipWithIndex.toSeq
+      .flatMap { case (cents, j) =>
+        cents.toSeq.map { case (cid, cv) => (j, cid, cv.toSeq) } }
+      .toDF("sub", "cid", "centv")
+      .write.mode("overwrite").format("parquet").saveAsTable(booksTable)
+    val codeCols = (0 until m).map { j =>
+      pqAssign(slice(col("_qv"), j * subDim + 1, subDim), books(j))._1
+        .as(s"code_$j") }
+    val assigned = Par.spread(corpus.select(
+        col(idCol).cast("long").as("vec_id"), col(vecCol).as("cv"),
+        gridded(col(vecCol)).as("_qv")))
+      .withColumn("centroid_id",
+        VectorExpressions.nearestCentroid(col("cv"), ids, vecs))
+      .select(col("centroid_id") +: col("vec_id") +: codeCols: _*)
+    graft.sinks.Sinks.writeBucketed(assigned, codesTable,
+      Seq("centroid_id"), numBuckets)
+  }
+
+  /** Incremental maintenance of [[writeIvfPqIndex]]: assign + encode an
+    * arriving batch under the FROZEN coarse codebook and the FROZEN PQ
+    * books (both are the trained model — retraining re-codes the
+    * corpus, a rebuild decision made offline via x122's distortion
+    * report) and append its (centroid_id, vec_id, codes) rows into the
+    * bucket layout — one file per bucket per ingest, the
+    * [[appendAnnIndex]]/[[appendPqIndex]] contract composed. */
+  def appendIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+                       codesTable: String, booksTable: String,
+                       centTable: String, numBuckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val (ids, vecs) = collectCentroids(
+      spark.table(centTable), "centroid_id", "centv")
+    require(ids.nonEmpty, "codebook table is empty — build the index first")
+    val books = readBooks(spark, booksTable)
+    val subDim = books(0)(0)._2.length
+    val codeCols = books.indices.map { j =>
+      pqAssign(slice(col("_qv"), j * subDim + 1, subDim), books(j))._1
+        .as(s"code_$j") }
+    val assigned = Par.spread(batch.select(
+        col(idCol).cast("long").as("vec_id"), col(vecCol).as("cv"),
+        gridded(col(vecCol)).as("_qv")))
+      .withColumn("centroid_id",
+        VectorExpressions.nearestCentroid(col("cv"), ids, vecs))
+      .select(col("centroid_id") +: col("vec_id") +: codeCols: _*)
+    graft.sinks.Sinks.writeBucketed(assigned, codesTable,
+      Seq("centroid_id"), numBuckets, append = true)
+  }
+
+  /** [[ivfPqTopK]] through its PERSISTED index (x127) — the serving
+    * form with the steady-state cost profile: both codebooks read
+    * driver-side (m·k + numCentroids rows), the query's probe list and
+    * ADC distance tables built from them, and the corpus side touching
+    * ONLY the probed buckets of the codes table — no Lloyd rounds, no
+    * embedding scan, no nearest-centroid kernel on the corpus. The
+    * probed-centroid set is collected first (ONE eager job, bounded by
+    * query count × nprobe) and pushed as an IN predicate on the
+    * BUCKETING column, engaging bucket pruning exactly like
+    * [[ivfTopKIndexed]]; the probe frame (nprobe rows per query, each
+    * carrying its m distance tables) broadcasts, so the only exchange
+    * is the per-query top-k window's. Rows identical to [[ivfPqTopK]]
+    * with the same centroid set and PQ knobs — the same assignment
+    * kernel and the same training ran at build time. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       codesTable: String, booksTable: String,
+                       centTable: String, topK: Int,
+                       nprobe: Int): DataFrame = {
+    val (ids, vecs) = collectCentroids(
+      spark.table(centTable), "centroid_id", "centv")
+    require(ids.nonEmpty, "codebook table is empty — build the index first")
+    val books = readBooks(spark, booksTable)
+    val m = books.length
+    val subDim = books(0)(0)._2.length
+    val tableCols = (0 until m).map { j =>
+      pqAssign(slice(col("_qv"), j * subDim + 1, subDim), books(j))._2
+        .as(s"t_$j") }
+    val probes = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("qvf"), gridded(col(vecCol)).as("_qv"))
+      .withColumn("centroid_id", explode(
+        VectorExpressions.probeCentroids(col("qvf"), ids, vecs, nprobe)))
+      .select(col("centroid_id") +: col("query_id") +: tableCols: _*)
+    val probed = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0))
+    val adc = (0 until m).map { j =>
+      element_at(col(s"t_$j"),
+        array_position(typedlit(books(j).map(_._1).toIndexedSeq),
+          col(s"code_$j")).cast("int"))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_int").asc, col("neighbor_id"))
+    spark.table(codesTable)
+      .filter(col("centroid_id").isin(probed: _*))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_int", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        (col("adc_int").cast("double") / lit(1e6)).as("adc_dist"))
+  }
+
+  /** ANN RECALL@k audit (x128) — the acceptance metric the IVF/PQ
+    * knobs (nprobe, m, k, rounds) are actually tuned against: the
+    * fraction of the EXACT top-k ([[bruteForceTopK]]) each approximate
+    * method recovers. Complements x101 (bucket balance) and x122
+    * (quantization distortion), which measure proxies.
+    *
+    * One row per audited leg: `(method, k, n_queries, n_exact, n_hits,
+    * recall)` where recall is MICRO-averaged — total hits over total
+    * exact rows, one exact long/long division, so the metric is
+    * deterministic under any partitioning and mirrors to SQL with no
+    * float law. (With every query holding a full k exact neighbors —
+    * any corpus with > k+1 vectors — micro equals the per-query macro
+    * average.)
+    *
+    * Scale shape: each leg's join is top-k-sized (n_queries × k rows
+    * per side — the audit inputs, not the corpus), so the audit itself
+    * costs nothing next to the legs that produced the frames; the
+    * result is legs.length rows. */
+  def recallReport(legs: Seq[(String, DataFrame, DataFrame, Int)])
+      : DataFrame = {
+    require(legs.nonEmpty, "recallReport needs at least one leg")
+    legs.map { case (method, exact, approx, k) =>
+      val e = exact.select(col("query_id"), col("neighbor_id"))
+      val a = approx.select(col("query_id"), col("neighbor_id"))
+        .withColumn("_hit", lit(1))
+      e.join(a, Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_hits"))
+        .select(lit(method).as("method"), lit(k).as("k"),
+          col("n_queries"), col("n_exact"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }.reduce(_.union(_))
   }
 }

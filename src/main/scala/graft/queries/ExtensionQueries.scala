@@ -1102,7 +1102,48 @@ object ExtensionQueries {
     // curriculum is a source filter in disguise.
     "x126_phase_source_matrix" -> ((s, dir) =>
       TextAnalysis.phaseSourceMatrix(t(s, dir, "documents"), "doc_id",
-        "text", "source", nPhases = 4))
+        "text", "source", nPhases = 4)),
+
+    // x127 — x123 through its PERSISTED index (the x91+x124 pins
+    // COMPOSED): coarse codebook + PQ books + bucketed codes built once
+    // per fixture; the query pays zero training, reads no embedding,
+    // and bucket-prunes to its probed centroids. Same rows as x123
+    // (same oracle).
+    "x127_ivf_pq_indexed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (codes, books, cent) = ivfPqIndexFor(s, dir)
+      Similarity.ivfPqTopKIndexed(s, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", codes, books, cent, topK = 5, nprobe = 2)
+    }),
+
+    // x128 — ANN recall@k audit: fraction of the EXACT top-k each
+    // approximate method (x10 IVF, x121 PQ-ADC, x123 IVF-PQ) recovers
+    // on the fixture query set — the acceptance metric nprobe/m/k are
+    // tuned against; micro-averaged so the whole report is
+    // integer-exact up to one final division.
+    "x128_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val cents = e.filter(col("vec_id") < 16)
+      Similarity.recallReport(Seq(
+        ("ivf", Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 3),
+          Similarity.ivfTopK(q, e, cents, "vec_id", "embedding",
+            k = 3, nprobe = 2), 3),
+        ("pq", Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5),
+          Similarity.pqTopK(q, e, "vec_id", "embedding", topK = 5), 5),
+        ("ivfpq", Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5),
+          Similarity.ivfPqTopK(q, e, cents, "vec_id", "embedding",
+            topK = 5, nprobe = 2), 5)))
+    }),
+
+    // x129 — SAMPLE-TRAINED PQ distortion: codebooks trained on the
+    // deterministic 50% md5-bucket cut (pqFit's trainPct — the 100 TB
+    // practice: train on a sample, encode everything), distortion still
+    // reported over the WHOLE corpus — "what did sampling cost us",
+    // answered next to x122's full-train report.
+    "x129_pq_sample_distortion" -> ((s, dir) =>
+      Similarity.pqDistortion(t(s, dir, "embeddings"), "vec_id",
+        "embedding", m = 4, k = 8, rounds = 2, trainPct = 50))
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -1171,6 +1212,28 @@ object ExtensionQueries {
         "embedding", codes, books, m = 4, k = 8, rounds = 2)
     }
     (codes, books)
+  }
+
+  /** Build-if-missing the x127 composed IVF-PQ index (bucketed codes +
+    * PQ books + coarse centroids — x123's knobs: centroids = the 16
+    * smallest vec_ids, m=4, k=8, rounds=2); returns (codesTable,
+    * booksTable, centTable). Same build-once-read-steady contract as
+    * [[pqIndexFor]]. */
+  private def ivfPqIndexFor(s: SparkSession,
+                            dir: String): (String, String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val codes = s"graft_idx.ivfpq_codes_$tag"
+    val books = s"graft_idx.ivfpq_books_$tag"
+    val cent = s"graft_idx.ivfpq_cent_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!s.catalog.tableExists(codes) || !s.catalog.tableExists(books) ||
+        !s.catalog.tableExists(cent)) {
+      Seq(codes, books, cent).foreach(dropStaleManaged(s, _))
+      val e = t(s, dir, "embeddings")
+      Similarity.writeIvfPqIndex(e, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", codes, books, cent, m = 4, k = 8, rounds = 2)
+    }
+    (codes, books, cent)
   }
 
   /** Build-if-missing the x110 novelty gram-df index; returns the
@@ -2512,31 +2575,36 @@ object ExtensionQueries {
            * 1000000 + 0.5) AS BIGINT)))"""
 
   /** The PQ training CTE chain (mirror of `Similarity.pqFit`): grid
-    * vectors, m slices, per-subspace init (vec_id < k) and `rounds`
-    * Lloyd rounds — assignment by integer-exact L2 argmin (ties →
-    * smallest cid), centroid update (CAST(SUM AS DOUBLE)/COUNT)/1e6,
-    * empty clusters dropped by reconstruction from the round's
-    * assignments. */
-  private def pqCtes(m: Int, k: Int, rounds: Int, subDim: Int): String = {
+    * vectors, m slices, per-subspace init (the k SMALLEST training
+    * ids — pqFit's seeding contract) and `rounds` Lloyd rounds —
+    * assignment by integer-exact L2 argmin (ties → smallest cid),
+    * centroid update (CAST(SUM AS DOUBLE)/COUNT)/1e6, empty clusters
+    * dropped by reconstruction from the round's assignments.
+    * `trainCond` mirrors pqFit's trainPct md5-bucket cut: seeding and
+    * every Lloyd pass see only rows satisfying it; the encode CTEs
+    * (over sub$j) always see everything. */
+  private def pqCtes(m: Int, k: Int, rounds: Int, subDim: Int,
+                     trainCond: String = "TRUE"): String = {
     val qv = s"""pqv AS (SELECT vec_id, list_transform(embedding,
         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
       FROM embeddings)"""
     val subs = (0 until m).map { j =>
       s"""sub$j AS (SELECT vec_id,
            list_slice(qv, ${j * subDim + 1}, ${(j + 1) * subDim}) AS sl
-         FROM pqv)"""
+         FROM pqv),
+         tsub$j AS (SELECT * FROM sub$j WHERE $trainCond)"""
     }
     val chains = (0 until m).map { j =>
       val cent0 = s"""c${j}_0 AS (SELECT vec_id AS cid,
           list_transform(sl, q -> CAST(q AS DOUBLE)/1000000.0) AS cv
-        FROM sub$j WHERE vec_id < $k)"""
+        FROM (SELECT * FROM tsub$j ORDER BY vec_id LIMIT $k))"""
       val rs = (1 to rounds).map { r =>
         s"""a${j}_$r AS (SELECT vec_id, sl, cid FROM (
              SELECT s.vec_id, s.sl, c.cid, row_number() OVER (
                PARTITION BY s.vec_id
                ORDER BY ${pqDistSql("s.sl", "c.cv", subDim)} ASC, c.cid)
                AS rn
-             FROM sub$j s CROSS JOIN c${j}_${r - 1} c) WHERE rn = 1),
+             FROM tsub$j s CROSS JOIN c${j}_${r - 1} c) WHERE rn = 1),
            c${j}_$r AS (SELECT cid, list(cvd ORDER BY d) AS cv FROM (
              SELECT cid, d, (CAST(SUM(q) AS DOUBLE)/COUNT(*))/1000000.0
                AS cvd
@@ -2641,8 +2709,8 @@ object ExtensionQueries {
        QUALIFY row_number() OVER w <= $topK"""
   }
 
-  private def pqDistortionOracle(m: Int, k: Int, rounds: Int,
-                                 subDim: Int): String = {
+  private def pqDistortionOracle(m: Int, k: Int, rounds: Int, subDim: Int,
+                                 trainCond: String = "TRUE"): String = {
     val ds = (0 until m).map { j =>
       s"""d$j AS (SELECT s.vec_id,
            min(${pqDistSql("s.sl", "c.cv", subDim)}) AS d
@@ -2656,9 +2724,101 @@ object ExtensionQueries {
            CAST(max(d) AS DOUBLE)/1000000.0 AS max_dist
          FROM d$j"""
     }.mkString("\nUNION ALL\n")
-    s"""WITH ${pqCtes(m, k, rounds, subDim)},
+    s"""WITH ${pqCtes(m, k, rounds, subDim, trainCond)},
        $ds
        $rows"""
+  }
+
+  /** x129's md5-bucket training cut (mirror of pqFit's trainPct — the
+    * x37 SQL pairing of Spark's conv(substring(md5(id),1,4),16,10) mod
+    * 100). */
+  private def pqTrainCond(trainPct: Int): String =
+    s"""('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT
+        % 100 < $trainPct"""
+
+  /** x128's oracle: exact brute-force top-k (two cuts), the x10 IVF
+    * leg, the x121 ADC leg and the x123 IVF-PQ leg — all sharing one
+    * training/assignment CTE chain — each joined back against its
+    * exact cut; recall is micro-averaged (total hits / total exact
+    * rows, one exact long/long division — no float law needed). */
+  private def annRecallOracle(m: Int, rounds: Int, subDim: Int,
+                              numCentroids: Int, nprobe: Int,
+                              nQueries: Int, kIvf: Int, kPq: Int): String = {
+    val codeCols = (0 until m).map(j => s"e$j.cid AS k$j").mkString(", ")
+    val joins = (1 until m).map(j => s"JOIN e$j USING (vec_id)").mkString(" ")
+    val slQ = (0 until m)
+      .map(j => s"JOIN sub$j s$j ON s$j.vec_id = q.vec_id").mkString(" ")
+    val slP = (0 until m)
+      .map(j => s"JOIN sub$j s$j ON s$j.vec_id = p.query_id").mkString(" ")
+    val cJoins = (0 until m)
+      .map(j => s"JOIN c${j}_$rounds cc$j ON cc$j.cid = n.k$j").mkString(" ")
+    val adc = (0 until m)
+      .map(j => pqDistSql(s"s$j.sl", s"cc$j.cv", subDim)).mkString(" + ")
+    def agg(method: String, k: Int, exact: String, approx: String): String =
+      s"""SELECT '$method' AS method, CAST($k AS INTEGER) AS k,
+           CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(a.neighbor_id) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS recall
+         FROM $exact e LEFT JOIN $approx a
+           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"""
+    s"""WITH ${pqCtes(m, 8, rounds, subDim)},
+       ${pqEncodeCtes(m, rounds, subDim)},
+       codes AS (SELECT e0.vec_id AS neighbor_id, $codeCols FROM e0 $joins),
+       cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+         FROM embeddings WHERE vec_id < $numCentroids),
+       corp AS (SELECT vec_id AS neighbor_id, embedding AS cv
+         FROM embeddings),
+       assigned AS (SELECT neighbor_id, cv, centroid_id FROM (
+         SELECT neighbor_id, cv, centroid_id, row_number() OVER
+           (PARTITION BY neighbor_id
+            ORDER BY ${duckCos("cv", "centv")} DESC, centroid_id) AS arn
+         FROM corp, cent) WHERE arn = 1),
+       qx AS (SELECT vec_id AS query_id, embedding AS qv2
+         FROM embeddings WHERE vec_id < $nQueries),
+       probes AS (SELECT query_id, qv2, centroid_id FROM (
+         SELECT query_id, qv2, centroid_id, row_number() OVER
+           (PARTITION BY query_id
+            ORDER BY ${duckCos("qv2", "centv")} DESC, centroid_id) AS prn
+         FROM qx, cent) WHERE prn <= $nprobe),
+       bf AS (SELECT q.query_id, c.neighbor_id,
+           ${duckCos("q.qv2", "c.cv")} AS sim
+         FROM qx q JOIN corp c ON q.query_id <> c.neighbor_id),
+       ex$kIvf AS (SELECT query_id, neighbor_id FROM bf
+         QUALIFY row_number() OVER (PARTITION BY query_id
+           ORDER BY sim DESC, neighbor_id) <= $kIvf),
+       ex$kPq AS (SELECT query_id, neighbor_id FROM bf
+         QUALIFY row_number() OVER (PARTITION BY query_id
+           ORDER BY sim DESC, neighbor_id) <= $kPq),
+       ivfleg AS (SELECT query_id, neighbor_id FROM (
+           SELECT p.query_id, a.neighbor_id,
+             ${duckCos("p.qv2", "a.cv")} AS sim
+           FROM assigned a JOIN probes p USING (centroid_id)
+           WHERE p.query_id <> a.neighbor_id)
+         QUALIFY row_number() OVER (PARTITION BY query_id
+           ORDER BY sim DESC, neighbor_id) <= $kIvf),
+       pqleg AS (SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, n.neighbor_id, $adc AS adc_int
+           FROM codes n
+           CROSS JOIN (SELECT vec_id FROM pqv WHERE vec_id < $nQueries) q
+           $slQ $cJoins
+           WHERE q.vec_id <> n.neighbor_id)
+         QUALIFY row_number() OVER (PARTITION BY query_id
+           ORDER BY adc_int, neighbor_id) <= $kPq),
+       ipleg AS (SELECT query_id, neighbor_id FROM (
+           SELECT p.query_id, a.neighbor_id, $adc AS adc_int
+           FROM assigned a JOIN probes p USING (centroid_id)
+           JOIN codes n ON n.neighbor_id = a.neighbor_id
+           $slP $cJoins
+           WHERE p.query_id <> a.neighbor_id)
+         QUALIFY row_number() OVER (PARTITION BY query_id
+           ORDER BY adc_int, neighbor_id) <= $kPq)
+       ${agg("ivf", kIvf, s"ex$kIvf", "ivfleg")}
+       UNION ALL
+       ${agg("pq", kPq, s"ex$kPq", "pqleg")}
+       UNION ALL
+       ${agg("ivfpq", kPq, s"ex$kPq", "ipleg")}"""
   }
 
   private def kmeansOracleSql(k: Int, rounds: Int): String =
@@ -2745,7 +2905,8 @@ object ExtensionQueries {
     // the x80/x81/x91 shared-oracle convention
     ("x107_bm25_indexed" -> extendedOracleSql("x98_bm25_topk")) +
     ("x110_novelty_indexed" -> extendedOracleSql("x104_novelty")) +
-    ("x124_pq_indexed" -> extendedOracleSql("x121_pq_topk"))
+    ("x124_pq_indexed" -> extendedOracleSql("x121_pq_topk")) +
+    ("x127_ivf_pq_indexed" -> extendedOracleSql("x123_ivf_pq_topk"))
 
   private lazy val extendedOracleSql: Map[String, String] = baseOracleSql ++ Map(
     "x80_neardup_indexed" -> baseOracleSql("x75_incremental_neardup"),
@@ -3670,6 +3831,10 @@ object ExtensionQueries {
            FROM documents)
          SELECT p.phase, s.source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(nt) AS BIGINT) AS sum_tokens
-         FROM p JOIN s USING (doc_id) GROUP BY 1, 2"""
+         FROM p JOIN s USING (doc_id) GROUP BY 1, 2""",
+    "x128_ann_recall" -> annRecallOracle(m = 4, rounds = 2, subDim = 16,
+      numCentroids = 16, nprobe = 2, nQueries = 10, kIvf = 3, kPq = 5),
+    "x129_pq_sample_distortion" -> pqDistortionOracle(m = 4, k = 8,
+      rounds = 2, subDim = 16, trainCond = pqTrainCond(50))
   )
 }
