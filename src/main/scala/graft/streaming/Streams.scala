@@ -387,6 +387,40 @@ object Streams {
         } finally survivors.unpersist()
     }
 
+  /** Streaming PQ index MAINTENANCE — [[graft.operators.Similarity.
+    * appendPqIndex]] as the per-micro-batch stage of a continuous
+    * ingest, completing the indexed-ingest family
+    * ([[indexedNeardupIngest]], [[indexedAnnIngest]], [[noveltyIngest]])
+    * on the PQ tier: each arriving batch is (1) handed to `sink` with
+    * its batch id and (2) encoded under the FROZEN persisted codebooks
+    * and appended to the codes table — so
+    * [[graft.operators.Similarity.pqTopKIndexed]] serves the union
+    * corpus continuously, every vector scored through the same books
+    * (batch/stream parity by construction: both paths run the same
+    * frozen-book encode, spec-pinned). No gating — PQ append is pure
+    * index maintenance; compose with [[indexedAnnIngest]] upstream
+    * when the stream should also dedup. Corpus state lives in the
+    * catalog, not stream state — `foreachBatch` for the family's
+    * usual reason. Replayed micro-batches re-append their codes —
+    * dedup the codes table on vec_id at compaction, or make `sink`
+    * idempotent by batch id. Retrain + rebuild
+    * ([[graft.operators.Similarity.writePqIndex]]) offline when
+    * x122's distortion report says the frozen books have drifted. */
+  def pqIndexIngest(vecs: DataFrame, idCol: String, vecCol: String,
+                    codesTable: String, booksTable: String)
+                   (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF().cache()
+        try {
+          sink(b, batchId)
+          graft.operators.Similarity.appendPqIndex(b, idCol, vecCol,
+            codesTable, booksTable)
+        } finally { b.unpersist(); () }
+    }
+
   /** Streaming NOVELTY gate on ingest — the online form of the x110
     * index pairing, third member of the indexed-ingest family
     * ([[indexedNeardupIngest]], [[indexedAnnIngest]]): keep an

@@ -836,6 +836,46 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly the ranking-window exchange:\n$p")
   }
 
+  test("x127 indexed IVF-PQ search: bucket-pruned codes scan, zero " +
+      "training, zero embedding reads, zero corpus kernels — the " +
+      "x91 + x124 pins composed") {
+    val p = plan("x127_ivf_pq_indexed")
+    assert(p.contains("ivfpq_codes"), s"codes table not scanned:\n$p")
+    // the coarse assignment kernel ran at BUILD time only (the
+    // query-side probe list uses probeCentroids — a different
+    // expression)
+    assert("(?i)nearestcentroid".r.findAllIn(p).isEmpty,
+      s"corpus assignment recomputed at query time:\n$p")
+    // probed-centroid IN on the bucketing column engages bucket pruning
+    assert(p.contains("SelectedBucketsCount"),
+      s"bucket pruning not engaged on the codes scan:\n$p")
+    // the embedding parquet is scanned once — for the queries
+    assert("embeddings".r.findAllIn(p).size <= 1,
+      s"corpus embeddings rescanned at query time:\n$p")
+    // the probe frame (nprobe rows/query + distance tables) broadcasts
+    // into an equi-join on the bucket key
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe frame should broadcast-hash-join on centroid_id:\n$p")
+  }
+
+  test("x128 recall audit: the audit joins are broadcast-hash on " +
+      "(query, neighbor) — no cartesian, no corpus-sized exchange " +
+      "beyond the legs' own") {
+    val p = plan("x128_ann_recall")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian leaked into the audit:\n$p")
+    // each leg's exact-vs-approx join is top-k-sized on both sides
+    assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      s"audit join should broadcast:\n$p")
+  }
+
+  test("x129 sample-trained distortion releases the training cache: " +
+      "the report plan holds no MEMORY-resident corpus frame") {
+    val p = plan("x129_pq_sample_distortion")
+    assert(!p.contains("InMemoryTableScan"),
+      s"training cache leaked into the report plan:\n$p")
+  }
+
   test("x119 calibrated gate: no global sort; the 1-row threshold " +
       "broadcasts into a zero-extra-shuffle score filter") {
     val p = plan("x119_calibrated_gate")

@@ -441,6 +441,111 @@ class SimilaritySpec extends SparkSpec {
     assert(served.map(_._2).contains(9L))
   }
 
+  /** Drop a managed test table AND its warehouse location (the
+    * in-memory-catalog stale-LOCATION gotcha, as the x124 test). */
+  private def dropManaged(names: String*): Unit = names.foreach { name =>
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val Array(db, t) = name.split('.')
+    val loc = java.nio.file.Paths.get("spark-warehouse", s"$db.db", t)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("ivfPqTopKIndexed (x127): serves ivfPqTopK's rows at every nprobe " +
+      "from the persisted composed index; appendIvfPqIndex assigns and " +
+      "encodes a batch under the frozen coarse + PQ codebooks") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val (codesT, booksT, centT) = ("graft_idx_test.ivfpq_codes",
+      "graft_idx_test.ivfpq_books", "graft_idx_test.ivfpq_cent")
+    dropManaged(codesT, booksT, centT)
+    val cents = pqVecs.filter("vec_id < 2") // one centroid per group
+    val queries = pqVecs.filter("vec_id = 0")
+    Similarity.writeIvfPqIndex(pqVecs, cents, "vec_id", "embedding",
+      codesT, booksT, centT, m = 2, k = 2, rounds = 2, numBuckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"),
+        r.getAs[Double]("adc_dist"))).toSet
+    for (np <- Seq(1, 2)) {
+      val direct = rows(Similarity.ivfPqTopK(queries, pqVecs, cents,
+        "vec_id", "embedding", topK = 5, nprobe = np,
+        m = 2, k = 2, rounds = 2))
+      val indexed = Similarity.ivfPqTopKIndexed(spark, queries, "vec_id",
+        "embedding", codesT, booksT, centT, topK = 5, nprobe = np)
+      assert(rows(indexed) == direct && direct.nonEmpty,
+        s"nprobe=$np mismatch")
+      // the corpus side is the codes table alone — no embedding scan,
+      // no training, no nearest-centroid kernel over the corpus
+      val p = indexed.queryExecution.optimizedPlan.toString
+      assert(p.contains("ivfpq_codes"), s"codes table not scanned:\n$p")
+    }
+    // frozen-book append: a new group-B member must land in B's coarse
+    // bucket carrying B's exact code pair
+    val batch = Seq(
+      (9L, Array(0.0f, 0.1f, 0.0f, 0.1f, 1.0f, 1.0f, 0.9f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendIvfPqIndex(batch, "vec_id", "embedding",
+      codesT, booksT, centT, numBuckets = 4)
+    val after = spark.table(codesT).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("centroid_id"),
+          r.getAs[Long]("code_0"), r.getAs[Long]("code_1")))).toMap
+    assert(after.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 9L))
+    assert(after(9L) === after(1L)) // B's bucket, B's codes
+    val served = rows(Similarity.ivfPqTopKIndexed(spark,
+      pqVecs.filter("vec_id = 1"), "vec_id", "embedding",
+      codesT, booksT, centT, topK = 6, nprobe = 1))
+    assert(served.map(_._2).contains(9L))
+  }
+
+  test("recallReport (x128): a perfect approximation reads 1.0, top-1 " +
+      "against exact top-2 reads 0.5; counts are audit-exact") {
+    val q = pqVecs.filter("vec_id < 2")
+    val ex2 = Similarity.bruteForceTopK(q, pqVecs, "vec_id", "embedding", 2)
+    val ex1 = Similarity.bruteForceTopK(q, pqVecs, "vec_id", "embedding", 1)
+    val rep = Similarity.recallReport(Seq(
+        ("self", ex2, ex2, 2), ("half", ex2, ex1, 2)))
+      .collect().map(r => r.getAs[String]("method") ->
+        ((r.getAs[Int]("k"), r.getAs[Long]("n_queries"),
+          r.getAs[Long]("n_exact"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("recall")))).toMap
+    assert(rep("self") === ((2, 2L, 4L, 4L, 1.0)))
+    // top-1 is a prefix of top-2 (same ordering), so exactly one of
+    // each query's two exact rows is recovered
+    assert(rep("half") === ((2, 2L, 4L, 2L, 0.5)))
+  }
+
+  test("pqFit trainPct (x129): sampled training is deterministic, still " +
+      "reports over the whole corpus, and costs bounded fit on the " +
+      "fixture embeddings") {
+    // tiny frame: md5 cut < 50 keeps ids {2,3,4} — one seed per group
+    // survives, so the books still separate A/B and the report covers
+    // all 6 vectors
+    def half() = Similarity.pqDistortion(pqVecs, "vec_id", "embedding",
+        m = 2, k = 2, rounds = 2, trainPct = 50)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val h = half()
+    assert(h.keySet == Set(0, 1) && h.values.forall(_._1 == 6L))
+    assert(half() === h) // no RNG anywhere
+    // fixture corpus: training on half the vectors must estimate the
+    // codebook nearly as well as training on all of them — the stated
+    // acceptance bound for the sample-train path (x129 vs x122)
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    def avg(trainPct: Int) =
+      Similarity.pqDistortion(emb, "vec_id", "embedding",
+          m = 4, k = 8, rounds = 2, trainPct = trainPct)
+        .agg(org.apache.spark.sql.functions.avg("avg_dist")).head().getDouble(0)
+    val full = avg(100); val sampled = avg(50)
+    assert(sampled <= full * 1.25,
+      f"sampled-train distortion $sampled%.4f vs full $full%.4f — " +
+        "sample cost exceeds the 1.25x acceptance bound")
+  }
+
   test("pqDistortion (x122): exact zero when every vector coincides " +
       "with its codeword; positive per-subspace error otherwise") {
     // two distinct vectors, each duplicated: centroids converge to the

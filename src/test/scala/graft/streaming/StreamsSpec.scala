@@ -567,6 +567,79 @@ class StreamsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(100L, 101L, 2L))
   }
 
+  test("pqIndexIngest: stream-appended codes equal batch appendPqIndex " +
+      "codes under the same frozen books; the served index grows " +
+      "across micro-batches") {
+    import graft.operators.Similarity
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val (codesS, booksS) = ("graft_idx_test.st_pq_codes",
+      "graft_idx_test.st_pq_books")
+    val (codesB, booksB) = ("graft_idx_test.bt_pq_codes",
+      "graft_idx_test.bt_pq_books")
+    Seq(codesS, booksS, codesB, booksB).foreach(dropIdxTable)
+
+    // two separated groups (the SimilaritySpec PQ fixture's shape)
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.9f, 1.1f, 1.0f, 0.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.1f, 0.0f, 0.0f, 1.0f, 1.1f, 0.9f, 1.0f)),
+      (2L, Array(1.1f, 1.0f, 0.9f, 1.0f, 0.1f, 0.0f, 0.0f, 0.1f)),
+      (3L, Array(0.1f, 0.0f, 0.1f, 0.0f, 0.9f, 1.0f, 1.0f, 1.1f))
+    ).toDF("vec_id", "embedding")
+    // identical frozen books on both sides (same corpus, same knobs)
+    Similarity.writePqIndex(corpus, "vec_id", "embedding",
+      codesS, booksS, m = 2, k = 2, rounds = 2)
+    Similarity.writePqIndex(corpus, "vec_id", "embedding",
+      codesB, booksB, m = 2, k = 2, rounds = 2)
+
+    val batch1 = Seq((10L, Array(0.95f, 1.0f, 1.0f, 0.9f,
+      0.05f, 0.0f, 0.1f, 0.0f)))
+    val batch2 = Seq((11L, Array(0.05f, 0.0f, 0.1f, 0.0f,
+      1.0f, 0.95f, 1.0f, 1.0f)))
+
+    val dir = Files.createTempDirectory("pqin-in").toString
+    val ckpt = Files.createTempDirectory("pqin-ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = Streams.pqIndexIngest(stream, "vec_id", "embedding",
+          codesS, booksS) { (df, bid) =>
+        val ids = df.select("vec_id").collect().map(_.getLong(0))
+        got.synchronized { got ++= ids.map(_ -> bid); () }
+      }.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    batch1.toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    run()
+    batch2.toDF("vec_id", "embedding").write.mode("append").parquet(dir)
+    run()
+    assert(got.map(_._1).toSet == Set(10L, 11L))
+
+    // batch twin: the same vectors through batch appendPqIndex
+    (batch1 ++ batch2).toDF("vec_id", "embedding")
+      .createOrReplaceTempView("pq_batch_twin")
+    Similarity.appendPqIndex(spark.table("pq_batch_twin"),
+      "vec_id", "embedding", codesB, booksB)
+    def codes(table: String) = {
+      spark.catalog.refreshTable(table)
+      spark.table(table).collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("code_0"), r.getAs[Long]("code_1"))).toSet
+    }
+    // stream-appended codes == batch-appended codes, row for row
+    assert(codes(codesS) == codes(codesB))
+    assert(codes(codesS).map(_._1) == Set(0L, 1L, 2L, 3L, 10L, 11L))
+    // the served index covers both micro-batches' vectors
+    val served = Similarity.pqTopKIndexed(spark,
+        corpus.filter("vec_id = 0"), "vec_id", "embedding",
+        codesS, booksS, topK = 5)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(served.contains(10L) && served.contains(11L))
+  }
+
   test("quarantineJson routes records inside a streaming plan (x76 twin)") {
     import graft.operators.Project
     val dir = Files.createTempDirectory("quar-in").toString
