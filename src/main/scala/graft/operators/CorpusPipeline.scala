@@ -31,7 +31,19 @@ object CorpusPipeline {
     *
     * `corpus`/`benchmark`: the training candidates and the held-out eval
     * set to decontaminate against. Threshold parameters mirror the
-    * individually-registered stage queries. */
+    * individually-registered stage queries.
+    *
+    * `stageTable`: the PRODUCTION phase boundary. The default (None)
+    * pins the gated+digested+shingled frame in executor memory — right
+    * for a single-run fixture or a corpus that fits the cluster's
+    * storage fraction. At warehouse scale that pin is eviction churn:
+    * pass a catalog table name instead and the stage frame is
+    * MATERIALIZED between phases ([[graft.sinks.Sinks.writeBucketed]],
+    * bucketed by `idCol` so the downstream id-equi anti-joins read
+    * co-located buckets), the rest of the pipeline runs from that scan,
+    * and NOTHING corpus-text-sized lives in memory — the x80/x104
+    * precedent applied to the composed pipeline. Output is identical
+    * by construction (same frame, different storage), spec-pinned. */
   def prepare(corpus: DataFrame, benchmark: DataFrame,
               idCol: String, textCol: String,
               maxTopBigramFrac: Double, minChars: Int,
@@ -39,7 +51,9 @@ object CorpusPipeline {
               decontamThreshold: Int,
               groupCol: String, pctByGroup: Map[String, Int],
               defaultPct: Int,
-              chunkSize: Int, chunkStride: Int): DataFrame = {
+              chunkSize: Int, chunkStride: Int,
+              stageTable: Option[String] = None,
+              stageBuckets: Int = 16): DataFrame = {
     import org.apache.spark.sql.graft.TextExpressions
     // FUSED SCAN: gate signals (x35 kernel), the exact-dedup digest and
     // the hashed shingle sets are all computed in ONE pass over the
@@ -74,7 +88,16 @@ object CorpusPipeline {
     // text pays one gate+digest scan (reps) + one gate+digest+shingle
     // scan (this cache's fill) + the chunker, and nothing else.
     val reps = base.groupBy(col("_digest")).agg(min(col(idCol)).as(idCol))
-    val exact = base.join(reps, Seq("_digest", idCol), "left_semi").cache()
+    val exactDeduped = base.join(reps, Seq("_digest", idCol), "left_semi")
+    val exact = stageTable match {
+      case Some(tbl) =>
+        // phase boundary: write once, read for every later stage —
+        // no corpus-text-sized frame stays MEMORY-resident
+        graft.sinks.Sinks.writeBucketed(exactDeduped, tbl, Seq(idCol),
+          stageBuckets)
+        corpus.sparkSession.table(tbl)
+      case None => exactDeduped.cache()
+    }
     // near-dup applied (x36): LSH → verify → components → drop, over
     // the CACHED sets column — no second text pass
     val sets = exact.select(col(idCol).as("doc_id"), col("_sh").as("sh"))

@@ -245,9 +245,17 @@ object Sources {
     }
   }
 
+  /** Thrown by an attempt that ALREADY served its wait (a 429 honoring
+    * `Retry-After`): [[withRetries]] retries it without stacking its own
+    * exponential backoff on top — the server named the wait, adding a
+    * second one doubles it for no reason. Still consumes an attempt. */
+  final class AlreadyWaited(msg: String) extends java.io.IOException(msg)
+
   /** C2 — retry with exponential backoff around an IO action. The
     * reference declares this intent but misapplies the decorator to pure
-    * functions (SURVEY §2.1 C2); here it wraps the actual fetch. */
+    * functions (SURVEY §2.1 C2); here it wraps the actual fetch.
+    * [[AlreadyWaited]] failures retry immediately (their wait was served
+    * inside the attempt) and leave the backoff schedule unadvanced. */
   def withRetries[T](attempts: Int = 5, backoffMs: Long = 1000,
                      maxBackoffMs: Long = 10000)(f: => T): T = {
     var remaining = attempts
@@ -255,6 +263,9 @@ object Sources {
     while (true) {
       try return f
       catch {
+        case e: AlreadyWaited =>
+          remaining -= 1
+          if (remaining <= 0) throw e
         case e: Throwable =>
           remaining -= 1
           if (remaining <= 0) throw e
@@ -337,10 +348,25 @@ object Sources {
             throw new java.io.IOException(
               "HTTP 401 — token invalidated, retry refreshes")
           case 429 =>
-            val waitMs = resp.headers.get("retry-after")
-              .flatMap(_.toLongOption).map(_ * 1000).getOrElse(0L)
-            if (waitMs > 0) Thread.sleep(math.min(waitMs, maxBackoffMs))
-            throw new java.io.IOException("HTTP 429 — rate limited")
+            val ra = resp.headers.get("retry-after")
+            ra.flatMap(_.toLongOption).map(_ * 1000) match {
+              case Some(waitMs) if waitMs > 0 =>
+                // the server named the wait: serve it (capped), then
+                // retry WITHOUT withRetries' own backoff on top — the
+                // old behavior stacked both (double wait)
+                Thread.sleep(math.min(waitMs, maxBackoffMs))
+                throw new AlreadyWaited(
+                  "HTTP 429 — Retry-After served, retrying")
+              case Some(_) => // Retry-After: 0 — plain backoff applies
+                throw new java.io.IOException("HTTP 429 — rate limited")
+              case None =>
+                // absent, or the HTTP-date form toLongOption can't parse
+                // — fall back to exponential backoff, but say so
+                ra.foreach(v => System.err.println(
+                  s"[sources] unparseable Retry-After '$v' " +
+                    "(HTTP-date form?) — exponential backoff applies"))
+                throw new java.io.IOException("HTTP 429 — rate limited")
+            }
           case s =>
             throw new java.io.IOException(s"HTTP $s: ${resp.body.take(200)}")
         }

@@ -67,6 +67,47 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.filter(col("split").isNull).count() == 0)
   }
 
+  test("prepare stageTable variant: identical output to the fused-cache " +
+      "path, with NO memory-resident corpus frame in the plan (x42 " +
+      "production phase boundary)") {
+    val d = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val stage = "graft_idx_test.x42_stage"
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    val loc = java.nio.file.Paths.get("spark-warehouse",
+      "graft_idx_test.db", "x42_stage")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    def run(stageTable: Option[String]) = CorpusPipeline.prepare(
+      corpus = d.filter(col("doc_id") >= 20),
+      benchmark = d.filter(col("doc_id") < 20),
+      idCol = "doc_id", textCol = "text",
+      maxTopBigramFrac = 0.2, minChars = 100,
+      shingleK = 3, neardupThreshold = 0.8,
+      decontamThreshold = 3,
+      groupCol = "lang", pctByGroup = Map("en" -> 50, "zh" -> 20),
+      defaultPct = 10,
+      chunkSize = 64, chunkStride = 48,
+      stageTable = stageTable)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("chunk_idx"), r.getAs[String]("chunk"),
+        r.getAs[String]("split"))).toSet
+    val fused = rows(run(None))
+    spark.catalog.clearCache()
+    val staged = run(Some(stage))
+    assert(rows(staged) == fused && fused.nonEmpty)
+    // the staged plan reads the materialized phase table and holds no
+    // MEMORY-resident corpus frame
+    val p = staged.queryExecution.executedPlan.toString
+    assert(p.contains("x42_stage"), s"stage table not scanned:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"staged variant must not pin a corpus frame in memory:\n$p")
+  }
+
   test("curate: cleaning creates exact dups that dedup then collapses (x56)") {
     // docs 1/2 differ ONLY in boilerplate ("a b" / "c d" each appear in
     // 3 docs -> stripped at maxDf=2); their shared residue "u v" has

@@ -146,6 +146,33 @@ class SourcesHttpSpec extends SparkSpec {
     }
   }
 
+  test("429 with a positive Retry-After serves the named wait ONCE — " +
+      "no exponential backoff stacked on top") {
+    val failedOnce = ConcurrentHashMapSet()
+    withServer { (ex, timeline) =>
+      timeline.add((System.nanoTime(), cursorOf(ex), ""))
+      if (failedOnce.add("429"))
+        respond(ex, 429, "slow down", Map("Retry-After" -> "1"))
+      else respond(ex, 200, """{"items":[{"id":0}]}""")
+    } { (base, timeline) =>
+      val fetcher = new Sources.HttpPageFetcher(
+        buildUrl = _ => s"$base/items",
+        parsePage = body =>
+          ("""\{"id":\d+\}""".r.findAllIn(body).toSeq, None),
+        attempts = 3,
+        backoffMs = 500, // would dominate the gap if (wrongly) stacked
+        maxBackoffMs = 120) // caps the served Retry-After at 120 ms
+      val (recs, next) = fetcher.fetch(None)
+      assert(recs.size == 1 && next.isEmpty)
+      val times = timeline.asScala.toSeq.map(_._1).sorted
+      assert(times.size == 2, "429 then success")
+      val gapMs = (times(1) - times(0)) / 1e6
+      assert(gapMs >= 100.0, f"Retry-After not served: gap $gapMs%.1f ms")
+      assert(gapMs < 400.0,
+        f"exponential backoff stacked on Retry-After: gap $gapMs%.1f ms")
+    }
+  }
+
   test("HttpPageFetcher exhausts retries on a permanently failing " +
       "endpoint and surfaces the HTTP status") {
     withServer { (ex, timeline) =>
