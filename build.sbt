@@ -15,6 +15,12 @@ run / fork := true
 // driver parses the LAST stdout line as the metric JSON, and sbt's
 // success banner otherwise lands after it (BENCH_r11 "parsed: null").
 Global / showSuccess := false
+// Forked run output passes through UNPREFIXED: sbt's default
+// LoggedOutput stamps every child line with "[info] "/"[error] ",
+// so the metric line has never been bare JSON — the one remaining
+// repo-side candidate for the driver's perpetual "parsed: null"
+// (the tail shows the full line each round, prefix included).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // showSuccess is consumed by the command loop, not a task — exclude it
 // from the unused-key lint
 Global / excludeLintKeys += showSuccess

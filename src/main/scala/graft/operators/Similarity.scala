@@ -1107,6 +1107,48 @@ object Similarity {
         (col("adc_int").cast("double") / lit(1e6)).as("adc_dist"))
   }
 
+  /** ADC short-list + EXACT re-rank (x130) — the standard two-stage
+    * serving pattern, and the fix the x128 audit points at when PQ
+    * recall reads low (the fixture's ADC-only recall@5 is 0.24 at
+    * m=4/k=8 — 16× compression is doing the ranking): stage 1 scores
+    * the WHOLE corpus through codes alone ([[pqTopK]], `shortlist`
+    * candidates — the cheap cut), stage 2 fetches only the short-list's
+    * real vectors and re-ranks them by exact cosine ([[bruteForceTopK]]'s
+    * metric and tie-law), returning the top `topK`.
+    *
+    * Scale shape: the corpus pays the ADC scan (m integer ops/vector)
+    * plus ONE id-equi fetch join of queries×shortlist rows — the
+    * candidate frame broadcasts into the vector scan, so no corpus
+    * shuffle; the re-rank window covers queries×shortlist rows. Exact
+    * vector reads per query drop from |corpus| (brute force) to
+    * `shortlist` — the two-stage trade. Recall is bounded by short-list
+    * membership: x131 audits exactly that. */
+  def pqRerankTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, topK: Int, shortlist: Int,
+                   m: Int = 4, k: Int = 8, rounds: Int = 2,
+                   trainPct: Int = 100): DataFrame = {
+    require(shortlist >= topK, "shortlist must be >= topK")
+    val cand = pqTopK(queries, corpus, idCol, vecCol, shortlist,
+        m, k, rounds, trainPct)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = Par.spread(corpus.select(
+      col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"),
+      Vectors.norm(col(vecCol)).as("cn")))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"), Vectors.norm(col(vecCol)).as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("similarity").desc, col("neighbor_id"))
+    c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("similarity", Vectors.cosinePrenormed(
+        col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
+  }
+
   /** ANN RECALL@k audit (x128) — the acceptance metric the IVF/PQ
     * knobs (nprobe, m, k, rounds) are actually tuned against: the
     * fraction of the EXACT top-k ([[bruteForceTopK]]) each approximate

@@ -1143,7 +1143,34 @@ object ExtensionQueries {
     // answered next to x122's full-train report.
     "x129_pq_sample_distortion" -> ((s, dir) =>
       Similarity.pqDistortion(t(s, dir, "embeddings"), "vec_id",
-        "embedding", m = 4, k = 8, rounds = 2, trainPct = 50))
+        "embedding", m = 4, k = 8, rounds = 2, trainPct = 50)),
+
+    // x130 — ADC short-list + EXACT re-rank: the two-stage serving
+    // pattern the x128 audit points at when PQ recall reads low — the
+    // corpus pays the integer ADC scan, exact cosine touches only
+    // shortlist vectors per query.
+    "x130_pq_rerank_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqRerankTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", topK = 5, shortlist = 50)
+    }),
+
+    // x131 — the tuning loop CLOSED: x128 measures ADC-only recall@5,
+    // this audits the re-ranked form next to it — same exact baseline,
+    // same micro-averaged metric; the delta is what the second stage
+    // buys (0.24 → 0.68 on the fixture; re-rank fixes RANKING error,
+    // the residual is short-list MEMBERSHIP — see SCALING.md's sweep).
+    "x131_rerank_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val ex5 = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      Similarity.recallReport(Seq(
+        ("pq_adc", ex5,
+          Similarity.pqTopK(q, e, "vec_id", "embedding", topK = 5), 5),
+        ("pq_rerank", ex5,
+          Similarity.pqRerankTopK(q, e, "vec_id", "embedding",
+            topK = 5, shortlist = 50), 5)))
+    })
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -2736,6 +2763,103 @@ object ExtensionQueries {
     s"""('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT
         % 100 < $trainPct"""
 
+  /** x130's oracle: the x121 ADC chain cut at `shortlist`, re-ranked
+    * by exact cosine (x3's metric, rounding and tie-law). */
+  private def pqRerankOracle(m: Int, rounds: Int, subDim: Int,
+                             nQueries: Int, topK: Int,
+                             shortlist: Int): String = {
+    val codeCols = (0 until m).map(j => s"e$j.cid AS k$j").mkString(", ")
+    val joins = (1 until m).map(j => s"JOIN e$j USING (vec_id)").mkString(" ")
+    val slQ = (0 until m)
+      .map(j => s"JOIN sub$j s$j ON s$j.vec_id = q.vec_id").mkString(" ")
+    val cJoins = (0 until m)
+      .map(j => s"JOIN c${j}_$rounds cc$j ON cc$j.cid = n.k$j").mkString(" ")
+    val adc = (0 until m)
+      .map(j => pqDistSql(s"s$j.sl", s"cc$j.cv", subDim)).mkString(" + ")
+    s"""WITH ${pqCtes(m, 8, rounds, subDim)},
+       ${pqEncodeCtes(m, rounds, subDim)},
+       codes AS (SELECT e0.vec_id AS neighbor_id, $codeCols FROM e0 $joins),
+       cand AS (SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, n.neighbor_id, $adc AS adc_int
+           FROM codes n
+           CROSS JOIN (SELECT vec_id FROM pqv WHERE vec_id < $nQueries) q
+           $slQ $cJoins
+           WHERE q.vec_id <> n.neighbor_id)
+         QUALIFY row_number() OVER (PARTITION BY query_id
+           ORDER BY adc_int, neighbor_id) <= $shortlist),
+       rscored AS (SELECT c.query_id, c.neighbor_id,
+           ${duckCos("q.embedding", "n.embedding")} AS sim
+         FROM cand c
+         JOIN embeddings q ON q.vec_id = c.query_id
+         JOIN embeddings n ON n.vec_id = c.neighbor_id)
+       SELECT query_id, neighbor_id,
+         CAST(row_number() OVER w AS BIGINT) AS rank,
+         floor(sim * 1000000 + 0.5) / 1000000.0 AS similarity
+       FROM rscored
+       WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+       QUALIFY row_number() OVER w <= $topK"""
+  }
+
+  /** x131's oracle: the x128 shape restricted to the PQ tier — ADC-only
+    * and re-ranked legs against the same exact top-k baseline, one
+    * shared training/encode/ADC chain. */
+  private def rerankRecallOracle(m: Int, rounds: Int, subDim: Int,
+                                 nQueries: Int, kPq: Int,
+                                 shortlist: Int): String = {
+    val codeCols = (0 until m).map(j => s"e$j.cid AS k$j").mkString(", ")
+    val joins = (1 until m).map(j => s"JOIN e$j USING (vec_id)").mkString(" ")
+    val slQ = (0 until m)
+      .map(j => s"JOIN sub$j s$j ON s$j.vec_id = q.vec_id").mkString(" ")
+    val cJoins = (0 until m)
+      .map(j => s"JOIN c${j}_$rounds cc$j ON cc$j.cid = n.k$j").mkString(" ")
+    val adc = (0 until m)
+      .map(j => pqDistSql(s"s$j.sl", s"cc$j.cv", subDim)).mkString(" + ")
+    def agg(method: String, approx: String): String =
+      s"""SELECT '$method' AS method, CAST($kPq AS INTEGER) AS k,
+           CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(a.neighbor_id) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS recall
+         FROM exk e LEFT JOIN $approx a
+           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"""
+    s"""WITH ${pqCtes(m, 8, rounds, subDim)},
+       ${pqEncodeCtes(m, rounds, subDim)},
+       codes AS (SELECT e0.vec_id AS neighbor_id, $codeCols FROM e0 $joins),
+       qx AS (SELECT vec_id AS query_id, embedding AS qv2
+         FROM embeddings WHERE vec_id < $nQueries),
+       corp AS (SELECT vec_id AS neighbor_id, embedding AS cv
+         FROM embeddings),
+       bf AS (SELECT q.query_id, c.neighbor_id,
+           ${duckCos("q.qv2", "c.cv")} AS sim
+         FROM qx q JOIN corp c ON q.query_id <> c.neighbor_id),
+       exk AS (SELECT query_id, neighbor_id FROM bf
+         QUALIFY row_number() OVER (PARTITION BY query_id
+           ORDER BY sim DESC, neighbor_id) <= $kPq),
+       adcall AS (SELECT q.vec_id AS query_id, n.neighbor_id,
+           $adc AS adc_int,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY $adc, n.neighbor_id) AS arn
+         FROM codes n
+         CROSS JOIN (SELECT vec_id FROM pqv WHERE vec_id < $nQueries) q
+         $slQ $cJoins
+         WHERE q.vec_id <> n.neighbor_id),
+       pqleg AS (SELECT query_id, neighbor_id FROM adcall
+         WHERE arn <= $kPq),
+       cand AS (SELECT query_id, neighbor_id FROM adcall
+         WHERE arn <= $shortlist),
+       rr AS (SELECT query_id, neighbor_id FROM (
+           SELECT c.query_id, c.neighbor_id,
+             ${duckCos("q.qv2", "n.cv")} AS sim
+           FROM cand c JOIN qx q USING (query_id)
+           JOIN corp n USING (neighbor_id))
+         QUALIFY row_number() OVER (PARTITION BY query_id
+           ORDER BY sim DESC, neighbor_id) <= $kPq)
+       ${agg("pq_adc", "pqleg")}
+       UNION ALL
+       ${agg("pq_rerank", "rr")}"""
+  }
+
   /** x128's oracle: exact brute-force top-k (two cuts), the x10 IVF
     * leg, the x121 ADC leg and the x123 IVF-PQ leg — all sharing one
     * training/assignment CTE chain — each joined back against its
@@ -3835,6 +3959,10 @@ object ExtensionQueries {
     "x128_ann_recall" -> annRecallOracle(m = 4, rounds = 2, subDim = 16,
       numCentroids = 16, nprobe = 2, nQueries = 10, kIvf = 3, kPq = 5),
     "x129_pq_sample_distortion" -> pqDistortionOracle(m = 4, k = 8,
-      rounds = 2, subDim = 16, trainCond = pqTrainCond(50))
+      rounds = 2, subDim = 16, trainCond = pqTrainCond(50)),
+    "x130_pq_rerank_topk" -> pqRerankOracle(m = 4, rounds = 2,
+      subDim = 16, nQueries = 10, topK = 5, shortlist = 50),
+    "x131_rerank_recall" -> rerankRecallOracle(m = 4, rounds = 2,
+      subDim = 16, nQueries = 10, kPq = 5, shortlist = 50)
   )
 }

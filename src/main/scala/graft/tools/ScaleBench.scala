@@ -70,7 +70,8 @@ object ScaleBench {
                      annDedupTables: (String, String) = ("", ""),
                      bm25Tables: (String, String) = ("", ""),
                      novTable: String = "",
-                     pqTables: (String, String) = ("", "")
+                     pqTables: (String, String) = ("", ""),
+                     ivfPqTables: (String, String, String) = ("", "", "")
                     ): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     ("x8_ngram_jaccard", (s: SparkSession, dir: String) =>
       TextDedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
@@ -529,7 +530,53 @@ object ScaleBench {
     ("x126_phase_source_matrix", (s: SparkSession, dir: String) =>
       graft.operators.TextAnalysis.phaseSourceMatrix(
         Tables(s, dir, "documents"), "doc_id", "text", "source",
-        nPhases = 4)))
+        nPhases = 4)),
+    // x123's query set over the PERSISTED composed index (built
+    // untimed): zero training in the timed path; candidates per probe
+    // stay constant (bucket count ∝ corpus), so only the bucket-pruned
+    // codes scan grows — the x124/x91 serving profile composed
+    ("x127_ivf_pq_indexed", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Similarity.ivfPqTopKIndexed(s,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        ivfPqTables._1, ivfPqTables._2, ivfPqTables._3,
+        topK = 5, nprobe = 2)
+    }),
+    // the audit joins are top-k-sized; the legs dominate — brute force
+    // (10-query broadcast scan), IVF (bucket-pruned), PQ/IVF-PQ
+    // (training + codes) all replicate their own probes' shapes
+    ("x128_ann_recall", (s: SparkSession, dir: String) => {
+      val sim = graft.operators.Similarity
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val cents = e.filter(col("vec_id") < nCent)
+      sim.recallReport(Seq(
+        ("ivf", sim.bruteForceTopK(q, e, "vec_id", "embedding", 3),
+          sim.ivfTopK(q, e, cents, "vec_id", "embedding", 3, 2), 3),
+        ("pq", sim.bruteForceTopK(q, e, "vec_id", "embedding", 5),
+          sim.pqTopK(q, e, "vec_id", "embedding", 5), 5),
+        ("ivfpq", sim.bruteForceTopK(q, e, "vec_id", "embedding", 5),
+          sim.ivfPqTopK(q, e, cents, "vec_id", "embedding", 5, 2), 5)))
+    }),
+    // SAMPLE-trained distortion with the sample held to a CONSTANT
+    // absolute budget as data grows (trainPct 50 at 1x -> 5 at 10x, the
+    // warehouse sizing rule: the codebook is k·dim numbers, its training
+    // set is an absolute budget, not a fraction) — the m·rounds Lloyd
+    // passes stay flat and only the one-scan report grows, vs x122
+    // paying 10x on every training pass
+    ("x129_pq_sample_distortion", (s: SparkSession, dir: String) =>
+      graft.operators.Similarity.pqDistortion(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 4, k = 8, rounds = 2, trainPct = math.max(1, 50 / mult))),
+    // x121's ADC scan + a queries×shortlist broadcast fetch join +
+    // a shortlist-bounded re-rank window — exact-vector reads per
+    // query stay at `shortlist` regardless of corpus size
+    ("x130_pq_rerank_topk", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Similarity.pqRerankTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        topK = 5, shortlist = 50)
+    }))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -688,6 +735,31 @@ object ScaleBench {
     val pq1 = buildPqIndex(srcDir, "1x")
     val pq10 = buildPqIndex(scaleDir, "10x")
 
+    // untimed: the x127 composed IVF-PQ index per fixture (bucketed
+    // codes + PQ books + coarse centroids; centroid count ∝ corpus)
+    def buildIvfPqIndex(dir: String, nC: Int,
+                        tag: String): (String, String, String) = {
+      val ct = s"graft_idx.ivfpq_codes_probe_$tag"
+      val bt = s"graft_idx.ivfpq_books_probe_$tag"
+      val cc = s"graft_idx.ivfpq_cent_probe_$tag"
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+      Seq(ct, bt, cc).foreach { tb =>
+        spark.sql(s"DROP TABLE IF EXISTS $tb")
+        val Array(db, nm) = tb.split('.')
+        val p = new org.apache.hadoop.fs.Path(
+          s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.db/$nm")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val e = Tables(spark, dir, "embeddings")
+      graft.operators.Similarity.writeIvfPqIndex(e,
+        e.filter(col("vec_id") < nC), "vec_id", "embedding", ct, bt, cc,
+        m = 4, k = 8, rounds = 2)
+      (ct, bt, cc)
+    }
+    val ivfpq1 = buildIvfPqIndex(srcDir, 16, "1x")
+    val ivfpq10 = buildIvfPqIndex(scaleDir, 16 * Copies, "10x")
+
     // dev knob (mirrors Bench): SPARK_GRAFT_SCALE_ONLY=x88_...,x104_...
     // restricts the probed set for re-measuring individual probes; the
     // partial BENCH_scale.json it writes is merged into the full table
@@ -698,16 +770,18 @@ object ScaleBench {
       ps.filter { case (n, _) => only.forall(_.contains(n)) }
 
     // one untimed warmup of every probe at 1× (JIT + codegen)
-    selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1, nov1, pq1)).foreach { case (n, f) =>
+    selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1, nov1, pq1,
+        ivfpq1)).foreach { case (n, f) =>
       try f(spark, srcDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[scale] warmup $n failed: ${e.getMessage}") }
       spark.catalog.clearCache()
     }
 
-    val results = selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1, nov1, pq1))
+    val results = selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1,
+        nov1, pq1, ivfpq1))
       .zip(selected(probes(16 * Copies, Copies, thr10, lm10, ann10,
-        ann2_10, bm25_10, nov10, pq10))).map {
+        ann2_10, bm25_10, nov10, pq10, ivfpq10))).map {
       case ((name, f1), (_, f10)) =>
         val (t1, r1) = run(srcDir, 16, name, f1)
         val (t10, r10) = run(scaleDir, 160, name, f10)

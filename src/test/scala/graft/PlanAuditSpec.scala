@@ -876,6 +876,20 @@ class PlanAuditSpec extends SparkSpec {
       s"training cache leaked into the report plan:\n$p")
   }
 
+  test("x130 two-stage re-rank: the candidate fetch and the query frame " +
+      "broadcast — no corpus shuffle beyond the ADC stage's own") {
+    val p = plan("x130_pq_rerank_topk")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian leaked into the re-rank:\n$p")
+    // queries×shortlist candidates + the query vectors broadcast into
+    // the corpus vector fetch
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"candidate fetch should be broadcast-hash joins:\n$p")
+    // exactly the ADC ranking window's exchange + the re-rank window's
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"unexpected extra exchange in the two-stage plan:\n$p")
+  }
+
   test("x119 calibrated gate: no global sort; the 1-row threshold " +
       "broadcasts into a zero-extra-shuffle score filter") {
     val p = plan("x119_calibrated_gate")

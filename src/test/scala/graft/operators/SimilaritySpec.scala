@@ -502,6 +502,29 @@ class SimilaritySpec extends SparkSpec {
     assert(served.map(_._2).contains(9L))
   }
 
+  test("pqRerankTopK (x130): a full-corpus short-list reproduces exact " +
+      "brute force bit for bit; shortlist < topK is rejected") {
+    val q = pqVecs.filter("vec_id < 2")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"),
+        r.getAs[Double]("similarity"))).toSet
+    // shortlist = every non-self candidate: stage 2 re-ranks the whole
+    // corpus with bruteForceTopK's metric, rounding and tie-law, so the
+    // result must be EXACTLY the brute-force rows — the recall ceiling
+    // the short-list trades against
+    val exact = rows(Similarity.bruteForceTopK(q, pqVecs,
+      "vec_id", "embedding", k = 3))
+    val rr = rows(Similarity.pqRerankTopK(q, pqVecs, "vec_id", "embedding",
+      topK = 3, shortlist = 5, m = 2, k = 2, rounds = 2))
+    assert(rr == exact && exact.nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqRerankTopK(q, pqVecs, "vec_id", "embedding",
+        topK = 3, shortlist = 2, m = 2, k = 2, rounds = 2)
+    }
+    assert(e.getMessage.contains("shortlist"))
+  }
+
   test("recallReport (x128): a perfect approximation reads 1.0, top-1 " +
       "against exact top-2 reads 0.5; counts are audit-exact") {
     val q = pqVecs.filter("vec_id < 2")
