@@ -421,6 +421,30 @@ object Streams {
         } finally { b.unpersist(); () }
     }
 
+  /** Streaming COMPOSED-INDEX maintenance — [[pqIndexIngest]]'s twin on
+    * the IVF-PQ tier (x127): each micro-batch is handed to `sink`, then
+    * assigned + encoded under BOTH frozen codebooks (coarse centroids
+    * and PQ books) and appended into the bucketed codes table
+    * ([[graft.operators.Similarity.appendIvfPqIndex]] — one file per
+    * bucket per ingest), so [[graft.operators.Similarity.
+    * ivfPqTopKIndexed]] serves the union corpus continuously. Same
+    * replay/retrain caveats as [[pqIndexIngest]]. */
+  def ivfPqIndexIngest(vecs: DataFrame, idCol: String, vecCol: String,
+                       codesTable: String, booksTable: String,
+                       centTable: String, numBuckets: Int = 16)
+                      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF().cache()
+        try {
+          sink(b, batchId)
+          graft.operators.Similarity.appendIvfPqIndex(b, idCol, vecCol,
+            codesTable, booksTable, centTable, numBuckets)
+        } finally { b.unpersist(); () }
+    }
+
   /** Streaming NOVELTY gate on ingest — the online form of the x110
     * index pairing, third member of the indexed-ingest family
     * ([[indexedNeardupIngest]], [[indexedAnnIngest]]): keep an

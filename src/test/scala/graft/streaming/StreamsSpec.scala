@@ -640,6 +640,69 @@ class StreamsSpec extends SparkSpec {
     assert(served.contains(10L) && served.contains(11L))
   }
 
+  test("ivfPqIndexIngest: stream-appended (bucket, codes) rows equal the " +
+      "batch appendIvfPqIndex rows under the same frozen codebooks; the " +
+      "composed index serves stream-ingested vectors (x127 twin)") {
+    import graft.operators.Similarity
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val s3 = ("graft_idx_test.st_ivfpq_codes", "graft_idx_test.st_ivfpq_books",
+      "graft_idx_test.st_ivfpq_cent")
+    val b3 = ("graft_idx_test.bt_ivfpq_codes", "graft_idx_test.bt_ivfpq_books",
+      "graft_idx_test.bt_ivfpq_cent")
+    Seq(s3._1, s3._2, s3._3, b3._1, b3._2, b3._3).foreach(dropIdxTable)
+
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.9f, 1.1f, 1.0f, 0.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.1f, 0.0f, 0.0f, 1.0f, 1.1f, 0.9f, 1.0f)),
+      (2L, Array(1.1f, 1.0f, 0.9f, 1.0f, 0.1f, 0.0f, 0.0f, 0.1f)),
+      (3L, Array(0.1f, 0.0f, 0.1f, 0.0f, 0.9f, 1.0f, 1.0f, 1.1f))
+    ).toDF("vec_id", "embedding")
+    val cents = corpus.filter("vec_id < 2")
+    Similarity.writeIvfPqIndex(corpus, cents, "vec_id", "embedding",
+      s3._1, s3._2, s3._3, m = 2, k = 2, rounds = 2, numBuckets = 4)
+    Similarity.writeIvfPqIndex(corpus, cents, "vec_id", "embedding",
+      b3._1, b3._2, b3._3, m = 2, k = 2, rounds = 2, numBuckets = 4)
+
+    val batch = Seq(
+      (10L, Array(0.95f, 1.0f, 1.0f, 0.9f, 0.05f, 0.0f, 0.1f, 0.0f)),
+      (11L, Array(0.05f, 0.0f, 0.1f, 0.0f, 1.0f, 0.95f, 1.0f, 1.0f)))
+
+    val dir = Files.createTempDirectory("ivfpqin-in").toString
+    val ckpt = Files.createTempDirectory("ivfpqin-ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    batch.toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = Streams.ivfPqIndexIngest(stream, "vec_id", "embedding",
+        s3._1, s3._2, s3._3, numBuckets = 4) { (df, _) =>
+      val ids = df.select("vec_id").collect().map(_.getLong(0))
+      got.synchronized { got ++= ids; () }
+    }.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(got.toSet == Set(10L, 11L))
+
+    batch.toDF("vec_id", "embedding").createOrReplaceTempView("ivfpq_twin")
+    Similarity.appendIvfPqIndex(spark.table("ivfpq_twin"),
+      "vec_id", "embedding", b3._1, b3._2, b3._3, numBuckets = 4)
+    def rows(table: String) = {
+      spark.catalog.refreshTable(table)
+      spark.table(table).collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("centroid_id"), r.getAs[Long]("code_0"),
+        r.getAs[Long]("code_1"))).toSet
+    }
+    assert(rows(s3._1) == rows(b3._1))
+    assert(rows(s3._1).map(_._1) == Set(0L, 1L, 2L, 3L, 10L, 11L))
+    // the composed index serves the stream-ingested vectors
+    val served = Similarity.ivfPqTopKIndexed(spark,
+        corpus.filter("vec_id = 0"), "vec_id", "embedding",
+        s3._1, s3._2, s3._3, topK = 5, nprobe = 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(served.contains(10L) && served.contains(11L))
+  }
+
   test("quarantineJson routes records inside a streaming plan (x76 twin)") {
     import graft.operators.Project
     val dir = Files.createTempDirectory("quar-in").toString
