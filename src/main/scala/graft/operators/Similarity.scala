@@ -1107,6 +1107,62 @@ object Similarity {
         (col("adc_int").cast("double") / lit(1e6)).as("adc_dist"))
   }
 
+  /** Dimension-TRUNCATED cosine top-k (x132) — the matryoshka serving
+    * tier: rank by cosine over the FIRST `dims` components only. With
+    * prefix-trained (MRL-style) embeddings the leading dimensions carry
+    * most of the signal, so a 64→16 cut buys a 4× dot-product and
+    * cache-traffic reduction — the standard cheap tier served in front
+    * of (or instead of) full-dimension scoring, orthogonal to PQ's
+    * codebook compression. Same plan shape as [[bruteForceTopK]] over
+    * the sliced column: broadcast query frame, one corpus scan, the
+    * per-query ranking window as the only exchange. Pair with
+    * [[recallReport]] against the full-dimension exact top-k to size
+    * `dims` (the spec does exactly that). */
+  def truncatedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, dims: Int): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    def cut(df: DataFrame) =
+      df.select(col(idCol), slice(col(vecCol), 1, dims).as(vecCol))
+    bruteForceTopK(cut(queries), cut(corpus), idCol, vecCol, k)
+  }
+
+  /** Compact a [[writePqIndex]] codes table after at-least-once
+    * replays: a replayed micro-batch re-appends IDENTICAL rows (same
+    * ids through the same frozen books), so `distinct` removes exactly
+    * the replay duplicates — and the rewrite collapses the
+    * one-file-per-ingest accumulation. An id re-ingested with a
+    * CHANGED vector is a versioning decision upstream of compaction
+    * (both rows survive; resolve with an id-keyed upsert if arriving
+    * vectors can mutate). Two-step via a scratch table — reading and
+    * overwriting the same table in one plan is illegal. */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     codesTable: String): Unit = {
+    val tmp = codesTable + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.table(codesTable).distinct()
+      .write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    spark.table(tmp)
+      .write.mode("overwrite").format("parquet").saveAsTable(codesTable)
+    spark.sql(s"DROP TABLE $tmp")
+  }
+
+  /** [[compactPqIndex]] for the BUCKETED composed-index codes table
+    * ([[writeIvfPqIndex]]): same replay-duplicate removal, rewritten
+    * through [[graft.sinks.Sinks.writeBucketed]] so each bucket lands
+    * as ONE file again (appends add a file per bucket per ingest —
+    * this is also the file-count compaction the append docs point
+    * at). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        codesTable: String, numBuckets: Int = 16): Unit = {
+    val tmp = codesTable + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    graft.sinks.Sinks.writeBucketed(spark.table(codesTable).distinct(),
+      tmp, Seq("centroid_id"), numBuckets)
+    graft.sinks.Sinks.writeBucketed(spark.table(tmp),
+      codesTable, Seq("centroid_id"), numBuckets)
+    spark.sql(s"DROP TABLE $tmp")
+  }
+
   /** ADC short-list + EXACT re-rank (x130) — the standard two-stage
     * serving pattern, and the fix the x128 audit points at when PQ
     * recall reads low (the fixture's ADC-only recall@5 is 0.24 at

@@ -50,6 +50,38 @@ object TextDedup {
     docs.groupBy(sha2(lower(trim(col(textCol))), 256).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** SNAPSHOT DIFF (x133) — dataset versioning's first question: what
+    * changed between corpus snapshot N and N+1? Per document id:
+    * `added` (new snapshot only), `removed` (old only), `changed`
+    * (both, different normalized-text digest), `unchanged` (both, same
+    * digest). The audit behind crawl-over-crawl data cards, cache
+    * invalidation for downstream persisted indexes (an id marked
+    * `changed` must be re-encoded/re-indexed), and retraining triggers.
+    *
+    * Scale shape: digests are computed scan-side (x1's normalization,
+    * so "changed" means the DEDUP-RELEVANT text changed), and the only
+    * exchange is the id-keyed full-outer join of (id, digest) pairs —
+    * 40-byte rows, text never moves. At warehouse scale both snapshots
+    * are landed bucketed by id ([[graft.sinks.Sinks.writeBucketed]])
+    * and the join is exchange-free. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    // presence flags, not digest nullness, mark membership: a NULL text
+    // digests to NULL and must still count as present; two NULL texts
+    // compare `unchanged` via the null-safe <=>
+    def dig(df: DataFrame, d: String, in: String) =
+      graft.functions.Par.spread(df)
+        .select(col(idCol), sha2(lower(trim(col(textCol))), 256).as(d),
+          lit(1).as(in))
+    dig(oldSnap, "_d_old", "_in_old")
+      .join(dig(newSnap, "_d_new", "_in_new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(col("_d_old") <=> col("_d_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Sorted distinct HASHED shingle sets (h = xxhash64(shingle)) with
     * sizes, computed as a per-row codegen'd kernel projection
     * ([[TextExpressions.shingleHashSet]]) — ZERO shuffles (round 1 paid

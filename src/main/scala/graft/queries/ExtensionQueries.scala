@@ -17,15 +17,19 @@ object ExtensionQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  /** DuckDB cosine over float lists, double math, array accumulation order
-    * — the mirror of graft.functions.Vectors.cosine. */
-  private def duckCos(a: String, b: String): String =
-    s"""(list_sum(list_transform(generate_series(1, 64),
+  /** DuckDB cosine over the first `n` components of float lists, double
+    * math, array accumulation order — the mirror of
+    * graft.functions.Vectors.cosine over a `slice(vec, 1, n)`. */
+  private def duckCosN(a: String, b: String, n: Int): String =
+    s"""(list_sum(list_transform(generate_series(1, $n),
           i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-        / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        / (sqrt(list_sum(list_transform(generate_series(1, $n),
              i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
-         * sqrt(list_sum(list_transform(generate_series(1, 64),
+         * sqrt(list_sum(list_transform(generate_series(1, $n),
              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))"""
+
+  /** Full-width (64-dim fixture) cosine. */
+  private def duckCos(a: String, b: String): String = duckCosN(a, b, 64)
 
   /** DuckDB distinct 3-token shingles of documents (mirror of
     * Text.shingleSet(_, 3)). */
@@ -1153,6 +1157,30 @@ object ExtensionQueries {
       val e = t(s, dir, "embeddings")
       Similarity.pqRerankTopK(e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", topK = 5, shortlist = 50)
+    }),
+
+    // x132 — dimension-truncated (matryoshka) cosine top-k: rank by
+    // the first 16 of 64 components — the cheap prefix tier MRL-style
+    // embeddings are trained for (4× dot-product cut), orthogonal to
+    // PQ's codebook compression; spec sizes `dims` via recallReport.
+    "x132_truncated_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.truncatedTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5, dims = 16)
+    }),
+
+    // x133 — snapshot diff: dataset versioning's crawl-over-crawl
+    // audit — per-id added/removed/changed/unchanged between two
+    // corpus snapshots, on x1's normalized digest (so "changed" means
+    // the dedup-relevant text changed). Fixture snapshots: v1 = ids
+    // not divisible by 3, v2 = odd ids with every 5th text revised.
+    "x133_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val v1 = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val v2 = d.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      TextDedup.snapshotDiff(v1, v2, "doc_id", "text")
     }),
 
     // x131 — the tuning loop CLOSED: x128 measures ADC-only recall@5,
@@ -3963,6 +3991,36 @@ object ExtensionQueries {
     "x130_pq_rerank_topk" -> pqRerankOracle(m = 4, rounds = 2,
       subDim = 16, nQueries = 10, topK = 5, shortlist = 50),
     "x131_rerank_recall" -> rerankRecallOracle(m = 4, rounds = 2,
-      subDim = 16, nQueries = 10, kPq = 5, shortlist = 50)
+      subDim = 16, nQueries = 10, kPq = 5, shortlist = 50),
+    // presence via the join KEY (never the digest — NULL text digests
+    // to NULL while the row is present); IS NOT DISTINCT FROM mirrors
+    // Spark's null-safe <=>
+    "x133_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, sha256(lower(trim(text))) AS d1
+           FROM documents WHERE doc_id % 3 <> 0),
+         v2 AS (SELECT doc_id, sha256(lower(trim(
+             CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                  ELSE text END))) AS d2
+           FROM documents WHERE doc_id % 2 <> 0)
+         SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN d1 IS NOT DISTINCT FROM d2 THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""",
+    // x3's oracle over the 16-component prefix (slice is 1-based,
+    // inclusive on both engines; norms over the SLICED vector)
+    "x132_truncated_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT query_id, vec_id AS neighbor_id,
+             ${duckCosN("qv", "embedding", 16)} AS sim
+           FROM embeddings, q WHERE vec_id <> query_id)
+         SELECT query_id, neighbor_id,
+           CAST(row_number() OVER w AS BIGINT) AS rank,
+           floor(sim * 1000000 + 0.5) / 1000000.0 AS similarity
+         FROM scored
+         WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         QUALIFY row_number() OVER w <= 5"""
   )
 }

@@ -576,6 +576,24 @@ object ScaleBench {
       graft.operators.Similarity.pqRerankTopK(
         e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
         topK = 5, shortlist = 50)
+    }),
+    // x3's broadcast-scan shape over the 16-component prefix: the scan
+    // grows linearly, each row costs a quarter of the full-width dot
+    ("x132_truncated_topk", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Similarity.truncatedTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, dims = 16)
+    }),
+    // two digest scans + one id-keyed full-outer join of 40-byte rows;
+    // text never moves past the scans
+    ("x133_snapshot_diff", (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      val v1 = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val v2 = d.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      TextDedup.snapshotDiff(v1, v2, "doc_id", "text")
     }))
 
   def main(args: Array[String]): Unit = {

@@ -890,6 +890,27 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected extra exchange in the two-stage plan:\n$p")
   }
 
+  test("x132 truncated top-k keeps x3's shape: broadcast query frame, " +
+      "one corpus scan, the ranking window as the only exchange") {
+    val p = plan("x132_truncated_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query frame should broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the ranking-window exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x133 snapshot diff moves (id, digest) pairs only: digests " +
+      "computed scan-side, one full-outer id join, text never exchanged") {
+    val p = plan("x133_snapshot_diff")
+    // the two snapshot legs each exchange their 40-byte (id, digest)
+    // projection into the join — and nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected exactly the two join-leg exchanges:\n$p")
+    assert(p.contains("FullOuter"), s"full-outer join missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
   test("x119 calibrated gate: no global sort; the 1-row threshold " +
       "broadcasts into a zero-extra-shuffle score filter") {
     val p = plan("x119_calibrated_gate")

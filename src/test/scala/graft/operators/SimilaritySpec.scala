@@ -569,6 +569,112 @@ class SimilaritySpec extends SparkSpec {
         "sample cost exceeds the 1.25x acceptance bound")
   }
 
+  test("truncatedTopK (x132): full-width truncation IS brute force; " +
+      "prefix ranking follows the prefix signal; recallReport sizes " +
+      "dims on the fixture") {
+    import spark.implicits._
+    // prefix (first 2 dims) and tail disagree on purpose: vs query 0,
+    // neighbor 1 wins on the prefix, neighbor 2 wins on the full vector
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 1.0f, 1.0f)),
+      (2L, Array(0.6f, 0.6f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = vs.filter("vec_id = 0")
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      df.filter("rank = 1").head().getAs[Long]("neighbor_id")
+    assert(top1(Similarity.truncatedTopK(q, vs, "vec_id", "embedding",
+      k = 2, dims = 2)) == 1L)
+    assert(top1(Similarity.bruteForceTopK(q, vs, "vec_id", "embedding",
+      k = 2)) == 2L)
+    // dims = full width: bit-for-bit brute force
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"),
+        r.getAs[Double]("similarity"))).toSet
+    assert(rows(Similarity.truncatedTopK(q, vs, "vec_id", "embedding",
+        k = 2, dims = 4)) ==
+      rows(Similarity.bruteForceTopK(q, vs, "vec_id", "embedding", k = 2)))
+    // the dims-sizing loop on the real fixture: recall of the 16-dim
+    // prefix tier vs full-dim exact — the number a deployment reads
+    // before picking the truncation point
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val fq = emb.filter("vec_id < 10")
+    val ex = Similarity.bruteForceTopK(fq, emb, "vec_id", "embedding", 5)
+    val tr = Similarity.truncatedTopK(fq, emb, "vec_id", "embedding", 5, 16)
+    val recall = Similarity.recallReport(Seq(("trunc16", ex, tr, 5)))
+      .head().getAs[Double]("recall")
+    assert(recall > 0.0 && recall <= 1.0)
+    info(f"fixture recall@5 of 16/64-dim prefix: $recall%.2f")
+  }
+
+  test("compactPqIndex / compactIvfPqIndex: replay-duplicate rows break " +
+      "served rankings; compaction restores them exactly") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val (codesT, booksT) = ("graft_idx_test.cpq_codes",
+      "graft_idx_test.cpq_books")
+    val (icodesT, ibooksT, icentT) = ("graft_idx_test.civfpq_codes",
+      "graft_idx_test.civfpq_books", "graft_idx_test.civfpq_cent")
+    dropManaged(codesT, booksT, icodesT, ibooksT, icentT)
+    val queries = pqVecs.filter("vec_id = 0")
+    Similarity.writePqIndex(pqVecs, "vec_id", "embedding",
+      codesT, booksT, m = 2, k = 2, rounds = 2)
+    def served() = Similarity.pqTopKIndexed(spark, queries, "vec_id",
+        "embedding", codesT, booksT, topK = 5)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rank"))).toSet
+    val clean = served()
+    // an at-least-once replay: the same batch appended twice
+    val batch = Seq(
+      (9L, Array(0.0f, 0.1f, 0.0f, 0.1f, 1.0f, 1.0f, 0.9f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendPqIndex(batch, "vec_id", "embedding", codesT, booksT)
+    Similarity.appendPqIndex(batch, "vec_id", "embedding", codesT, booksT)
+    spark.catalog.refreshTable(codesT)
+    // the duplicate code row surfaces the SAME neighbor at two ranks
+    // (both 9-rows tie on ADC and id; row_number hands them rank 6 and
+    // 7) — replay damage the append docs warn about
+    val dup = Similarity.pqTopKIndexed(spark, queries, "vec_id",
+        "embedding", codesT, booksT, topK = 7)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(dup.count(_ == 9L) == 2)
+    Similarity.compactPqIndex(spark, codesT)
+    spark.catalog.refreshTable(codesT)
+    val after = Similarity.pqTopKIndexed(spark, queries, "vec_id",
+        "embedding", codesT, booksT, topK = 7)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(after.count(_ == 9L) == 1 && after.size == 6)
+    assert(spark.table(codesT).count() == 7) // 6 corpus + 1 appended
+    // clean top-5 ranking is restored exactly: 9 shares B's codes, so
+    // it ties every B member on ADC and loses the id tie-break — the
+    // original five neighbors keep their ranks
+    assert(Similarity.pqTopKIndexed(spark, queries, "vec_id", "embedding",
+        codesT, booksT, topK = 5)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rank"))).toSet == clean)
+    // composed-index compaction: same law on the bucketed table
+    Similarity.writeIvfPqIndex(pqVecs, pqVecs.filter("vec_id < 2"),
+      "vec_id", "embedding", icodesT, ibooksT, icentT,
+      m = 2, k = 2, rounds = 2, numBuckets = 4)
+    Similarity.appendIvfPqIndex(batch, "vec_id", "embedding",
+      icodesT, ibooksT, icentT, numBuckets = 4)
+    Similarity.appendIvfPqIndex(batch, "vec_id", "embedding",
+      icodesT, ibooksT, icentT, numBuckets = 4)
+    spark.catalog.refreshTable(icodesT)
+    assert(spark.table(icodesT).filter("vec_id = 9").count() == 2)
+    Similarity.compactIvfPqIndex(spark, icodesT, numBuckets = 4)
+    spark.catalog.refreshTable(icodesT)
+    assert(spark.table(icodesT).filter("vec_id = 9").count() == 1)
+    assert(spark.table(icodesT).count() == 7)
+    // the rewrite preserved the bucketed layout: serving still prunes
+    val p = Similarity.ivfPqTopKIndexed(spark, queries, "vec_id",
+      "embedding", icodesT, ibooksT, icentT, topK = 5, nprobe = 1)
+    assert(p.queryExecution.executedPlan.toString
+      .contains("SelectedBucketsCount"))
+    assert(p.collect().nonEmpty)
+  }
+
   test("pqDistortion (x122): exact zero when every vector coincides " +
       "with its codeword; positive per-subspace error otherwise") {
     // two distinct vectors, each duplicated: centroids converge to the

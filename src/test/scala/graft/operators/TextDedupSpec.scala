@@ -21,6 +21,30 @@ class TextDedupSpec extends SparkSpec {
     assert(dupGroup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("snapshotDiff (x133): added/removed/changed/unchanged per id; " +
+      "NULL text counts as present and two NULL texts as unchanged") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, Option("kept as is")),
+      (2L, Option("will be revised")),
+      (3L, Option("will be dropped")),
+      (5L, Option.empty[String]),       // NULL text, present both sides
+      (6L, Option("becomes null"))
+    ).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, Option("  KEPT as is ")),    // case/outer-ws normalize-equal
+      (2L, Option("was revised")),
+      (4L, Option("brand new")),
+      (5L, Option.empty[String]),       // still NULL => unchanged
+      (6L, Option.empty[String])        // text -> NULL => changed
+    ).toDF("doc_id", "text")
+    val out = TextDedup.snapshotDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged", 6L -> "changed"))
+  }
+
   test("jaccardPairs finds near-dups via inverted index (x8)") {
     val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
