@@ -1185,8 +1185,21 @@ object Similarity {
                    trainPct: Int = 100): DataFrame = {
     require(shortlist >= topK, "shortlist must be >= topK")
     val cand = pqTopK(queries, corpus, idCol, vecCol, shortlist,
-        m, k, rounds, trainPct)
-      .select(col("query_id"), col("neighbor_id"))
+      m, k, rounds, trainPct)
+    exactRerank(cand, queries, corpus, idCol, vecCol, topK)
+  }
+
+  /** The EXACT re-rank stage by itself — composable behind ANY
+    * candidate generator (flat ADC, indexed ADC, IVF-PQ, truncated
+    * prefix): fetch only the candidate ids' real vectors (the
+    * queries×shortlist candidate frame broadcasts into an id-equi
+    * join — no corpus shuffle) and rank them by exact cosine with
+    * [[bruteForceTopK]]'s metric, rounding and tie-law. `candidates`
+    * needs (query_id, neighbor_id); extra columns are ignored. */
+  def exactRerank(candidates: DataFrame, queries: DataFrame,
+                  corpus: DataFrame, idCol: String, vecCol: String,
+                  topK: Int): DataFrame = {
+    val cand = candidates.select(col("query_id"), col("neighbor_id"))
     val c = Par.spread(corpus.select(
       col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"),
       Vectors.norm(col(vecCol)).as("cn")))
@@ -1203,6 +1216,27 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"),
         graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
+  }
+
+  /** [[pqRerankTopK]] through the PERSISTED index (x134) — the
+    * production two-stage serving path: the ADC short-list comes from
+    * the codes table through the frozen books ([[pqTopKIndexed]] —
+    * zero training), then [[exactRerank]] fetches only `shortlist`
+    * real vectors per query. Per query the corpus costs one codes
+    * scan (m integer ops/row) plus `shortlist` exact vector reads —
+    * at no point does a full-width float scan of the corpus happen,
+    * and nothing retrains. Rows identical to [[pqRerankTopK]] with
+    * the same knobs (the short-list stage serves [[pqTopK]]'s rows by
+    * the x124 guarantee). */
+  def pqRerankTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                          queries: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String,
+                          codesTable: String, booksTable: String,
+                          topK: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= topK, "shortlist must be >= topK")
+    val cand = pqTopKIndexed(spark, queries, idCol, vecCol,
+      codesTable, booksTable, shortlist)
+    exactRerank(cand, queries, corpus, idCol, vecCol, topK)
   }
 
   /** ANN RECALL@k audit (x128) — the acceptance metric the IVF/PQ

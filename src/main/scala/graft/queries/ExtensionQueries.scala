@@ -1124,20 +1124,26 @@ object ExtensionQueries {
     // approximate method (x10 IVF, x121 PQ-ADC, x123 IVF-PQ) recovers
     // on the fixture query set — the acceptance metric nprobe/m/k are
     // tuned against; micro-averaged so the whole report is
-    // integer-exact up to one final division.
+    // integer-exact up to one final division. The PQ legs serve from
+    // the PERSISTED indexes (identical rows by the x124/x127
+    // guarantee, zero training) — a continuous audit must not retrain
+    // the model it is auditing.
     "x128_ann_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
       val cents = e.filter(col("vec_id") < 16)
+      val (pqCodes, pqBooks) = pqIndexFor(s, dir)
+      val (ipCodes, ipBooks, ipCent) = ivfPqIndexFor(s, dir)
       Similarity.recallReport(Seq(
         ("ivf", Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 3),
           Similarity.ivfTopK(q, e, cents, "vec_id", "embedding",
             k = 3, nprobe = 2), 3),
         ("pq", Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5),
-          Similarity.pqTopK(q, e, "vec_id", "embedding", topK = 5), 5),
+          Similarity.pqTopKIndexed(s, q, "vec_id", "embedding",
+            pqCodes, pqBooks, topK = 5), 5),
         ("ivfpq", Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5),
-          Similarity.ivfPqTopK(q, e, cents, "vec_id", "embedding",
-            topK = 5, nprobe = 2), 5)))
+          Similarity.ivfPqTopKIndexed(s, q, "vec_id", "embedding",
+            ipCodes, ipBooks, ipCent, topK = 5, nprobe = 2), 5)))
     }),
 
     // x129 — SAMPLE-TRAINED PQ distortion: codebooks trained on the
@@ -1188,16 +1194,32 @@ object ExtensionQueries {
     // same micro-averaged metric; the delta is what the second stage
     // buys (0.24 → 0.68 on the fixture; re-rank fixes RANKING error,
     // the residual is short-list MEMBERSHIP — see SCALING.md's sweep).
+    // Both legs serve from the persisted index (identical rows, zero
+    // training — x128's convention).
     "x131_rerank_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
+      val (pqCodes, pqBooks) = pqIndexFor(s, dir)
       val ex5 = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
       Similarity.recallReport(Seq(
         ("pq_adc", ex5,
-          Similarity.pqTopK(q, e, "vec_id", "embedding", topK = 5), 5),
+          Similarity.pqTopKIndexed(s, q, "vec_id", "embedding",
+            pqCodes, pqBooks, topK = 5), 5),
         ("pq_rerank", ex5,
-          Similarity.pqRerankTopK(q, e, "vec_id", "embedding",
-            topK = 5, shortlist = 50), 5)))
+          Similarity.pqRerankTopKIndexed(s, q, e, "vec_id", "embedding",
+            pqCodes, pqBooks, topK = 5, shortlist = 50), 5)))
+    }),
+
+    // x134 — x130 through the PERSISTED index: the production
+    // two-stage path (codes-table ADC short-list through frozen
+    // books, exact re-rank fetches only shortlist vectors per query);
+    // zero training in the serving path. Same rows as x130 (same
+    // oracle), the x124/x127 pairing on the re-rank tier.
+    "x134_pq_rerank_indexed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (pqCodes, pqBooks) = pqIndexFor(s, dir)
+      Similarity.pqRerankTopKIndexed(s, e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", pqCodes, pqBooks, topK = 5, shortlist = 50)
     })
   )
 
@@ -3058,7 +3080,8 @@ object ExtensionQueries {
     ("x107_bm25_indexed" -> extendedOracleSql("x98_bm25_topk")) +
     ("x110_novelty_indexed" -> extendedOracleSql("x104_novelty")) +
     ("x124_pq_indexed" -> extendedOracleSql("x121_pq_topk")) +
-    ("x127_ivf_pq_indexed" -> extendedOracleSql("x123_ivf_pq_topk"))
+    ("x127_ivf_pq_indexed" -> extendedOracleSql("x123_ivf_pq_topk")) +
+    ("x134_pq_rerank_indexed" -> extendedOracleSql("x130_pq_rerank_topk"))
 
   private lazy val extendedOracleSql: Map[String, String] = baseOracleSql ++ Map(
     "x80_neardup_indexed" -> baseOracleSql("x75_incremental_neardup"),

@@ -585,6 +585,15 @@ object ScaleBench {
         e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
         k = 5, dims = 16)
     }),
+    // codes-table ADC short-list (zero training, x124's class) + a
+    // queries×shortlist broadcast vector fetch — the serving form of
+    // x130's two stages
+    ("x134_pq_rerank_indexed", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Similarity.pqRerankTopKIndexed(s,
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        pqTables._1, pqTables._2, topK = 5, shortlist = 50)
+    }),
     // two digest scans + one id-keyed full-outer join of 40-byte rows;
     // text never moves past the scans
     ("x133_snapshot_diff", (s: SparkSession, dir: String) => {

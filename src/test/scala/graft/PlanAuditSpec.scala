@@ -900,6 +900,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
   }
 
+  test("x134 indexed two-stage re-rank: codes-table short-list, zero " +
+      "training, broadcast vector fetch — exactly two ranking exchanges") {
+    val p = plan("x134_pq_rerank_indexed")
+    assert(p.contains("pq_codes"), s"codes table not scanned:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian leaked into the re-rank:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"candidate fetch should be broadcast-hash joins:\n$p")
+    // the ADC short-list window + the exact re-rank window, no more
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"unexpected extra exchange in the indexed two-stage plan:\n$p")
+  }
+
   test("x133 snapshot diff moves (id, digest) pairs only: digests " +
       "computed scan-side, one full-outer id join, text never exchanged") {
     val p = plan("x133_snapshot_diff")

@@ -525,6 +525,28 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("shortlist"))
   }
 
+  test("pqRerankTopKIndexed (x134): serves pqRerankTopK's rows from the " +
+      "persisted index — the two-stage path with zero training") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val (codesT, booksT) = ("graft_idx_test.rr_pq_codes",
+      "graft_idx_test.rr_pq_books")
+    dropManaged(codesT, booksT)
+    Similarity.writePqIndex(pqVecs, "vec_id", "embedding",
+      codesT, booksT, m = 2, k = 2, rounds = 2)
+    val q = pqVecs.filter("vec_id < 2")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"),
+        r.getAs[Double]("similarity"))).toSet
+    val direct = rows(Similarity.pqRerankTopK(q, pqVecs, "vec_id",
+      "embedding", topK = 3, shortlist = 5, m = 2, k = 2, rounds = 2))
+    val indexed = Similarity.pqRerankTopKIndexed(spark, q, pqVecs,
+      "vec_id", "embedding", codesT, booksT, topK = 3, shortlist = 5)
+    assert(rows(indexed) == direct && direct.nonEmpty)
+    val p = indexed.queryExecution.optimizedPlan.toString
+    assert(p.contains("rr_pq_codes"), s"codes table not scanned:\n$p")
+  }
+
   test("recallReport (x128): a perfect approximation reads 1.0, top-1 " +
       "against exact top-2 reads 0.5; counts are audit-exact") {
     val q = pqVecs.filter("vec_id < 2")
