@@ -1124,20 +1124,21 @@ object ExtensionQueries {
     // approximate method (x10 IVF, x121 PQ-ADC, x123 IVF-PQ) recovers
     // on the fixture query set — the acceptance metric nprobe/m/k are
     // tuned against; micro-averaged so the whole report is
-    // integer-exact up to one final division. The PQ legs serve from
-    // the PERSISTED indexes (identical rows by the x124/x127
-    // guarantee, zero training) — a continuous audit must not retrain
-    // the model it is auditing.
+    // integer-exact up to one final division. ALL approximate legs
+    // serve from the PERSISTED indexes (identical rows by the
+    // x91/x124/x127 guarantees, zero training / zero corpus
+    // re-assignment) — a continuous audit must not recompute the
+    // model it is auditing.
     "x128_ann_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
-      val cents = e.filter(col("vec_id") < 16)
+      val (annAssign, annCent) = annIndexFor(s, dir)
       val (pqCodes, pqBooks) = pqIndexFor(s, dir)
       val (ipCodes, ipBooks, ipCent) = ivfPqIndexFor(s, dir)
       Similarity.recallReport(Seq(
         ("ivf", Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 3),
-          Similarity.ivfTopK(q, e, cents, "vec_id", "embedding",
-            k = 3, nprobe = 2), 3),
+          Similarity.ivfTopKIndexed(q, "vec_id", "embedding",
+            k = 3, nprobe = 2, annAssign, annCent), 3),
         ("pq", Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5),
           Similarity.pqTopKIndexed(s, q, "vec_id", "embedding",
             pqCodes, pqBooks, topK = 5), 5),

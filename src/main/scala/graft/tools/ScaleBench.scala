@@ -542,21 +542,23 @@ object ScaleBench {
         ivfPqTables._1, ivfPqTables._2, ivfPqTables._3,
         topK = 5, nprobe = 2)
     }),
-    // the audit joins are top-k-sized; the legs dominate — brute force
-    // (10-query broadcast scan), IVF (bucket-pruned), PQ/IVF-PQ
-    // (training + codes) all replicate their own probes' shapes
+    // the audit joins are top-k-sized; every approximate leg serves
+    // from its persisted index (the registered query's shape) — the
+    // brute-force exact legs are the only corpus-vector scans
     ("x128_ann_recall", (s: SparkSession, dir: String) => {
       val sim = graft.operators.Similarity
       val e = Tables(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
-      val cents = e.filter(col("vec_id") < nCent)
       sim.recallReport(Seq(
         ("ivf", sim.bruteForceTopK(q, e, "vec_id", "embedding", 3),
-          sim.ivfTopK(q, e, cents, "vec_id", "embedding", 3, 2), 3),
+          sim.ivfTopKIndexed(q, "vec_id", "embedding", 3, 2,
+            annTables._1, annTables._2), 3),
         ("pq", sim.bruteForceTopK(q, e, "vec_id", "embedding", 5),
-          sim.pqTopK(q, e, "vec_id", "embedding", 5), 5),
+          sim.pqTopKIndexed(s, q, "vec_id", "embedding",
+            pqTables._1, pqTables._2, 5), 5),
         ("ivfpq", sim.bruteForceTopK(q, e, "vec_id", "embedding", 5),
-          sim.ivfPqTopK(q, e, cents, "vec_id", "embedding", 5, 2), 5)))
+          sim.ivfPqTopKIndexed(s, q, "vec_id", "embedding",
+            ivfPqTables._1, ivfPqTables._2, ivfPqTables._3, 5, 2), 5)))
     }),
     // SAMPLE-trained distortion with the sample held to a CONSTANT
     // absolute budget as data grows (trainPct 50 at 1x -> 5 at 10x, the
