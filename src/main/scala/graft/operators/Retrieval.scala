@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graft.TextExpressions
@@ -84,25 +85,32 @@ object Retrieval {
     * scans) and [[bm25TopKIndexed]] (persisted index scans) both end
     * here, so the scoring LAW — idf/tf-norm rounding, DECIMAL sum,
     * (score desc, doc_id) top-k — cannot diverge between the forms. */
+  /** The idf law, shared by every scoring form so it cannot diverge:
+    * ln(1 + (N − df + ½)/(df + ½)), rounded at 1e-4 BEFORE use (the
+    * x25 libm-divergence shim). Reads `n_docs` and `df` columns. */
+  private def idfExpr: Column = Num.fpRound(
+    log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))), 4)
+
+  /** The tf-normalization law, shared by every scoring form:
+    * tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)), pure IEEE-exact ops on
+    * identical inputs, rounded at 1e-4. Reads `tf`, `dl`, `avgdl`. */
+  private def tfNormExpr(k1: Double, b: Double): Column = Num.fpRound(
+    col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") / col("avgdl"))), 4)
+
   private def scoreTopK(tf: DataFrame, stats: DataFrame, topK: Int,
                         k1: Double, b: Double): DataFrame = {
     // document frequency per query term: aggregates the filtered stream
     // — the result is at most |query| rows, broadcast back.
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
-    val idf = Num.fpRound(
-      log(lit(1.0) +
-        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))), 4)
-    val tfNorm = Num.fpRound(
-      col("tf").cast("double") * lit(k1 + 1.0) /
-        (col("tf").cast("double") +
-          lit(k1) * (lit(1.0 - b) +
-            lit(b) * col("dl").cast("double") / col("avgdl"))), 4)
-
     tf.join(broadcast(dfq), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("contrib", Num.fpRound(idf * tfNorm, 4))
+      .withColumn("contrib", Num.fpRound(idfExpr * tfNormExpr(k1, b), 4))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), Num.dsum(col("contrib")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -203,6 +211,194 @@ object Retrieval {
         col("sum_dl").cast("double") / col("n_docs").cast("double"))
       .select(col("n_docs"), col("avgdl"))
     scoreTopK(tf, stats, topK, k1, b)
+  }
+
+  /** PER-QUERY BM25 over the persisted index (x135's lexical leg) —
+    * the multi-query serving form retrieval-training workloads need
+    * (RAG batch serving, hard-negative mining, contrastive-pair
+    * construction): each query row brings its own text, its DISTINCT
+    * tokens are that query's term bag, and the result ranks the corpus
+    * per query as `(query_id, doc_id, n_terms, rank, score)` with the
+    * query's own document excluded (a query trivially retrieves
+    * itself). Scoring laws are [[scoreTopK]]'s verbatim — idf/tf-norm
+    * rounded at 1e-4, per-(query, doc) DECIMAL sum — with document
+    * frequencies computed per TERM over the corpus (df is a corpus
+    * property; queries share it).
+    *
+    * Scale shape: the union term set is collected first (ONE eager job,
+    * bounded by the query set's vocabulary — the degenerate-input-guard
+    * tier, same as [[graft.operators.Similarity.ivfTopKIndexed]]'s
+    * probed-centroid collect) and pushed as an IN predicate on the
+    * postings table's BUCKETING column, so the scan reads only the
+    * query terms' buckets (`SelectedBucketsCount`, spec-pinned). The
+    * (query, term) bag is query-set-sized and broadcasts; the heavy
+    * side — postings rows for matching terms — never moves except into
+    * the per-(query_id, doc_id) partial-aggregated sum. `maxDf` is the
+    * stopword guard a 100 TB deployment needs: a query term present in
+    * half the corpus drags a corpus-sized candidate set through the
+    * per-query ranking (the classic lexical-retrieval blowup that
+    * impact-ordered/WAND engines exist to dodge); dropping query terms
+    * with df > maxDf bounds each query's candidate set by
+    * |terms| · maxDf rows. Default keeps every term (the fixture
+    * contract the oracle mirrors). */
+  def bm25TopKPerQueryIndexed(spark: org.apache.spark.sql.SparkSession,
+                              postingsTable: String, statsTable: String,
+                              queries: DataFrame, idCol: String,
+                              textCol: String, topK: Int,
+                              k1: Double = 1.2, b: Double = 0.75,
+                              maxDf: Option[Long] = None): DataFrame = {
+    val qterms = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(TextExpressions.termCounts(col(textCol))).as("tc"))
+      .select(col("query_id"), col("tc.term").as("term"))
+      .distinct()
+    val terms = qterms.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty,
+      "bm25TopKPerQueryIndexed: query set has no tokenizable text")
+    val post = spark.table(postingsTable)
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    // df per term over the PRUNED stream — restricting postings to the
+    // union term set keeps every document containing each kept term, so
+    // this is the corpus df, shared across queries. The stopword cut
+    // (maxDf) applies AFTER df is measured: df is what defines a
+    // stopword.
+    val dfqAll = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfq = maxDf.fold(dfqAll)(m => dfqAll.filter(col("df") <= m))
+    val stats = spark.table(statsTable)
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .select(col("n_docs"), col("avgdl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    post.join(broadcast(dfq), "term")
+      .join(broadcast(qterms), "term")
+      .filter(col("query_id") =!= col("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", Num.fpRound(idfExpr * tfNormExpr(k1, b), 4))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), Num.dsum(col("contrib")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
+  /** Reciprocal-rank fusion (x135) — the standard hybrid-retrieval
+    * combiner (Cormack/Clarke/Buettcher, SIGIR'09): fuse a lexical and
+    * a dense ranking of the same corpus for the same query set by
+    * rrf(d) = Σ_legs 1/(k0 + rank_leg(d)), summing only over legs that
+    * retrieved d. Rank positions, not scores, enter the sum, so the
+    * legs need no score calibration — exactly why RRF is the default
+    * fuser in production hybrid search. Inputs are the legs' top-k
+    * frames: `lex` as `(query_id, doc_id, rank, …)` (the
+    * [[bm25TopKPerQueryIndexed]] shape) and `vec` as
+    * `(query_id, neighbor_id, rank, …)` (the
+    * [[graft.operators.Similarity.ivfTopKIndexed]] shape). Output:
+    * `(query_id, doc_id, lex_rank, vec_rank, fused_rank, rrf_score)`
+    * with per-leg ranks NULL where a leg missed the document.
+    *
+    * Scale shape: both inputs are top-k-sized (|queries| · k rows) —
+    * the fusion full-outer join, the reciprocal arithmetic, and the
+    * per-query re-rank window all run on frames thousands of times
+    * smaller than the corpus; the corpus-scale work happened inside
+    * the legs, each serving from its persisted index.
+    *
+    * Numeric law: each reciprocal 1/(k0 + rank) is rounded at 1e-6,
+    * the two-term sum is rounded at 1e-6 again (both engines perform
+    * the identical IEEE additions — no accumulation order exists in a
+    * two-term sum), and the fused rank breaks score ties by ascending
+    * doc id. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, topK: Int,
+              k0: Int = 60): DataFrame = {
+    require(k0 > 0, "rrfFuse: k0 must be positive (Okapi convention 60)")
+    val l = lex.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("lex_rank"))
+    val v = vec.select(col("query_id"),
+      col("neighbor_id").as("doc_id"), col("rank").cast("long").as("vec_rank"))
+    def recip(rank: Column): Column =
+      when(rank.isNotNull,
+        Num.fpRound(lit(1.0) / (lit(k0.toDouble) + rank.cast("double")), 6))
+        .otherwise(lit(0.0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    l.join(v, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        Num.fpRound(recip(col("lex_rank")) + recip(col("vec_rank")), 6))
+      .withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("vec_rank"), col("fused_rank").cast("long").as("fused_rank"),
+        col("rrf_score"))
+  }
+
+  /** Hard-negative mining (x136) — the contrastive-training data op:
+    * for each query, the documents its DENSE leg retrieves that its
+    * LEXICAL leg does not. Semantically close but lexically unmatched
+    * is the textbook definition of a hard negative (DPR, Karpukhin et
+    * al. 2020 mine exactly this way, with roles swapped); emitting
+    * `(query_id, neighbor_id, neg_rank, similarity)` re-ranked by
+    * descending similarity gives the curriculum the hardest negatives
+    * first. Inputs are the same two leg frames [[rrfFuse]] takes; the
+    * anti-join and re-rank run on top-k-sized frames — at 100 TB this
+    * stage is free, the legs' persisted indexes did the work. */
+  def hardNegatives(vec: DataFrame, lex: DataFrame, topK: Int): DataFrame = {
+    val l = lex.select(col("query_id"), col("doc_id").as("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("similarity").desc, col("neighbor_id"))
+    vec.select(col("query_id"), col("neighbor_id"), col("similarity"))
+      .join(broadcast(l), Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("neg_rank").cast("long").as("neg_rank"), col("similarity"))
+  }
+
+  /** Contrastive-triplet construction (x137) — the training artifact
+    * the retrieval ops exist to produce: per query, (anchor, positive,
+    * negative) with the positive = the lexical leg's top-1 document
+    * (the strongest term-overlap match — the weak-supervision label
+    * BM25-mined training sets use) and the negatives = [[hardNegatives]]'
+    * output, hardest first. Queries whose lexical leg retrieved nothing
+    * form no triplet (no positive exists — emitting one would be
+    * label noise). All inputs are top-k-sized; the join is
+    * query-count-sized and broadcasts. */
+  def contrastiveTriplets(vec: DataFrame, lex: DataFrame,
+                          negK: Int): DataFrame = {
+    val pos = lex.filter(col("rank") === 1)
+      .select(col("query_id"), col("doc_id").as("pos_id"))
+    hardNegatives(vec, lex, negK)
+      .join(broadcast(pos), Seq("query_id"))
+      .select(col("query_id"), col("pos_id"),
+        col("neighbor_id").as("neg_id"), col("neg_rank"), col("similarity"))
+  }
+
+  /** Fusion-leg complementarity audit (x138) — the acceptance metric
+    * for RUNNING a hybrid stack at all: per query, how many documents
+    * each leg retrieved and how many they agree on, plus the Jaccard
+    * overlap. Overlap near 1 means the dense tier duplicates the
+    * lexical one (turn it off and save the index); overlap near 0
+    * with good end recall is the regime RRF exists for. Counts are
+    * exact integers; the one division is performed identically in
+    * both engines and rounded at 1e-6. Both inputs are top-k-sized —
+    * the audit is corpus-free. */
+  def legOverlap(lex: DataFrame, vec: DataFrame): DataFrame = {
+    val l = lex.select(col("query_id"), col("doc_id"))
+      .withColumn("in_lex", lit(1))
+    val v = vec.select(col("query_id"), col("neighbor_id").as("doc_id"))
+      .withColumn("in_vec", lit(1))
+    l.join(v, Seq("query_id", "doc_id"), "full_outer")
+      .groupBy(col("query_id"))
+      .agg(count(col("in_lex")).as("n_lex"),
+        count(col("in_vec")).as("n_vec"),
+        count(when(col("in_lex").isNotNull && col("in_vec").isNotNull,
+          lit(1))).as("n_both"))
+      .withColumn("jaccard", Num.fpRound(
+        col("n_both").cast("double") /
+          (col("n_lex") + col("n_vec") - col("n_both")).cast("double"), 6))
+      .select(col("query_id"), col("n_lex"), col("n_vec"),
+        col("n_both"), col("jaccard"))
   }
 
   /** Frozen BM25 corpus statistics for a query — the driver-held,

@@ -1221,6 +1221,74 @@ object ExtensionQueries {
       val (pqCodes, pqBooks) = pqIndexFor(s, dir)
       Similarity.pqRerankTopKIndexed(s, e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", pqCodes, pqBooks, topK = 5, shortlist = 50)
+    }),
+
+    // x135 — hybrid retrieval with reciprocal-rank fusion: the
+    // production RAG serving shape — a lexical leg (PER-QUERY BM25
+    // over the x107 postings index, each query doc's own tokens as
+    // its term bag) and a dense leg (IVF top-k over the x91 ANN
+    // index) fused by rrf = Σ 1/(60 + rank). Both legs serve from
+    // persisted indexes (zero text kernels, zero assignment); the
+    // fusion join + re-rank are top-k-sized.
+    "x135_hybrid_rrf" -> ((s, dir) => {
+      val (post, stats) = bm25IndexFor(s, dir)
+      val (annAssign, annCent) = annIndexFor(s, dir)
+      val lex = Retrieval.bm25TopKPerQueryIndexed(s, post, stats,
+        t(s, dir, "documents").filter(col("doc_id") < 10),
+        "doc_id", "text", topK = 10)
+      val vec = Similarity.ivfTopKIndexed(
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 10, nprobe = 2, annAssign, annCent)
+      Retrieval.rrfFuse(lex, vec, topK = 10)
+    }),
+
+    // x136 — hard-negative mining: per query, the documents the DENSE
+    // leg retrieves that the LEXICAL leg does not — semantically close
+    // but lexically unmatched, re-ranked hardest (most similar) first.
+    // The contrastive-training data op (DPR-style), built from the
+    // same two persisted-index legs as x135.
+    "x136_hard_negatives" -> ((s, dir) => {
+      val (post, stats) = bm25IndexFor(s, dir)
+      val (annAssign, annCent) = annIndexFor(s, dir)
+      val lex = Retrieval.bm25TopKPerQueryIndexed(s, post, stats,
+        t(s, dir, "documents").filter(col("doc_id") < 10),
+        "doc_id", "text", topK = 10)
+      val vec = Similarity.ivfTopKIndexed(
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 10, nprobe = 2, annAssign, annCent)
+      Retrieval.hardNegatives(vec, lex, topK = 5)
+    }),
+
+    // x137 — contrastive triplets: the training artifact itself —
+    // (anchor, positive = lexical top-1, negative = x136's mined
+    // hard negatives), hardest first; queries whose lexical leg
+    // retrieved nothing form no triplet. Same persisted-index legs.
+    "x137_contrastive_triplets" -> ((s, dir) => {
+      val (post, stats) = bm25IndexFor(s, dir)
+      val (annAssign, annCent) = annIndexFor(s, dir)
+      val lex = Retrieval.bm25TopKPerQueryIndexed(s, post, stats,
+        t(s, dir, "documents").filter(col("doc_id") < 10),
+        "doc_id", "text", topK = 10)
+      val vec = Similarity.ivfTopKIndexed(
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 10, nprobe = 2, annAssign, annCent)
+      Retrieval.contrastiveTriplets(vec, lex, negK = 5)
+    }),
+
+    // x138 — fusion-leg complementarity audit: per query, each leg's
+    // hit count and their agreement (n_both + Jaccard) — the
+    // acceptance metric for running a hybrid stack at all (overlap
+    // ≈ 1 means the dense tier duplicates the lexical one).
+    "x138_fusion_overlap" -> ((s, dir) => {
+      val (post, stats) = bm25IndexFor(s, dir)
+      val (annAssign, annCent) = annIndexFor(s, dir)
+      val lex = Retrieval.bm25TopKPerQueryIndexed(s, post, stats,
+        t(s, dir, "documents").filter(col("doc_id") < 10),
+        "doc_id", "text", topK = 10)
+      val vec = Similarity.ivfTopKIndexed(
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 10, nprobe = 2, annAssign, annCent)
+      Retrieval.legOverlap(lex, vec)
     })
   )
 
@@ -2911,6 +2979,77 @@ object ExtensionQueries {
        ${agg("pq_rerank", "rr")}"""
   }
 
+  /** Shared CTE chain for the hybrid-retrieval oracles (x135/x136),
+    * ending in `lex` (per-query BM25 top-`lexK` over x98's laws —
+    * query terms = each query doc's DISTINCT tokens, query's own doc
+    * excluded, idf/tf-norm rounded 1e-4, per-(query, doc) DECIMAL
+    * sum) and `vec` (the x10 IVF chain at k=`vecK`, rank + 1e-6
+    * rounded similarity). */
+  private def hybridLegsCtes(nQueries: Int, lexK: Int, vecK: Int,
+                             nprobe: Int, numCentroids: Int): String =
+    s"""toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS t
+           FROM documents),
+         lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM lens),
+         qt AS (SELECT DISTINCT doc_id AS query_id, u.term AS term
+           FROM toks, unnest(t) AS u(term) WHERE doc_id < $nQueries),
+         tf AS (SELECT doc_id, u.term AS term,
+             CAST(count(*) AS DOUBLE) AS tf
+           FROM toks, unnest(t) AS u(term)
+           WHERE u.term IN (SELECT term FROM qt)
+           GROUP BY 1, 2),
+         dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+           FROM tf GROUP BY 1),
+         contrib AS (SELECT query_id, doc_id,
+             floor((floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                      * 10000 + 0.5) / 10000.0)
+                 * (floor(tf * (1.2 + 1.0)
+                      / (tf + 1.2 * ((1.0 - 0.75)
+                          + 0.75 * dl / avgdl))
+                      * 10000 + 0.5) / 10000.0)
+               * 10000 + 0.5) / 10000.0 AS c
+           FROM tf JOIN qt USING (term) JOIN lens USING (doc_id)
+             JOIN dfq USING (term) CROSS JOIN stats
+           WHERE doc_id <> query_id),
+         lexs AS (SELECT query_id, doc_id,
+             CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE) AS score
+           FROM contrib GROUP BY 1, 2),
+         lex AS (SELECT query_id, doc_id,
+             CAST(row_number() OVER wl AS BIGINT) AS lex_rank
+           FROM lexs
+           WINDOW wl AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
+           QUALIFY row_number() OVER wl <= $lexK),
+         cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+           FROM embeddings WHERE vec_id < $numCentroids),
+         corp AS (SELECT vec_id AS neighbor_id, embedding AS cv
+           FROM embeddings),
+         assigned AS (SELECT neighbor_id, cv, centroid_id FROM (
+           SELECT neighbor_id, cv, centroid_id, row_number() OVER
+             (PARTITION BY neighbor_id
+              ORDER BY ${duckCos("cv", "centv")} DESC, centroid_id) AS arn
+           FROM corp, cent) WHERE arn = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < $nQueries),
+         probes AS (SELECT query_id, qv, centroid_id FROM (
+           SELECT query_id, qv, centroid_id, row_number() OVER
+             (PARTITION BY query_id
+              ORDER BY ${duckCos("qv", "centv")} DESC, centroid_id) AS prn
+           FROM q, cent) WHERE prn <= $nprobe),
+         scoredv AS (SELECT query_id, neighbor_id,
+             ${duckCos("qv", "cv")} AS sim
+           FROM assigned JOIN probes USING (centroid_id)
+           WHERE query_id <> neighbor_id),
+         vec AS (SELECT query_id, neighbor_id,
+             CAST(row_number() OVER wv AS BIGINT) AS vec_rank,
+             floor(sim * 1000000 + 0.5) / 1000000.0 AS similarity
+           FROM scoredv
+           WINDOW wv AS (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id)
+           QUALIFY row_number() OVER wv <= $vecK)"""
+
   /** x128's oracle: exact brute-force top-k (two cuts), the x10 IVF
     * leg, the x121 ADC leg and the x123 IVF-PQ leg — all sharing one
     * training/assignment CTE chain — each joined back against its
@@ -4045,6 +4184,78 @@ object ExtensionQueries {
            floor(sim * 1000000 + 0.5) / 1000000.0 AS similarity
          FROM scored
          WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
-         QUALIFY row_number() OVER w <= 5"""
+         QUALIFY row_number() OVER w <= 5""",
+    // hybrid fusion: each leg's reciprocal 1/(60 + rank) rounded 1e-6,
+    // the two-term sum rounded 1e-6 (identical IEEE adds both engines —
+    // no accumulation order in a two-term sum), NULL leg-rank -> 0
+    "x135_hybrid_rrf" ->
+      s"""WITH ${hybridLegsCtes(10, 10, 10, 2, 16)},
+         fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+             coalesce(l.doc_id, v.neighbor_id) AS doc_id,
+             l.lex_rank, v.vec_rank
+           FROM lex l FULL OUTER JOIN vec v
+             ON l.query_id = v.query_id AND l.doc_id = v.neighbor_id),
+         rrf AS (SELECT query_id, doc_id, lex_rank, vec_rank,
+             floor((coalesce(floor(1.0 / (60.0 + lex_rank)
+                      * 1000000 + 0.5) / 1000000.0, 0.0)
+                  + coalesce(floor(1.0 / (60.0 + vec_rank)
+                      * 1000000 + 0.5) / 1000000.0, 0.0))
+               * 1000000 + 0.5) / 1000000.0 AS rrf_score
+           FROM fused)
+         SELECT query_id, doc_id, lex_rank, vec_rank,
+           CAST(row_number() OVER wf AS BIGINT) AS fused_rank, rrf_score
+         FROM rrf
+         WINDOW wf AS (PARTITION BY query_id
+           ORDER BY rrf_score DESC, doc_id)
+         QUALIFY row_number() OVER wf <= 10""",
+    // dense hits absent from the lexical top-k, re-ranked by the 1e-6
+    // rounded similarity (the ordering both engines share)
+    "x136_hard_negatives" ->
+      s"""WITH ${hybridLegsCtes(10, 10, 10, 2, 16)}
+         SELECT query_id, neighbor_id,
+           CAST(row_number() OVER wn AS BIGINT) AS neg_rank, similarity
+         FROM vec v
+         WHERE NOT EXISTS (SELECT 1 FROM lex l
+           WHERE l.query_id = v.query_id AND l.doc_id = v.neighbor_id)
+         WINDOW wn AS (PARTITION BY query_id
+           ORDER BY similarity DESC, neighbor_id)
+         QUALIFY row_number() OVER wn <= 5""",
+    // x136's negatives joined to the lexical top-1 positive; queries
+    // without a lexical hit produce no triplet (inner join)
+    "x137_contrastive_triplets" ->
+      s"""WITH ${hybridLegsCtes(10, 10, 10, 2, 16)},
+         negs AS (SELECT query_id, neighbor_id,
+             CAST(row_number() OVER wn AS BIGINT) AS neg_rank, similarity
+           FROM vec v
+           WHERE NOT EXISTS (SELECT 1 FROM lex l
+             WHERE l.query_id = v.query_id AND l.doc_id = v.neighbor_id)
+           WINDOW wn AS (PARTITION BY query_id
+             ORDER BY similarity DESC, neighbor_id)
+           QUALIFY row_number() OVER wn <= 5),
+         pos AS (SELECT query_id, doc_id AS pos_id FROM lex
+           WHERE lex_rank = 1)
+         SELECT query_id, pos_id, neighbor_id AS neg_id, neg_rank,
+           similarity
+         FROM negs JOIN pos USING (query_id)""",
+    // exact integer counts; the one division performed identically in
+    // both engines, rounded 1e-6
+    "x138_fusion_overlap" ->
+      s"""WITH ${hybridLegsCtes(10, 10, 10, 2, 16)},
+         m AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+             CASE WHEN l.doc_id IS NOT NULL THEN 1 END AS in_lex,
+             CASE WHEN v.neighbor_id IS NOT NULL THEN 1 END AS in_vec
+           FROM lex l FULL OUTER JOIN vec v
+             ON l.query_id = v.query_id AND l.doc_id = v.neighbor_id)
+         SELECT query_id, CAST(count(in_lex) AS BIGINT) AS n_lex,
+           CAST(count(in_vec) AS BIGINT) AS n_vec,
+           CAST(count(CASE WHEN in_lex IS NOT NULL
+             AND in_vec IS NOT NULL THEN 1 END) AS BIGINT) AS n_both,
+           floor(CAST(count(CASE WHEN in_lex IS NOT NULL
+                 AND in_vec IS NOT NULL THEN 1 END) AS DOUBLE)
+               / CAST(count(in_lex) + count(in_vec)
+                 - count(CASE WHEN in_lex IS NOT NULL
+                     AND in_vec IS NOT NULL THEN 1 END) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS jaccard
+         FROM m GROUP BY 1"""
   )
 }

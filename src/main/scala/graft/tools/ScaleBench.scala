@@ -560,6 +560,65 @@ object ScaleBench {
           sim.ivfPqTopKIndexed(s, q, "vec_id", "embedding",
             ivfPqTables._1, ivfPqTables._2, ivfPqTables._3, 5, 2), 5)))
     }),
+    // hybrid serving at a CONSTANT query load as the corpus grows —
+    // the serving profile: both legs are bucket-pruned index scans
+    // (postings by term, ANN assignment by probed centroid), the
+    // fusion join is top-k-sized; growth comes only from the pruned
+    // buckets (term postings and centroid buckets each ~10x) while
+    // everything after the legs stays constant
+    ("x135_hybrid_rrf", (s: SparkSession, dir: String) => {
+      val ret = graft.operators.Retrieval
+      val lex = ret.bm25TopKPerQueryIndexed(s, bm25Tables._1,
+        bm25Tables._2,
+        Tables(s, dir, "documents").filter(col("doc_id") < 10),
+        "doc_id", "text", topK = 10)
+      val vec = graft.operators.Similarity.ivfTopKIndexed(
+        Tables(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 10, nprobe = 2,
+        annTables._1, annTables._2)
+      ret.rrfFuse(lex, vec, topK = 10)
+    }),
+    // same two legs, anti-join tail: the mining stage adds nothing
+    // corpus-sized on top of the legs
+    ("x136_hard_negatives", (s: SparkSession, dir: String) => {
+      val ret = graft.operators.Retrieval
+      val lex = ret.bm25TopKPerQueryIndexed(s, bm25Tables._1,
+        bm25Tables._2,
+        Tables(s, dir, "documents").filter(col("doc_id") < 10),
+        "doc_id", "text", topK = 10)
+      val vec = graft.operators.Similarity.ivfTopKIndexed(
+        Tables(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 10, nprobe = 2,
+        annTables._1, annTables._2)
+      ret.hardNegatives(vec, lex, topK = 5)
+    }),
+    // triplet emission = x136 + a query-count-sized broadcast join
+    ("x137_contrastive_triplets", (s: SparkSession, dir: String) => {
+      val ret = graft.operators.Retrieval
+      val lex = ret.bm25TopKPerQueryIndexed(s, bm25Tables._1,
+        bm25Tables._2,
+        Tables(s, dir, "documents").filter(col("doc_id") < 10),
+        "doc_id", "text", topK = 10)
+      val vec = graft.operators.Similarity.ivfTopKIndexed(
+        Tables(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 10, nprobe = 2,
+        annTables._1, annTables._2)
+      ret.contrastiveTriplets(vec, lex, negK = 5)
+    }),
+    // the audit is corpus-free past the legs: a top-k-sized full-outer
+    // join into a |queries|-row aggregate
+    ("x138_fusion_overlap", (s: SparkSession, dir: String) => {
+      val ret = graft.operators.Retrieval
+      val lex = ret.bm25TopKPerQueryIndexed(s, bm25Tables._1,
+        bm25Tables._2,
+        Tables(s, dir, "documents").filter(col("doc_id") < 10),
+        "doc_id", "text", topK = 10)
+      val vec = graft.operators.Similarity.ivfTopKIndexed(
+        Tables(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 10, nprobe = 2,
+        annTables._1, annTables._2)
+      ret.legOverlap(lex, vec)
+    }),
     // SAMPLE-trained distortion with the sample held to a CONSTANT
     // absolute budget as data grows (trainPct 50 at 1x -> 5 at 10x, the
     // warehouse sizing rule: the codebook is k·dim numbers, its training

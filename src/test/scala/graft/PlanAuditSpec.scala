@@ -924,6 +924,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
   }
 
+  test("x135-x138 hybrid legs serve from BOTH persisted indexes: " +
+      "postings + ANN buckets pruned, corpus text kernels only on the " +
+      "10-row query frame, fusion joins broadcast") {
+    Seq("x135_hybrid_rrf", "x136_hard_negatives",
+        "x137_contrastive_triplets", "x138_fusion_overlap").foreach { q =>
+      val p = plan(q)
+      // both index families are scanned...
+      assert(p.contains("bm25_post_") && p.contains("ann_assign_"),
+        s"$q: a leg bypassed its persisted index:\n$p")
+      // ...with their IN predicates pruning buckets (postings by term,
+      // ANN assignment by probed centroid)
+      assert("SelectedBucketsCount".r.findAllIn(p).size >= 2,
+        s"$q: bucket pruning missing on a leg:\n$p")
+      // the corpus side recomputes nothing: the only term-count
+      // kernels are the query frame's own tokenization — once per
+      // consumer of the lexical leg (x137 consumes it twice: the
+      // anti-join and the positive pick), each over the pushed-down
+      // 10-row scan the documents assert below proves
+      val lexConsumers = if (q == "x137_contrastive_triplets") 2 else 1
+      assert("(?i)termcounts".r.findAllIn(p).size <= lexConsumers,
+        s"$q: corpus postings recomputed from text at query time:\n$p")
+      assert("(?i)nearestcentroid".r.findAllIn(p).isEmpty,
+        s"$q: corpus assignment recomputed at query time:\n$p")
+      assert(p.contains("LessThan(doc_id,10)") || !p.contains("documents"),
+        s"$q: documents scanned without the query-set pushdown:\n$p")
+      assert(p.contains("LessThan(vec_id,10)") || !p.contains("embeddings"),
+        s"$q: embeddings scanned without the query-set pushdown:\n$p")
+      // the fusion/anti stage is top-k-sized: no cartesian anywhere
+      assert(!p.contains("CartesianProduct"), s"$q: unplanned cartesian:\n$p")
+    }
+  }
+
   test("x119 calibrated gate: no global sort; the 1-row threshold " +
       "broadcasts into a zero-extra-shuffle score filter") {
     val p = plan("x119_calibrated_gate")

@@ -171,6 +171,135 @@ class RetrievalSpec extends SparkSpec {
     assert(incremental.nonEmpty)
   }
 
+  test("bm25TopKPerQueryIndexed (x135): an out-of-corpus query matches " +
+      "the single-query indexed form; ranks are dense from 1") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val (post, stats) =
+      ("graft_idx_test.bm25_post_pq", "graft_idx_test.bm25_stats_pq")
+    Seq(post, stats).foreach(dropIdxTable)
+    Retrieval.writeBm25Index(docs, "doc_id", "text", post, stats,
+      numBuckets = 2)
+    // query id 99 is not a corpus doc, so self-exclusion is a no-op and
+    // the per-query ranking must equal the single-query form's order
+    val queries = Seq((99L, "apple banana cherry")).toDF("doc_id", "text")
+    val perQ = Retrieval.bm25TopKPerQueryIndexed(spark, post, stats,
+      queries, "doc_id", "text", topK = 10)
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val single = Retrieval.bm25TopKIndexed(spark, post, stats,
+      Seq("apple", "banana", "cherry"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(perQ.map(_._1).distinct === Seq(99L))
+    assert(perQ.map(_._4) === (1L to perQ.length.toLong))
+    assert(perQ.map(t => (t._2, t._3, t._5)) === single)
+  }
+
+  test("bm25TopKPerQueryIndexed: a query never retrieves its own doc; " +
+      "maxDf prunes corpus-wide stopword terms") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val (post, stats) =
+      ("graft_idx_test.bm25_post_pq2", "graft_idx_test.bm25_stats_pq2")
+    Seq(post, stats).foreach(dropIdxTable)
+    Retrieval.writeBm25Index(docs, "doc_id", "text", post, stats,
+      numBuckets = 2)
+    // doc 1's own text as the query: doc 1 itself must be excluded even
+    // though it is the best lexical match for its own terms
+    val self = Retrieval.bm25TopKPerQueryIndexed(spark, post, stats,
+      docs.filter(col("doc_id") === 1), "doc_id", "text", topK = 10)
+      .collect()
+    assert(self.forall(_.getLong(1) != 1L),
+      "query retrieved its own document")
+    // df(apple)=2, df(plain)=1: maxDf=1 keeps only 'plain' -> only doc 4
+    val pruned = Retrieval.bm25TopKPerQueryIndexed(spark, post, stats,
+      Seq((99L, "apple plain")).toDF("doc_id", "text"),
+      "doc_id", "text", topK = 10, maxDf = Some(1L))
+      .collect().map(_.getLong(1)).toSeq
+    assert(pruned === Seq(4L), s"expected only the rare-term doc: $pruned")
+    // the serving plan prunes postings buckets via the collected IN set
+    val p = Retrieval.bm25TopKPerQueryIndexed(spark, post, stats,
+      docs.filter(col("doc_id") === 1), "doc_id", "text", topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"),
+      s"term IN set should prune postings buckets:\n$p")
+  }
+
+  /** The rrfFuse numeric law, re-derived in plain Scala. */
+  private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+  private def recip(rank: Long): Double = r6(1.0 / (60.0 + rank))
+
+  test("rrfFuse (x135): reciprocal-rank sum with NULL-safe leg misses " +
+      "and (score desc, id) re-rank") {
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 11L, 1L, 0.9), (1L, 12L, 2L, 0.8))
+      .toDF("query_id", "neighbor_id", "rank", "similarity")
+    val out = Retrieval.rrfFuse(lex, vec, topK = 10)
+      .orderBy(col("fused_rank")).collect()
+    // doc 11 is in both legs -> two reciprocals; 10 and 12 one each
+    val expect = Seq(
+      (11L, Option(2L), Option(1L), r6(recip(2) + recip(1))),
+      (10L, Option(1L), None, r6(recip(1) + 0.0)),
+      (12L, None, Option(2L), r6(0.0 + recip(2))))
+    assert(out.length === 3)
+    out.zip(expect).zipWithIndex.foreach { case ((row, e), i) =>
+      assert(row.getLong(1) === e._1, s"doc order at $i")
+      assert((if (row.isNullAt(2)) None else Some(row.getLong(2))) === e._2)
+      assert((if (row.isNullAt(3)) None else Some(row.getLong(3))) === e._3)
+      assert(row.getLong(4) === i + 1L)
+      assert(row.getDouble(5) === e._4, s"rrf score at $i")
+    }
+  }
+
+  test("hardNegatives (x136): dense-only hits survive the anti-join, " +
+      "re-ranked hardest (most similar) first") {
+    val vec = Seq(
+      (1L, 10L, 1L, 0.9), (1L, 11L, 2L, 0.8), (1L, 12L, 3L, 0.7),
+      (2L, 20L, 1L, 0.6))
+      .toDF("query_id", "neighbor_id", "rank", "similarity")
+    val lex = Seq((1L, 10L, 1L), (2L, 21L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.hardNegatives(vec, lex, topK = 5)
+      .orderBy(col("query_id"), col("neg_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // q1: 10 is a lexical positive -> dropped; 11 (0.8) outranks 12 (0.7)
+    // q2: its lexical positive 21 is not a dense hit -> 20 survives
+    assert(out.toSeq === Seq(
+      (1L, 11L, 1L, 0.8), (1L, 12L, 2L, 0.7), (2L, 20L, 1L, 0.6)))
+  }
+
+  test("contrastiveTriplets (x137): the lexical top-1 anchors the " +
+      "positive; queries with no lexical hits form no triplet") {
+    val vec = Seq(
+      (1L, 10L, 1L, 0.9), (1L, 11L, 2L, 0.8), (1L, 12L, 3L, 0.7),
+      (2L, 20L, 1L, 0.6))
+      .toDF("query_id", "neighbor_id", "rank", "similarity")
+    val lex = Seq((1L, 10L, 1L), (1L, 13L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.contrastiveTriplets(vec, lex, negK = 5)
+      .orderBy(col("query_id"), col("neg_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // q1: positive = lexical top-1 (doc 10), negatives = dense-only
+    // hits 11, 12; q2 has no lexical positive -> no triplet
+    assert(out.toSeq === Seq((1L, 10L, 11L, 1L), (1L, 10L, 12L, 2L)))
+  }
+
+  test("legOverlap (x138): exact per-query counts and the 1e-6-rounded " +
+      "Jaccard") {
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 11L, 1L, 0.9), (1L, 12L, 2L, 0.8))
+      .toDF("query_id", "neighbor_id", "rank", "similarity")
+    val out = Retrieval.legOverlap(lex, vec)
+      .orderBy(col("query_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2L, 1L, r6(1.0 / 3.0)), // {10,11} vs {11,12}
+      (2L, 1L, 0L, 0L, 0.0)))          // vec leg empty for q2
+  }
+
   test("bm25Stats rejects an all-NULL-text corpus with a clear message") {
     val nulls = Seq((1L, null: String), (2L, null: String))
       .toDF("doc_id", "text")
