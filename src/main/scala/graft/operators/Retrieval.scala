@@ -246,16 +246,43 @@ object Retrieval {
                               queries: DataFrame, idCol: String,
                               textCol: String, topK: Int,
                               k1: Double = 1.2, b: Double = 0.75,
-                              maxDf: Option[Long] = None): DataFrame = {
-    val qterms = queries
+                              maxDf: Option[Long] = None): DataFrame =
+    bm25ForTermBags(spark, postingsTable, statsTable,
+      tokenizedBags(queries, idCol, textCol), topK, k1, b, maxDf)
+
+  /** Each query row's DISTINCT tokens as its `(query_id, term)` bag —
+    * the input grain [[bm25ForTermBags]] serves. */
+  private def tokenizedBags(queries: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    queries
       .select(col(idCol).cast("long").as("query_id"),
         explode(TextExpressions.termCounts(col(textCol))).as("tc"))
       .select(col("query_id"), col("tc.term").as("term"))
       .distinct()
+
+  /** [[bm25TopKPerQueryIndexed]]'s scoring tail over EXPLICIT
+    * `(query_id, term)` bags — the seam query-expansion forms
+    * ([[bm25TopKExpandedIndexed]]) plug modified bags into while
+    * sharing every law: collected-IN bucket pruning, corpus df on the
+    * pruned stream, idf/tf-norm rounding, per-(query, doc) DECIMAL
+    * sum, self-exclusion, (score desc, doc_id) per-query top-k. */
+  def bm25ForTermBags(spark: org.apache.spark.sql.SparkSession,
+                      postingsTable: String, statsTable: String,
+                      qterms: DataFrame, topK: Int,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      maxDf: Option[Long] = None): DataFrame = {
     val terms = qterms.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
-    require(terms.nonEmpty,
-      "bm25TopKPerQueryIndexed: query set has no tokenizable text")
+    // a bag-less query set retrieves nothing — an empty RESULT, not an
+    // error: the streaming serving twin must survive an all-null-text
+    // micro-batch (the single-query bm25TopKIndexed keeps its require:
+    // explicit empty queryTerms there is a caller bug)
+    if (terms.isEmpty) {
+      val sp = spark
+      import sp.implicits._
+      return Seq.empty[(Long, Long, Long, Long, Double)]
+        .toDF("query_id", "doc_id", "n_terms", "rank", "score")
+    }
     val post = spark.table(postingsTable)
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
@@ -283,6 +310,104 @@ object Retrieval {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("doc_id"), col("n_terms"),
         col("rank").cast("long").as("rank"), col("score"))
+  }
+
+  /** Pseudo-relevance-feedback expansion terms (x139) — RM3-style
+    * query expansion (Lavrenko & Croft's relevance-model family, the
+    * standard PRF recipe): run the query's own terms through the
+    * index, treat the top `fbK` documents as pseudo-relevant, and
+    * rank the NEW terms they contain (terms the query didn't already
+    * have) by idf · total-feedback-tf — rare-in-corpus but
+    * frequent-in-feedback is what expansion wants. Output per query:
+    * the top `expandM` candidates as
+    * `(query_id, term, fb_df, fb_tf, rank, score)` (fb_df = feedback
+    * docs containing the term, fb_tf = its total count in them).
+    *
+    * Scale shape: round 1 is [[bm25ForTermBags]] (bucket-pruned index
+    * scans); its top-k result is COLLECTED and re-broadcast as a
+    * local frame (|queries|·fbK rows — the degenerate-input-guard
+    * tier), so the feedback fetch is one corpus scan with the
+    * feedback ids pushed as an IN predicate (row-group skipping on
+    * the id column) — fbK·|queries| documents' text is all that is
+    * ever tokenized. Candidate dfs come from the postings table with
+    * the candidate term set pushed as the bucket-pruning IN. `corpus`
+    * must be the frame the index was built from (feedback docs are
+    * fetched by id).
+    *
+    * Numeric law: idf is the shared [[idfExpr]] (1e-4-rounded); the
+    * candidate score idf·fb_tf multiplies it by an exact integer and
+    * rounds at 1e-4; rank ties break by ascending term. */
+  def expansionTerms(spark: org.apache.spark.sql.SparkSession,
+                     postingsTable: String, statsTable: String,
+                     queries: DataFrame, idCol: String, textCol: String,
+                     corpus: DataFrame, fbK: Int, expandM: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val qterms = tokenizedBags(queries, idCol, textCol)
+    // ONE eager round-1 job; the result is query-set-sized and comes
+    // back as a local frame so nothing downstream re-runs round 1
+    val r1Rows = bm25ForTermBags(spark, postingsTable, statsTable,
+        qterms, fbK, k1, b)
+      .select(col("query_id"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    if (r1Rows.isEmpty)
+      return Seq.empty[(Long, String, Long, Long, Long, Double)]
+        .toDF("query_id", "term", "fb_df", "fb_tf", "rank", "score")
+    val r1 = r1Rows.toDF("query_id", "doc_id")
+    val fbIds = r1Rows.map(_._2).distinct
+    // feedback text fetch: the only text tokenized is the fbK·|queries|
+    // pseudo-relevant documents', reached via an id IN pushdown
+    val fbTerms = Par.spread(corpus)
+      .filter(col(idCol).isin(fbIds: _*))
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextExpressions.termCounts(col(textCol))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"),
+        col("tc.tf").cast("long").as("tf"))
+    val cand = fbTerms.join(broadcast(r1), "doc_id")
+      .groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("fb_df"), sum(col("tf")).as("fb_tf"))
+      .join(qterms, Seq("query_id", "term"), "left_anti")
+    // candidate term set: eager, bounded by the feedback docs' vocab
+    val candTerms = cand.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (candTerms.isEmpty)
+      return Seq.empty[(Long, String, Long, Long, Long, Double)]
+        .toDF("query_id", "term", "fb_df", "fb_tf", "rank", "score")
+    val dfq = spark.table(postingsTable)
+      .filter(col("term").isin(candTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = spark.table(statsTable).select(col("n_docs"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("term"))
+    cand.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        Num.fpRound(idfExpr * col("fb_tf").cast("double"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= expandM)
+      .select(col("query_id"), col("term"), col("fb_df"), col("fb_tf"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
+  /** PRF-expanded retrieval (x140) — the loop closed: the query's own
+    * terms plus its [[expansionTerms]] re-enter [[bm25ForTermBags]]
+    * as one bag per query. Everything heavy is the two bucket-pruned
+    * index rounds plus one id-pruned feedback fetch; a query whose
+    * round 1 found nothing simply retrieves with its original bag. */
+  def bm25TopKExpandedIndexed(spark: org.apache.spark.sql.SparkSession,
+                              postingsTable: String, statsTable: String,
+                              queries: DataFrame, idCol: String,
+                              textCol: String, corpus: DataFrame,
+                              fbK: Int, expandM: Int, topK: Int,
+                              k1: Double = 1.2,
+                              b: Double = 0.75): DataFrame = {
+    val qterms = tokenizedBags(queries, idCol, textCol)
+    val exp = expansionTerms(spark, postingsTable, statsTable, queries,
+        idCol, textCol, corpus, fbK, expandM, k1, b)
+      .select(col("query_id"), col("term"))
+    bm25ForTermBags(spark, postingsTable, statsTable,
+      qterms.union(exp).distinct(), topK, k1, b)
   }
 
   /** Reciprocal-rank fusion (x135) — the standard hybrid-retrieval

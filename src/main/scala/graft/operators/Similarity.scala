@@ -1274,4 +1274,68 @@ object Similarity {
             .as("recall"))
     }.reduce(_.union(_))
   }
+
+  /** RANKING-quality audit (x141) — MRR and nDCG@k for each approximate
+    * leg against its exact baseline, the metric pair that separates
+    * "found the right documents" from "put them in the right order".
+    * [[recallReport]] (x128/x131) measures MEMBERSHIP only — x131's
+    * sweep showed re-ranking leaves recall's residual in the
+    * short-list, but recall is blind to the rank repair that IS the
+    * second stage's whole contribution; this report quantifies it.
+    * Same leg contract as [[recallReport]]: `(method, exact, approx,
+    * k)` with `approx` carrying the leg's `rank` column.
+    *
+    * Per query (binary relevance: the exact top-k set):
+    * MRR's addend is 1/rank of the FIRST relevant document in the
+    * approximate ranking (0 when the leg missed everything); nDCG's is
+    * DCG/IDCG with the standard log2 position discount, DCG summing
+    * 1/log2(rank+1) over relevant positions. Both reports are the
+    * macro average over queries. Assumes (like [[recallReport]]'s
+    * micro=macro note) every query holds a full k exact rows — any
+    * corpus with > k+1 vectors.
+    *
+    * Numeric law: each discount ln(2)/ln(rank+1) is 1e-4-rounded (the
+    * idf convention — two correctly-rounded `ln`s and one IEEE divide
+    * are engine-identical), per-query DCG is a DECIMAL sum of those;
+    * IDCG@k is the same rounded-term DECIMAL sum over ranks 1..k
+    * (constant, computed driver-side with the identical law); per-query
+    * ndcg and rr round at 1e-6, and the final macro means round at
+    * 1e-6 after one DECIMAL sum / n_queries division each.
+    *
+    * Scale shape: identical to [[recallReport]] — every join and
+    * window runs on top-k-sized frames; the report is legs.length
+    * rows, the corpus work happened inside the legs. */
+  def rankingReport(legs: Seq[(String, DataFrame, DataFrame, Int)])
+      : DataFrame = {
+    require(legs.nonEmpty, "rankingReport needs at least one leg")
+    import graft.functions.Num
+    legs.map { case (method, exact, approx, k) =>
+      val idcg = (1 to k).map { r =>
+        val d = math.floor(
+          math.log(2.0) / math.log(r + 1.0) * 10000 + 0.5) / 10000.0
+        BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      val e = exact.select(col("query_id"), col("neighbor_id"))
+      val a = approx.select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("_arank"))
+      val disc = Num.fpRound(
+        lit(math.log(2.0)) / log(col("_arank").cast("double") + lit(1.0)), 4)
+      val perQ = e.join(a, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(min(col("_arank")).as("_fh"),
+          Num.dsum(coalesce(disc, lit(0.0))).as("_dcg"))
+      perQ
+        .agg(count(lit(1)).as("n_queries"),
+          Num.dsum(when(col("_fh").isNotNull,
+              Num.fpRound(lit(1.0) / col("_fh").cast("double"), 6))
+            .otherwise(lit(0.0))).as("_rrsum"),
+          Num.dsum(Num.fpRound(col("_dcg") / lit(idcg), 6)).as("_ndcgsum"))
+        .select(lit(method).as("method"), lit(k).as("k"),
+          col("n_queries"),
+          Num.fpRound(col("_rrsum") / col("n_queries").cast("double"), 6)
+            .as("mrr"),
+          Num.fpRound(col("_ndcgsum") / col("n_queries").cast("double"), 6)
+            .as("ndcg"))
+    }.reduce(_.union(_))
+  }
 }

@@ -1289,6 +1289,51 @@ object ExtensionQueries {
         t(s, dir, "embeddings").filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 10, nprobe = 2, annAssign, annCent)
       Retrieval.legOverlap(lex, vec)
+    }),
+
+    // x139 — pseudo-relevance-feedback expansion terms (RM3-style):
+    // run each query's own terms through the postings index, treat
+    // its top-5 docs as pseudo-relevant, rank the NEW terms they
+    // contain by idf·feedback-tf. Round 1 collects to a local
+    // query-set-sized frame; the only text touched is the feedback
+    // docs', via an id-IN pushdown.
+    "x139_expansion_terms" -> ((s, dir) => {
+      val (post, stats) = bm25IndexFor(s, dir)
+      Retrieval.expansionTerms(s, post, stats,
+        t(s, dir, "documents").filter(col("doc_id") < 10),
+        "doc_id", "text", t(s, dir, "documents"), fbK = 5, expandM = 5)
+    }),
+
+    // x140 — PRF-EXPANDED retrieval: the expansion loop closed —
+    // original + x139 terms re-enter the per-query scorer as one bag
+    // per query (two bucket-pruned index rounds + one id-pruned
+    // feedback fetch; zero corpus text kernels).
+    "x140_prf_retrieval" -> ((s, dir) => {
+      val (post, stats) = bm25IndexFor(s, dir)
+      Retrieval.bm25TopKExpandedIndexed(s, post, stats,
+        t(s, dir, "documents").filter(col("doc_id") < 10),
+        "doc_id", "text", t(s, dir, "documents"),
+        fbK = 5, expandM = 5, topK = 10)
+    }),
+
+    // x141 — RANKING-quality audit (MRR + nDCG@5): x128/x131 measure
+    // recall — membership only — and x131's sweep showed the re-rank's
+    // residual is membership; this measures the ORDER repair that is
+    // the second stage's actual contribution, on the same two
+    // persisted-index legs (ADC-only vs re-ranked) against the same
+    // exact baseline. Zero training in the audited path.
+    "x141_ranking_quality" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val (pqCodes, pqBooks) = pqIndexFor(s, dir)
+      val ex5 = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      Similarity.rankingReport(Seq(
+        ("pq_adc", ex5,
+          Similarity.pqTopKIndexed(s, q, "vec_id", "embedding",
+            pqCodes, pqBooks, topK = 5), 5),
+        ("pq_rerank", ex5,
+          Similarity.pqRerankTopKIndexed(s, q, e, "vec_id", "embedding",
+            pqCodes, pqBooks, topK = 5, shortlist = 50), 5)))
     })
   )
 
@@ -2919,12 +2964,14 @@ object ExtensionQueries {
        QUALIFY row_number() OVER w <= $topK"""
   }
 
-  /** x131's oracle: the x128 shape restricted to the PQ tier — ADC-only
-    * and re-ranked legs against the same exact top-k baseline, one
-    * shared training/encode/ADC chain. */
-  private def rerankRecallOracle(m: Int, rounds: Int, subDim: Int,
-                                 nQueries: Int, kPq: Int,
-                                 shortlist: Int): String = {
+  /** The shared ADC + re-rank leg chain under the x131 and x141
+    * oracles: one training/encode/ADC pipeline ending in `exk`
+    * (exact top-`kPq`), `pqleg` and `rr` — both legs carrying their
+    * `rank` (row_number under the leg's own order, the column the
+    * ranking metrics read and the recall aggs ignore). */
+  private def rerankLegsCtes(m: Int, rounds: Int, subDim: Int,
+                             nQueries: Int, kPq: Int,
+                             shortlist: Int): String = {
     val codeCols = (0 until m).map(j => s"e$j.cid AS k$j").mkString(", ")
     val joins = (1 until m).map(j => s"JOIN e$j USING (vec_id)").mkString(" ")
     val slQ = (0 until m)
@@ -2933,16 +2980,7 @@ object ExtensionQueries {
       .map(j => s"JOIN c${j}_$rounds cc$j ON cc$j.cid = n.k$j").mkString(" ")
     val adc = (0 until m)
       .map(j => pqDistSql(s"s$j.sl", s"cc$j.cv", subDim)).mkString(" + ")
-    def agg(method: String, approx: String): String =
-      s"""SELECT '$method' AS method, CAST($kPq AS INTEGER) AS k,
-           CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_queries,
-           CAST(count(*) AS BIGINT) AS n_exact,
-           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
-           CAST(count(a.neighbor_id) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE) AS recall
-         FROM exk e LEFT JOIN $approx a
-           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"""
-    s"""WITH ${pqCtes(m, 8, rounds, subDim)},
+    s"""${pqCtes(m, 8, rounds, subDim)},
        ${pqEncodeCtes(m, rounds, subDim)},
        codes AS (SELECT e0.vec_id AS neighbor_id, $codeCols FROM e0 $joins),
        qx AS (SELECT vec_id AS query_id, embedding AS qv2
@@ -2963,20 +3001,83 @@ object ExtensionQueries {
          CROSS JOIN (SELECT vec_id FROM pqv WHERE vec_id < $nQueries) q
          $slQ $cJoins
          WHERE q.vec_id <> n.neighbor_id),
-       pqleg AS (SELECT query_id, neighbor_id FROM adcall
+       pqleg AS (SELECT query_id, neighbor_id, arn AS rank FROM adcall
          WHERE arn <= $kPq),
        cand AS (SELECT query_id, neighbor_id FROM adcall
          WHERE arn <= $shortlist),
-       rr AS (SELECT query_id, neighbor_id FROM (
+       rr AS (SELECT query_id, neighbor_id, rrn AS rank FROM (
            SELECT c.query_id, c.neighbor_id,
-             ${duckCos("q.qv2", "n.cv")} AS sim
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY ${duckCos("q.qv2", "n.cv")} DESC,
+                 c.neighbor_id) AS rrn
            FROM cand c JOIN qx q USING (query_id)
            JOIN corp n USING (neighbor_id))
-         QUALIFY row_number() OVER (PARTITION BY query_id
-           ORDER BY sim DESC, neighbor_id) <= $kPq)
+         WHERE rrn <= $kPq)"""
+  }
+
+  /** x131's oracle: the x128 shape restricted to the PQ tier — ADC-only
+    * and re-ranked legs against the same exact top-k baseline, one
+    * shared training/encode/ADC chain ([[rerankLegsCtes]]). */
+  private def rerankRecallOracle(m: Int, rounds: Int, subDim: Int,
+                                 nQueries: Int, kPq: Int,
+                                 shortlist: Int): String = {
+    def agg(method: String, approx: String): String =
+      s"""SELECT '$method' AS method, CAST($kPq AS INTEGER) AS k,
+           CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(a.neighbor_id) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS recall
+         FROM exk e LEFT JOIN $approx a
+           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"""
+    s"""WITH ${rerankLegsCtes(m, rounds, subDim, nQueries, kPq, shortlist)}
        ${agg("pq_adc", "pqleg")}
        UNION ALL
        ${agg("pq_rerank", "rr")}"""
+  }
+
+  /** x141's oracle: the [[rerankLegsCtes]] legs under the ranking
+    * metrics — per query, MRR's addend is 1/first-relevant-rank
+    * (1e-6-rounded) and nDCG's is the DECIMAL sum of 1e-4-rounded
+    * ln(2)/ln(rank+1) discounts over relevant positions divided by the
+    * constant IDCG@k (the same rounded-term sum over ranks 1..k);
+    * macro means round 1e-6 after one DECIMAL sum / count each —
+    * every step mirrored against `Similarity.rankingReport`. */
+  private def rankingQualityOracle(m: Int, rounds: Int, subDim: Int,
+                                   nQueries: Int, kPq: Int,
+                                   shortlist: Int): String = {
+    def disc(rank: String): String =
+      s"floor(ln(2.0) / ln(CAST($rank AS DOUBLE) + 1.0) " +
+        s"* 10000 + 0.5) / 10000.0"
+    def perq(method: String, approx: String): String =
+      s"""perq_$method AS (SELECT e.query_id,
+           min(a.rank) AS fh,
+           CAST(SUM(CAST(CASE WHEN a.rank IS NOT NULL
+               THEN ${disc("a.rank")} ELSE 0.0 END
+             AS DECIMAL(38,6))) AS DOUBLE) AS dcg
+         FROM exk e LEFT JOIN $approx a
+           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         GROUP BY 1)"""
+    def agg(method: String): String =
+      s"""SELECT '$method' AS method, CAST($kPq AS INTEGER) AS k,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           floor(CAST(SUM(CAST(CASE WHEN fh IS NULL THEN 0.0
+               ELSE floor(1.0 / CAST(fh AS DOUBLE) * 1000000 + 0.5)
+                 / 1000000.0 END AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS mrr,
+           floor(CAST(SUM(CAST(floor(dcg / iv * 1000000 + 0.5) / 1000000.0
+               AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS ndcg
+         FROM perq_$method CROSS JOIN idcg"""
+    s"""WITH ${rerankLegsCtes(m, rounds, subDim, nQueries, kPq, shortlist)},
+       idcg AS (SELECT CAST(SUM(CAST(${disc("r")}
+             AS DECIMAL(38,6))) AS DOUBLE) AS iv
+         FROM (SELECT range AS r FROM range(1, $kPq + 1))),
+       ${perq("pq_adc", "pqleg")},
+       ${perq("pq_rerank", "rr")}
+       ${agg("pq_adc")}
+       UNION ALL
+       ${agg("pq_rerank")}"""
   }
 
   /** Shared CTE chain for the hybrid-retrieval oracles (x135/x136),
@@ -2985,8 +3086,13 @@ object ExtensionQueries {
     * excluded, idf/tf-norm rounded 1e-4, per-(query, doc) DECIMAL
     * sum) and `vec` (the x10 IVF chain at k=`vecK`, rank + 1e-6
     * rounded similarity). */
-  private def hybridLegsCtes(nQueries: Int, lexK: Int, vecK: Int,
-                             nprobe: Int, numCentroids: Int): String =
+  /** The lexical half alone: per-query BM25 ending in `lex`
+    * `(query_id, doc_id, lex_rank)` at rank ≤ `lexK` (plus the
+    * intermediate `toks`/`lens`/`stats`/`qt` CTEs downstream chains
+    * reuse). Shared by the hybrid oracles (x135-x138) and the PRF
+    * oracles (x139-x140, whose round 1 is exactly this at
+    * lexK = fbK). */
+  private def lexLegCtes(nQueries: Int, lexK: Int): String =
     s"""toks AS (SELECT doc_id,
            string_split_regex(lower(trim(text)), '\\s+') AS t
            FROM documents),
@@ -3021,7 +3127,11 @@ object ExtensionQueries {
              CAST(row_number() OVER wl AS BIGINT) AS lex_rank
            FROM lexs
            WINDOW wl AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
-           QUALIFY row_number() OVER wl <= $lexK),
+           QUALIFY row_number() OVER wl <= $lexK)"""
+
+  private def hybridLegsCtes(nQueries: Int, lexK: Int, vecK: Int,
+                             nprobe: Int, numCentroids: Int): String =
+    s"""${lexLegCtes(nQueries, lexK)},
          cent AS (SELECT vec_id AS centroid_id, embedding AS centv
            FROM embeddings WHERE vec_id < $numCentroids),
          corp AS (SELECT vec_id AS neighbor_id, embedding AS cv
@@ -3049,6 +3159,39 @@ object ExtensionQueries {
            WINDOW wv AS (PARTITION BY query_id
              ORDER BY sim DESC, neighbor_id)
            QUALIFY row_number() OVER wv <= $vecK)"""
+
+  /** PRF chain for x139/x140: round 1 = [[lexLegCtes]] at
+    * lexK = `fbK`; `dtAll` is the corpus doc-term grid the feedback
+    * fetch and round-2 scoring both read; candidate terms are the
+    * feedback docs' terms the query didn't already have, scored
+    * idf·fb_tf (idf 1e-4-rounded, the product re-rounded 1e-4 — an
+    * exact-integer multiply), ranked (score desc, term) per query.
+    * Ends with `exp` `(query_id, term, fb_df, fb_tf, rank, score)`. */
+  private def prfCtes(nQueries: Int, fbK: Int, expandM: Int): String =
+    s"""${lexLegCtes(nQueries, fbK)},
+         dtAll AS (SELECT doc_id, u.term AS term,
+             CAST(count(*) AS BIGINT) AS tf
+           FROM toks, unnest(t) AS u(term) GROUP BY 1, 2),
+         fb AS (SELECT lex.query_id, dtAll.term,
+             CAST(count(*) AS BIGINT) AS fb_df,
+             CAST(sum(dtAll.tf) AS BIGINT) AS fb_tf
+           FROM lex JOIN dtAll USING (doc_id)
+           GROUP BY 1, 2),
+         cand AS (SELECT * FROM fb f
+           WHERE NOT EXISTS (SELECT 1 FROM qt
+             WHERE qt.query_id = f.query_id AND qt.term = f.term)),
+         cdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM dtAll
+           WHERE term IN (SELECT DISTINCT term FROM cand) GROUP BY 1),
+         expScore AS (SELECT query_id, term, fb_df, fb_tf,
+             floor((floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                      * 10000 + 0.5) / 10000.0) * fb_tf
+               * 10000 + 0.5) / 10000.0 AS score
+           FROM cand JOIN cdf USING (term) CROSS JOIN stats),
+         exp AS (SELECT query_id, term, fb_df, fb_tf,
+             CAST(row_number() OVER we AS BIGINT) AS rank, score
+           FROM expScore
+           WINDOW we AS (PARTITION BY query_id ORDER BY score DESC, term)
+           QUALIFY row_number() OVER we <= $expandM)"""
 
   /** x128's oracle: exact brute-force top-k (two cuts), the x10 IVF
     * leg, the x121 ADC leg and the x123 IVF-PQ leg — all sharing one
@@ -4256,6 +4399,42 @@ object ExtensionQueries {
                  - count(CASE WHEN in_lex IS NOT NULL
                      AND in_vec IS NOT NULL THEN 1 END) AS DOUBLE)
              * 1000000 + 0.5) / 1000000.0 AS jaccard
-         FROM m GROUP BY 1"""
+         FROM m GROUP BY 1""",
+    "x139_expansion_terms" ->
+      s"""WITH ${prfCtes(10, 5, 5)}
+         SELECT query_id, term, fb_df, fb_tf, rank, score FROM exp""",
+    // round 2 re-scores over the UNION bag (UNION dedups; the Spark
+    // side's expansion terms are anti-joined so the union is disjoint
+    // anyway); df for the bag terms from the corpus doc-term grid —
+    // the same value the pruned-postings df computes
+    "x140_prf_retrieval" ->
+      s"""WITH ${prfCtes(10, 5, 5)},
+         bag AS (SELECT query_id, term FROM qt
+           UNION SELECT query_id, term FROM exp),
+         bdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM dtAll
+           WHERE term IN (SELECT DISTINCT term FROM bag) GROUP BY 1),
+         contrib2 AS (SELECT b.query_id, d.doc_id,
+             floor((floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                      * 10000 + 0.5) / 10000.0)
+                 * (floor(d.tf * (1.2 + 1.0)
+                      / (d.tf + 1.2 * ((1.0 - 0.75)
+                          + 0.75 * dl / avgdl))
+                      * 10000 + 0.5) / 10000.0)
+               * 10000 + 0.5) / 10000.0 AS c
+           FROM bag b JOIN dtAll d USING (term)
+             JOIN lens ON d.doc_id = lens.doc_id
+             JOIN bdf USING (term) CROSS JOIN stats
+           WHERE d.doc_id <> b.query_id),
+         lexs2 AS (SELECT query_id, doc_id,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE) AS score
+           FROM contrib2 GROUP BY 1, 2)
+         SELECT query_id, doc_id, n_terms,
+           CAST(row_number() OVER w2 AS BIGINT) AS rank, score
+         FROM lexs2
+         WINDOW w2 AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
+         QUALIFY row_number() OVER w2 <= 10""",
+    "x141_ranking_quality" -> rankingQualityOracle(m = 4, rounds = 2,
+      subDim = 16, nQueries = 10, kPq = 5, shortlist = 50)
   )
 }

@@ -421,6 +421,47 @@ object Streams {
         } finally { b.unpersist(); () }
     }
 
+  /** Streaming HYBRID SERVING (x135's continuous form) — the
+    * QUERY-side complement of the ingest twins: where
+    * [[indexedNeardupIngest]]/[[indexedAnnIngest]]/[[pqIndexIngest]]
+    * keep the persisted indexes current as the corpus streams IN,
+    * this serves a stream of queries OUT of those frozen artifacts.
+    * Each micro-batch of `(id, text, embedding)` queries runs the
+    * exact x135 operator bodies — per-query BM25 over the postings
+    * index ([[graft.operators.Retrieval.bm25TopKPerQueryIndexed]])
+    * fused with IVF top-k over the ANN index
+    * ([[graft.operators.Similarity.ivfTopKIndexed]]) by
+    * reciprocal-rank fusion — and hands the fused ranking to `sink`
+    * with its batch id. Parity with the batch query is by
+    * construction: the same code paths serve both.
+    *
+    * Stateless by design — serving reads catalog artifacts, the
+    * stream holds nothing, so replay just re-serves (idempotent by
+    * batch id for free). An all-null-text micro-batch serves
+    * dense-only (the lexical leg returns empty rather than erroring);
+    * the eager term/probe collects inside the legs are per-batch and
+    * batch-bounded. */
+  def hybridServe(queries: DataFrame, idCol: String, textCol: String,
+                  vecCol: String, postingsTable: String,
+                  statsTable: String, assignTable: String,
+                  centTable: String, lexK: Int, vecK: Int, nprobe: Int,
+                  topK: Int)
+                 (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().cache()
+        try {
+          val lex = graft.operators.Retrieval.bm25TopKPerQueryIndexed(
+            spark, postingsTable, statsTable, b, idCol, textCol, lexK)
+          val vec = graft.operators.Similarity.ivfTopKIndexed(
+            b, idCol, vecCol, vecK, nprobe, assignTable, centTable)
+          sink(graft.operators.Retrieval.rrfFuse(lex, vec, topK), batchId)
+        } finally { b.unpersist(); () }
+    }
+
   /** Streaming COMPOSED-INDEX maintenance — [[pqIndexIngest]]'s twin on
     * the IVF-PQ tier (x127): each micro-batch is handed to `sink`, then
     * assigned + encoded under BOTH frozen codebooks (coarse centroids

@@ -605,6 +605,21 @@ object ScaleBench {
         annTables._1, annTables._2)
       ret.contrastiveTriplets(vec, lex, negK = 5)
     }),
+    // two bucket-pruned postings rounds + one id-IN feedback fetch at
+    // constant query load: what grows is the pruned term buckets, not
+    // the feedback text (fbK·|queries| docs regardless of corpus)
+    ("x139_expansion_terms", (s: SparkSession, dir: String) =>
+      graft.operators.Retrieval.expansionTerms(s, bm25Tables._1,
+        bm25Tables._2,
+        Tables(s, dir, "documents").filter(col("doc_id") < 10),
+        "doc_id", "text", Tables(s, dir, "documents"),
+        fbK = 5, expandM = 5)),
+    ("x140_prf_retrieval", (s: SparkSession, dir: String) =>
+      graft.operators.Retrieval.bm25TopKExpandedIndexed(s, bm25Tables._1,
+        bm25Tables._2,
+        Tables(s, dir, "documents").filter(col("doc_id") < 10),
+        "doc_id", "text", Tables(s, dir, "documents"),
+        fbK = 5, expandM = 5, topK = 10)),
     // the audit is corpus-free past the legs: a top-k-sized full-outer
     // join into a |queries|-row aggregate
     ("x138_fusion_overlap", (s: SparkSession, dir: String) => {

@@ -956,6 +956,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x139/x140 PRF: feedback text reached only via an id-IN " +
+      "pushdown, postings bucket-pruned, no cartesian") {
+    Seq("x139_expansion_terms", "x140_prf_retrieval").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("bm25_post_"), s"$q: postings not scanned:\n$p")
+      assert(p.contains("SelectedBucketsCount"),
+        s"$q: candidate-term IN should prune postings buckets:\n$p")
+      // the feedback fetch reads only the pseudo-relevant docs (round
+      // 1's ids pushed as an IN), and the query frame only its 10 rows
+      assert(p.contains("In(doc_id"),
+        s"$q: feedback fetch not id-pruned:\n$p")
+      assert(p.contains("LessThan(doc_id,10)"),
+        s"$q: query frame scanned without its pushdown:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: unplanned cartesian:\n$p")
+    }
+  }
+
   test("x119 calibrated gate: no global sort; the 1-row threshold " +
       "broadcasts into a zero-extra-shuffle score filter") {
     val p = plan("x119_calibrated_gate")

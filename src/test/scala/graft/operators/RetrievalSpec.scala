@@ -300,6 +300,58 @@ class RetrievalSpec extends SparkSpec {
       (2L, 1L, 0L, 0L, 0.0)))          // vec leg empty for q2
   }
 
+  test("expansionTerms (x139): feedback docs' NEW terms only, scored " +
+      "idf*fb_tf, tie-broken by term") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val (post, stats) =
+      ("graft_idx_test.bm25_post_prf", "graft_idx_test.bm25_stats_prf")
+    Seq(post, stats).foreach(dropIdxTable)
+    Retrieval.writeBm25Index(docs, "doc_id", "text", post, stats,
+      numBuckets = 2)
+    // query "apple" -> feedback docs 1 & 2; their other terms are all
+    // df=1 fb_tf=1 -> identical scores, ranked by term ascending; the
+    // query's own term never expands
+    val out = Retrieval.expansionTerms(spark, post, stats,
+      Seq((99L, "apple")).toDF("doc_id", "text"), "doc_id", "text",
+      docs, fbK = 5, expandM = 10)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(out.map(_._1).toSeq ===
+      Seq("pie", "sauce", "tart", "toast", "with"))
+    val expScore = r4(r4(math.log(1.0 + (4 - 1 + 0.5) / (1 + 0.5))) * 1.0)
+    out.foreach { case (term, fbDf, fbTf, _, score) =>
+      assert(fbDf === 1L && fbTf === 1L, term)
+      assert(score === expScore, term)
+    }
+    assert(out.map(_._4).toSeq === (1L to 5L))
+  }
+
+  test("bm25TopKExpandedIndexed (x140): expansion reaches documents " +
+      "sharing NO term with the original query") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val (post, stats) =
+      ("graft_idx_test.bm25_post_prf2", "graft_idx_test.bm25_stats_prf2")
+    Seq(post, stats).foreach(dropIdxTable)
+    val corpus = docs.union(
+      Seq((5L, "split second decision")).toDF("doc_id", "text"))
+    Retrieval.writeBm25Index(corpus, "doc_id", "text", post, stats,
+      numBuckets = 2)
+    val queries = Seq((99L, "banana")).toDF("doc_id", "text")
+    // round 1 alone: only doc 3 contains "banana"
+    val r1 = Retrieval.bm25TopKPerQueryIndexed(spark, post, stats,
+      queries, "doc_id", "text", topK = 10).collect().map(_.getLong(1))
+    assert(r1.toSeq === Seq(3L))
+    // PRF: doc 3's "split" expands the query, reaching doc 5 — which
+    // shares no term with the original query
+    val expanded = Retrieval.bm25TopKExpandedIndexed(spark, post, stats,
+      queries, "doc_id", "text", corpus, fbK = 5, expandM = 5, topK = 10)
+      .collect().map(_.getLong(1))
+    assert(expanded.contains(5L),
+      s"expansion should reach doc 5: ${expanded.toSeq}")
+    assert(expanded.contains(3L))
+  }
+
   test("bm25Stats rejects an all-NULL-text corpus with a clear message") {
     val nulls = Seq((1L, null: String), (2L, null: String))
       .toDF("doc_id", "text")

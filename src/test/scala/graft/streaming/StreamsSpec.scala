@@ -950,4 +950,78 @@ class StreamsSpec extends SparkSpec {
     assert(ids == Seq(1L)) // the quoting doc trips the sketch and drops
     assert(gated.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
   }
+
+  test("hybridServe: streamed query micro-batches serve the exact " +
+      "batch hybrid ranking from the frozen indexes; an all-null-text " +
+      "batch serves dense-only") {
+    import graft.operators.{Retrieval, Similarity}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val (post, statsT) = ("graft_idx_test.hs_post", "graft_idx_test.hs_stats")
+    val (assignT, centT) =
+      ("graft_idx_test.hs_assign", "graft_idx_test.hs_cent")
+    Seq(post, statsT, assignT, centT).foreach(dropIdxTable)
+    val docs = Seq(
+      (0L, "apple pie tart"), (1L, "apple sauce toast"),
+      (2L, "banana split"), (3L, "plain bread loaf"))
+      .toDF("doc_id", "text")
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    Retrieval.writeBm25Index(docs, "doc_id", "text", post, statsT,
+      numBuckets = 2)
+    Similarity.writeAnnIndex(vecs, vecs.filter(col("vec_id") < 2),
+      "vec_id", "embedding", assignT, centT)
+
+    val batch1 = Seq(
+      (10L, "apple", Array(1.0f, 0.05f, 0.0f, 0.0f)),
+      (11L, null.asInstanceOf[String], Array(0.05f, 1.0f, 0.0f, 0.0f)))
+    val batch2 = Seq( // all-null text: the lexical leg must go empty
+      (12L, null.asInstanceOf[String], Array(0.0f, 0.95f, 0.05f, 0.0f)))
+
+    // per-query results are batch-independent (df is a corpus
+    // property), so the batch expectation over ALL queries equals the
+    // union of per-micro-batch servings
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getLong(4), r.getDouble(5))
+    val all = (batch1 ++ batch2).toDF("qid", "text", "embedding")
+    val expect = Retrieval.rrfFuse(
+      Retrieval.bm25TopKPerQueryIndexed(spark, post, statsT, all,
+        "qid", "text", topK = 3),
+      Similarity.ivfTopKIndexed(all, "qid", "embedding",
+        k = 3, nprobe = 1, assignT, centT),
+      topK = 3).collect().map(key).toSet
+    assert(expect.nonEmpty)
+    assert(expect.exists(_._1 == 12L), "dense-only query must serve")
+
+    val dir = Files.createTempDirectory("hserve-in").toString
+    val ckpt = Files.createTempDirectory("hserve-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("qid", LongType), StructField("text", StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    val got = scala.collection.mutable.ArrayBuffer[
+      (Long, Long, Long, Long, Long, Double)]()
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = Streams.hybridServe(stream, "qid", "text", "embedding",
+          post, statsT, assignT, centT,
+          lexK = 3, vecK = 3, nprobe = 1, topK = 3) { (df, _) =>
+        val rows = df.collect().map(key)
+        got.synchronized { got ++= rows; () }
+      }.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    batch1.toDF("qid", "text", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    run()
+    batch2.toDF("qid", "text", "embedding")
+      .write.mode("append").parquet(dir)
+    run()
+    assert(got.toSet === expect)
+  }
 }
