@@ -486,14 +486,41 @@ object Similarity {
     * centroid set (the same assignment kernel ran at build time). */
   def ivfTopKIndexed(queries: DataFrame, idCol: String, vecCol: String,
                      k: Int, nprobe: Int, assignTable: String,
-                     centTable: String): DataFrame = {
+                     centTable: String): DataFrame =
+    ivfScoredIndexed(queries, idCol, vecCol, nprobe, assignTable,
+        centTable) match {
+      case None =>
+        queries.select(col(idCol).as("query_id"),
+          col(idCol).as("neighbor_id"), lit(null).cast("long").as("rank"),
+          lit(null).cast("double").as("similarity")).limit(0)
+      case Some(scored) =>
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("similarity").desc, col("neighbor_id"))
+        scored
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rank"),
+            graft.functions.Num.fpRound(col("similarity"), 6)
+              .as("similarity"))
+    }
+
+  /** The shared probe-and-score core under [[ivfTopKIndexed]] and
+    * [[diversifiedTopKIndexed]]: probe list from the collected codebook
+    * (one eager job, codebook-bounded), probed-centroid IN pushed onto
+    * the assignment table's bucket column, exact cosine on the pruned
+    * stream. Returns the scored candidates
+    * `(query_id, neighbor_id, centroid_id, similarity)` with
+    * UNROUNDED similarity (the tails' windows order on it), or None
+    * when the centroid table is empty. */
+  private def ivfScoredIndexed(queries: DataFrame, idCol: String,
+                               vecCol: String, nprobe: Int,
+                               assignTable: String, centTable: String)
+      : Option[DataFrame] = {
     val spark = queries.sparkSession
     val (ids, vecs) = collectCentroids(
       spark.table(centTable), "centroid_id", "centv")
-    if (ids.isEmpty)
-      return queries.select(col(idCol).as("query_id"),
-        col(idCol).as("neighbor_id"), lit(null).cast("long").as("rank"),
-        lit(null).cast("double").as("similarity")).limit(0)
+    if (ids.isEmpty) return None
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         Vectors.norm(col(vecCol)).as("qn"))
@@ -501,19 +528,65 @@ object Similarity {
         VectorExpressions.probeCentroids(col("qv"), ids, vecs, nprobe)))
     val probed = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("similarity").desc, col("neighbor_id"))
-    spark.table(assignTable)
+    Some(spark.table(assignTable)
       .filter(col("centroid_id").isin(probed: _*))
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("similarity", Vectors.cosinePrenormed(
         col("qv"), col("cv"), col("qn"), col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("long").as("rank"),
-        graft.functions.Num.fpRound(col("similarity"), 6).as("similarity"))
+      .select(col("query_id"), col("neighbor_id"), col("centroid_id"),
+        col("similarity")))
+  }
+
+  /** CLUSTER-CAPPED diversified top-k (x142) — result diversification
+    * over the persisted IVF index: at most `perCluster` results per
+    * (query, IVF cell), survivors re-ranked by similarity into the
+    * final top-k. The IVF cell is a quantized neighborhood, so the cap
+    * is an MMR-lite diversity rule with ZERO extra distance
+    * computations: a near-dup pile-up (the x9/x22 failure mode in
+    * serving — one cluster of paraphrases filling the whole result
+    * page) can take at most `perCluster` slots, and the cell id is already
+    * on every scored row because the index carries it.
+    *
+    * Output `(query_id, neighbor_id, centroid_id, rank, similarity)` —
+    * the cell id stays exposed so callers can see WHICH neighborhoods
+    * the page drew from.
+    *
+    * Scale shape: identical corpus cost to [[ivfTopKIndexed]] (same
+    * bucket-pruned scan, same broadcast probe join); the cap window
+    * partitions by (query, cell) — the probe stream's own grain, one
+    * exchange of the pruned candidates — and the final re-rank window
+    * sees only ≤ queries·nprobe·perCluster rows. */
+  def diversifiedTopKIndexed(queries: DataFrame, idCol: String,
+                             vecCol: String, k: Int, nprobe: Int,
+                             perCluster: Int, assignTable: String,
+                             centTable: String): DataFrame = {
+    require(perCluster >= 1,
+      s"perCluster must be >= 1, got $perCluster")
+    ivfScoredIndexed(queries, idCol, vecCol, nprobe, assignTable,
+        centTable) match {
+      case None =>
+        queries.select(col(idCol).as("query_id"),
+          col(idCol).as("neighbor_id"),
+          lit(null).cast("long").as("centroid_id"),
+          lit(null).cast("long").as("rank"),
+          lit(null).cast("double").as("similarity")).limit(0)
+      case Some(scored) =>
+        val wc = Window.partitionBy(col("query_id"), col("centroid_id"))
+          .orderBy(col("similarity").desc, col("neighbor_id"))
+        val wq = Window.partitionBy(col("query_id"))
+          .orderBy(col("similarity").desc, col("neighbor_id"))
+        scored
+          .withColumn("_cr", row_number().over(wc))
+          .filter(col("_cr") <= perCluster)
+          .withColumn("rank", row_number().over(wq))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"),
+            col("centroid_id").cast("long").as("centroid_id"),
+            col("rank").cast("long").as("rank"),
+            graft.functions.Num.fpRound(col("similarity"), 6)
+              .as("similarity"))
+    }
   }
 
   /** Incremental EMBEDDING near-dup over the persisted IVF index — the

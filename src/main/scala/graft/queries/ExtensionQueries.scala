@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num
-import graft.operators.{Bpe, Classifier, Cleaning, Components, CorpusPipeline, ImageDedup, Multimodal, Packing, Project, Retrieval, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Bpe, Classifier, Cleaning, Components, CorpusPipeline, ImageDedup, Multimodal, Packing, Project, Retrieval, Similarity, Temporal, TextAnalysis, TextDedup}
 
 /** Extension + capability-proof query inventory (SURVEY §2.4 X1-X6 plus the
   * LLM-training-data operators: dedup family, similarity search, text
@@ -1334,6 +1334,52 @@ object ExtensionQueries {
         ("pq_rerank", ex5,
           Similarity.pqRerankTopKIndexed(s, q, e, "vec_id", "embedding",
             pqCodes, pqBooks, topK = 5, shortlist = 50), 5)))
+    }),
+
+    // x142 — cluster-capped DIVERSIFIED top-k over the persisted IVF
+    // index: at most 3 results per (query, IVF cell), survivors
+    // re-ranked into the top-5 with the cell id exposed — serving-page
+    // diversity (a paraphrase pile-up can't fill the page) at zero
+    // extra distance computations, because the index already carries
+    // every candidate's cell.
+    "x142_diversified_topk" -> ((s, dir) => {
+      val (annAssign, annCent) = annIndexFor(s, dir)
+      Similarity.diversifiedTopKIndexed(
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 2, perCluster = 3,
+        annAssign, annCent)
+    }),
+
+    // x143 — AS-OF JOIN, last-touch attribution shape: each purchase
+    // event joined to the same user's most recent click at or before
+    // it (ties on the timestamp broken by the larger click id),
+    // unattributed purchases kept with NULLs. The merge-scan form: one
+    // shuffle on user_id, a running last(ignoreNulls) window, no pair
+    // join anywhere in the plan.
+    "x143_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val out = Temporal.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", "ts", "event_id", Seq("value"))
+      out.withColumn("gap_ms",
+        when(col("prior_ts").isNotNull,
+          graft.functions.Dates.toEpochMillis(col("ts")) -
+            graft.functions.Dates.toEpochMillis(col("prior_ts"))))
+    }),
+
+    // x144 — ε-banded INTERVAL JOIN: per purchase, how many clicks
+    // (any user) landed within ±1 hour, and their exact-decimal value
+    // sum. The band trick turns a pure time-proximity predicate into
+    // an equality join on floor(ms/radius) with the |Δt| filter as a
+    // residual — no cartesian however dense the hour.
+    "x144_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Temporal.proximityAgg(
+        ev.filter(col("event_type") === "purchase"), "event_id", "ts",
+        ev.filter(col("event_type") === "click"), "ts",
+        "value", radiusMs = 3600000L)
     })
   )
 
@@ -4435,6 +4481,71 @@ object ExtensionQueries {
          WINDOW w2 AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
          QUALIFY row_number() OVER w2 <= 10""",
     "x141_ranking_quality" -> rankingQualityOracle(m = 4, rounds = 2,
-      subDim = 16, nQueries = 10, kPq = 5, shortlist = 50)
+      subDim = 16, nQueries = 10, kPq = 5, shortlist = 50),
+    // the x10 chain with the cell id kept on each scored row, a
+    // per-(query, cell) cap window, then the usual top-k re-rank
+    "x142_diversified_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+           FROM embeddings WHERE vec_id < 16),
+         corp AS (SELECT vec_id AS neighbor_id, embedding AS cv
+           FROM embeddings),
+         assigned AS (SELECT neighbor_id, cv, centroid_id FROM (
+           SELECT neighbor_id, cv, centroid_id, row_number() OVER
+             (PARTITION BY neighbor_id
+              ORDER BY ${duckCos("cv", "centv")} DESC, centroid_id) AS arn
+           FROM corp, cent) WHERE arn = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 10),
+         probes AS (SELECT query_id, qv, centroid_id FROM (
+           SELECT query_id, qv, centroid_id, row_number() OVER
+             (PARTITION BY query_id
+              ORDER BY ${duckCos("qv", "centv")} DESC, centroid_id) AS prn
+           FROM q, cent) WHERE prn <= 2),
+         scored AS (SELECT query_id, neighbor_id, centroid_id,
+             ${duckCos("qv", "cv")} AS sim
+           FROM assigned JOIN probes USING (centroid_id)
+           WHERE query_id <> neighbor_id),
+         capped AS (SELECT query_id, neighbor_id, centroid_id, sim FROM (
+           SELECT query_id, neighbor_id, centroid_id, sim, row_number()
+             OVER (PARTITION BY query_id, centroid_id
+               ORDER BY sim DESC, neighbor_id) AS crn
+           FROM scored) WHERE crn <= 3)
+         SELECT query_id, neighbor_id, centroid_id,
+           CAST(row_number() OVER w AS BIGINT) AS rank,
+           floor(sim * 1000000 + 0.5) / 1000000.0 AS similarity
+         FROM capped
+         WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         QUALIFY row_number() OVER w <= 5""",
+    // the oracle states as-of declaratively (theta-join + per-left
+    // argmax with the identical (ts desc, id desc) tie order); the
+    // Spark side is the linear merge scan — same rows by construction
+    "x143_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         r AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'click'),
+         m AS (SELECT l.event_id, l.user_id, l.ts,
+             r.event_id AS prior_event_id, r.ts AS prior_ts,
+             r.value AS prior_value,
+             row_number() OVER (PARTITION BY l.event_id
+               ORDER BY r.ts DESC, r.event_id DESC) AS rn
+           FROM l LEFT JOIN r
+             ON l.user_id = r.user_id AND r.ts <= l.ts)
+         SELECT event_id, user_id, ts, prior_event_id, prior_ts,
+           prior_value,
+           CASE WHEN prior_ts IS NOT NULL
+             THEN epoch_ms(ts) - epoch_ms(prior_ts) END AS gap_ms
+         FROM m WHERE rn = 1""",
+    "x144_range_join" ->
+      """WITH l AS (SELECT event_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         r AS (SELECT ts, floor(value * 10000 + 0.5) / 10000.0 AS rv
+           FROM events WHERE event_type = 'click')
+         SELECT l.event_id,
+           CAST(count(r.ts) AS BIGINT) AS n_near,
+           CAST(SUM(CAST(r.rv AS DECIMAL(38,6))) AS DOUBLE) AS v_sum
+         FROM l LEFT JOIN r
+           ON abs(epoch_ms(l.ts) - epoch_ms(r.ts)) <= 3600000
+         GROUP BY 1"""
   )
 }

@@ -560,6 +560,49 @@ object ScaleBench {
           sim.ivfPqTopKIndexed(s, q, "vec_id", "embedding",
             ivfPqTables._1, ivfPqTables._2, ivfPqTables._3, 5, 2), 5)))
     }),
+    // one key exchange + a linear merge scan per user — the same cost
+    // class as q13 sessionize; the naive theta-join alternative grows
+    // quadratically in per-user event depth
+    ("x143_asof_join", (s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      graft.operators.Temporal.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", "ts", "event_id", Seq("value"))
+    }),
+    // equality join on the time band: both sides shuffle once on
+    // floor(ms/radius); match volume grows with density (pairs within
+    // the radius), the plan shape never degrades to a cartesian
+    ("x144_range_join", (s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      graft.operators.Temporal.proximityAgg(
+        ev.filter(col("event_type") === "purchase"), "event_id", "ts",
+        ev.filter(col("event_type") === "click"), "ts",
+        "value", radiusMs = 3600000L)
+    }),
+    // x91's serving cost exactly (same pruned scan, same broadcast
+    // probe join) plus one exchange of the pruned candidates for the
+    // per-cell cap window
+    ("x142_diversified_topk", (s: SparkSession, dir: String) =>
+      graft.operators.Similarity.diversifiedTopKIndexed(
+        Tables(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 2, perCluster = 3,
+        annTables._1, annTables._2)),
+    // x128's class on the ranking metrics: both audited legs serve
+    // from the persisted codes table, the metric joins are
+    // top-k-sized — the exact baseline is the only corpus-vector scan
+    ("x141_ranking_quality", (s: SparkSession, dir: String) => {
+      val sim = graft.operators.Similarity
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val ex5 = sim.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      sim.rankingReport(Seq(
+        ("pq_adc", ex5, sim.pqTopKIndexed(s, q, "vec_id", "embedding",
+          pqTables._1, pqTables._2, 5), 5),
+        ("pq_rerank", ex5, sim.pqRerankTopKIndexed(s, q, e, "vec_id",
+          "embedding", pqTables._1, pqTables._2, 5, 50), 5)))
+    }),
     // hybrid serving at a CONSTANT query load as the corpus grows —
     // the serving profile: both legs are bucket-pruned index scans
     // (postings by term, ANN assignment by probed centroid), the

@@ -890,6 +890,54 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected extra exchange in the two-stage plan:\n$p")
   }
 
+  test("x143 as-of join plans the merge scan: union + running window " +
+      "on ONE key exchange — no join operator of any kind") {
+    val p = plan("x143_asof_join")
+    assert(!p.contains("Join"), s"as-of should not plan a join:\n$p")
+    assert(p.contains("Window"), s"running-last window missing:\n$p")
+    assert(p.contains("Union"), s"two-stream union missing:\n$p")
+    // the window's key exchange is the plan's only shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the window's key exchange:\n$p")
+  }
+
+  test("x144 banded range join: the time-proximity predicate rides an " +
+      "EQUALITY join on the band key — no cartesian, no nested loop") {
+    val p = plan("x144_range_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"banding failed — proximity joined without an equality key:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"expected an equality join on the band key:\n$p")
+  }
+
+  test("x142 diversified top-k keeps x91's serving shape: bucket-pruned " +
+      "index scan, no kernel recompute, and only the two ranking-window " +
+      "exchanges on the pruned stream") {
+    val p = plan("x142_diversified_topk")
+    assert(p.contains("ann_assign_"), s"index table not scanned:\n$p")
+    assert("(?i)nearestcentroid".r.findAllIn(p).isEmpty,
+      s"corpus assignment recomputed at query time:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"bucket pruning not engaged:\n$p")
+    // the cap window's (query, cell) exchange + the re-rank's (query)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"unexpected extra exchange beyond the two windows':\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x141 ranking audit: both legs serve from the persisted codes " +
+      "table (zero training), audit joins broadcast — no cartesian, " +
+      "no corpus-scale exchange beyond the legs' own") {
+    val p = plan("x141_ranking_quality")
+    assert(p.contains("pq_codes"), s"codes table not scanned:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian leaked into the audit:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      s"audit join should broadcast:\n$p")
+  }
+
   test("x132 truncated top-k keeps x3's shape: broadcast query frame, " +
       "one corpus scan, the ranking window as the only exchange") {
     val p = plan("x132_truncated_topk")

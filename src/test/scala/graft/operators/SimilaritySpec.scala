@@ -564,6 +564,84 @@ class SimilaritySpec extends SparkSpec {
     assert(rep("half") === ((2, 2L, 4L, 2L, 0.5)))
   }
 
+  test("diversifiedTopKIndexed (x142): a one-cell pile-up is capped at " +
+      "perCluster; an unbinding cap returns ivfTopKIndexed's ranking " +
+      "with the cell exposed") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    Seq("graft_idx_test.div_assign", "graft_idx_test.div_cent").foreach {
+      name =>
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val Array(db, t) = name.split('.')
+        val loc = java.nio.file.Paths.get("spark-warehouse", s"$db.db", t)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+    }
+    // cell 0 is a 4-deep pile of near-identical vectors around the
+    // query; cell 5 holds three farther ones — the serving failure the
+    // cap exists for: uncapped, the pile fills the whole page
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.01f)),
+      (2L, Array(0.98f, 0.02f)), (3L, Array(0.97f, 0.03f)),
+      (4L, Array(0.96f, 0.04f)),
+      (5L, Array(0.0f, 1.0f)), (6L, Array(0.1f, 0.9f)),
+      (7L, Array(0.2f, 0.8f))).toDF("vec_id", "embedding")
+    val cents = corpus.filter("vec_id IN (0, 5)")
+    val q = corpus.filter("vec_id = 1")
+    Similarity.writeAnnIndex(corpus, cents, "vec_id", "embedding",
+      "graft_idx_test.div_assign", "graft_idx_test.div_cent",
+      numBuckets = 2)
+    val div = Similarity.diversifiedTopKIndexed(q, "vec_id", "embedding",
+        k = 5, nprobe = 2, perCluster = 3,
+        "graft_idx_test.div_assign", "graft_idx_test.div_cent")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(div.length == 5)
+    // the pile yields exactly perCluster results (and, being closer,
+    // the top ranks); the remaining page slots fall to cell 5
+    assert(div.filter(_._2 == 0L).map(_._3).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(div.filter(_._2 == 5L).map(_._3).sorted.toSeq === Seq(4L, 5L))
+    // an unbinding cap degenerates to the plain indexed ranking
+    val uncapped = Similarity.diversifiedTopKIndexed(q, "vec_id",
+        "embedding", k = 5, nprobe = 2, perCluster = 100,
+        "graft_idx_test.div_assign", "graft_idx_test.div_cent")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getDouble(4))).toSet
+    val plain = Similarity.ivfTopKIndexed(q, "vec_id", "embedding",
+        k = 5, nprobe = 2,
+        "graft_idx_test.div_assign", "graft_idx_test.div_cent")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(uncapped === plain)
+  }
+
+  test("rankingReport (x141): a perfect leg reads 1.0/1.0; a rank-1 " +
+      "miss halves MRR and log-discounts nDCG; missed queries count " +
+      "as zeros in the macro mean") {
+    val ex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L),
+      (2L, 21L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    // query 1's leg puts an irrelevant doc at rank 1 and recovers only
+    // neighbor 10 at rank 2; query 2 is entirely absent from the leg
+    val partial = Seq((1L, 99L, 1L), (1L, 10L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val rep = Similarity.rankingReport(Seq(
+        ("self", ex, ex, 2), ("partial", ex, partial, 2)))
+      .collect().map(r => r.getAs[String]("method") ->
+        ((r.getAs[Int]("k"), r.getAs[Long]("n_queries"),
+          r.getAs[Double]("mrr"), r.getAs[Double]("ndcg")))).toMap
+    assert(rep("self") === ((2, 2L, 1.0, 1.0)))
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    def r6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000
+    val d1 = r4(math.log(2.0) / math.log(2.0))
+    val d2 = r4(math.log(2.0) / math.log(3.0))
+    // query 1: first hit at rank 2 → rr 1/2; dcg = disc(2) against
+    // idcg = disc(1)+disc(2); query 2 contributes zeros; macro over 2
+    val ndcg1 = r6(d2 / (d1 + d2))
+    assert(rep("partial") === ((2, 2L, r6(r6(0.5) / 2.0), r6(ndcg1 / 2.0))))
+  }
+
   test("pqFit trainPct (x129): sampled training is deterministic, still " +
       "reports over the whole corpus, and costs bounded fit on the " +
       "fixture embeddings") {
