@@ -159,16 +159,16 @@ object Bench {
       "duplicate short-id prefixes — the printed map would silently " +
         "drop a timing (last-wins on json parse): " +
         prefixes.diff(prefixes.distinct).distinct.mkString(","))
-    // 2-decimal values on the printed line (10 ms granularity is plenty
-    // for the driver's round-over-round comparison and saves ~1 char per
-    // query — at 139+ queries that is the difference between fitting the
-    // 1900-char assert and truncating); the 3-decimal figures live in the
-    // detail file and the committed ledger. Trailing zeros are stripped
-    // ("1.20" -> "1.2", "3.00" -> "3" — still valid JSON numbers, same
-    // 10 ms information): ~0.5 chars/query of free headroom at 147+
-    // queries, no precision lost.
+    // 1-decimal values on the printed line (100 ms granularity — the
+    // driver's round-over-round comparison flags >2× swings on
+    // multi-second queries, where 0.1 s resolution is ample; the
+    // 2-decimal line hit 1865 chars at 158 queries against the
+    // 1900-char assert). The 3-decimal figures live in the detail file
+    // and the committed ledger. Trailing zeros are stripped ("1.0" ->
+    // "1" — still valid JSON numbers): at ~11 chars/query the line sits
+    // ~1710 at 160 queries, ~17 queries of headroom.
     val qs = results.map { case (k, v) =>
-      val num = f"$v%.2f".replaceAll("0+$", "").stripSuffix(".")
+      val num = f"$v%.1f".replaceAll("0+$", "").stripSuffix(".")
       "\"" + k.takeWhile(_ != '_') + "\":" + num
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -181,9 +181,9 @@ object Bench {
         f""""load":$envLoad%.1f,"wall":$timedWallS%.0f},""" +
         f""""sf":"$sfLabel"}"""
     // 1900 leaves ~100 chars of tail slack under the driver's ~2000-char
-    // capture (shutdown noise, trailing newline); at ~12 chars/query the
-    // 147-query line (~1690 after zero-stripping) has ~17 queries of
-    // headroom before this fires again
+    // capture (shutdown noise, trailing newline); at ~11 chars/query the
+    // 160-query 1-decimal line (~1710) has ~17 queries of headroom
+    // before this fires again
     assert(line.length < 1900,
       s"bench JSON line ${line.length} chars — would overflow the driver's " +
         "2000-char tail capture; shrink the printed map")

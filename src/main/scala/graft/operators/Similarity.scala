@@ -535,7 +535,7 @@ object Similarity {
       .withColumn("similarity", Vectors.cosinePrenormed(
         col("qv"), col("cv"), col("qn"), col("cn")))
       .select(col("query_id"), col("neighbor_id"), col("centroid_id"),
-        col("similarity")))
+        col("similarity"), col("cv"), col("cn")))
   }
 
   /** CLUSTER-CAPPED diversified top-k (x142) — result diversification
@@ -1346,6 +1346,110 @@ object Similarity {
           (col("n_hits").cast("double") / col("n_exact").cast("double"))
             .as("recall"))
     }.reduce(_.union(_))
+  }
+
+  /** MAXIMAL-MARGINAL-RELEVANCE re-rank (x145) — true MMR (Carbonell &
+    * Goldstein '98) over the persisted IVF index, the exact-penalty
+    * big sibling of [[diversifiedTopKIndexed]]'s cluster cap: greedily
+    * pick k of the top-`candK` candidates, each pick maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — relevance traded
+    * against redundancy to EVERYTHING already on the page, not just
+    * same-cell membership.
+    *
+    * Output `(query_id, neighbor_id, pick, mmr_score, similarity)` —
+    * `pick` is the greedy selection order (the order a serving page
+    * shows), `mmr_score` the value that won the pick (pick 1 scores
+    * `λ·rel`, the empty-set penalty), `similarity` the plain relevance.
+    *
+    * Scale shape: the candidate fetch is [[ivfTopKIndexed]]'s
+    * bucket-pruned scan (vectors ride along from the index — no second
+    * corpus touch); candidates and their |q|·candK² pairwise cosines
+    * are PERSISTED query-set-sized frames (caller-owned cache, the
+    * [[pqFit]] convention — Bench/Verify clearCache between queries),
+    * and the k-step greedy loop unrolls into k windowed argmaxes over
+    * those cached frames — corpus cost identical to one IVF query,
+    * regardless of k.
+    *
+    * Numeric law: rel and pair sims round 1e-6 (the x10 convention);
+    * each MMR score is ONE IEEE expression `λ·rel − (1−λ)·maxPen`
+    * rounded 1e-6 (max of rounded doubles is order-independent); ties
+    * break by ascending neighbor id; λ and 1−λ enter both engines as
+    * the same binary doubles. */
+  def mmrTopKIndexed(queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, candK: Int, nprobe: Int, lambda: Double,
+                     assignTable: String, centTable: String): DataFrame = {
+    require(k >= 1 && candK >= k,
+      s"need candK >= k >= 1, got k=$k candK=$candK")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1], got $lambda")
+    import graft.functions.Num
+    val empty = queries.select(col(idCol).as("query_id"),
+      col(idCol).as("neighbor_id"), lit(null).cast("long").as("pick"),
+      lit(null).cast("double").as("mmr_score"),
+      lit(null).cast("double").as("similarity")).limit(0)
+    ivfScoredIndexed(queries, idCol, vecCol, nprobe, assignTable,
+        centTable) match {
+      case None => empty
+      case Some(scored) =>
+        val om = 1.0 - lambda
+        val wCand = Window.partitionBy(col("query_id"))
+          .orderBy(col("similarity").desc, col("neighbor_id"))
+        val cands = scored
+          .withColumn("_crn", row_number().over(wCand))
+          .filter(col("_crn") <= candK)
+          .select(col("query_id"), col("neighbor_id"),
+            Num.fpRound(col("similarity"), 6).as("rel"),
+            col("cv"), col("cn"))
+          .persist()
+        val pairs = cands.select(col("query_id"),
+            col("neighbor_id").as("aid"), col("cv").as("av"),
+            col("cn").as("an"))
+          .join(cands.select(col("query_id"),
+            col("neighbor_id").as("bid"), col("cv").as("bv"),
+            col("cn").as("bn")), Seq("query_id"))
+          .filter(col("aid") =!= col("bid"))
+          .select(col("query_id"), col("aid"), col("bid"),
+            Num.fpRound(Vectors.cosinePrenormed(
+              col("av"), col("bv"), col("an"), col("bn")), 6).as("psim"))
+          .persist()
+        val wPick = Window.partitionBy(col("query_id"))
+          .orderBy(col("mmr").desc, col("neighbor_id"))
+        // each pick is PERSISTED (lazily — everything materializes in
+        // the final action's single cascade): stage i's penalty join
+        // reads picks 1..i-1 from cache, so the greedy chain costs k
+        // linear stages instead of an exponentially-recomputed lineage
+        // tree (caller-owned cache, the cands/pairs contract above)
+        var picks = Vector(cands
+          .withColumn("mmr", Num.fpRound(lit(lambda) * col("rel"), 6))
+          .withColumn("_rn", row_number().over(wPick))
+          .filter(col("_rn") === 1)
+          .select(col("query_id"), col("neighbor_id"), col("rel"),
+            col("mmr"), lit(1).as("pick"))
+          .persist())
+        (2 to k).foreach { i =>
+          val selAll = picks.reduce(_.unionByName(_))
+          val pen = pairs
+            .join(selAll.select(col("query_id"),
+              col("neighbor_id").as("bid")), Seq("query_id", "bid"))
+            .groupBy(col("query_id"), col("aid").as("neighbor_id"))
+            .agg(max(col("psim")).as("mp"))
+          val pick = cands
+            .join(selAll.select(col("query_id"), col("neighbor_id")),
+              Seq("query_id", "neighbor_id"), "left_anti")
+            .join(pen, Seq("query_id", "neighbor_id"))
+            .withColumn("mmr", Num.fpRound(
+              lit(lambda) * col("rel") - lit(om) * col("mp"), 6))
+            .withColumn("_rn", row_number().over(wPick))
+            .filter(col("_rn") === 1)
+            .select(col("query_id"), col("neighbor_id"), col("rel"),
+              col("mmr"), lit(i).as("pick"))
+            .persist()
+          picks :+= pick
+        }
+        picks.reduce(_.unionByName(_)).select(col("query_id"), col("neighbor_id"),
+          col("pick").cast("long").as("pick"),
+          col("mmr").as("mmr_score"), col("rel").as("similarity"))
+    }
   }
 
   /** RANKING-quality audit (x141) — MRR and nDCG@k for each approximate

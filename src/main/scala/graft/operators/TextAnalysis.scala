@@ -757,6 +757,164 @@ object TextAnalysis {
         col("quality_score"))
   }
 
+  /** PER-GROUP exact rank without a per-group global sort — the
+    * grouped generalization of [[bucketedScoreRank]] (x114/x119's
+    * machinery), over an arbitrary already-scored frame: score-range
+    * buckets are derived from each group's own (min, max) — one
+    * group-count-sized aggregate, broadcast — local ranks window by
+    * (group, bucket), and per-(group, bucket) offsets (≤ groups·2^bits
+    * rows, broadcast) roll local ranks up to exact per-group ranks.
+    * No partition in the plan ever holds more than one (group, bucket)
+    * slice; a range-partitioned sort per group (what a naive
+    * `row_number() OVER (PARTITION BY group ORDER BY score)` plans)
+    * would put each whole GROUP in one partition — the skew this
+    * machinery exists to avoid (one giant language is the common
+    * case). Bucket assignment is weakly monotone in score (subtract /
+    * divide-by-positive / floor all preserve order), so ties stay
+    * inside one bucket and cross-bucket order is consistent — ranks
+    * are EXACT, bucketBits only shapes parallelism. Degenerate
+    * constant-score groups collapse to one bucket (documented, same as
+    * the global form). Group cardinality must be modest (languages,
+    * sources — the grouped-data-card regime): offsets broadcast at
+    * groups·2^bits rows.
+    *
+    * Returns the scored frame + `rank` (1-based within group,
+    * bestFirst ⇒ rank 1 = highest score) and `n_group` (group size),
+    * tie law (score, id asc). */
+  private def groupedBucketedRank(scored: DataFrame, idCol: String,
+                                  groupCol: String, scoreCol: String,
+                                  bucketBits: Int,
+                                  bestFirst: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = 1 << bucketBits
+    val ext = scored.groupBy(col(groupCol))
+      .agg(min(col(scoreCol)).as("_mn"), max(col(scoreCol)).as("_mx"))
+    val withB = scored.join(broadcast(ext), Seq(groupCol))
+      .withColumn("_b", when(col("_mx") === col("_mn"), lit(0))
+        .otherwise(least(lit(b - 1),
+          floor((col(scoreCol) - col("_mn")) /
+            (col("_mx") - col("_mn")) * lit(b.toDouble)).cast("int"))))
+    val wLocal = Window.partitionBy(col(groupCol), col("_b"))
+      .orderBy(if (bestFirst) col(scoreCol).desc else col(scoreCol).asc,
+        col(idCol))
+    val local = withB.withColumn("_lrn", row_number().over(wLocal))
+    val counts = local.groupBy(col(groupCol), col("_b"))
+      .agg(count(lit(1)).as("_n"))
+    val wOff = Window.partitionBy(col(groupCol))
+      .orderBy(if (bestFirst) col("_b").desc else col("_b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))
+      .withColumn("_ntot", sum(col("_n")).over(wTot))
+      .select(col(groupCol), col("_b"), col("_off"), col("_ntot"))
+    local.join(broadcast(offsets), Seq(groupCol, "_b"))
+      .withColumn("rank", col("_off") + col("_lrn").cast("long"))
+      .withColumn("n_group", col("_ntot"))
+      .drop("_b", "_mn", "_mx", "_lrn", "_off", "_ntot")
+  }
+
+  /** PER-GROUP equal-frequency bucket labels (grouped exact n-tiles)
+    * over an arbitrary scored frame: within each group, rank by score
+    * ([[groupedBucketedRank]] — exact, no per-group sort) and cut at
+    * `ceil(n_group·i / nb)` for i = 1..nb — integer arithmetic, so the
+    * boundaries are bit-exact in any engine and match SQL NTILE's
+    * remainder-to-first-buckets law. `labels` names the buckets
+    * first-to-last (bestFirst ⇒ labels.head = the top fraction).
+    *
+    * Output: the scored frame's (id, group, score) + `rank`, `n_group`,
+    * `bucket`. */
+  def groupedNtileBuckets(scored: DataFrame, idCol: String,
+                          groupCol: String, scoreCol: String,
+                          labels: Seq[String], bucketBits: Int = 8,
+                          bestFirst: Boolean = true): DataFrame = {
+    require(labels.nonEmpty, "labels must be non-empty")
+    val nb = labels.size
+    val ranked = groupedBucketedRank(scored, idCol, groupCol, scoreCol,
+      bucketBits, bestFirst)
+    val bucket = labels.zipWithIndex.init.foldRight(
+      lit(labels.last): Column) { case ((lbl, i), rest) =>
+      // boundary_i = ceil(n_group·(i+1) / nb) = (n·(i+1) + nb−1) div nb.
+      // Computed as floor of a double quotient: numerator and nb are
+      // integer-exact doubles and the quotient's distance from any
+      // integer it isn't is ≥ 1/nb — far above double rounding error —
+      // so this IS integer division for n_group·nb < 2^52 (the DuckDB
+      // mirror uses `//` on BIGINTs; identical values by this argument)
+      when(col("rank") <= floor(
+        (col("n_group") * (i + 1) + (nb - 1)) / lit(nb.toDouble))
+        .cast("long"), lbl).otherwise(rest)
+    }
+    ranked.select(col(idCol), col(groupCol), col(scoreCol),
+      col("rank"), col("n_group"), bucket.as("bucket"))
+  }
+
+  /** CCNet-style PER-LANGUAGE fluency buckets (x146) — Wenzek et al.'s
+    * head/middle/tail cut, the curation stage CCNet runs after dedup:
+    * every document is scored by the corpus-trained bigram LM
+    * ([[bigramLmScores]], x86's add-one-smoothed avg log-prob — the
+    * oracle-checkable stand-in for CCNet's wiki-trained KenLM), then
+    * each LANGUAGE ranks its own documents and cuts exact terciles —
+    * head = most fluent third OF THAT LANGUAGE. The per-group cut is
+    * the whole point (and the reason x114's global quantiles don't
+    * compose here): a global cut would grade low-resource languages
+    * against the dominant one's fluency distribution and gut them.
+    * Documents with < 2 tokens have no bigrams and drop out (x86's
+    * law).
+    *
+    * Scale shape: x86's vocabulary-bounded count tables dominate; the
+    * grouped rank adds (group, bucket)-partitioned windows and two
+    * broadcast-sized side tables — no per-language sort, no
+    * range-partitioning, text never reaches the ranking exchange
+    * (scores are (id, lang, double) rows). */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+                   groupCol: String, labels: Seq[String],
+                   bucketBits: Int = 8): DataFrame = {
+    val scores = bigramLmScores(docs, idCol, textCol)
+      .select(col("doc_id"), col("avg_logprob"))
+    val grouped = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(groupCol))
+    groupedNtileBuckets(scores.join(grouped, Seq("doc_id")), "doc_id",
+        groupCol, "avg_logprob", labels, bucketBits, bestFirst = true)
+      .withColumnRenamed("rank", "lm_rank")
+      .withColumnRenamed("n_group", "n_lang")
+  }
+
+  /** PER-GROUP calibrated quality gate (x147) — [[calibratedGate]]'s
+    * grouped twin: each group's threshold is ITS OWN exact q-quantile
+    * quality score (ascending — q = 0.25 drops each group's worst
+    * quarter), and the gate keeps `score >= threshold`, so ties at the
+    * bar all survive (gate on score, not rank — x119's law, per
+    * group). The per-group calibration is the point: one global bar
+    * (x119) gates low-scoring LANGUAGES, not low-scoring documents —
+    * a 25% global cut can silently delete a whole low-resource
+    * language whose honest scores sit below the dominant language's
+    * median.
+    *
+    * Scale shape: two scoring passes (threshold + gate), as x119; the
+    * grouped rank is [[groupedBucketedRank]] (no per-group sort), the
+    * threshold table is group-count-sized and broadcast, and the gate
+    * itself is a zero-shuffle filter of the scored stream. */
+  def groupedCalibratedGate(docs: DataFrame, idCol: String,
+                            textCol: String, groupCol: String, q: Double,
+                            bucketBits: Int = 8): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"q must lie in (0, 1], got $q")
+    val grouped = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(groupCol))
+    val scored = qualityScore(docs, idCol, textCol)
+      .select(col("doc_id"), col("quality_score"))
+      .join(grouped, Seq("doc_id"))
+    val thr = groupedBucketedRank(scored, "doc_id", groupCol,
+        "quality_score", bucketBits, bestFirst = false)
+      .filter(col("rank") ===
+        ceil(lit(q) * col("n_group")).cast("long"))
+      .select(col(groupCol), col("quality_score").as("threshold"))
+    scored.join(broadcast(thr), Seq(groupCol))
+      .filter(col("quality_score") >= col("threshold"))
+      .select(col("doc_id"), col(groupCol), col("quality_score"),
+        col("threshold"))
+  }
+
   /** Train/val/test LEAKAGE audit: near-duplicate pairs (exact n-gram
     * Jaccard >= threshold, the x8 machinery) whose two documents land in
     * DIFFERENT [[hashSplit]] splits — the contamination a random

@@ -1380,7 +1380,39 @@ object ExtensionQueries {
         ev.filter(col("event_type") === "purchase"), "event_id", "ts",
         ev.filter(col("event_type") === "click"), "ts",
         "value", radiusMs = 3600000L)
-    })
+    }),
+
+    // x145 — TRUE MMR re-rank over the persisted IVF index: greedy
+    // λ·rel − (1−λ)·max-sim-to-selected over the top-20 candidates,
+    // k = 5 picks — the exact-penalty sibling of x142's cluster cap
+    // (which bounds redundancy by quantized cell; this pays
+    // |q|·candK² pair cosines on query-set-sized frames for the real
+    // thing). Candidate vectors ride along from the index — one
+    // bucket-pruned corpus touch total.
+    "x145_mmr_rerank" -> ((s, dir) => {
+      val (annAssign, annCent) = annIndexFor(s, dir)
+      Similarity.mmrTopKIndexed(
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, candK = 20, nprobe = 2,
+        lambda = 0.7, annAssign, annCent)
+    }),
+
+    // x146 — CCNet-style per-LANGUAGE fluency terciles: x86's bigram-LM
+    // score, ranked WITHIN each language (grouped bucketed rank — no
+    // per-language sort) and cut at exact integer tercile boundaries.
+    // head = that language's most fluent third; a global cut would
+    // grade low-resource languages against the dominant language's
+    // fluency distribution.
+    "x146_ccnet_buckets" -> ((s, dir) => TextAnalysis.ccnetBuckets(
+      t(s, dir, "documents"), "doc_id", "text", "lang",
+      Seq("head", "middle", "tail"))),
+
+    // x147 — x119's calibrated gate PER LANGUAGE: each language's
+    // threshold is its own exact p25 quality score; a single global
+    // bar gates low-scoring LANGUAGES, not low-scoring documents.
+    "x147_lang_calibrated_gate" -> ((s, dir) =>
+      TextAnalysis.groupedCalibratedGate(
+        t(s, dir, "documents"), "doc_id", "text", "lang", q = 0.25))
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -3082,6 +3114,90 @@ object ExtensionQueries {
        ${agg("pq_rerank", "rr")}"""
   }
 
+  /** x145's oracle: the x10 IVF chain cut at `candK` (rel = 1e-6-rounded
+    * sim), all |q|·candK² pairwise candidate cosines, then the greedy
+    * MMR loop UNROLLED into k chained CTE stages — each stage joins the
+    * selected-so-far union, takes max pair-sim as the redundancy
+    * penalty, scores `λ·rel − (1−λ)·penalty` (one IEEE expression,
+    * 1e-6-rounded — λ and 1−λ serialized from the same Scala doubles
+    * the Spark side uses), and picks the per-query argmax with the
+    * (mmr desc, id) tie order — every step mirrored against
+    * `Similarity.mmrTopKIndexed`. */
+  private def mmrOracle(numCentroids: Int, nprobe: Int, nQueries: Int,
+                        candK: Int, k: Int, lambda: Double): String = {
+    val om = 1.0 - lambda
+    def mmrExpr(relRef: String, mpRef: String): String =
+      s"floor(($lambda * $relRef - $om * $mpRef) * 1000000 + 0.5) " +
+        "/ 1000000.0"
+    val iters = (2 to k).map { i =>
+      s"""pen$i AS (SELECT p.query_id, p.aid AS neighbor_id,
+             max(p.psim) AS mp
+           FROM pairs p JOIN selu${i - 1} s
+             ON p.query_id = s.query_id AND p.bid = s.neighbor_id
+           GROUP BY 1, 2),
+         sel$i AS (SELECT query_id, neighbor_id, rel, mmr,
+             CAST($i AS INTEGER) AS pick FROM (
+             SELECT c.query_id, c.neighbor_id, c.rel,
+               ${mmrExpr("c.rel", "n.mp")} AS mmr,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY ${mmrExpr("c.rel", "n.mp")} DESC,
+                   c.neighbor_id) AS rn
+             FROM cand c JOIN pen$i n
+               ON c.query_id = n.query_id
+                 AND c.neighbor_id = n.neighbor_id
+             WHERE NOT EXISTS (SELECT 1 FROM selu${i - 1} s
+               WHERE s.query_id = c.query_id
+                 AND s.neighbor_id = c.neighbor_id)) WHERE rn = 1),
+         selu$i AS (SELECT * FROM selu${i - 1}
+           UNION ALL SELECT * FROM sel$i)"""
+    }.mkString(",\n", ",\n", "")
+    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+           FROM embeddings WHERE vec_id < $numCentroids),
+         corp AS (SELECT vec_id AS neighbor_id, embedding AS cv
+           FROM embeddings),
+         assigned AS (SELECT neighbor_id, cv, centroid_id FROM (
+           SELECT neighbor_id, cv, centroid_id, row_number() OVER
+             (PARTITION BY neighbor_id
+              ORDER BY ${duckCos("cv", "centv")} DESC, centroid_id) AS arn
+           FROM corp, cent) WHERE arn = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < $nQueries),
+         probes AS (SELECT query_id, qv, centroid_id FROM (
+           SELECT query_id, qv, centroid_id, row_number() OVER
+             (PARTITION BY query_id
+              ORDER BY ${duckCos("qv", "centv")} DESC, centroid_id) AS prn
+           FROM q, cent) WHERE prn <= $nprobe),
+         scored AS (SELECT query_id, neighbor_id,
+             ${duckCos("qv", "cv")} AS sim
+           FROM assigned JOIN probes USING (centroid_id)
+           WHERE query_id <> neighbor_id),
+         cand AS (SELECT query_id, neighbor_id,
+             floor(sim * 1000000 + 0.5) / 1000000.0 AS rel FROM (
+             SELECT query_id, neighbor_id, sim, row_number() OVER
+               (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS crn
+             FROM scored) WHERE crn <= $candK),
+         pairs AS (SELECT a.query_id, a.neighbor_id AS aid,
+             b.neighbor_id AS bid,
+             floor(${duckCos("va.embedding", "vb.embedding")}
+               * 1000000 + 0.5) / 1000000.0 AS psim
+           FROM cand a JOIN cand b ON a.query_id = b.query_id
+             AND a.neighbor_id <> b.neighbor_id
+           JOIN embeddings va ON va.vec_id = a.neighbor_id
+           JOIN embeddings vb ON vb.vec_id = b.neighbor_id),
+         sel1 AS (SELECT query_id, neighbor_id, rel, mmr,
+             CAST(1 AS INTEGER) AS pick FROM (
+             SELECT query_id, neighbor_id, rel,
+               floor($lambda * rel * 1000000 + 0.5) / 1000000.0 AS mmr,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY floor($lambda * rel * 1000000 + 0.5)
+                   / 1000000.0 DESC, neighbor_id) AS rn
+             FROM cand) WHERE rn = 1),
+         selu1 AS (SELECT * FROM sel1)$iters
+       SELECT query_id, neighbor_id, CAST(pick AS BIGINT) AS pick,
+         mmr AS mmr_score, rel AS similarity FROM selu$k"""
+  }
+
   /** x141's oracle: the [[rerankLegsCtes]] legs under the ranking
     * metrics — per query, MRR's addend is 1/first-relevant-rank
     * (1e-6-rounded) and nDCG's is the DECIMAL sum of 1e-4-rounded
@@ -4546,6 +4662,76 @@ object ExtensionQueries {
            CAST(SUM(CAST(r.rv AS DECIMAL(38,6))) AS DOUBLE) AS v_sum
          FROM l LEFT JOIN r
            ON abs(epoch_ms(l.ts) - epoch_ms(r.ts)) <= 3600000
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "x145_mmr_rerank" -> mmrOracle(numCentroids = 16, nprobe = 2,
+      nQueries = 10, candK = 20, k = 5, lambda = 0.7),
+    // x86's LM chain verbatim, then per-language rank (avg_logprob
+    // DESC, doc_id — the Spark tie law) and exact integer tercile
+    // boundaries ceil(n·i/3) = (n·i + 2) // 3 (remainder to the first
+    // buckets, SQL NTILE's law; Spark computes the same value via an
+    // exact double floor-division — see ccnetBuckets). Docs with < 2
+    // tokens have no bigrams and drop out of lm, hence of the ranking.
+    "x146_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         p AS (SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+           FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+         dp AS (SELECT doc_id, w1, w2, count(*) AS m
+           FROM p GROUP BY ALL),
+         bi AS (SELECT w1, w2, count(*) AS cb FROM p GROUP BY ALL),
+         uni AS (SELECT w AS w1, count(*) AS cu
+           FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+         v AS (SELECT count(*) AS vs FROM uni),
+         lm AS (SELECT doc_id,
+             floor(sum(CAST(m * (floor(ln(
+                   (cb + 1.0) / (cu + vs)) * 10000 + 0.5) / 10000.0)
+                 AS DECIMAL(38,6)))::DOUBLE
+               / sum(m) * 10000 + 0.5) / 10000 AS avg_logprob
+           FROM dp JOIN bi USING (w1, w2) JOIN uni USING (w1), v
+           GROUP BY doc_id),
+         j AS (SELECT d.doc_id, d.lang, l.avg_logprob
+           FROM lm l JOIN documents d USING (doc_id)),
+         r AS (SELECT doc_id, lang, avg_logprob,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY avg_logprob DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n FROM j)
+         SELECT doc_id, lang, avg_logprob, CAST(rk AS BIGINT) AS lm_rank,
+           CAST(n AS BIGINT) AS n_lang,
+           CASE WHEN rk <= (n + 2) // 3 THEN 'head'
+                WHEN rk <= (n * 2 + 2) // 3 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM r""",
+    // x119's quality chain + lang, per-LANGUAGE ascending rank, each
+    // language's threshold at rank ceil(0.25·n_lang) (same double-ceil
+    // law as x114/x119), gate on score >= that language's bar
+    "x147_lang_calibrated_gate" ->
+      """WITH qs AS (SELECT doc_id, lang,
+           floor((0.4 * (CASE WHEN length(trim(text)) >= 100
+               AND length(trim(text)) <= 20000 THEN 1 ELSE 0 END)
+           + 0.3 * greatest(0.0, 1.0 -
+               ((length(trim(text)) - length(regexp_replace(
+                 lower(trim(text)), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                / length(trim(text))) * 5)
+           + 0.3 * least(1.0,
+               (len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is',
+                            'der','die','das','und','ist','ein','zu',
+                            'el','la','de','que','y','en','un',
+                            'le','et','les','des','une',
+                            '的','是','了','在','和','有','我'))) * 1.0
+                / len(string_split_regex(lower(trim(text)), '\s+'))) * 5))
+           * 10000 + 0.5) / 10000.0 AS quality_score
+           FROM documents),
+         r AS (SELECT doc_id, lang, quality_score,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY quality_score, doc_id) AS BIGINT) AS rank,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+           FROM qs),
+         thr AS (SELECT lang, quality_score AS threshold FROM r
+           WHERE rank = CAST(ceil(0.25 * n) AS BIGINT))
+         SELECT q.doc_id, q.lang, q.quality_score, t.threshold
+         FROM qs q JOIN thr t USING (lang)
+         WHERE q.quality_score >= t.threshold"""
   )
 }

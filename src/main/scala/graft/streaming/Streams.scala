@@ -123,6 +123,68 @@ object Streams {
       }
   }
 
+  final case class AttrEvent(user_id: Long, ts: Timestamp, event_id: Long,
+                             event_type: String, value: Double)
+  final case class LastClick(id: Long, tsMs: Long, value: Double)
+  final case class Attribution(event_id: Long, user_id: Long, ts: Timestamp,
+                               prior_event_id: Option[Long],
+                               prior_ts: Option[Timestamp],
+                               prior_value: Option[Double],
+                               gap_ms: Option[Long])
+
+  /** Streaming LAST-TOUCH ATTRIBUTION — the continuous form of the x143
+    * as-of join ([[graft.operators.Temporal.asofJoin]]): per user, keep
+    * ONE click (the latest by (ts, id)) as state; every purchase in a
+    * micro-batch is attributed against that state plus the batch's own
+    * at-or-before clicks, under the exact batch tie law — clicks at the
+    * purchase's own timestamp count (`<=`), equal-timestamp clicks
+    * resolve to the larger id. Unattributed purchases are emitted with
+    * NULLs, not dropped.
+    *
+    * State is one fixed-size record per user — the streaming as-of's
+    * whole trick (the batch form's running window becomes a 24-byte
+    * state value; no event history is retained). Replayed or reordered
+    * batches keep the tie law deterministic WITHIN a batch; a click
+    * arriving in a LATER batch than a purchase it should have
+    * attributed cannot retro-attribute it (append-mode law — the same
+    * reason the batch oracle is authoritative: replay the union
+    * time-ordered and the outputs match row-for-row, spec-pinned). */
+  def attributionStream(events: Dataset[AttrEvent])
+                       (implicit spark: SparkSession): Dataset[Attribution] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastClick, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[AttrEvent],
+         state: GroupState[LastClick]) =>
+          // batch-local merge order = the batch operator's sort: time,
+          // clicks before purchases at the same instant, then id (so
+          // the max-(ts, id) click wins ties)
+          val sorted = rows.toSeq.sortBy(e =>
+            (e.ts.getTime, if (e.event_type == "click") 0 else 1,
+              e.event_id))
+          val out = Seq.newBuilder[Attribution]
+          var last = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "click" =>
+                if (last.forall(s =>
+                    s.tsMs < t || (s.tsMs == t && s.id < e.event_id)))
+                  last = Some(LastClick(e.event_id, t, e.value))
+              case "purchase" =>
+                out += Attribution(e.event_id, userId, e.ts,
+                  last.map(_.id), last.map(s => new Timestamp(s.tsMs)),
+                  last.map(_.value), last.map(s => t - s.tsMs))
+              case _ => () // other event types pass through unobserved
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming classifier gate — the model-scored twin of
     * [[qualityGate]]: [[graft.operators.Classifier.keep]]'s linear
     * bag-of-words score is a stateless per-row projection, so the SAME

@@ -36,26 +36,45 @@ object ScaleBench {
 
   def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     import java.nio.file.{Files, Paths}
-    if (Files.exists(Paths.get(s"$outDir/documents.parquet"))) return
     val ks = broadcast(spark.range(Copies).select(col("id").as("k")))
 
-    val docs = Tables(spark, srcDir, "documents")
-    docs.crossJoin(ks)
-      .select((col("doc_id") * Copies + col("k")).as("doc_id"),
-        regexp_replace(col("text"), lit("(\\S+)"),
-          concat(lit("$1_"), col("k"))).as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")))
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    if (!Files.exists(Paths.get(s"$outDir/documents.parquet"))) {
+      val docs = Tables(spark, srcDir, "documents")
+      docs.crossJoin(ks)
+        .select((col("doc_id") * Copies + col("k")).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_"), col("k"))).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
-    val emb = Tables(spark, srcDir, "embeddings")
-    emb.crossJoin(ks)
-      .select((col("vec_id") * Copies + col("k")).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          when(pmod(xxhash64(col("k") * lit(1000) + i), lit(2)) === 0, x)
-            .otherwise(-x)).as("embedding"),
-        col("label"))
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      val emb = Tables(spark, srcDir, "embeddings")
+      emb.crossJoin(ks)
+        .select((col("vec_id") * Copies + col("k")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(pmod(xxhash64(col("k") * lit(1000) + i), lit(2)) === 0, x)
+              .otherwise(-x)).as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+
+    // events: 10x the HISTORY — each copy shifted a full 30-day window
+    // later, so the stream covers 10x the time at the source's own
+    // density (how event data actually accumulates). Per-user depth
+    // grows 10x (the as-of merge scan's axis); per-band density stays
+    // constant (the range join's match volume grows linearly with the
+    // data). The same-window densification variant (all copies in one
+    // month) instead grows range-join PAIRS quadratically — that is a
+    // traffic-spike stress, not a data-growth profile.
+    if (!Files.exists(Paths.get(s"$outDir/events.parquet"))) {
+      val ev = Tables(spark, srcDir, "events")
+      ev.crossJoin(ks)
+        .select((col("event_id") * Copies + col("k")).as("event_id"),
+          timestamp_millis(graft.functions.Dates.toEpochMillis(col("ts")) +
+            col("k") * lit(2592000000L)).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
   }
 
   /** The probed pipelines, parameterized by the centroid count (16 at
@@ -483,6 +502,18 @@ object ScaleBench {
     ("x119_calibrated_gate", (s: SparkSession, dir: String) =>
       graft.operators.TextAnalysis.calibratedGate(
         Tables(s, dir, "documents"), "doc_id", "text", q = 0.25)),
+    // x86's LM chain dominates (vocabulary-bounded count tables); the
+    // grouped rank adds (lang, bucket) windows + two broadcast tables
+    ("x146_ccnet_buckets", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.ccnetBuckets(
+        Tables(s, dir, "documents"), "doc_id", "text", "lang",
+        Seq("head", "middle", "tail"))),
+    // two scoring scans (threshold + gate) + the grouped rank's
+    // windows; threshold table is |langs| rows, broadcast
+    ("x147_lang_calibrated_gate", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.groupedCalibratedGate(
+        Tables(s, dir, "documents"), "doc_id", "text", "lang",
+        q = 0.25)),
     // PQ codebook size is a model hyperparameter (x90's argument): hold
     // m=4/k=8 fixed and let the probe isolate the corpus-linear terms —
     // m·rounds codebook-stats passes + the one-scan encode
@@ -581,6 +612,14 @@ object ScaleBench {
         ev.filter(col("event_type") === "click"), "ts",
         "value", radiusMs = 3600000L)
     }),
+    // one IVF query's corpus cost (candidate vectors ride along from
+    // the index); the |q|·candK² pair cosines and the k greedy stages
+    // run on cached query-set-sized frames
+    ("x145_mmr_rerank", (s: SparkSession, dir: String) =>
+      graft.operators.Similarity.mmrTopKIndexed(
+        Tables(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, candK = 20, nprobe = 2,
+        lambda = 0.7, annTables._1, annTables._2)),
     // x91's serving cost exactly (same pruned scan, same broadcast
     // probe join) plus one exchange of the pruned candidates for the
     // per-cell cap window

@@ -890,6 +890,17 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected extra exchange in the two-stage plan:\n$p")
   }
 
+  test("x145 MMR re-rank: candidates come from the bucket-pruned index " +
+      "scan once (cached query-set-sized frames), no cartesian, no " +
+      "kernel recompute") {
+    val p = plan("x145_mmr_rerank")
+    assert(p.contains("ann_assign_") || p.contains("InMemoryTableScan"),
+      s"index-backed candidate frame missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+    assert("(?i)nearestcentroid".r.findAllIn(p).isEmpty,
+      s"corpus assignment recomputed at query time:\n$p")
+  }
+
   test("x143 as-of join plans the merge scan: union + running window " +
       "on ONE key exchange — no join operator of any kind") {
     val p = plan("x143_asof_join")
@@ -1032,5 +1043,36 @@ class PlanAuditSpec extends SparkSpec {
     // (threshold side); the gate's scoring scan adds none
     assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
       s"unexpected single-partition stage on the gate side:\n$p")
+  }
+
+  test("x146 ccnet buckets: no per-language global sort — ranks come " +
+      "from (lang, bucket)-partitioned windows + broadcast offsets") {
+    val p = plan("x146_ccnet_buckets")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a range-partitioned sort leaked into the grouped rank:\n$p")
+    // the corpus-sized local-rank window partitions by (lang, _b) —
+    // splitting each language across buckets (a lang-only window would
+    // put the whole language in one partition; lang-only windows DO
+    // appear, but only over the ≤ groups·2^bits-row counts rollup)
+    assert("hashpartitioning\\(lang#\\d+, _b#\\d+".r.findFirstIn(p)
+        .isDefined,
+      s"local rank should window by (lang, bucket):\n$p")
+    // both side tables (per-group extents, per-(group,bucket) offsets)
+    // broadcast into the scored stream
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"extents/offsets should broadcast:\n$p")
+  }
+
+  test("x147 grouped calibrated gate: no per-language sort, no " +
+      "single-partition stage — thresholds broadcast into a " +
+      "zero-extra-shuffle score filter") {
+    val p = plan("x147_lang_calibrated_gate")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global/grouped sort leaked into the gate:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the grouped form should have no single-partition stage:\n$p")
+    // extents, offsets, and the per-language threshold all broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"extents/offsets/thresholds should broadcast:\n$p")
   }
 }

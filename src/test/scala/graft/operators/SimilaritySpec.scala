@@ -617,6 +617,59 @@ class SimilaritySpec extends SparkSpec {
     assert(uncapped === plain)
   }
 
+  test("mmrTopKIndexed (x145): lambda=1 degenerates to the plain " +
+      "ranking; a redundancy-penalizing lambda breaks out of the " +
+      "pile after pick 1") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    Seq("graft_idx_test.mmr_assign", "graft_idx_test.mmr_cent").foreach {
+      name =>
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val Array(db, t) = name.split('.')
+        val loc = java.nio.file.Paths.get("spark-warehouse", s"$db.db", t)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+    }
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.01f)),
+      (2L, Array(0.98f, 0.02f)), (3L, Array(0.97f, 0.03f)),
+      (4L, Array(0.96f, 0.04f)),
+      (5L, Array(0.0f, 1.0f)), (6L, Array(0.1f, 0.9f)),
+      (7L, Array(0.2f, 0.8f))).toDF("vec_id", "embedding")
+    val cents = corpus.filter("vec_id IN (0, 5)")
+    val q = corpus.filter("vec_id = 1")
+    Similarity.writeAnnIndex(corpus, cents, "vec_id", "embedding",
+      "graft_idx_test.mmr_assign", "graft_idx_test.mmr_cent",
+      numBuckets = 2)
+    def run(lambda: Double) =
+      Similarity.mmrTopKIndexed(q, "vec_id", "embedding",
+          k = 3, candK = 7, nprobe = 2, lambda,
+          "graft_idx_test.mmr_assign", "graft_idx_test.mmr_cent")
+        .orderBy(org.apache.spark.sql.functions.col("pick"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // lambda = 1: no penalty — picks are the plain top-3 in rank order
+    val plain = Similarity.ivfTopKIndexed(q, "vec_id", "embedding",
+        k = 3, nprobe = 2,
+        "graft_idx_test.mmr_assign", "graft_idx_test.mmr_cent")
+      .orderBy(org.apache.spark.sql.functions.col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(run(1.0).map(_._1).toSeq === plain)
+    // pick 1 is ALWAYS the top-relevance doc; with lambda = 0.3 the
+    // near-identical pile (sim ~0.9999 to pick 1) is out-penalized by
+    // the orthogonal cell for pick 2 — and pick 3 returns to the pile,
+    // because the remaining cell-5 members are now redundant with
+    // pick 2 (penalty chases whatever is already selected, not cells)
+    val diverse = run(0.3)
+    assert(diverse.map(_._2).toSeq === Seq(1L, 2L, 3L))
+    assert(diverse(0)._1 === plain.head)
+    assert(Set(5L, 6L, 7L).contains(diverse(1)._1),
+      s"pick 2 should leave the pile: ${diverse.toSeq}")
+    assert(Set(0L, 2L, 3L, 4L).contains(diverse(2)._1),
+      s"pick 3 should return to the pile: ${diverse.toSeq}")
+  }
+
   test("rankingReport (x141): a perfect leg reads 1.0/1.0; a rank-1 " +
       "miss halves MRR and log-discounts nDCG; missed queries count " +
       "as zeros in the macro mean") {

@@ -681,6 +681,108 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("groupedNtileBuckets (x146 core): per-group exact ranks (score " +
+      "desc, id tie) and NTILE's remainder-first tercile boundaries; a " +
+      "constant-score group collapses to one bucket with exact ranks") {
+    val scored = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.7), ("a", 3L, 0.7), ("a", 4L, 0.5),
+      ("a", 5L, 0.3), ("a", 6L, 0.2), ("a", 7L, 0.1),
+      // all-equal scores: degenerate single bucket, ranks fall to ids
+      ("b", 10L, 0.4), ("b", 11L, 0.4), ("b", 12L, 0.4)
+    ).toDF("grp", "id", "score")
+    val out = TextAnalysis.groupedNtileBuckets(scored, "id", "grp",
+        "score", Seq("head", "middle", "tail"), bucketBits = 2)
+      .collect().map(r => (r.getString(1), r.getLong(0)) ->
+        ((r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    // group a: 7 rows → tercile sizes 3/2/2 (remainder to the FIRST
+    // buckets); the 0.7 tie resolves by ascending id
+    assert(out(("a", 1L)) === ((1L, 7L, "head")))
+    assert(out(("a", 2L)) === ((2L, 7L, "head")))
+    assert(out(("a", 3L)) === ((3L, 7L, "head")))
+    assert(out(("a", 4L)) === ((4L, 7L, "middle")))
+    assert(out(("a", 5L)) === ((5L, 7L, "middle")))
+    assert(out(("a", 6L)) === ((6L, 7L, "tail")))
+    assert(out(("a", 7L)) === ((7L, 7L, "tail")))
+    // group b: 3 rows → 1/1/1
+    assert(out(("b", 10L)) === ((1L, 3L, "head")))
+    assert(out(("b", 11L)) === ((2L, 3L, "middle")))
+    assert(out(("b", 12L)) === ((3L, 3L, "tail")))
+  }
+
+  test("ccnetBuckets (x146): per-LANGUAGE terciles of the bigram-LM " +
+      "score — matches a local per-lang sort of the operator's own " +
+      "scores; sub-2-token docs drop out (x86's law)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "the lazy dog sleeps under the quick fox", "en"),
+      (3L, "completely unrelated gibberish tokens here now", "en"),
+      (4L, "the quick brown fox jumps again and again", "en"),
+      (5L, "der schnelle braune fuchs springt gern hoch", "de"),
+      (6L, "der faule hund schlaeft gern unten tief", "de"),
+      (7L, "ein ganz anderes thema ohne gemeinsame worte", "de"),
+      (8L, "solo", "en") // 1 token → no bigrams → absent
+    ).toDF("doc_id", "text", "lang")
+    val scores = TextAnalysis.bigramLmScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val langOf = Map(1L -> "en", 2L -> "en", 3L -> "en", 4L -> "en",
+      5L -> "de", 6L -> "de", 7L -> "de")
+    val expected = langOf.keys.groupBy(langOf).flatMap {
+      case (lang, ids) =>
+        val sorted = ids.toSeq.sortBy(id => (-scores(id), id))
+        val n = sorted.size
+        sorted.zipWithIndex.map { case (id, i) =>
+          val rk = i + 1L
+          val bucket = if (rk <= (n + 2) / 3) "head"
+            else if (rk <= (n * 2 + 2) / 3) "middle" else "tail"
+          id -> ((lang, scores(id), rk, n.toLong, bucket))
+        }
+    }
+    val out = TextAnalysis.ccnetBuckets(docs, "doc_id", "text", "lang",
+        Seq("head", "middle", "tail"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        r.getDouble(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(out === expected)
+    assert(!out.contains(8L))
+  }
+
+  test("groupedCalibratedGate (x147): each group gates at its OWN " +
+      "exact p25 score (ties at the bar survive); a global bar gates " +
+      "the whole low-scoring language, the grouped bar keeps its top") {
+    // en: stopword-rich text scores high; xx: punctuation soup scores
+    // low — every xx score sits below every en score
+    val en = (1L to 8L).map(i => (i,
+      s"the quick document $i of the corpus and the usual words in it",
+      "en"))
+    // distinct punctuation ratios UNDER the 0.2 saturation point →
+    // distinct (low) scores, so the global bar cuts INSIDE xx instead
+    // of tying across all of it
+    val xx = (101L to 104L).map(i =>
+      (i, "plain words here plain words here plain words here " +
+        ("!" * (3 * (i - 100) - 2).toInt), "xx"))
+    val docs = (en ++ xx).toDF("doc_id", "text", "lang")
+    val scores = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select("doc_id", "quality_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(xx.map(x => scores(x._1)).max < en.map(e => scores(e._1)).min)
+    def expectedKept(ids: Seq[Long]) = {
+      val sorted = ids.sortBy(id => (scores(id), id))
+      val thr = scores(sorted(math.ceil(0.25 * ids.size).toInt - 1))
+      ids.filter(scores(_) >= thr).toSet
+    }
+    val grouped = TextAnalysis.groupedCalibratedGate(docs, "doc_id",
+        "text", "lang", q = 0.25)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(grouped === expectedKept(en.map(_._1)) ++
+      expectedKept(xx.map(_._1)))
+    // the grouped gate keeps xx's own top 75%; the GLOBAL gate's p25
+    // bar (12 docs → rank 3) lands inside xx and deletes most of it
+    val global = TextAnalysis.calibratedGate(docs, "doc_id", "text",
+        q = 0.25).collect().map(r => r.getLong(0)).toSet
+    assert((grouped & xx.map(_._1).toSet).size >
+      (global & xx.map(_._1).toSet).size)
+  }
+
   test("indexed novelty (x110): persisted gram-df index returns the " +
       "self-contained rows; a disjoint batch scores (0, 0, null)") {
     val docs = Seq(

@@ -126,6 +126,64 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("attributionStream (x143's continuous form): latest-click state " +
+      "crosses micro-batches under the batch tie law; row-for-row " +
+      "parity with Temporal.asofJoin on a time-ordered replay") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("attr-in").toString
+    val early = Seq(
+      Streams.AttrEvent(1L, ts("2024-01-01 00:00:10"), 100L, "click", 1.0),
+      Streams.AttrEvent(1L, ts("2024-01-01 00:00:20"), 101L, "click", 2.0),
+      Streams.AttrEvent(1L, ts("2024-01-01 00:00:20"), 102L, "click", 3.0),
+      // purchase AT the two clicks' instant: '<=' includes them, the
+      // larger click id (102) wins the tie
+      Streams.AttrEvent(1L, ts("2024-01-01 00:00:20"), 200L, "purchase", 0.0),
+      Streams.AttrEvent(2L, ts("2024-01-01 00:00:05"), 201L, "purchase", 0.0))
+    val late = Seq(
+      // attributed from STATE: user 1's clicks live in the prior batch
+      Streams.AttrEvent(1L, ts("2024-01-01 00:01:00"), 202L, "purchase", 0.0),
+      Streams.AttrEvent(2L, ts("2024-01-01 00:01:10"), 103L, "click", 4.0),
+      Streams.AttrEvent(2L, ts("2024-01-01 00:01:20"), 203L, "purchase", 0.0))
+    // ONE part-file per write (local[32] would split each 5-row batch
+    // into several files, and maxFilesPerTrigger=1 would then replay
+    // them as arbitrary-order fragments)
+    early.toDS().coalesce(1).write.mode("overwrite").parquet(dir)
+    Thread.sleep(1100) // distinct mod-times → two source micro-batches
+    late.toDS().coalesce(1).write.mode("append").parquet(dir)
+
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .as[Streams.AttrEvent]
+    val q = Streams.attributionStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("attr_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[java.lang.Long]("prior_event_id")),
+          Option(r.getAs[java.lang.Double]("prior_value"))))
+    val got = spark.table("attr_out").collect().map(key).toMap
+    assert(got === Map(
+      200L -> ((Some(102L), Some(3.0))),
+      201L -> ((None, None)),
+      202L -> ((Some(102L), Some(3.0))),
+      203L -> ((Some(103L), Some(4.0)))))
+    // parity: the batch as-of over the full union returns the same rows
+    val all = (early ++ late).toDS().toDF()
+    val batch = graft.operators.Temporal.asofJoin(
+      all.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts")),
+      all.filter(col("event_type") === "click"),
+      "user_id", "ts", "ts", "event_id", Seq("value"))
+      .collect().map(key).toMap
+    assert(batch === got)
+  }
+
   test("dedupStream keeps first arrival per digest with bounded state") {
     val dir = Files.createTempDirectory("dedup-in").toString
     Seq(
