@@ -114,4 +114,119 @@ object Temporal {
       .agg(count(col("_rms")).as("n_near"),
         Num.dsum(col("_rv")).as("v_sum"))
   }
+
+  /** SCD TYPE-2 dimension build (x148): from an event/version stream
+    * `(key, ts, tieId, attribute)`, one row per key per RUN of equal
+    * consecutive attribute values — the classic warehouse
+    * slowly-changing-dimension table: `valid_from_ms` (run start),
+    * `valid_to_ms` (next run's start; NULL on the current run),
+    * `version` (1-based per key), `is_current`, and `n_events` (rows
+    * collapsed into the run). Consecutive-equal collapse is the SCD2
+    * point — re-asserting an unchanged attribute extends the current
+    * validity interval instead of opening a new version, but a value
+    * that REVERTS later opens a fresh version (history, not dedup).
+    *
+    * Event order per key is `(ts, tieId)` — total, so versioning is
+    * deterministic under any partitioning. NULL attribute values are a
+    * legal state: the change test is null-safe (NULL → NULL extends,
+    * NULL → x and x → NULL change).
+    *
+    * Scale shape: ONE exchange on the key and two linear per-key window
+    * scans (change flags + running version number), then the collapse
+    * aggregate and a per-(key, version) lead — all on the same key
+    * partitioning, no join anywhere. The asofJoin/sessionize class:
+    * cost follows per-key event depth linearly. */
+  def scd2(events: DataFrame, keyCol: String, tsCol: String,
+           tieIdCol: String, attrCol: String): DataFrame = {
+    val ordered = Window.partitionBy(col(keyCol))
+      .orderBy(col("_ms").asc, col(tieIdCol).asc)
+    val flagged = events
+      .select(col(keyCol), col(tieIdCol), col(attrCol).as("_attr"),
+        Dates.toEpochMillis(col(tsCol)).as("_ms"))
+      .withColumn("_chg", when(
+        col("_attr") <=> lag(col("_attr"), 1).over(ordered), lit(0L))
+        .otherwise(lit(1L)))
+      .withColumn("version", sum(col("_chg")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = flagged.groupBy(col(keyCol), col("version"))
+      .agg(min(col("_ms")).as("valid_from_ms"),
+        // one run holds one attribute value by construction; min is a
+        // deterministic pick that tolerates the all-NULL run
+        min(col("_attr")).as(attrCol),
+        count(lit(1)).as("n_events"))
+    val byVersion = Window.partitionBy(col(keyCol))
+      .orderBy(col("version").asc)
+    runs
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1)
+        .over(byVersion))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+      .select(col(keyCol), col("version"), col(attrCol),
+        col("valid_from_ms"), col("valid_to_ms"), col("is_current"),
+        col("n_events"))
+  }
+
+  /** POSITION-BASED (U-shaped) multi-touch attribution (x149): each
+    * purchase distributes credit over the SAME user's clicks in the
+    * `[purchase − windowMs, purchase]` lookback, under the standard
+    * U-shape: one touch takes 1.0, two take 0.5 each, three-plus give
+    * 0.4 to the first touch, 0.4 to the last, and the middle touches
+    * split 0.2 evenly — the first-contact/closer law single-touch
+    * (x143) flattens away. Output is PAIR grain
+    * `(purchase id, click id, touch_rank, n_touches, weight, credit)`:
+    * `touch_rank` orders the window's clicks by (ts, id) ascending,
+    * `credit` = the purchase's 1e-4-rounded value × weight, 1e-6 — a
+    * click's total earned credit is one groupBy away. Purchases with
+    * no in-window click don't appear (x143 reports the unattributed).
+    *
+    * Weight law is EXACT in both engines: weights come from one CASE
+    * on integers (n, rank); 0.2/(n−2) is a single IEEE divide of
+    * constants, rounded 1e-6; ties at the same instant order by id.
+    *
+    * Scale shape: [[proximityAgg]]'s band trick made ONE-SIDED — the
+    * purchase explodes to its 2 candidate `(user, band)` keys (band
+    * width = the window), the click lands in its own, and the join is
+    * an equality join on (user, band) with `0 ≤ Δt ≤ window` as a
+    * residual — no theta join, per-key population bounded by the
+    * user's arrival rate × window. The rank window then partitions by
+    * purchase id — the pair stream's own grain. */
+  def multiTouchAttribution(purchases: DataFrame, pIdCol: String,
+                            pTsCol: String, pValueCol: String,
+                            clicks: DataFrame, cIdCol: String,
+                            cTsCol: String, keyCol: String,
+                            windowMs: Long): DataFrame = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    val band = (ms: org.apache.spark.sql.Column) =>
+      floor(ms.cast("double") / lit(windowMs.toDouble)).cast("long")
+    val pb = purchases.select(col(keyCol).as("_k"),
+        col(pIdCol).as("purchase_id"),
+        Dates.toEpochMillis(col(pTsCol)).as("_pms"),
+        Num.fpRound(col(pValueCol), 4).as("_pv"))
+      .withColumn("_band", explode(array(
+        band(col("_pms")) - 1, band(col("_pms")))))
+    val cb = clicks.select(col(keyCol).as("_k"),
+        col(cIdCol).as("click_id"),
+        Dates.toEpochMillis(col(cTsCol)).as("_cms"))
+      .withColumn("_band", band(col("_cms")))
+    val pairs = pb.join(cb, Seq("_k", "_band"))
+      .filter(col("_pms") - col("_cms") >= 0 &&
+        col("_pms") - col("_cms") <= lit(windowMs))
+    val wRank = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("_cms").asc, col("click_id").asc)
+    val wN = Window.partitionBy(col("purchase_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = pairs
+      .withColumn("touch_rank", row_number().over(wRank).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(wN))
+    val weight = Num.fpRound(
+      when(col("n_touches") === 1, lit(1.0))
+        .when(col("n_touches") === 2, lit(0.5))
+        .when(col("touch_rank") === 1, lit(0.4))
+        .when(col("touch_rank") === col("n_touches"), lit(0.4))
+        .otherwise(lit(0.2) / (col("n_touches") - lit(2))), 6)
+    ranked
+      .withColumn("weight", weight)
+      .withColumn("credit", Num.fpRound(col("_pv") * col("weight"), 6))
+      .select(col("purchase_id"), col("click_id"), col("touch_rank"),
+        col("n_touches"), col("weight"), col("credit"))
+  }
 }

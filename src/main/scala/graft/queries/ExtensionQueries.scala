@@ -1412,7 +1412,29 @@ object ExtensionQueries {
     // bar gates low-scoring LANGUAGES, not low-scoring documents.
     "x147_lang_calibrated_gate" -> ((s, dir) =>
       TextAnalysis.groupedCalibratedGate(
-        t(s, dir, "documents"), "doc_id", "text", "lang", q = 0.25))
+        t(s, dir, "documents"), "doc_id", "text", "lang", q = 0.25)),
+
+    // x148 — SCD TYPE-2 dimension build: each user's event_type
+    // history collapsed into validity intervals (consecutive repeats
+    // extend the interval, reverts open a new version) — the classic
+    // warehouse dimension table, one key exchange + linear window
+    // scans, no join.
+    "x148_scd2_dimension" -> ((s, dir) => Temporal.scd2(
+      t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")),
+
+    // x149 — U-shaped multi-touch attribution: each purchase splits
+    // credit 0.4/0.2/0.4 (first/middle/last) over the user's clicks in
+    // a 2 h lookback; the one-sided banded (user, band) equi-join
+    // bounds per-key pair volume where a theta join plans a nested
+    // loop.
+    "x149_multitouch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Temporal.multiTouchAttribution(
+        ev.filter(col("event_type") === "purchase"), "event_id", "ts",
+        "value",
+        ev.filter(col("event_type") === "click"), "event_id", "ts",
+        "user_id", windowMs = 7200000L)
+    })
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -4732,6 +4754,63 @@ object ExtensionQueries {
            WHERE rank = CAST(ceil(0.25 * n) AS BIGINT))
          SELECT q.doc_id, q.lang, q.quality_score, t.threshold
          FROM qs q JOIN thr t USING (lang)
-         WHERE q.quality_score >= t.threshold"""
+         WHERE q.quality_score >= t.threshold""",
+    // per-user (ts, event_id) order, null-safe change flags, running
+    // version sum, collapse to runs, lead() for the validity end —
+    // every window mirrored on Temporal.scd2's order
+    "x148_scd2_dimension" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+           epoch_ms(ts) AS ms FROM events),
+         f AS (SELECT user_id, event_id, event_type, ms,
+             CASE WHEN event_type IS NOT DISTINCT FROM
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ms, event_id) THEN 0 ELSE 1 END AS chg
+           FROM e),
+         v AS (SELECT user_id, event_type, ms,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+               ROWS UNBOUNDED PRECEDING) AS version
+           FROM f),
+         r AS (SELECT user_id, version, min(ms) AS valid_from_ms,
+             min(event_type) AS event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM v GROUP BY user_id, version),
+         fin AS (SELECT user_id, version, event_type, valid_from_ms,
+             lead(valid_from_ms) OVER (PARTITION BY user_id
+               ORDER BY version) AS valid_to_ms, n_events
+           FROM r)
+         SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           valid_from_ms, valid_to_ms, valid_to_ms IS NULL AS is_current,
+           n_events FROM fin""",
+    // naive theta join in the oracle (semantics, not plan), the same
+    // (cms, click_id) rank order, the U-shape CASE on integers, and
+    // 0.2::DOUBLE/(n-2) as one IEEE divide — both engines then round
+    // weight and credit on the 1e-6 grid
+    "x149_multitouch" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+           epoch_ms(ts) AS pms,
+           floor(value * 10000 + 0.5) / 10000.0 AS pv
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, epoch_ms(ts) AS cms
+           FROM events WHERE event_type = 'click'),
+         j AS (SELECT purchase_id, click_id, pv, cms
+           FROM p JOIN c USING (user_id)
+           WHERE pms - cms >= 0 AND pms - cms <= 7200000),
+         r AS (SELECT purchase_id, click_id, pv,
+             CAST(row_number() OVER (PARTITION BY purchase_id
+               ORDER BY cms, click_id) AS BIGINT) AS touch_rank,
+             CAST(count(*) OVER (PARTITION BY purchase_id)
+               AS BIGINT) AS n_touches
+           FROM j),
+         w AS (SELECT purchase_id, click_id, touch_rank, n_touches, pv,
+             floor((CASE WHEN n_touches = 1 THEN 1.0::DOUBLE
+               WHEN n_touches = 2 THEN 0.5::DOUBLE
+               WHEN touch_rank = 1 THEN 0.4::DOUBLE
+               WHEN touch_rank = n_touches THEN 0.4::DOUBLE
+               ELSE 0.2::DOUBLE / (n_touches - 2) END)
+               * 1000000 + 0.5) / 1000000.0 AS weight
+           FROM r)
+         SELECT purchase_id, click_id, touch_rank, n_touches, weight,
+           floor(pv * weight * 1000000 + 0.5) / 1000000.0 AS credit
+         FROM w"""
   )
 }

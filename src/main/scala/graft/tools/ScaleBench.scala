@@ -605,6 +605,23 @@ object ScaleBench {
     // equality join on the time band: both sides shuffle once on
     // floor(ms/radius); match volume grows with density (pairs within
     // the radius), the plan shape never degrades to a cartesian
+    // one key exchange + linear per-user window scans over 10x
+    // per-user history; output versions grow with the data
+    ("x148_scd2_dimension", (s: SparkSession, dir: String) =>
+      graft.operators.Temporal.scd2(
+        Tables(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type")),
+    // one-sided (user, band) equi-join at constant band density; the
+    // touch-rank window partitions by purchase — the pair stream's
+    // own grain
+    ("x149_multitouch", (s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      graft.operators.Temporal.multiTouchAttribution(
+        ev.filter(col("event_type") === "purchase"), "event_id", "ts",
+        "value",
+        ev.filter(col("event_type") === "click"), "event_id", "ts",
+        "user_id", windowMs = 7200000L)
+    }),
     ("x144_range_join", (s: SparkSession, dir: String) => {
       val ev = Tables(s, dir, "events")
       graft.operators.Temporal.proximityAgg(

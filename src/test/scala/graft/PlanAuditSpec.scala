@@ -1063,6 +1063,26 @@ class PlanAuditSpec extends SparkSpec {
       s"extents/offsets should broadcast:\n$p")
   }
 
+  test("x148 scd2: join-free — ONE key exchange feeds the change-flag " +
+      "and version windows, the run collapse, and the validity lead") {
+    val p = plan("x148_scd2_dimension")
+    assert(!p.contains("Join"), s"scd2 should be join-free:\n$p")
+    assert(p.contains("Window"), s"versioning windows missing:\n$p")
+    // hashpartitioning(user_id) satisfies the (user_id, version)
+    // aggregate and the byVersion window too — one shuffle total
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the key exchange:\n$p")
+  }
+
+  test("x149 multi-touch: the one-sided lookback rides an EQUALITY " +
+      "join on (user, band) — no cartesian, no nested loop") {
+    val p = plan("x149_multitouch")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"banding should yield an equality join:\n$p")
+    assert(p.contains("Window"), s"touch-rank window missing:\n$p")
+  }
+
   test("x147 grouped calibrated gate: no per-language sort, no " +
       "single-partition stage — thresholds broadcast into a " +
       "zero-extra-shuffle score filter") {

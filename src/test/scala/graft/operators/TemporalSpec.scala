@@ -80,4 +80,80 @@ class TemporalSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"banding should yield an equality join:\n$p")
   }
+
+  test("scd2 (x148): consecutive repeats extend an interval, a revert " +
+      "opens a NEW version, NULL transitions are null-safe, and the " +
+      "valid_to chain links run starts — with no join in the plan") {
+    val ev = withTs(Seq(
+      (1L, 1000L, 1L, Some("a")),
+      (2L, 2000L, 1L, Some("a")),   // repeat → extends version 1
+      (3L, 3000L, 1L, Some("b")),   // change → version 2
+      (4L, 4000L, 1L, None),        // b → NULL: a change (version 3)
+      (5L, 5000L, 1L, None),        // NULL → NULL: extends (null-safe)
+      (6L, 6000L, 1L, Some("a")),   // REVERT to a → version 4, not 1
+      (7L, 1000L, 2L, Some("z"))    // other key: its own chain
+    ).toDF("event_id", "ms", "user_id", "attr"))
+    val out = Temporal.scd2(ev, "user_id", "ts", "event_id", "attr")
+      .collect().map { r =>
+        (r.getAs[Long]("user_id"), r.getAs[Long]("version")) ->
+          ((Option(r.getAs[String]("attr")),
+            r.getAs[Long]("valid_from_ms"),
+            Option(r.getAs[java.lang.Long]("valid_to_ms")),
+            r.getAs[Boolean]("is_current"), r.getAs[Long]("n_events")))
+      }.toMap
+    assert(out((1L, 1L)) ===
+      ((Some("a"), 1000L, Some(3000L), false, 2L)))
+    assert(out((1L, 2L)) === ((Some("b"), 3000L, Some(4000L), false, 1L)))
+    assert(out((1L, 3L)) === ((None, 4000L, Some(6000L), false, 2L)))
+    assert(out((1L, 4L)) === ((Some("a"), 6000L, None, true, 1L)))
+    assert(out((2L, 1L)) === ((Some("z"), 1000L, None, true, 1L)))
+    assert(out.size === 5)
+    val p = Temporal.scd2(ev, "user_id", "ts", "event_id", "attr")
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("Join"), s"scd2 should be join-free:\n$p")
+  }
+
+  test("multiTouchAttribution (x149): U-shape weights at n=1/2/4, the " +
+      "lookback excludes older and future clicks, cross-band pairs " +
+      "are found, and credit = rounded value x weight") {
+    val win = 60000L
+    val clicks = withTs(Seq(
+      (100L, 1L, 10000L),  // in window of p1 (Δ=50 s)
+      (101L, 1L, 30000L),
+      (102L, 1L, 45000L),
+      (103L, 1L, 60000L),  // Δ=0: at the purchase instant — included
+      (104L, 1L, 61000L),  // AFTER the purchase — excluded
+      (105L, 1L, -60000L), // Δ=120 s — outside the lookback
+      (200L, 2L, 100000L), // lone touch for p2 — crosses a band edge
+      (300L, 3L, 5000L), (301L, 3L, 6000L) // exactly two for p3
+    ).toDF("event_id", "user_id", "ms"))
+    val purchases = withTs(Seq(
+      (1L, 1L, 60000L, 10.0),
+      (2L, 2L, 130000L, 2.0), // click at 100 s: other side of band 2
+      (3L, 3L, 50000L, 4.0),
+      (4L, 4L, 50000L, 9.9)   // no clicks at all — absent from output
+    ).toDF("event_id", "user_id", "ms", "value"))
+    val out = Temporal.multiTouchAttribution(purchases, "event_id",
+      "ts", "value", clicks, "event_id", "ts", "user_id", win)
+    val rows = out.collect().map { r =>
+      (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id")) ->
+        ((r.getAs[Long]("touch_rank"), r.getAs[Long]("n_touches"),
+          r.getAs[Double]("weight"), r.getAs[Double]("credit")))
+    }.toMap
+    // p1: 4 touches → 0.4 / 0.2/2 / 0.2/2 / 0.4
+    assert(rows((1L, 100L)) === ((1L, 4L, 0.4, 4.0)))
+    assert(rows((1L, 101L)) === ((2L, 4L, 0.1, 1.0)))
+    assert(rows((1L, 102L)) === ((3L, 4L, 0.1, 1.0)))
+    assert(rows((1L, 103L)) === ((4L, 4L, 0.4, 4.0)))
+    // p2: single touch takes everything (found across the band edge)
+    assert(rows((2L, 200L)) === ((1L, 1L, 1.0, 2.0)))
+    // p3: two touches split evenly
+    assert(rows((3L, 300L)) === ((1L, 2L, 0.5, 2.0)))
+    assert(rows((3L, 301L)) === ((2L, 2L, 0.5, 2.0)))
+    assert(rows.size === 7)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the one-sided band join should be an equality join:\n$p")
+  }
 }
