@@ -1536,6 +1536,95 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** PMI COLLOCATION mining (x150) — the top-`topK` adjacent-token
+    * pairs by pointwise mutual information,
+    * `ln(p(w1,w2) / (p(w1)·p(w2)))` = ln(cb·N² / (B·cu1·cu2)) — the
+    * classic collocation detector (Church & Hanks '90): high-PMI pairs
+    * are multiword units ("los angeles"), low-PMI pairs are chance
+    * adjacency; `minCount` (cb ≥) is the standard guard against the
+    * hapax-pair explosion (a pair seen once between two rare words
+    * maxes PMI by construction — noise, not signal).
+    *
+    * Numeric law: counts are exact longs; PMI is ONE mirrored double
+    * expression (left-assoc products, one divide, ln on the 1e-4 grid
+    * — the x25/x33 ln-parity convention); ties (pmi, w1, w2).
+    *
+    * Scale shape: the minCount filter prunes the pair table BEFORE the
+    * two unigram joins (both sides vocabulary-bounded); totals are
+    * 1-row broadcasts; top-K plans TakeOrderedAndProject. Tokens
+    * leave their scan only as (pair/term, count) rows. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long, topK: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1 && topK <= 100000,
+      s"topK must be in [1, 100000], got $topK")
+    val toks = Text.tokens(col(textCol))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - lit(2)),
+        i => struct(element_at(toks, i + 1).as("w1"),
+          element_at(toks, i + 2).as("w2")))).otherwise(array())
+    val p = Par.spread(docs).select(explode(pairs).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val bi = p.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val uni = Par.spread(docs)
+      .select(explode(TextExpressions.termCounts(col(textCol))).as("tc"))
+      .select(col("tc.term").as("w"), col("tc.tf").cast("long").as("tf"))
+      .groupBy(col("w")).agg(sum(col("tf")).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("n_tokens"))
+    val nb = bi.agg(sum(col("n_pair")).as("n_bigrams"))
+    bi.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cu").as("n_w1")),
+        Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("n_w2")),
+        Seq("w2"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(nb))
+      .withColumn("pmi", Num.fpRound(log(
+        (col("n_pair").cast("double") * col("n_tokens") *
+          col("n_tokens")) /
+        (col("n_bigrams").cast("double") * col("n_w1") * col("n_w2"))),
+        4))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        col("n_w2"), col("pmi"))
+  }
+
+  /** VOCABULARY COVERAGE CURVE (x151) — for each rank r ≤ topK of the
+    * frequency-ranked vocabulary, the cumulative share of all token
+    * occurrences the top-r terms cover — the tokenizer-sizing data
+    * card ([[oovRate]] gives ONE point of this curve per document;
+    * this is the whole corpus-level curve the vocab-size knob is read
+    * off). Complements [[zipfAudit]] (which fits the distribution's
+    * slope; this integrates it).
+    *
+    * Scale shape: the term aggregate is [[vocabulary]]'s; top-K plans
+    * TakeOrderedAndProject, and the running sum is a K-BOUNDED
+    * single-partition window (the x55 convention — K is a knob, not
+    * the corpus); the denominator is a 1-row broadcast counting ALL
+    * occurrences, including those outside the top-K cut. */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1 && topK <= 100000,
+      s"topK must be in [1, 100000], got $topK")
+    val tf = Par.spread(docs)
+      .select(explode(TextExpressions.termCounts(col(textCol))).as("tc"))
+      .select(col("tc.term").as("term"), col("tc.tf").cast("long").as("tf"))
+      .groupBy(col("term")).agg(sum(col("tf")).as("n_occurrences"))
+    val tot = tf.agg(sum(col("n_occurrences")).as("n_total"))
+    val w = Window.orderBy(col("n_occurrences").desc, col("term"))
+    tf.orderBy(col("n_occurrences").desc, col("term")).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_occurrences", sum(col("n_occurrences")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("term"), col("n_occurrences"),
+        col("cum_occurrences"),
+        Num.fpRound(col("cum_occurrences").cast("double") /
+          col("n_total").cast("double"), 6).as("coverage"))
+  }
+
   /** Bigram language-model quality score (the KenLM-perplexity signal
     * of the CCNet pipeline, add-one smoothed): each document is scored
     * by the mean log-probability of its adjacent token pairs under the

@@ -1434,7 +1434,23 @@ object ExtensionQueries {
         "value",
         ev.filter(col("event_type") === "click"), "event_id", "ts",
         "user_id", windowMs = 7200000L)
-    })
+    }),
+
+    // x150 — PMI collocation mining (Church & Hanks): top-50 adjacent
+    // pairs by pointwise mutual information at min pair count 5 — the
+    // multiword-unit detector; the minCount guard kills the hapax-pair
+    // PMI explosion.
+    "x150_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"), "doc_id",
+        "text", minCount = 5, topK = 50)),
+
+    // x151 — vocabulary coverage curve: cumulative token-occurrence
+    // share of the top-r terms, r <= 100 — the corpus-level curve the
+    // tokenizer vocab-size knob is read off (x55 is one per-doc point
+    // of it; x55's vocabSize came from eyeballing exactly this).
+    "x151_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), "doc_id",
+        "text", topK = 100))
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -4811,6 +4827,50 @@ object ExtensionQueries {
            FROM r)
          SELECT purchase_id, click_id, touch_rank, n_touches, weight,
            floor(pv * weight * 1000000 + 0.5) / 1000000.0 AS credit
-         FROM w"""
+         FROM w""",
+    // x68's pair chain + unigram counts + 1-row totals; PMI is the
+    // identical left-assoc double expression, ln on the 1e-4 grid
+    "x150_pmi_collocations" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         p AS (SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+           FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+         bi AS (SELECT w1, w2, count(*) AS n_pair FROM p GROUP BY ALL),
+         uni AS (SELECT w, count(*) AS cu
+           FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+         tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+         nb AS (SELECT CAST(sum(n_pair) AS BIGINT) AS b FROM bi)
+         SELECT w1, w2, n_pair,
+           u1.cu AS n_w1, u2.cu AS n_w2,
+           floor(ln((CAST(n_pair AS DOUBLE) * n * n)
+             / (CAST(b AS DOUBLE) * u1.cu * u2.cu)) * 10000 + 0.5)
+             / 10000.0 AS pmi
+         FROM bi JOIN uni u1 ON bi.w1 = u1.w
+           JOIN uni u2 ON bi.w2 = u2.w, tot, nb
+         WHERE n_pair >= 5
+         ORDER BY pmi DESC, w1, w2 LIMIT 50""",
+    // frequency-ranked vocabulary, K-row running sum, coverage =
+    // cum / ALL occurrences (not just the top-K cut), 1e-6
+    "x151_vocab_coverage" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         u AS (SELECT w AS term, count(*) AS n
+           FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM u),
+         top AS (SELECT term, n,
+             CAST(row_number() OVER (ORDER BY n DESC, term)
+               AS BIGINT) AS rank
+           FROM u ORDER BY n DESC, term LIMIT 100),
+         c AS (SELECT rank, term, n,
+             CAST(sum(n) OVER (ORDER BY rank
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM top)
+         SELECT rank, term, CAST(n AS BIGINT) AS n_occurrences,
+           cum AS cum_occurrences,
+           floor(CAST(cum AS DOUBLE) / n_total * 1000000 + 0.5)
+             / 1000000.0 AS coverage
+         FROM c, tot"""
   )
 }

@@ -502,6 +502,16 @@ object ScaleBench {
     ("x119_calibrated_gate", (s: SparkSession, dir: String) =>
       graft.operators.TextAnalysis.calibratedGate(
         Tables(s, dir, "documents"), "doc_id", "text", q = 0.25)),
+    // pair/term counts leave their scans as (key, count) rows; the
+    // minCount filter prunes before the vocabulary-bounded joins
+    ("x150_pmi_collocations", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.pmiCollocations(
+        Tables(s, dir, "documents"), "doc_id", "text", minCount = 5,
+        topK = 50)),
+    // vocabulary-bounded aggregate + K-row window; denominator 1-row
+    ("x151_vocab_coverage", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.vocabCoverage(
+        Tables(s, dir, "documents"), "doc_id", "text", topK = 100)),
     // x86's LM chain dominates (vocabulary-bounded count tables); the
     // grouped rank adds (lang, bucket) windows + two broadcast tables
     ("x146_ccnet_buckets", (s: SparkSession, dir: String) =>

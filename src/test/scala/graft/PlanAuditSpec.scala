@@ -1083,6 +1083,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), s"touch-rank window missing:\n$p")
   }
 
+  test("x150 pmi collocations: top-K plans TakeOrderedAndProject; the " +
+      "only nested-loop joins are the 1-row totals broadcasts") {
+    val p = plan("x150_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K should avoid a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x151 vocab coverage: term aggregate + TakeOrderedAndProject " +
+      "cut; the running sum's single-partition window is K-bounded") {
+    val p = plan("x151_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-K cut should avoid a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
   test("x147 grouped calibrated gate: no per-language sort, no " +
       "single-partition stage — thresholds broadcast into a " +
       "zero-extra-shuffle score filter") {

@@ -746,6 +746,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.contains(8L))
   }
 
+  test("pmiCollocations (x150): a true collocation outranks a " +
+      "frequent-but-independent pair; the minCount guard kills the " +
+      "hapax-pair PMI explosion") {
+    // "new york" only ever adjacent (PMI high); "the cat"/"the dog"
+    // frequent but 'the' pairs promiscuously (PMI low); "qq zz" occurs
+    // ONCE between two hapax words — max PMI but noise
+    val docs = Seq(
+      (1L, "new york new york new york the cat the dog"),
+      (2L, "the cat the dog the cat the dog new york"),
+      (3L, "the dog saw the cat near new york qq zz"),
+      (4L, "new york the cat the dog new york the cat")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, "doc_id", "text",
+      minCount = 2, topK = 10).collect()
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) ->
+      r.getDouble(5)).toMap
+    assert(!byPair.contains(("qq", "zz")), "hapax pair must be gated")
+    assert(byPair(("new", "york")) > byPair(("the", "cat")))
+    assert(byPair(("new", "york")) > byPair(("the", "dog")))
+    // exact law on one pair: ln(cb·N²/(B·cu1·cu2)) on the 1e-4 grid
+    val row = out.find(r => r.getString(0) == "new").get
+    val (cb, cu1, cu2) = (row.getLong(2), row.getLong(3), row.getLong(4))
+    val n = docs.collect().map(_.getString(1).split("\\s+").length).sum
+    val b = docs.collect()
+      .map(_.getString(1).split("\\s+").length - 1).sum
+    val want = math.floor(math.log(
+      (cb.toDouble * n * n) / (b.toDouble * cu1 * cu2))
+      * 10000 + 0.5) / 10000.0
+    assert(row.getDouble(5) === want)
+  }
+
+  test("vocabCoverage (x151): ranks follow (freq desc, term), the " +
+      "running share is cumulative over ALL occurrences, and a cut " +
+      "below the vocab size tops out under 1.0") {
+    val docs = Seq(
+      (1L, "a a a a b b b c c d"),
+      (2L, "a a b b c e")
+    ).toDF("doc_id", "text")
+    // freqs: a=6 b=5 c=3 d=1 e=1 (N=16); ties d/e by term
+    val out = TextAnalysis.vocabCoverage(docs, "doc_id", "text",
+        topK = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) === (("a", 6L, 6L, 0.375)))
+    assert(out(2L) === (("b", 5L, 11L, 0.6875)))
+    assert(out(3L) === (("c", 3L, 14L, 0.875)))
+    assert(out(4L) === (("d", 1L, 15L, 0.9375)))
+    assert(out.size === 4) // e is cut; coverage stays < 1.0
+  }
+
   test("groupedCalibratedGate (x147): each group gates at its OWN " +
       "exact p25 score (ties at the bar survive); a global bar gates " +
       "the whole low-scoring language, the grouped bar keeps its top") {
