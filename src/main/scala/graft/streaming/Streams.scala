@@ -258,6 +258,33 @@ object Streams {
     docs.filter(
       graft.operators.TextAnalysis.scoreColumn(textCol) >= threshold)
 
+  /** Streaming PER-GROUP calibrated score gate — x147's serving form,
+    * [[scoreGate]] with one frozen bar PER GROUP (language, source):
+    * the thresholds are a batch-side snapshot of
+    * [[graft.operators.TextAnalysis.groupedCalibratedGate]]'s
+    * per-group exact quantile scores, frozen into the stream as a
+    * LITERAL map (group-count-sized — the same frozen-batch-artifact
+    * split as [[scoreGate]]'s single literal). The gate is the x12
+    * score kernel + one map lookup — a stateless projection, no state,
+    * no shuffle. A row whose group has NO calibrated bar is DROPPED
+    * when `defaultThreshold` is None (an uncalibrated language has no
+    * admission bar — refusing is the conservative curation default) or
+    * gated at the given fallback otherwise; recalibrate by recomputing
+    * the snapshot and restarting with the new map. */
+  def groupedScoreGate(docs: DataFrame, textCol: String,
+                       groupCol: String, thresholds: Map[String, Double],
+                       defaultThreshold: Option[Double] = None)
+      : DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val thrMap = typedlit(thresholds)
+    val thr = defaultThreshold match {
+      case Some(d) => coalesce(element_at(thrMap, col(groupCol)), lit(d))
+      case None => element_at(thrMap, col(groupCol)) // NULL → dropped
+    }
+    docs.filter(
+      graft.operators.TextAnalysis.scoreColumn(textCol) >= thr)
+  }
+
   /** Streaming cross-corpus NEAR-dup gate — the stateless ingest form
     * of batch x75 ([[graft.operators.TextDedup.crossNeardupSurvivors]]):
     * the Bloom sketch of the existing corpus's LSH band keys (built

@@ -276,6 +276,52 @@ class StreamsSpec extends SparkSpec {
     assert(gated.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
   }
 
+  test("groupedScoreGate gates each language at ITS batch-frozen bar " +
+      "(x147 twin): stream survivors = batch survivors; uncalibrated " +
+      "groups drop by default, pass at an explicit fallback") {
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "the quick document one of the corpus and the usual words", "en"),
+      (2L, "plain middling words without any stop terms here", "en"),
+      (3L, "the and of to in is a document with stopwords " * 3, "en"),
+      (4L, "!!! ??? $$$ %%%", "en"),
+      (5L, "der schnelle braune fuchs springt und ist ein hund", "de"),
+      (6L, "zz yy xx ww vv uu", "de"),
+      (7L, "der faule hund und der schnelle fuchs ist ein tier", "de"),
+      (8L, "mehr ganz andere worte ohne besondere zeichen hier", "de")
+    ).toDF("doc_id", "text", "lang")
+    val batch = TextAnalysis.groupedCalibratedGate(corpus, "doc_id",
+      "text", "lang", q = 0.25)
+    val thresholds = batch.select("lang", "threshold").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batchKept = batch.collect().map(_.getLong(0)).toSet
+    assert(thresholds.keySet === Set("en", "de"))
+
+    val dir = Files.createTempDirectory("ggate-in").toString
+    // one doc of an UNCALIBRATED language rides along in the stream
+    corpus.union(Seq((9L, "the usual words of the corpus", "fr"))
+      .toDF("doc_id", "text", "lang"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    def run(name: String, default: Option[Double]) = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val gated = Streams.groupedScoreGate(stream, "text", "lang",
+        thresholds, default)
+      val q = gated.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.table(name).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    }
+    // default None: calibrated groups mirror batch, fr drops
+    assert(run("ggate_none", None) === batchKept && batchKept.nonEmpty)
+    // an explicit 0.0 fallback admits the uncalibrated doc
+    assert(run("ggate_dflt", Some(0.0)) === batchKept + 9L)
+  }
+
   test("neardupGate drops stream docs near-duplicate to the batch corpus " +
       "(x75 twin)") {
     import graft.operators.TextDedup
