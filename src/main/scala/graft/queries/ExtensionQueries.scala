@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num
-import graft.operators.{Bpe, Classifier, Cleaning, Components, CorpusPipeline, ImageDedup, Multimodal, Packing, Project, Retrieval, Similarity, Temporal, TextAnalysis, TextDedup}
+import graft.operators.{Analytics, Bpe, Classifier, Cleaning, Components, CorpusPipeline, ImageDedup, Multimodal, Packing, Project, Retrieval, Similarity, Temporal, TextAnalysis, TextDedup}
 
 /** Extension + capability-proof query inventory (SURVEY §2.4 X1-X6 plus the
   * LLM-training-data operators: dedup family, similarity search, text
@@ -1450,7 +1450,21 @@ object ExtensionQueries {
     // of it; x55's vocabSize came from eyeballing exactly this).
     "x151_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), "doc_id",
-        "text", topK = 100))
+        "text", topK = 100)),
+
+    // x152 — cohort retention triangle: users bucketed by
+    // first-activity epoch-week, counted per return-week offset; one
+    // user-key exchange, (#weeks)²-bounded output.
+    "x152_cohort_retention" -> ((s, dir) =>
+      Analytics.cohortRetention(t(s, dir, "events"), "user_id", "ts")),
+
+    // x153 — ordered conversion funnel view → click → purchase: each
+    // stage's first event must be at-or-after the previous stage's —
+    // order is the point (unordered per-type counts overstate
+    // conversion).
+    "x153_funnel" -> ((s, dir) => Analytics.funnel(
+      t(s, dir, "events"), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")))
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -4871,6 +4885,34 @@ object ExtensionQueries {
            cum AS cum_occurrences,
            floor(CAST(cum AS DOUBLE) / n_total * 1000000 + 0.5)
              / 1000000.0 AS coverage
-         FROM c, tot"""
+         FROM c, tot""",
+    // exact integer epoch-week ((ms div 1d) div 7) — engine-neutral
+    // week boundaries, no date_trunc conventions
+    "x152_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+           (epoch_ms(ts) // 86400000) // 7 AS w FROM events),
+         f AS (SELECT user_id, min(w) AS cw FROM a GROUP BY 1)
+         SELECT cw AS cohort_week, w - cw AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM a JOIN f USING (user_id) GROUP BY 1, 2""",
+    // the sequential at-or-after chain as three conditional-min CTEs;
+    // stage counts are scalar subqueries
+    "x153_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+           FROM events),
+         s1 AS (SELECT user_id, min(ms) AS at FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ms) AS at FROM e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ms >= s1.at
+           WHERE e.event_type = 'click' GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ms) AS at FROM e
+           JOIN s2 ON e.user_id = s2.user_id AND e.ms >= s2.at
+           WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT 'view' AS stage, CAST(1 AS BIGINT) AS stage_idx,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+         UNION ALL SELECT 'click', CAST(2 AS BIGINT),
+           CAST((SELECT count(*) FROM s2) AS BIGINT)
+         UNION ALL SELECT 'purchase', CAST(3 AS BIGINT),
+           CAST((SELECT count(*) FROM s3) AS BIGINT)"""
   )
 }

@@ -615,6 +615,18 @@ object ScaleBench {
     // equality join on the time band: both sides shuffle once on
     // floor(ms/radius); match volume grows with density (pairs within
     // the radius), the plan shape never degrades to a cartesian
+    // one user exchange; the per-user week set is calendar-bounded —
+    // the 10x time-stretched axis grows it 10x here (300 days), the
+    // triangle output with it
+    ("x152_cohort_retention", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.cohortRetention(
+        Tables(s, dir, "events"), "user_id", "ts")),
+    // three user-keyed conditional-min stages; per-user event depth
+    // grows 10x, stage frames stay user-count-bounded
+    ("x153_funnel", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.funnel(
+        Tables(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
     // one key exchange + linear per-user window scans over 10x
     // per-user history; output versions grow with the data
     ("x148_scd2_dimension", (s: SparkSession, dir: String) =>

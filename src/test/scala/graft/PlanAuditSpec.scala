@@ -1083,6 +1083,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), s"touch-rank window missing:\n$p")
   }
 
+  test("x152 cohort retention: ONE user exchange — cohort + activity " +
+      "weeks come out of a single aggregate, no join, no countDistinct") {
+    val p = plan("x152_cohort_retention")
+    assert(!p.contains("Join"), s"the triangle should be join-free:\n$p")
+    assert("Exchange hashpartitioning\\(_u".r.findAllIn(p).size <= 1,
+      s"expected at most one user exchange:\n$p")
+    assert(!p.contains("distinct"), s"set dedup should be in the agg:\n$p")
+  }
+
+  test("x153 funnel: the at-or-after chain joins on the user key only " +
+      "— no cartesian; stage counts are 1-row aggregates") {
+    val p = plan("x153_funnel")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"stage chain should join on the user key:\n$p")
+    assert(p.contains("Union"), s"stage legs should union:\n$p")
+  }
+
   test("x150 pmi collocations: top-K plans TakeOrderedAndProject; the " +
       "only nested-loop joins are the 1-row totals broadcasts") {
     val p = plan("x150_pmi_collocations")
