@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Dates
+import graft.functions.{Dates, Num}
 
 /** Product-analytics aggregates over event streams — the reports the
   * reference's warehouse users build downstream of the landed tables
@@ -92,5 +92,58 @@ object Analytics {
       legs :+= stageCount(st, i + 1, reached)
     }
     legs.reduce(_.unionByName(_))
+  }
+
+  /** RFM SEGMENTATION (x154) — the classic customer-value grid: per
+    * purchasing user, Recency (ms since their last purchase, measured
+    * from the stream's own latest purchase — self-contained and
+    * deterministic, no wall clock), Frequency (purchase count) and
+    * Monetary (exact-decimal value sum), each scored into `nTiles`
+    * equal-frequency tiles (nTiles=5 → the standard 1–5 scores, 5
+    * best) and concatenated into the `segment` code ("555" = champion,
+    * "111" = lost). Tile boundaries are
+    * [[TextAnalysis.groupedNtileBuckets]]'s exact integer law — which
+    * IS SQL NTILE's remainder-first law, so the oracle mirrors with
+    * plain `ntile()`; ties break by user id on every axis.
+    *
+    * Scale shape: one user-keyed purchase aggregate; each score axis
+    * is the grouped bucketed rank (score-range buckets + broadcast
+    * offsets — NO global sort anywhere, where the textbook
+    * `ntile() OVER (ORDER BY …)` is a single-partition window over
+    * every user); the three label frames join back user-keyed. */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, valueCol: String,
+                  purchaseType: String, nTiles: Int = 5): DataFrame = {
+    require(nTiles >= 2 && nTiles <= 9,
+      s"nTiles must be in [2, 9] (single-digit scores), got $nTiles")
+    val p = events.filter(col(typeCol) === purchaseType)
+      .select(col(userCol).as("user_id"),
+        Dates.toEpochMillis(col(tsCol)).as("_ms"),
+        Num.fpRound(col(valueCol), 4).as("_v"))
+    val asOf = p.agg(max(col("_ms")).as("_asof"))
+    val base = p.groupBy(col("user_id"))
+      .agg(max(col("_ms")).as("_last"), count(lit(1)).as("frequency"),
+        Num.dsum(col("_v")).as("monetary"))
+      .crossJoin(broadcast(asOf))
+      .withColumn("recency_ms", col("_asof") - col("_last"))
+      .withColumn("_g", lit(0))
+      .select(col("user_id"), col("_g"), col("recency_ms"),
+        col("frequency"), col("monetary"))
+    val labels = (1 to nTiles).reverse.map(_.toString) // "5".."1"
+    def scored(metric: String, bestFirst: Boolean, out: String) =
+      TextAnalysis.groupedNtileBuckets(
+          base.select(col("user_id"), col("_g"), col(metric)),
+          "user_id", "_g", metric, labels, bestFirst = bestFirst)
+        .select(col("user_id"), col("bucket").as(out))
+    base
+      .join(scored("recency_ms", bestFirst = false, "_r"), Seq("user_id"))
+      .join(scored("frequency", bestFirst = true, "_f"), Seq("user_id"))
+      .join(scored("monetary", bestFirst = true, "_m"), Seq("user_id"))
+      .select(col("user_id"), col("recency_ms"), col("frequency"),
+        col("monetary"),
+        col("_r").cast("int").as("r_score"),
+        col("_f").cast("int").as("f_score"),
+        col("_m").cast("int").as("m_score"),
+        concat(col("_r"), col("_f"), col("_m")).as("segment"))
   }
 }

@@ -1464,7 +1464,15 @@ object ExtensionQueries {
     // conversion).
     "x153_funnel" -> ((s, dir) => Analytics.funnel(
       t(s, dir, "events"), "user_id", "ts", "event_type",
-      Seq("view", "click", "purchase")))
+      Seq("view", "click", "purchase"))),
+
+    // x154 — RFM segmentation: recency/frequency/monetary quintiles
+    // per purchasing user ("555" = champion), each axis scored by the
+    // grouped bucketed rank (no global sort) whose label law IS SQL
+    // NTILE's — the oracle mirrors with plain ntile().
+    "x154_rfm_segments" -> ((s, dir) => Analytics.rfmSegments(
+      t(s, dir, "events"), "user_id", "ts", "event_type", "value",
+      purchaseType = "purchase"))
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -4913,6 +4921,34 @@ object ExtensionQueries {
          UNION ALL SELECT 'click', CAST(2 AS BIGINT),
            CAST((SELECT count(*) FROM s2) AS BIGINT)
          UNION ALL SELECT 'purchase', CAST(3 AS BIGINT),
-           CAST((SELECT count(*) FROM s3) AS BIGINT)"""
+           CAST((SELECT count(*) FROM s3) AS BIGINT)""",
+    // per-user purchase aggregates (decimal-exact monetary), recency
+    // from the stream's own latest purchase, then plain ntile() per
+    // axis — the grouped bucketed rank's boundary law is exactly
+    // NTILE's remainder-first law (the x146 argument), ties by user
+    "x154_rfm_segments" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS ms,
+           floor(value * 10000 + 0.5) / 10000.0 AS v
+           FROM events WHERE event_type = 'purchase'),
+         a AS (SELECT max(ms) AS asof_ms FROM p),
+         b AS (SELECT user_id, max(ms) AS last_ms,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+           FROM p GROUP BY 1),
+         m AS (SELECT user_id, asof_ms - last_ms AS recency_ms,
+             frequency, monetary FROM b, a),
+         s AS (SELECT user_id, recency_ms, frequency, monetary,
+             CAST(6 - (ntile(5) OVER (ORDER BY recency_ms, user_id))
+               AS INTEGER) AS r_score,
+             CAST(6 - (ntile(5) OVER (ORDER BY frequency DESC, user_id))
+               AS INTEGER) AS f_score,
+             CAST(6 - (ntile(5) OVER (ORDER BY monetary DESC, user_id))
+               AS INTEGER) AS m_score
+           FROM m)
+         SELECT user_id, recency_ms, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+         FROM s"""
   )
 }

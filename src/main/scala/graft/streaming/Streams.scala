@@ -185,6 +185,61 @@ object Streams {
       }
   }
 
+  final case class Scd2Event(key: Long, ts: Timestamp, tie_id: Long,
+                             attr: Option[String])
+  final case class Scd2State(attr: Option[String], fromMs: Long,
+                             nEvents: Long, version: Long)
+  final case class Scd2Row(key: Long, version: Long, attr: Option[String],
+                           valid_from_ms: Long, valid_to_ms: Long,
+                           n_events: Long)
+
+  /** Streaming SCD2 maintenance — the continuous form of the x148
+    * dimension build ([[graft.operators.Temporal.scd2]]): per key, the
+    * OPEN version (attribute, valid_from, event count, version number)
+    * is the state; each micro-batch folds its events in (ts, tie_id)
+    * order under the batch null-safe change law, and a version is
+    * EMITTED the moment a change closes it — `valid_to_ms` = the
+    * closing event's timestamp, exactly the batch lead(). The open
+    * version is never emitted (append mode cannot retract); it
+    * surfaces when a later change closes it, so the stream's output is
+    * precisely the batch build's `is_current = false` rows under a
+    * time-ordered replay (spec-pinned). Late events older than the
+    * open version's start cannot rewrite closed history — the same
+    * append-mode law as [[attributionStream]]; the batch rebuild is
+    * authoritative for out-of-order corrections.
+    *
+    * State is one fixed-size record per key, the streaming-dimension
+    * trick: no event history, no closed versions retained. */
+  def scd2Stream(events: Dataset[Scd2Event])
+                (implicit spark: SparkSession): Dataset[Scd2Row] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Scd2Event],
+         state: GroupState[Scd2State]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.tie_id))
+          val out = Seq.newBuilder[Scd2Row]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val ms = e.ts.getTime
+            cur match {
+              case Some(s) if s.attr == e.attr =>
+                cur = Some(s.copy(nEvents = s.nEvents + 1))
+              case Some(s) =>
+                out += Scd2Row(key, s.version, s.attr, s.fromMs, ms,
+                  s.nEvents)
+                cur = Some(Scd2State(e.attr, ms, 1L, s.version + 1))
+              case None =>
+                cur = Some(Scd2State(e.attr, ms, 1L, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming classifier gate — the model-scored twin of
     * [[qualityGate]]: [[graft.operators.Classifier.keep]]'s linear
     * bag-of-words score is a stateless per-row projection, so the SAME

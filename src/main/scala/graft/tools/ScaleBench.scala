@@ -615,6 +615,12 @@ object ScaleBench {
     // equality join on the time band: both sides shuffle once on
     // floor(ms/radius); match volume grows with density (pairs within
     // the radius), the plan shape never degrades to a cartesian
+    // user-keyed purchase aggregate + three grouped-rank score axes
+    // (score-range buckets, broadcast offsets — no global sort)
+    ("x154_rfm_segments", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.rfmSegments(
+        Tables(s, dir, "events"), "user_id", "ts", "event_type",
+        "value", purchaseType = "purchase")),
     // one user exchange; the per-user week set is calendar-bounded —
     // the 10x time-stretched axis grows it 10x here (300 days), the
     // triangle output with it

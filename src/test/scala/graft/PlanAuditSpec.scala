@@ -1101,6 +1101,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Union"), s"stage legs should union:\n$p")
   }
 
+  test("x154 rfm segments: no global sort on any score axis — the " +
+      "textbook ntile() window would range-partition every user") {
+    val p = plan("x154_rfm_segments")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a score axis leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
   test("x150 pmi collocations: top-K plans TakeOrderedAndProject; the " +
       "only nested-loop joins are the 1-row totals broadcasts") {
     val p = plan("x150_pmi_collocations")

@@ -33,6 +33,37 @@ class AnalyticsSpec extends SparkSpec {
       (1L, 0L) -> 1L)) // user 3's own cohort
   }
 
+  test("rfmSegments (x154): each axis scores into exact quintiles " +
+      "(2 users per tile at n=10), recency measures from the stream's " +
+      "own latest purchase, and the champion reads 555") {
+    // 10 users; user i's last purchase at i*1000 ms (user 10 most
+    // recent), frequency = i purchases, per-purchase value = i — so
+    // user 10 is best on every axis, user 1 worst
+    val rows = (1 to 10).flatMap { i =>
+      (1 to i).map(j => (i.toLong, "purchase", j * 100L + i * 1000L,
+        i.toDouble))
+    } :+ ((3L, "view", 99999L, 0.0)) // non-purchase noise is ignored
+    val ev = withTs(rows.toDF("user_id", "event_type", "ms", "value"))
+    val out = Analytics.rfmSegments(ev, "user_id", "ts", "event_type",
+        "value", "purchase")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))).toMap
+    assert(out.size === 10)
+    // champion: zero recency, 10 purchases, top value
+    assert(out(10L) === ((0L, 10L, 5, 5, 5, "555")))
+    // worst on every axis (recency = 10000 - 1100 + ... last at 1100)
+    val (rec1, f1, r1, fs1, ms1, seg1) = out(1L)
+    assert(f1 === 1L && r1 === 1 && fs1 === 1 && ms1 === 1 &&
+      seg1 === "111")
+    assert(rec1 === (10000L + 10 * 100L) - 1100L)
+    // exact quintiles: each score value appears exactly twice per axis
+    (1 to 5).foreach { q =>
+      assert(out.values.count(_._3 == q) === 2, s"r_score tile $q")
+      assert(out.values.count(_._4 == q) === 2, s"f_score tile $q")
+      assert(out.values.count(_._5 == q) === 2, s"m_score tile $q")
+    }
+  }
+
   test("funnel (x153): stages count only IN-ORDER completion — a " +
       "purchase before the first click does not convert; equal " +
       "timestamps satisfy at-or-after; counts are non-increasing") {

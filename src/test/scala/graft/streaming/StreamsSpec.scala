@@ -184,6 +184,66 @@ class StreamsSpec extends SparkSpec {
     assert(batch === got)
   }
 
+  test("scd2Stream (x148's continuous form): versions emit as they " +
+      "CLOSE, the open version crosses micro-batches in state, and " +
+      "the emitted set equals the batch build's non-current rows") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("scd2-in").toString
+    val early = Seq(
+      Streams.Scd2Event(1L, ts("2024-01-01 00:00:01"), 1L, Some("a")),
+      Streams.Scd2Event(1L, ts("2024-01-01 00:00:02"), 2L, Some("a")),
+      Streams.Scd2Event(1L, ts("2024-01-01 00:00:03"), 3L, Some("b")),
+      Streams.Scd2Event(2L, ts("2024-01-01 00:00:01"), 4L, Some("z")))
+    val late = Seq(
+      // version 'b' (opened in batch 1) closes HERE — n_events must
+      // count its batch-1 open plus this batch's repeat
+      Streams.Scd2Event(1L, ts("2024-01-01 00:00:04"), 5L, Some("b")),
+      Streams.Scd2Event(1L, ts("2024-01-01 00:00:05"), 6L, None),
+      Streams.Scd2Event(1L, ts("2024-01-01 00:00:06"), 7L, Some("a")),
+      Streams.Scd2Event(2L, ts("2024-01-01 00:00:09"), 8L, Some("z")))
+    early.toDS().coalesce(1).write.mode("overwrite").parquet(dir)
+    Thread.sleep(1100)
+    late.toDS().coalesce(1).write.mode("append").parquet(dir)
+
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("ts", TimestampType),
+      StructField("tie_id", LongType), StructField("attr", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .as[Streams.Scd2Event]
+    val q = Streams.scd2Stream(stream).writeStream
+      .outputMode("append").format("memory").queryName("scd2_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("key"), r.getAs[Long]("version")) ->
+        ((Option(r.getAs[String]("attr")),
+          r.getAs[Long]("valid_from_ms"), r.getAs[Long]("valid_to_ms"),
+          r.getAs[Long]("n_events")))
+    val got = spark.table("scd2_out").collect().map(key).toMap
+    // closed versions only: key 1's a (2 events), b (2 events,
+    // boundary-crossing), NULL (1 event); key 2's single open 'z'
+    // version and key 1's reopened 'a' are still in state
+    val base = ts("2024-01-01 00:00:00").getTime
+    assert(got === Map(
+      (1L, 1L) -> ((Some("a"), base + 1000, base + 3000, 2L)),
+      (1L, 2L) -> ((Some("b"), base + 3000, base + 5000, 2L)),
+      (1L, 3L) -> ((None, base + 5000, base + 6000, 1L))))
+    // parity: the batch build's non-current rows on the full union
+    val all = (early ++ late).toDS().toDF()
+    val batch = graft.operators.Temporal
+      .scd2(all, "key", "ts", "tie_id", "attr")
+      .filter(!col("is_current"))
+      .collect().map { r =>
+        (r.getAs[Long]("key"), r.getAs[Long]("version")) ->
+          ((Option(r.getAs[String]("attr")),
+            r.getAs[Long]("valid_from_ms"),
+            r.getAs[java.lang.Long]("valid_to_ms").longValue,
+            r.getAs[Long]("n_events")))
+      }.toMap
+    assert(batch === got)
+  }
+
   test("dedupStream keeps first arrival per digest with bounded state") {
     val dir = Files.createTempDirectory("dedup-in").toString
     Seq(
