@@ -165,6 +165,40 @@ object Temporal {
         col("n_events"))
   }
 
+  /** POINT-IN-TIME dimension enrichment (x155) — the [[scd2]] loop
+    * closed on the consumption side: each fact row joins the dimension
+    * VERSION that was current at its own timestamp (`valid_from <= ts`,
+    * latest such version — exactly the interval containing ts, since
+    * versions tile each key's timeline). This is the join a warehouse
+    * runs against an SCD2 dimension ("what plan was this user on WHEN
+    * they purchased"), and joining on the current version instead is
+    * the classic time-travel bug this operator exists to prevent.
+    * Facts BEFORE the key's first version (or with no dimension key)
+    * keep NULL attributes — left-outer, like [[asofJoin]].
+    *
+    * Implementation IS [[asofJoin]] on the version-start column: the
+    * dimension's (key, valid_from, attr, version) rows play the right
+    * stream, so the whole lookup is the merge scan — ONE key exchange,
+    * no interval predicate, no range join; the version picked by
+    * "latest valid_from at-or-before ts" is the containing interval by
+    * the tiling invariant. Version starts are unique per key, so the
+    * as-of tie law never fires. Both time axes ride epoch-ms longs
+    * (the dimension already stores ms; the fact ts converts via the
+    * tz-safe [[Dates.toEpochMillis]]) — no timestamp-flavor coupling
+    * between the two inputs. */
+  def enrichAsOf(facts: DataFrame, dim: DataFrame, keyCol: String,
+                 factTsCol: String, attrCols: Seq[String],
+                 prefix: String = "dim_"): DataFrame = {
+    val f = facts.withColumn("_fms",
+      Dates.toEpochMillis(col(factTsCol)))
+    val vers = dim.select(col(keyCol) +:
+      col("valid_from_ms").as("_vfrom") +:
+      col("version") +: attrCols.map(col): _*)
+    asofJoin(f, vers, keyCol, "_fms", "_vfrom", "version",
+      attrCols, prefix)
+      .drop("_fms", prefix + "_vfrom")
+  }
+
   /** POSITION-BASED (U-shaped) multi-touch attribution (x149): each
     * purchase distributes credit over the SAME user's clicks in the
     * `[purchase − windowMs, purchase]` lookback, under the standard

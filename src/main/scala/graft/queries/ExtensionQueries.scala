@@ -1472,7 +1472,22 @@ object ExtensionQueries {
     // NTILE's — the oracle mirrors with plain ntile().
     "x154_rfm_segments" -> ((s, dir) => Analytics.rfmSegments(
       t(s, dir, "events"), "user_id", "ts", "event_type", "value",
-      purchaseType = "purchase"))
+      purchaseType = "purchase")),
+
+    // x155 — point-in-time dimension enrichment: each purchase joined
+    // to the x148 SCD2 version current AT ITS OWN TIMESTAMP (the
+    // as-of merge scan on version starts — no interval predicate);
+    // joining the current version instead is the classic time-travel
+    // bug.
+    "x155_dim_enrich" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = Temporal.scd2(ev, "user_id", "ts", "event_id",
+        "event_type")
+      Temporal.enrichAsOf(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        dim, "user_id", "ts", Seq("event_type"))
+    })
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -4949,6 +4964,34 @@ object ExtensionQueries {
            r_score, f_score, m_score,
            CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
              || CAST(m_score AS VARCHAR) AS segment
-         FROM s"""
+         FROM s""",
+    // x148's run chain, then each purchase picks the version with the
+    // latest valid_from at-or-before its own timestamp (left join —
+    // facts before the first version keep NULLs)
+    "x155_dim_enrich" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+           epoch_ms(ts) AS ms FROM events),
+         f AS (SELECT user_id, event_id, event_type, ms,
+             CASE WHEN event_type IS NOT DISTINCT FROM
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ms, event_id) THEN 0 ELSE 1 END AS chg
+           FROM e),
+         v AS (SELECT user_id, event_type, ms,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+               ROWS UNBOUNDED PRECEDING) AS version
+           FROM f),
+         runs AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+             min(ms) AS vfrom, min(event_type) AS event_type
+           FROM v GROUP BY user_id, version),
+         facts AS (SELECT event_id, user_id, ts, epoch_ms(ts) AS fms
+           FROM events WHERE event_type = 'purchase'),
+         m AS (SELECT fa.event_id, fa.user_id, fa.ts,
+             r.version AS dim_version, r.event_type AS dim_event_type,
+             row_number() OVER (PARTITION BY fa.event_id
+               ORDER BY r.vfrom DESC) AS rn
+           FROM facts fa LEFT JOIN runs r
+             ON fa.user_id = r.user_id AND r.vfrom <= fa.fms)
+         SELECT event_id, user_id, ts, dim_version, dim_event_type
+         FROM m WHERE rn = 1"""
   )
 }

@@ -615,6 +615,17 @@ object ScaleBench {
     // equality join on the time band: both sides shuffle once on
     // floor(ms/radius); match volume grows with density (pairs within
     // the radius), the plan shape never degrades to a cartesian
+    // scd2 build + the as-of merge scan against its version starts —
+    // two key exchanges total over 10x per-user history
+    ("x155_dim_enrich", (s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      graft.operators.Temporal.enrichAsOf(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        graft.operators.Temporal.scd2(ev, "user_id", "ts", "event_id",
+          "event_type"),
+        "user_id", "ts", Seq("event_type"))
+    }),
     // user-keyed purchase aggregate + three grouped-rank score axes
     // (score-range buckets, broadcast offsets — no global sort)
     ("x154_rfm_segments", (s: SparkSession, dir: String) =>

@@ -1101,6 +1101,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Union"), s"stage legs should union:\n$p")
   }
 
+  test("x155 dim enrich: the point-in-time lookup is the as-of merge " +
+      "scan — no join operator, no interval predicate anywhere") {
+    val p = plan("x155_dim_enrich")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"the lookup should not plan a join:\n$p")
+    assert(p.contains("Union") && p.contains("Window"),
+      s"merge-scan shape missing:\n$p")
+  }
+
   test("x154 rfm segments: no global sort on any score axis — the " +
       "textbook ntile() window would range-partition every user") {
     val p = plan("x154_rfm_segments")

@@ -113,6 +113,42 @@ class TemporalSpec extends SparkSpec {
     assert(!p.contains("Join"), s"scd2 should be join-free:\n$p")
   }
 
+  test("enrichAsOf (x155): facts join the dimension version current " +
+      "AT THEIR OWN TIME — not the current one; version starts are " +
+      "inclusive; pre-history facts keep NULLs; join-free plan") {
+    val ev = withTs(Seq(
+      (1L, 1000L, 1L, "bronze"),
+      (2L, 5000L, 1L, "gold"),    // upgrade at t=5s
+      (3L, 9000L, 1L, "bronze"),  // downgrade at t=9s (version 3)
+      (4L, 1000L, 2L, "trial")
+    ).toDF("event_id", "ms", "user_id", "attr"))
+    val dim = Temporal.scd2(ev, "user_id", "ts", "event_id", "attr")
+    val facts = withTs(Seq(
+      (100L, 1L, 3000L),  // inside version 1 — bronze, though user
+                          // is bronze AGAIN now via version 3
+      (101L, 1L, 5000L),  // exactly at version 2's start — gold
+      (102L, 1L, 7000L),  // inside version 2 — gold
+      (103L, 1L, 500L),   // before any version — NULLs
+      (104L, 3L, 3000L)   // unknown key — NULLs
+    ).toDF("event_id", "user_id", "ms"))
+    val out = Temporal.enrichAsOf(facts, dim, "user_id", "ts",
+      Seq("attr"))
+    assert(out.columns.toSeq === Seq("event_id", "user_id", "ts",
+      "dim_version", "dim_attr"))
+    val rows = out.collect().map { r =>
+      r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[java.lang.Long]("dim_version")),
+          Option(r.getAs[String]("dim_attr"))))
+    }.toMap
+    assert(rows(100L) === ((Some(1L), Some("bronze"))))
+    assert(rows(101L) === ((Some(2L), Some("gold"))))
+    assert(rows(102L) === ((Some(2L), Some("gold"))))
+    assert(rows(103L) === ((None, None)))
+    assert(rows(104L) === ((None, None)))
+    val p = out.queryExecution.optimizedPlan.toString
+    assert(!p.contains("Join"), s"the lookup should be a merge scan:\n$p")
+  }
+
   test("multiTouchAttribution (x149): U-shape weights at n=1/2/4, the " +
       "lookback excludes older and future clicks, cross-band pairs " +
       "are found, and credit = rounded value x weight") {
