@@ -849,6 +849,32 @@ object TextAnalysis {
       col("rank"), col("n_group"), bucket.as("bucket"))
   }
 
+  /** PER-GROUP exact quantile VALUES over an arbitrary scored frame —
+    * [[scoreQuantiles]]' grouped twin on the [[groupedBucketedRank]]
+    * core: for each group and each q, the score at ascending rank
+    * `ceil(q·n_group)` (the same double-ceil law as x114/x119/x147).
+    * Output `(group, quantile, rank, id, score)` — the id shows WHICH
+    * row sits at the cut, the same report shape as the global form.
+    * No per-group sort anywhere; the quantile frame broadcasts. */
+  def groupedQuantiles(scored: DataFrame, idCol: String,
+                       groupCol: String, scoreCol: String,
+                       quantiles: Seq[Double],
+                       bucketBits: Int = 8): DataFrame = {
+    require(quantiles.nonEmpty, "quantiles must be non-empty")
+    require(quantiles.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1], got $quantiles")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val ranked = groupedBucketedRank(scored, idCol, groupCol, scoreCol,
+      bucketBits, bestFirst = false)
+    val qdf = quantiles.toDF("quantile")
+    ranked.join(broadcast(qdf),
+        col("rank") === ceil(col("quantile") * col("n_group"))
+          .cast("long"))
+      .select(col(groupCol), col("quantile"), col("rank"), col(idCol),
+        col(scoreCol))
+  }
+
   /** CCNet-style PER-LANGUAGE fluency buckets (x146) — Wenzek et al.'s
     * head/middle/tail cut, the curation stage CCNet runs after dedup:
     * every document is scored by the corpus-trained bigram LM

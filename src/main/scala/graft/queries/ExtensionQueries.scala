@@ -1487,6 +1487,21 @@ object ExtensionQueries {
         ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("ts")),
         dim, "user_id", "ts", Seq("event_type"))
+    }),
+
+    // x156 — daily purchase-value percentiles (p50/p90/p99): exact
+    // per-day quantile VALUES via the grouped bucketed rank — the
+    // telemetry report shape, no per-day sort.
+    "x156_daily_value_quantiles" -> ((s, dir) => {
+      val ms = graft.functions.Dates.toEpochMillis(col("ts"))
+      val scored = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          ((ms - pmod(ms, lit(86400000L))) / lit(86400000L))
+            .cast("long").as("day"),
+          graft.functions.Num.fpRound(col("value"), 4).as("value"))
+      TextAnalysis.groupedQuantiles(scored, "event_id", "day", "value",
+        Seq(0.5, 0.9, 0.99))
     })
   )
 
@@ -4992,6 +5007,22 @@ object ExtensionQueries {
            FROM facts fa LEFT JOIN runs r
              ON fa.user_id = r.user_id AND r.vfrom <= fa.fms)
          SELECT event_id, user_id, ts, dim_version, dim_event_type
-         FROM m WHERE rn = 1"""
+         FROM m WHERE rn = 1""",
+    // per-day ascending rank on the 1e-4-rounded value, the x114/x119
+    // double-ceil cut law; quantile literals cast DOUBLE (DuckDB
+    // decimal literals would diverge from Spark's binary doubles)
+    "x156_daily_value_quantiles" ->
+      """WITH p AS (SELECT event_id, epoch_ms(ts) // 86400000 AS day,
+           floor(value * 10000 + 0.5) / 10000.0 AS value
+           FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT event_id, day, value,
+             CAST(row_number() OVER (PARTITION BY day
+               ORDER BY value, event_id) AS BIGINT) AS rank,
+             CAST(count(*) OVER (PARTITION BY day) AS BIGINT) AS n
+           FROM p),
+         q AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE,
+           0.99::DOUBLE]) AS quantile)
+         SELECT day, quantile, rank, event_id, value
+         FROM r JOIN q ON rank = CAST(ceil(quantile * n) AS BIGINT)"""
   )
 }

@@ -615,6 +615,19 @@ object ScaleBench {
     // equality join on the time band: both sides shuffle once on
     // floor(ms/radius); match volume grows with density (pairs within
     // the radius), the plan shape never degrades to a cartesian
+    // grouped bucketed rank over (day, value): 10x history = 10x
+    // groups at constant per-day population
+    ("x156_daily_value_quantiles", (s: SparkSession, dir: String) => {
+      val ms = graft.functions.Dates.toEpochMillis(col("ts"))
+      graft.operators.TextAnalysis.groupedQuantiles(
+        Tables(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"),
+            ((ms - pmod(ms, lit(86400000L))) / lit(86400000L))
+              .cast("long").as("day"),
+            graft.functions.Num.fpRound(col("value"), 4).as("value")),
+        "event_id", "day", "value", Seq(0.5, 0.9, 0.99))
+    }),
     // scd2 build + the as-of merge scan against its version starts —
     // two key exchanges total over 10x per-user history
     ("x155_dim_enrich", (s: SparkSession, dir: String) => {

@@ -1101,6 +1101,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Union"), s"stage legs should union:\n$p")
   }
 
+  test("x156 daily value quantiles: no per-day sort — grouped bucketed " +
+      "rank windows + broadcast quantile frame") {
+    val p = plan("x156_daily_value_quantiles")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a per-day sort leaked in:\n$p")
+    assert("windowspecdefinition\\(day#\\d+L?, _b#\\d+".r.findFirstIn(p)
+        .isDefined,
+      s"local rank should window by (day, bucket):\n$p")
+  }
+
   test("x155 dim enrich: the point-in-time lookup is the as-of merge " +
       "scan — no join operator, no interval predicate anywhere") {
     val p = plan("x155_dim_enrich")

@@ -746,6 +746,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.contains(8L))
   }
 
+  test("groupedQuantiles (x156 core): each group cuts at ITS OWN " +
+      "ceil(q*n) ascending rank — the cut row's id rides along") {
+    val scored = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("a", 4L, 40.0),
+      ("b", 10L, 5.0), ("b", 11L, 7.0)
+    ).toDF("grp", "id", "v")
+    val out = TextAnalysis.groupedQuantiles(scored, "id", "grp", "v",
+        Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // group a (n=4): p50 at rank 2 (20.0), p100 at rank 4 (40.0)
+    assert(out(("a", 0.5)) === ((2L, 2L, 20.0)))
+    assert(out(("a", 1.0)) === ((4L, 4L, 40.0)))
+    // group b (n=2): p50 at rank 1 (5.0), p100 at rank 2 (7.0)
+    assert(out(("b", 0.5)) === ((1L, 10L, 5.0)))
+    assert(out(("b", 1.0)) === ((2L, 11L, 7.0)))
+    assert(out.size === 4)
+  }
+
   test("pmiCollocations (x150): a true collocation outranks a " +
       "frequent-but-independent pair; the minCount guard kills the " +
       "hapax-pair PMI explosion") {
