@@ -167,9 +167,14 @@ object Bench {
     // and the committed ledger. Trailing zeros are stripped ("1.0" ->
     // "1" — still valid JSON numbers): at ~11 chars/query the line sits
     // ~1710 at 160 queries, ~17 queries of headroom.
+    // x-suite keys drop the 'x' on the printed line only ("x157" ->
+    // "157"; "q1".."q13" keep the q, so no collision with "1".."13") —
+    // ~1 char/query, the cheapest remaining shrink before a line split
     val qs = results.map { case (k, v) =>
       val num = f"$v%.1f".replaceAll("0+$", "").stripSuffix(".")
-      "\"" + k.takeWhile(_ != '_') + "\":" + num
+      val id = k.takeWhile(_ != '_')
+      val shortId = if (id.startsWith("x")) id.drop(1) else id
+      "\"" + shortId + "\":" + num
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)

@@ -146,4 +146,378 @@ object Analytics {
         col("_m").cast("int").as("m_score"),
         concat(col("_r"), col("_f"), col("_m")).as("segment"))
   }
+
+  /** ROLLING 7-DAY REVENUE (x161) — per supplier nation, daily
+    * lineitem revenue (`extendedprice·(1−discount)`, per-row product
+    * rounded to the 1e-4 grid, then exact decimal sums) plus the
+    * trailing 7-day rolling sum — the standard smoothed-trend report.
+    * The window frame is RANGE over the integer epoch-day key, so gaps
+    * in the calendar shorten the window (a 7-ROW frame would silently
+    * stretch over missing days — the classic rolling-metric bug).
+    *
+    * Scale shape: the corpus-sized work is ONE aggregate to
+    * `(nation, day)` — calendar × dictionary bounded output at any
+    * corpus size — with map-side partial sums; the rolling window then
+    * runs per-nation over that bounded frame, summing DECIMAL(38,6)
+    * (order-independent, engine-exact). The supplier→nation key rides
+    * a broadcast dim join. */
+  def rollingRevenue(lineitem: DataFrame, supplier: DataFrame,
+                     nation: DataFrame, windowDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val ms = Dates.toEpochMillis(col("l_shipdate"))
+    val day = ((ms - pmod(ms, lit(86400000L))) / lit(86400000L))
+      .cast("long")
+    val daily = lineitem
+      .join(broadcast(supplier.select(col("s_suppkey"),
+        col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name"))), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), day.as("day"),
+        Num.fpRound(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          4).as("_v"))
+      .groupBy(col("nation"), col("day"))
+      .agg(sum(col("_v").cast("decimal(38,6)")).as("_dec"),
+        count(lit(1)).as("n_items"))
+    val w = Window.partitionBy(col("nation")).orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily
+      .withColumn("revenue", col("_dec").cast("double"))
+      .withColumn("rolling_rev", sum(col("_dec")).over(w).cast("double"))
+      .withColumn("days_in_window", count(lit(1)).over(w))
+      .select(col("nation"), col("day"), col("n_items"), col("revenue"),
+        col("rolling_rev"), col("days_in_window"))
+  }
+
+  /** YEAR-OVER-YEAR GROWTH (x162) — per customer nation and order
+    * year: exact-decimal revenue, the previous year's revenue (LAG
+    * over the year sequence) and the growth ratio on the 1e-6 grid.
+    * `prev_rev`/`yoy` are NULL on each nation's first year — there is
+    * nothing to compare against, and a 0-fill would read as "flat".
+    * LAG is positional here because the yearly aggregate emits at most
+    * one row per (nation, year); a nation with no orders in some year
+    * compares against its last ACTIVE year (documented, matches the
+    * oracle's law).
+    *
+    * Scale shape: same as [[rollingRevenue]] — one bounded-output
+    * aggregate does the corpus work; the LAG window runs per-nation
+    * over a years-long frame. */
+  def yoyGrowth(orders: DataFrame, customer: DataFrame,
+                nation: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val yearly = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        Num.fpRound(col("o_totalprice"), 4).as("_v"))
+      .groupBy(col("nation"), col("order_year"))
+      .agg(Num.dsum(col("_v")).as("revenue"))
+    val w = Window.partitionBy(col("nation")).orderBy(col("order_year"))
+    yearly
+      .withColumn("prev_rev", lag(col("revenue"), 1).over(w))
+      .withColumn("yoy",
+        when(col("prev_rev").isNotNull,
+          Num.fpRound((col("revenue") - col("prev_rev")) / col("prev_rev"),
+            6)))
+      .select(col("nation"), col("order_year"), col("revenue"),
+        col("prev_rev"), col("yoy"))
+  }
+
+  /** DAILY ANOMALY FLAGS (x163) — days whose event count deviates from
+    * that event type's own mean by more than `sigmas` standard
+    * deviations, decided in EXACT INTEGER arithmetic: with per-day
+    * count x, day count d, Σx and Σx² per type,
+    * `|x − μ| > s·σ  ⟺  d²(x − Σx/d)² > s²·d²·σ²
+    *               ⟺  (d·x − Σx)² > s²·(d·Σx² − (Σx)²)`
+    * — no division, no sqrt, no float law anywhere; the squares ride
+    * DECIMAL(38,0) so corpus-scale counts cannot overflow a BIGINT.
+    * The alerting report every ops dashboard runs on landed event
+    * tables.
+    *
+    * Scale shape: one corpus aggregate to `(type, day)` (bounded
+    * output), a dictionary-sized per-type stats frame joined back
+    * BROADCAST, and a row-local integer comparison. */
+  /** x163's per-type daily counts: `(event_type, day, n_events)`. */
+  def dailyCounts(events: DataFrame, tsCol: String,
+                  typeCol: String): DataFrame = {
+    val ms = Dates.toEpochMillis(col(tsCol))
+    val day = ((ms - pmod(ms, lit(86400000L))) / lit(86400000L))
+      .cast("long")
+    events.select(col(typeCol).as("event_type"), day.as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** x163's per-type count moments over [[dailyCounts]] —
+    * `(event_type, n_days, sum_n, _sum_n2)`, the frozen batch artifact
+    * [[graft.streaming.Streams.anomalyGate]] serves against. */
+  def anomalyStats(daily: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("sum_n"),
+        sum(dec(col("n_events")) * dec(col("n_events"))).as("_sum_n2"))
+  }
+
+  /** The shared exact-integer anomaly predicate over a row carrying
+    * `n_events` + [[anomalyStats]] columns — the ONE body both the
+    * batch report and the streaming gate filter with (parity by
+    * construction). */
+  def anomalyBound(sigmas: Int): Column = {
+    require(sigmas >= 1, s"sigmas must be >= 1, got $sigmas")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dev = dec(col("n_days")) * dec(col("n_events")) - dec(col("sum_n"))
+    dev * dev > lit(sigmas.toLong * sigmas) *
+      (dec(col("n_days")) * col("_sum_n2") -
+        dec(col("sum_n")) * dec(col("sum_n")))
+  }
+
+  def anomalyDays(events: DataFrame, tsCol: String, typeCol: String,
+                  sigmas: Int = 2): DataFrame = {
+    val daily = dailyCounts(events, tsCol, typeCol)
+    daily.join(broadcast(anomalyStats(daily)), Seq("event_type"))
+      .filter(anomalyBound(sigmas))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("n_days"), col("sum_n").cast("long").as("total_events"))
+  }
+
+  /** MARKET-BASKET BRAND AFFINITY (x164) — association rules over
+    * order baskets: for each unordered brand pair co-occurring in an
+    * order, `support = P(a,b)`, `confidence = P(b|a)` and
+    * `lift = P(a,b)/(P(a)·P(b))`, on exact integer counts with one
+    * final grid-rounded division. Pairs below `minCount` co-orders are
+    * cut — the hapax-pair guard (x150's PMI law): one shared order
+    * makes any rare pair look like a rule.
+    *
+    * Scale shape: the pair generation is a self-join of the DISTINCT
+    * `(order, brand)` frame on the order key — co-partitioned, and
+    * per-order fanout is bounded by the brand DICTIONARY (≤ B(B−1)/2
+    * pairs per order however many lines it has), so the blow-up of a
+    * general basket self-join (items² per order) cannot happen on a
+    * dictionary axis. Per-brand and total counts are
+    * dictionary/1-row-sized and broadcast. */
+  def basketAffinity(lineitem: DataFrame, part: DataFrame,
+                     minCount: Long = 5): DataFrame = {
+    val ob = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("_o"), col("p_brand").as("_b"))
+      .distinct()
+    val nOrders = lineitem.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("_n"))
+    val brandCnt = ob.groupBy(col("_b")).agg(count(lit(1)).as("_bc"))
+    val left = ob.select(col("_o"), col("_b").as("brand_a"))
+    val right = ob.select(col("_o"), col("_b").as("brand_b"))
+    val pairs = left.join(right, Seq("_o"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCount)
+    pairs
+      .join(broadcast(brandCnt.select(col("_b").as("brand_a"),
+        col("_bc").as("_ca"))), Seq("brand_a"))
+      .join(broadcast(brandCnt.select(col("_b").as("brand_b"),
+        col("_bc").as("_cb"))), Seq("brand_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("n_co"),
+        col("_ca").as("n_a"), col("_cb").as("n_b"),
+        Num.fpRound(col("n_co").cast("double") / col("_n"), 6)
+          .as("support"),
+        Num.fpRound(col("n_co").cast("double") / col("_ca"), 6)
+          .as("confidence"),
+        Num.fpRound(col("n_co").cast("double") * col("_n") /
+          (col("_ca").cast("double") * col("_cb")), 6).as("lift"))
+  }
+
+  /** LINEAR REVENUE TREND (x167) — per nation, the OLS fit of daily
+    * revenue against the epoch-day axis via the closed form
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`, with
+    * `r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))` —
+    * every Σ an EXACT integer (x = epoch day, y = revenue in
+    * `floor(v·10⁴+0.5)` units) riding DECIMAL(38,0), so both engines
+    * divide the IDENTICAL integers and the only float ops are the two
+    * mirrored final divisions (slope converts units→currency by one
+    * more exact /10⁴). Nations with <2 active days, a degenerate
+    * x-spread or zero y-variance report NULLs. The trend-detection
+    * report; regr_slope() would be engine-float all the way down.
+    *
+    * Scale shape: one corpus aggregate to `(nation, day)` (bounded
+    * output), then a dictionary-sized per-nation moment aggregate —
+    * no window at all. */
+  def revenueTrend(lineitem: DataFrame, supplier: DataFrame,
+                   nation: DataFrame): DataFrame = {
+    val ms = Dates.toEpochMillis(col("l_shipdate"))
+    val day = ((ms - pmod(ms, lit(86400000L))) / lit(86400000L))
+      .cast("long")
+    val units = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * 1e4 + lit(0.5)).cast("long")
+    val daily = lineitem
+      .join(broadcast(supplier.select(col("s_suppkey"),
+        col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("nation"), day.as("_x"), units.as("_u"))
+      .groupBy(col("nation"), col("_x"))
+      .agg(sum(col("_u")).as("_y"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = daily.groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec(col("_x"))).as("_sx"),
+        sum(dec(col("_y"))).as("_sy"),
+        sum(dec(col("_x")) * dec(col("_y"))).as("_sxy"),
+        sum(dec(col("_x")) * dec(col("_x"))).as("_sxx"),
+        sum(dec(col("_y")) * dec(col("_y"))).as("_syy"))
+    val num = dec(col("n_days")) * col("_sxy") - col("_sx") * col("_sy")
+    val denX = dec(col("n_days")) * col("_sxx") - col("_sx") * col("_sx")
+    val denY = dec(col("n_days")) * col("_syy") - col("_sy") * col("_sy")
+    m.withColumn("_num", num).withColumn("_dx", denX)
+      .withColumn("_dy", denY)
+      .select(col("nation"), col("n_days"),
+        when(col("_dx") > 0, Num.fpRound(
+          col("_num").cast("double") / col("_dx").cast("double") / 1e4,
+          6)).as("slope"),
+        when(col("_dx") > 0 && col("_dy") > 0, Num.fpRound(
+          col("_num").cast("double") * col("_num").cast("double") /
+            (col("_dx").cast("double") * col("_dy").cast("double")),
+          6)).as("r2"))
+  }
+
+  /** A/B CONVERSION TEST (x168) — users split 50/50 by the md5 grid
+    * (first hex of `md5(user_id)` ≤ '7' → A; the x26 deterministic-
+    * assignment convention — no RNG, re-runnable, engine-neutral),
+    * conversion = at least `minCount` events of `convertType` (an
+    * absolute bar — on an engaged fixture a ≥1 bar saturates both arms
+    * and the pooled variance degenerates); reports per-variant exact
+    * counts, grid-rounded rates, and the two-proportion z² statistic
+    * `(p_a − p_b)² / (p̂(1−p̂)(1/n_a + 1/n_b))` — computed by BOTH
+    * engines from the same four exact integers through the same
+    * mirrored IEEE expression (z² > 3.84 ⇒ p < .05); NULL when either
+    * arm is empty or the pooled rate is degenerate (0 or 1). The
+    * experiment readout every product team runs on landed events.
+    *
+    * Scale shape: one user-keyed aggregate (variant + converted flag
+    * per user), one 2-row variant aggregate, one 1-row pivot — nothing
+    * after the first exchange is bigger than 2 rows. */
+  def abConversion(events: DataFrame, userCol: String, typeCol: String,
+                   convertType: String, minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val variant = when(substring(md5(col("_u").cast("string")), 1, 1)
+      <= "7", "A").otherwise("B")
+    val perUser = events
+      .select(col(userCol).as("_u"), col(typeCol).as("_t"))
+      .groupBy(col("_u"))
+      .agg(sum(when(col("_t") === convertType, 1L).otherwise(0L))
+        .as("_k"))
+      .select(variant.as("_v"),
+        when(col("_k") >= minCount, 1L).otherwise(0L).as("_conv"))
+    val byVar = perUser.groupBy(col("_v"))
+      .agg(count(lit(1)).as("_n"), sum(col("_conv")).as("_c"))
+    val one = byVar.agg(
+      max(when(col("_v") === "A", col("_n"))).as("n_a"),
+      max(when(col("_v") === "A", col("_c"))).as("conv_a"),
+      max(when(col("_v") === "B", col("_n"))).as("n_b"),
+      max(when(col("_v") === "B", col("_c"))).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pPool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val pooled = col("conv_a") + col("conv_b")
+    val total = col("n_a") + col("n_b")
+    one.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      Num.fpRound(pa, 6).as("rate_a"),
+      Num.fpRound(pb, 6).as("rate_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 &&
+          pooled > 0 && pooled < total,
+        Num.fpRound(
+          (pa - pb) * (pa - pb) /
+            (pPool * (lit(1.0) - pPool) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4))
+        .as("z2"))
+  }
+
+  /** FUNNEL STAGE LATENCY (x169) — [[funnel]]'s companion report: for
+    * each consecutive stage transition, exact p50/p90 of the per-user
+    * time from reaching the earlier stage to first completing the
+    * later one (the same at-or-after chain — a user's stage-k time is
+    * their first stage-k event at-or-after their stage-(k−1) time).
+    * Quantiles are [[TextAnalysis.groupedQuantiles]]' exact double-ceil
+    * law over the transition groups; the cut user's id rides along.
+    *
+    * Scale shape: [[funnel]]'s user-keyed conditional-min chain, then
+    * a per-transition grouped rank over user-count-bounded delta
+    * frames — no per-transition sort. */
+  def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, stages: Seq[String],
+                    quantiles: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    require(stages.size >= 2, s"need >= 2 stages, got $stages")
+    require(stages.distinct.size == stages.size,
+      s"stages must be distinct, got $stages")
+    val base = events.select(col(userCol).as("_u"),
+      col(typeCol).as("_t"), Dates.toEpochMillis(col(tsCol)).as("_ms"))
+    var reached = base.filter(col("_t") === stages.head)
+      .groupBy(col("_u")).agg(min(col("_ms")).as("_at"))
+      .persist()
+    var legs = Vector.empty[DataFrame]
+    stages.drop(1).zip(stages).foreach { case (st, prev) =>
+      val next = base.filter(col("_t") === st)
+        .join(reached, Seq("_u"))
+        .filter(col("_ms") >= col("_at"))
+        .groupBy(col("_u"))
+        .agg(min(col("_ms")).as("_nat"), min(col("_at")).as("_pat"))
+        .persist()
+      legs :+= next.select(col("_u"),
+        lit(s"$prev->$st").as("transition"),
+        (col("_nat") - col("_pat")).as("delta_ms"))
+      reached = next.select(col("_u"), col("_nat").as("_at"))
+    }
+    TextAnalysis.groupedQuantiles(legs.reduce(_.unionByName(_)),
+      "_u", "transition", "delta_ms", quantiles)
+      .withColumnRenamed("_u", "user_id")
+  }
+
+  /** GINI CONCENTRATION (x165) — how concentrated is each nation's
+    * order revenue across its customers: the Gini coefficient
+    * `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)` over ascending per-customer
+    * revenue (ties by customer key), computed on EXACT integers — each
+    * order contributes `floor(price·10⁴ + 0.5)` revenue units, the
+    * rank-weighted sums ride DECIMAL(38,0), and only the final ratio
+    * touches a double (grid-rounded). 0 = everyone equal, →1 = one
+    * customer is the book. The concentration-risk report.
+    *
+    * Scale shape: one customer-keyed aggregate, then
+    * [[TextAnalysis.groupedRanks]] for per-nation EXACT ranks with NO
+    * per-nation sort (range-bucket + broadcast-offset core), then a
+    * nation-keyed weighted sum — every exchange is on a key, output is
+    * dictionary-sized. */
+  def giniConcentration(orders: DataFrame, customer: DataFrame,
+                        nation: DataFrame): DataFrame = {
+    val units = floor(col("o_totalprice") * 1e4 + lit(0.5)).cast("long")
+    val perCust = orders.select(col("o_custkey"), units.as("_u"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("_u")).as("_rev"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_custkey").as("_id"), col("nation"), col("_rev"))
+    val ranked = TextAnalysis.groupedRanks(perCust, "_id", "nation",
+      "_rev", bestFirst = false)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    ranked.groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec(col("_rev"))).as("_sx"),
+        sum(dec(col("rank")) * dec(col("_rev"))).as("_six"))
+      .select(col("nation"), col("n_customers"),
+        (col("_sx").cast("double") / 1e4).as("revenue"),
+        Num.fpRound(
+          (lit(2.0) * col("_six").cast("double") -
+            (col("n_customers") + lit(1)).cast("double") *
+              col("_sx").cast("double")) /
+            (col("n_customers").cast("double") *
+              col("_sx").cast("double")), 6).as("gini"))
+  }
 }

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dates, Num}
+
+/** Multi-dimensional OLAP shapes over the landed star schema — the
+  * report layer a warehouse user builds on top of the reference's
+  * tables: grouping-set rollups, cross-tab pivots, column profiling and
+  * dominance (Pareto-frontier) views. All expressed as single-pass
+  * declarative aggregates so Catalyst's Expand/partial-agg machinery
+  * does the work — no per-cell re-scans, no driver loops.
+  */
+object Olap {
+
+  /** ROLLUP revenue cube (x157) — `(nation, order-year)` revenue with
+    * the classic subtotal hierarchy: detail rows, per-nation subtotals
+    * and a grand total in ONE pass (`GROUP BY ROLLUP`). Rolled-up
+    * dimensions print as `'ALL'` (the fixture dims are never null, so
+    * the sentinel is unambiguous) and `grp_level` = how many dims were
+    * rolled up (0 = detail, 2 = grand total) via engine-independent
+    * `grouping()` sums — NOT `grouping_id()`, whose bit order is an
+    * engine convention.
+    *
+    * Scale shape: Spark plans rollup as one Expand (3 replicas of each
+    * row — the grouping-set count, a constant) feeding a single partial
+    * + final hash aggregate: one shuffle keyed on the expanded grouping
+    * key, map-side combine intact. The nation dim broadcasts; the
+    * orders↔customer join shuffles on the customer key once.
+    * Monetary sums are order-independent DECIMAL(38,6) ([[Num.dsum]]).
+    */
+  def rollupRevenue(orders: DataFrame, customer: DataFrame,
+                    nation: DataFrame): DataFrame = {
+    val joined = orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation),
+        customer("c_nationkey") === nation("n_nationkey"))
+      .select(col("n_name").as("_nat"),
+        year(col("o_orderdate")).cast("long").as("_yr"),
+        Num.fpRound(col("o_totalprice"), 4).as("_v"))
+    joined.rollup(col("_nat"), col("_yr"))
+      .agg(count(lit(1)).as("n_orders"), Num.dsum(col("_v")).as("revenue"),
+        (grouping(col("_nat")) + grouping(col("_yr")))
+          .cast("int").as("grp_level"))
+      .select(coalesce(col("_nat"), lit("ALL")).as("nation"),
+        coalesce(col("_yr").cast("string"), lit("ALL")).as("order_year"),
+        col("grp_level"), col("n_orders"), col("revenue"))
+  }
+
+  /** Cross-tab PIVOT (x158) — order revenue by year × market segment,
+    * one column per segment (the spreadsheet shape every BI tool
+    * exports). `segments` must be the full declared domain: an
+    * explicit value list keeps the plan a single pass (Spark's
+    * auto-pivot first runs a distinct-collect job to discover values —
+    * a corpus-sized extra pass at 100 TB — and makes the output schema
+    * data-dependent, which no downstream contract wants).
+    *
+    * Scale shape: pivot compiles to one hash aggregate keyed on year
+    * whose per-segment conditional sums are Expand-free (each input row
+    * feeds exactly its own segment's aggregate); one shuffle on the
+    * year key after the customer-key join. Cells with no orders stay
+    * NULL (both engines' empty-SUM law). */
+  def segmentPivot(orders: DataFrame, customer: DataFrame,
+                   segments: Seq[String]): DataFrame = {
+    require(segments.nonEmpty, "segments must be non-empty")
+    require(segments.distinct.size == segments.size,
+      s"segments must be distinct, got $segments")
+    val joined = orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .select(year(col("o_orderdate")).cast("long").as("order_year"),
+        col("c_mktsegment").as("_seg"),
+        Num.fpRound(col("o_totalprice"), 4).as("_v"))
+    val pivoted = joined.groupBy(col("order_year"))
+      .pivot("_seg", segments)
+      .agg(Num.dsum(col("_v")))
+    // stable lower-cased *_rev column names, independent of the pivot
+    // value spelling
+    val renamed = segments.foldLeft(pivoted) { (df, s) =>
+      df.withColumnRenamed(s, s.toLowerCase + "_rev")
+    }
+    renamed.select(col("order_year") +:
+      segments.map(s => col(s.toLowerCase + "_rev")): _*)
+  }
+
+  /** COLUMN PROFILE CARD (x159) — per-column data-quality stats for a
+    * table, long form: `(col_name, n_rows, n_nulls, n_distinct, min_num,
+    * max_num, min_str, max_str)`. Numeric/timestamp columns carry
+    * min/max as doubles (timestamps as epoch-ms — exact below 2^53);
+    * string columns carry lexicographic min/max; each family's other
+    * pair is NULL. The first screen of any ingestion audit — x51's data
+    * card profiles the corpus, this profiles any relational table.
+    *
+    * Scale shape: ONE scan. All per-column aggregates ride a single
+    * hash aggregate; the exact `count(DISTINCT c)` set compiles to one
+    * Expand (one replica per profiled column) + two-phase distinct
+    * aggregate — the standard multi-distinct plan, shuffle keyed on
+    * (replica, value), no per-column re-scan. The long-form reshape
+    * explodes a 1-row frame (free). */
+  def profileCard(df: DataFrame, numCols: Seq[String],
+                  strCols: Seq[String],
+                  tsCols: Seq[String] = Seq.empty): DataFrame = {
+    val all = numCols ++ strCols ++ tsCols
+    require(all.nonEmpty, "profile needs at least one column")
+    require(all.distinct.size == all.size, s"duplicate columns in $all")
+    def numExpr(c: String): Column =
+      if (tsCols.contains(c)) Dates.toEpochMillis(col(c)).cast("double")
+      else col(c).cast("double")
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("_rows")) ++ all.flatMap { c =>
+        Seq(count(col(c)).as(s"_nn_$c"),
+          count_distinct(col(c)).as(s"_nd_$c")) ++
+          (if (strCols.contains(c))
+            Seq(min(col(c)).as(s"_mns_$c"), max(col(c)).as(s"_mxs_$c"))
+          else
+            Seq(min(numExpr(c)).as(s"_mnn_$c"), max(numExpr(c)).as(s"_mxn_$c")))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = all.map { c =>
+      val isStr = strCols.contains(c)
+      struct(lit(c).as("col_name"), col("_rows").as("n_rows"),
+        (col("_rows") - col(s"_nn_$c")).as("n_nulls"),
+        col(s"_nd_$c").as("n_distinct"),
+        (if (isStr) lit(null).cast("double") else col(s"_mnn_$c"))
+          .as("min_num"),
+        (if (isStr) lit(null).cast("double") else col(s"_mxn_$c"))
+          .as("max_num"),
+        (if (isStr) col(s"_mns_$c") else lit(null).cast("string"))
+          .as("min_str"),
+        (if (isStr) col(s"_mxs_$c") else lit(null).cast("string"))
+          .as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("_p")).select(col("_p.*"))
+  }
+
+  /** CHI-SQUARE INDEPENDENCE TEST (x170) — are two categorical
+    * dimensions independent: the contingency table of exact integer
+    * cell counts, expected `E = R·C/N` from the margins, and
+    * `χ² = Σ (O−E)²/E`. Each cell's term is computed through the SAME
+    * mirrored IEEE expression in both engines from the same exact
+    * integers, then rounded to the 1e-6 grid and summed as decimals —
+    * the term-by-term float recipe, since raw double terms would sum
+    * in shuffle order. Output: one row `(n, n_rows, n_cols, dof,
+    * chi2)`. χ² ≫ dof ⇒ the dims are dependent — the segmentation-
+    * sanity test behind every cross-tab report (x158 shows the cells;
+    * this says whether the pattern is real). UNOBSERVED (A, B)
+    * combinations still contribute `(0−E)²/E` — the margin grid, not
+    * the observed-cell set, is the summation domain (a perfectly
+    * dependent 2×2 would otherwise read half its χ²).
+    *
+    * Scale shape: one corpus aggregate to the DICTIONARY-bounded cell
+    * table; margins re-aggregate from the cells (not the corpus), the
+    * full margin grid is dictionary² rows, and everything past the
+    * first aggregate is broadcast-sized. */
+  def chiSquare(df: DataFrame, dimA: String, dimB: String): DataFrame = {
+    val cells = df.select(col(dimA).as("_a"), col(dimB).as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
+    val rowTot = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_r"))
+    val colTot = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_c"))
+    val tot = cells.agg(sum(col("_o")).as("_n"),
+      count_distinct(col("_a")).as("n_rows"),
+      count_distinct(col("_b")).as("n_cols"))
+    val grid = rowTot.crossJoin(broadcast(colTot))
+      .join(cells, Seq("_a", "_b"), "left")
+      .withColumn("_obs", coalesce(col("_o"), lit(0L)))
+    val e = col("_r").cast("double") * col("_c") / col("_n")
+    val term = (col("_obs").cast("double") - e) * (col("_obs") - e) / e
+    grid
+      .crossJoin(broadcast(tot))
+      .select(col("_n"), col("n_rows"), col("n_cols"),
+        Num.fpRound(term, 6).as("_t"))
+      .groupBy(col("_n").as("n"), col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"))
+      .agg(Num.dsum(col("_t")).as("chi2"))
+  }
+
+  /** PARETO FRONTIER / skyline (x160) — the non-dominated parts under
+    * (minimize `p_size`, maximize `p_retailprice`): a part is dominated
+    * iff some part is no larger AND no cheaper-to-retail, strictly
+    * better on at least one axis. The textbook skyline needs an
+    * all-pairs dominance test; under a total order on one axis it
+    * collapses to a running max — a part is on the frontier iff its
+    * price equals its size's best price AND strictly exceeds every
+    * smaller size's best.
+    *
+    * Scale shape: one corpus aggregate to `(size, best_price)` — a
+    * DICTIONARY-bounded frame (≤ the distinct-size count, ~50 here;
+    * sizes are a small-int domain at any corpus scale) — so the running
+    * max is a window over a dictionary-sized frame (documented
+    * single-partition, like the x111 Zipf rank), and the frontier
+    * filter joins back BROADCAST. No pair join anywhere. */
+  def paretoFront(part: DataFrame, keyCol: String = "p_partkey",
+                  sizeCol: String = "p_size",
+                  priceCol: String = "p_retailprice"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val best = part.groupBy(col(sizeCol).as("_sz"))
+      .agg(max(col(priceCol)).as("_best"))
+    // strictly-smaller sizes' best price (NULL for the smallest size)
+    val wPrev = Window.orderBy(col("_sz"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontierSizes = best
+      .withColumn("_prevBest", max(col("_best")).over(wPrev))
+      .filter(col("_prevBest").isNull || col("_best") > col("_prevBest"))
+      .select(col("_sz"), col("_best"))
+    part.join(broadcast(frontierSizes),
+        col(sizeCol) === col("_sz") && col(priceCol) === col("_best"))
+      .select(col(keyCol), col(sizeCol), col(priceCol))
+  }
+}

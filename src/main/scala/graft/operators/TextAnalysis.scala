@@ -815,6 +815,16 @@ object TextAnalysis {
       .drop("_b", "_mn", "_mx", "_lrn", "_off", "_ntot")
   }
 
+  /** Public face of [[groupedBucketedRank]] for callers outside this
+    * file (x165's Gini rank-weighted sums): per-group EXACT ascending
+    * ranks (ties by id) with `n_group`, no per-group sort — the same
+    * core x146/x147/x154/x156 cut their buckets from. */
+  def groupedRanks(scored: DataFrame, idCol: String, groupCol: String,
+                   scoreCol: String, bucketBits: Int = 8,
+                   bestFirst: Boolean = false): DataFrame =
+    groupedBucketedRank(scored, idCol, groupCol, scoreCol, bucketBits,
+      bestFirst)
+
   /** PER-GROUP equal-frequency bucket labels (grouped exact n-tiles)
     * over an arbitrary scored frame: within each group, rank by score
     * ([[groupedBucketedRank]] — exact, no per-group sort) and cut at

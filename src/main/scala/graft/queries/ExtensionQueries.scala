@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num
-import graft.operators.{Analytics, Bpe, Classifier, Cleaning, Components, CorpusPipeline, ImageDedup, Multimodal, Packing, Project, Retrieval, Similarity, Temporal, TextAnalysis, TextDedup}
+import graft.operators.{Analytics, Bpe, Classifier, Cleaning, Components, CorpusPipeline, ImageDedup, Multimodal, Olap, Packing, Project, Retrieval, Similarity, Sketches, Temporal, TextAnalysis, TextDedup}
 
 /** Extension + capability-proof query inventory (SURVEY §2.4 X1-X6 plus the
   * LLM-training-data operators: dedup family, similarity search, text
@@ -1502,7 +1502,107 @@ object ExtensionQueries {
           graft.functions.Num.fpRound(col("value"), 4).as("value"))
       TextAnalysis.groupedQuantiles(scored, "event_id", "day", "value",
         Seq(0.5, 0.9, 0.99))
-    })
+    }),
+
+    // x157 — ROLLUP revenue cube: detail + per-nation subtotals +
+    // grand total in ONE Expand-fed aggregate pass; grp_level via
+    // engine-independent grouping() sums, not grouping_id()'s
+    // bit-order convention.
+    "x157_rollup_revenue" -> ((s, dir) => Olap.rollupRevenue(
+      t(s, dir, "orders"), t(s, dir, "customer"), t(s, dir, "nation"))),
+
+    // x158 — cross-tab pivot: revenue by year × market segment, one
+    // column per declared segment (explicit domain — no value-discovery
+    // pre-pass, schema not data-dependent).
+    "x158_segment_pivot" -> ((s, dir) => Olap.segmentPivot(
+      t(s, dir, "orders"), t(s, dir, "customer"),
+      Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+        "MACHINERY"))),
+
+    // x159 — column profile card over lineitem: null/distinct/min/max
+    // per column in ONE scan (multi-distinct Expand plan), the first
+    // screen of any ingestion audit.
+    "x159_profile_card" -> ((s, dir) => Olap.profileCard(
+      t(s, dir, "lineitem"),
+      numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax"),
+      strCols = Seq("l_returnflag", "l_linestatus"),
+      tsCols = Seq("l_shipdate"))),
+
+    // x160 — Pareto frontier (skyline) of parts under (min size, max
+    // retail price): running max over the dictionary-sized per-size
+    // best table — no all-pairs dominance join.
+    "x160_pareto_front" -> ((s, dir) => Olap.paretoFront(
+      t(s, dir, "part"))),
+
+    // x161 — per-nation daily revenue + trailing 7-day rolling sum:
+    // RANGE frame over the integer day key (gaps shorten the window —
+    // a ROWS frame would stretch over missing days).
+    "x161_rolling_revenue" -> ((s, dir) => Analytics.rollingRevenue(
+      t(s, dir, "lineitem"), t(s, dir, "supplier"),
+      t(s, dir, "nation"))),
+
+    // x162 — year-over-year revenue growth per nation: LAG over the
+    // yearly aggregate, growth on the 1e-6 grid, NULL (not 0) on each
+    // nation's first year.
+    "x162_yoy_growth" -> ((s, dir) => Analytics.yoyGrowth(
+      t(s, dir, "orders"), t(s, dir, "customer"), t(s, dir, "nation"))),
+
+    // x163 — daily anomaly flags: days > 2σ from their event type's
+    // mean, decided in EXACT integer arithmetic ((d·x−Σx)² >
+    // s²(d·Σx²−(Σx)²)) — no sqrt, no float law.
+    "x163_anomaly_days" -> ((s, dir) => Analytics.anomalyDays(
+      t(s, dir, "events"), "ts", "event_type", sigmas = 2)),
+
+    // x164 — market-basket brand affinity: support/confidence/lift
+    // over order baskets; pair fanout bounded by the brand DICTIONARY,
+    // minCount kills hapax pairs (x150's law).
+    "x164_brand_affinity" -> ((s, dir) => Analytics.basketAffinity(
+      t(s, dir, "lineitem"), t(s, dir, "part"), minCount = 5)),
+
+    // x165 — Gini concentration of order revenue across each nation's
+    // customers: exact integer rank-weighted sums on the grouped
+    // bucketed rank (no per-nation sort).
+    "x165_gini" -> ((s, dir) => Analytics.giniConcentration(
+      t(s, dir, "orders"), t(s, dir, "customer"), t(s, dir, "nation"))),
+
+    // x166 — KMV distinct-count sketch per return flag (k=64 minima of
+    // the 60-bit md5 grid) WITH its exact twin and relative error in
+    // the same row — the oracle-checkable sibling of the HLL sketch.
+    "x166_kmv_distinct" -> ((s, dir) => Sketches.kmvDistinct(
+      t(s, dir, "lineitem"), "l_returnflag", "l_partkey", k = 64)),
+
+    // x167 — per-nation OLS revenue trend: slope + r² from EXACT
+    // integer moment sums (closed form, no regr_slope float chain);
+    // only the two final divisions touch doubles, mirrored.
+    "x167_revenue_trend" -> ((s, dir) => Analytics.revenueTrend(
+      t(s, dir, "lineitem"), t(s, dir, "supplier"),
+      t(s, dir, "nation"))),
+
+    // x168 — A/B conversion test: md5-grid 50/50 user split (x26's
+    // deterministic assignment), conversion = ≥14 purchases (the
+    // fixture's per-user median — a universal ≥1 bar saturates both
+    // arms), two-proportion z² from exact counts.
+    "x168_ab_test" -> ((s, dir) => Analytics.abConversion(
+      t(s, dir, "events"), "user_id", "event_type", "purchase",
+      minCount = 14)),
+
+    // x169 — funnel stage latency: exact p50/p90 of per-user
+    // transition times through x153's at-or-after chain, cut by the
+    // grouped quantile law.
+    "x169_funnel_latency" -> ((s, dir) => Analytics.funnelLatency(
+      t(s, dir, "events"), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))),
+
+    // x170 — chi-square independence of market segment × order
+    // priority: exact integer contingency counts, term-by-term
+    // grid-rounded χ² (x158 shows the cells; this says whether the
+    // pattern is real).
+    "x170_chi_square" -> ((s, dir) => Olap.chiSquare(
+      t(s, dir, "orders").join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey")),
+      "c_mktsegment", "o_orderpriority"))
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -5023,6 +5123,385 @@ object ExtensionQueries {
          q AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE,
            0.99::DOUBLE]) AS quantile)
          SELECT day, quantile, rank, event_id, value
-         FROM r JOIN q ON rank = CAST(ceil(quantile * n) AS BIGINT)"""
+         FROM r JOIN q ON rank = CAST(ceil(quantile * n) AS BIGINT)""",
+    // GROUP BY ROLLUP with GROUPING() sums (engine-portable level
+    // indicator); rolled-up dims coalesce to 'ALL' (dims never null)
+    "x157_rollup_revenue" ->
+      """WITH j AS (SELECT n_name AS nat,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           floor(o_totalprice * 10000 + 0.5) / 10000.0 AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey)
+         SELECT coalesce(nat, 'ALL') AS nation,
+           coalesce(CAST(yr AS VARCHAR), 'ALL') AS order_year,
+           CAST(GROUPING(nat) + GROUPING(yr) AS INTEGER) AS grp_level,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+         FROM j GROUP BY ROLLUP(nat, yr)""",
+    // the pivot as conditional decimal sums — empty cells NULL (both
+    // engines' empty-SUM law)
+    "x158_segment_pivot" ->
+      """WITH j AS (SELECT
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           c_mktsegment AS seg,
+           floor(o_totalprice * 10000 + 0.5) / 10000.0 AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         SELECT order_year,
+           CAST(sum(CASE WHEN seg = 'AUTOMOBILE'
+             THEN CAST(v AS DECIMAL(38,6)) END) AS DOUBLE)
+             AS automobile_rev,
+           CAST(sum(CASE WHEN seg = 'BUILDING'
+             THEN CAST(v AS DECIMAL(38,6)) END) AS DOUBLE)
+             AS building_rev,
+           CAST(sum(CASE WHEN seg = 'FURNITURE'
+             THEN CAST(v AS DECIMAL(38,6)) END) AS DOUBLE)
+             AS furniture_rev,
+           CAST(sum(CASE WHEN seg = 'HOUSEHOLD'
+             THEN CAST(v AS DECIMAL(38,6)) END) AS DOUBLE)
+             AS household_rev,
+           CAST(sum(CASE WHEN seg = 'MACHINERY'
+             THEN CAST(v AS DECIMAL(38,6)) END) AS DOUBLE)
+             AS machinery_rev
+         FROM j GROUP BY 1""",
+    // one aggregate row, unpivoted per column; timestamps profile as
+    // epoch-ms doubles, strings as lexicographic min/max
+    "x159_profile_card" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(l_orderkey) AS BIGINT) AS nn1,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd1,
+             CAST(min(l_orderkey) AS DOUBLE) AS mn1,
+             CAST(max(l_orderkey) AS DOUBLE) AS mx1,
+           CAST(count(l_partkey) AS BIGINT) AS nn2,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd2,
+             CAST(min(l_partkey) AS DOUBLE) AS mn2,
+             CAST(max(l_partkey) AS DOUBLE) AS mx2,
+           CAST(count(l_suppkey) AS BIGINT) AS nn3,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd3,
+             CAST(min(l_suppkey) AS DOUBLE) AS mn3,
+             CAST(max(l_suppkey) AS DOUBLE) AS mx3,
+           CAST(count(l_linenumber) AS BIGINT) AS nn4,
+             CAST(count(DISTINCT l_linenumber) AS BIGINT) AS nd4,
+             CAST(min(l_linenumber) AS DOUBLE) AS mn4,
+             CAST(max(l_linenumber) AS DOUBLE) AS mx4,
+           CAST(count(l_quantity) AS BIGINT) AS nn5,
+             CAST(count(DISTINCT l_quantity) AS BIGINT) AS nd5,
+             CAST(min(l_quantity) AS DOUBLE) AS mn5,
+             CAST(max(l_quantity) AS DOUBLE) AS mx5,
+           CAST(count(l_extendedprice) AS BIGINT) AS nn6,
+             CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS nd6,
+             CAST(min(l_extendedprice) AS DOUBLE) AS mn6,
+             CAST(max(l_extendedprice) AS DOUBLE) AS mx6,
+           CAST(count(l_discount) AS BIGINT) AS nn7,
+             CAST(count(DISTINCT l_discount) AS BIGINT) AS nd7,
+             CAST(min(l_discount) AS DOUBLE) AS mn7,
+             CAST(max(l_discount) AS DOUBLE) AS mx7,
+           CAST(count(l_tax) AS BIGINT) AS nn8,
+             CAST(count(DISTINCT l_tax) AS BIGINT) AS nd8,
+             CAST(min(l_tax) AS DOUBLE) AS mn8,
+             CAST(max(l_tax) AS DOUBLE) AS mx8,
+           CAST(count(l_returnflag) AS BIGINT) AS nn9,
+             CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd9,
+             min(l_returnflag) AS mns9, max(l_returnflag) AS mxs9,
+           CAST(count(l_linestatus) AS BIGINT) AS nn10,
+             CAST(count(DISTINCT l_linestatus) AS BIGINT) AS nd10,
+             min(l_linestatus) AS mns10, max(l_linestatus) AS mxs10,
+           CAST(count(l_shipdate) AS BIGINT) AS nn11,
+             CAST(count(DISTINCT l_shipdate) AS BIGINT) AS nd11,
+             CAST(min(epoch_ms(l_shipdate)) AS DOUBLE) AS mn11,
+             CAST(max(epoch_ms(l_shipdate)) AS DOUBLE) AS mx11
+           FROM lineitem)
+         SELECT 'l_orderkey' AS col_name, n_rows, n_rows - nn1 AS n_nulls,
+           nd1 AS n_distinct, mn1 AS min_num, mx1 AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           FROM a
+         UNION ALL SELECT 'l_partkey', n_rows, n_rows - nn2, nd2, mn2, mx2,
+           NULL, NULL FROM a
+         UNION ALL SELECT 'l_suppkey', n_rows, n_rows - nn3, nd3, mn3, mx3,
+           NULL, NULL FROM a
+         UNION ALL SELECT 'l_linenumber', n_rows, n_rows - nn4, nd4, mn4,
+           mx4, NULL, NULL FROM a
+         UNION ALL SELECT 'l_quantity', n_rows, n_rows - nn5, nd5, mn5, mx5,
+           NULL, NULL FROM a
+         UNION ALL SELECT 'l_extendedprice', n_rows, n_rows - nn6, nd6, mn6,
+           mx6, NULL, NULL FROM a
+         UNION ALL SELECT 'l_discount', n_rows, n_rows - nn7, nd7, mn7, mx7,
+           NULL, NULL FROM a
+         UNION ALL SELECT 'l_tax', n_rows, n_rows - nn8, nd8, mn8, mx8,
+           NULL, NULL FROM a
+         UNION ALL SELECT 'l_returnflag', n_rows, n_rows - nn9, nd9, NULL,
+           NULL, mns9, mxs9 FROM a
+         UNION ALL SELECT 'l_linestatus', n_rows, n_rows - nn10, nd10, NULL,
+           NULL, mns10, mxs10 FROM a
+         UNION ALL SELECT 'l_shipdate', n_rows, n_rows - nn11, nd11, mn11,
+           mx11, NULL, NULL FROM a""",
+    // skyline via per-size best + running max over strictly smaller
+    // sizes — same collapse as the Spark plan, no pair join
+    "x160_pareto_front" ->
+      """WITH best AS (SELECT p_size AS sz, max(p_retailprice) AS best
+           FROM part GROUP BY 1),
+         f AS (SELECT sz, best, max(best) OVER (ORDER BY sz
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+           FROM best)
+         SELECT p_partkey, p_size, p_retailprice
+         FROM part JOIN f ON p_size = f.sz AND p_retailprice = f.best
+         WHERE prev IS NULL OR best > prev""",
+    // daily decimal sums then a RANGE window over the integer day key;
+    // the decimal window sum casts back to double at the end
+    "x161_rolling_revenue" ->
+      """WITH d AS (SELECT n_name AS nation,
+           epoch_ms(l_shipdate) // 86400000 AS day,
+           floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+             / 10000.0 AS v
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey),
+         g AS (SELECT nation, day,
+             sum(CAST(v AS DECIMAL(38,6))) AS decv,
+             CAST(count(*) AS BIGINT) AS n_items
+           FROM d GROUP BY 1, 2)
+         SELECT nation, day, n_items, CAST(decv AS DOUBLE) AS revenue,
+           CAST(sum(decv) OVER (PARTITION BY nation ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_rev,
+           CAST(count(*) OVER (PARTITION BY nation ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS days_in_window
+         FROM g""",
+    // LAG over the yearly aggregate; growth on the 1e-6 grid, NULL on
+    // each nation's first year
+    "x162_yoy_growth" ->
+      """WITH y AS (SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           floor(o_totalprice * 10000 + 0.5) / 10000.0 AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey),
+         g AS (SELECT nation, order_year,
+             CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+           FROM y GROUP BY 1, 2),
+         l AS (SELECT nation, order_year, revenue,
+             lag(revenue) OVER (PARTITION BY nation ORDER BY order_year)
+               AS prev_rev
+           FROM g)
+         SELECT nation, order_year, revenue, prev_rev,
+           CASE WHEN prev_rev IS NOT NULL THEN
+             floor((revenue - prev_rev) / prev_rev * 1000000 + 0.5)
+               / 1000000.0 END AS yoy
+         FROM l""",
+    // the exact-integer 2σ law: (d·x − Σx)² > 4·(d·Σx² − (Σx)²), all
+    // HUGEINT — no division, no sqrt, no float anywhere
+    "x163_anomaly_days" ->
+      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+           CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n_events) AS BIGINT) AS sum_n,
+             sum(CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT))
+               AS sum_n2
+           FROM d GROUP BY 1)
+         SELECT d.event_type, d.day, d.n_events, s.n_days,
+           s.sum_n AS total_events
+         FROM d JOIN s ON d.event_type = s.event_type
+         WHERE (CAST(s.n_days AS HUGEINT) * d.n_events - s.sum_n)
+             * (CAST(s.n_days AS HUGEINT) * d.n_events - s.sum_n)
+           > 4 * (CAST(s.n_days AS HUGEINT) * s.sum_n2
+             - CAST(s.sum_n AS HUGEINT) * s.sum_n)""",
+    // distinct (order, brand) self-join under brand_a < brand_b;
+    // supports/confidences/lifts from exact integer counts, one
+    // grid-rounded division each
+    "x164_brand_affinity" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS no
+           FROM lineitem),
+         bc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM ob
+           GROUP BY 1),
+         p AS (SELECT a.b AS brand_a, r.b AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_co
+           FROM ob a JOIN ob r ON a.o = r.o AND a.b < r.b
+           GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT brand_a, brand_b, n_co, ca.c AS n_a, cb.c AS n_b,
+           floor(CAST(n_co AS DOUBLE) / no * 1000000 + 0.5) / 1000000.0
+             AS support,
+           floor(CAST(n_co AS DOUBLE) / ca.c * 1000000 + 0.5) / 1000000.0
+             AS confidence,
+           floor(CAST(n_co AS DOUBLE) * no
+             / (CAST(ca.c AS DOUBLE) * cb.c) * 1000000 + 0.5) / 1000000.0
+             AS lift
+         FROM p JOIN bc ca ON p.brand_a = ca.b
+         JOIN bc cb ON p.brand_b = cb.b CROSS JOIN n""",
+    // per-customer revenue in exact 1e-4 units, per-nation ascending
+    // rank (ties by customer), HUGEINT rank-weighted sums, one final
+    // grid-rounded ratio
+    "x165_gini" ->
+      """WITH pc AS (SELECT o_custkey AS id,
+           CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+             AS BIGINT) AS rev
+           FROM orders GROUP BY 1),
+         j AS (SELECT pc.id, n_name AS nation, rev
+           FROM pc JOIN customer ON id = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey),
+         r AS (SELECT nation, id, rev,
+             CAST(row_number() OVER (PARTITION BY nation
+               ORDER BY rev, id) AS BIGINT) AS rank
+           FROM j)
+         SELECT nation, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(rev AS HUGEINT)) AS DOUBLE) / 10000.0
+             AS revenue,
+           floor((2.0 * CAST(sum(CAST(rank AS HUGEINT) * rev) AS DOUBLE)
+               - CAST(count(*) + 1 AS DOUBLE)
+                 * CAST(sum(CAST(rev AS HUGEINT)) AS DOUBLE))
+             / (CAST(count(*) AS DOUBLE)
+                 * CAST(sum(CAST(rev AS HUGEINT)) AS DOUBLE))
+             * 1000000 + 0.5) / 1000000.0 AS gini
+         FROM r GROUP BY nation""",
+    // k smallest distinct 60-bit md5 hashes per group; estimate =
+    // (k−1)·2⁶⁰/h₍ₖ₎, or the exact hash count if the sketch never
+    // saturated; exact twin + relative error ride the same row
+    "x166_kmv_distinct" ->
+      """WITH v AS (SELECT DISTINCT l_returnflag AS grp,
+           ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+             ::BIGINT AS h
+           FROM lineitem),
+         r AS (SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+           FROM v),
+         sk AS (SELECT grp, CAST(count(*) AS BIGINT) AS nk,
+             max(h) AS kth_min
+           FROM r WHERE rn <= 64 GROUP BY 1),
+         ex AS (SELECT l_returnflag AS grp,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+           FROM lineitem GROUP BY 1),
+         e AS (SELECT sk.grp, n_exact, kth_min,
+             CASE WHEN nk < 64 THEN CAST(nk AS DOUBLE)
+               ELSE floor(63.0 * 1152921504606846976.0 / kth_min
+                 * 10000 + 0.5) / 10000.0 END AS estimate
+           FROM sk JOIN ex ON sk.grp = ex.grp)
+         SELECT grp AS l_returnflag, n_exact, kth_min, estimate,
+           floor(abs(estimate - n_exact) / n_exact * 1000000 + 0.5)
+             / 1000000.0 AS rel_err
+         FROM e""",
+    // OLS closed form on HUGEINT moment sums — the only float ops are
+    // the two final mirrored divisions; degenerate spreads NULL
+    "x167_revenue_trend" ->
+      """WITH d AS (SELECT n_name AS nation,
+           epoch_ms(l_shipdate) // 86400000 AS x,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+             AS BIGINT) AS u
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey),
+         g AS (SELECT nation, x, CAST(sum(u) AS BIGINT) AS y
+           FROM d GROUP BY 1, 2),
+         m AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_days,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+           FROM g GROUP BY 1),
+         k AS (SELECT nation, n_days,
+             n_days * sxy - sx * sy AS num,
+             n_days * sxx - sx * sx AS dx,
+             n_days * syy - sy * sy AS dy
+           FROM m)
+         SELECT nation, n_days,
+           CASE WHEN dx > 0 THEN
+             floor(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE) / 10000.0
+               * 1000000 + 0.5) / 1000000.0 END AS slope,
+           CASE WHEN dx > 0 AND dy > 0 THEN
+             floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+               / (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+               * 1000000 + 0.5) / 1000000.0 END AS r2
+         FROM k""",
+    // md5-grid variant split, >= minCount conversion bar, pooled z²
+    // from four exact integers; degenerate pooled rate NULL
+    "x168_ab_test" ->
+      """WITH pu AS (SELECT user_id,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS k
+           FROM events GROUP BY 1),
+         v AS (SELECT CASE WHEN
+             substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+             THEN 'A' ELSE 'B' END AS vr,
+             CASE WHEN k >= 14 THEN 1 ELSE 0 END AS conv
+           FROM pu),
+         b AS (SELECT vr, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS c
+           FROM v GROUP BY 1),
+         o AS (SELECT max(CASE WHEN vr = 'A' THEN n END) AS n_a,
+             max(CASE WHEN vr = 'A' THEN c END) AS conv_a,
+             max(CASE WHEN vr = 'B' THEN n END) AS n_b,
+             max(CASE WHEN vr = 'B' THEN c END) AS conv_b
+           FROM b)
+         SELECT n_a, conv_a, n_b, conv_b,
+           floor(CAST(conv_a AS DOUBLE) / n_a * 1000000 + 0.5)
+             / 1000000.0 AS rate_a,
+           floor(CAST(conv_b AS DOUBLE) / n_b * 1000000 + 0.5)
+             / 1000000.0 AS rate_b,
+           CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+               AND conv_a + conv_b < n_a + n_b THEN
+             floor((CAST(conv_a AS DOUBLE) / n_a
+                 - CAST(conv_b AS DOUBLE) / n_b)
+               * (CAST(conv_a AS DOUBLE) / n_a
+                 - CAST(conv_b AS DOUBLE) / n_b)
+               / ((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b))
+               * 10000 + 0.5) / 10000.0 END AS z2
+         FROM o""",
+    // x153's at-or-after chain, per-transition deltas, the grouped
+    // double-ceil quantile cut (ties by user)
+    "x169_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+           FROM events),
+         s1 AS (SELECT user_id, min(ms) AS at FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ms) AS nat, min(s1.at) AS pat
+           FROM e JOIN s1 ON e.user_id = s1.user_id AND e.ms >= s1.at
+           WHERE e.event_type = 'click' GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ms) AS nat, min(s2.nat) AS pat
+           FROM e JOIN s2 ON e.user_id = s2.user_id AND e.ms >= s2.nat
+           WHERE e.event_type = 'purchase' GROUP BY 1),
+         d AS (SELECT user_id, 'view->click' AS transition,
+             nat - pat AS delta_ms FROM s2
+           UNION ALL SELECT user_id, 'click->purchase', nat - pat
+           FROM s3),
+         r AS (SELECT transition, user_id, delta_ms,
+             CAST(row_number() OVER (PARTITION BY transition
+               ORDER BY delta_ms, user_id) AS BIGINT) AS rank,
+             CAST(count(*) OVER (PARTITION BY transition) AS BIGINT)
+               AS n
+           FROM d),
+         q AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS quantile)
+         SELECT transition, quantile, rank, user_id, delta_ms
+         FROM r JOIN q ON rank = CAST(ceil(quantile * n) AS BIGINT)""",
+    // exact integer contingency cells + margins over the FULL margin
+    // grid (unobserved combos contribute (0−E)²/E); each term
+    // mirrored then grid-rounded and decimal-summed (shuffle-order-
+    // free) — the term-by-term float recipe
+    "x170_chi_square" ->
+      """WITH cells AS (SELECT c_mktsegment AS a, o_orderpriority AS b,
+           CAST(count(*) AS BIGINT) AS o
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells
+           GROUP BY 1),
+         ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells
+           GROUP BY 1),
+         tt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT a) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT b) AS BIGINT) AS n_cols
+           FROM cells),
+         grid AS (SELECT rt.a, ct.b, rt.r, ct.c,
+             coalesce(cells.o, 0) AS obs
+           FROM rt CROSS JOIN ct
+           LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+         t AS (SELECT n, n_rows, n_cols,
+             floor((CAST(obs AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+               * (CAST(obs AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+               / (CAST(r AS DOUBLE) * c / n) * 1000000 + 0.5)
+               / 1000000.0 AS term
+           FROM grid CROSS JOIN tt)
+         SELECT n, n_rows, n_cols,
+           (n_rows - 1) * (n_cols - 1) AS dof,
+           CAST(sum(CAST(term AS DECIMAL(38,6))) AS DOUBLE) AS chi2
+         FROM t GROUP BY 1, 2, 3, 4"""
   )
 }

@@ -340,6 +340,25 @@ object Streams {
       graft.operators.TextAnalysis.scoreColumn(textCol) >= thr)
   }
 
+  /** Streaming DAILY-ANOMALY gate — x163's serving form: arriving
+    * per-day count rows (e.g. [[windowedRollup]]'s output, or any
+    * `(event_type, day, n_events)` stream) are flagged against a
+    * BATCH-side stats snapshot ([[graft.operators.Analytics
+    * .anomalyStats]] — per-type day count, Σx, Σx², the frozen
+    * artifact, same split as [[bm25Gate]]'s corpus stats) through the
+    * SAME exact-integer predicate the batch report filters with
+    * ([[graft.operators.Analytics.anomalyBound]] — parity by
+    * construction, no float law). Stream-static broadcast join + a
+    * stateless row filter: no state store, no watermark; re-baseline
+    * by recomputing the snapshot and restarting. A type with no
+    * baseline drops (an uncalibrated alert has no meaning — the
+    * [[groupedScoreGate]] convention). */
+  def anomalyGate(counts: DataFrame, stats: DataFrame,
+                  sigmas: Int = 2): DataFrame =
+    counts.join(broadcast(stats), Seq("event_type"))
+      .filter(graft.operators.Analytics.anomalyBound(sigmas))
+      .select(counts.columns.map(col): _*)
+
   /** Streaming cross-corpus NEAR-dup gate — the stateless ingest form
     * of batch x75 ([[graft.operators.TextDedup.crossNeardupSurvivors]]):
     * the Bloom sketch of the existing corpus's LSH band keys (built

@@ -75,6 +75,39 @@ object ScaleBench {
           col("user_id"), col("event_type"), col("value"), col("props"))
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
+
+    // star schema: FACT tables (orders, lineitem) and the part catalog
+    // replicate 10× with consistently renumbered keys (copy k's
+    // lineitems reference copy k's orders and parts, so per-order
+    // basket structure replicates exactly); the remaining dims stay
+    // 1× — how a warehouse actually grows (more orders per day over
+    // the same calendar, same nations/customers/suppliers). Dates are
+    // NOT shifted: per-day density ×10 with constant (day × nation)
+    // output is the growth profile the rolling/rollup/yoy probes
+    // claim sub-linearity on.
+    if (!Files.exists(Paths.get(s"$outDir/orders.parquet"))) {
+      Tables(spark, srcDir, "orders").crossJoin(ks)
+        .select((col("o_orderkey") * Copies + col("k")).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      Tables(spark, srcDir, "lineitem").crossJoin(ks)
+        .select((col("l_orderkey") * Copies + col("k")).as("l_orderkey"),
+          (col("l_partkey") * Copies + col("k")).as("l_partkey"),
+          col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      Tables(spark, srcDir, "part").crossJoin(ks)
+        .select((col("p_partkey") * Copies + col("k")).as("p_partkey"),
+          col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          col("p_retailprice"))
+        .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+      Seq("customer", "supplier", "nation", "region").foreach { tn =>
+        Tables(spark, srcDir, tn)
+          .write.mode("overwrite").parquet(s"$outDir/$tn.parquet")
+      }
+    }
   }
 
   /** The probed pipelines, parameterized by the centroid count (16 at
@@ -830,7 +863,87 @@ object ScaleBench {
         .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
           concat(col("text"), lit(" rev2"))).otherwise(col("text")))
       TextDedup.snapshotDiff(v1, v2, "doc_id", "text")
-    }))
+    }),
+    // ONE Expand-fed aggregate over 10x orders into a constant
+    // (nation × year) cube — pure scan growth
+    ("x157_rollup_revenue", (s: SparkSession, dir: String) =>
+      graft.operators.Olap.rollupRevenue(Tables(s, dir, "orders"),
+        Tables(s, dir, "customer"), Tables(s, dir, "nation"))),
+    // declared-domain pivot: single hash aggregate, output = years
+    ("x158_segment_pivot", (s: SparkSession, dir: String) =>
+      graft.operators.Olap.segmentPivot(Tables(s, dir, "orders"),
+        Tables(s, dir, "customer"),
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+          "MACHINERY"))),
+    // one scan + multi-distinct Expand; the distinct sets (partkeys)
+    // grow 10x under the renumbering, the card stays 11 rows
+    ("x159_profile_card", (s: SparkSession, dir: String) =>
+      graft.operators.Olap.profileCard(Tables(s, dir, "lineitem"),
+        numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax"),
+        strCols = Seq("l_returnflag", "l_linestatus"),
+        tsCols = Seq("l_shipdate"))),
+    // per-size aggregate over a 10x part catalog; the frontier window
+    // and join-back stay size-dictionary-bounded
+    ("x160_pareto_front", (s: SparkSession, dir: String) =>
+      graft.operators.Olap.paretoFront(Tables(s, dir, "part"))),
+    // 10x lineitems per day at constant calendar: the daily aggregate
+    // scans 10x, the RANGE window frame stays (nation × day)-bounded
+    ("x161_rolling_revenue", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.rollingRevenue(
+        Tables(s, dir, "lineitem"), Tables(s, dir, "supplier"),
+        Tables(s, dir, "nation"))),
+    // yearly aggregate scans 10x orders into a constant
+    // (nation × year) frame; the LAG window never grows
+    ("x162_yoy_growth", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.yoyGrowth(Tables(s, dir, "orders"),
+        Tables(s, dir, "customer"), Tables(s, dir, "nation"))),
+    // 10x events over 10x history (time-stretched axis): the daily
+    // aggregate output grows 10x, the per-type stats stay 5 rows
+    ("x163_anomaly_days", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.anomalyDays(Tables(s, dir, "events"),
+        "ts", "event_type", sigmas = 2)),
+    // 10x baskets at a constant brand dictionary: distinct-pair
+    // volume and per-brand counts scale linearly, fanout per order is
+    // dictionary-bounded; minCount ∝ corpus keeps the rule set fixed
+    ("x164_brand_affinity", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.basketAffinity(
+        Tables(s, dir, "lineitem"), Tables(s, dir, "part"),
+        minCount = 5L * mult)),
+    // per-customer revenue depth grows 10x; the ranked frame stays
+    // customer-count-bounded (the grouped bucketed rank's axis)
+    ("x165_gini", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.giniConcentration(
+        Tables(s, dir, "orders"), Tables(s, dir, "customer"),
+        Tables(s, dir, "nation"))),
+    // 10x rows AND 10x distinct hashes; the sketch stays k-bounded
+    // per group after the salted partial top-k
+    ("x166_kmv_distinct", (s: SparkSession, dir: String) =>
+      graft.operators.Sketches.kmvDistinct(Tables(s, dir, "lineitem"),
+        "l_returnflag", "l_partkey", k = 64)),
+    // 10x lineitems into a constant (nation, day) frame, then a
+    // dictionary-sized moment aggregate — windowless
+    ("x167_revenue_trend", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.revenueTrend(Tables(s, dir, "lineitem"),
+        Tables(s, dir, "supplier"), Tables(s, dir, "nation"))),
+    // one user exchange over 10x events; everything after is 2 rows
+    ("x168_ab_test", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.abConversion(Tables(s, dir, "events"),
+        "user_id", "event_type", "purchase", minCount = 14)),
+    // x153's user-keyed chain over 10x per-user depth + grouped
+    // quantile cut over user-count-bounded delta frames
+    ("x169_funnel_latency", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.funnelLatency(Tables(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+    // 10x orders into a dictionary-bounded cell table; margins and
+    // the chi-square tail never see the corpus
+    ("x170_chi_square", (s: SparkSession, dir: String) =>
+      graft.operators.Olap.chiSquare(
+        Tables(s, dir, "orders").join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "o_orderpriority")))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1157,4 +1157,130 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
       s"extents/offsets/thresholds should broadcast:\n$p")
   }
+
+  test("x157 rollup: ONE Expand feeds a single partial+final aggregate " +
+      "— no per-grouping-set re-scan; the nation dim broadcasts") {
+    val p = plan("x157_rollup_revenue")
+    assert("Expand".r.findAllIn(p).size === 1,
+      s"rollup should plan exactly one Expand:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation dim should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x158 pivot: declared-domain pivot is Expand-free and needs no " +
+      "value-discovery pre-pass (no extra scan, no collect job)") {
+    val p = plan("x158_segment_pivot")
+    assert(!p.contains("Expand"),
+      s"declared pivot should not Expand:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size === 2,
+      s"expected exactly the orders + customer scans:\n$p")
+  }
+
+  test("x159 profile card: ONE lineitem scan feeds the multi-distinct " +
+      "Expand plan — no per-column re-scan") {
+    val p = plan("x159_profile_card")
+    assert("FileScan parquet".r.findAllIn(p).size === 1,
+      s"profile should scan the table once:\n$p")
+    assert(p.contains("Expand"),
+      s"multi-distinct should plan Expand:\n$p")
+  }
+
+  test("x160 pareto front: no pair join — per-size aggregate, " +
+      "dictionary-bounded window, broadcast frontier join back") {
+    val p = plan("x160_pareto_front")
+    assert(p.contains("BroadcastHashJoin"),
+      s"frontier table should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline must not plan a dominance pair join:\n$p")
+  }
+
+  test("x161 rolling revenue: dims broadcast; the RANGE window " +
+      "hash-partitions by nation — no global sort") {
+    val p = plan("x161_rolling_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"supplier/nation dims should broadcast:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"rolling window leaked a global sort:\n$p")
+  }
+
+  test("x162 yoy growth: LAG window hash-partitions by nation — no " +
+      "global sort; nation dim broadcasts") {
+    val p = plan("x162_yoy_growth")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"year window leaked a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation dim should broadcast:\n$p")
+  }
+
+  test("x163 anomaly days: windowless — bounded daily aggregate + " +
+      "broadcast per-type stats + a row-local integer filter") {
+    val p = plan("x163_anomaly_days")
+    assert(!p.contains("Window"), s"no window needed:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type stats should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x164 brand affinity: the pair join is keyed on the order key; " +
+      "the only nested-loop is the 1-row totals broadcast") {
+    val p = plan("x164_brand_affinity")
+    assert(!p.contains("CartesianProduct"),
+      s"basket pair join must stay keyed:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 1-row totals frame may nested-loop:\n$p")
+  }
+
+  test("x165 gini: per-nation ranks come from the bucketed-rank core " +
+      "— no per-nation sort exchange") {
+    val p = plan("x165_gini")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"rank leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x166 kmv sketch: salted partial top-k — no global sort, no " +
+      "single-partition sketch stage") {
+    val p = plan("x166_kmv_distinct")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"k-minima leaked a global sort:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"sketch stage should stay partitioned:\n$p")
+  }
+
+  test("x167 revenue trend: windowless — bounded daily aggregate + " +
+      "dictionary-sized moment aggregate, dims broadcast") {
+    val p = plan("x167_revenue_trend")
+    assert(!p.contains("Window"), s"OLS closed form needs no window:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"supplier/nation dims should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x168 ab test: one user exchange, then nothing bigger than " +
+      "two rows — no window, no global sort") {
+    val p = plan("x168_ab_test")
+    assert(!p.contains("Window"), s"no window needed:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort leaked in:\n$p")
+  }
+
+  test("x169 funnel latency: user-keyed stage chain + grouped " +
+      "quantile cut — no per-transition sort") {
+    val p = plan("x169_funnel_latency")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a per-transition sort leaked in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x170 chi-square: one corpus aggregate; past it everything is " +
+      "dictionary-sized — the only nested-loops are the margin-grid " +
+      "and 1-row totals broadcasts") {
+    val p = plan("x170_chi_square")
+    assert(!p.contains("CartesianProduct"),
+      s"margins must broadcast:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"only the margin grid + totals may nested-loop:\n$p")
+  }
 }

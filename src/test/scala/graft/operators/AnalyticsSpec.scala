@@ -88,4 +88,150 @@ class AnalyticsSpec extends SparkSpec {
       "click" -> ((2L, 3L)),     // all three clicked at-or-after
       "purchase" -> ((3L, 1L)))) // only user 1, in order
   }
+
+  test("rollingRevenue (x161): RANGE frame sums only days within the " +
+      "trailing window — a calendar gap drops out instead of " +
+      "stretching the frame") {
+    val li = Seq(
+      // nation 10, days 0, 1 and 8 (gap over days 2..7)
+      (1L, 10.0, 0.0, 0L), (1L, 20.0, 0.0, 86400000L),
+      (1L, 5.0, 0.0, 8L * 86400000L)
+    ).toDF("l_suppkey", "l_extendedprice", "l_discount", "ms")
+      .withColumn("l_shipdate", timestamp_millis(col("ms"))).drop("ms")
+    val supp = Seq((1L, 10)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((10, "ALPHA")).toDF("n_nationkey", "n_name")
+    val out = Analytics.rollingRevenue(li, supp, nat)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(out === Map(
+      0L -> ((10.0, 10.0, 1L)),
+      1L -> ((20.0, 30.0, 2L)),  // day 0 still in the 7-day frame
+      8L -> ((5.0, 5.0, 1L))))   // days 2..7 empty — frame has 1 day
+  }
+
+  test("yoyGrowth (x162): growth vs the last ACTIVE year; first year " +
+      "NULL, not zero") {
+    val orders = Seq(
+      (1L, 1L, 10.0, "1995-02-01"), (2L, 1L, 15.0, "1996-02-01"),
+      (3L, 1L, 30.0, "1998-02-01") // 1997 silent — compares vs 1996
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "_d")
+      .withColumn("o_orderdate", to_timestamp(col("_d"))).drop("_d")
+    val cust = Seq((1L, 10)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((10, "ALPHA")).toDF("n_nationkey", "n_name")
+    val out = Analytics.yoyGrowth(orders, cust, nat)
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out === Map(
+      1995L -> ((None, None)),
+      1996L -> ((Some(10.0), Some(0.5))),
+      1998L -> ((Some(15.0), Some(1.0)))))
+  }
+
+  test("anomalyDays (x163): flags exactly the days whose count breaks " +
+      "the exact-integer 2-sigma bound") {
+    // type 'a': five 1-count days + one 10-count day:
+    //   d=6, Σx=15, Σx²=105 → lhs(10)=(60−15)²=2025 > 4·(630−225)=1620
+    //   and lhs(1)=(6−15)²=81 < 1620 — only the spike flags.
+    val ev = (0 to 4).map(d => ("a", d.toLong * 86400000L)) ++
+      (0 until 10).map(i => ("a", 5L * 86400000L + i))
+    val df = ev.toDF("event_type", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val out = Analytics.anomalyDays(df, "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(("a", 5L, 10L, 6L, 15L)))
+  }
+
+  test("basketAffinity (x164): pair counts over distinct per-order " +
+      "brand sets; minCount cuts rare pairs; lift exact") {
+    val li = Seq(
+      (1L, 101L), (1L, 102L), (1L, 103L), // o1: brands A, B (103 dups A)
+      (2L, 101L), (2L, 102L),             // o2: A, B
+      (3L, 101L),                         // o3: A
+      (4L, 102L), (4L, 104L)              // o4: B, C
+    ).toDF("l_orderkey", "l_partkey")
+    val part = Seq(
+      (101L, "A"), (102L, "B"), (103L, "A"), (104L, "C")
+    ).toDF("p_partkey", "p_brand")
+    val out = Analytics.basketAffinity(li, part, minCount = 2).collect()
+    assert(out.length === 1) // (B, C) co-occurs once — cut
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) ===
+      (("A", "B", 2L)))
+    assert(r.getDouble(5) === 0.5)      // support 2/4
+    assert(r.getDouble(6) === 0.666667) // confidence 2/3 on the grid
+    assert(r.getDouble(7) === 0.888889) // lift 2·4/(3·3)
+  }
+
+  test("revenueTrend (x167): a perfect 10-per-day ramp reads slope 10 " +
+      "and r2 1; a single-day nation reads NULLs") {
+    val li = Seq(
+      (1L, 10.0, 0.0, 0L), (1L, 20.0, 0.0, 86400000L),
+      (1L, 30.0, 0.0, 2L * 86400000L), // ALPHA: days 0,1,2 → 10,20,30
+      (2L, 7.0, 0.0, 0L)               // BETA: one day — no spread
+    ).toDF("l_suppkey", "l_extendedprice", "l_discount", "ms")
+      .withColumn("l_shipdate", timestamp_millis(col("ms"))).drop("ms")
+    val supp = Seq((1L, 10), (2L, 20)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((10, "ALPHA"), (20, "BETA"))
+      .toDF("n_nationkey", "n_name")
+    val out = Analytics.revenueTrend(li, supp, nat)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out === Map(
+      "ALPHA" -> ((3L, Some(10.0), Some(1.0))),
+      "BETA" -> ((1L, None, None))))
+  }
+
+  test("abConversion (x168): md5-grid split, >= minCount bar, exact " +
+      "rates; equal arms read z2 = 0") {
+    // md5 first hex: "6","9" <= '7' → A; "1","2" → B
+    val ev = Seq(
+      (6L, "purchase"), (6L, "purchase"),        // A, converts (k=2)
+      (9L, "purchase"),                          // A, k=1 — below bar
+      (1L, "purchase"), (1L, "purchase"), (1L, "purchase"), // B conv
+      (2L, "view")                               // B, k=0
+    ).toDF("user_id", "event_type")
+    val r = Analytics.abConversion(ev, "user_id", "event_type",
+      "purchase", minCount = 2).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 1L, 2L, 1L)))
+    assert((r.getDouble(4), r.getDouble(5)) === ((0.5, 0.5)))
+    assert(r.getDouble(6) === 0.0)
+  }
+
+  test("funnelLatency (x169): per-transition deltas follow the " +
+      "at-or-after chain; quantile cuts are the exact double-ceil law") {
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 30L),
+      (2L, "view", 0L), (2L, "click", 50L) // drops out before purchase
+    ).toDF("user_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val out = Analytics.funnelLatency(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), quantiles = Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      ("view->click", 0.5) -> ((1L, 1L, 10L)),  // rank ceil(1) = user 1
+      ("view->click", 0.9) -> ((2L, 2L, 50L)),  // rank ceil(1.8) = 2
+      ("click->purchase", 0.5) -> ((1L, 1L, 20L)),
+      ("click->purchase", 0.9) -> ((1L, 1L, 20L))))
+  }
+
+  test("giniConcentration (x165): equal revenues read 0; a 1:3 split " +
+      "over two customers reads 0.25") {
+    val orders = Seq(
+      (1L, 1L, 1.0), (2L, 2L, 1.0), // BETA: equal split
+      (3L, 3L, 1.0), (4L, 4L, 3.0)  // ALPHA: 1:3
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Seq((1L, 20), (2L, 20), (3L, 10), (4L, 10))
+      .toDF("c_custkey", "c_nationkey")
+    val nat = Seq((10, "ALPHA"), (20, "BETA"))
+      .toDF("n_nationkey", "n_name")
+    val out = Analytics.giniConcentration(orders, cust, nat)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      "BETA" -> ((2L, 2.0, 0.0)),
+      "ALPHA" -> ((2L, 4.0, 0.25))))
+  }
 }

@@ -94,6 +94,32 @@ class ClusteringSketchesSpec extends SparkSpec {
     }
   }
 
+  test("kmvDistinct (x166): unsaturated groups report their exact " +
+      "count; saturated groups estimate within the k=16 error regime " +
+      "and kth_min is the true 16th-smallest hash") {
+    val rows = (0 until 200).map(i => ("big", s"v$i")) ++
+      (0 until 3).map(i => ("small", s"w$i"))
+    val df = rows.toDF("grp", "value")
+    val out = Sketches.kmvDistinct(df, "grp", "value", k = 16)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val small = out("small")
+    assert(small.getLong(1) === 3L)       // n_exact
+    assert(small.getDouble(3) === 3.0)    // unsaturated → exact
+    assert(small.getDouble(4) === 0.0)    // rel_err
+    val big = out("big")
+    assert(big.getLong(1) === 200L)
+    // independent 16th-smallest hash on the same md5 grid
+    val kth = df.filter(col("grp") === "big")
+      .select(conv(substring(md5(col("value")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .orderBy(col("h")).limit(16).collect().map(_.getLong(0)).max
+    assert(big.getLong(2) === kth)
+    // k=16 KMV rsd ≈ 1/√(k−2) ≈ 27% — a 3σ bound that still fails on
+    // an implementation error (off-by-one k, wrong hash width)
+    assert(big.getDouble(4) < 0.81,
+      s"rel_err ${big.getDouble(4)} out of the k=16 error regime")
+  }
+
   test("exact-percentile group-size gate trips, pointing at the sketch path") {
     val e = Tables(spark, "/root/testdata/sf0.001", "events")
     val err = intercept[IllegalArgumentException] {

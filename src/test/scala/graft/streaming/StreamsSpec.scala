@@ -1188,4 +1188,39 @@ class StreamsSpec extends SparkSpec {
     run()
     assert(got.toSet === expect)
   }
+
+  test("anomalyGate flags the same days as batch x163 against the " +
+      "frozen stats snapshot; types with no baseline drop") {
+    import graft.operators.Analytics
+    // type 'a': five 1-count days + one 10-count spike (the x163
+    // fixture — only the spike breaks the exact-integer bound)
+    val ev = ((0 to 4).map(d => ("a", d.toLong * 86400000L)) ++
+      (0 until 10).map(i => ("a", 5L * 86400000L + i)))
+      .toDF("event_type", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val daily = Analytics.dailyCounts(ev, "ts", "event_type")
+    val stats = Analytics.anomalyStats(daily)
+    val batchFlagged = Analytics.anomalyDays(ev, "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(batchFlagged === Set(("a", 5L)))
+
+    val dir = Files.createTempDirectory("agate-in").toString
+    // an UNBASELINED type rides along in the stream — must drop
+    daily.unionByName(Seq(("zz", 0L, 99L))
+        .toDF("event_type", "day", "n_events"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("day", LongType), StructField("n_events", LongType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = Streams.anomalyGate(stream, stats)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("agate")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("agate")
+      .select("event_type", "day").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed === batchFlagged)
+  }
 }
