@@ -478,6 +478,190 @@ object Analytics {
       .withColumnRenamed("_u", "user_id")
   }
 
+  /** WEEKDAY SEASONALITY (x171) — per supplier nation and day-of-week:
+    * item count, exact-decimal revenue, and each weekday's share of
+    * the nation's total. Day-of-week is EXACT integer arithmetic on
+    * the epoch day (`(day + 3) mod 7`, 0 = Monday — 1970-01-01 was a
+    * Thursday = 3), not an engine date function whose week-start
+    * convention varies. The staffing/load report behind every ops
+    * calendar.
+    *
+    * Scale shape: one corpus aggregate to the (nation × 7)-bounded
+    * frame; nation totals re-aggregate from it and broadcast back. */
+  def weekdaySeasonality(lineitem: DataFrame, supplier: DataFrame,
+                         nation: DataFrame): DataFrame = {
+    val ms = Dates.toEpochMillis(col("l_shipdate"))
+    val day = ((ms - pmod(ms, lit(86400000L))) / lit(86400000L))
+      .cast("long")
+    val units = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * 1e4 + lit(0.5)).cast("long")
+    val byDow = lineitem
+      .join(broadcast(supplier.select(col("s_suppkey"),
+        col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("nation"), pmod(day + 3, lit(7L)).as("day_of_week"),
+        units.as("_u"))
+      .groupBy(col("nation"), col("day_of_week"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("_u").cast("decimal(38,0)")).as("_du"))
+    val totals = byDow.groupBy(col("nation"))
+      .agg(sum(col("_du")).as("_tu"))
+    byDow.join(broadcast(totals), Seq("nation"))
+      .select(col("nation"), col("day_of_week"), col("n_items"),
+        (col("_du").cast("double") / 1e4).as("revenue"),
+        Num.fpRound(col("_du").cast("double") / col("_tu"), 6)
+          .as("share"))
+  }
+
+  /** LORENZ CURVE (x172) — x165's Gini number, unrolled into the curve
+    * it integrates: each nation's customers cut into revenue deciles
+    * (the ceil-boundary law `(10·(rank−1)) div n + 1`, ties by
+    * customer key — NOT SQL ntile, see
+    * [[TextAnalysis.groupedNtileBuckets]]), with each
+    * decile's customer count, exact revenue, and the CUMULATIVE share
+    * of the nation's revenue up to that decile. A 45° line is perfect
+    * equality; the sag is the concentration x165 summarizes.
+    *
+    * Scale shape: the x165 aggregate + grouped-rank machinery, then a
+    * decile aggregate and a window over 10-row-per-nation frames. */
+  def lorenzCurve(orders: DataFrame, customer: DataFrame,
+                  nation: DataFrame, nDeciles: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nDeciles >= 2 && nDeciles <= 100,
+      s"nDeciles must be in [2, 100], got $nDeciles")
+    val units = floor(col("o_totalprice") * 1e4 + lit(0.5)).cast("long")
+    val perCust = orders.select(col("o_custkey"), units.as("_u"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("_u")).as("_rev"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_custkey").as("_id"), col("nation"), col("_rev"))
+    val labels = (1 to nDeciles).map(_.toString)
+    val bucketed = TextAnalysis.groupedNtileBuckets(perCust, "_id",
+      "nation", "_rev", labels, bestFirst = false)
+    val byDecile = bucketed
+      .select(col("nation"), col("bucket").cast("int").as("decile"),
+        col("_rev"))
+      .groupBy(col("nation"), col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("_rev").cast("decimal(38,0)")).as("_du"))
+    val w = Window.partitionBy(col("nation")).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = byDecile.groupBy(col("nation"))
+      .agg(sum(col("_du")).as("_tu"))
+    byDecile
+      .withColumn("_cum", sum(col("_du")).over(w))
+      .join(broadcast(totals), Seq("nation"))
+      .select(col("nation"), col("decile"), col("n_customers"),
+        (col("_du").cast("double") / 1e4).as("revenue"),
+        Num.fpRound(col("_cum").cast("double") / col("_tu"), 6)
+          .as("cum_share"))
+  }
+
+  /** IQR OUTLIERS (x173) — Tukey's fences per group: values outside
+    * `[Q1 − k·IQR, Q3 + k·IQR]` (k = 1.5, the boxplot law) where the
+    * quartiles are each group's EXACT rank-`ceil(q·n)` values
+    * ([[TextAnalysis.groupedQuantiles]]' double-ceil law) on the
+    * 1e-4-rounded measure. The fences are one mirrored double
+    * expression from two exact grid values — engine-identical. The
+    * data-quality screen for any landed numeric column.
+    *
+    * Scale shape: grouped-rank quantiles (no per-group sort), a
+    * group-count-sized fence table broadcast back, and a row-local
+    * filter. */
+  def iqrOutliers(df: DataFrame, idCol: String, groupCol: String,
+                  valueCol: String, k: Double = 1.5): DataFrame = {
+    val scored = df.select(col(idCol).as("_id"),
+      col(groupCol).as("_g"), Num.fpRound(col(valueCol), 4).as("_v"))
+    val quarts = TextAnalysis.groupedQuantiles(scored, "_id", "_g",
+        "_v", Seq(0.25, 0.75))
+      .groupBy(col("_g"))
+      .agg(max(when(col("quantile") === 0.25, col("_v"))).as("_q1"),
+        max(when(col("quantile") === 0.75, col("_v"))).as("_q3"))
+      .select(col("_g"), col("_q1"), col("_q3"),
+        (col("_q1") - lit(k) * (col("_q3") - col("_q1"))).as("_lo"),
+        (col("_q3") + lit(k) * (col("_q3") - col("_q1"))).as("_hi"))
+    scored.join(broadcast(quarts), Seq("_g"))
+      .filter(col("_v") < col("_lo") || col("_v") > col("_hi"))
+      .select(col("_g").as(groupCol), col("_id").as(idCol),
+        col("_v").as(valueCol), col("_q1").as("q1"), col("_q3").as("q3"),
+        col("_lo").as("lo_fence"), col("_hi").as("hi_fence"))
+  }
+
+  /** GROUPED PEARSON R² (x174) — the correlation between two INTEGER
+    * measures per group via the closed form
+    * `r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))`,
+    * every Σ an exact DECIMAL(38,0) integer — x167's moment recipe
+    * generalized to any (group, x, y) frame; only the one final
+    * division (and its sign, carried separately as `direction`) is a
+    * mirrored double. Degenerate variance → NULL. Callers pre-grid
+    * non-integer measures (`floor(v·10^s + 0.5)`).
+    *
+    * Scale shape: one corpus aggregate to the group-count-bounded
+    * moment frame; windowless. */
+  def groupedCorrelation(df: DataFrame, groupCol: String, xCol: String,
+                         yCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = df.select(col(groupCol).as("grp"),
+        col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("_x"))).as("_sx"), sum(dec(col("_y"))).as("_sy"),
+        sum(dec(col("_x")) * dec(col("_y"))).as("_sxy"),
+        sum(dec(col("_x")) * dec(col("_x"))).as("_sxx"),
+        sum(dec(col("_y")) * dec(col("_y"))).as("_syy"))
+    val num = dec(col("n")) * col("_sxy") - col("_sx") * col("_sy")
+    val dx = dec(col("n")) * col("_sxx") - col("_sx") * col("_sx")
+    val dy = dec(col("n")) * col("_syy") - col("_sy") * col("_sy")
+    m.withColumn("_num", num).withColumn("_dx", dx).withColumn("_dy", dy)
+      .select(col("grp").as(groupCol), col("n"),
+        when(col("_dx") > 0 && col("_dy") > 0, Num.fpRound(
+          col("_num").cast("double") * col("_num").cast("double") /
+            (col("_dx").cast("double") * col("_dy").cast("double")), 6))
+          .as("r2"),
+        when(col("_num") > 0, 1).when(col("_num") < 0, -1).otherwise(0)
+          .cast("int").as("direction"))
+  }
+
+  /** MAD ROBUST ANOMALIES (x175) — x163's robust twin: a day flags
+    * when its count deviates from the type's MEDIAN by more than
+    * `k × MAD` (median absolute deviation) — ALL-INTEGER: the median
+    * is the exact rank-`ceil(n/2)` count, deviations are integer
+    * |x − med|, the MAD is their exact median, and the flag compares
+    * `|x − med| > k·MAD` in longs. Where x163's mean/σ test lets one
+    * giant spike inflate σ and mask smaller anomalies, the median/MAD
+    * pair doesn't budge (50% breakdown point). MAD = 0 (over half the
+    * days identical) flags EVERY deviating day — the strict reading,
+    * documented.
+    *
+    * Scale shape: the daily aggregate, then two grouped-rank passes
+    * over the (type × day)-bounded count frame; thresholds broadcast
+    * back; no per-type sort. */
+  def madAnomalyDays(events: DataFrame, tsCol: String, typeCol: String,
+                     k: Long = 3L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val daily = dailyCounts(events, tsCol, typeCol)
+    val med = TextAnalysis.groupedQuantiles(
+        daily.select(col("event_type"), col("day"), col("n_events")),
+        "day", "event_type", "n_events", Seq(0.5))
+      .select(col("event_type"), col("n_events").as("_med"))
+    val devs = daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("_dev", abs(col("n_events") - col("_med")))
+    val mad = TextAnalysis.groupedQuantiles(
+        devs.select(col("event_type"), col("day"), col("_dev")),
+        "day", "event_type", "_dev", Seq(0.5))
+      .select(col("event_type"), col("_dev").as("_mad"))
+    devs.join(broadcast(mad), Seq("event_type"))
+      .filter(col("_dev") > lit(k) * col("_mad"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("_med").as("median"), col("_mad").as("mad"))
+  }
+
   /** GINI CONCENTRATION (x165) — how concentrated is each nation's
     * order revenue across its customers: the Gini coefficient
     * `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)` over ascending per-customer
@@ -519,5 +703,44 @@ object Analytics {
               col("_sx").cast("double")) /
             (col("n_customers").cast("double") *
               col("_sx").cast("double")), 6).as("gini"))
+  }
+
+  /** TOP USER JOURNEYS (x179) — the most common first-`k` event-type
+    * paths across users (`"signup>view>purchase"`), the "how do people
+    * actually enter the product" report behind every funnel design
+    * (x153 checks ONE declared funnel; this discovers which paths are
+    * worth declaring). Each user's first `k` events by `(ts, tie)`
+    * concatenate with `>` (shorter if the user has fewer events), then
+    * paths are counted and the top `topN` returned, ties broken by
+    * path.
+    *
+    * Scale shape: one user-keyed window (frames are per-user event
+    * depth — millions of small frames, never a global sort), a
+    * conditional-max aggregate per user (k columns — no collect_list),
+    * then a path-keyed count whose frame is |event types|^k-bounded:
+    * dictionary-sized at any corpus, so the final top-N is a
+    * TakeOrdered over a tiny frame. */
+  def topJourneys(events: DataFrame, idCol: String, typeCol: String,
+                  tsCol: String, tieCol: String, k: Int = 3,
+                  topN: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val w = Window.partitionBy(col("_u"))
+      .orderBy(col("_ms").asc, col("_tie").asc)
+    val firstK = events.select(col(idCol).as("_u"),
+        col(typeCol).as("_t"), Dates.toEpochMillis(col(tsCol)).as("_ms"),
+        col(tieCol).as("_tie"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+    val steps = (1 to k).map(i =>
+      max(when(col("_rn") === i, col("_t"))).as(s"_s$i"))
+    val paths = firstK.groupBy(col("_u"))
+      .agg(steps.head, steps.tail: _*)
+      .select(concat_ws(">", (1 to k).map(i => col(s"_s$i")): _*)
+        .as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(topN)
   }
 }

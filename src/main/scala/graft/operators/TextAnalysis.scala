@@ -829,9 +829,12 @@ object TextAnalysis {
     * over an arbitrary scored frame: within each group, rank by score
     * ([[groupedBucketedRank]] — exact, no per-group sort) and cut at
     * `ceil(n_group·i / nb)` for i = 1..nb — integer arithmetic, so the
-    * boundaries are bit-exact in any engine and match SQL NTILE's
-    * remainder-to-first-buckets law. `labels` names the buckets
-    * first-to-last (bestFirst ⇒ labels.head = the top fraction).
+    * boundaries are bit-exact in any engine. Closed form per row:
+    * bucket = (nb·(rank−1)) div n_group + 1. NOTE this is NOT SQL
+    * NTILE (which packs the n mod nb remainder rows into the FIRST
+    * buckets); the two coincide exactly when nb | n_group. `labels`
+    * names the buckets first-to-last (bestFirst ⇒ labels.head = the
+    * top fraction).
     *
     * Output: the scored frame's (id, group, score) + `rank`, `n_group`,
     * `bucket`. */
@@ -1237,6 +1240,48 @@ object TextAnalysis {
         Seq(stratumCol), "_neg_hk", maxK, tieCols = Seq(idCol))
       .filter(col("rank") <= quota)
       .drop("_neg_hk")
+  }
+
+  /** STRATIFIED TRAIN/VAL/TEST SPLIT (x180) — assign every document a
+    * split label, deterministically and with EXACT per-stratum
+    * proportions: within each stratum, rank by the md5 hash of the id
+    * (the x26/x45 no-RNG law — re-runs and engines agree bit-for-bit)
+    * and cut at `ceil(cum·n)` per cumulative boundary (the double-ceil
+    * law, same as [[groupedQuantiles]]). `splits` carries CUMULATIVE
+    * upper boundaries (e.g. train→0.8, val→0.9, test→1.0) — passing
+    * cumulative values avoids re-summing fractions in IEEE doubles
+    * (0.8 + 0.1 ≠ 0.9 exactly), so the Spark cut and any SQL mirror
+    * use the very same literals.
+    *
+    * Output: `(id, stratum, rank, n_group, split)` — the manifest a
+    * training pipeline joins back to shard its corpus.
+    *
+    * Scale shape: [[groupedRanks]]' bucketed-rank core — per-stratum
+    * EXACT ranks with no per-stratum sort — then a row-local label
+    * expression. One exchange pair, hash ranks never leave the scan
+    * stage. */
+  def stratifiedSplit(docs: DataFrame, idCol: String, stratumCol: String,
+                      splits: Seq[(String, Double)] =
+                        Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0),
+                      bucketBits: Int = 8): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.map(_._2) == splits.map(_._2).sorted,
+      s"split boundaries must be cumulative (ascending), got $splits")
+    require(math.abs(splits.last._2 - 1.0) < 1e-12,
+      s"last cumulative boundary must be 1.0, got ${splits.last._2}")
+    val hk = conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long")
+    val ranked = groupedRanks(
+      docs.select(col(idCol), col(stratumCol)).withColumn("_hk", hk),
+      idCol, stratumCol, "_hk", bucketBits, bestFirst = false)
+    val label = splits.init.foldRight(lit(splits.last._1): Column) {
+      case ((lbl, cum), rest) =>
+        when(col("rank") <=
+          ceil(col("n_group") * lit(cum)).cast("long"), lbl)
+          .otherwise(rest)
+    }
+    ranked.select(col(idCol), col(stratumCol), col("rank"),
+      col("n_group"), label.as("split"))
   }
 
   /** [[quotaSample]] with DATA-DRIVEN quotas: `quotas` is a

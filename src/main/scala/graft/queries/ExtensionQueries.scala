@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num
-import graft.operators.{Analytics, Bpe, Classifier, Cleaning, Components, CorpusPipeline, ImageDedup, Multimodal, Olap, Packing, Project, Retrieval, Similarity, Sketches, Temporal, TextAnalysis, TextDedup}
+import graft.operators.{Analytics, Bpe, Classifier, Cleaning, Components, CorpusPipeline, ImageDedup, Multimodal, Olap, Packing, Project, Retrieval, Similarity, Sketches, Temporal, TextAnalysis, TextDedup, Warehouse}
 
 /** Extension + capability-proof query inventory (SURVEY §2.4 X1-X6 plus the
   * LLM-training-data operators: dedup family, similarity search, text
@@ -1602,7 +1602,156 @@ object ExtensionQueries {
     "x170_chi_square" -> ((s, dir) => Olap.chiSquare(
       t(s, dir, "orders").join(t(s, dir, "customer"),
         col("o_custkey") === col("c_custkey")),
-      "c_mktsegment", "o_orderpriority"))
+      "c_mktsegment", "o_orderpriority")),
+
+    // x171 — weekday seasonality: per-nation day-of-week revenue +
+    // share of the nation's total; dow = exact (epoch_day+3) mod 7
+    // (0 = Monday), not an engine week convention.
+    "x171_weekday_seasonality" -> ((s, dir) =>
+      Analytics.weekdaySeasonality(t(s, dir, "lineitem"),
+        t(s, dir, "supplier"), t(s, dir, "nation"))),
+
+    // x172 — Lorenz curve: x165's Gini unrolled into per-decile
+    // cumulative revenue shares (ceil-boundary deciles, ties by
+    // customer).
+    "x172_lorenz_curve" -> ((s, dir) => Analytics.lorenzCurve(
+      t(s, dir, "orders"), t(s, dir, "customer"), t(s, dir, "nation"))),
+
+    // x173 — Tukey IQR outliers: per-customer total revenue outside
+    // [Q1−1.5·IQR, Q3+1.5·IQR] within the customer's nation, quartiles
+    // by the exact grouped double-ceil law. The measure is the exact
+    // unit-sum of order totals (right-tailed — heavy buyers ARE
+    // flagged; a uniform column like acctbal has NO Tukey tail and
+    // reads zero rows at every SF, which is why the registered form
+    // audits revenue, not balances).
+    "x173_iqr_outliers" -> ((s, dir) => {
+      val units = floor(col("o_totalprice") * 1e4 + lit(0.5)).cast("long")
+      val perCust = t(s, dir, "orders")
+        .select(col("o_custkey"), units.as("_u"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("_u").cast("decimal(38,0)")).as("_du"))
+        .join(t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"),
+          col("n_name").as("nation"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_custkey").as("custkey"), col("nation"),
+          (col("_du").cast("double") / 1e4).as("revenue"))
+      Analytics.iqrOutliers(perCust, "custkey", "nation", "revenue")
+    }),
+
+    // x174 — per-language length↔quality correlation: Pearson r² from
+    // exact integer moments of (n_chars, score·10⁴) — does longer
+    // mean better, per language (the curation-bias audit).
+    "x174_quality_length_corr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"),
+          floor(col("quality_score") * 1e4 + lit(0.5)).cast("long")
+            .as("_su"))
+      Analytics.groupedCorrelation(
+        qs.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        "lang", "n_chars", "_su")
+    }),
+
+    // x175 — MAD robust anomaly days: x163's robust twin — median/MAD
+    // instead of mean/σ, all-integer, 50% breakdown point.
+    "x175_mad_anomaly_days" -> ((s, dir) => Analytics.madAnomalyDays(
+      t(s, dir, "events"), "ts", "event_type", k = 3L)),
+
+    // x176 — referential-integrity audit: every FK edge of the star
+    // schema — row/null/orphan counts + orphan rate. Child collapses
+    // to distinct keys with counts BEFORE the anti-join; one 1-row
+    // frame per edge, unioned.
+    "x176_ri_audit" -> ((s, dir) => Warehouse.riAudit(Seq(
+      Warehouse.RiEdge("lineitem.orderkey", t(s, dir, "lineitem"),
+        "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+      Warehouse.RiEdge("lineitem.partkey", t(s, dir, "lineitem"),
+        "l_partkey", t(s, dir, "part"), "p_partkey"),
+      Warehouse.RiEdge("lineitem.suppkey", t(s, dir, "lineitem"),
+        "l_suppkey", t(s, dir, "supplier"), "s_suppkey"),
+      Warehouse.RiEdge("orders.custkey", t(s, dir, "orders"),
+        "o_custkey", t(s, dir, "customer"), "c_custkey"),
+      Warehouse.RiEdge("customer.nationkey", t(s, dir, "customer"),
+        "c_nationkey", t(s, dir, "nation"), "n_nationkey"),
+      Warehouse.RiEdge("supplier.nationkey", t(s, dir, "supplier"),
+        "s_nationkey", t(s, dir, "nation"), "n_nationkey"),
+      Warehouse.RiEdge("nation.regionkey", t(s, dir, "nation"),
+        "n_regionkey", t(s, dir, "region"), "r_regionkey")))),
+
+    // x177 — CDC batch apply (MERGE): a deterministic change batch
+    // derived from orders itself — inserts (keys ≡ 9 mod 10, held out
+    // of the base), two GENERATIONS of updates (seq 1: +1000 on keys ≡
+    // 0 mod 10; seq 2: +2000 on keys ≡ 0 mod 20 — latest-wins must
+    // pick seq 2 or the hash breaks), deletes (keys ≡ 1 mod 10) —
+    // merged onto the base snapshot.
+    "x177_cdc_apply" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val k = col("o_orderkey")
+      val base = o.filter(pmod(k, lit(10L)) =!= 9)
+      def stamp(df: DataFrame, op: String, seq: Long) = df
+        .withColumn("op", lit(op)).withColumn("seq", lit(seq))
+      val changes = stamp(o.filter(pmod(k, lit(10L)) === 9), "I", 1L)
+        .unionByName(stamp(o.filter(pmod(k, lit(10L)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+          "U", 1L))
+        .unionByName(stamp(o.filter(pmod(k, lit(20L)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(2000.0)),
+          "U", 2L))
+        .unionByName(stamp(o.filter(pmod(k, lit(10L)) === 1), "D", 1L))
+      Warehouse.cdcApply(base, changes, "o_orderkey", "op", "seq")
+    }),
+
+    // x178 — incremental rollup merge: the (priority × year) revenue
+    // cube maintained as two rollupPartial shards split mid-1997 (so
+    // year-1997 keys live in BOTH shards and the merge actually
+    // combines states), merged — the oracle recomputes from scratch,
+    // so the check IS merged-equals-full-recompute.
+    "x178_rollup_merge" -> ((s, dir) => {
+      val units = floor(col("o_totalprice") * 1e4 + lit(0.5)).cast("long")
+      val o = t(s, dir, "orders").filter(col("o_orderdate").isNotNull)
+        .select(col("o_orderpriority").as("priority"),
+          year(col("o_orderdate")).cast("long").as("order_year"),
+          col("o_orderdate"), units.as("_u"), col("o_totalprice"))
+      val cutoff = lit("1997-07-01").cast("timestamp")
+      val shards = Seq(o.filter(col("o_orderdate") < cutoff),
+        o.filter(col("o_orderdate") >= cutoff)).map(part =>
+        Warehouse.rollupPartial(part, Seq("priority", "order_year"),
+          "_u", "o_totalprice"))
+      Warehouse.mergeRollup(shards, Seq("priority", "order_year"))
+        .select(col("priority"), col("order_year"),
+          col("n_rows").as("n_orders"),
+          (col("sum_units").cast("double") / 1e4).as("revenue"),
+          col("min_v").as("min_price"), col("max_v").as("max_price"))
+    }),
+
+    // x179 — top user journeys: the 50 most common first-3 event-type
+    // paths (per-user order by (ts, event_id)); path counts are
+    // |event types|³-bounded, so the top-N never sees the corpus.
+    "x179_user_journeys" -> ((s, dir) => Analytics.topJourneys(
+      t(s, dir, "events"), "user_id", "event_type", "ts", "event_id",
+      k = 3, topN = 50)),
+
+    // x180 — stratified split manifest: per-source deterministic
+    // 80/10/10 train/val/test assignment — md5-rank within stratum
+    // (the x26/x45 no-RNG law), exact ceil-boundary cuts; CUMULATIVE
+    // literals (0.8/0.9/1.0) so Spark and the oracle cut on identical
+    // doubles.
+    "x180_split_manifest" -> ((s, dir) =>
+      TextAnalysis.stratifiedSplit(t(s, dir, "documents"), "doc_id",
+          "source")
+        .select(col("doc_id"), col("source"),
+          col("rank").cast("long").as("rank"),
+          col("n_group").cast("long").as("n_group"), col("split"))),
+
+    // x181 — join-key skew audit: the 20 heaviest l_partkey values
+    // with their share of lineitem — per-key counts (map-side
+    // combine), then the salted two-phase global top-k; the 1-row
+    // total broadcasts.
+    "x181_key_skew" -> ((s, dir) => Warehouse.keySkewAudit(
+        t(s, dir, "lineitem"), "l_partkey", topK = 20)
+      .select(col("l_partkey"), col("n_rows"),
+        col("rank").cast("long").as("rank"), col("share")))
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -5502,6 +5651,259 @@ object ExtensionQueries {
          SELECT n, n_rows, n_cols,
            (n_rows - 1) * (n_cols - 1) AS dof,
            CAST(sum(CAST(term AS DECIMAL(38,6))) AS DOUBLE) AS chi2
-         FROM t GROUP BY 1, 2, 3, 4"""
+         FROM t GROUP BY 1, 2, 3, 4""",
+    // exact (epoch_day+3) mod 7 weekday buckets; shares from HUGEINT
+    // unit sums through one mirrored division
+    "x171_weekday_seasonality" ->
+      """WITH d AS (SELECT n_name AS nation,
+           (epoch_ms(l_shipdate) // 86400000 + 3) % 7 AS day_of_week,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+             AS BIGINT) AS u
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey),
+         g AS (SELECT nation, day_of_week,
+             CAST(count(*) AS BIGINT) AS n_items,
+             sum(CAST(u AS HUGEINT)) AS du
+           FROM d GROUP BY 1, 2),
+         t AS (SELECT nation, sum(du) AS tu FROM g GROUP BY 1)
+         SELECT g.nation, g.day_of_week, g.n_items,
+           CAST(du AS DOUBLE) / 10000.0 AS revenue,
+           floor(CAST(du AS DOUBLE) / CAST(tu AS DOUBLE) * 1000000
+             + 0.5) / 1000000.0 AS share
+         FROM g JOIN t ON g.nation = t.nation""",
+    // the ceil-boundary decile law ((10·(rank−1)) // n + 1 — the
+    // closed form of groupedNtileBuckets' rank ≤ ceil(n·i/10) cut;
+    // NOT SQL ntile(), which packs remainder rows into the FIRST
+    // buckets and only coincides when 10 | n); ties by customer;
+    // cumulative HUGEINT unit sums
+    "x172_lorenz_curve" ->
+      """WITH pc AS (SELECT o_custkey AS id,
+           CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+             AS BIGINT) AS rev
+           FROM orders GROUP BY 1),
+         j AS (SELECT id, n_name AS nation, rev
+           FROM pc JOIN customer ON id = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey),
+         b AS (SELECT nation, id, rev,
+             CAST((10 * (row_number() OVER (PARTITION BY nation
+                 ORDER BY rev, id) - 1))
+               // (count(*) OVER (PARTITION BY nation)) + 1
+               AS INTEGER) AS decile
+           FROM j),
+         g AS (SELECT nation, decile,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             sum(CAST(rev AS HUGEINT)) AS du
+           FROM b GROUP BY 1, 2),
+         t AS (SELECT nation, sum(du) AS tu FROM g GROUP BY 1),
+         c AS (SELECT nation, decile, n_customers, du,
+             sum(du) OVER (PARTITION BY nation ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM g)
+         SELECT c.nation, c.decile, c.n_customers,
+           CAST(du AS DOUBLE) / 10000.0 AS revenue,
+           floor(CAST(cum AS DOUBLE) / CAST(tu AS DOUBLE) * 1000000
+             + 0.5) / 1000000.0 AS cum_share
+         FROM c JOIN t ON c.nation = t.nation""",
+    // per-nation exact quartile VALUES (double-ceil law, ties by
+    // customer) on exact-unit revenue sums, Tukey fences through one
+    // mirrored expression
+    "x173_iqr_outliers" ->
+      """WITH pc AS (SELECT o_custkey AS custkey,
+           sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS du
+           FROM orders GROUP BY 1),
+         s AS (SELECT custkey, n_name AS nation,
+             CAST(du AS DOUBLE) / 10000.0 AS v
+           FROM pc JOIN customer ON custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey),
+         r AS (SELECT nation, custkey, v,
+             CAST(row_number() OVER (PARTITION BY nation
+               ORDER BY v, custkey) AS BIGINT) AS rank,
+             CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS n
+           FROM s),
+         q AS (SELECT nation,
+             max(CASE WHEN rank = CAST(ceil(0.25 * n) AS BIGINT)
+               THEN v END) AS q1,
+             max(CASE WHEN rank = CAST(ceil(0.75 * n) AS BIGINT)
+               THEN v END) AS q3
+           FROM r GROUP BY 1),
+         f AS (SELECT nation, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+           FROM q)
+         SELECT f.nation, s.custkey, s.v AS revenue, q1, q3,
+           lo AS lo_fence, hi AS hi_fence
+         FROM s JOIN f ON s.nation = f.nation
+         WHERE s.v < lo OR s.v > hi""",
+    // the x12 score CTE, gridded to integer units, then the x167
+    // moment closed form per language; direction carries the sign
+    "x174_quality_length_corr" ->
+      """WITH qs AS (SELECT doc_id,
+           CAST(length(trim(text)) AS BIGINT) AS x,
+           CAST(floor(
+             floor((0.4 * (CASE WHEN length(trim(text)) >= 100
+                 AND length(trim(text)) <= 20000 THEN 1 ELSE 0 END)
+             + 0.3 * greatest(0.0, 1.0 -
+                 ((length(trim(text)) - length(regexp_replace(
+                   lower(trim(text)), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                  / length(trim(text))) * 5)
+             + 0.3 * least(1.0,
+                 (len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   x -> x IN ('the','a','of','and','to','in','is',
+                              'der','die','das','und','ist','ein','zu',
+                              'el','la','de','que','y','en','un',
+                              'le','et','les','des','une',
+                              '的','是','了','在','和','有','我'))) * 1.0
+                  / len(string_split_regex(lower(trim(text)), '\s+'))) * 5))
+             * 10000 + 0.5) / 10000.0
+             * 10000 + 0.5) AS BIGINT) AS y
+           FROM documents),
+         j AS (SELECT lang, x, y FROM qs
+           JOIN documents USING (doc_id)),
+         m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+           FROM j GROUP BY 1),
+         k AS (SELECT lang, n, n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+           FROM m)
+         SELECT lang, n,
+           CASE WHEN dx > 0 AND dy > 0 THEN
+             floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+               / (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+               * 1000000 + 0.5) / 1000000.0 END AS r2,
+           CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+             ELSE 0 END AS INTEGER) AS direction
+         FROM k""",
+    // two grouped-median passes (count, then absolute deviation),
+    // all-integer; flag |x − med| > 3·MAD in longs
+    "x175_mad_anomaly_days" ->
+      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+           CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2),
+         r1 AS (SELECT event_type, day, n_events,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY n_events, day) AS BIGINT) AS rank,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n
+           FROM d),
+         med AS (SELECT event_type, n_events AS med FROM r1
+           WHERE rank = CAST(ceil(0.5 * n) AS BIGINT)),
+         dev AS (SELECT d.event_type, d.day, d.n_events, med.med,
+             abs(d.n_events - med.med) AS adev
+           FROM d JOIN med ON d.event_type = med.event_type),
+         r2 AS (SELECT event_type, day, adev,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY adev, day) AS BIGINT) AS rank,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n
+           FROM dev),
+         mad AS (SELECT event_type, adev AS mad FROM r2
+           WHERE rank = CAST(ceil(0.5 * n) AS BIGINT))
+         SELECT dev.event_type, dev.day, dev.n_events,
+           dev.med AS median, mad.mad
+         FROM dev JOIN mad ON dev.event_type = mad.event_type
+         WHERE dev.adev > 3 * mad.mad""",
+    // one leg per FK edge: LEFT JOIN against the parent's distinct
+    // keys, orphan = non-null child key with no parent; rate on the
+    // 1e-6 grid
+    "x176_ri_audit" -> {
+      def leg(name: String, child: String, ck: String, parent: String,
+              pk: String): String =
+        s"""SELECT '$name' AS edge,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(*) - count($ck) AS BIGINT) AS n_null_keys,
+            CAST(coalesce(sum(CASE WHEN $ck IS NOT NULL AND pk IS NULL
+              THEN 1 END), 0) AS BIGINT) AS n_orphans,
+            floor(CAST(coalesce(sum(CASE WHEN $ck IS NOT NULL
+                AND pk IS NULL THEN 1 END), 0) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+              AS orphan_rate
+          FROM $child LEFT JOIN
+            (SELECT DISTINCT $pk AS pk FROM $parent) p ON $ck = p.pk"""
+      Seq(
+        leg("lineitem.orderkey", "lineitem", "l_orderkey", "orders",
+          "o_orderkey"),
+        leg("lineitem.partkey", "lineitem", "l_partkey", "part",
+          "p_partkey"),
+        leg("lineitem.suppkey", "lineitem", "l_suppkey", "supplier",
+          "s_suppkey"),
+        leg("orders.custkey", "orders", "o_custkey", "customer",
+          "c_custkey"),
+        leg("customer.nationkey", "customer", "c_nationkey", "nation",
+          "n_nationkey"),
+        leg("supplier.nationkey", "supplier", "s_nationkey", "nation",
+          "n_nationkey"),
+        leg("nation.regionkey", "nation", "n_regionkey", "region",
+          "r_regionkey")).mkString("\nUNION ALL\n")
+    },
+    // the merged state is directly expressible: inserts restore the
+    // held-out keys, seq-2 updates (+2000, keys ≡ 0 mod 20) beat
+    // seq-1 (+1000, keys ≡ 0 mod 10), deletes drop keys ≡ 1 mod 10
+    "x177_cdc_apply" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 2000.0
+                WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 10 <> 1""",
+    // full recompute from scratch — equality with the two-shard merge
+    // IS the mergeability check
+    "x178_rollup_merge" ->
+      """SELECT o_orderpriority AS priority,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+             AS DOUBLE) / 10000.0 AS revenue,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+         FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2""",
+    // per-user first-3 path via conditional max over row_number;
+    // concat_ws skips NULLs in both engines (shorter paths for
+    // shorter histories)
+    "x179_user_journeys" ->
+      """WITH r AS (SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY epoch_ms(ts), event_id) AS rn
+           FROM events),
+         p AS (SELECT user_id,
+             concat_ws('>',
+               max(CASE WHEN rn = 1 THEN event_type END),
+               max(CASE WHEN rn = 2 THEN event_type END),
+               max(CASE WHEN rn = 3 THEN event_type END)) AS path
+           FROM r WHERE rn <= 3 GROUP BY 1)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p
+         GROUP BY 1 ORDER BY n_users DESC, path LIMIT 50""",
+    // md5-rank within stratum, ceil-boundary cuts on the SAME
+    // cumulative literals (0.8/0.9) the Spark side uses
+    "x180_split_manifest" ->
+      """WITH r AS (SELECT doc_id, source,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+             doc_id) AS BIGINT) AS rank,
+           CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_group
+           FROM documents)
+         SELECT doc_id, source, rank, n_group,
+           CASE WHEN rank <= CAST(ceil(0.8 * n_group) AS BIGINT)
+                  THEN 'train'
+                WHEN rank <= CAST(ceil(0.9 * n_group) AS BIGINT)
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM r""",
+    // per-key counts, global rank by (count desc, key), share of the
+    // FULL table on the 1e-6 grid
+    "x181_key_skew" ->
+      """WITH c AS (SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_rows
+           FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+         t AS (SELECT sum(n_rows) AS tot FROM c),
+         r AS (SELECT l_partkey, n_rows,
+             CAST(row_number() OVER (ORDER BY n_rows DESC, l_partkey)
+               AS BIGINT) AS rank
+           FROM c)
+         SELECT r.l_partkey, r.n_rows, r.rank,
+           floor(CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS share
+         FROM r, t WHERE rank <= 20"""
   )
 }

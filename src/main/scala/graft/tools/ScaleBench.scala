@@ -943,7 +943,128 @@ object ScaleBench {
       graft.operators.Olap.chiSquare(
         Tables(s, dir, "orders").join(Tables(s, dir, "customer"),
           col("o_custkey") === col("c_custkey")),
-        "c_mktsegment", "o_orderpriority")))
+        "c_mktsegment", "o_orderpriority")),
+    // 10x lineitems into a (nation × 7)-bounded frame — windowless
+    ("x171_weekday_seasonality", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.weekdaySeasonality(
+        Tables(s, dir, "lineitem"), Tables(s, dir, "supplier"),
+        Tables(s, dir, "nation"))),
+    // x165's aggregate + grouped-rank machinery; decile frames stay
+    // customer-count-bounded as per-customer depth grows 10x
+    ("x172_lorenz_curve", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.lorenzCurve(Tables(s, dir, "orders"),
+        Tables(s, dir, "customer"), Tables(s, dir, "nation"))),
+    // per-customer depth grows 10x but the ranked quartile frame stays
+    // customer-count-bounded (the x165 argument); fences broadcast
+    ("x173_iqr_outliers", (s: SparkSession, dir: String) => {
+      val units = floor(col("o_totalprice") * 1e4 + lit(0.5)).cast("long")
+      val perCust = Tables(s, dir, "orders")
+        .select(col("o_custkey"), units.as("_u"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("_u").cast("decimal(38,0)")).as("_du"))
+        .join(Tables(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_custkey").as("custkey"), col("nation"),
+          (col("_du").cast("double") / 1e4).as("revenue"))
+      graft.operators.Analytics.iqrOutliers(perCust, "custkey",
+        "nation", "revenue")
+    }),
+    // per-row score kernels over 10x documents into a language-
+    // bounded moment frame — pure kernel-scan growth
+    ("x174_quality_length_corr", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val qs = graft.operators.TextAnalysis.qualityScore(docs,
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"),
+          floor(col("quality_score") * 1e4 + lit(0.5)).cast("long")
+            .as("_su"))
+      graft.operators.Analytics.groupedCorrelation(
+        qs.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        "lang", "n_chars", "_su")
+    }),
+    // two grouped-rank passes over the (type × day) frame — 10x days
+    // on the time-stretched axis at constant per-day population
+    ("x175_mad_anomaly_days", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.madAnomalyDays(Tables(s, dir, "events"),
+        "ts", "event_type", k = 3L)),
+    // anti-joins move collapsed key counts, not fact rows — growth
+    // tracks key cardinality (10x orders/lineitem keys)
+    ("x176_ri_audit", (s: SparkSession, dir: String) =>
+      graft.operators.Warehouse.riAudit(Seq(
+        graft.operators.Warehouse.RiEdge("lineitem.orderkey",
+          Tables(s, dir, "lineitem"), "l_orderkey",
+          Tables(s, dir, "orders"), "o_orderkey"),
+        graft.operators.Warehouse.RiEdge("lineitem.partkey",
+          Tables(s, dir, "lineitem"), "l_partkey",
+          Tables(s, dir, "part"), "p_partkey"),
+        graft.operators.Warehouse.RiEdge("lineitem.suppkey",
+          Tables(s, dir, "lineitem"), "l_suppkey",
+          Tables(s, dir, "supplier"), "s_suppkey"),
+        graft.operators.Warehouse.RiEdge("orders.custkey",
+          Tables(s, dir, "orders"), "o_custkey",
+          Tables(s, dir, "customer"), "c_custkey"),
+        graft.operators.Warehouse.RiEdge("customer.nationkey",
+          Tables(s, dir, "customer"), "c_nationkey",
+          Tables(s, dir, "nation"), "n_nationkey"),
+        graft.operators.Warehouse.RiEdge("supplier.nationkey",
+          Tables(s, dir, "supplier"), "s_nationkey",
+          Tables(s, dir, "nation"), "n_nationkey"),
+        graft.operators.Warehouse.RiEdge("nation.regionkey",
+          Tables(s, dir, "nation"), "n_regionkey",
+          Tables(s, dir, "region"), "r_regionkey")))),
+    // two key exchanges (argmax aggregate + anti-join); 10x keys in,
+    // 10x merged snapshot out
+    ("x177_cdc_apply", (s: SparkSession, dir: String) => {
+      val o = Tables(s, dir, "orders")
+      val k = col("o_orderkey")
+      val base = o.filter(pmod(k, lit(10L)) =!= 9)
+      def stamp(df: DataFrame, op: String, seq: Long) = df
+        .withColumn("op", lit(op)).withColumn("seq", lit(seq))
+      val changes = stamp(o.filter(pmod(k, lit(10L)) === 9), "I", 1L)
+        .unionByName(stamp(o.filter(pmod(k, lit(10L)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+          "U", 1L))
+        .unionByName(stamp(o.filter(pmod(k, lit(20L)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(2000.0)),
+          "U", 2L))
+        .unionByName(stamp(o.filter(pmod(k, lit(10L)) === 1), "D", 1L))
+      graft.operators.Warehouse.cdcApply(base, changes, "o_orderkey",
+        "op", "seq")
+    }),
+    // 10x scan collapses map-side into a constant (priority × year)
+    // cube before the one exchange
+    ("x178_rollup_merge", (s: SparkSession, dir: String) => {
+      val units = floor(col("o_totalprice") * 1e4 + lit(0.5)).cast("long")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate").isNotNull)
+        .select(col("o_orderpriority").as("priority"),
+          year(col("o_orderdate")).cast("long").as("order_year"),
+          col("o_orderdate"), units.as("_u"), col("o_totalprice"))
+      val cutoff = lit("1997-07-01").cast("timestamp")
+      val shards = Seq(o.filter(col("o_orderdate") < cutoff),
+        o.filter(col("o_orderdate") >= cutoff)).map(part =>
+        graft.operators.Warehouse.rollupPartial(part,
+          Seq("priority", "order_year"), "_u", "o_totalprice"))
+      graft.operators.Warehouse.mergeRollup(shards,
+        Seq("priority", "order_year"))
+    }),
+    // user-keyed window over 10x users; the path frame stays
+    // |event types|^3-bounded
+    ("x179_user_journeys", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.topJourneys(Tables(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id", k = 3, topN = 50)),
+    // grouped bucketed rank over 10x documents; output 10x manifest
+    ("x180_split_manifest", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.stratifiedSplit(
+        Tables(s, dir, "documents"), "doc_id", "source")),
+    // per-key counts collapse map-side; the salted top-k frame is
+    // key-cardinality-bounded
+    ("x181_key_skew", (s: SparkSession, dir: String) =>
+      graft.operators.Warehouse.keySkewAudit(
+        Tables(s, dir, "lineitem"), "l_partkey", topK = 20)))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

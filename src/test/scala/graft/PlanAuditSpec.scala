@@ -1177,13 +1177,16 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly the orders + customer scans:\n$p")
   }
 
-  test("x159 profile card: ONE lineitem scan feeds the multi-distinct " +
-      "Expand plan — no per-column re-scan") {
+  test("x159 profile card: one COLUMN-PRUNED scan per column, no " +
+      "Expand — the multi-distinct Expand would replicate every row " +
+      "once per profiled column") {
     val p = plan("x159_profile_card")
-    assert("FileScan parquet".r.findAllIn(p).size === 1,
-      s"profile should scan the table once:\n$p")
-    assert(p.contains("Expand"),
-      s"multi-distinct should plan Expand:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size === 11,
+      s"profile should run one pruned scan per column:\n$p")
+    assert(!p.contains("Expand"),
+      s"the Expand plan pushes N× row volume through one shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      s"each scan should prune to its own column:\n$p")
   }
 
   test("x160 pareto front: no pair join — per-size aggregate, " +
@@ -1282,5 +1285,98 @@ class PlanAuditSpec extends SparkSpec {
       s"margins must broadcast:\n$p")
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
       s"only the margin grid + totals may nested-loop:\n$p")
+  }
+
+  test("x171 weekday seasonality: windowless — bounded weekday " +
+      "aggregate + broadcast nation totals") {
+    val p = plan("x171_weekday_seasonality")
+    assert(!p.contains("Window"), s"no window needed:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"dims + totals should broadcast:\n$p")
+  }
+
+  test("x172 lorenz curve: the decile axis is the grouped bucketed " +
+      "rank — no per-nation sort exchange") {
+    val p = plan("x172_lorenz_curve")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"decile cut leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x173 iqr outliers: quartiles from the grouped rank (no sort " +
+      "exchange), fences broadcast into a row-local filter") {
+    val p = plan("x173_iqr_outliers")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"quartiles leaked a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"fence table should broadcast:\n$p")
+  }
+
+  test("x174 quality-length correlation: windowless moment " +
+      "aggregate — per-row kernels + one group-bounded aggregate") {
+    val p = plan("x174_quality_length_corr")
+    assert(!p.contains("Window"), s"closed form needs no window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x175 mad anomaly days: two grouped-rank passes, thresholds " +
+      "broadcast — no per-type sort exchange") {
+    val p = plan("x175_mad_anomaly_days")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"median cut leaked a global sort:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"median + MAD thresholds should broadcast:\n$p")
+  }
+
+  test("x176 ri audit: orphans via anti-joins on collapsed key counts " +
+      "— no sort, no cartesian (1-row frames broadcast)") {
+    val p = plan("x176_ri_audit")
+    assert(p.contains("LeftAnti"), s"orphan check should anti-join:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"audit leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x177 cdc apply: latest-change argmax is an aggregate (no " +
+      "window), untouched base via one key anti-join") {
+    val p = plan("x177_cdc_apply")
+    assert(!p.contains("Window"),
+      s"latest-wins should be max(struct), not a window:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"untouched base rows should anti-join:\n$p")
+  }
+
+  test("x178 rollup merge: shard union collapses in one hash " +
+      "aggregate — no window, no sort") {
+    val p = plan("x178_rollup_merge")
+    assert(!p.contains("Window"), s"merge needs no window:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"merge leaked a global sort:\n$p")
+  }
+
+  test("x179 user journeys: per-user window + dictionary-bounded " +
+      "top-N (TakeOrdered, never a global sort exchange)") {
+    val p = plan("x179_user_journeys")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N should be TakeOrdered over the path frame:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"journeys leaked a global sort:\n$p")
+  }
+
+  test("x180 split manifest: grouped bucketed rank — no per-stratum " +
+      "sort exchange, offsets broadcast") {
+    val p = plan("x180_split_manifest")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"split rank leaked a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets should broadcast:\n$p")
+  }
+
+  test("x181 key skew: per-key counts then the salted two-phase " +
+      "top-k — no global sort exchange, 1-row total broadcast") {
+    val p = plan("x181_key_skew")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"top-k leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
   }
 }

@@ -217,6 +217,87 @@ class AnalyticsSpec extends SparkSpec {
       ("click->purchase", 0.9) -> ((1L, 1L, 20L))))
   }
 
+  test("weekdaySeasonality (x171): exact integer day-of-week buckets " +
+      "(epoch day 0 = Thursday = 3) and shares of the nation total") {
+    val li = Seq(
+      (1L, 30.0, 0.0, 0L),             // day 0 → Thursday (dow 3)
+      (1L, 10.0, 0.0, 4L * 86400000L)  // day 4 → Monday (dow 0)
+    ).toDF("l_suppkey", "l_extendedprice", "l_discount", "ms")
+      .withColumn("l_shipdate", timestamp_millis(col("ms"))).drop("ms")
+    val supp = Seq((1L, 10)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((10, "ALPHA")).toDF("n_nationkey", "n_name")
+    val out = Analytics.weekdaySeasonality(li, supp, nat)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out === Map(
+      3L -> ((1L, 30.0, 0.75)),
+      0L -> ((1L, 10.0, 0.25))))
+  }
+
+  test("lorenzCurve (x172): quartile cuts follow the exact ntile law " +
+      "and cumulative shares close at 1.0") {
+    // 4 customers, revenues 1,1,1,7 → quartiles (nDeciles=4) hold one
+    // customer each; cum shares 0.1, 0.2, 0.3, 1.0
+    val orders = Seq(
+      (1L, 1L, 1.0), (2L, 2L, 1.0), (3L, 3L, 1.0), (4L, 4L, 7.0)
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = (1L to 4L).map((_, 10)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((10, "ALPHA")).toDF("n_nationkey", "n_name")
+    val out = Analytics.lorenzCurve(orders, cust, nat, nDeciles = 4)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out === Map(
+      1 -> ((1L, 1.0, 0.1)), 2 -> ((1L, 1.0, 0.2)),
+      3 -> ((1L, 1.0, 0.3)), 4 -> ((1L, 7.0, 1.0))))
+  }
+
+  test("iqrOutliers (x173): flags exactly the values beyond the " +
+      "Tukey fences from exact rank quartiles") {
+    // group g: values 1..9 and one far outlier 100.
+    // n=10: q1 = rank ceil(2.5)=3 → 3.0; q3 = rank ceil(7.5)=8 → 8.0
+    // IQR=5 → fences [-4.5, 15.5] → only 100 flags.
+    val df = ((1 to 9).map(i => (i.toLong, "g", i.toDouble)) :+
+      (10L, "g", 100.0)).toDF("id", "grp", "v")
+    val out = Analytics.iqrOutliers(df, "id", "grp", "v").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(10L))
+    val r = out.head
+    assert((r.getDouble(3), r.getDouble(4)) === ((3.0, 8.0)))
+    assert((r.getDouble(5), r.getDouble(6)) === ((-4.5, 15.5)))
+  }
+
+  test("groupedCorrelation (x174): a perfect linear relation reads " +
+      "r2 = 1 with the right sign; zero variance reads NULL") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 8L), ("a", 3L, 6L), // y = 12 − 2x
+      ("b", 1L, 5L), ("b", 2L, 5L)                  // zero y-variance
+    ).toDF("grp", "x", "y")
+    val out = Analytics.groupedCorrelation(df, "grp", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getInt(3)))).toMap
+    assert(out === Map(
+      "a" -> ((3L, Some(1.0), -1)),
+      "b" -> ((2L, None, 0))))
+  }
+
+  test("madAnomalyDays (x175): the median/MAD pair flags a spike the " +
+      "same data's mean/sigma test masks when a second giant inflates " +
+      "sigma") {
+    // counts 1,1,2,2,3,5,100 over days 0..6: med = 2 (rank ceil(3.5)
+    // = 4 under (count, day)), adev = 1,1,0,0,1,3,98 → MAD = 1 (rank
+    // 4 of sorted 0,0,1,1,1,3,98); 3·MAD = 3 → flags day 6 (98 > 3)
+    // but NOT day 5 (3 > 3 is false — strict).
+    val counts = Seq(1, 1, 2, 2, 3, 5, 100)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => ("a", d.toLong * 86400000L + i))
+    }
+    val df = rows.toDF("event_type", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val out = Analytics.madAnomalyDays(df, "ts", "event_type")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq((6L, 100L, 2L, 1L)))
+  }
+
   test("giniConcentration (x165): equal revenues read 0; a 1:3 split " +
       "over two customers reads 0.25") {
     val orders = Seq(
@@ -233,5 +314,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === Map(
       "BETA" -> ((2L, 2.0, 0.0)),
       "ALPHA" -> ((2L, 4.0, 0.25))))
+  }
+
+  test("topJourneys (x179): paths order by (ts, tie), short histories " +
+      "yield short paths, counts aggregate across users, topN ties " +
+      "break by path") {
+    val ev = withTs(Seq(
+      // users 1, 2: signup>view>buy (user 2 has a 4th event — ignored)
+      (1L, 1L, "signup", 10L), (1L, 2L, "view", 20L), (1L, 3L, "buy", 30L),
+      (2L, 4L, "signup", 10L), (2L, 5L, "view", 20L), (2L, 6L, "buy", 30L),
+      (2L, 7L, "churn", 40L),
+      // user 3: same ms for both events — event_id breaks the tie
+      (3L, 8L, "view", 10L), (3L, 9L, "signup", 10L),
+      // user 4: single event
+      (4L, 10L, "signup", 10L)
+    ).map { case (u, e, t, ms) => (u, e, t, ms) }
+      .toDF("user_id", "event_id", "event_type", "ms"))
+    val out = Analytics.topJourneys(ev, "user_id", "event_type", "ts",
+      "event_id", k = 3, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(
+      ("signup>view>buy", 2L), ("signup", 1L), ("view>signup", 1L)))
   }
 }

@@ -223,6 +223,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(salted == windowed)
   }
 
+  test("stratifiedSplit (x180): EXACT ceil-boundary proportions per " +
+      "stratum, disjoint + exhaustive, deterministic across runs") {
+    val docs = ((1L to 100L).map(i => (i, "web")) ++
+      (101L to 107L).map(i => (i, "books"))).toDF("doc_id", "source")
+    val out = TextAnalysis.stratifiedSplit(docs, "doc_id", "source")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[String]("split")))
+    assert(out.length === 107) // exhaustive, once each
+    assert(out.map(_._1).distinct.length === 107)
+    val byStratum = out.groupBy(_._2).map { case (s, v) =>
+      s -> v.groupBy(_._3).map { case (k, g) => k -> g.size } }
+    // web n=100: ceil(80)/ceil(90) → exactly 80/10/10
+    assert(byStratum("web") ===
+      Map("train" -> 80, "val" -> 10, "test" -> 10))
+    // books n=7: ceil(5.6)=6 train, ceil(6.3)=7 → 1 val, 0 test
+    assert(byStratum("books") === Map("train" -> 6, "val" -> 1))
+    // deterministic re-run
+    val again = TextAnalysis.stratifiedSplit(docs, "doc_id", "source")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[String]("split")))
+    assert(out.toSet === again.toSet)
+  }
+
   test("hashSplit is deterministic and covers every doc exactly once (x26)") {
     val ids = (1L to 200L)
     val corpus = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")

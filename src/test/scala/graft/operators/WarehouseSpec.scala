@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("riAudit (x176): counts rows, NULL keys and orphans per edge; " +
+      "a fully-joined edge reads zero orphans") {
+    val child = Seq(
+      (Some(1L), "a"), (Some(1L), "b"), (Some(2L), "c"),
+      (Some(9L), "orphan1"), (Some(9L), "orphan2"),
+      (None, "nullkey")
+    ).toDF("fk", "payload")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Warehouse.riAudit(Seq(
+      Warehouse.RiEdge("child.fk", child, "fk", parent, "pk"),
+      Warehouse.RiEdge("parent.self", parent, "pk", parent, "pk")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // 6 rows, 1 null key, 2 orphan rows (key 9 appears twice)
+    assert(out("child.fk") === ((6L, 1L, 2L, 0.333333)))
+    assert(out("parent.self") === ((3L, 0L, 0L, 0.0)))
+  }
+
+  test("riAudit: a parent with duplicate keys does not fan out the " +
+      "child count (distinct-keys contract)") {
+    val child = Seq(1L, 1L, 2L).toDF("fk")
+    val parent = Seq(1L, 1L, 1L, 2L).toDF("pk") // dup parent keys
+    val Array(r) = Warehouse.riAudit(Seq(
+      Warehouse.RiEdge("e", child, "fk", parent, "pk"))).collect()
+    assert(r.getLong(1) === 3L && r.getLong(3) === 0L)
+  }
+
+  test("cdcApply (x177): latest change per key wins, D drops the key, " +
+      "U on an absent key inserts, untouched rows pass through") {
+    val base = Seq((1L, "one", 10.0), (2L, "two", 20.0),
+      (3L, "three", 30.0)).toDF("k", "name", "v")
+    val changes = Seq(
+      // key 1: U seq 1 then U seq 2 — seq 2 must win
+      (1L, "one", 11.0, "U", 1L), (1L, "one", 12.0, "U", 2L),
+      // key 2: deleted
+      (2L, "two", 20.0, "D", 1L),
+      // key 4: U on absent key — upsert inserts
+      (4L, "four", 40.0, "U", 1L),
+      // key 5: plain insert
+      (5L, "five", 50.0, "I", 1L)
+    ).toDF("k", "name", "v", "op", "seq")
+    val out = Warehouse.cdcApply(base, changes, "k", "op", "seq")
+    assert(out.columns.toSeq === Seq("k", "name", "v"))
+    val got = out.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      1L -> (("one", 12.0)),   // latest update
+      3L -> (("three", 30.0)), // untouched
+      4L -> (("four", 40.0)),  // upsert-insert
+      5L -> (("five", 50.0)))) // insert
+  }
+
+  test("cdcApply: a key whose latest op is D stays deleted even if an " +
+      "earlier change re-inserted it") {
+    val base = Seq((1L, 1.0)).toDF("k", "v")
+    val changes = Seq((1L, 2.0, "I", 1L), (1L, 3.0, "D", 2L))
+      .toDF("k", "v", "op", "seq")
+    assert(Warehouse.cdcApply(base, changes, "k", "op", "seq")
+      .count() === 0L)
+  }
+
+  test("mergeRollup (x178): merging partial shards equals the rollup " +
+      "of the union — counts/sums re-sum, min/max re-extremize") {
+    val all = Seq(
+      ("a", 1L, 100L, 1.0), ("a", 1L, 200L, 9.0), ("a", 2L, 50L, 5.0),
+      ("b", 1L, 10L, 2.0), ("b", 1L, 20L, 0.5)
+    ).toDF("g", "y", "u", "v")
+    val shards = Seq(all.filter(col("u") < 100L),
+      all.filter(col("u") >= 100L)).map(p =>
+      Warehouse.rollupPartial(p, Seq("g", "y"), "u", "v"))
+    val merged = Warehouse.mergeRollup(shards, Seq("g", "y"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDecimal(3).longValueExact(),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    val full = Warehouse.rollupPartial(all, Seq("g", "y"), "u", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDecimal(3).longValueExact(),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    assert(merged === full)
+    assert(merged(("a", 1L)) === ((2L, 300L, 1.0, 9.0)))
+  }
+
+  test("keySkewAudit (x181): planted hot key ranks first with the " +
+      "exact share; NULL keys are excluded; ties break by key") {
+    val df = (Seq.fill(6)(Some(7L)) ++ Seq(Some(1L), Some(1L),
+      Some(2L), Some(2L), None)).toDF("k")
+    val out = Warehouse.keySkewAudit(df, "k", topK = 2)
+      .orderBy(col("rank")).collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(0) === 7L && out(0).getLong(1) === 6L &&
+      out(0).getDouble(3) === 0.6)
+    // 1 and 2 tie at two rows — key 1 wins rank 2
+    assert(out(1).getLong(0) === 1L && out(1).getLong(1) === 2L &&
+      out(1).getDouble(3) === 0.2)
+  }
+}
