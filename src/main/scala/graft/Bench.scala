@@ -186,11 +186,12 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         f""""sf":"$sfLabel"}"""
-    // 1900 leaves ~100 chars of tail slack under the driver's ~2000-char
-    // capture (shutdown noise, trailing newline); at ~11 chars/query the
-    // 160-query 1-decimal line (~1710) has ~17 queries of headroom
-    // before this fires again
-    assert(line.length < 1900,
+    // the line prints LAST after spark.stop() + flush, so the only
+    // bytes behind it in the driver's ~2000-char tail are its own
+    // newline — 1960 keeps ~40 chars of slack (the env block's removal
+    // bought ~55; at ~11 chars/query the 197-query line sits ~1920,
+    // ~3 queries of headroom before the next shrink is due)
+    assert(line.length < 1960,
       s"bench JSON line ${line.length} chars — would overflow the driver's " +
         "2000-char tail capture; shrink the printed map")
     // stop Spark BEFORE printing: executor/context shutdown writes its

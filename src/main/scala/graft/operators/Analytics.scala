@@ -743,4 +743,31 @@ object Analytics {
       .orderBy(col("n_users").desc, col("path").asc)
       .limit(topN)
   }
+
+  /** CUMULATIVE NEW-USERS CURVE (x183) — per day: how many users were
+    * seen for the FIRST time that day, and the running total — the
+    * growth chart on every dashboard. Days are exact integer epoch
+    * days (`ms div 86400000` with the remainder subtracted first — no
+    * date_trunc timezone law).
+    *
+    * Scale shape: one user-keyed `min` aggregate (each user's first
+    * day — map-side combined), then a day aggregate; the running sum's
+    * window is ordered over the DAY frame, which is CALENDAR-bounded
+    * (years of history = a few thousand rows), so the single-partition
+    * window — the same documented exception as the V-bounded Zipf
+    * rank — never sees users or events. */
+  def cumulativeNewUsers(events: DataFrame, idCol: String,
+                         tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ms = Dates.toEpochMillis(col(tsCol))
+    val day = ((ms - pmod(ms, lit(86400000L))) / lit(86400000L))
+      .cast("long")
+    val firstSeen = events.select(col(idCol).as("_u"), day.as("_d"))
+      .groupBy(col("_u")).agg(min(col("_d")).as("first_day"))
+    val daily = firstSeen.groupBy(col("first_day"))
+      .agg(count(lit(1)).as("n_new_users"))
+    val w = Window.orderBy(col("first_day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.withColumn("cum_users", sum(col("n_new_users")).over(w))
+  }
 }

@@ -82,4 +82,58 @@ object Sketches {
       .select(col("grp").as(groupCol), col("n_exact"), col("kth_min"),
         col("estimate"), col("rel_err"))
   }
+
+  /** The CMS row hash: bucket of `key` in depth-row `d` —
+    * `md5("<d>:<key>")`'s first 15 hex chars as a long, mod width.
+    * Deterministic and SQL-mirrorable (the x7/x26 md5 law), so the
+    * whole sketch is oracle-checkable bit-for-bit. */
+  private def cmsBucket(keyCol: String, d: Int, width: Int) =
+    pmod(conv(substring(md5(concat_ws(":", lit(d.toString),
+      col(keyCol).cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(width.toLong))
+
+  /** COUNT-MIN SKETCH heavy-hitter audit (x182) — build a `depth ×
+    * width` count-min sketch over a key column and read the true
+    * top-`topK` keys back through it: `(key, n_rows, rank,
+    * cms_estimate)` with `cms_estimate = min_d sketch[d][h_d(key)]`.
+    * CMS never underestimates (`estimate ≥ n_rows`, spec-pinned); the
+    * gap is collision mass, bounded by `2N/width` with probability
+    * `1 − 2^−depth` (Cormode & Muthukrishnan 2005). The audit says
+    * whether a `depth × width` budget is enough for this corpus's
+    * heavy-hitter tracking before anyone trusts the sketch in a
+    * stream.
+    *
+    * Scale shape: the sketch is built from the per-key COUNT frame,
+    * not raw rows (CMS cells are sums of per-key totals — same cells,
+    * key-cardinality replication instead of corpus replication), so
+    * the only corpus-sized exchange is the count aggregate's
+    * (map-side combined). The sketch itself is `depth·width` rows —
+    * constant — and BROADCASTS back onto the probe keys; the true
+    * top-k rides [[graft.functions.Skew.saltedTopK]]. At 100 TB the
+    * same build is one aggregate + one tiny sketch — and the sketch
+    * MERGES across partitions/streams by cell-wise addition, which is
+    * why it is the standard streaming heavy-hitter layout. */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, depth: Int = 3,
+                      width: Int = 1024, topK: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 8,
+      s"depth must be in [1, 8], got $depth")
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val keys = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val rows = (0 until depth).map(d => struct(lit(d).as("d"),
+      cmsBucket(keyCol, d, width).as("b")))
+    val sketch = keys
+      .select(explode(array(rows: _*)).as("_db"), col("n_rows"))
+      .groupBy(col("_db.d").as("d"), col("_db.b").as("b"))
+      .agg(sum(col("n_rows")).as("c"))
+    val top = graft.functions.Skew.saltedTopK(keys, Seq.empty, "n_rows",
+      topK, tieCols = Seq(keyCol))
+    top.select(col(keyCol), col("n_rows"), col("rank"),
+        explode(array(rows: _*)).as("_db"))
+      .join(broadcast(sketch),
+        col("_db.d") === col("d") && col("_db.b") === col("b"))
+      .groupBy(col(keyCol), col("n_rows"), col("rank"))
+      .agg(min(col("c")).as("cms_estimate"))
+  }
 }

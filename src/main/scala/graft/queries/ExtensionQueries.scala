@@ -1751,7 +1751,43 @@ object ExtensionQueries {
     "x181_key_skew" -> ((s, dir) => Warehouse.keySkewAudit(
         t(s, dir, "lineitem"), "l_partkey", topK = 20)
       .select(col("l_partkey"), col("n_rows"),
-        col("rank").cast("long").as("rank"), col("share")))
+        col("rank").cast("long").as("rank"), col("share"))),
+
+    // x182 — count-min-sketch heavy-hitter audit: a 3×1024 CMS over
+    // l_partkey (built from the per-key count frame — identical cells,
+    // key-bounded replication) read back at the exact top-20; the
+    // md5-derived row hashes make the whole sketch oracle-checkable.
+    "x182_cms_audit" -> ((s, dir) => Sketches.cmsHeavyHitters(
+        t(s, dir, "lineitem"), "l_partkey", depth = 3, width = 1024,
+        topK = 20)
+      .select(col("l_partkey"), col("n_rows"),
+        col("rank").cast("long").as("rank"), col("cms_estimate"))),
+
+    // x183 — cumulative new-users growth curve: per-day first-seen
+    // counts + running total over the calendar-bounded day frame.
+    "x183_user_growth" -> ((s, dir) => Analytics.cumulativeNewUsers(
+      t(s, dir, "events"), "user_id", "ts")),
+
+    // x184 — fulfillment lag quantiles: exact p50/p90 of
+    // ship-minus-order days per order priority (grouped double-ceil
+    // law; id = orderkey·10 + linenumber makes the tie-break total —
+    // linenumber < 10 by the TPC-H shape).
+    "x184_fulfillment_lag" -> ((s, dir) => {
+      val sd = graft.functions.Dates.toEpochMillis(col("l_shipdate"))
+      val od = graft.functions.Dates.toEpochMillis(col("o_orderdate"))
+      val lag = (((sd - pmod(sd, lit(86400000L))) / lit(86400000L)) -
+        ((od - pmod(od, lit(86400000L))) / lit(86400000L))).cast("long")
+      val scored = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority").as("priority"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_orderkey") * 10 + col("l_linenumber"))
+          .cast("long").as("line_id"), col("priority"),
+          lag.as("lag_days"))
+      TextAnalysis.groupedQuantiles(scored, "line_id", "priority",
+        "lag_days", Seq(0.5, 0.9))
+    })
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -5904,6 +5940,57 @@ object ExtensionQueries {
          SELECT r.l_partkey, r.n_rows, r.rank,
            floor(CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE)
              * 1000000 + 0.5) / 1000000.0 AS share
-         FROM r, t WHERE rank <= 20"""
+         FROM r, t WHERE rank <= 20""",
+    // full CMS mirror: row hash = md5("<d>:<key>") first-15-hex mod
+    // width (positive, so % = pmod); estimate = min over depth rows
+    "x182_cms_audit" ->
+      """WITH k AS (SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_rows
+           FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+         b AS (SELECT l_partkey, n_rows, d,
+             ('0x' || substring(md5(CAST(d AS VARCHAR) || ':' ||
+               CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 1024
+               AS bkt
+           FROM k, (SELECT unnest([0, 1, 2]) AS d) ds),
+         s AS (SELECT d, bkt, sum(n_rows) AS c FROM b GROUP BY 1, 2),
+         r AS (SELECT l_partkey, n_rows,
+             CAST(row_number() OVER (ORDER BY n_rows DESC, l_partkey)
+               AS BIGINT) AS rank
+           FROM k)
+         SELECT r.l_partkey, r.n_rows, r.rank,
+           CAST(min(s.c) AS BIGINT) AS cms_estimate
+         FROM r JOIN b ON r.l_partkey = b.l_partkey
+         JOIN s ON b.d = s.d AND b.bkt = s.bkt
+         WHERE r.rank <= 20
+         GROUP BY 1, 2, 3""",
+    // first-seen day per user, then the running total over the
+    // calendar-bounded day frame
+    "x183_user_growth" ->
+      """WITH f AS (SELECT user_id,
+           min(epoch_ms(ts) // 86400000) AS first_day
+           FROM events GROUP BY 1),
+         d AS (SELECT first_day, CAST(count(*) AS BIGINT)
+             AS n_new_users
+           FROM f GROUP BY 1)
+         SELECT first_day, n_new_users,
+           CAST(sum(n_new_users) OVER (ORDER BY first_day
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+         FROM d""",
+    // ship-minus-order epoch days through the grouped double-ceil
+    // quantile law (the x156 shape), ties by the composite line id
+    "x184_fulfillment_lag" ->
+      """WITH s AS (SELECT o_orderpriority AS priority,
+           CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS line_id,
+           CAST(epoch_ms(l_shipdate) // 86400000
+             - epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS lag_days
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         r AS (SELECT priority, line_id, lag_days,
+             CAST(row_number() OVER (PARTITION BY priority
+               ORDER BY lag_days, line_id) AS BIGINT) AS rank,
+             CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+           FROM s),
+         q AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS quantile)
+         SELECT priority, quantile, rank, line_id, lag_days
+         FROM r JOIN q ON rank = CAST(ceil(quantile * n) AS BIGINT)"""
   )
 }

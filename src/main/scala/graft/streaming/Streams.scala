@@ -359,6 +359,29 @@ object Streams {
       .filter(graft.operators.Analytics.anomalyBound(sigmas))
       .select(counts.columns.map(col): _*)
 
+  /** Streaming REFERENTIAL-INTEGRITY gate — x176's ingest form: an
+    * arriving fact passes only if its FK has a parent in the BATCH
+    * dim-key snapshot (the frozen artifact, same split as
+    * [[anomalyGate]]); [[riQuarantine]] is the complement — the
+    * orphans (early-arriving facts, bad loads) routed to a holding
+    * sink instead of silently landing. Stream-static LEFT SEMI /
+    * LEFT ANTI against the broadcast distinct key column: stateless,
+    * no watermark; NULL keys are orphans by the x176 convention (a
+    * fact that references nothing cannot join anything downstream).
+    * Re-snapshot dims and restart to admit newly-landed parents. */
+  def riGate(facts: DataFrame, fkCol: String,
+             dimKeys: DataFrame, pkCol: String): DataFrame =
+    facts.join(broadcast(dimKeys.select(col(pkCol).as(fkCol)).distinct()),
+      Seq(fkCol), "left_semi")
+
+  /** The orphan complement of [[riGate]] — see there. */
+  def riQuarantine(facts: DataFrame, fkCol: String,
+                   dimKeys: DataFrame, pkCol: String): DataFrame =
+    facts.filter(col(fkCol).isNull).unionByName(
+      facts.filter(col(fkCol).isNotNull).join(
+        broadcast(dimKeys.select(col(pkCol).as(fkCol)).distinct()),
+        Seq(fkCol), "left_anti"))
+
   /** Streaming cross-corpus NEAR-dup gate — the stateless ingest form
     * of batch x75 ([[graft.operators.TextDedup.crossNeardupSurvivors]]):
     * the Bloom sketch of the existing corpus's LSH band keys (built

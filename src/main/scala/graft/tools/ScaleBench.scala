@@ -1064,7 +1064,36 @@ object ScaleBench {
     // key-cardinality-bounded
     ("x181_key_skew", (s: SparkSession, dir: String) =>
       graft.operators.Warehouse.keySkewAudit(
-        Tables(s, dir, "lineitem"), "l_partkey", topK = 20)))
+        Tables(s, dir, "lineitem"), "l_partkey", topK = 20)),
+    // sketch built from the per-key count frame (10x keys), the
+    // depth×width sketch itself stays 3x1024 and broadcasts
+    ("x182_cms_audit", (s: SparkSession, dir: String) =>
+      graft.operators.Sketches.cmsHeavyHitters(
+        Tables(s, dir, "lineitem"), "l_partkey", depth = 3,
+        width = 1024, topK = 20)),
+    // one user-keyed min over 10x users; the running-total window
+    // rides the calendar-bounded day frame
+    ("x183_user_growth", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.cumulativeNewUsers(
+        Tables(s, dir, "events"), "user_id", "ts")),
+    // orderkey-keyed join over 10x facts; the quantile machinery is
+    // the grouped bucketed rank (priority-bounded frames)
+    ("x184_fulfillment_lag", (s: SparkSession, dir: String) => {
+      val sd = graft.functions.Dates.toEpochMillis(col("l_shipdate"))
+      val od = graft.functions.Dates.toEpochMillis(col("o_orderdate"))
+      val lag = (((sd - pmod(sd, lit(86400000L))) / lit(86400000L)) -
+        ((od - pmod(od, lit(86400000L))) / lit(86400000L))).cast("long")
+      val scored = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .join(Tables(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority").as("priority"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_orderkey") * 10 + col("l_linenumber"))
+          .cast("long").as("line_id"), col("priority"),
+          lag.as("lag_days"))
+      graft.operators.TextAnalysis.groupedQuantiles(scored, "line_id",
+        "priority", "lag_days", Seq(0.5, 0.9))
+    }))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1379,4 +1379,31 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k leaked a global sort:\n$p")
     assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
   }
+
+  test("x182 cms audit: the depth×width sketch broadcasts back onto " +
+      "the probe keys — no global sort exchange") {
+    val p = plan("x182_cms_audit")
+    assert(p.contains("BroadcastHashJoin"),
+      s"constant-size sketch should broadcast:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"cms audit leaked a global sort:\n$p")
+  }
+
+  test("x183 user growth: user-keyed min + day aggregate; the only " +
+      "window rides the calendar-bounded day frame") {
+    val p = plan("x183_user_growth")
+    assert(p.contains("Window"),
+      s"running total should be a window over days:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x184 fulfillment lag: grouped double-ceil quantiles — no " +
+      "per-priority sort exchange, quantile frame broadcast") {
+    val p = plan("x184_fulfillment_lag")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"quantile cut leaked a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"quantile/offset frames should broadcast:\n$p")
+  }
 }

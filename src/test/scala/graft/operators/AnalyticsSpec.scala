@@ -336,4 +336,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       ("signup>view>buy", 2L), ("signup", 1L), ("view>signup", 1L)))
   }
+
+  test("cumulativeNewUsers (x183): a user counts only on their FIRST " +
+      "day, gaps leave no row, the running total is monotone") {
+    val day = 86400000L
+    val ev = withTs(Seq(
+      (1L, 0L), (1L, 5L),          // user 1 twice on day 0
+      (2L, day + 1),               // user 2 first on day 1
+      (1L, 3 * day), (3L, 3 * day) // day 3: user 1 returns, user 3 new
+    ).map { case (u, ms) => (u, ms) }.toDF("user_id", "ms"))
+    val out = Analytics.cumulativeNewUsers(ev, "user_id", "ts")
+      .orderBy(col("first_day")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0L, 1L, 1L), (1L, 1L, 2L), (3L, 1L, 3L)))
+  }
 }

@@ -120,6 +120,35 @@ class ClusteringSketchesSpec extends SparkSpec {
       s"rel_err ${big.getDouble(4)} out of the k=16 error regime")
   }
 
+  test("cmsHeavyHitters (x182): estimates never fall below the true " +
+      "count, are exact when the sketch is collision-free, and " +
+      "collapse to pure collision mass at width 1") {
+    import spark.implicits._
+    val df = (Seq.fill(50)(7L) ++ Seq.fill(30)(1L) ++ Seq.fill(20)(2L))
+      .toDF("k")
+    // wide sketch: 3 keys in 3x1024 cells — collision-free, so the
+    // estimate IS the count
+    val wide = Sketches.cmsHeavyHitters(df, "k", depth = 3,
+      width = 1024, topK = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(wide === Map(7L -> ((50L, 50L)), 1L -> ((30L, 30L)),
+      2L -> ((20L, 20L))))
+    // degenerate width 1: every key lands in the same cell — the
+    // estimate is the full corpus mass, the documented upper bound
+    val narrow = Sketches.cmsHeavyHitters(df, "k", depth = 2,
+      width = 1, topK = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(narrow === Map(7L -> 100L, 1L -> 100L, 2L -> 100L))
+    // overestimate-only, at any width
+    Seq(2, 7, 64).foreach { w =>
+      Sketches.cmsHeavyHitters(df, "k", depth = 3, width = w, topK = 3)
+        .collect().foreach { r =>
+          assert(r.getLong(3) >= r.getLong(1),
+            s"width $w underestimated key ${r.getLong(0)}")
+        }
+    }
+  }
+
   test("exact-percentile group-size gate trips, pointing at the sketch path") {
     val e = Tables(spark, "/root/testdata/sf0.001", "events")
     val err = intercept[IllegalArgumentException] {

@@ -1223,4 +1223,34 @@ class StreamsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(streamed === batchFlagged)
   }
+
+  test("riGate passes exactly the facts whose FK has a parent in the " +
+      "dim snapshot; riQuarantine catches the complement incl. NULL " +
+      "keys — the x176 orphan law on a stream") {
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val dir = Files.createTempDirectory("rigate-in").toString
+    Seq((Some(1L), "ok1"), (Some(2L), "ok2"), (Some(9L), "orphan"),
+      (None: Option[Long], "nullkey"))
+      .toDF("fk", "payload")
+      .write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("fk", LongType), StructField("payload", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val qPass = Streams.riGate(stream, "fk", dim, "pk")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ripass")
+      .trigger(Trigger.AvailableNow()).start()
+    val qQuar = Streams.riQuarantine(stream, "fk", dim, "pk")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("riquar")
+      .trigger(Trigger.AvailableNow()).start()
+    qPass.awaitTermination(60000)
+    qQuar.awaitTermination(60000)
+    val passed = spark.table("ripass").select("payload")
+      .collect().map(_.getString(0)).toSet
+    val quarantined = spark.table("riquar").select("payload")
+      .collect().map(_.getString(0)).toSet
+    assert(passed === Set("ok1", "ok2"))
+    assert(quarantined === Set("orphan", "nullkey"))
+  }
 }
