@@ -770,4 +770,168 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, 0)
     daily.withColumn("cum_users", sum(col("n_new_users")).over(w))
   }
+
+  /** CALENDAR GAP-FILL + FORWARD FILL (x186) — densify a per-group
+    * daily series onto its own [min, max] calendar spine and carry the
+    * last observed value across the gaps: `(group, day, value,
+    * filled_value, is_gap)`. The step every downstream rolling /
+    * charting consumer needs BEFORE trusting a window frame — x161
+    * documents the dual bug (a ROWS frame silently stretches over
+    * missing days); this operator makes the missing days explicit
+    * rows instead. Days before a group's first observation cannot
+    * exist (the spine starts at the group's own min), so
+    * `filled_value` is never NULL.
+    *
+    * Scale shape: the spine comes from each group's own (min, max)
+    * extent — one bounded aggregate, then `sequence()` exploded
+    * per group, CALENDAR-bounded rows (years of history = a few
+    * thousand rows per group, however large the corpus); the join
+    * back to observations is key-partitioned on (group, day); the
+    * forward-fill window runs per-group over the calendar-bounded
+    * frame (the documented V-bounded-window exception class). The
+    * corpus itself is touched only by whatever bounded aggregate
+    * produced `daily` — this operator never sees fact rows. */
+  def gapFillDaily(daily: DataFrame, groupCol: String, dayCol: String,
+                   valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ext = daily.groupBy(col(groupCol))
+      .agg(min(col(dayCol)).as("_d0"), max(col(dayCol)).as("_d1"))
+    val spine = ext.select(col(groupCol),
+      explode(sequence(col("_d0"), col("_d1"))).as(dayCol))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily, Seq(groupCol, dayCol), "left")
+      .withColumn("filled_value",
+        last(col(valueCol), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col(valueCol).isNull)
+  }
+
+  /** MARKOV EVENT TRANSITIONS (x187) — the first-order transition
+    * matrix of the event stream: for every (prev_type, next_type)
+    * pair of CONSECUTIVE events within a user's timeline, the exact
+    * transition count and the row-normalized probability
+    * `P(next | prev)` on the 1e-6 grid. The behavioral-model summary
+    * x179's top-journeys report samples from — journeys show the
+    * most common full paths, this gives the complete one-step law
+    * (and feeds simulation / next-event prediction). Ordering ties
+    * break by the event id, so the sequence — and therefore the
+    * matrix — is deterministic.
+    *
+    * Scale shape: one user-keyed window (each user's events sorted
+    * within their own partition — the q13 sessionize exchange) feeds
+    * a (types × types) DICTIONARY-bounded aggregate with map-side
+    * combine; the per-prev totals frame is dictionary-sized and
+    * broadcast back. No self-join — LAG touches each event once. */
+  def markovTransitions(events: DataFrame, userCol: String,
+                        tsCol: String, typeCol: String,
+                        idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_u"))
+      .orderBy(col("_ts"), col("_id"))
+    val seq = events.select(col(userCol).as("_u"),
+        Dates.toEpochMillis(col(tsCol)).as("_ts"), col(idCol).as("_id"),
+        col(typeCol).as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = seq.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = counts.groupBy(col("prev_type"))
+      .agg(sum(col("n_transitions")).as("_tot"))
+    counts.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n_transitions"),
+        Num.fpRound(col("n_transitions").cast("double") /
+          col("_tot").cast("double"), 6).as("prob"))
+  }
+
+  /** INTER-EVENT GAPS (x191's core) — for every event after a user's
+    * first: the milliseconds since that user's PREVIOUS event (any
+    * type), labeled with the current event's type and id —
+    * `(event_id, event_type, gap_ms)`. Feeding this through the
+    * grouped exact-quantile machinery (x156's `groupedQuantiles`)
+    * yields the gap distribution that SIZES q13's sessionize
+    * timeout and `Streams.sessionize`'s state timeout: a 30-minute
+    * gap parameter is an assumption until this report shows where
+    * the within-session/between-session valley actually sits.
+    *
+    * Scale shape: ONE user-keyed window (the q13 exchange), ordered
+    * by (ts, id) so ties — and therefore gaps — are deterministic;
+    * each event is touched once, output is input-sized minus one
+    * row per user. */
+  def interEventGaps(events: DataFrame, userCol: String, tsCol: String,
+                     idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_u")).orderBy(col("_ms"), col("_id"))
+    events.select(col(userCol).as("_u"),
+        Dates.toEpochMillis(col(tsCol)).as("_ms"),
+        col(idCol).as("_id"), col(typeCol).as("event_type"))
+      .withColumn("gap_ms", col("_ms") - lag(col("_ms"), 1).over(w))
+      .filter(col("gap_ms").isNotNull)
+      .select(col("_id").as("event_id"), col("event_type"),
+        col("gap_ms"))
+  }
+
+  /** CUSUM DRIFT DETECTION (x189) — Page's cumulative-sum control
+    * chart (Page 1954, zero-slack form) over each event type's daily
+    * counts: the one-sided upward CUSUM
+    * `S_i = max(0, S_{i-1} + (x_i − μ))` flags SUSTAINED drift that
+    * x163's per-day z-test misses (ten consecutive days at +1σ never
+    * trip a 2σ point test but accumulate to 10σ of CUSUM mass — the
+    * spec pins exactly that contrast) and x175's MAD test also
+    * misses (both are point detectors).
+    *
+    * Exactness: the recursion unrolls to the closed form
+    * `S_i = P_i − min(0, min_{j≤i} P_j)` over the prefix sums `P` of
+    * the deviations — so with deviations kept as EXACT integers
+    * `d_i = D·x_i − Σx` (D = day count; everything scaled by D to
+    * clear the mean's division), both windows are integer sums/mins
+    * riding DECIMAL(38,0)/HUGEINT, and the flag
+    * `S_i > h·D·σ  ⟺  S_i² > h²·(D·Σx² − (Σx)²)` is decided in
+    * exact integer arithmetic (x163's squares law; same 1e19 count
+    * bound). The reported `drift_sigmas = S_i / (D·σ)` is ONE
+    * mirrored double division of the two exact integers, grid-
+    * rounded; NULL when the variance is zero (a constant series has
+    * no σ unit — and its S_i is identically 0).
+    *
+    * Scale shape: one corpus aggregate to (type, day) — bounded
+    * output, map-side combined; a dictionary-sized per-type stats
+    * frame broadcast back; two windows per type over CALENDAR-
+    * bounded day frames (the documented exception class). */
+  /** x189's per-type count moments over [[dailyCounts]] —
+    * `(event_type, _d, _s1, _s2)`: day count, Σx and Σx² (the Σx²
+    * on DECIMAL(38,0)). The frozen batch artifact
+    * [[graft.streaming.Streams.cusumStream]] serves against — the
+    * same batch/stream split as [[anomalyStats]]/`anomalyGate`. */
+  def cusumStats(daily: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_d"), sum(col("n_events")).as("_s1"),
+        sum(dec(col("n_events")) * dec(col("n_events"))).as("_s2"))
+  }
+
+  def cusumDrift(events: DataFrame, tsCol: String, typeCol: String,
+                 h: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(h >= 1, s"h must be >= 1, got $h")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = dailyCounts(events, tsCol, typeCol)
+    val stats = cusumStats(daily)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dev = daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("_dd",
+        dec(col("_d")) * dec(col("n_events")) - dec(col("_s1")))
+    val pre = dev.withColumn("_p", sum(col("_dd")).over(w))
+    val vcol = dec(col("_d")) * col("_s2") -
+      dec(col("_s1")) * dec(col("_s1"))
+    pre
+      .withColumn("_s",
+        col("_p") - least(lit(0).cast("decimal(38,0)"),
+          min(col("_p")).over(w)))
+      .select(col("event_type"), col("day"), col("n_events"),
+        when(vcol > lit(0),
+          Num.fpRound(col("_s").cast("double") /
+            sqrt(vcol.cast("double")), 6)).as("drift_sigmas"),
+        (col("_s") * col("_s") >
+          lit(h.toLong * h).cast("decimal(38,0)") * vcol).as("flagged"))
+  }
 }

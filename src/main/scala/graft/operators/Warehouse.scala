@@ -156,4 +156,85 @@ object Warehouse {
         Num.fpRound(col("n_rows").cast("double") /
           col("_tot").cast("double"), 6).as("share"))
   }
+
+  /** BUCKET CHECKSUMS (x195's core) — the anti-entropy digest table:
+    * rows bucket by an md5-derived hash of their KEY, and each bucket
+    * reports its row count plus an ORDER-FREE content checksum — the
+    * exact DECIMAL(38,0) sum of each row's 60-bit md5 payload hash,
+    * folded to a fixed 60-bit digest (`mod 2^60`, the fixed-width
+    * fold real anti-entropy trees use). Two table snapshots are equal
+    * exactly when every bucket's (count, digest) pair matches — so
+    * reconciliation DETECTS cheaply here and row-diffs (x133's
+    * `snapshotDiff`) only the buckets that differ: at 100 TB the
+    * detect pass moves `numBuckets` rows per side where a naive diff
+    * joins two corpora. Payload columns are hashed through their
+    * STRING casts — callers cast floats to a grid first (the
+    * registered fixture rides integral quantities as longs; a raw
+    * double's string rendering is an engine law this operator
+    * refuses to depend on).
+    *
+    * Scale shape: one scan computing two codegen'd md5 kernels per
+    * row, one bucket-keyed aggregate with map-side combine; the
+    * output is `numBuckets` rows however large the table. Both the
+    * bucket law and the row hash are the x7/x26/x182 md5 convention,
+    * so the whole digest table is oracle-checkable bit-for-bit. */
+  def bucketChecksums(df: DataFrame, keyCol: String,
+                      payloadCols: Seq[String],
+                      numBuckets: Int = 64): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val bucket = pmod(conv(substring(md5(col(keyCol).cast("string")),
+      1, 15), 16, 10).cast("long"), lit(numBuckets.toLong))
+    val payload = concat_ws("|",
+      (keyCol +: payloadCols).map(c => col(c).cast("string")): _*)
+    val rowHash = conv(substring(md5(payload), 1, 15), 16, 10)
+      .cast("long")
+    df.select(bucket.as("bucket"), rowHash.as("_h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(col("_h").cast("decimal(38,0)")),
+          lit(1152921504606846976L).cast("decimal(38,0)"))
+          .cast("long").as("checksum"))
+  }
+
+  /** EVENT-LATENESS / WATERMARK-SIZING AUDIT (x193) — per event type:
+    * how many events arrived AFTER a later-timestamped event of the
+    * same key had already landed (`n_late`), their share, and the
+    * worst lateness in ms — measured per KEY timeline (lateness of
+    * event e = max event time already arrived on e's key − e's own
+    * event time, floored at 0). This is the report that sizes
+    * `withWatermark` and the state timeouts of every
+    * `flatMapGroupsWithState` operator in the streaming layer: state
+    * is per key, so per-key disorder — not global disorder — is what
+    * late data actually costs, and `max_lateness_ms` is the smallest
+    * watermark that would have dropped nothing.
+    *
+    * Scale shape: one key-partitioned window ordered by the arrival
+    * axis (each event touched once — the q13 exchange), then a
+    * dictionary-bounded per-type aggregate with map-side combine.
+    * The arrival axis is a COLUMN (`arrMsCol`), not an assumption:
+    * batch replays of a landed table carry an ingest sequence /
+    * arrival timestamp; the registered fixture derives one
+    * deterministically (x60's augmentation precedent, mirrored
+    * verbatim oracle-side). */
+  def latenessAudit(events: DataFrame, keyCol: String, typeCol: String,
+                    tsMsCol: String, arrMsCol: String,
+                    idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(arrMsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = events
+      .withColumn("_rm", max(col(tsMsCol)).over(w))
+      .withColumn("_late",
+        when(col("_rm") > col(tsMsCol), col("_rm") - col(tsMsCol))
+          .otherwise(lit(0L)))
+    late.groupBy(col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("_late") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("_late")).as("max_lateness_ms"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        Num.fpRound(col("n_late").cast("double") /
+          col("n_events").cast("double"), 6).as("late_share"),
+        col("max_lateness_ms"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num
-import graft.operators.{Analytics, Bpe, Classifier, Cleaning, Components, CorpusPipeline, ImageDedup, Multimodal, Olap, Packing, Project, Retrieval, Similarity, Sketches, Temporal, TextAnalysis, TextDedup, Warehouse}
+import graft.operators.{Analytics, Bpe, Classifier, Cleaning, Components, CorpusPipeline, Graph, ImageDedup, Multimodal, Olap, Packing, Project, Resolution, Retrieval, Similarity, Sketches, Temporal, TextAnalysis, TextDedup, Warehouse}
 
 /** Extension + capability-proof query inventory (SURVEY §2.4 X1-X6 plus the
   * LLM-training-data operators: dedup family, similarity search, text
@@ -1787,6 +1787,156 @@ object ExtensionQueries {
           lag.as("lag_days"))
       TextAnalysis.groupedQuantiles(scored, "line_id", "priority",
         "lag_days", Seq(0.5, 0.9))
+    }),
+
+    // x185 — blocked fuzzy name match: candidate duplicate part names
+    // within edit distance 2, blocked on the head noun (last token),
+    // length-filtered before the banded levenshtein kernel; all pair
+    // work at name-DICTIONARY cardinality, never row pairs.
+    "x185_fuzzy_match" -> ((s, dir) => Resolution.fuzzyNameMatches(
+      t(s, dir, "part"), "p_partkey", "p_name", maxDist = 2)),
+
+    // x186 — calendar gap-fill + forward fill of per-nation daily
+    // revenue: the x161 daily frame densified onto each nation's own
+    // [min, max] day spine, gaps carried forward and flagged.
+    "x186_gap_fill" -> ((s, dir) => {
+      val ms = graft.functions.Dates.toEpochMillis(col("l_shipdate"))
+      val day = ((ms - pmod(ms, lit(86400000L))) / lit(86400000L))
+        .cast("long")
+      val daily = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"),
+          col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"),
+          col("n_name"))), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), day.as("day"),
+          Num.fpRound(col("l_extendedprice") * (lit(1.0) -
+            col("l_discount")), 4).as("_v"))
+        .groupBy(col("nation"), col("day"))
+        .agg(sum(col("_v").cast("decimal(38,6)")).cast("double")
+          .as("revenue"))
+      Analytics.gapFillDaily(daily, "nation", "day", "revenue")
+        .select(col("nation"), col("day"), col("revenue"),
+          col("filled_value").as("filled_revenue"), col("is_gap"))
+    }),
+
+    // x187 — first-order Markov transition matrix of the event
+    // stream: consecutive-event (prev, next) counts per user timeline
+    // + row-normalized P(next | prev) on the 1e-6 grid.
+    "x187_markov_transitions" -> ((s, dir) => Analytics.markovTransitions(
+      t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")),
+
+    // x188 — exact-integer PageRank (3 unrolled rounds, d = 0.85) over
+    // the brand co-purchase graph; ranks are integer 1e-9 mass units
+    // so the fixed point is engine-independent.
+    "x188_pagerank" -> ((s, dir) => Graph.pageRank(
+        Graph.coPurchaseEdges(t(s, dir, "lineitem"), t(s, dir, "part")),
+        iterations = 3)
+      .select(col("node").as("brand"), col("pr_units"))),
+
+    // x189 — CUSUM drift detection over per-type daily event counts:
+    // Page's cumulative-sum chart in exact integer arithmetic, the
+    // sustained-drift complement of x163 (z) and x175 (MAD).
+    "x189_cusum_drift" -> ((s, dir) => Analytics.cusumDrift(
+      t(s, dir, "events"), "ts", "event_type", h = 3)),
+
+    // x190 — deterministic label propagation (3 sync rounds, ties to
+    // the smallest label) over the lift-filtered brand affinity
+    // graph: the bought-together communities below x188's centrality.
+    "x190_label_communities" -> ((s, dir) => Graph.labelPropagation(
+        Graph.affinityEdges(t(s, dir, "lineitem"), t(s, dir, "part")),
+        rounds = 3)
+      .select(col("node").as("brand"), col("label").as("community"))),
+
+    // x191 — inter-event gap quantiles per event type (exact
+    // p50/p90/p99 via the grouped double-ceil law): the report that
+    // sizes q13's session gap and the streaming state timeouts.
+    "x191_event_gaps" -> ((s, dir) => {
+      val gaps = Analytics.interEventGaps(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+      TextAnalysis.groupedQuantiles(gaps, "event_id", "event_type",
+        "gap_ms", Seq(0.5, 0.9, 0.99))
+    }),
+
+    // x192 — per-brand triangle counts + clustering coefficient on
+    // the affinity graph: cohesion audit for x190's communities
+    // (oriented a<b<c enumeration — each triangle produced once).
+    "x192_triangle_stats" -> ((s, dir) => Graph.triangleStats(
+        Graph.affinityEdges(t(s, dir, "lineitem"), t(s, dir, "part")))
+      .select(col("node").as("brand"), col("degree"),
+        col("n_triangles"), col("clustering_coeff"))),
+
+    // x193 — event-lateness / watermark-sizing audit over a
+    // deterministic delayed-arrival augmentation (every 7th event id
+    // lands one day late — the x60 augmentation precedent, mirrored
+    // verbatim oracle-side): per-KEY disorder is what late data
+    // costs a keyed-state streaming operator.
+    "x193_watermark_audit" -> ((s, dir) => {
+      val ms = graft.functions.Dates.toEpochMillis(col("ts"))
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("event_type"), col("event_id"), ms.as("_ms"),
+        (ms + when(pmod(col("event_id"), lit(7L)) === 0,
+          lit(86400000L)).otherwise(lit(0L))).as("_arr"))
+      Warehouse.latenessAudit(ev, "user_id", "event_type", "_ms",
+        "_arr", "event_id")
+    }),
+
+    // x194 — incremental JOIN-MV refresh: the revenue cube maintained
+    // from a base shard + a delta shard, each JOINED to the dims
+    // independently (the delta path never rescans base facts); the
+    // oracle recomputes from scratch — merged == full-recompute is
+    // the MV-refresh contract with a join in the path (x178's law).
+    "x194_mv_join_delta" -> ((s, dir) => {
+      val joined = (df: DataFrame) => df
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"),
+          col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"),
+          col("n_name"))), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          year(col("l_shipdate")).cast("long").as("ship_year"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 1e4 + lit(0.5)).cast("long").as("_u"),
+          Num.fpRound(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")), 4).as("_v"))
+      val li = t(s, dir, "lineitem")
+      val base = li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)
+      val delta = li.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+      Warehouse.mergeRollup(Seq(
+          Warehouse.rollupPartial(joined(base),
+            Seq("nation", "ship_year"), "_u", "_v"),
+          Warehouse.rollupPartial(joined(delta),
+            Seq("nation", "ship_year"), "_u", "_v")),
+          Seq("nation", "ship_year"))
+        .select(col("nation"), col("ship_year"),
+          col("n_rows").as("n_items"),
+          (col("sum_units").cast("double") / 1e4).as("revenue"),
+          col("min_v").as("min_item"), col("max_v").as("max_item"))
+    }),
+
+    // x195 — anti-entropy bucket checksums: base vs a deterministic
+    // mutated snapshot (drop line_id % 97 = 0, bump qty at % 89 = 0),
+    // 64 buckets of (count, 60-bit order-free digest); differs flags
+    // exactly the buckets x133's row-diff would then be pointed at.
+    "x195_bucket_checksums" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+          .as("line_id"),
+        col("l_quantity").cast("long").as("qty"))
+      val snap = li.filter(pmod(col("line_id"), lit(97)) =!= 0)
+        .withColumn("qty", when(pmod(col("line_id"), lit(89)) === 0,
+          col("qty") + 1).otherwise(col("qty")))
+      val b = Warehouse.bucketChecksums(li, "line_id", Seq("qty"), 64)
+      val sn = Warehouse.bucketChecksums(snap, "line_id", Seq("qty"), 64)
+      b.select(col("bucket"), col("n_rows").as("n_base"),
+          col("checksum").as("base_sum"))
+        .join(sn.select(col("bucket"), col("n_rows").as("n_snap"),
+          col("checksum").as("snap_sum")), Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_snap"), lit(0L)).as("n_snap"),
+          coalesce(col("base_sum"), lit(0L)).as("base_sum"),
+          coalesce(col("snap_sum"), lit(0L)).as("snap_sum"))
+        .withColumn("differs", col("n_base") =!= col("n_snap") ||
+          col("base_sum") =!= col("snap_sum"))
     })
   )
 
@@ -5991,6 +6141,300 @@ object ExtensionQueries {
            FROM s),
          q AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS quantile)
          SELECT priority, quantile, rank, line_id, lag_days
-         FROM r JOIN q ON rank = CAST(ceil(quantile * n) AS BIGINT)"""
+         FROM r JOIN q ON rank = CAST(ceil(quantile * n) AS BIGINT)""",
+    // distinct-name dictionary (min-id canonical + count), blocked on
+    // the last token, length-filtered, then the exact levenshtein cut
+    "x185_fuzzy_match" ->
+      """WITH d AS (SELECT p_name AS name, min(p_partkey) AS id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           regexp_extract(p_name, '(\S+)$', 1) AS blk
+           FROM part WHERE p_name IS NOT NULL GROUP BY 1, 4)
+         SELECT a.name AS name_a, b.name AS name_b, a.id AS id_a,
+           b.id AS id_b, a.n_rows AS n_a, b.n_rows AS n_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+         FROM d a JOIN d b ON a.blk = b.blk AND a.name < b.name
+         WHERE abs(length(a.name) - length(b.name)) <= 2
+           AND levenshtein(a.name, b.name) <= 2""",
+    // x161's exact-decimal daily frame densified onto each nation's
+    // own [min, max] spine; forward fill = last_value IGNORE NULLS
+    "x186_gap_fill" ->
+      """WITH d AS (SELECT n_name AS nation,
+           epoch_ms(l_shipdate) // 86400000 AS day,
+           floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+             / 10000.0 AS v
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey),
+         g AS (SELECT nation, day,
+             CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+           FROM d GROUP BY 1, 2),
+         e AS (SELECT nation, min(day) AS d0, max(day) AS d1
+           FROM g GROUP BY 1),
+         sp AS (SELECT nation, unnest(generate_series(d0, d1)) AS day
+           FROM e),
+         j AS (SELECT sp.nation, sp.day, g.revenue
+           FROM sp LEFT JOIN g ON sp.nation = g.nation
+             AND sp.day = g.day)
+         SELECT nation, day, revenue,
+           last_value(revenue IGNORE NULLS) OVER (PARTITION BY nation
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+             CURRENT ROW) AS filled_revenue,
+           revenue IS NULL AS is_gap
+         FROM j""",
+    // LAG within each user's (ts, event_id)-ordered timeline, then
+    // dictionary-bounded counts + row-normalized 1e-6-grid P(next|prev)
+    "x187_markov_transitions" ->
+      """WITH s AS (SELECT user_id, event_type AS next_type,
+           lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         c AS (SELECT prev_type, next_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+           FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT prev_type, sum(n_transitions) AS tot
+           FROM c GROUP BY 1)
+         SELECT c.prev_type, c.next_type, c.n_transitions,
+           floor(CAST(n_transitions AS DOUBLE) / CAST(tot AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS prob
+         FROM c JOIN t ON c.prev_type = t.prev_type""",
+    // 3 unrolled integer-PageRank rounds: per-edge shares on the 1e9
+    // grid, floor-div contributions, 0.85 damping as (85·acc)//100 —
+    // every intermediate an exact integer, so pr is hash-stable
+    "x188_pagerank" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         e AS (SELECT a.b AS src, c2.b AS dst,
+             CAST(count(*) AS BIGINT) AS w
+           FROM ob a JOIN ob c2 ON a.ok = c2.ok AND a.b <> c2.b
+           GROUP BY 1, 2),
+         ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+         sh AS (SELECT e.src, e.dst,
+             CAST((CAST(e.w AS HUGEINT) * CAST(1000000000 AS BIGINT))
+               // ow.outw AS BIGINT) AS share
+           FROM e JOIN ow ON e.src = ow.src),
+         n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM n),
+         bs AS (SELECT n.node,
+             (15 * CAST(1000000000 AS BIGINT)) // (100 * nn) AS base,
+             CAST(1000000000 AS BIGINT) // nn AS pr0
+           FROM n, c),
+         p1 AS (SELECT bs.node, bs.base
+             + (85 * COALESCE(a.acc, 0)) // 100 AS pr
+           FROM bs LEFT JOIN (SELECT sh.dst AS node,
+               sum((p.pr0 * sh.share)
+                 // CAST(1000000000 AS BIGINT)) AS acc
+             FROM sh JOIN bs p ON sh.src = p.node GROUP BY 1) a
+             ON bs.node = a.node),
+         p2 AS (SELECT bs.node, bs.base
+             + (85 * COALESCE(a.acc, 0)) // 100 AS pr
+           FROM bs LEFT JOIN (SELECT sh.dst AS node,
+               sum((p.pr * sh.share)
+                 // CAST(1000000000 AS BIGINT)) AS acc
+             FROM sh JOIN p1 p ON sh.src = p.node GROUP BY 1) a
+             ON bs.node = a.node),
+         p3 AS (SELECT bs.node, bs.base
+             + (85 * COALESCE(a.acc, 0)) // 100 AS pr
+           FROM bs LEFT JOIN (SELECT sh.dst AS node,
+               sum((p.pr * sh.share)
+                 // CAST(1000000000 AS BIGINT)) AS acc
+             FROM sh JOIN p2 p ON sh.src = p.node GROUP BY 1) a
+             ON bs.node = a.node)
+         SELECT node AS brand, CAST(pr AS BIGINT) AS pr_units
+         FROM p3""",
+    // Page's CUSUM in the closed form S_i = P_i − min(0, min_j P_j)
+    // over exact integer deviations D·x − Σx; flag S² > h²·(D·Σx²−Σx²)
+    "x189_cusum_drift" ->
+      """WITH dc AS (SELECT event_type,
+           epoch_ms(ts) // 86400000 AS day,
+           CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS d,
+             CAST(sum(n_events) AS HUGEINT) AS s1,
+             sum(CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT))
+               AS s2
+           FROM dc GROUP BY 1),
+         dev AS (SELECT dc.event_type, dc.day, dc.n_events,
+             st.d * dc.n_events - st.s1 AS dd,
+             st.d * st.s2 - st.s1 * st.s1 AS v
+           FROM dc JOIN st ON dc.event_type = st.event_type),
+         pre AS (SELECT *, sum(dd) OVER (PARTITION BY event_type
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+             CURRENT ROW) AS p FROM dev),
+         cus AS (SELECT *, p - least(CAST(0 AS HUGEINT),
+             min(p) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             AS sc FROM pre)
+         SELECT event_type, day, n_events,
+           CASE WHEN v > 0 THEN floor(CAST(sc AS DOUBLE)
+             / sqrt(CAST(v AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
+             END AS drift_sigmas,
+           sc * sc > 9 * v AS flagged
+         FROM cus""",
+    // 3 unrolled deterministic-LPA rounds over the lift-filtered
+    // (cb·N > cu1·cu2, exact integers) symmetric brand graph;
+    // argmax = (w DESC, label ASC), exactly min(struct(-w, label))
+    "x190_label_communities" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         u AS (SELECT b, CAST(count(*) AS BIGINT) AS cu
+           FROM ob GROUP BY 1),
+         nn AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS nb
+           FROM ob),
+         p AS (SELECT a.b AS src, c2.b AS dst,
+             CAST(count(*) AS BIGINT) AS w
+           FROM ob a JOIN ob c2 ON a.ok = c2.ok AND a.b <> c2.b
+           GROUP BY 1, 2),
+         e AS (SELECT p.src, p.dst, p.w
+           FROM p JOIN u u1 ON p.src = u1.b
+           JOIN u u2 ON p.dst = u2.b, nn
+           WHERE CAST(p.w AS HUGEINT) * nb
+             > CAST(u1.cu AS HUGEINT) * u2.cu),
+         l0 AS (SELECT src AS node, src AS label FROM e
+           UNION SELECT dst, dst FROM e),
+         a1 AS (SELECT e.dst AS node, l.label, sum(e.w) AS w
+           FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+         l1 AS (SELECT node, label FROM (SELECT node, label,
+             row_number() OVER (PARTITION BY node
+               ORDER BY w DESC, label) AS rn FROM a1) WHERE rn = 1),
+         a2 AS (SELECT e.dst AS node, l.label, sum(e.w) AS w
+           FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+         l2 AS (SELECT node, label FROM (SELECT node, label,
+             row_number() OVER (PARTITION BY node
+               ORDER BY w DESC, label) AS rn FROM a2) WHERE rn = 1),
+         a3 AS (SELECT e.dst AS node, l.label, sum(e.w) AS w
+           FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+         l3 AS (SELECT node, label FROM (SELECT node, label,
+             row_number() OVER (PARTITION BY node
+               ORDER BY w DESC, label) AS rn FROM a3) WHERE rn = 1)
+         SELECT node AS brand, label AS community FROM l3""",
+    // user-keyed LAG gaps, then the grouped double-ceil quantile law
+    // (x156/x184's shape) at p50/p90/p99 per event type
+    "x191_event_gaps" ->
+      """WITH g AS (SELECT event_id, event_type,
+           epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+             ORDER BY epoch_ms(ts), event_id) AS gap_ms
+           FROM events),
+         s AS (SELECT event_type, event_id, gap_ms FROM g
+           WHERE gap_ms IS NOT NULL),
+         r AS (SELECT event_type, event_id, gap_ms,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY gap_ms, event_id) AS BIGINT) AS rank,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n
+           FROM s),
+         q AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE])
+           AS quantile)
+         SELECT event_type, quantile, rank, event_id, gap_ms
+         FROM r JOIN q ON rank = CAST(ceil(quantile * n) AS BIGINT)""",
+    // oriented a<b<c triangle enumeration over the affinity graph;
+    // coefficient = 2t/(d(d-1)) on the 1e-6 grid, NULL below degree 2
+    "x192_triangle_stats" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         u AS (SELECT b, CAST(count(*) AS BIGINT) AS cu
+           FROM ob GROUP BY 1),
+         nn AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS nb
+           FROM ob),
+         p AS (SELECT a.b AS src, c2.b AS dst,
+             CAST(count(*) AS BIGINT) AS w
+           FROM ob a JOIN ob c2 ON a.ok = c2.ok AND a.b <> c2.b
+           GROUP BY 1, 2),
+         e AS (SELECT p.src, p.dst, p.w
+           FROM p JOIN u u1 ON p.src = u1.b
+           JOIN u u2 ON p.dst = u2.b, nn
+           WHERE CAST(p.w AS HUGEINT) * nb
+             > CAST(u1.cu AS HUGEINT) * u2.cu),
+         und AS (SELECT DISTINCT src AS a, dst AS b FROM e
+           WHERE src < dst),
+         tri AS (SELECT w1.a, w1.b, w2.b AS c
+           FROM und w1 JOIN und w2 ON w1.b = w2.a
+           JOIN und w3 ON w3.a = w1.a AND w3.b = w2.b),
+         pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+           FROM (SELECT a AS node FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) GROUP BY 1),
+         deg AS (SELECT src AS node, CAST(count(*) AS BIGINT)
+             AS degree
+           FROM e GROUP BY 1)
+         SELECT deg.node AS brand, deg.degree,
+           CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.degree >= 2 THEN
+             floor(2.0 * CAST(COALESCE(pn.n_triangles, 0) AS BIGINT)
+               / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+               * 1000000 + 0.5) / 1000000.0 END AS clustering_coeff
+         FROM deg LEFT JOIN pn ON deg.node = pn.node""",
+    // per-user runmax of event time over the deterministic delayed
+    // arrival order (id % 7 = 0 lands a day late — mirrored verbatim)
+    "x193_watermark_audit" ->
+      """WITH s AS (SELECT event_type, user_id, event_id,
+           epoch_ms(ts) AS ms,
+           epoch_ms(ts) + CASE WHEN event_id % 7 = 0
+             THEN 86400000 ELSE 0 END AS arr
+           FROM events),
+         m AS (SELECT event_type, ms,
+             max(ms) OVER (PARTITION BY user_id ORDER BY arr, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+           FROM s),
+         l AS (SELECT event_type,
+             CASE WHEN rm > ms THEN rm - ms ELSE 0 END AS late
+           FROM m)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           floor(CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS late_share,
+           CAST(max(late) AS BIGINT) AS max_lateness_ms
+         FROM l GROUP BY 1""",
+    // the MV-refresh contract with a join in the path: the oracle IS
+    // the full recompute the base+delta merge must equal bit-for-bit
+    "x194_mv_join_delta" ->
+      """SELECT n_name AS nation,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+               * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
+             AS revenue,
+           min(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+             / 10000.0) AS min_item,
+           max(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+             / 10000.0) AS max_item
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1, 2""",
+    // md5 bucket + 60-bit payload-hash digests (the x182 hash law),
+    // folded mod 2^60; the mutated snapshot mirrored verbatim
+    "x195_bucket_checksums" ->
+      """WITH li AS (SELECT
+           CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS line_id,
+           CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+         snap AS (SELECT line_id,
+             CASE WHEN line_id % 89 = 0 THEN qty + 1 ELSE qty END
+               AS qty
+           FROM li WHERE line_id % 97 <> 0),
+         bh AS (SELECT ('0x' || substring(md5(CAST(line_id AS VARCHAR)),
+               1, 15))::BIGINT % 64 AS bucket,
+             ('0x' || substring(md5(CAST(line_id AS VARCHAR) || '|'
+               || CAST(qty AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM li),
+         sh AS (SELECT ('0x' || substring(md5(CAST(line_id AS VARCHAR)),
+               1, 15))::BIGINT % 64 AS bucket,
+             ('0x' || substring(md5(CAST(line_id AS VARCHAR) || '|'
+               || CAST(qty AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM snap),
+         b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base,
+             CAST(sum(h) % 1152921504606846976 AS BIGINT) AS base_sum
+           FROM bh GROUP BY 1),
+         s AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_snap,
+             CAST(sum(h) % 1152921504606846976 AS BIGINT) AS snap_sum
+           FROM sh GROUP BY 1)
+         SELECT COALESCE(b.bucket, s.bucket) AS bucket,
+           CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+           CAST(COALESCE(n_snap, 0) AS BIGINT) AS n_snap,
+           CAST(COALESCE(base_sum, 0) AS BIGINT) AS base_sum,
+           CAST(COALESCE(snap_sum, 0) AS BIGINT) AS snap_sum,
+           COALESCE(n_base, 0) <> COALESCE(n_snap, 0)
+             OR COALESCE(base_sum, 0) <> COALESCE(snap_sum, 0)
+             AS differs
+         FROM b FULL JOIN s ON b.bucket = s.bucket"""
   )
 }

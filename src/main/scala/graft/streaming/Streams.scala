@@ -359,6 +359,73 @@ object Streams {
       .filter(graft.operators.Analytics.anomalyBound(sigmas))
       .select(counts.columns.map(col): _*)
 
+  final case class DailyCount(event_type: String, day: Long,
+                              n_events: Long)
+  final case class CusumState(p: Long, minP: Long)
+  final case class CusumRow(event_type: String, day: Long,
+                            n_events: Long, cusum: Long, flagged: Boolean)
+
+  /** Driver-side snapshot of [[graft.operators.Analytics.cusumStats]]
+    * for [[cusumStream]]: per type `(D, Σx, V = D·Σx² − (Σx)²)` —
+    * the stats frame is event-type-dictionary-sized, so collecting
+    * it is the same bounded collect as every other frozen-baseline
+    * gate. V rides BigInt (it exceeds a long exactly when the batch
+    * side needed DECIMAL(38,0)). */
+  def cusumBaselines(stats: org.apache.spark.sql.DataFrame)
+      : Map[String, (Long, Long, BigInt)] =
+    stats.collect().map { r =>
+      val d = r.getLong(1)
+      val s1 = r.getLong(2)
+      val s2 = BigInt(r.getDecimal(3).toBigInteger)
+      r.getString(0) ->
+        ((d, s1, BigInt(d) * s2 - BigInt(s1) * BigInt(s1)))
+    }.toMap
+
+  /** Streaming CUSUM drift detector — x189's continuous form
+    * ([[graft.operators.Analytics.cusumDrift]]): per event type, the
+    * prefix sum `P` and prefix min of the exact integer deviations
+    * `d = D·x − Σx` (against the FROZEN batch baseline — the
+    * anomalyGate split) are ONE fixed-size state record; each
+    * micro-batch folds its days in day order, emits
+    * `S = P − min(0, min_j P_j)` and the exact-integer flag
+    * `S² > h²·V` per day. Because batch and stream share the closed
+    * form and the baseline, a time-ordered replay emits the batch
+    * report's exact flag sequence (spec-pinned). Types missing from
+    * the baseline drop (the anomalyGate law). Deviations fold in
+    * longs — the per-day bound is `D·x < 2^63`, the same count scale
+    * the batch side's long-cast report columns assume; the flag
+    * itself compares in BigInt. */
+  def cusumStream(counts: Dataset[DailyCount],
+                  baselines: Map[String, (Long, Long, BigInt)],
+                  h: Int = 3)
+                 (implicit spark: SparkSession): Dataset[CusumRow] = {
+    import spark.implicits._
+    require(h >= 1, s"h must be >= 1, got $h")
+    val h2 = BigInt(h.toLong * h)
+    counts.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[DailyCount],
+         state: GroupState[CusumState]) =>
+          baselines.get(etype) match {
+            case None => Iterator.empty
+            case Some((d, s1, v)) =>
+              val sorted = rows.toSeq.sortBy(_.day)
+              var st = state.getOption.getOrElse(CusumState(0L, 0L))
+              val out = Seq.newBuilder[CusumRow]
+              sorted.foreach { r =>
+                val p = st.p + (d * r.n_events - s1)
+                st = CusumState(p, math.min(st.minP, p))
+                val s = p - math.min(0L, st.minP)
+                out += CusumRow(etype, r.day, r.n_events, s,
+                  BigInt(s) * BigInt(s) > h2 * v)
+              }
+              state.update(st)
+              out.result().iterator
+          }
+      }
+  }
+
   /** Streaming REFERENTIAL-INTEGRITY gate — x176's ingest form: an
     * arriving fact passes only if its FK has a parent in the BATCH
     * dim-key snapshot (the frozen artifact, same split as

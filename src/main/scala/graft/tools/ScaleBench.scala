@@ -1093,6 +1093,127 @@ object ScaleBench {
           lag.as("lag_days"))
       graft.operators.TextAnalysis.groupedQuantiles(scored, "line_id",
         "priority", "lag_days", Seq(0.5, 0.9))
+    }),
+    // 10x part rows collapse to the SAME distinct-name dictionary —
+    // pair work is dictionary-bounded, only the first aggregate scan
+    // grows
+    ("x185_fuzzy_match", (s: SparkSession, dir: String) =>
+      graft.operators.Resolution.fuzzyNameMatches(
+        Tables(s, dir, "part"), "p_partkey", "p_name", maxDist = 2)),
+    // 10x facts, same calendar -> same (nation, day) frame; the spine
+    // join and forward-fill window never see fact rows
+    ("x186_gap_fill", (s: SparkSession, dir: String) => {
+      val ms = graft.functions.Dates.toEpochMillis(col("l_shipdate"))
+      val day = ((ms - pmod(ms, lit(86400000L))) / lit(86400000L))
+        .cast("long")
+      val daily = Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "supplier").select(col("s_suppkey"),
+          col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "nation").select(col("n_nationkey"),
+          col("n_name"))), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), day.as("day"),
+          graft.functions.Num.fpRound(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")), 4).as("_v"))
+        .groupBy(col("nation"), col("day"))
+        .agg(sum(col("_v").cast("decimal(38,6)")).cast("double")
+          .as("revenue"))
+      graft.operators.Analytics.gapFillDaily(daily, "nation", "day",
+        "revenue")
+    }),
+    // 10x events through the per-user LAG window; the transition
+    // matrix stays dictionary^2-bounded
+    ("x187_markov_transitions", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.markovTransitions(
+        Tables(s, dir, "events"), "user_id", "ts", "event_type",
+        "event_id")),
+    // 10x facts build the SAME 25-node brand graph (consistent key
+    // renumbering replicates baskets); the 3 ranking rounds run on
+    // dictionary frames regardless of corpus size
+    ("x188_pagerank", (s: SparkSession, dir: String) =>
+      graft.operators.Graph.pageRank(graft.operators.Graph
+        .coPurchaseEdges(Tables(s, dir, "lineitem"),
+          Tables(s, dir, "part")), iterations = 3)),
+    // 10x history -> 10x (type, day) rows; the windows ride the
+    // calendar-bounded per-type frames
+    ("x189_cusum_drift", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.cusumDrift(
+        Tables(s, dir, "events"), "ts", "event_type", h = 3)),
+    // 10x facts, same 25-node affinity graph: the LPA rounds run on
+    // dictionary frames; only the (order, brand) collapse scales
+    ("x190_label_communities", (s: SparkSession, dir: String) =>
+      graft.operators.Graph.labelPropagation(
+        graft.operators.Graph.affinityEdges(Tables(s, dir, "lineitem"),
+          Tables(s, dir, "part")), rounds = 3)),
+    // 10x events through the user-keyed LAG; the quantile rank is
+    // grouped-bucketed over 10x gaps
+    ("x191_event_gaps", (s: SparkSession, dir: String) => {
+      val gaps = graft.operators.Analytics.interEventGaps(
+        Tables(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type")
+      graft.operators.TextAnalysis.groupedQuantiles(gaps, "event_id",
+        "event_type", "gap_ms", Seq(0.5, 0.9, 0.99))
+    }),
+    // same dictionary graph at 10x facts: wedge/closure joins flat,
+    // only the edge build scales
+    ("x192_triangle_stats", (s: SparkSession, dir: String) =>
+      graft.operators.Graph.triangleStats(
+        graft.operators.Graph.affinityEdges(Tables(s, dir, "lineitem"),
+          Tables(s, dir, "part")))),
+    // 10x events through one key-partitioned arrival window + a
+    // dictionary-bounded type aggregate
+    ("x193_watermark_audit", (s: SparkSession, dir: String) => {
+      val ms = graft.functions.Dates.toEpochMillis(col("ts"))
+      val ev = Tables(s, dir, "events").select(col("user_id"),
+        col("event_type"), col("event_id"), ms.as("_ms"),
+        (ms + when(pmod(col("event_id"), lit(7L)) === 0,
+          lit(86400000L)).otherwise(lit(0L))).as("_arr"))
+      graft.operators.Warehouse.latenessAudit(ev, "user_id",
+        "event_type", "_ms", "_arr", "event_id")
+    }),
+    // 10x facts through two broadcast-dim shard aggregates + one
+    // cube-keyed merge; output stays (nation x year)-bounded
+    ("x194_mv_join_delta", (s: SparkSession, dir: String) => {
+      val joined = (df: DataFrame) => df
+        .join(broadcast(Tables(s, dir, "supplier").select(
+          col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "nation").select(
+          col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          year(col("l_shipdate")).cast("long").as("ship_year"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 1e4 + lit(0.5)).cast("long").as("_u"),
+          graft.functions.Num.fpRound(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")), 4).as("_v"))
+      val li = Tables(s, dir, "lineitem")
+      graft.operators.Warehouse.mergeRollup(Seq(
+        graft.operators.Warehouse.rollupPartial(
+          joined(li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)),
+          Seq("nation", "ship_year"), "_u", "_v"),
+        graft.operators.Warehouse.rollupPartial(
+          joined(li.filter(pmod(col("l_orderkey"), lit(10)) === 0)),
+          Seq("nation", "ship_year"), "_u", "_v")),
+        Seq("nation", "ship_year"))
+    }),
+    // 10x rows through two md5 kernels + a 64-bucket aggregate each
+    // side; the reconciliation join moves 64 rows at any scale
+    ("x195_bucket_checksums", (s: SparkSession, dir: String) => {
+      val li = Tables(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+          .as("line_id"),
+        col("l_quantity").cast("long").as("qty"))
+      val snap = li.filter(pmod(col("line_id"), lit(97)) =!= 0)
+        .withColumn("qty", when(pmod(col("line_id"), lit(89)) === 0,
+          col("qty") + 1).otherwise(col("qty")))
+      val b = graft.operators.Warehouse.bucketChecksums(
+        li, "line_id", Seq("qty"), 64)
+      val sn = graft.operators.Warehouse.bucketChecksums(
+        snap, "line_id", Seq("qty"), 64)
+      b.select(col("bucket"), col("n_rows").as("n_base"),
+          col("checksum").as("base_sum"))
+        .join(sn.select(col("bucket"), col("n_rows").as("n_snap"),
+          col("checksum").as("snap_sum")), Seq("bucket"), "full_outer")
     }))
 
   def main(args: Array[String]): Unit = {

@@ -1406,4 +1406,105 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("BroadcastNestedLoopJoin"),
       s"quantile/offset frames should broadcast:\n$p")
   }
+
+  test("x185 fuzzy match: all pair work at name-dictionary grain " +
+      "behind a blocked EQUI-join — no cartesian, no nested loop") {
+    val p = plan("x185_fuzzy_match")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"block join must stay an equi-join:\n$p")
+  }
+
+  test("x186 gap fill: spine join is an equi-join; forward fill is " +
+      "one window over the calendar-bounded frame; no cartesian") {
+    val p = plan("x186_gap_fill")
+    assert(p.contains("Window"), s"forward fill should be a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x187 markov transitions: LAG touches each event once (no " +
+      "self-join of the corpus); the per-prev totals broadcast") {
+    val p = plan("x187_markov_transitions")
+    assert(p.contains("Window"), s"LAG should be a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dictionary-sized totals should broadcast:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"markov leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x188 pagerank: the corpus collapses to the distinct " +
+      "(order, brand) frame before any self-join; rounds run on " +
+      "dictionary frames — no cartesian anywhere in 3 unrolled " +
+      "iterations") {
+    val p = plan("x188_pagerank")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x189 cusum drift: one corpus aggregate to (type, day); the " +
+      "per-type stats broadcast; both windows ride the calendar-" +
+      "bounded day frame — no global sort") {
+    val p = plan("x189_cusum_drift")
+    assert(p.contains("Window"), s"prefix sums should be windows:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type stats should broadcast:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"cusum leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x190 label communities: 3 LPA rounds are join+aggregate " +
+      "chains on dictionary frames — argmax is an aggregate, not a " +
+      "window; no cartesian") {
+    val p = plan("x190_label_communities")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+    assert(!p.contains("Window"),
+      s"LPA argmax must be min(struct(...)), not a window:\n$p")
+  }
+
+  test("x191 event gaps: one user-keyed LAG exchange feeds the " +
+      "grouped quantile rank — no global sort exchange") {
+    val p = plan("x191_event_gaps")
+    assert(p.contains("Window"), s"LAG should be a window:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"gap quantiles leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x192 triangle stats: oriented wedge/closure joins stay " +
+      "equi-joins on the dictionary edge list — no cartesian, no " +
+      "nested loop beyond the 1-row basket broadcast") {
+    val p = plan("x192_triangle_stats")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x193 watermark audit: one key-partitioned arrival window, " +
+      "then a dictionary-bounded type aggregate — no global sort") {
+    val p = plan("x193_watermark_audit")
+    assert(p.contains("Window"), s"runmax should be a window:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"lateness audit leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x194 mv join delta: dims broadcast into both shards, the " +
+      "merge is one hash aggregate — no window, no sort, no " +
+      "cartesian") {
+    val p = plan("x194_mv_join_delta")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dims should broadcast:\n$p")
+    assert(!p.contains("Window"), s"merge must be an aggregate:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"mv merge leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x195 bucket checksums: two scan-side md5 kernels + bucket " +
+      "aggregates; the reconciliation join moves numBuckets rows — " +
+      "no global sort, no cartesian") {
+    val p = plan("x195_bucket_checksums")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"digest table leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
 }

@@ -350,4 +350,125 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq === Seq((0L, 1L, 1L), (1L, 1L, 2L), (3L, 1L, 3L)))
   }
+
+  test("gapFillDaily (x186): the spine covers each group's OWN " +
+      "[min, max] days, gaps are explicit rows carrying the last " +
+      "observed value, and filled_value is never NULL") {
+    import spark.implicits._
+    val daily = Seq(
+      ("a", 10L, 1.5), ("a", 13L, 2.5), // gap at 11, 12
+      ("b", 20L, 9.0)                   // single day — no gap
+    ).toDF("nation", "day", "revenue")
+    val out = Analytics.gapFillDaily(daily, "nation", "day", "revenue")
+      .orderBy(col("nation"), col("day")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      ("a", 10L, Some(1.5), 1.5, false),
+      ("a", 11L, None, 1.5, true),
+      ("a", 12L, None, 1.5, true),
+      ("a", 13L, Some(2.5), 2.5, false),
+      ("b", 20L, Some(9.0), 9.0, false)))
+  }
+
+  test("markovTransitions (x187): consecutive pairs within each " +
+      "user's (ts, event_id)-ordered timeline; counts aggregate " +
+      "across users; probs row-normalize per prev state") {
+    val ev = withTs(Seq(
+      // user 1: A -> B -> A
+      (1L, 1L, "A", 10L), (1L, 2L, "B", 20L), (1L, 3L, "A", 30L),
+      // user 2: A -> B; NO cross-user transition to user 1's events
+      (2L, 4L, "A", 10L), (2L, 5L, "B", 20L),
+      // user 3: same-ms pair — event_id orders it C(6) -> A(7)
+      (3L, 6L, "C", 10L), (3L, 7L, "A", 10L),
+      // user 4: single event contributes nothing
+      (4L, 8L, "B", 10L)
+    ).map { case (u, e, t, ms) => (u, e, t, ms) }
+      .toDF("user_id", "event_id", "event_type", "ms"))
+    val out = Analytics.markovTransitions(ev, "user_id", "ts",
+        "event_type", "event_id").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      ("A", "B") -> ((2L, 1.0)),
+      ("B", "A") -> ((1L, 1.0)),
+      ("C", "A") -> ((1L, 1.0))))
+  }
+
+  test("markovTransitions: probabilities split on the 1e-6 grid when " +
+      "a state fans out") {
+    val ev = withTs(Seq(
+      (1L, 1L, "A", 10L), (1L, 2L, "B", 20L),
+      (2L, 3L, "A", 10L), (2L, 4L, "B", 20L),
+      (3L, 5L, "A", 10L), (3L, 6L, "C", 20L)
+    ).map { case (u, e, t, ms) => (u, e, t, ms) }
+      .toDF("user_id", "event_id", "event_type", "ms"))
+    val out = Analytics.markovTransitions(ev, "user_id", "ts",
+        "event_type", "event_id").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out(("A", "B")) === 0.666667) // floor(2/3*1e6+0.5)/1e6
+    assert(out(("A", "C")) === 0.333333)
+  }
+
+  test("cusumDrift (x189): sustained small drift accumulates past the " +
+      "3-sigma decision bound even though NO single day trips x163's " +
+      "point z-test — and the closed form matches the direct " +
+      "max(0, S+d) recursion day by day") {
+    // 20 days at 10/day, then 10 days at 12/day: each high day is
+    // ~1.4 sigma above the pooled mean (never a point anomaly), but
+    // the run accumulates.
+    val day = 86400000L
+    val counts = (0 until 20).map(d => (d, 10)) ++
+      (20 until 30).map(d => (d, 12))
+    val rows = counts.flatMap { case (d, n) =>
+      (0 until n).map(i => ("t", d * day + i))
+    }
+    val ev = withTs(rows.toDF("event_type", "ms"))
+    val out = Analytics.cusumDrift(ev, "ts", "event_type", h = 3)
+      .orderBy(col("day")).collect()
+      .map(r => (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+    // direct recursion in exact integers: d_i = D*x_i - S1
+    val xs = counts.map(_._2.toLong)
+    val dd = xs.map(x => xs.length * x - xs.sum)
+    val svals = dd.scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+    val v = xs.length * xs.map(x => x * x).sum - xs.sum * xs.sum
+    out.zip(svals).foreach { case ((_, _, drift, flag), s) =>
+      assert(flag === (s * s > 9L * v))
+      val expect = math.floor(s / math.sqrt(v.toDouble) * 1e6 + 0.5) / 1e6
+      assert(drift.contains(expect))
+    }
+    // the drift run IS flagged...
+    assert(out.count(_._4) > 0)
+    // ...but no single day is a 2-sigma point anomaly for x163
+    assert(Analytics.anomalyDays(ev, "ts", "event_type", sigmas = 2)
+      .count() === 0)
+  }
+
+  test("interEventGaps (x191): gap = ms since the user's previous " +
+      "event of ANY type, ties ordered by event id, first events " +
+      "emit nothing, users never cross") {
+    val ev = withTs(Seq(
+      (1L, 1L, "A", 10L), (1L, 2L, "B", 30L),
+      (1L, 3L, "C", 30L),            // tie with id2 -> gap 0 after it
+      (2L, 4L, "A", 1000L)           // single event -> no gap row
+    ).map { case (u, e, t, ms) => (u, e, t, ms) }
+      .toDF("user_id", "event_id", "event_type", "ms"))
+    val out = Analytics.interEventGaps(ev, "user_id", "ts",
+        "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out === Set((2L, "B", 20L), (3L, "C", 0L)))
+  }
+
+  test("cusumDrift: a constant series has zero variance — " +
+      "drift_sigmas NULL, nothing flagged") {
+    val day = 86400000L
+    val rows = (0 until 5).flatMap(d =>
+      (0 until 7).map(i => ("c", d * day + i)))
+    val ev = withTs(rows.toDF("event_type", "ms"))
+    val out = Analytics.cusumDrift(ev, "ts", "event_type").collect()
+    assert(out.length === 5)
+    assert(out.forall(r => r.isNullAt(3) && !r.getBoolean(4)))
+  }
 }

@@ -103,4 +103,64 @@ class WarehouseSpec extends SparkSpec {
     assert(out(1).getLong(0) === 1L && out(1).getLong(1) === 2L &&
       out(1).getDouble(3) === 0.2)
   }
+
+  test("latenessAudit (x193): lateness is measured per KEY timeline " +
+      "against the running max event time in ARRIVAL order — a " +
+      "delayed event is late by exactly the event-time it arrived " +
+      "behind; in-order keys read zero") {
+    val ev = Seq(
+      // user 1: id2 (type b) delayed past ids 3 and 4 — when it
+      // arrives the key's max seen event time is 400, its own is 200
+      (1L, "a", 100L, 100L, 1L),
+      (1L, "b", 200L, 500L, 2L),
+      (1L, "a", 300L, 300L, 3L),
+      (1L, "a", 400L, 400L, 4L),
+      // user 2: fully in order -> contributes no lateness
+      (2L, "a", 50L, 50L, 5L), (2L, "a", 60L, 60L, 6L)
+    ).toDF("user_id", "event_type", "ms", "arr", "event_id")
+    val out = Warehouse.latenessAudit(ev, "user_id", "event_type",
+        "ms", "arr", "event_id").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(out("a") === ((5L, 0L, 0.0, 0L)))
+    assert(out("b") === ((1L, 1L, 1.0, 200L)))
+  }
+
+  test("bucketChecksums (x195): identical tables produce identical " +
+      "(count, digest) pairs in every bucket; one mutated payload " +
+      "changes EXACTLY its key's bucket; a dropped row changes the " +
+      "count too") {
+    val base = (1L to 200L).map(i => (i, i * 3)).toDF("k", "v")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Warehouse.bucketChecksums(df, "k", Seq("v"), 16).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val b = sums(base)
+    assert(sums(base) === b)   // deterministic
+    // mutate key 7's payload: only 7's bucket digest moves, counts hold
+    val mut = sums(base.withColumn("v",
+      when(col("k") === 7L, lit(999L)).otherwise(col("v"))))
+    val changed = b.keySet.filter(k => b(k) !== mut(k))
+    assert(changed.size === 1)
+    assert(b(changed.head)._1 === mut(changed.head)._1)
+    // drop key 7: same single bucket, now count AND digest differ
+    val dropped = sums(base.filter(col("k") =!= 7L))
+    val changed2 = b.keySet.filter(k => b(k) !== dropped(k))
+    assert(changed2 === changed)
+    assert(dropped(changed2.head)._1 === b(changed2.head)._1 - 1)
+  }
+
+  test("latenessAudit: equal arrival times order by the id column — " +
+      "the tie-break is deterministic") {
+    // both events arrive at the same instant; id order puts the
+    // later-timestamped one first, making the other late by 10
+    val ev = Seq(
+      (1L, "t", 110L, 500L, 1L),
+      (1L, "t", 100L, 500L, 2L)
+    ).toDF("user_id", "event_type", "ms", "arr", "event_id")
+    val out = Warehouse.latenessAudit(ev, "user_id", "event_type",
+      "ms", "arr", "event_id").collect()
+    assert(out.head.getLong(2) === 1L)      // n_late
+    assert(out.head.getLong(4) === 10L)     // max_lateness_ms
+  }
 }

@@ -1224,6 +1224,61 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batchFlagged)
   }
 
+  test("cusumStream emits batch x189's exact flag sequence against " +
+      "the frozen baseline, carries state ACROSS micro-batches, and " +
+      "drops unbaselined types") {
+    import graft.operators.Analytics
+    // the x189 drift fixture: 20 days at 10, then 10 days at 12 —
+    // no single day is a point anomaly, the run accumulates
+    val day = 86400000L
+    val counts = (0 until 20).map(d => (d, 10)) ++
+      (20 until 30).map(d => (d, 12))
+    val ev = counts.flatMap { case (d, n) =>
+      (0 until n).map(i => ("t", d * day + i))
+    }.toDF("event_type", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val daily = Analytics.dailyCounts(ev, "ts", "event_type")
+    val baselines = Streams.cusumBaselines(Analytics.cusumStats(daily))
+    val batch = Analytics.cusumDrift(ev, "ts", "event_type", h = 3)
+      .collect().map(r => (r.getLong(1), r.getBoolean(4))).toMap
+    assert(batch.values.count(identity) > 0)
+
+    val dir = Files.createTempDirectory("cusum-in").toString
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("day", LongType), StructField("n_events", LongType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+        .as[Streams.DailyCount]
+      implicit val s = spark
+      val q = Streams.cusumStream(stream, baselines, h = 3)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("cusum_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    val rows = daily.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    // two micro-batches split mid-drift, plus an unbaselined type
+    (rows.take(15) :+ (("zz", 0L, 99L)))
+      .toSeq.toDF("event_type", "day", "n_events")
+      .write.mode("overwrite").parquet(dir)
+    run()
+    rows.drop(15).toSeq.toDF("event_type", "day", "n_events")
+      .write.mode("append").parquet(dir)
+    run()
+    val streamed = spark.table("cusum_out")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(3), r.getBoolean(4)))
+    assert(streamed.forall(_._1 == "t"))   // zz dropped
+    assert(streamed.map(r => (r._2, r._4)).toMap === batch)
+    // the emitted S values match the direct max(0, S+d) recursion
+    val xs = counts.map(_._2.toLong)
+    val dd = xs.map(x => xs.length * x - xs.sum)
+    val svals = dd.scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+    assert(streamed.sortBy(_._2).map(_._3).toSeq === svals)
+  }
+
   test("riGate passes exactly the facts whose FK has a parent in the " +
       "dim snapshot; riQuarantine catches the complement incl. NULL " +
       "keys — the x176 orphan law on a stream") {
