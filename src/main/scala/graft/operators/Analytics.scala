@@ -331,6 +331,101 @@ object Analytics {
           (col("_ca").cast("double") * col("_cb")), 6).as("lift"))
   }
 
+  /** FREQUENT BRAND TRIPLES (x196) — Apriori level 3 (Agrawal &
+    * Srikant 1994) over order baskets: the top-K brand triples by
+    * co-order count (ties by brand), with exact counts and the
+    * 1e-6-grid support. The candidate (b1, b2) base pairs are PRUNED
+    * against the frequent-pair set BEFORE extending to triples — the
+    * anti-monotone law (a triple is frequent only if every sub-pair
+    * is) makes the prune LOSSLESS, so the oracle is the direct
+    * unpruned 3-way join (spec pins pruned == unpruned too).
+    *
+    * Scale shape: all joins ride the order key of the DISTINCT
+    * (order, brand) frame — per-order fanout is dictionary-bounded
+    * (≤ B³ however many lines, x164's law), and on a real item
+    * catalog the L2 prune is what keeps the candidate space from
+    * being catalog³. The top-K is orderBy+limit = TakeOrdered
+    * (x150's convention — never a global sort); the 1-row basket
+    * total broadcasts. */
+  def frequentTriples(lineitem: DataFrame, part: DataFrame,
+                      minCount: Long = 3, topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val ob = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("_o"), col("p_brand").as("_b"))
+      .distinct()
+    val nOrders = lineitem.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("_n"))
+    val a = ob.select(col("_o"), col("_b").as("brand_a"))
+    val b = ob.select(col("_o"), col("_b").as("brand_b"))
+    val c = ob.select(col("_o"), col("_b").as("brand_c"))
+    val freqPairs = a.join(b, Seq("_o"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("_pc"))
+      .filter(col("_pc") >= minCount)
+      .select(col("brand_a"), col("brand_b"))
+    a.join(b, Seq("_o"))
+      .filter(col("brand_a") < col("brand_b"))
+      .join(broadcast(freqPairs), Seq("brand_a", "brand_b"), "left_semi")
+      .join(c, Seq("_o"))
+      .filter(col("brand_b") < col("brand_c"))
+      .groupBy(col("brand_a"), col("brand_b"), col("brand_c"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minCount)
+      .orderBy(col("n_orders").desc, col("brand_a"), col("brand_b"),
+        col("brand_c"))
+      .limit(topK)
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("brand_c"),
+        col("n_orders"),
+        Num.fpRound(col("n_orders").cast("double") /
+          col("_n").cast("double"), 6).as("support"))
+  }
+
+  /** SESSIONIZE TO SESSION GRAIN (x198/x199's core) — q13's exact
+    * session law (a new session after `gapMs` of inactivity, ties by
+    * event id) collapsed to one row per session with the columns the
+    * session reports need: `(session_id, user, start_ms, end_ms,
+    * duration_ms, n_events, entry_type)`. The entry type is the
+    * FIRST event's type — `min(struct(ms, id, type))`, deterministic
+    * because (ms, id) is unique — the dimension product teams cut
+    * session quality by ("sessions that start with a search run
+    * longer").
+    *
+    * Scale shape: identical to q13 — one user exchange feeds the
+    * break window, the running session sum and the session
+    * aggregate. */
+  def sessions(events: DataFrame, userCol: String, tsCol: String,
+               idCol: String, typeCol: String,
+               gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapMs >= 1, s"gapMs must be >= 1, got $gapMs")
+    val w = Window.partitionBy(col("_u")).orderBy(col("_ms"), col("_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(col(userCol).as("_u"),
+        Dates.toEpochMillis(col(tsCol)).as("_ms"), col(idCol).as("_id"),
+        col(typeCol).as("_t"))
+      .withColumn("_brk",
+        when(lag(col("_ms"), 1).over(w).isNull ||
+          col("_ms") - lag(col("_ms"), 1).over(w) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("_sess", sum(col("_brk")).over(run))
+      .groupBy(col("_u"), col("_sess"))
+      .agg(min(struct(col("_ms").as("m"), col("_id").as("i"),
+          col("_t").as("t"))).as("_f"),
+        min(col("_ms")).as("start_ms"), max(col("_ms")).as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .select(
+        graft.functions.Keys.compositeKey(col("_u"), col("_sess"))
+          .as("session_id"),
+        col("_u").as("user_id"), col("start_ms"), col("end_ms"),
+        (col("end_ms") - col("start_ms")).as("duration_ms"),
+        col("n_events"), col("_f.t").as("entry_type"))
+  }
+
   /** LINEAR REVENUE TREND (x167) — per nation, the OLS fit of daily
     * revenue against the epoch-day axis via the closed form
     * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`, with

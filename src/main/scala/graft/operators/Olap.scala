@@ -170,6 +170,50 @@ object Olap {
       .agg(Num.dsum(col("_t")).as("chi2"))
   }
 
+  /** MUTUAL INFORMATION (x197) — the dependence STRENGTH x170's
+    * chi-square only tests the existence of: `I(A;B) = Σ p_ab ·
+    * ln(p_ab / (p_a·p_b))` in nats over two categorical columns,
+    * reported next to both marginal entropies (so the reader can
+    * normalize by min(H) if they want a [0,1] score). Zero cells
+    * contribute zero (`lim p→0 p·ln p = 0`), so unlike chi-square no
+    * margin grid is needed — only observed cells carry terms.
+    *
+    * Exactness: every count is an exact integer; each cell term is
+    * ONE mirrored double expression `(o/N)·ln(o·N/(r·c))`, 1e-6-grid
+    * rounded and decimal-summed (x170's shuffle-order-free term
+    * law); same for the two entropy legs.
+    *
+    * Scale shape: one corpus aggregate to the (A × B) cell table,
+    * then everything is dictionary-sized — margins broadcast, three
+    * bounded term sums, a 1-row result. */
+  def mutualInformation(df: DataFrame, dimA: String,
+                        dimB: String): DataFrame = {
+    val cells = df.select(col(dimA).as("_a"), col(dimB).as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
+    val rowTot = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_r"))
+    val colTot = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_c"))
+    val tot = cells.agg(sum(col("_o")).as("_n"))
+    val miTerm = (col("_o").cast("double") / col("_n")) *
+      log(col("_o").cast("double") * col("_n") /
+        (col("_r").cast("double") * col("_c")))
+    val mi = cells
+      .join(broadcast(rowTot), Seq("_a"))
+      .join(broadcast(colTot), Seq("_b"))
+      .crossJoin(broadcast(tot))
+      .select(Num.fpRound(miTerm, 6).as("_t"))
+      .agg(Num.dsum(col("_t")).as("mi_nats"))
+    def entropy(margin: DataFrame, cnt: String) = margin
+      .crossJoin(broadcast(tot))
+      .select(Num.fpRound((col(cnt).cast("double") / col("_n")) *
+        log(col("_n").cast("double") / col(cnt)), 6).as("_t"))
+      .agg(Num.dsum(col("_t")))
+    tot.crossJoin(broadcast(mi))
+      .crossJoin(broadcast(entropy(rowTot, "_r").toDF("h_a")))
+      .crossJoin(broadcast(entropy(colTot, "_c").toDF("h_b")))
+      .select(col("_n").cast("long").as("n"), col("mi_nats"),
+        col("h_a"), col("h_b"))
+  }
+
   /** PARETO FRONTIER / skyline (x160) — the non-dominated parts under
     * (minimize `p_size`, maximize `p_retailprice`): a part is dominated
     * iff some part is no larger AND no cheaper-to-retail, strictly

@@ -1937,7 +1937,51 @@ object ExtensionQueries {
           coalesce(col("snap_sum"), lit(0L)).as("snap_sum"))
         .withColumn("differs", col("n_base") =!= col("n_snap") ||
           col("base_sum") =!= col("snap_sum"))
-    })
+    }),
+
+    // x196 — Apriori level-3 frequent brand triples: top-50 by
+    // co-order count with exact support; candidate pairs pruned
+    // against the frequent-pair set (lossless by anti-monotonicity —
+    // the oracle is the direct unpruned 3-way join).
+    "x196_brand_triples" -> ((s, dir) => Analytics.frequentTriples(
+      t(s, dir, "lineitem"), t(s, dir, "part"), minCount = 3,
+      topK = 50)),
+
+    // x197 — mutual information (nats) of market segment × order
+    // priority + both marginal entropies: the dependence STRENGTH
+    // x170's chi-square only tests the existence of; exact counts,
+    // one mirrored double term per observed cell, grid-6 + dsum.
+    "x197_mi_audit" -> ((s, dir) => Olap.mutualInformation(
+      t(s, dir, "orders").join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey")),
+      "c_mktsegment", "o_orderpriority")),
+
+    // x198 — session duration quantiles by ENTRY event type (exact
+    // p50/p90, ties by session id): q13's session law collapsed to
+    // session grain, cut by the first event's type.
+    "x198_session_durations" -> ((s, dir) => {
+      val sess = Analytics.sessions(t(s, dir, "events"), "user_id",
+        "ts", "event_id", "event_type")
+      TextAnalysis.groupedQuantiles(sess, "session_id", "entry_type",
+        "duration_ms", Seq(0.5, 0.9))
+    }),
+
+    // x199 — bounce report per entry type: session counts, bounces
+    // (single-event sessions), bounce share and mean duration on the
+    // 1e-6 grid.
+    "x199_bounce_report" -> ((s, dir) => Analytics.sessions(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .as("n_bounce"),
+        Num.fpRound(
+          sum(when(col("n_events") === 1, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double"), 6)
+          .as("bounce_share"),
+        Num.fpRound(sum(col("duration_ms").cast("decimal(38,0)"))
+          .cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_duration_ms")))
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -6435,6 +6479,110 @@ object ExtensionQueries {
            COALESCE(n_base, 0) <> COALESCE(n_snap, 0)
              OR COALESCE(base_sum, 0) <> COALESCE(snap_sum, 0)
              AS differs
-         FROM b FULL JOIN s ON b.bucket = s.bucket"""
+         FROM b FULL JOIN s ON b.bucket = s.bucket""",
+    // direct unpruned 3-way basket join — the Apriori prune is
+    // lossless so the engines must agree row-for-row
+    "x196_brand_triples" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         nn AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+           AS n FROM lineitem),
+         t AS (SELECT a.b AS brand_a, c.b AS brand_b, d.b AS brand_c,
+             CAST(count(*) AS BIGINT) AS n_orders
+           FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+           JOIN ob d ON a.o = d.o AND c.b < d.b
+           GROUP BY 1, 2, 3 HAVING count(*) >= 3),
+         k AS (SELECT * FROM t ORDER BY n_orders DESC, brand_a,
+           brand_b, brand_c LIMIT 50)
+         SELECT brand_a, brand_b, brand_c, n_orders,
+           floor(CAST(n_orders AS DOUBLE) / CAST(nn.n AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS support
+         FROM k, nn""",
+    // per observed cell: (o/N)·ln(o·N/(r·c)), grid-6 + exact decimal
+    // sum; entropies the same way over the margins
+    "x197_mi_audit" ->
+      """WITH d AS (SELECT c_mktsegment AS a, o_orderpriority AS b
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+           FROM d GROUP BY 1, 2),
+         r AS (SELECT a, CAST(sum(o) AS BIGINT) AS rr
+           FROM cells GROUP BY 1),
+         c AS (SELECT b, CAST(sum(o) AS BIGINT) AS cc
+           FROM cells GROUP BY 1),
+         nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         mt AS (SELECT floor((CAST(o AS DOUBLE) / n)
+             * ln(CAST(o AS DOUBLE) * n
+               / (CAST(rr AS DOUBLE) * cc)) * 1000000 + 0.5)
+             / 1000000.0 AS t
+           FROM cells JOIN r USING (a) JOIN c USING (b), nn),
+         mi AS (SELECT CAST(sum(CAST(t AS DECIMAL(38,6))) AS DOUBLE)
+           AS mi_nats FROM mt),
+         ha AS (SELECT CAST(sum(CAST(floor((CAST(rr AS DOUBLE) / n)
+             * ln(CAST(n AS DOUBLE) / rr) * 1000000 + 0.5) / 1000000.0
+             AS DECIMAL(38,6))) AS DOUBLE) AS h_a FROM r, nn),
+         hb AS (SELECT CAST(sum(CAST(floor((CAST(cc AS DOUBLE) / n)
+             * ln(CAST(n AS DOUBLE) / cc) * 1000000 + 0.5) / 1000000.0
+             AS DECIMAL(38,6))) AS DOUBLE) AS h_b FROM c, nn)
+         SELECT nn.n, mi.mi_nats, ha.h_a, hb.h_b
+         FROM nn, mi, ha, hb""",
+    // q13's session law to session grain (entry type = rn-1 event),
+    // then the grouped double-ceil quantile cut, ties by session id
+    "x198_session_durations" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+           epoch_ms(ts) AS ms,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+             ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS sess
+           FROM x),
+         z AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+             ORDER BY ms, event_id) AS rn FROM y),
+         g AS (SELECT CAST(user_id AS VARCHAR) || '_'
+               || CAST(sess AS VARCHAR) AS session_id,
+             max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+             CAST(max(ms) - min(ms) AS BIGINT) AS duration_ms
+           FROM z GROUP BY user_id, sess),
+         rk AS (SELECT entry_type, session_id, duration_ms,
+             CAST(row_number() OVER (PARTITION BY entry_type
+               ORDER BY duration_ms, session_id) AS BIGINT) AS rank,
+             CAST(count(*) OVER (PARTITION BY entry_type) AS BIGINT)
+               AS n
+           FROM g),
+         q AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS quantile)
+         SELECT entry_type, quantile, rank, session_id, duration_ms
+         FROM rk JOIN q ON rank = CAST(ceil(quantile * n) AS BIGINT)""",
+    // session grain again, aggregated per entry type; shares and the
+    // mean duration on the 1e-6 grid (exact integer sums)
+    "x199_bounce_report" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+           epoch_ms(ts) AS ms,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+             ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS sess
+           FROM x),
+         z AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+             ORDER BY ms, event_id) AS rn FROM y),
+         g AS (SELECT user_id, sess,
+             max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+             CAST(max(ms) - min(ms) AS BIGINT) AS duration_ms,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM z GROUP BY 1, 2)
+         SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_bounce,
+           floor(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS bounce_share,
+           floor(CAST(sum(duration_ms) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS avg_duration_ms
+         FROM g GROUP BY 1"""
   )
 }

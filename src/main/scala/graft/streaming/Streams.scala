@@ -426,6 +426,53 @@ object Streams {
       }
   }
 
+  final case class ArrivedEvent(user_id: Long, event_id: Long,
+                                event_type: String, ts_ms: Long)
+  final case class MaxSeen(maxMs: Long)
+  final case class GatedEvent(user_id: Long, event_id: Long,
+                              event_type: String, ts_ms: Long,
+                              lateness_ms: Long, admitted: Boolean)
+
+  /** Streaming LATENESS GATE — x193's ingest form
+    * ([[graft.operators.Warehouse.latenessAudit]] is the batch audit
+    * that SIZES this gate's knob): per key, the max event-time seen
+    * so far is ONE fixed-size state record; each arriving event's
+    * lateness is measured against it (`max(0, maxSeen − ts)`) and
+    * the event is admitted iff `lateness ≤ allowedLatenessMs` —
+    * exactly the drop decision `withWatermark` makes inside stateful
+    * operators, made EXPLICIT so late rows can be quarantined and
+    * counted instead of silently vanishing. Within a micro-batch,
+    * arrival order is the event id (the audit's tie law); across
+    * batches it is batch order — the same append-mode law as
+    * [[attributionStream]]. Rejected events are emitted with
+    * `admitted = false`, not dropped — routing is the caller's
+    * policy (the [[riQuarantine]] split). */
+  def latenessGate(events: Dataset[ArrivedEvent],
+                   allowedLatenessMs: Long)
+                  (implicit spark: SparkSession): Dataset[GatedEvent] = {
+    import spark.implicits._
+    require(allowedLatenessMs >= 0,
+      s"allowedLatenessMs must be >= 0, got $allowedLatenessMs")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[MaxSeen, GatedEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[ArrivedEvent],
+         state: GroupState[MaxSeen]) =>
+          val sorted = rows.toSeq.sortBy(_.event_id)
+          var maxMs = state.getOption.map(_.maxMs).getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[GatedEvent]
+          sorted.foreach { e =>
+            val late = math.max(0L,
+              if (maxMs == Long.MinValue) 0L else maxMs - e.ts_ms)
+            out += GatedEvent(userId, e.event_id, e.event_type,
+              e.ts_ms, late, late <= allowedLatenessMs)
+            maxMs = math.max(maxMs, e.ts_ms)
+          }
+          state.update(MaxSeen(maxMs))
+          out.result().iterator
+      }
+  }
+
   /** Streaming REFERENTIAL-INTEGRITY gate — x176's ingest form: an
     * arriving fact passes only if its FK has a parent in the BATCH
     * dim-key snapshot (the frozen artifact, same split as

@@ -1214,7 +1214,38 @@ object ScaleBench {
           col("checksum").as("base_sum"))
         .join(sn.select(col("bucket"), col("n_rows").as("n_snap"),
           col("checksum").as("snap_sum")), Seq("bucket"), "full_outer")
-    }))
+    }),
+    // 10x facts, same 25-brand dictionary: candidate space and the
+    // L2 prune stay dictionary-bounded; only the basket collapse
+    // scales
+    ("x196_brand_triples", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.frequentTriples(
+        Tables(s, dir, "lineitem"), Tables(s, dir, "part"),
+        minCount = 3, topK = 50)),
+    // 10x orders through one cell aggregate; margins and the three
+    // term sums stay dictionary-sized
+    ("x197_mi_audit", (s: SparkSession, dir: String) =>
+      graft.operators.Olap.mutualInformation(
+        Tables(s, dir, "orders").join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "o_orderpriority")),
+    // 10x events through the q13 session windows; quantile rank over
+    // the session-grain frame
+    ("x198_session_durations", (s: SparkSession, dir: String) => {
+      val sess = graft.operators.Analytics.sessions(
+        Tables(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type")
+      graft.operators.TextAnalysis.groupedQuantiles(sess, "session_id",
+        "entry_type", "duration_ms", Seq(0.5, 0.9))
+    }),
+    // same session windows into a dictionary-bounded aggregate
+    ("x199_bounce_report", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.sessions(Tables(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type")
+        .groupBy(col("entry_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L))
+            .as("n_bounce"))))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1507,4 +1507,43 @@ class PlanAuditSpec extends SparkSpec {
       s"digest table leaked a global sort:\n$p")
     assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
   }
+
+  test("x196 brand triples: order-keyed equi-joins of the distinct " +
+      "basket frame; the top-K is TakeOrdered, never a global sort " +
+      "exchange") {
+    val p = plan("x196_brand_triples")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K should be TakeOrdered:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"triples leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x197 mi audit: one cell aggregate, margins broadcast, three " +
+      "bounded term sums — no global sort, no cartesian") {
+    val p = plan("x197_mi_audit")
+    assert(p.contains("BroadcastHashJoin"),
+      s"margins should broadcast:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"mi audit leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x198 session durations: the q13 session windows + the " +
+      "grouped quantile rank — no global sort exchange") {
+    val p = plan("x198_session_durations")
+    assert(p.contains("Window"), s"session law should be windows:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"session quantiles leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x199 bounce report: session windows into one dictionary-" +
+      "bounded entry-type aggregate — no global sort, no cartesian") {
+    val p = plan("x199_bounce_report")
+    assert(p.contains("Window"), s"session law should be windows:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"bounce report leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
 }

@@ -461,6 +461,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === Set((2L, "B", 20L), (3L, "C", 0L)))
   }
 
+  test("frequentTriples (x196): exact triple counts with support; " +
+      "the Apriori pair prune is lossless; raising minCount above " +
+      "the triple count empties the output even when pairs survive") {
+    import spark.implicits._
+    // o1-o3: {X,Y,Z}; o4: {X,Y}; o5: {W} -> triple XYZ in 3 of 5 orders
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (2L, 3L), (3L, 1L), (3L, 2L), (3L, 3L), (4L, 1L), (4L, 2L),
+      (5L, 4L)).toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z"), (4L, "W"))
+      .toDF("p_partkey", "p_brand")
+    val out = Analytics.frequentTriples(li, part, minCount = 3)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getString(2)) ===
+      (("X", "Y", "Z")))
+    assert(r.getLong(3) === 3L)
+    assert(r.getDouble(4) === 0.6) // 3 of 5 orders
+    // pair XY (4 co-orders) survives minCount=4, the triple does not
+    assert(Analytics.frequentTriples(li, part, minCount = 4)
+      .count() === 0)
+  }
+
+  test("sessions (x198/x199 core): q13's gap law at session grain — " +
+      "entry type is the FIRST event's (ties by id), bounces are " +
+      "single-event sessions") {
+    val m = 60000L
+    val ev = withTs(Seq(
+      // user 1: view at 0, click at +10min (same session),
+      // buy at +50min (new session, 40min gap > 30min)
+      (1L, 1L, "view", 0L), (1L, 2L, "click", 10 * m),
+      (1L, 3L, "buy", 50 * m),
+      // user 2: two events at the SAME ms — id 4 is the entry
+      (2L, 4L, "b", 0L), (2L, 5L, "a", 0L)
+    ).map { case (u, e, t, ms) => (u, e, t, ms) }
+      .toDF("user_id", "event_id", "event_type", "ms"))
+    val out = Analytics.sessions(ev, "user_id", "ts", "event_id",
+        "event_type").collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5),
+        r.getString(6)))).toMap
+    assert(out === Map(
+      "1_1" -> ((10 * m, 2L, "view")),
+      "1_2" -> ((0L, 1L, "buy")),
+      "2_1" -> ((0L, 2L, "b"))))
+  }
+
   test("cusumDrift: a constant series has zero variance — " +
       "drift_sigmas NULL, nothing flagged") {
     val day = 86400000L

@@ -99,4 +99,25 @@ class OlapSpec extends SparkSpec {
     val keys = Olap.paretoFront(part).collect().map(_.getLong(0)).toSet
     assert(keys === Set(1L, 2L, 5L, 6L))
   }
+
+  test("mutualInformation (x197): perfectly dependent columns read " +
+      "MI = H(A) = H(B) = ln 2 on the grid; independent columns " +
+      "read exactly zero") {
+    import spark.implicits._
+    // A == B over two symbols, two rows each: MI saturates at ln 2
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val d = Olap.mutualInformation(dep, "a", "b").collect().head
+    assert(d.getLong(0) === 4L)
+    // 2 cells x fpRound6(0.5 * ln 2) = 2 x 0.346574
+    assert(d.getDouble(1) === 0.693148)
+    assert(d.getDouble(2) === d.getDouble(1)) // h_a == mi at saturation
+    assert(d.getDouble(3) === d.getDouble(1))
+    // uniform independent 2x2: every cell term is ln(1) = 0
+    val ind = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val i = Olap.mutualInformation(ind, "a", "b").collect().head
+    assert(i.getDouble(1) === 0.0)
+    assert(i.getDouble(2) === 0.693148 && i.getDouble(3) === 0.693148)
+  }
 }

@@ -1279,6 +1279,45 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.sortBy(_._2).map(_._3).toSeq === svals)
   }
 
+  test("latenessGate measures each event against its key's running " +
+      "max event time, admits within the allowance, carries state " +
+      "across micro-batches, and never drops rows") {
+    // user 1 arrival order (by id): ts 100, 400, then 200 (late by
+    // 200) and 390 (late by 10) — allowance 50 rejects only the first
+    val batch1 = Seq((1L, 1L, "a", 100L), (1L, 2L, "a", 400L))
+    val batch2 = Seq((1L, 3L, "a", 200L), (1L, 4L, "a", 390L),
+      (2L, 5L, "a", 10L)) // fresh key in batch 2: never late
+    val dir = Files.createTempDirectory("lgate-in").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("ts_ms", LongType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+        .as[Streams.ArrivedEvent]
+      implicit val s = spark
+      val q = Streams.latenessGate(stream, allowedLatenessMs = 50L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("lgate_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    batch1.toDF("user_id", "event_id", "event_type", "ts_ms")
+      .write.mode("overwrite").parquet(dir)
+    run()
+    batch2.toDF("user_id", "event_id", "event_type", "ts_ms")
+      .write.mode("append").parquet(dir)
+    run()
+    val got = spark.table("lgate_out").collect()
+      .map(r => r.getLong(1) -> ((r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(got === Map(
+      1L -> ((0L, true)), 2L -> ((0L, true)),
+      3L -> ((200L, false)),  // batch-1 state (max 400) crossed over
+      4L -> ((10L, true)),
+      5L -> ((0L, true))))
+  }
+
   test("riGate passes exactly the facts whose FK has a parent in the " +
       "dim snapshot; riQuarantine catches the complement incl. NULL " +
       "keys — the x176 orphan law on a stream") {
