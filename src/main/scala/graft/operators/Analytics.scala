@@ -331,6 +331,46 @@ object Analytics {
           (col("_ca").cast("double") * col("_cb")), 6).as("lift"))
   }
 
+  /** ACTIVE-USER CURVES (x200) — per calendar day with activity:
+    * DAU, trailing-7-day WAU, trailing-30-day MAU and the
+    * DAU/MAU stickiness ratio (1e-6 grid) — the other half of the
+    * x183 growth chart (x183 counts arrivals; this counts who is
+    * STILL here). Window membership is exact: a user counts toward
+    * day d's WAU iff they were active on some day in [d−6, d] —
+    * no approximation, no sliding sketch.
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct
+    * (user, day) frame (map-side combined; bounded by users ×
+    * active days, not events). Each active day then explodes to
+    * the ≤7/≤30 report days it supports — a CONSTANT fanout of the
+    * bounded frame, re-collapsed by a distinct + count per report
+    * day (a second (user, day)-keyed exchange, never an event
+    * exchange). Report days are exact integer epoch days; days with
+    * no activity have no row (densify with [[gapFillDaily]] when a
+    * chart needs the spine). */
+  def activeUsers(events: DataFrame, userCol: String,
+                  tsCol: String): DataFrame = {
+    val ms = Dates.toEpochMillis(col(tsCol))
+    val day = ((ms - pmod(ms, lit(86400000L))) / lit(86400000L))
+      .cast("long")
+    val ud = events.select(col(userCol).as("_u"), day.as("_d"))
+      .distinct()
+    val dau = ud.groupBy(col("_d").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    def trailing(windowDays: Int, out: String) = ud
+      .select(col("_u"),
+        explode(sequence(col("_d"),
+          col("_d") + lit(windowDays.toLong - 1))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as(out))
+    dau
+      .join(trailing(7, "wau"), Seq("day"))
+      .join(trailing(30, "mau"), Seq("day"))
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        Num.fpRound(col("dau").cast("double") /
+          col("mau").cast("double"), 6).as("stickiness"))
+  }
+
   /** FREQUENT BRAND TRIPLES (x196) — Apriori level 3 (Agrawal &
     * Srikant 1994) over order baskets: the top-K brand triples by
     * co-order count (ties by brand), with exact counts and the

@@ -1242,6 +1242,43 @@ object TextAnalysis {
       .drop("_neg_hk")
   }
 
+  /** TOKEN-WEIGHTED SAMPLE (x201) — deterministic weighted sampling
+    * WITHOUT replacement (Efraimidis & Spirakis 2006, algorithm
+    * A-ES): each document draws the key `ln(u) / w` with
+    * `u ∈ (0, 1]` derived from md5(id) (the x26 no-RNG law) and
+    * weight `w = n_tokens + 1`, and the k LARGEST keys are the
+    * sample — provably equivalent to sequential weighted draws
+    * without replacement. Weighting by token count makes document
+    * sampling approximate UNIFORM TOKEN sampling — the right grain
+    * for token-budgeted corpus work ([[quotaSample]] buys exact
+    * per-stratum COUNTS; this buys proportional-to-size inclusion),
+    * while hash-derived `u` keeps re-runs and engines bit-identical
+    * where an RNG never is.
+    *
+    * Exactness: `u = (h + 1) / 2^60` and `ln(u) / w` are mirrored
+    * IEEE expressions of exact integers — both engines order the
+    * very same doubles (ties, measure-zero in theory, break by id);
+    * the reported key is grid-9 rounded AFTER selection.
+    *
+    * Scale shape: key computation is scan-side per-row kernels
+    * (md5 + ln); the global top-k is [[Skew.saltedTopK]] — no
+    * single-task global sort at any corpus size. */
+  def weightedSample(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long")
+    val w = (size(Text.tokens(col(textCol))) + lit(1)).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(1152921504606846976.0)
+    val key = log(u) / w.cast("double")
+    Skew.saltedTopK(
+        docs.select(col(idCol), w.as("n_tokens_w"), key.as("_key")),
+        Seq.empty, "_key", k, tieCols = Seq(idCol))
+      .select(col(idCol), col("n_tokens_w"),
+        col("rank").cast("long").as("rank"),
+        Num.fpRound(col("_key"), 9).as("key"))
+  }
+
   /** STRATIFIED TRAIN/VAL/TEST SPLIT (x180) — assign every document a
     * split label, deterministically and with EXACT per-stratum
     * proportions: within each stratum, rank by the md5 hash of the id

@@ -1981,7 +1981,21 @@ object ExtensionQueries {
           .as("bounce_share"),
         Num.fpRound(sum(col("duration_ms").cast("decimal(38,0)"))
           .cast("double") / count(lit(1)).cast("double"), 6)
-          .as("avg_duration_ms")))
+          .as("avg_duration_ms"))),
+
+    // x200 — DAU / trailing WAU / trailing MAU / stickiness per
+    // active day: the distinct (user, day) frame explodes to the
+    // <=7/<=30 report days it supports (constant fanout of a bounded
+    // frame, never events).
+    "x200_active_users" -> ((s, dir) => Analytics.activeUsers(
+      t(s, dir, "events"), "user_id", "ts")),
+
+    // x201 — deterministic token-weighted sample (A-ES): top-100
+    // documents by ln(u)/w with md5-derived u and w = n_tokens + 1 —
+    // document sampling that approximates uniform TOKEN sampling,
+    // reproducible across engines and re-runs.
+    "x201_weighted_sample" -> ((s, dir) => TextAnalysis.weightedSample(
+      t(s, dir, "documents"), "doc_id", "text", k = 100))
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -6583,6 +6597,44 @@ object ExtensionQueries {
            floor(CAST(sum(duration_ms) AS DOUBLE)
                / CAST(count(*) AS DOUBLE)
              * 1000000 + 0.5) / 1000000.0 AS avg_duration_ms
-         FROM g GROUP BY 1"""
+         FROM g GROUP BY 1""",
+    // distinct (user, day) once; each active day supports report days
+    // [d, d+6] / [d, d+29]; report rows only for days with activity
+    "x200_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+           epoch_ms(ts) // 86400000 AS d FROM events),
+         dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+           FROM ud GROUP BY 1),
+         we AS (SELECT DISTINCT user_id,
+             unnest(generate_series(d, d + 6)) AS day FROM ud),
+         w AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+           FROM we GROUP BY 1),
+         me AS (SELECT DISTINCT user_id,
+             unnest(generate_series(d, d + 29)) AS day FROM ud),
+         m AS (SELECT day, CAST(count(*) AS BIGINT) AS mau
+           FROM me GROUP BY 1)
+         SELECT dau.day, dau.dau, w.wau, m.mau,
+           floor(CAST(dau.dau AS DOUBLE) / CAST(m.mau AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS stickiness
+         FROM dau JOIN w ON dau.day = w.day
+         JOIN m ON dau.day = m.day""",
+    // A-ES keys ln(u)/w from the md5 grid, ordered desc with id ties;
+    // the reported key is grid-9 rounded AFTER selection
+    "x201_weighted_sample" ->
+      """WITH s AS (SELECT doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) + 1
+             AS BIGINT) AS n_tokens_w,
+           ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT + 1)::DOUBLE / 1152921504606846976.0)
+             / CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+               + 1 AS BIGINT) AS key
+           FROM documents),
+         r AS (SELECT doc_id, n_tokens_w, key,
+             CAST(row_number() OVER (ORDER BY key DESC, doc_id)
+               AS BIGINT) AS rank
+           FROM s)
+         SELECT doc_id, n_tokens_w, rank,
+           floor(key * 1000000000 + 0.5) / 1000000000.0 AS key
+         FROM r WHERE rank <= 100"""
   )
 }

@@ -1245,7 +1245,17 @@ object ScaleBench {
         .groupBy(col("entry_type"))
         .agg(count(lit(1)).as("n_sessions"),
           sum(when(col("n_events") === 1, 1L).otherwise(0L))
-            .as("n_bounce"))))
+            .as("n_bounce"))),
+    // 10x events collapse to a (user x active-days) frame; the
+    // trailing-window explodes are constant fanout of that frame
+    ("x200_active_users", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.activeUsers(Tables(s, dir, "events"),
+        "user_id", "ts")),
+    // 10x documents through scan-side md5+ln kernels; the salted
+    // top-k frame stays k-and-salt-bounded
+    ("x201_weighted_sample", (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.weightedSample(
+        Tables(s, dir, "documents"), "doc_id", "text", k = 100)))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

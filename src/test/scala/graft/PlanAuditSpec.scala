@@ -1546,4 +1546,23 @@ class PlanAuditSpec extends SparkSpec {
       s"bounce report leaked a global sort:\n$p")
     assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
   }
+
+  test("x200 active users: one corpus collapse to (user, day), then " +
+      "constant-fanout explodes of the bounded frame — no window, " +
+      "no global sort, no cartesian") {
+    val p = plan("x200_active_users")
+    assert(!p.contains("Window"),
+      s"active-user curves must be aggregates, not windows:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"active users leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x201 weighted sample: scan-side md5+ln kernels into the " +
+      "salted top-k — no global sort exchange, no cartesian") {
+    val p = plan("x201_weighted_sample")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"weighted sample leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
 }

@@ -461,6 +461,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === Set((2L, "B", 20L), (3L, "C", 0L)))
   }
 
+  test("activeUsers (x200): DAU counts the day, WAU the trailing 7, " +
+      "MAU the trailing 30; a user active twice in a window counts " +
+      "once; days without activity have no row") {
+    val day = 86400000L
+    val ev = withTs(Seq(
+      (1L, 0L), (1L, 5L),      // user 1 on day 0 (twice)
+      (2L, 100L),              // user 2 on day 0
+      (3L, 7 * day),           // user 3 on day 7
+      (1L, 8 * day)            // user 1 returns on day 8
+    ).map { case (u, ms) => (u, ms) }.toDF("user_id", "ms"))
+    val out = Analytics.activeUsers(ev, "user_id", "ts")
+      .orderBy(col("day")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 2L, 2L, 1.0),        // u1+u2; stickiness 2/2
+      (7L, 1L, 1L, 3L, 0.333333),   // wau [1,7] = {u3}; mau all three
+      (8L, 1L, 2L, 3L, 0.333333)))  // wau [2,8] = {u1, u3}
+  }
+
   test("frequentTriples (x196): exact triple counts with support; " +
       "the Apriori pair prune is lossless; raising minCount above " +
       "the triple count empties the output even when pairs survive") {

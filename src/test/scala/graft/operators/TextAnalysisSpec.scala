@@ -1015,4 +1015,35 @@ class TextAnalysisSpec extends SparkSpec {
     val kept = out.map(_._1._1).toSet
     assert(kept.contains(2L) === kept.contains(3L))
   }
+
+  test("weightedSample (x201): selection replicates the A-ES " +
+      "ln(u)/w law computed locally — same ids, same order, same " +
+      "weights — and is deterministic across runs") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i =>
+      (i, Seq.fill((i % 5).toInt + 1)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    def localKey(id: Long, nTokens: Int): (Double, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = (h + 1L).toDouble / 1152921504606846976.0
+      (math.log(u) / (nTokens + 1).toDouble, id)
+    }
+    val expect = (1L to 30L)
+      .map(i => localKey(i, (i % 5).toInt + 1))
+      .sortBy { case (k, id) => (-k, id) }
+      .take(10).map(_._2)
+    val out = TextAnalysis.weightedSample(docs, "doc_id", "text", 10)
+      .orderBy(org.apache.spark.sql.functions.col("rank")).collect()
+    assert(out.map(_.getLong(0)).toSeq === expect)
+    assert(out.map(_.getLong(2)).toSeq === (1L to 10L))
+    // weights rode along: doc i has i % 5 + 2 as n_tokens_w
+    out.foreach(r =>
+      assert(r.getLong(1) === (r.getLong(0) % 5) + 2))
+    val again = TextAnalysis.weightedSample(docs, "doc_id", "text", 10)
+      .orderBy(org.apache.spark.sql.functions.col("rank")).collect().map(_.getLong(0)).toSeq
+    assert(again === expect)
+  }
 }
