@@ -425,6 +425,56 @@ object Analytics {
           col("_n").cast("double"), 6).as("support"))
   }
 
+  /** BRAND RECOMMENDATIONS (x202) — the serving table behind
+    * "customers who buy X also buy Y": per brand, the top-k
+    * co-purchased brands by lift (ties by confidence, then brand —
+    * fully deterministic), with the co-order count, confidence and
+    * lift riding along. x164 audits the rule list; this turns it
+    * into the per-item lookup a recommender actually serves.
+    * Ordering uses the GRID-ROUNDED lift/confidence (the hash-stable
+    * values), so engines rank identical doubles.
+    *
+    * Scale shape: x164's machinery with BOTH directions kept
+    * (confidence is direction-specific), then one grouped top-k via
+    * the salted two-phase window — no brand ever sorts more than its
+    * shard, no global sort. All frames after the basket collapse are
+    * dictionary-bounded. */
+  def brandRecommendations(lineitem: DataFrame, part: DataFrame,
+                           minCount: Long = 5, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ob = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("_o"), col("p_brand").as("_b"))
+      .distinct()
+    val nOrders = lineitem.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("_n"))
+    val brandCnt = ob.groupBy(col("_b")).agg(count(lit(1)).as("_bc"))
+    val pairs = ob.select(col("_o"), col("_b").as("brand"))
+      .join(ob.select(col("_o"), col("_b").as("rec_brand")), Seq("_o"))
+      .filter(col("brand") =!= col("rec_brand"))
+      .groupBy(col("brand"), col("rec_brand"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCount)
+    val scored = pairs
+      .join(broadcast(brandCnt.select(col("_b").as("brand"),
+        col("_bc").as("_ca"))), Seq("brand"))
+      .join(broadcast(brandCnt.select(col("_b").as("rec_brand"),
+        col("_bc").as("_cb"))), Seq("rec_brand"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand"), col("rec_brand"), col("n_co"),
+        Num.fpRound(col("n_co").cast("double") / col("_ca"), 6)
+          .as("confidence"),
+        Num.fpRound(col("n_co").cast("double") * col("_n") /
+          (col("_ca").cast("double") * col("_cb")), 6).as("lift"))
+      .withColumn("_negconf", -col("confidence"))
+    graft.functions.Skew.saltedTopK(scored, Seq("brand"), "lift", k,
+        tieCols = Seq("_negconf", "rec_brand"))
+      .select(col("brand"), col("rec_brand"),
+        col("rank").cast("long").as("rank"), col("n_co"),
+        col("confidence"), col("lift"))
+  }
+
   /** SESSIONIZE TO SESSION GRAIN (x198/x199's core) — q13's exact
     * session law (a new session after `gapMs` of inactivity, ties by
     * event id) collapsed to one row per session with the columns the

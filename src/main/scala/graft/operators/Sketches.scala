@@ -136,4 +136,70 @@ object Sketches {
       .groupBy(col(keyCol), col("n_rows"), col("rank"))
       .agg(min(col("c")).as("cms_estimate"))
   }
+
+  /** HISTOGRAM-QUANTILE SKETCH + ACCEPTANCE METRIC (x203) — the
+    * oracle-checkable sibling of [[approxPercentilesByGroup]] (the
+    * x166 pattern: KMV stands in for HLL, this stands in for
+    * KLL/GK): per group, an EQUI-WIDTH integer histogram over the
+    * group's own [min, max] — `idx = (v−min)·B div (max−min+1)`,
+    * exact integer arithmetic, every cell mergeable — read back at
+    * each requested quantile as the MIDPOINT of the bucket holding
+    * rank `ceil(q·n)`, next to the exact double-ceil value and the
+    * 1e-6-grid relative error. The histogram is what a 100 TB
+    * engine actually maintains (constant-size, cell-additive across
+    * partitions AND ingest batches); the rel_err column is the
+    * audit that says whether B buckets are enough for this column's
+    * shape — every approximate operator here ships with its
+    * acceptance metric.
+    *
+    * Scale shape: one corpus aggregate to (group × ≤B) cells
+    * (map-side combined); the cumulative/pick/estimate stages run
+    * on B-bounded per-group frames (the documented window exception
+    * class); the exact leg is [[TextAnalysis.groupedQuantiles]]'
+    * bucketed rank — no per-group sort on either side. */
+  def histogramQuantiles(df: DataFrame, idCol: String, groupCol: String,
+                         valueCol: String, buckets: Int,
+                         quantiles: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(quantiles.nonEmpty, "quantiles must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(idCol).as("_id"), col(groupCol).as("_g"),
+      col(valueCol).cast("long").as("_v"))
+    val stats = vals.groupBy(col("_g"))
+      .agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"),
+        count(lit(1)).as("_ng"))
+    val cells = vals.join(broadcast(stats), Seq("_g"))
+      .withColumn("_idx", expr(
+        s"CAST(_v - _mn AS DECIMAL(38,0)) * $buckets div (_mx - _mn + 1)"))
+      .groupBy(col("_g"), col("_idx"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_idx"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = cells.withColumn("_cum", sum(col("_c")).over(w))
+      .join(broadcast(stats), Seq("_g"))
+    val qdf = quantiles.toDF("quantile")
+    val hit = cum.join(broadcast(qdf),
+        col("_cum") >= ceil(col("quantile") * col("_ng")).cast("long"))
+      .groupBy(col("_g"), col("quantile"))
+      .agg(min(col("_idx")).as("_qi"))
+      .join(broadcast(stats), Seq("_g"))
+    val est = col("_mn").cast("double") +
+      (col("_qi") + lit(0.5)) *
+        (col("_mx") - col("_mn") + lit(1L)).cast("double") /
+        lit(buckets)
+    val exact = graft.operators.TextAnalysis.groupedQuantiles(
+        vals, "_id", "_g", "_v", quantiles)
+      .select(col("_g"), col("quantile"), col("_v").as("exact_units"))
+    hit.select(col("_g"), col("quantile"),
+        graft.functions.Num.fpRound(est, 6).as("est_units"),
+        est.as("_e"))
+      .join(exact, Seq("_g", "quantile"))
+      .select(col("_g").as(groupCol), col("quantile"), col("est_units"),
+        col("exact_units"),
+        when(col("exact_units") =!= 0, graft.functions.Num.fpRound(
+          abs(col("_e") - col("exact_units")) / col("exact_units"), 6))
+          .as("rel_err"))
+  }
 }

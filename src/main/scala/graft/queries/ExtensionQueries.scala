@@ -1995,7 +1995,27 @@ object ExtensionQueries {
     // document sampling that approximates uniform TOKEN sampling,
     // reproducible across engines and re-runs.
     "x201_weighted_sample" -> ((s, dir) => TextAnalysis.weightedSample(
-      t(s, dir, "documents"), "doc_id", "text", k = 100))
+      t(s, dir, "documents"), "doc_id", "text", k = 100)),
+
+    // x202 — per-brand top-3 recommendations by lift (ties by
+    // confidence then brand): x164's rules turned into the
+    // "bought-together" serving table, grouped top-k via the salted
+    // two-phase window.
+    "x202_brand_recs" -> ((s, dir) => Analytics.brandRecommendations(
+      t(s, dir, "lineitem"), t(s, dir, "part"), minCount = 5, k = 3)),
+
+    // x203 — histogram-quantile sketch + acceptance metric: 32-bucket
+    // equi-width integer histogram of order totalprice units per
+    // priority, read back at p50/p90 next to the exact value and the
+    // grid rel_err (the x166 convention for approximate operators).
+    "x203_histogram_quantiles" -> ((s, dir) => Sketches
+      .histogramQuantiles(t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_orderpriority").as("priority"),
+            floor(col("o_totalprice") * 1e4 + lit(0.5)).cast("long")
+              .as("units")),
+        "o_orderkey", "priority", "units", buckets = 32,
+        quantiles = Seq(0.5, 0.9)))
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -6635,6 +6655,78 @@ object ExtensionQueries {
            FROM s)
          SELECT doc_id, n_tokens_w, rank,
            floor(key * 1000000000 + 0.5) / 1000000000.0 AS key
-         FROM r WHERE rank <= 100"""
+         FROM r WHERE rank <= 100""",
+    // symmetric rule table (confidence is direction-specific), then
+    // row_number per brand over (lift desc, confidence desc, brand)
+    // — the engines rank the identical grid-rounded doubles
+    "x202_brand_recs" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS no
+           FROM lineitem),
+         bc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM ob
+           GROUP BY 1),
+         p AS (SELECT a.b AS brand, r.b AS rec_brand,
+             CAST(count(*) AS BIGINT) AS n_co
+           FROM ob a JOIN ob r ON a.o = r.o AND a.b <> r.b
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         s AS (SELECT brand, rec_brand, n_co,
+             floor(CAST(n_co AS DOUBLE) / ca.c * 1000000 + 0.5)
+               / 1000000.0 AS confidence,
+             floor(CAST(n_co AS DOUBLE) * no
+               / (CAST(ca.c AS DOUBLE) * cb.c) * 1000000 + 0.5)
+               / 1000000.0 AS lift
+           FROM p JOIN bc ca ON p.brand = ca.b
+           JOIN bc cb ON p.rec_brand = cb.b CROSS JOIN n),
+         rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY brand
+             ORDER BY lift DESC, confidence DESC, rec_brand)
+             AS BIGINT) AS rank FROM s)
+         SELECT brand, rec_brand, rank, n_co, confidence, lift
+         FROM rk WHERE rank <= 3""",
+    // equi-width integer histogram per priority read back at the
+    // target ranks (bucket midpoints), next to the exact double-ceil
+    // values and the grid rel_err
+    "x203_histogram_quantiles" ->
+      """WITH v AS (SELECT o_orderkey AS id,
+           o_orderpriority AS priority,
+           CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS u
+           FROM orders),
+         st AS (SELECT priority, min(u) AS mn, max(u) AS mx,
+             CAST(count(*) AS BIGINT) AS ng
+           FROM v GROUP BY 1),
+         ix AS (SELECT v.priority,
+             CAST((CAST(v.u - st.mn AS HUGEINT) * 32)
+               // (st.mx - st.mn + 1) AS BIGINT) AS idx
+           FROM v JOIN st ON v.priority = st.priority),
+         c AS (SELECT priority, idx, CAST(count(*) AS BIGINT) AS cnt
+           FROM ix GROUP BY 1, 2),
+         cum AS (SELECT *, sum(cnt) OVER (PARTITION BY priority
+             ORDER BY idx ROWS UNBOUNDED PRECEDING) AS cm FROM c),
+         q AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS quantile),
+         hit AS (SELECT cum.priority, q.quantile, min(cum.idx) AS qi
+           FROM cum JOIN st ON cum.priority = st.priority, q
+           WHERE cum.cm >= CAST(ceil(q.quantile * st.ng) AS BIGINT)
+           GROUP BY 1, 2),
+         est AS (SELECT hit.priority, hit.quantile,
+             CAST(st.mn AS DOUBLE) + (qi + 0.5)
+               * CAST(st.mx - st.mn + 1 AS DOUBLE) / 32 AS e
+           FROM hit JOIN st ON hit.priority = st.priority),
+         r AS (SELECT priority, id, u,
+             CAST(row_number() OVER (PARTITION BY priority
+               ORDER BY u, id) AS BIGINT) AS rank,
+             CAST(count(*) OVER (PARTITION BY priority) AS BIGINT)
+               AS n
+           FROM v),
+         ex AS (SELECT priority, q.quantile, u AS exact_units
+           FROM r JOIN q ON r.rank
+             = CAST(ceil(q.quantile * n) AS BIGINT))
+         SELECT est.priority, est.quantile,
+           floor(e * 1000000 + 0.5) / 1000000.0 AS est_units,
+           ex.exact_units,
+           CASE WHEN ex.exact_units <> 0 THEN
+             floor(abs(e - ex.exact_units) / ex.exact_units
+               * 1000000 + 0.5) / 1000000.0 END AS rel_err
+         FROM est JOIN ex ON est.priority = ex.priority
+           AND est.quantile = ex.quantile"""
   )
 }

@@ -1255,7 +1255,22 @@ object ScaleBench {
     // top-k frame stays k-and-salt-bounded
     ("x201_weighted_sample", (s: SparkSession, dir: String) =>
       graft.operators.TextAnalysis.weightedSample(
-        Tables(s, dir, "documents"), "doc_id", "text", k = 100)))
+        Tables(s, dir, "documents"), "doc_id", "text", k = 100)),
+    // 10x facts into the dictionary rule table; grouped top-k salted
+    ("x202_brand_recs", (s: SparkSession, dir: String) =>
+      graft.operators.Analytics.brandRecommendations(
+        Tables(s, dir, "lineitem"), Tables(s, dir, "part"),
+        minCount = 5, k = 3)),
+    // 10x orders into (priority x 32) cells; estimate/exact legs run
+    // on bounded frames
+    ("x203_histogram_quantiles", (s: SparkSession, dir: String) =>
+      graft.operators.Sketches.histogramQuantiles(
+        Tables(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority").as("priority"),
+          floor(col("o_totalprice") * 1e4 + lit(0.5)).cast("long")
+            .as("units")),
+        "o_orderkey", "priority", "units", buckets = 32,
+        quantiles = Seq(0.5, 0.9))))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1565,4 +1565,24 @@ class PlanAuditSpec extends SparkSpec {
       s"weighted sample leaked a global sort:\n$p")
     assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
   }
+
+  test("x202 brand recs: dictionary frames end-to-end after the " +
+      "basket collapse; grouped top-k is the salted window — no " +
+      "global sort, no cartesian") {
+    val p = plan("x202_brand_recs")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"brand recs leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
+  test("x203 histogram quantiles: one cell aggregate; cumulative/" +
+      "pick/estimate ride B-bounded frames; exact leg is the " +
+      "bucketed rank — no global sort, no cartesian") {
+    val p = plan("x203_histogram_quantiles")
+    assert(p.contains("Window"),
+      s"cumulative counts should be a window:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"histogram quantiles leaked a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
 }

@@ -504,6 +504,40 @@ class AnalyticsSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("brandRecommendations (x202): per-brand top-k by lift with " +
+      "direction-specific confidence; exact grid values") {
+    import spark.implicits._
+    // o1{X,Y} o2{X,Y} o3{X,Z} o4{Z} o5{X}: N=5, cu X=4 Y=2 Z=2
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L),
+      (3L, 3L), (4L, 3L), (5L, 1L)).toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z"))
+      .toDF("p_partkey", "p_brand")
+    val out = Analytics.brandRecommendations(li, part, minCount = 1,
+        k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getString(1), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // X: Y (lift 2*5/(4*2)=1.25, conf 0.5) then Z (0.625, 0.25)
+    assert(out(("X", 1L)) === (("Y", 2L, 0.5, 1.25)))
+    assert(out(("X", 2L)) === (("Z", 1L, 0.25, 0.625)))
+    // Y's only rec is X, with direction-specific confidence 2/2 = 1.0
+    assert(out(("Y", 1L)) === (("X", 2L, 1.0, 1.25)))
+  }
+
+  test("brandRecommendations: equal lift AND confidence tie-breaks " +
+      "by brand name — fully deterministic") {
+    import spark.implicits._
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "A"), (2L, "B"), (3L, "C"))
+      .toDF("p_partkey", "p_brand")
+    val recsForA = Analytics.brandRecommendations(li, part,
+        minCount = 1, k = 2)
+      .filter(col("brand") === "A").orderBy(col("rank")).collect()
+      .map(_.getString(1)).toSeq
+    assert(recsForA === Seq("B", "C"))
+  }
+
   test("sessions (x198/x199 core): q13's gap law at session grain — " +
       "entry type is the FIRST event's (ties by id), bounces are " +
       "single-event sessions") {

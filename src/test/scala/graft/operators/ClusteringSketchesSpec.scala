@@ -161,4 +161,29 @@ class ClusteringSketchesSpec extends SparkSpec {
     graft.functions.Guards.requireSmallGroups(e, "event_type", 10000000L,
       "x24", "Sketches.approxPercentilesByGroup")
   }
+
+  test("histogramQuantiles (x203): uniform 1..320 over 32 buckets — " +
+      "exact bucket midpoints, exact rel_err against the true values") {
+    val df = (1L to 320L).map(i => (i, "g", i)).toDF("id", "grp", "v")
+    val out = Sketches.histogramQuantiles(df, "id", "grp", "v",
+        buckets = 32, quantiles = Seq(0.5, 0.9)).collect()
+      .map(r => r.getDouble(1) ->
+        ((r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    // p50: rank 160 -> bucket 15 (v 151..160), midpoint 1 + 15.5*10
+    assert(out(0.5) === ((156.0, 160L, 0.025)))
+    // p90: rank 288 -> bucket 28, midpoint 286; err 2/288 grid-6
+    assert(out(0.9) === ((286.0, 288L, 0.006944)))
+  }
+
+  test("histogramQuantiles: a constant group collapses to one bucket " +
+      "and a tiny midpoint offset — no division blowup") {
+    val df = (1L to 5L).map(i => (i, "c", 7L)).toDF("id", "grp", "v")
+    val out = Sketches.histogramQuantiles(df, "id", "grp", "v",
+        buckets = 32, quantiles = Seq(0.5)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getDouble(2) === 7.015625) // 7 + 0.5 * (1/32)
+    assert(r.getLong(3) === 7L)
+    assert(r.getDouble(4) === 0.002232) // fpRound6(0.015625 / 7)
+  }
 }
