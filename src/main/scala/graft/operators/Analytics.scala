@@ -300,27 +300,50 @@ object Analytics {
     * dictionary/1-row-sized and broadcast. */
   def basketAffinity(lineitem: DataFrame, part: DataFrame,
                      minCount: Long = 5): DataFrame = {
-    val ob = lineitem
-      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("_o"), col("p_brand").as("_b"))
-      .distinct()
-    val nOrders = lineitem.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("_n"))
-    val brandCnt = ob.groupBy(col("_b")).agg(count(lit(1)).as("_bc"))
-    val left = ob.select(col("_o"), col("_b").as("brand_a"))
-    val right = ob.select(col("_o"), col("_b").as("brand_b"))
-    val pairs = left.join(right, Seq("_o"))
+    val ob = Graph.orderBrands(lineitem, part)
+    basketAffinityFrom(ob, Graph.brandTotals(ob),
+      Graph.basketStats(lineitem, ob), minCount)
+  }
+
+  /** [[basketAffinity]] over the persisted edge-index frames
+    * ([[Graph.readEdgeIndex]]): undirected pairs are the directed edge
+    * list cut to `src < dst` (same counts by the both-directions
+    * symmetry), denominators come from the totals/stats sidecars —
+    * zero corpus scans at serve time. */
+  def basketAffinityIndexed(edges: DataFrame, totals: DataFrame,
+                            stats: DataFrame,
+                            minCount: Long = 5): DataFrame =
+    affinityTail(
+      edges.filter(col("src") < col("dst"))
+        .select(col("src").as("brand_a"), col("dst").as("brand_b"),
+          col("w").as("n_co"))
+        .filter(col("n_co") >= minCount),
+      totals, stats)
+
+  private def basketAffinityFrom(ob: DataFrame, totals: DataFrame,
+                                 stats: DataFrame,
+                                 minCount: Long): DataFrame = {
+    val left = ob.select(col("order_key"), col("brand").as("brand_a"))
+    val right = ob.select(col("order_key"), col("brand").as("brand_b"))
+    val pairs = left.join(right, Seq("order_key"))
       .filter(col("brand_a") < col("brand_b"))
       .groupBy(col("brand_a"), col("brand_b"))
       .agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= minCount)
+    affinityTail(pairs, totals, stats)
+  }
+
+  /** The shared scoring tail under [[basketAffinity]] and its indexed
+    * twin: broadcast the per-brand totals and the 1-row order count
+    * onto the pair frame, emit support/confidence/lift on the grid. */
+  private def affinityTail(pairs: DataFrame, totals: DataFrame,
+                           stats: DataFrame): DataFrame =
     pairs
-      .join(broadcast(brandCnt.select(col("_b").as("brand_a"),
-        col("_bc").as("_ca"))), Seq("brand_a"))
-      .join(broadcast(brandCnt.select(col("_b").as("brand_b"),
-        col("_bc").as("_cb"))), Seq("brand_b"))
-      .crossJoin(broadcast(nOrders))
+      .join(broadcast(totals.select(col("brand").as("brand_a"),
+        col("n_orders").as("_ca"))), Seq("brand_a"))
+      .join(broadcast(totals.select(col("brand").as("brand_b"),
+        col("n_orders").as("_cb"))), Seq("brand_b"))
+      .crossJoin(broadcast(stats.select(col("n_orders").as("_n"))))
       .select(col("brand_a"), col("brand_b"), col("n_co"),
         col("_ca").as("n_a"), col("_cb").as("n_b"),
         Num.fpRound(col("n_co").cast("double") / col("_n"), 6)
@@ -329,7 +352,6 @@ object Analytics {
           .as("confidence"),
         Num.fpRound(col("n_co").cast("double") * col("_n") /
           (col("_ca").cast("double") * col("_cb")), 6).as("lift"))
-  }
 
   /** ACTIVE-USER CURVES (x200) — per calendar day with activity:
     * DAU, trailing-7-day WAU, trailing-30-day MAU and the
@@ -389,18 +411,29 @@ object Analytics {
     * total broadcasts. */
   def frequentTriples(lineitem: DataFrame, part: DataFrame,
                       minCount: Long = 3, topK: Int = 50): DataFrame = {
+    val ob = Graph.orderBrands(lineitem, part)
+    frequentTriplesFrom(ob, Graph.basketStats(lineitem, ob), minCount,
+      topK)
+  }
+
+  /** [[frequentTriples]] over the persisted edge-index frames
+    * ([[Graph.readEdgeIndex]]): the 3-way mining re-joins the PERSISTED
+    * `(order_key, brand)` basket frame — bucketed by order key, so the
+    * self-joins are co-located — and the support base comes from the
+    * stats sidecar; zero corpus scans at serve time. */
+  def frequentTriplesIndexed(ob: DataFrame, stats: DataFrame,
+                             minCount: Long = 3,
+                             topK: Int = 50): DataFrame =
+    frequentTriplesFrom(ob, stats, minCount, topK)
+
+  private def frequentTriplesFrom(ob: DataFrame, stats: DataFrame,
+                                  minCount: Long, topK: Int): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val ob = lineitem
-      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("_o"), col("p_brand").as("_b"))
-      .distinct()
-    val nOrders = lineitem.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("_n"))
-    val a = ob.select(col("_o"), col("_b").as("brand_a"))
-    val b = ob.select(col("_o"), col("_b").as("brand_b"))
-    val c = ob.select(col("_o"), col("_b").as("brand_c"))
+    val nOrders = stats.select(col("n_orders").as("_n"))
+    val a = ob.select(col("order_key").as("_o"), col("brand").as("brand_a"))
+    val b = ob.select(col("order_key").as("_o"), col("brand").as("brand_b"))
+    val c = ob.select(col("order_key").as("_o"), col("brand").as("brand_c"))
     val freqPairs = a.join(b, Seq("_o"))
       .filter(col("brand_a") < col("brand_b"))
       .groupBy(col("brand_a"), col("brand_b"))
@@ -441,27 +474,36 @@ object Analytics {
     * dictionary-bounded. */
   def brandRecommendations(lineitem: DataFrame, part: DataFrame,
                            minCount: Long = 5, k: Int = 3): DataFrame = {
+    val ob = Graph.orderBrands(lineitem, part)
+    brandRecommendationsFrom(Graph.coPurchaseEdgesFrom(ob),
+      Graph.brandTotals(ob), Graph.basketStats(lineitem, ob), minCount, k)
+  }
+
+  /** [[brandRecommendations]] over the persisted edge-index frames
+    * ([[Graph.readEdgeIndex]]): the directed pair counts ARE the edge
+    * list (both directions kept — confidence is direction-specific),
+    * denominators come from the totals/stats sidecars; zero corpus
+    * scans at serve time. */
+  def brandRecommendationsIndexed(edges: DataFrame, totals: DataFrame,
+                                  stats: DataFrame, minCount: Long = 5,
+                                  k: Int = 3): DataFrame =
+    brandRecommendationsFrom(edges, totals, stats, minCount, k)
+
+  private def brandRecommendationsFrom(edges: DataFrame,
+                                       totals: DataFrame,
+                                       stats: DataFrame, minCount: Long,
+                                       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val ob = lineitem
-      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("_o"), col("p_brand").as("_b"))
-      .distinct()
-    val nOrders = lineitem.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("_n"))
-    val brandCnt = ob.groupBy(col("_b")).agg(count(lit(1)).as("_bc"))
-    val pairs = ob.select(col("_o"), col("_b").as("brand"))
-      .join(ob.select(col("_o"), col("_b").as("rec_brand")), Seq("_o"))
-      .filter(col("brand") =!= col("rec_brand"))
-      .groupBy(col("brand"), col("rec_brand"))
-      .agg(count(lit(1)).as("n_co"))
+    val pairs = edges
+      .select(col("src").as("brand"), col("dst").as("rec_brand"),
+        col("w").as("n_co"))
       .filter(col("n_co") >= minCount)
     val scored = pairs
-      .join(broadcast(brandCnt.select(col("_b").as("brand"),
-        col("_bc").as("_ca"))), Seq("brand"))
-      .join(broadcast(brandCnt.select(col("_b").as("rec_brand"),
-        col("_bc").as("_cb"))), Seq("rec_brand"))
-      .crossJoin(broadcast(nOrders))
+      .join(broadcast(totals.select(col("brand"),
+        col("n_orders").as("_ca"))), Seq("brand"))
+      .join(broadcast(totals.select(col("brand").as("rec_brand"),
+        col("n_orders").as("_cb"))), Seq("rec_brand"))
+      .crossJoin(broadcast(stats.select(col("n_orders").as("_n"))))
       .select(col("brand"), col("rec_brand"), col("n_co"),
         Num.fpRound(col("n_co").cast("double") / col("_ca"), 6)
           .as("confidence"),

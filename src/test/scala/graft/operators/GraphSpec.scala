@@ -113,4 +113,159 @@ class GraphSpec extends SparkSpec {
     assert(pr("l1") === pr("l2") && pr("l2") === pr("l3"))
     assert(pr("hub") > pr("l1"))
   }
+
+  // ---- persisted edge index ------------------------------------------
+
+  /** Shared fixture for the index tests: 6 orders over brands X/Y/Z,
+    * one line whose part has no dictionary row (order 15) — so
+    * n_orders (7, from lineitem) differs from n_baskets (6, from the
+    * collapsed frame), pinning the two denominators apart. */
+  private def fixture = {
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 2L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 3L),
+      (13L, 1L), (13L, 2L),
+      (14L, 2L), (14L, 3L),
+      (15L, 99L), // no part row -> order counts in n_orders only
+      (16L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z"))
+      .toDF("p_partkey", "p_brand")
+    (li, part)
+  }
+
+  private def dropIdx(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = java.nio.file.Paths.get("spark-warehouse",
+      name.split('.')(0) + ".db", name.split('.')(1))
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  private val idxTables = Seq("graft_idx_test.eg_ob",
+    "graft_idx_test.eg_edges", "graft_idx_test.eg_totals",
+    "graft_idx_test.eg_stats")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("edge index round-trip: every served graph twin returns " +
+      "IDENTICAL rows to its corpus-path form — zero corpus scans") {
+    val (li, part) = fixture
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    idxTables.foreach(dropIdx)
+    val Seq(obT, edT, toT, stT) = idxTables
+    Graph.writeEdgeIndex(li, part, obT, edT, toT, stT, numBuckets = 2)
+    val (ob, edges, totals, stats) =
+      Graph.readEdgeIndex(spark, obT, edT, toT, stT)
+
+    // stats pins the two denominators apart
+    val st = stats.collect().head
+    assert(st.getLong(0) === 6L && st.getLong(1) === 7L)
+
+    assert(rows(edges) === rows(Graph.coPurchaseEdges(li, part)))
+    assert(rows(Graph.pageRank(edges)) ===
+      rows(Graph.pageRank(Graph.coPurchaseEdges(li, part))))
+    val affIdx = Graph.affinityEdgesFrom(edges, totals, stats)
+    assert(rows(affIdx) === rows(Graph.affinityEdges(li, part)))
+    assert(rows(Graph.labelPropagation(affIdx)) ===
+      rows(Graph.labelPropagation(Graph.affinityEdges(li, part))))
+    assert(rows(Graph.triangleStats(affIdx)) ===
+      rows(Graph.triangleStats(Graph.affinityEdges(li, part))))
+    assert(rows(Analytics.frequentTriplesIndexed(ob, stats,
+        minCount = 2, topK = 10)) ===
+      rows(Analytics.frequentTriples(li, part, minCount = 2, topK = 10)))
+    assert(rows(Analytics.brandRecommendationsIndexed(edges, totals,
+        stats, minCount = 2, k = 2)) ===
+      rows(Analytics.brandRecommendations(li, part, minCount = 2, k = 2)))
+    assert(rows(Analytics.basketAffinityIndexed(edges, totals, stats,
+        minCount = 2)) ===
+      rows(Analytics.basketAffinity(li, part, minCount = 2)))
+  }
+
+  test("appendEdgeIndex additivity: disjoint complete-order ingests " +
+      "merge to the one-shot build's exact frames") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val (li, part) = fixture
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    idxTables.foreach(dropIdx)
+    val Seq(obT, edT, toT, stT) = idxTables
+    Graph.writeEdgeIndex(li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+      part, obT, edT, toT, stT, numBuckets = 2)
+    Graph.appendEdgeIndex(li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+      part, obT, edT, toT, stT, numBuckets = 2)
+    val (ob, edges, totals, stats) =
+      Graph.readEdgeIndex(spark, obT, edT, toT, stT)
+    assert(rows(ob) === rows(Graph.orderBrands(li, part)))
+    assert(rows(edges) === rows(Graph.coPurchaseEdges(li, part)))
+    val obAll = Graph.orderBrands(li, part)
+    assert(rows(totals) === rows(Graph.brandTotals(obAll)))
+    assert(rows(stats) === rows(Graph.basketStats(li, obAll)))
+  }
+
+  // ---- checkpointed iterative rounds ---------------------------------
+
+  test("pageRank rounds=12: matches the driver-side integer recurrence " +
+      "exactly, and the checkpointed plan stays shallow") {
+    val edges = Seq(
+      ("a", "b", 1L), ("b", "a", 1L),
+      ("b", "c", 1L), ("c", "b", 1L)).toDF("src", "dst", "w")
+    // reference: the same floor recurrence, pure Scala
+    var m = Map("a" -> 333333333L, "b" -> 333333333L, "c" -> 333333333L)
+    for (_ <- 1 to 12) {
+      val acc = Map(
+        "a" -> m("b") * 500000000L / 1000000000L,
+        "b" -> (m("a") + m("c")),
+        "c" -> m("b") * 500000000L / 1000000000L)
+      m = acc.map { case (n, a) => n -> (50000000L + 85L * a / 100L) }
+    }
+    val pr12 = Graph.pageRank(edges, iterations = 12)
+    assert(pr12.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === m)
+    // lineage cut every CheckpointEvery rounds => plan depth is O(1)
+    // per round: 12 rounds must not plan deeper than ~one cadence of
+    // un-checkpointed rounds
+    def nNodes(df: org.apache.spark.sql.DataFrame) = {
+      var n = 0; df.queryExecution.analyzed.foreach(_ => n += 1); n
+    }
+    val pr4 = Graph.pageRank(edges, iterations = 4)
+    assert(nNodes(pr12) <= 2 * nNodes(pr4),
+      s"12-round plan ${nNodes(pr12)} nodes vs 4-round ${nNodes(pr4)}")
+  }
+
+  test("labelPropagation rounds=12: converged fixture is stable across " +
+      "the checkpoint boundary (same communities as rounds=3)") {
+    def tri(ns: Seq[String], w: Long) = for {
+      s <- ns; d <- ns if s != d
+    } yield (s, d, w)
+    val edges = (tri(Seq("a", "b", "c"), 2L) ++ tri(Seq("x", "y", "z"), 2L)
+      ++ Seq(("c", "x", 1L), ("x", "c", 1L))).toDF("src", "dst", "w")
+    assert(rows(Graph.labelPropagation(edges, rounds = 12)) ===
+      rows(Graph.labelPropagation(edges, rounds = 3)))
+  }
+
+  // ---- triangle orientation ------------------------------------------
+
+  test("triangleStats orientBy=degree: identical output to the " +
+      "id-oriented form (same triangles, different wedge fanout bound)") {
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"),
+      ("a", "c"))
+    val edges = (und ++ und.map(_.swap)).map { case (s, d) => (s, d, 1L) }
+      .toDF("src", "dst", "w")
+    assert(rows(Graph.triangleStats(edges, orientBy = "degree")) ===
+      rows(Graph.triangleStats(edges, orientBy = "id")))
+  }
+
+  test("triangleStats on a multigraph: duplicate edge rows inflate " +
+      "neither degree nor triangle counts (deduped symmetric set)") {
+    val und = Seq(("a", "b"), ("b", "c"), ("a", "c"))
+    val once = (und ++ und.map(_.swap)).map { case (s, d) => (s, d, 1L) }
+    val dup = once ++ once // every edge twice
+    assert(rows(Graph.triangleStats(dup.toDF("src", "dst", "w"))) ===
+      rows(Graph.triangleStats(once.toDF("src", "dst", "w"))))
+  }
 }
