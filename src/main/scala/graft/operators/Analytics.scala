@@ -301,9 +301,17 @@ object Analytics {
   def basketAffinity(lineitem: DataFrame, part: DataFrame,
                      minCount: Long = 5): DataFrame = {
     val ob = Graph.orderBrands(lineitem, part)
-    basketAffinityFrom(ob, Graph.brandTotals(ob),
-      Graph.basketStats(lineitem, ob), minCount)
+    basketAffinityFrom(ob, Graph.brandTotals(ob), corpusOrders(lineitem),
+      minCount)
   }
+
+  /** The support denominator the corpus-path basket operators need —
+    * distinct orders in lineitem, as a 1-row `n_orders` frame (the
+    * index path reads the same column off the persisted stats
+    * sidecar instead). */
+  private def corpusOrders(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
 
   /** [[basketAffinity]] over the persisted edge-index frames
     * ([[Graph.readEdgeIndex]]): undirected pairs are the directed edge
@@ -410,11 +418,9 @@ object Analytics {
     * (x150's convention — never a global sort); the 1-row basket
     * total broadcasts. */
   def frequentTriples(lineitem: DataFrame, part: DataFrame,
-                      minCount: Long = 3, topK: Int = 50): DataFrame = {
-    val ob = Graph.orderBrands(lineitem, part)
-    frequentTriplesFrom(ob, Graph.basketStats(lineitem, ob), minCount,
-      topK)
-  }
+                      minCount: Long = 3, topK: Int = 50): DataFrame =
+    frequentTriplesFrom(Graph.orderBrands(lineitem, part),
+      corpusOrders(lineitem), minCount, topK)
 
   /** [[frequentTriples]] over the persisted edge-index frames
     * ([[Graph.readEdgeIndex]]): the 3-way mining re-joins the PERSISTED
@@ -476,7 +482,7 @@ object Analytics {
                            minCount: Long = 5, k: Int = 3): DataFrame = {
     val ob = Graph.orderBrands(lineitem, part)
     brandRecommendationsFrom(Graph.coPurchaseEdgesFrom(ob),
-      Graph.brandTotals(ob), Graph.basketStats(lineitem, ob), minCount, k)
+      Graph.brandTotals(ob), corpusOrders(lineitem), minCount, k)
   }
 
   /** [[brandRecommendations]] over the persisted edge-index frames

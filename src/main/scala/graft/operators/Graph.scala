@@ -115,11 +115,13 @@ object Graph {
       .select(col("src"), col("dst"), col("w"))
 
   /** [[affinityEdgesFrom]] over the corpus (one basket collapse feeds
-    * the edges, the totals and the stats). */
+    * the edges, the totals and the basket count — only the
+    * denominator the lift cut needs, so the corpus plan carries no
+    * extra aggregate). */
   def affinityEdges(lineitem: DataFrame, part: DataFrame): DataFrame = {
     val ob = orderBrands(lineitem, part)
     affinityEdgesFrom(coPurchaseEdgesFrom(ob), brandTotals(ob),
-      basketStats(lineitem, ob))
+      ob.agg(countDistinct(col("order_key")).as("n_baskets")))
   }
 
   /** Persist the CO-PURCHASE EDGE INDEX as catalog tables — the

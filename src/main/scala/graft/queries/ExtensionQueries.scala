@@ -39,7 +39,8 @@ object ExtensionQueries {
        sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
          FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i))"""
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+      Map[String, (SparkSession, String) => DataFrame](
     // X1 — exact dedup on normalized-text digest: one shuffle of
     // (hash, id) pairs only.
     "x1_exact_dedup" -> ((s, dir) =>
@@ -2016,6 +2017,66 @@ object ExtensionQueries {
               .as("units")),
         "o_orderkey", "priority", "units", buckets = 32,
         quantiles = Seq(0.5, 0.9)))
+  ) ++ indexedGraphQueries
+
+  /** x204-x209 — the graph family through its PERSISTED co-purchase
+    * edge index (the x91/x107/x124/x127 indexed-serving pattern
+    * applied to the family's shared stage): the basket collapse, the
+    * directed edge counts and the denominator sidecars are built once
+    * per fixture ([[edgeIndexFor]]); each served twin reads
+    * dictionary-bounded tables with ZERO corpus scans and returns the
+    * SAME rows as its self-contained form (same oracle). */
+  private lazy val indexedGraphQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    // x204 — x188 served from the index: PageRank's input edge list is
+    // one dictionary²-bounded table read + merge-sum.
+    "x204_pagerank_indexed" -> ((s, dir) => {
+      val (_, edges, _, _) = edgeIndexFor(s, dir)
+      Graph.pageRank(edges, iterations = 3)
+        .select(col("node").as("brand"), col("pr_units"))
+    }),
+
+    // x205 — x190 served from the index: the lift cut re-derives the
+    // affinity graph from persisted edges + sidecars.
+    "x205_communities_indexed" -> ((s, dir) => {
+      val (_, edges, totals, stats) = edgeIndexFor(s, dir)
+      Graph.labelPropagation(
+          Graph.affinityEdgesFrom(edges, totals, stats), rounds = 3)
+        .select(col("node").as("brand"), col("label").as("community"))
+    }),
+
+    // x206 — x192 served from the index: triangle enumeration over the
+    // persisted affinity edges.
+    "x206_triangles_indexed" -> ((s, dir) => {
+      val (_, edges, totals, stats) = edgeIndexFor(s, dir)
+      Graph.triangleStats(Graph.affinityEdgesFrom(edges, totals, stats))
+        .select(col("node").as("brand"), col("degree"),
+          col("n_triangles"), col("clustering_coeff"))
+    }),
+
+    // x207 — x196 served from the index: the 3-way Apriori mining
+    // re-joins the PERSISTED basket frame (bucketed by order key — the
+    // self-joins are co-located), support base from the stats sidecar.
+    "x207_triples_indexed" -> ((s, dir) => {
+      val (ob, _, _, stats) = edgeIndexFor(s, dir)
+      Analytics.frequentTriplesIndexed(ob, stats, minCount = 3,
+        topK = 50)
+    }),
+
+    // x208 — x202 served from the index: the directed pair counts ARE
+    // the edge list; confidence/lift denominators from the sidecars.
+    "x208_brand_recs_indexed" -> ((s, dir) => {
+      val (_, edges, totals, stats) = edgeIndexFor(s, dir)
+      Analytics.brandRecommendationsIndexed(edges, totals, stats,
+        minCount = 5, k = 3)
+    }),
+
+    // x209 — x164 served from the index: undirected rule pairs are the
+    // src<dst cut of the persisted directed edges.
+    "x209_affinity_indexed" -> ((s, dir) => {
+      val (_, edges, totals, stats) = edgeIndexFor(s, dir)
+      Analytics.basketAffinityIndexed(edges, totals, stats, minCount = 5)
+    })
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -2106,6 +2167,28 @@ object ExtensionQueries {
         "vec_id", "embedding", codes, books, cent, m = 4, k = 8, rounds = 2)
     }
     (codes, books, cent)
+  }
+
+  /** Build-if-missing the x204-x209 co-purchase edge index (basket
+    * frame bucketed by order key, directed edges bucketed by src,
+    * totals/stats sidecars); returns the SERVING frames
+    * `(ob, edges, totals, stats)` via [[Graph.readEdgeIndex]]. Same
+    * build-once-read-steady contract as [[bm25IndexFor]]. */
+  private def edgeIndexFor(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ob = s"graft_idx.edge_ob_$tag"
+    val ed = s"graft_idx.edge_list_$tag"
+    val tot = s"graft_idx.edge_totals_$tag"
+    val st = s"graft_idx.edge_stats_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!s.catalog.tableExists(ob) || !s.catalog.tableExists(ed) ||
+        !s.catalog.tableExists(tot) || !s.catalog.tableExists(st)) {
+      Seq(ob, ed, tot, st).foreach(dropStaleManaged(s, _))
+      Graph.writeEdgeIndex(t(s, dir, "lineitem"), t(s, dir, "part"),
+        ob, ed, tot, st, numBuckets = 8)
+    }
+    Graph.readEdgeIndex(s, ob, ed, tot, st)
   }
 
   /** Build-if-missing the x110 novelty gram-df index; returns the
@@ -4129,7 +4212,16 @@ object ExtensionQueries {
     ("x110_novelty_indexed" -> extendedOracleSql("x104_novelty")) +
     ("x124_pq_indexed" -> extendedOracleSql("x121_pq_topk")) +
     ("x127_ivf_pq_indexed" -> extendedOracleSql("x123_ivf_pq_topk")) +
-    ("x134_pq_rerank_indexed" -> extendedOracleSql("x130_pq_rerank_topk"))
+    ("x134_pq_rerank_indexed" -> extendedOracleSql("x130_pq_rerank_topk")) +
+    // the graph family's served twins (x204-x209): the edge index
+    // changes what gets SCANNED, never the rows
+    ("x204_pagerank_indexed" -> extendedOracleSql("x188_pagerank")) +
+    ("x205_communities_indexed" ->
+      extendedOracleSql("x190_label_communities")) +
+    ("x206_triangles_indexed" -> extendedOracleSql("x192_triangle_stats")) +
+    ("x207_triples_indexed" -> extendedOracleSql("x196_brand_triples")) +
+    ("x208_brand_recs_indexed" -> extendedOracleSql("x202_brand_recs")) +
+    ("x209_affinity_indexed" -> extendedOracleSql("x164_brand_affinity"))
 
   private lazy val extendedOracleSql: Map[String, String] = baseOracleSql ++ Map(
     "x80_neardup_indexed" -> baseOracleSql("x75_incremental_neardup"),

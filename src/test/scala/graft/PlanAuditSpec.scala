@@ -1585,4 +1585,58 @@ class PlanAuditSpec extends SparkSpec {
       s"histogram quantiles leaked a global sort:\n$p")
     assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
   }
+
+  /** The x204-x209 served-graph pin: the query reads the persisted
+    * edge-index tables and NEVER rescans the corpus — no lineitem
+    * scan, no part-dictionary join, no basket collapse at serve
+    * time. */
+  private def assertCorpusFree(name: String, indexTable: String,
+                               extra: String => Unit = _ => ()): Unit = {
+    val p = plan(name)
+    assert(p.contains(indexTable), s"index table not scanned:\n$p")
+    assert(!p.contains("lineitem"),
+      s"corpus lineitem scanned at serve time:\n$p")
+    assert(!p.contains("p_partkey"),
+      s"part dictionary joined at serve time:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+    extra(p)
+  }
+
+  test("x204 indexed PageRank: rounds ride the persisted edge list — " +
+      "zero corpus scans") {
+    assertCorpusFree("x204_pagerank_indexed", "edge_list_")
+  }
+
+  test("x205 indexed communities: lift cut + LPA rounds from the " +
+      "persisted edges/sidecars — zero corpus scans") {
+    assertCorpusFree("x205_communities_indexed", "edge_list_")
+  }
+
+  test("x206 indexed triangles: oriented enumeration over persisted " +
+      "affinity edges — zero corpus scans") {
+    assertCorpusFree("x206_triangles_indexed", "edge_list_")
+  }
+
+  test("x207 indexed triples: 3-way mining re-joins the PERSISTED " +
+      "basket frame, co-located by its order-key bucketing — zero " +
+      "corpus scans, no exchange before the first pair aggregate") {
+    assertCorpusFree("x207_triples_indexed", "edge_ob_", p => {
+      // the bucketed (order_key) self-joins must not re-shuffle the
+      // basket frame: every hash exchange in the plan carries brand
+      // keys (pair/triple aggregates), never the order key
+      assert(!"Exchange hashpartitioning\\([^)]*order_key".r
+        .findFirstIn(p).isDefined,
+        s"basket frame re-shuffled on its own bucket key:\n$p")
+    })
+  }
+
+  test("x208 indexed brand recs: pair counts ARE the persisted edges " +
+      "— zero corpus scans") {
+    assertCorpusFree("x208_brand_recs_indexed", "edge_list_")
+  }
+
+  test("x209 indexed affinity rules: src<dst cut of persisted edges " +
+      "— zero corpus scans") {
+    assertCorpusFree("x209_affinity_indexed", "edge_list_")
+  }
 }
