@@ -237,4 +237,80 @@ object Warehouse {
           col("n_events").cast("double"), 6).as("late_share"),
         col("max_lateness_ms"))
   }
+
+  /** INDEX COMPACTION — rebuild a catalog index table's physical
+    * layout through its own write path, closing the incremental-
+    * maintenance loop every append API opens (`appendAnnIndex`,
+    * `appendBm25Index`, `appendPqIndex`, `appendNeardupIndex`,
+    * `appendDigestIndex`, `appendEdgeIndex`: each ingest adds one
+    * file per touched bucket, so under continuous ingest the file
+    * count grows without bound — the classic streaming-sink failure
+    * at scale). Compaction preserves rows BIT-IDENTICALLY (it moves
+    * bytes, never merges or re-aggregates — serving reads that merge
+    * append partials return the same rows before and after, which is
+    * the safety property that lets it run any time): a bucketed table
+    * rebuckets through [[graft.sinks.Sinks.writeBucketed]] back to
+    * one file per bucket under the SAME spec; an unbucketed sidecar
+    * rewrites to `targetFiles` files (default 1 — sidecars are
+    * dictionary/1-row sized by construction).
+    *
+    * The rebuild hops through a `_compact_tmp` snapshot table because
+    * a table cannot be overwritten from its own scan; both writes are
+    * one pass over the index (never the corpus). The snapshot is
+    * deliberately UNBUCKETED: a bucketed snapshot's scan would report
+    * the very hash partitioning the rebuild's repartition asks for,
+    * the planner would elide the exchange, and the write tasks —
+    * no longer bucket-exclusive — would fan back out to multiple
+    * files per bucket (observed: 3 files for 2 buckets), defeating
+    * the compaction. Run it when [[indexFileAudit]] says file counts
+    * warrant. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   table: String, targetFiles: Int = 1): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val tmp = table + "_compact_tmp"
+    graft.sinks.Sinks.dropManaged(spark, tmp)
+    spark.table(table).write.mode("overwrite").format("parquet")
+      .saveAsTable(tmp)
+    meta.bucketSpec match {
+      case Some(bs) =>
+        graft.sinks.Sinks.writeBucketed(spark.table(tmp), table,
+          bs.bucketColumnNames, bs.numBuckets, bs.sortColumnNames)
+      case None =>
+        spark.table(tmp).repartition(targetFiles).write.mode("overwrite")
+          .format("parquet").saveAsTable(table)
+    }
+    graft.sinks.Sinks.dropManaged(spark, tmp)
+  }
+
+  /** INDEX FILE-COUNT AUDIT (x210) — per labeled index table: bucket
+    * count (0 = unbucketed sidecar), physical data-file count and row
+    * count. THE number that says when [[compactIndex]] should run: a
+    * healthy serving index has ~1 file per bucket; each append adds
+    * one more per touched bucket.
+    *
+    * Driver-side by design: this is a METADATA sweep (one recursive
+    * listing per index table — bounded by the file counts it exists
+    * to report, never row data); only the row counts run as jobs. */
+  def indexFileAudit(spark: org.apache.spark.sql.SparkSession,
+                     tables: Seq[(String, String)]): DataFrame = {
+    require(tables.nonEmpty, "indexFileAudit needs at least one table")
+    val rows = tables.map { case (label, table) =>
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      val loc = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var nFiles = 0L
+      val it = fs.listFiles(loc, true)
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (!f.startsWith("_") && !f.startsWith(".")) nFiles += 1
+      }
+      (label, meta.bucketSpec.map(_.numBuckets.toLong).getOrElse(0L),
+        nFiles, spark.table(table).count())
+    }
+    import spark.implicits._
+    rows.toDF("index_name", "n_buckets", "n_files", "n_rows")
+  }
 }

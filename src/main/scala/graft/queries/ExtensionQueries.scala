@@ -2076,7 +2076,22 @@ object ExtensionQueries {
     "x209_affinity_indexed" -> ((s, dir) => {
       val (_, edges, totals, stats) = edgeIndexFor(s, dir)
       Analytics.basketAffinityIndexed(edges, totals, stats, minCount = 5)
-    })
+    }),
+
+    // x210 — index compaction + file-count audit: a dedicated edge
+    // index is built in TWO disjoint complete-order ingests (even /
+    // odd order keys — each append adds a file per touched bucket),
+    // then compacted back to one file per bucket (sidecars to one
+    // file) and audited. Row counts are data-derived (the oracle
+    // recomputes them from the corpus: compaction moves bytes, never
+    // rows); `compacted` pins files <= buckets — false before
+    // compaction by construction (WarehouseSpec pins the before/after
+    // file counts and the bit-identical serve).
+    "x210_index_compaction" -> ((s, dir) =>
+      Warehouse.indexFileAudit(s, compactedEdgeIndexFor(s, dir))
+        .select(col("index_name"), col("n_buckets"), col("n_rows"),
+          (col("n_files") <= greatest(col("n_buckets"), lit(1L)))
+            .as("compacted")))
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -2191,6 +2206,33 @@ object ExtensionQueries {
     Graph.readEdgeIndex(s, ob, ed, tot, st)
   }
 
+  /** Build-if-missing the x210 compaction exhibit: a SEPARATE edge
+    * index built in two disjoint complete-order ingests (even then odd
+    * order keys — the [[Graph.appendEdgeIndex]] additivity
+    * preconditions) and then compacted, so the steady state audits as
+    * one file per bucket while holding both ingests' partial rows.
+    * Returns the (label, table) pairs for
+    * [[Warehouse.indexFileAudit]]. */
+  private def compactedEdgeIndexFor(s: SparkSession,
+                                    dir: String): Seq[(String, String)] = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tables = Seq("ob", "edges", "totals", "stats")
+      .map(n => n -> s"graft_idx.cedge_${n}_$tag")
+    val Seq(ob, ed, tot, st) = tables.map(_._2)
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!tables.forall(t => s.catalog.tableExists(t._2))) {
+      tables.foreach(t => dropStaleManaged(s, t._2))
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      Graph.writeEdgeIndex(li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+        p, ob, ed, tot, st, numBuckets = 8)
+      Graph.appendEdgeIndex(li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+        p, ob, ed, tot, st, numBuckets = 8)
+      tables.foreach(t => Warehouse.compactIndex(s, t._2))
+    }
+    tables
+  }
+
   /** Build-if-missing the x110 novelty gram-df index; returns the
     * table name. Same build-once-read-steady contract as
     * [[neardupIndexFor]]. */
@@ -2280,14 +2322,8 @@ object ExtensionQueries {
     (assignT, centT)
   }
 
-  private def dropStaleManaged(s: SparkSession, table: String): Unit = {
-    s.sql(s"DROP TABLE IF EXISTS $table")
-    val Array(db, name) = table.split('.')
-    val p = new org.apache.hadoop.fs.Path(
-      s"${s.conf.get("spark.sql.warehouse.dir")}/$db.db/$name")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-  }
+  private def dropStaleManaged(s: SparkSession, table: String): Unit =
+    graft.sinks.Sinks.dropManaged(s, table)
 
   private val baseOracleSql: Map[String, String] = Map(
     "x1_exact_dedup" ->
@@ -4221,7 +4257,33 @@ object ExtensionQueries {
     ("x206_triangles_indexed" -> extendedOracleSql("x192_triangle_stats")) +
     ("x207_triples_indexed" -> extendedOracleSql("x196_brand_triples")) +
     ("x208_brand_recs_indexed" -> extendedOracleSql("x202_brand_recs")) +
-    ("x209_affinity_indexed" -> extendedOracleSql("x164_brand_affinity"))
+    ("x209_affinity_indexed" -> extendedOracleSql("x164_brand_affinity")) +
+    // x210: bucket counts are the build's literals; row counts are
+    // recomputed from the corpus under the two-ingest split (the
+    // append partials: per-parity pair/brand frames union, stats one
+    // row per ingest); compacted is TRUE by construction post-compact
+    ("x210_index_compaction" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         e0 AS (SELECT DISTINCT x.b AS s, y.b AS d FROM ob x
+           JOIN ob y ON x.o = y.o AND x.b <> y.b WHERE x.o % 2 = 0),
+         e1 AS (SELECT DISTINCT x.b AS s, y.b AS d FROM ob x
+           JOIN ob y ON x.o = y.o AND x.b <> y.b WHERE x.o % 2 = 1)
+         SELECT 'ob' AS index_name, CAST(8 AS BIGINT) AS n_buckets,
+           (SELECT CAST(count(*) AS BIGINT) FROM ob) AS n_rows,
+           TRUE AS compacted
+         UNION ALL
+         SELECT 'edges', CAST(8 AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT) FROM e0)
+             + (SELECT CAST(count(*) AS BIGINT) FROM e1), TRUE
+         UNION ALL
+         SELECT 'totals', CAST(0 AS BIGINT),
+           (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM ob
+              WHERE o % 2 = 0)
+             + (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM ob
+                WHERE o % 2 = 1), TRUE
+         UNION ALL
+         SELECT 'stats', CAST(0 AS BIGINT), CAST(2 AS BIGINT), TRUE""")
 
   private lazy val extendedOracleSql: Map[String, String] = baseOracleSql ++ Map(
     "x80_neardup_indexed" -> baseOracleSql("x75_incremental_neardup"),

@@ -179,4 +179,19 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** Drop a managed table AND its warehouse location. With the
+    * in-memory catalog, table METADATA dies with the session but the
+    * managed LOCATION under spark-warehouse survives — a fresh JVM
+    * re-creating the table would hit LOCATION_ALREADY_EXISTS. The
+    * DROP TABLE is a no-op when the catalog has no entry. */
+  def dropManaged(spark: org.apache.spark.sql.SparkSession,
+                  table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val Array(db, name) = table.split('.')
+    val p = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.db/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 }

@@ -163,4 +163,56 @@ class WarehouseSpec extends SparkSpec {
     assert(out.head.getLong(2) === 1L)      // n_late
     assert(out.head.getLong(4) === 10L)     // max_lateness_ms
   }
+
+  test("compactIndex (x210): append x2 then compact == one file per " +
+      "bucket, rows bit-identical, serve identical to one-shot build") {
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 3L), (13L, 1L), (13L, 2L), (14L, 2L), (14L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z"))
+      .toDF("p_partkey", "p_brand")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val tabs = Seq("graft_idx_test.cp_ob", "graft_idx_test.cp_edges",
+      "graft_idx_test.cp_totals", "graft_idx_test.cp_stats")
+    val oneTabs = tabs.map(_ + "_one")
+    (tabs ++ oneTabs).foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    val Seq(obT, edT, toT, stT) = tabs
+    val Seq(obO, edO, toO, stO) = oneTabs
+    // two disjoint complete-order ingests vs the one-shot build
+    Graph.writeEdgeIndex(li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+      part, obT, edT, toT, stT, numBuckets = 2)
+    Graph.appendEdgeIndex(li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+      part, obT, edT, toT, stT, numBuckets = 2)
+    Graph.writeEdgeIndex(li, part, obO, edO, toO, stO, numBuckets = 2)
+
+    def audit() = Warehouse.indexFileAudit(spark,
+        Seq("ob" -> obT, "edges" -> edT, "totals" -> toT, "stats" -> stT))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val before = audit()
+    // two ingests: more files than buckets on the bucketed tables
+    assert(before("ob")._2 > before("ob")._1)
+    assert(before("stats")._3 === 2L) // one partial row per ingest
+
+    val rowsBefore = tabs.map(t => spark.table(t).collect().map(_.toSeq).toSet)
+    tabs.foreach(Warehouse.compactIndex(spark, _))
+    val after = audit()
+    assert(after("ob") === ((2L, 2L, before("ob")._3)))
+    assert(after("edges") === ((2L, 2L, before("edges")._3)))
+    assert(after("totals")._2 === 1L && after("stats")._2 === 1L)
+    // rows bit-identical (compaction moves bytes, never merges)
+    tabs.zip(rowsBefore).foreach { case (t, r) =>
+      assert(spark.table(t).collect().map(_.toSeq).toSet === r, t)
+    }
+    // serve identical to the one-shot build
+    val (_, e1, t1, s1) = Graph.readEdgeIndex(spark, obT, edT, toT, stT)
+    val (_, e2, t2, s2) = Graph.readEdgeIndex(spark, obO, edO, toO, stO)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(e1) === rows(e2))
+    assert(rows(t1) === rows(t2))
+    assert(rows(s1) === rows(s2))
+    assert(rows(Graph.pageRank(e1)) === rows(Graph.pageRank(e2)))
+  }
 }
