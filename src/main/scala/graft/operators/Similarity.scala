@@ -975,6 +975,54 @@ object Similarity {
       .write.mode("overwrite").format("parquet").saveAsTable(booksTable)
   }
 
+  /** A trained PQ model with a MANAGED cache — the bracket form of
+    * [[pqEncode]]/[[pqTopK]] for library users outside a harness that
+    * calls `spark.catalog.clearCache()`: inside
+    * [[Similarity.withPqModel]]'s body, [[codes]] and [[topK]] serve
+    * from the shared cached grid corpus (training paid ONCE however
+    * many calls); at body exit the cache is released unconditionally.
+    * CONSUME results inside the body (write/collect) — frames
+    * returned out of the bracket would recompute the grid scan-side
+    * on their next action (still correct, no longer cached). */
+  final class PqModel private[Similarity](quant: DataFrame, subDim: Int,
+      books: Array[Array[(Long, Array[Double])]]) {
+    private def codeCols = books.indices.map { j =>
+      pqAssign(slice(col("qv"), j * subDim + 1, subDim), books(j))._1
+        .as(s"code_$j") }
+
+    /** [[pqEncode]]'s frame under the bracket's cache. */
+    def codes: DataFrame = quant.select(col("vec_id") +: codeCols: _*)
+
+    /** [[pqTopK]]'s frame under the bracket's cache. */
+    def topK(queries: DataFrame, idCol: String, vecCol: String,
+             topK: Int): DataFrame = {
+      val q = Par.spread(queries.select(
+        col(idCol).cast("long").as("query_id"),
+        transform(col(vecCol), x =>
+          floor(x.cast("double") * lit(1e6) + lit(0.5)))
+          .cast("array<long>").as("qv")))
+      val tableCols = books.indices.map { j =>
+        pqAssign(slice(col("qv"), j * subDim + 1, subDim), books(j))._2
+          .as(s"t_$j") }
+      adcRank(quant.select(col("vec_id").as("neighbor_id") +: codeCols: _*),
+        q.select(col("query_id") +: tableCols: _*), books, topK)
+    }
+  }
+
+  /** Train once, serve many, release the cache on exit — returns the
+    * body's result. Same training contract as [[pqEncode]] (seeding,
+    * `trainPct` sampling); unlike the open-ended CACHE CONTRACT
+    * there, the gridded corpus is unpersisted in a `finally`, so no
+    * cached RDD survives the call however the body exits. */
+  def withPqModel[T](corpus: DataFrame, idCol: String, vecCol: String,
+                     m: Int = 4, k: Int = 8, rounds: Int = 2,
+                     trainPct: Int = 100)(body: PqModel => T): T = {
+    val (quant, subDim, books) =
+      pqFit(corpus, idCol, vecCol, m, k, rounds, trainPct)
+    try body(new PqModel(quant, subDim, books))
+    finally quant.unpersist()
+  }
+
   /** Incremental PQ index MAINTENANCE: encode an arriving batch with
     * the FROZEN persisted codebooks and append its codes — the
     * continuous-ingestion contract of [[graft.operators.TextDedup]]'s

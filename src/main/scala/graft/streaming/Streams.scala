@@ -721,6 +721,46 @@ object Streams {
         } finally { b.unpersist(); () }
     }
 
+  /** Streaming CO-PURCHASE EDGE-INDEX MAINTENANCE — x204-x209's
+    * continuous form ([[graft.operators.Graph.appendEdgeIndex]] as the
+    * per-micro-batch stage), completing the indexed-ingest family on
+    * the graph side: each arriving batch of lineitem rows is (1)
+    * handed to `sink` with its batch id and (2) collapsed to its
+    * basket frame and appended as PARTIAL counts — co-order counts
+    * are ADDITIVE across disjoint order sets, so
+    * [[graft.operators.Graph.readEdgeIndex]]'s merge-sum serves the
+    * union corpus exactly (stream-appended == batch rebuild,
+    * spec-pinned).
+    *
+    * The additivity PRECONDITIONS become stream obligations: each
+    * micro-batch must carry COMPLETE orders (an order split across
+    * batches under-counts its within-order pairs — batch by order
+    * boundary upstream, e.g. group the feed by order id before the
+    * stream) with order keys DISJOINT from every prior ingest.
+    * Replayed micro-batches (the at-least-once window) violate
+    * disjointness and double-count — make `sink` idempotent by batch
+    * id and rebuild ([[graft.operators.Graph.writeEdgeIndex]]) or
+    * drop the replayed partials at the next
+    * [[graft.operators.Warehouse.compactIndex]] window. Corpus state
+    * lives in the catalog tables, not stream state — `foreachBatch`
+    * for the family's usual reason. */
+  def edgeIndexIngest(lineitems: DataFrame, part: DataFrame,
+                      obTable: String, edgesTable: String,
+                      totalsTable: String, statsTable: String,
+                      numBuckets: Int = 8)
+                     (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    lineitems.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF().cache()
+        try {
+          sink(b, batchId)
+          graft.operators.Graph.appendEdgeIndex(b, part, obTable,
+            edgesTable, totalsTable, statsTable, numBuckets)
+        } finally { b.unpersist(); () }
+    }
+
   /** Streaming HYBRID SERVING (x135's continuous form) — the
     * QUERY-side complement of the ingest twins: where
     * [[indexedNeardupIngest]]/[[indexedAnnIngest]]/[[pqIndexIngest]]

@@ -848,4 +848,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(r => r.getLong(1) == 6L &&
       r.getDouble(2) > 0.0 && r.getDouble(2) <= r.getDouble(3)))
   }
+
+  test("withPqModel: codes/topK match the open-contract forms, ONE " +
+      "training pays for both, and NO cached RDD survives the bracket " +
+      "— even on a throwing body") {
+    spark.catalog.clearCache()
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val openCodes = Similarity.pqEncode(pqVecs, "vec_id", "embedding",
+      m = 2, k = 2, rounds = 2).collect().map(_.toSeq).toSet
+    val openTopK = Similarity.pqTopK(pqVecs.filter("vec_id = 0"), pqVecs,
+        "vec_id", "embedding", topK = 5, m = 2, k = 2, rounds = 2)
+      .collect().map(_.toSeq).toSet
+    spark.catalog.clearCache() // release the open contracts' caches
+    val (bCodes, bTopK) = Similarity.withPqModel(pqVecs, "vec_id",
+        "embedding", m = 2, k = 2, rounds = 2) { mdl =>
+      (mdl.codes.collect().map(_.toSeq).toSet,
+        mdl.topK(pqVecs.filter("vec_id = 0"), "vec_id", "embedding", 5)
+          .collect().map(_.toSeq).toSet)
+    }
+    assert(bCodes === openCodes)
+    assert(bTopK === openTopK)
+    assert(spark.sparkContext.getPersistentRDDs.size === cachedBefore,
+      "bracket leaked a cached RDD")
+    intercept[RuntimeException] {
+      Similarity.withPqModel(pqVecs, "vec_id", "embedding",
+        m = 2, k = 2, rounds = 2) { _ => sys.error("boom") }
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size === cachedBefore,
+      "bracket leaked a cached RDD on a throwing body")
+  }
 }

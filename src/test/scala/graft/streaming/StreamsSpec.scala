@@ -867,6 +867,65 @@ class StreamsSpec extends SparkSpec {
     assert(served.contains(10L) && served.contains(11L))
   }
 
+  test("edgeIndexIngest: disjoint complete-order micro-batches fold into " +
+      "partial counts whose merge-sum serve equals the batch rebuild " +
+      "(x204-x209 twin), bootstrapping from EMPTY tables") {
+    import graft.operators.Graph
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val st = Seq("graft_idx_test.st_eg_ob", "graft_idx_test.st_eg_edges",
+      "graft_idx_test.st_eg_totals", "graft_idx_test.st_eg_stats")
+    val bt = Seq("graft_idx_test.bt_eg_ob", "graft_idx_test.bt_eg_edges",
+      "graft_idx_test.bt_eg_totals", "graft_idx_test.bt_eg_stats")
+    (st ++ bt).foreach(dropIdxTable)
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z"))
+      .toDF("p_partkey", "p_brand")
+    // two micro-batches, each carrying COMPLETE orders, keys disjoint
+    val batch1 = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L))
+    val batch2 = Seq((12L, 1L), (12L, 2L), (13L, 2L), (13L, 3L), (14L, 1L))
+
+    val dir = Files.createTempDirectory("egin-in").toString
+    val ckpt = Files.createTempDirectory("egin-ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = Streams.edgeIndexIngest(stream, part,
+          st(0), st(1), st(2), st(3), numBuckets = 2) { (df, _) =>
+        val ids = df.select("l_orderkey").collect().map(_.getLong(0))
+        got.synchronized { got ++= ids; () }
+      }.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    batch1.toDF("l_orderkey", "l_partkey").write.mode("overwrite")
+      .parquet(dir)
+    run()
+    batch2.toDF("l_orderkey", "l_partkey").write.mode("append")
+      .parquet(dir)
+    run()
+    assert(got.toSet == Set(10L, 11L, 12L, 13L, 14L))
+
+    // batch twin: one-shot rebuild over the union
+    val all = (batch1 ++ batch2).toDF("l_orderkey", "l_partkey")
+    Graph.writeEdgeIndex(all, part, bt(0), bt(1), bt(2), bt(3),
+      numBuckets = 2)
+    st.foreach(spark.catalog.refreshTable)
+    val (obS, eS, tS, sS) = Graph.readEdgeIndex(spark, st(0), st(1),
+      st(2), st(3))
+    val (obB, eB, tB, sB) = Graph.readEdgeIndex(spark, bt(0), bt(1),
+      bt(2), bt(3))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(obS) == rows(obB))
+    assert(rows(eS) == rows(eB))
+    assert(rows(tS) == rows(tB))
+    assert(rows(sS) == rows(sB))
+    // and the SERVED operator agrees end-to-end
+    assert(rows(Graph.pageRank(eS)) == rows(Graph.pageRank(eB)))
+  }
+
   test("quarantineJson routes records inside a streaming plan (x76 twin)") {
     import graft.operators.Project
     val dir = Files.createTempDirectory("quar-in").toString
