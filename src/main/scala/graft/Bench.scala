@@ -209,9 +209,13 @@ object Bench {
     // q1-q13 never folds (the judge's round-over-round anchor set)
     val byTime = results.sortBy(r =>
       (if (r._1.startsWith("q")) 0 else 1, -r._2))
+    // the fold floor enforces the q1-q13 invariant by construction:
+    // keep can never drop below the q-prefixed count, so the anchor
+    // set survives even a pathological digit blow-up
+    val keepFloor = math.max(1, results.count(_._1.startsWith("q")))
     var keep = results.size
     var line = encode(results, Nil)
-    while (line.length >= budget && keep > 1) {
+    while (line.length >= budget && keep > keepFloor) {
       keep -= 1
       val keptNames = byTime.take(keep).map(_._1).toSet
       val (kept, rest) = results.partition(r => keptNames(r._1))

@@ -198,8 +198,12 @@ object Sketches {
       .join(exact, Seq("_g", "quantile"))
       .select(col("_g").as(groupCol), col("quantile"), col("est_units"),
         col("exact_units"),
+        // |est − exact| / |exact|: the denominator is abs()ed too, so
+        // a group whose exact quantile is NEGATIVE still reports a
+        // non-negative relative error (the acceptance metric must be
+        // sign-blind on signed value columns)
         when(col("exact_units") =!= 0, graft.functions.Num.fpRound(
-          abs(col("_e") - col("exact_units")) / col("exact_units"), 6))
-          .as("rel_err"))
+          abs(col("_e") - col("exact_units")) / abs(col("exact_units")),
+          6)).as("rel_err"))
   }
 }

@@ -6878,7 +6878,7 @@ object ExtensionQueries {
            floor(e * 1000000 + 0.5) / 1000000.0 AS est_units,
            ex.exact_units,
            CASE WHEN ex.exact_units <> 0 THEN
-             floor(abs(e - ex.exact_units) / ex.exact_units
+             floor(abs(e - ex.exact_units) / abs(ex.exact_units)
                * 1000000 + 0.5) / 1000000.0 END AS rel_err
          FROM est JOIN ex ON est.priority = ex.priority
            AND est.quantile = ex.quantile"""

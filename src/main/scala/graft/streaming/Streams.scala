@@ -361,7 +361,7 @@ object Streams {
 
   final case class DailyCount(event_type: String, day: Long,
                               n_events: Long)
-  final case class CusumState(p: Long, minP: Long)
+  final case class CusumState(p: BigInt, minP: BigInt)
   final case class CusumRow(event_type: String, day: Long,
                             n_events: Long, cusum: Long, flagged: Boolean)
 
@@ -391,10 +391,14 @@ object Streams {
     * `S² > h²·V` per day. Because batch and stream share the closed
     * form and the baseline, a time-ordered replay emits the batch
     * report's exact flag sequence (spec-pinned). Types missing from
-    * the baseline drop (the anomalyGate law). Deviations fold in
-    * longs — the per-day bound is `D·x < 2^63`, the same count scale
-    * the batch side's long-cast report columns assume; the flag
-    * itself compares in BigInt. */
+    * the baseline drop (the anomalyGate law). The prefix sum P and
+    * its running min accumulate in BigInt (state rides DECIMAL(38,0),
+    * exactly the batch side's type): P = Σ(D·x − Σx) can be ~D×
+    * larger than any single day's deviation, so a long accumulator
+    * would silently wrap on series the batch side still handles
+    * exactly, breaking the spec-pinned flag parity. Only the REPORT
+    * column S narrows to long — the same long-cast the batch report
+    * applies; the flag compares in BigInt before the narrowing. */
   def cusumStream(counts: Dataset[DailyCount],
                   baselines: Map[String, (Long, Long, BigInt)],
                   h: Int = 3)
@@ -411,14 +415,15 @@ object Streams {
             case None => Iterator.empty
             case Some((d, s1, v)) =>
               val sorted = rows.toSeq.sortBy(_.day)
-              var st = state.getOption.getOrElse(CusumState(0L, 0L))
+              var st = state.getOption
+                .getOrElse(CusumState(BigInt(0), BigInt(0)))
               val out = Seq.newBuilder[CusumRow]
               sorted.foreach { r =>
-                val p = st.p + (d * r.n_events - s1)
-                st = CusumState(p, math.min(st.minP, p))
-                val s = p - math.min(0L, st.minP)
-                out += CusumRow(etype, r.day, r.n_events, s,
-                  BigInt(s) * BigInt(s) > h2 * v)
+                val p = st.p + (BigInt(d) * r.n_events - s1)
+                st = CusumState(p, st.minP.min(p))
+                val s = p - st.minP.min(BigInt(0))
+                out += CusumRow(etype, r.day, r.n_events, s.toLong,
+                  s * s > h2 * v)
               }
               state.update(st)
               out.result().iterator

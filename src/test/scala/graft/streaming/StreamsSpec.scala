@@ -1338,6 +1338,32 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.sortBy(_._2).map(_._3).toSeq === svals)
   }
 
+  test("cusumStream: the prefix sum accumulates in BigInt — a series " +
+      "whose running sum exceeds Long range still flags exactly (a " +
+      "long accumulator would wrap negative and un-flag day 2)") {
+    // d=2, s1=0, v=1: each 3e18-count day deviates by 6e18 (fits a
+    // long), but the 2-day prefix sum 1.2e19 does not
+    val baselines = Map("t" -> ((2L, 0L, BigInt(1))))
+    val dir = Files.createTempDirectory("cusumbig-in").toString
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("day", LongType), StructField("n_events", LongType)))
+    Seq(("t", 0L, 3000000000000000000L), ("t", 1L, 3000000000000000000L))
+      .toDF("event_type", "day", "n_events")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .as[Streams.DailyCount]
+    implicit val s = spark
+    val q = Streams.cusumStream(stream, baselines, h = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusumbig_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val flags = spark.table("cusumbig_out")
+      .collect().map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+    assert(flags === Map(0L -> true, 1L -> true))
+  }
+
   test("latenessGate measures each event against its key's running " +
       "max event time, admits within the allowance, carries state " +
       "across micro-batches, and never drops rows") {
