@@ -123,7 +123,9 @@ object ScaleBench {
                      bm25Tables: (String, String) = ("", ""),
                      novTable: String = "",
                      pqTables: (String, String) = ("", ""),
-                     ivfPqTables: (String, String, String) = ("", "", "")
+                     ivfPqTables: (String, String, String) = ("", "", ""),
+                     edgeTables: (String, String, String, String) =
+                       ("", "", "", "")
                     ): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     ("x8_ngram_jaccard", (s: SparkSession, dir: String) =>
       TextDedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
@@ -1270,7 +1272,47 @@ object ScaleBench {
           floor(col("o_totalprice") * 1e4 + lit(0.5)).cast("long")
             .as("units")),
         "o_orderkey", "priority", "units", buckets = 32,
-        quantiles = Seq(0.5, 0.9))))
+        quantiles = Seq(0.5, 0.9))),
+    // the served graph twins: every probe below reads the PERSISTED
+    // edge index (built untimed per fixture) — the dictionary-bounded
+    // tables are corpus-size-INDEPENDENT (same 25-brand graph at 10x
+    // facts), so serve times should be near-flat; only x207's basket
+    // frame grows with the corpus (its ob table holds 10x orders)
+    ("x204_pagerank_indexed", (s: SparkSession, dir: String) => {
+      val (_, e, _, _) = graft.operators.Graph.readEdgeIndex(s,
+        edgeTables._1, edgeTables._2, edgeTables._3, edgeTables._4)
+      graft.operators.Graph.pageRank(e, iterations = 3)
+    }),
+    ("x205_communities_indexed", (s: SparkSession, dir: String) => {
+      val (_, e, t, st) = graft.operators.Graph.readEdgeIndex(s,
+        edgeTables._1, edgeTables._2, edgeTables._3, edgeTables._4)
+      graft.operators.Graph.labelPropagation(
+        graft.operators.Graph.affinityEdgesFrom(e, t, st), rounds = 3)
+    }),
+    ("x206_triangles_indexed", (s: SparkSession, dir: String) => {
+      val (_, e, t, st) = graft.operators.Graph.readEdgeIndex(s,
+        edgeTables._1, edgeTables._2, edgeTables._3, edgeTables._4)
+      graft.operators.Graph.triangleStats(
+        graft.operators.Graph.affinityEdgesFrom(e, t, st))
+    }),
+    ("x207_triples_indexed", (s: SparkSession, dir: String) => {
+      val (ob, _, _, st) = graft.operators.Graph.readEdgeIndex(s,
+        edgeTables._1, edgeTables._2, edgeTables._3, edgeTables._4)
+      graft.operators.Analytics.frequentTriplesIndexed(ob, st,
+        minCount = 3, topK = 50)
+    }),
+    ("x208_brand_recs_indexed", (s: SparkSession, dir: String) => {
+      val (_, e, t, st) = graft.operators.Graph.readEdgeIndex(s,
+        edgeTables._1, edgeTables._2, edgeTables._3, edgeTables._4)
+      graft.operators.Analytics.brandRecommendationsIndexed(e, t, st,
+        minCount = 5, k = 3)
+    }),
+    ("x209_affinity_indexed", (s: SparkSession, dir: String) => {
+      val (_, e, t, st) = graft.operators.Graph.readEdgeIndex(s,
+        edgeTables._1, edgeTables._2, edgeTables._3, edgeTables._4)
+      graft.operators.Analytics.basketAffinityIndexed(e, t, st,
+        minCount = 5)
+    }))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1454,6 +1496,21 @@ object ScaleBench {
     val ivfpq1 = buildIvfPqIndex(srcDir, 16, "1x")
     val ivfpq10 = buildIvfPqIndex(scaleDir, 16 * Copies, "10x")
 
+    // untimed: the x204-x209 co-purchase edge index per fixture
+    def buildEdgeIndex(dir: String,
+                       tag: String): (String, String, String, String) = {
+      val ts = Seq("ob", "edges", "totals", "stats")
+        .map(n => s"graft_idx.edge_${n}_probe_$tag")
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+      ts.foreach(graft.sinks.Sinks.dropManaged(spark, _))
+      graft.operators.Graph.writeEdgeIndex(Tables(spark, dir, "lineitem"),
+        Tables(spark, dir, "part"), ts(0), ts(1), ts(2), ts(3),
+        numBuckets = 8)
+      (ts(0), ts(1), ts(2), ts(3))
+    }
+    val edge1 = buildEdgeIndex(srcDir, "1x")
+    val edge10 = buildEdgeIndex(scaleDir, "10x")
+
     // dev knob (mirrors Bench): SPARK_GRAFT_SCALE_ONLY=x88_...,x104_...
     // restricts the probed set for re-measuring individual probes; the
     // partial BENCH_scale.json it writes is merged into the full table
@@ -1465,7 +1522,7 @@ object ScaleBench {
 
     // one untimed warmup of every probe at 1× (JIT + codegen)
     selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1, nov1, pq1,
-        ivfpq1)).foreach { case (n, f) =>
+        ivfpq1, edge1)).foreach { case (n, f) =>
       try f(spark, srcDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[scale] warmup $n failed: ${e.getMessage}") }
@@ -1473,9 +1530,9 @@ object ScaleBench {
     }
 
     val results = selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1,
-        nov1, pq1, ivfpq1))
+        nov1, pq1, ivfpq1, edge1))
       .zip(selected(probes(16 * Copies, Copies, thr10, lm10, ann10,
-        ann2_10, bm25_10, nov10, pq10, ivfpq10))).map {
+        ann2_10, bm25_10, nov10, pq10, ivfpq10, edge10))).map {
       case ((name, f1), (_, f10)) =>
         val (t1, r1) = run(srcDir, 16, name, f1)
         val (t10, r10) = run(scaleDir, 160, name, f10)
