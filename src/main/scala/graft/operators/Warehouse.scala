@@ -284,6 +284,47 @@ object Warehouse {
     graft.sinks.Sinks.dropManaged(spark, tmp)
   }
 
+  /** INDEX FRESHNESS AUDIT (x211) — the coverage complement of
+    * [[indexFileAudit]]'s layout sweep: per labeled (corpus keys,
+    * index keys) pair, how many corpus keys the index is MISSING
+    * (rows landed since the last build/append — the signal that an
+    * append or rebuild is due) and how many index keys are STALE
+    * (entries for rows no longer in the corpus — deletes/retention
+    * the serving forms would resurface), plus the coverage share on
+    * the 1e-6 grid. The operational trio closes here: file counts
+    * say when to [[compactIndex]], freshness says when to append or
+    * rebuild, and the per-family balance/distortion/recall metrics
+    * say whether the rebuilt model still FITS.
+    *
+    * Scale shape: per leg, both sides collapse to their DISTINCT
+    * single key column before meeting (key-cardinality rows move,
+    * never payloads), one full-outer key join feeds four counters in
+    * ONE aggregate, and each leg reduces to a 1-row frame — the
+    * [[riAudit]] shape. */
+  def indexFreshnessAudit(legs: Seq[(String, DataFrame, DataFrame)])
+      : DataFrame = {
+    require(legs.nonEmpty, "indexFreshnessAudit needs at least one leg")
+    require(legs.map(_._1).distinct.size == legs.size,
+      "leg names must be unique")
+    val rows = legs.map { case (name, corpusKeys, indexKeys) =>
+      val c = corpusKeys.toDF("_k").distinct().withColumn("_c", lit(1L))
+      val i = indexKeys.toDF("_k").distinct().withColumn("_i", lit(1L))
+      c.join(i, Seq("_k"), "full_outer")
+        .agg(coalesce(sum(col("_c")), lit(0L)).as("n_corpus"),
+          coalesce(sum(col("_i")), lit(0L)).as("n_indexed"),
+          coalesce(sum(when(col("_i").isNull, 1L)), lit(0L))
+            .as("n_missing"),
+          coalesce(sum(when(col("_c").isNull, 1L)), lit(0L))
+            .as("n_stale"))
+        .select(lit(name).as("index_name"), col("n_corpus"),
+          col("n_indexed"), col("n_missing"), col("n_stale"),
+          Num.fpRound((col("n_corpus") - col("n_missing"))
+            .cast("double") / col("n_corpus").cast("double"), 6)
+            .as("coverage"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
   /** INDEX FILE-COUNT AUDIT (x210) — per labeled index table: bucket
     * count (0 = unbucketed sidecar), physical data-file count and row
     * count. THE number that says when [[compactIndex]] should run: a

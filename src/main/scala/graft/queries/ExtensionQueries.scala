@@ -2091,7 +2091,30 @@ object ExtensionQueries {
       Warehouse.indexFileAudit(s, compactedEdgeIndexFor(s, dir))
         .select(col("index_name"), col("n_buckets"), col("n_rows"),
           (col("n_files") <= greatest(col("n_buckets"), lit(1L)))
-            .as("compacted")))
+            .as("compacted"))),
+
+    // x211 — index freshness audit: the x81 digest index and the x92
+    // ANN index (both built on the EVEN ids) audited against (a) the
+    // full corpus — missing = the un-ingested odd-id keys, stale = 0 —
+    // and (b) a doc_id%3 "current snapshot" cut — BOTH counters
+    // nonzero: missing = %3 keys never indexed, stale = indexed keys
+    // whose docs left the corpus. When to append/rebuild, next to
+    // x210's when-to-compact.
+    "x211_index_freshness" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val digestIdx = digestIndexFor(s, dir)
+      val (assignT, _) = annDedupIndexFor(s, dir)
+      val digests = (df: DataFrame) =>
+        df.select(sha2(lower(trim(col("text"))), 256).as("k"))
+      Warehouse.indexFreshnessAudit(Seq(
+        ("digest_idx", digests(docs),
+          s.table(digestIdx).select(col("digest"))),
+        ("digest_idx_vs_snapshot",
+          digests(docs.filter(pmod(col("doc_id"), lit(3)) === 0)),
+          s.table(digestIdx).select(col("digest"))),
+        ("ann_assign", t(s, dir, "embeddings").select(col("vec_id")),
+          s.table(assignT).select(col("neighbor_id")))))
+    })
   )
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -4283,7 +4306,49 @@ object ExtensionQueries {
              + (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM ob
                 WHERE o % 2 = 1), TRUE
          UNION ALL
-         SELECT 'stats', CAST(0 AS BIGINT), CAST(2 AS BIGINT), TRUE""")
+         SELECT 'stats', CAST(0 AS BIGINT), CAST(2 AS BIGINT), TRUE""") +
+    // x211: set relations recomputed on the normalized text / id
+    // parities the index builds used; distinct-key joins mirror the
+    // full-outer counters
+    ("x211_index_freshness" ->
+      """WITH dall AS (SELECT DISTINCT lower(trim(text)) AS k
+           FROM documents),
+         dev AS (SELECT DISTINCT lower(trim(text)) AS k FROM documents
+           WHERE doc_id % 2 = 0),
+         d3 AS (SELECT DISTINCT lower(trim(text)) AS k FROM documents
+           WHERE doc_id % 3 = 0),
+         eall AS (SELECT DISTINCT vec_id AS k FROM embeddings),
+         eev AS (SELECT DISTINCT vec_id AS k FROM embeddings
+           WHERE vec_id % 2 = 0),
+         legs AS (
+           SELECT 'digest_idx' AS index_name,
+             (SELECT count(*) FROM dall) AS n_corpus,
+             (SELECT count(*) FROM dev) AS n_indexed,
+             (SELECT count(*) FROM dall
+                WHERE k NOT IN (SELECT k FROM dev)) AS n_missing,
+             (SELECT count(*) FROM dev
+                WHERE k NOT IN (SELECT k FROM dall)) AS n_stale
+           UNION ALL
+           SELECT 'digest_idx_vs_snapshot',
+             (SELECT count(*) FROM d3), (SELECT count(*) FROM dev),
+             (SELECT count(*) FROM d3
+                WHERE k NOT IN (SELECT k FROM dev)),
+             (SELECT count(*) FROM dev
+                WHERE k NOT IN (SELECT k FROM d3))
+           UNION ALL
+           SELECT 'ann_assign',
+             (SELECT count(*) FROM eall), (SELECT count(*) FROM eev),
+             (SELECT count(*) FROM eall
+                WHERE k NOT IN (SELECT k FROM eev)),
+             (SELECT count(*) FROM eev
+                WHERE k NOT IN (SELECT k FROM eall)))
+         SELECT index_name, CAST(n_corpus AS BIGINT) AS n_corpus,
+           CAST(n_indexed AS BIGINT) AS n_indexed,
+           CAST(n_missing AS BIGINT) AS n_missing,
+           CAST(n_stale AS BIGINT) AS n_stale,
+           floor((n_corpus - n_missing) / CAST(n_corpus AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS coverage
+         FROM legs""")
 
   private lazy val extendedOracleSql: Map[String, String] = baseOracleSql ++ Map(
     "x80_neardup_indexed" -> baseOracleSql("x75_incremental_neardup"),

@@ -164,6 +164,20 @@ class WarehouseSpec extends SparkSpec {
     assert(out.head.getLong(4) === 10L)     // max_lateness_ms
   }
 
+  test("indexFreshnessAudit (x211): missing = corpus keys the index " +
+      "lacks, stale = index keys the corpus lost, coverage on the grid") {
+    val corpus = Seq(1L, 2L, 3L, 4L, 5L).toDF("k")
+    val index = Seq(2L, 4L, 9L, 9L).toDF("k") // 9 stale, dup collapses
+    val out = Warehouse.indexFreshnessAudit(Seq(
+        ("leg", corpus, index),
+        ("fresh", corpus, corpus)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(out("leg") === ((5L, 3L, 3L, 1L, 0.4)))
+    assert(out("fresh") === ((5L, 5L, 0L, 0L, 1.0)))
+  }
+
   test("compactIndex (x210): append x2 then compact == one file per " +
       "bucket, rows bit-identical, serve identical to one-shot build") {
     val li = Seq(
