@@ -1623,8 +1623,9 @@ class PlanAuditSpec extends SparkSpec {
     assertCorpusFree("x207_triples_indexed", "edge_ob_", p => {
       // the bucketed (order_key) self-joins must not re-shuffle the
       // basket frame: every hash exchange in the plan carries brand
-      // keys (pair/triple aggregates), never the order key
-      assert(!"Exchange hashpartitioning\\([^)]*order_key".r
+      // keys (pair/triple aggregates), never the order key — which
+      // the mining frame aliases to `_o`
+      assert(!"Exchange hashpartitioning\\((order_key|_o)#".r
         .findFirstIn(p).isDefined,
         s"basket frame re-shuffled on its own bucket key:\n$p")
     })
