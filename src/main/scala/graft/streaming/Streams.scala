@@ -577,10 +577,27 @@ object Streams {
     * at-least-once window after a crash, before the checkpoint commit)
     * re-append their survivors; dedup the index on doc_id at the next
     * compaction, or make `sink` idempotent by batch id as usual. */
+  /** Shared auto-compaction hook for the indexed-ingest family: when
+    * `compactEvery` > 0, every that-many micro-batches the appended
+    * index tables are rebuilt through
+    * [[graft.operators.Warehouse.compactIndex]] — appends add one
+    * file per touched bucket per batch, so without a compaction
+    * cadence a long-running ingest accretes the classic streaming
+    * small-files failure; with it the steady state stays ~1 file per
+    * bucket. Compaction preserves rows bit-identically, so the serve
+    * contract is untouched at any cadence (0 = caller compacts on
+    * their own schedule, e.g. off [[graft.operators.Warehouse
+    * .indexFileAudit]]). */
+  private def maybeCompact(spark: SparkSession, tables: Seq[String],
+                           batchId: Long, compactEvery: Int): Unit =
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      tables.foreach(graft.operators.Warehouse.compactIndex(spark, _))
+
   def indexedNeardupIngest(docs: DataFrame, idCol: String, textCol: String,
                            k: Int, threshold: Double, setsTable: String,
                            bandsTable: String, numBands: Int = 20,
-                           rowsPerBand: Int = 4, numBuckets: Int = 16)
+                           rowsPerBand: Int = 4, numBuckets: Int = 16,
+                           compactEvery: Int = 0)
                           (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] =
@@ -594,6 +611,8 @@ object Streams {
           sink(survivors, batchId)
           td.appendNeardupIndex(survivors, idCol, textCol, k,
             setsTable, bandsTable, numBands, rowsPerBand, numBuckets)
+          maybeCompact(batch.sparkSession, Seq(setsTable, bandsTable),
+            batchId, compactEvery)
         } finally survivors.unpersist()
     }
 
@@ -625,7 +644,7 @@ object Streams {
                         k: Int, threshold: Double, setsTable: String,
                         bandsTable: String, splitTable: String,
                         numBands: Int = 20, rowsPerBand: Int = 4,
-                        numBuckets: Int = 16)
+                        numBuckets: Int = 16, compactEvery: Int = 0)
                        (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] =
@@ -655,6 +674,8 @@ object Streams {
             .saveAsTable(splitTable)
           td.appendNeardupIndex(b, idCol, textCol, k, setsTable,
             bandsTable, numBands, rowsPerBand, numBuckets)
+          maybeCompact(spark, Seq(setsTable, bandsTable, splitTable),
+            batchId, compactEvery)
         } finally assigned.unpersist()
     }
 
@@ -675,7 +696,7 @@ object Streams {
   def indexedAnnIngest(vecs: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, nprobe: Int,
                        assignTable: String, centTable: String,
-                       numBuckets: Int = 16)
+                       numBuckets: Int = 16, compactEvery: Int = 0)
                       (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] =
@@ -689,6 +710,8 @@ object Streams {
           sink(survivors, batchId)
           sim.appendAnnIndex(survivors, idCol, vecCol,
             assignTable, centTable, numBuckets)
+          maybeCompact(batch.sparkSession, Seq(assignTable), batchId,
+            compactEvery)
         } finally survivors.unpersist()
     }
 
@@ -712,7 +735,8 @@ object Streams {
     * ([[graft.operators.Similarity.writePqIndex]]) offline when
     * x122's distortion report says the frozen books have drifted. */
   def pqIndexIngest(vecs: DataFrame, idCol: String, vecCol: String,
-                    codesTable: String, booksTable: String)
+                    codesTable: String, booksTable: String,
+                    compactEvery: Int = 0)
                    (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] =
@@ -723,6 +747,8 @@ object Streams {
           sink(b, batchId)
           graft.operators.Similarity.appendPqIndex(b, idCol, vecCol,
             codesTable, booksTable)
+          maybeCompact(b.sparkSession, Seq(codesTable), batchId,
+            compactEvery)
         } finally { b.unpersist(); () }
     }
 
@@ -752,7 +778,7 @@ object Streams {
   def edgeIndexIngest(lineitems: DataFrame, part: DataFrame,
                       obTable: String, edgesTable: String,
                       totalsTable: String, statsTable: String,
-                      numBuckets: Int = 8)
+                      numBuckets: Int = 8, compactEvery: Int = 0)
                      (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] =
@@ -763,6 +789,8 @@ object Streams {
           sink(b, batchId)
           graft.operators.Graph.appendEdgeIndex(b, part, obTable,
             edgesTable, totalsTable, statsTable, numBuckets)
+          maybeCompact(b.sparkSession, Seq(obTable, edgesTable,
+            totalsTable, statsTable), batchId, compactEvery)
         } finally { b.unpersist(); () }
     }
 
@@ -817,7 +845,8 @@ object Streams {
     * replay/retrain caveats as [[pqIndexIngest]]. */
   def ivfPqIndexIngest(vecs: DataFrame, idCol: String, vecCol: String,
                        codesTable: String, booksTable: String,
-                       centTable: String, numBuckets: Int = 16)
+                       centTable: String, numBuckets: Int = 16,
+                       compactEvery: Int = 0)
                       (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] =
@@ -828,6 +857,8 @@ object Streams {
           sink(b, batchId)
           graft.operators.Similarity.appendIvfPqIndex(b, idCol, vecCol,
             codesTable, booksTable, centTable, numBuckets)
+          maybeCompact(b.sparkSession, Seq(codesTable), batchId,
+            compactEvery)
         } finally { b.unpersist(); () }
     }
 
@@ -863,7 +894,7 @@ object Streams {
     * df matters. */
   def noveltyIngest(docs: DataFrame, idCol: String, textCol: String,
                     k: Int, minNewFrac: Double, dfTable: String,
-                    numBuckets: Int = 8)
+                    numBuckets: Int = 8, compactEvery: Int = 0)
                    (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] =
@@ -894,6 +925,7 @@ object Streams {
           sink(survivors, batchId)
           graft.operators.TextAnalysis.appendNoveltyIndex(survivors,
             idCol, textCol, k, dfTable, numBuckets)
+          maybeCompact(spark, Seq(dfTable), batchId, compactEvery)
         } finally survivors.unpersist()
     }
 

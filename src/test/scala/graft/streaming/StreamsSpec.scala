@@ -926,6 +926,62 @@ class StreamsSpec extends SparkSpec {
     assert(rows(Graph.pageRank(eS)) == rows(Graph.pageRank(eB)))
   }
 
+  test("edgeIndexIngest compactEvery=1: the steady state stays one file " +
+      "per bucket across micro-batches, rows and serve unchanged") {
+    import graft.operators.{Graph, Warehouse}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ct = Seq("graft_idx_test.ce_eg_ob", "graft_idx_test.ce_eg_edges",
+      "graft_idx_test.ce_eg_totals", "graft_idx_test.ce_eg_stats")
+    ct.foreach(dropIdxTable)
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z"))
+      .toDF("p_partkey", "p_brand")
+    val batch1 = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L))
+    val batch2 = Seq((12L, 1L), (12L, 2L), (13L, 2L), (13L, 3L))
+    val dir = Files.createTempDirectory("egce-in").toString
+    val ckpt = Files.createTempDirectory("egce-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = Streams.edgeIndexIngest(stream, part,
+          ct(0), ct(1), ct(2), ct(3), numBuckets = 2, compactEvery = 1) {
+        (_, _) => ()
+      }.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    batch1.toDF("l_orderkey", "l_partkey").write.mode("overwrite")
+      .parquet(dir)
+    run()
+    batch2.toDF("l_orderkey", "l_partkey").write.mode("append")
+      .parquet(dir)
+    run()
+    ct.foreach(spark.catalog.refreshTable)
+    val audit = Warehouse.indexFileAudit(spark,
+        Seq("ob" -> ct(0), "edges" -> ct(1), "totals" -> ct(2),
+          "stats" -> ct(3)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // after 2 appends WITHOUT compaction these would hold 2 files per
+    // bucket (the plain-ingest test's `before` state); compactEvery=1
+    // holds the steady state at one per bucket / one per sidecar
+    assert(audit("ob")._2 === 2L && audit("edges")._2 === 2L)
+    assert(audit("totals")._2 === 1L && audit("stats")._2 === 1L)
+    assert(audit("stats")._3 === 2L) // partial rows preserved
+    // serve still equals the one-shot rebuild
+    val bt = ct.map(_ + "_ref")
+    bt.foreach(dropIdxTable)
+    Graph.writeEdgeIndex((batch1 ++ batch2).toDF("l_orderkey", "l_partkey"),
+      part, bt(0), bt(1), bt(2), bt(3), numBuckets = 2)
+    val (_, eS, _, _) = Graph.readEdgeIndex(spark, ct(0), ct(1), ct(2),
+      ct(3))
+    val (_, eB, _, _) = Graph.readEdgeIndex(spark, bt(0), bt(1), bt(2),
+      bt(3))
+    assert(eS.collect().map(_.toSeq).toSet ===
+      eB.collect().map(_.toSeq).toSet)
+  }
+
   test("quarantineJson routes records inside a streaming plan (x76 twin)") {
     import graft.operators.Project
     val dir = Files.createTempDirectory("quar-in").toString
