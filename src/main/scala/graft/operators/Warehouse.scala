@@ -284,6 +284,42 @@ object Warehouse {
     graft.sinks.Sinks.dropManaged(spark, tmp)
   }
 
+  /** ZONE-MAP (min/max pruning) LAYOUT AUDIT — per data file of a
+    * parquet-backed frame: the [min, max] span of `valueCol`, rolled
+    * into the ONE number that says whether a range predicate on that
+    * column can prune files: the count of file PAIRS whose spans
+    * overlap. A [[graft.sinks.Sinks.writeRangeClustered]] layout
+    * audits at 0 (disjoint slices — a predicate touches the few files
+    * that can match); a hash-shuffled write audits at ~every pair
+    * (every file spans the whole domain — footer min/max prunes
+    * nothing). Returns 1 row: `(n_files, n_rows, n_overlapping_pairs,
+    * prunable)`.
+    *
+    * Scale shape: one scan collapses to a FILE-COUNT-sized frame
+    * (`input_file_name()` keyed min/max/count — map-side combined);
+    * the overlap self-join runs on that file-sized frame, never rows.
+    * No oracle leg — `input_file_name` is engine-layout, not data —
+    * so the contract is spec-pinned (SinksSpec: clustered 0,
+    * shuffled > 0, counts preserved). */
+  def zoneMapAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val zones = df
+      .select(input_file_name().as("_f"), col(valueCol).as("_v"))
+      .groupBy(col("_f"))
+      .agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"),
+        count(lit(1)).as("_n"))
+    val a = zones.select(col("_f").as("_fa"), col("_mn").as("_mna"),
+      col("_mx").as("_mxa"))
+    val b = zones.select(col("_f").as("_fb"), col("_mn").as("_mnb"),
+      col("_mx").as("_mxb"))
+    val overlaps = a.join(b, col("_fa") < col("_fb") &&
+        col("_mna") <= col("_mxb") && col("_mnb") <= col("_mxa"))
+      .agg(count(lit(1)).as("n_overlapping_pairs"))
+    zones.agg(count(lit(1)).as("n_files"), sum(col("_n")).as("n_rows"))
+      .crossJoin(broadcast(overlaps))
+      .select(col("n_files"), col("n_rows"), col("n_overlapping_pairs"),
+        (col("n_overlapping_pairs") === 0).as("prunable"))
+  }
+
   /** INDEX FRESHNESS AUDIT (x211) — the coverage complement of
     * [[indexFileAudit]]'s layout sweep: per labeled (corpus keys,
     * index keys) pair, how many corpus keys the index is MISSING

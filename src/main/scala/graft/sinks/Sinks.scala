@@ -180,6 +180,26 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** RANGE-CLUSTERED parquet landing — the data layout that makes
+    * min/max (zone-map) pruning WORK: rows range-partition on
+    * `sortCol` (one contiguous key range per output file) and sort
+    * within each file, so every file's parquet footer min/max spans a
+    * DISJOINT slice of the key space and a range predicate prunes to
+    * the few files that can match — at 100 TB the difference between
+    * a scan that reads 3 files and one that reads 30,000 because
+    * every file's [min, max] spans the whole domain. The pruning
+    * quality is measurable: [[graft.operators.Warehouse.zoneMapAudit]]
+    * counts overlapping file ranges (0 after this writer, ~all pairs
+    * after a hash-shuffled write). `numFiles` sizes output files the
+    * same way [[writeBucketed]]'s bucket count does. */
+  def writeRangeClustered(df: DataFrame, path: String, sortCol: String,
+                          numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Drop a managed table AND its warehouse location. With the
     * in-memory catalog, table METADATA dies with the session but the
     * managed LOCATION under spark-warehouse survives — a fresh JVM

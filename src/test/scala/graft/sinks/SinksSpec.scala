@@ -63,4 +63,30 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == 2)
     assert(new java.io.File(s"$dir/t/sys=a").exists()) // partition dirs
   }
+
+  test("writeRangeClustered + zoneMapAudit: clustered layout audits " +
+      "ZERO overlapping file ranges (prunable); a hash-shuffled write " +
+      "of the same rows audits overlapping and unprunable") {
+    import org.apache.spark.sql.functions.{col, pmod}
+    val dir = java.nio.file.Files.createTempDirectory("zones").toString
+    // keys deliberately landed in hash order — every hash partition
+    // spans the whole key domain
+    val rows = (0L until 4000L).map(i => (i, s"payload_$i"))
+      .toDF("k", "payload")
+    Sinks.writeRangeClustered(rows, s"$dir/clustered", "k", numFiles = 8)
+    rows.repartition(8, pmod(col("k"), org.apache.spark.sql.functions
+        .lit(97L)))
+      .write.mode("overwrite").parquet(s"$dir/shuffled")
+
+    def audit(path: String) = graft.operators.Warehouse.zoneMapAudit(
+        spark.read.parquet(path), "k").collect().head
+    val c = audit(s"$dir/clustered")
+    assert(c.getLong(0) === 8L && c.getLong(1) === 4000L)
+    assert(c.getLong(2) === 0L && c.getBoolean(3),
+      "range-clustered files must have disjoint [min,max] spans")
+    val sh = audit(s"$dir/shuffled")
+    assert(sh.getLong(1) === 4000L)
+    assert(sh.getLong(2) > 0L && !sh.getBoolean(3),
+      "hash-shuffled files should overlap on the key column")
+  }
 }
