@@ -269,9 +269,12 @@ object Warehouse {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
+    // rebuild under the table's OWN provider (a non-parquet index
+    // table must not silently convert formats)
+    val fmt = meta.provider.getOrElse("parquet")
     val tmp = table + "_compact_tmp"
     graft.sinks.Sinks.dropManaged(spark, tmp)
-    spark.table(table).write.mode("overwrite").format("parquet")
+    spark.table(table).write.mode("overwrite").format(fmt)
       .saveAsTable(tmp)
     meta.bucketSpec match {
       case Some(bs) =>
@@ -279,7 +282,7 @@ object Warehouse {
           bs.bucketColumnNames, bs.numBuckets, bs.sortColumnNames)
       case None =>
         spark.table(tmp).repartition(targetFiles).write.mode("overwrite")
-          .format("parquet").saveAsTable(table)
+          .format(fmt).saveAsTable(table)
     }
     graft.sinks.Sinks.dropManaged(spark, tmp)
   }
