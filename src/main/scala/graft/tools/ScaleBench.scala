@@ -125,7 +125,8 @@ object ScaleBench {
                      pqTables: (String, String) = ("", ""),
                      ivfPqTables: (String, String, String) = ("", "", ""),
                      edgeTables: (String, String, String, String) =
-                       ("", "", "", "")
+                       ("", "", "", ""),
+                     digestTable: String = ""
                     ): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     ("x8_ngram_jaccard", (s: SparkSession, dir: String) =>
       TextDedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
@@ -1312,6 +1313,21 @@ object ScaleBench {
         edgeTables._1, edgeTables._2, edgeTables._3, edgeTables._4)
       graft.operators.Analytics.basketAffinityIndexed(e, t, st,
         minCount = 5)
+    }),
+    // 10x corpus keys through one distinct + full-outer join per leg;
+    // the (ann2) index side grows with the even-id half
+    ("x211_index_freshness", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val digests = (df: DataFrame) =>
+        df.select(sha2(lower(trim(col("text"))), 256).as("k"))
+      graft.operators.Warehouse.indexFreshnessAudit(Seq(
+        ("digest_idx", digests(docs),
+          s.table(digestTable).select(col("digest"))),
+        ("digest_idx_vs_snapshot",
+          digests(docs.filter(pmod(col("doc_id"), lit(3)) === 0)),
+          s.table(digestTable).select(col("digest"))),
+        ("ann_assign", Tables(s, dir, "embeddings").select(col("vec_id")),
+          s.table(annDedupTables._1).select(col("neighbor_id")))))
     }))
 
   def main(args: Array[String]): Unit = {
@@ -1511,6 +1527,21 @@ object ScaleBench {
     val edge1 = buildEdgeIndex(srcDir, "1x")
     val edge10 = buildEdgeIndex(scaleDir, "10x")
 
+    // untimed: the x211 digest index per fixture (even-id build — the
+    // registered exhibit's cut)
+    def buildDigestIndex(dir: String, mult: Int, tag: String): String = {
+      val tb = s"graft_idx.digests_probe_$tag"
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+      graft.sinks.Sinks.dropManaged(spark, tb)
+      val orig = floor(col("doc_id") / lit(mult)).cast("long")
+      graft.operators.TextDedup.writeDigestIndex(
+        Tables(spark, dir, "documents").filter(pmod(orig, lit(2)) === 0),
+        "text", tb)
+      tb
+    }
+    val dig1 = buildDigestIndex(srcDir, 1, "1x")
+    val dig10 = buildDigestIndex(scaleDir, Copies, "10x")
+
     // dev knob (mirrors Bench): SPARK_GRAFT_SCALE_ONLY=x88_...,x104_...
     // restricts the probed set for re-measuring individual probes; the
     // partial BENCH_scale.json it writes is merged into the full table
@@ -1522,7 +1553,7 @@ object ScaleBench {
 
     // one untimed warmup of every probe at 1× (JIT + codegen)
     selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1, nov1, pq1,
-        ivfpq1, edge1)).foreach { case (n, f) =>
+        ivfpq1, edge1, dig1)).foreach { case (n, f) =>
       try f(spark, srcDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[scale] warmup $n failed: ${e.getMessage}") }
@@ -1530,9 +1561,9 @@ object ScaleBench {
     }
 
     val results = selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1,
-        nov1, pq1, ivfpq1, edge1))
+        nov1, pq1, ivfpq1, edge1, dig1))
       .zip(selected(probes(16 * Copies, Copies, thr10, lm10, ann10,
-        ann2_10, bm25_10, nov10, pq10, ivfpq10, edge10))).map {
+        ann2_10, bm25_10, nov10, pq10, ivfpq10, edge10, dig10))).map {
       case ((name, f1), (_, f10)) =>
         val (t1, r1) = run(srcDir, 16, name, f1)
         val (t10, r10) = run(scaleDir, 160, name, f10)

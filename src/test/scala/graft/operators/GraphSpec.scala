@@ -246,6 +246,12 @@ class GraphSpec extends SparkSpec {
       ++ Seq(("c", "x", 1L), ("x", "c", 1L))).toDF("src", "dst", "w")
     assert(rows(Graph.labelPropagation(edges, rounds = 12)) ===
       rows(Graph.labelPropagation(edges, rounds = 3)))
+    // and the 12-round plan is no deeper than ~one checkpoint cadence
+    def nNodes(df: org.apache.spark.sql.DataFrame) = {
+      var n = 0; df.queryExecution.analyzed.foreach(_ => n += 1); n
+    }
+    assert(nNodes(Graph.labelPropagation(edges, rounds = 12)) <=
+      2 * nNodes(Graph.labelPropagation(edges, rounds = 4)))
   }
 
   // ---- triangle orientation ------------------------------------------
