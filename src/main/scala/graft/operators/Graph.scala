@@ -197,6 +197,48 @@ object Graph {
     (ob, edges, totals, stats)
   }
 
+  /** DEEP compaction of the edge index — merge the append PARTIALS
+    * into one row per key, then land the canonical layout. Layout
+    * compaction ([[Warehouse.compactIndex]]) bounds FILE counts but
+    * leaves one partial row per (key, ingest): after 10k ingests the
+    * edges table holds 10k × dictionary² rows and every serve's
+    * merge-sum grows linearly with ingest count. This folds them —
+    * the same grouped sums [[readEdgeIndex]] serves through, made
+    * durable — so the table returns to the one-shot build's exact
+    * rows (spec-pinned) and serve reads stop paying for ingest
+    * history. The basket table's rows are already unique under the
+    * disjoint-complete-orders law, so it only needs the layout pass.
+    * Run on the same audit-driven cadence as layout compaction; the
+    * tmp-snapshot hop and provider/bucket-spec preservation follow
+    * [[Warehouse.compactIndex]]'s contract. */
+  def mergeEdgeIndex(spark: SparkSession, obTable: String,
+                     edgesTable: String, totalsTable: String,
+                     statsTable: String): Unit = {
+    val (_, edges, totals, stats) = readEdgeIndex(spark, obTable,
+      edgesTable, totalsTable, statsTable)
+    def rewrite(df: DataFrame, table: String): Unit = {
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+        .bucketSpec
+      val tmp = table + "_merge_tmp"
+      graft.sinks.Sinks.dropManaged(spark, tmp)
+      df.write.mode("overwrite").format("parquet").saveAsTable(tmp)
+      spec match {
+        case Some(bs) =>
+          graft.sinks.Sinks.writeBucketed(spark.table(tmp), table,
+            bs.bucketColumnNames, bs.numBuckets, bs.sortColumnNames)
+        case None =>
+          spark.table(tmp).coalesce(1).write.mode("overwrite")
+            .format("parquet").saveAsTable(table)
+      }
+      graft.sinks.Sinks.dropManaged(spark, tmp)
+    }
+    rewrite(edges, edgesTable)
+    rewrite(totals, totalsTable)
+    rewrite(stats, statsTable)
+    Warehouse.compactIndex(spark, obTable)
+  }
+
   /** Lazy per-round lineage cut for the iterative operators: marks the
     * frame for a local checkpoint (no job now; materialized on first
     * downstream action) so the SQL plan under it collapses to one

@@ -207,6 +207,43 @@ class GraphSpec extends SparkSpec {
     assert(rows(stats) === rows(Graph.basketStats(li, obAll)))
   }
 
+  test("mergeEdgeIndex: append partials fold to the one-shot build's " +
+      "EXACT table rows (not just serve), one file per bucket") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val (li, part) = fixture
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val mt = Seq("graft_idx_test.mg_ob", "graft_idx_test.mg_edges",
+      "graft_idx_test.mg_totals", "graft_idx_test.mg_stats")
+    val ot = mt.map(_ + "_one")
+    (mt ++ ot).foreach(dropIdx)
+    val Seq(obT, edT, toT, stT) = mt
+    val Seq(obO, edO, toO, stO) = ot
+    Graph.writeEdgeIndex(li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+      part, obT, edT, toT, stT, numBuckets = 2)
+    Graph.appendEdgeIndex(li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+      part, obT, edT, toT, stT, numBuckets = 2)
+    Graph.writeEdgeIndex(li, part, obO, edO, toO, stO, numBuckets = 2)
+    // before the merge: partial rows (stats holds one row per ingest)
+    assert(spark.table(stT).count() === 2L)
+    Graph.mergeEdgeIndex(spark, obT, edT, toT, stT)
+    mt.foreach(spark.catalog.refreshTable)
+    // after: TABLE rows equal the one-shot build's, key for key
+    mt.zip(ot).foreach { case (m, o) =>
+      assert(rows(spark.table(m)) === rows(spark.table(o)), m)
+    }
+    // layout: one file per bucket / per sidecar
+    val audit = graft.operators.Warehouse.indexFileAudit(spark,
+        mt.map(t => t -> t))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(audit(obT) === ((2L, 2L)) && audit(edT) === ((2L, 2L)))
+    assert(audit(toT)._2 === 1L && audit(stT)._2 === 1L)
+    // and the served operator is untouched
+    val (_, e1, _, _) = Graph.readEdgeIndex(spark, obT, edT, toT, stT)
+    val (_, e2, _, _) = Graph.readEdgeIndex(spark, obO, edO, toO, stO)
+    assert(rows(Graph.pageRank(e1)) === rows(Graph.pageRank(e2)))
+  }
+
   // ---- checkpointed iterative rounds ---------------------------------
 
   test("pageRank rounds=12: matches the driver-side integer recurrence " +
