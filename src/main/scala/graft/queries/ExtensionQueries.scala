@@ -2093,6 +2093,15 @@ object ExtensionQueries {
           (col("n_files") <= greatest(col("n_buckets"), lit(1L)))
             .as("compacted"))),
 
+    // x212 — PageRank convergence audit over the persisted edge index:
+    // the integer L1/max deltas between rounds 2 and 3 — the
+    // acceptance metric for x188's fixed round count (x128's role for
+    // ANN, x122's for PQ), hash-stable because both rank vectors are.
+    "x212_pagerank_convergence" -> ((s, dir) => {
+      val (_, edges, _, _) = edgeIndexFor(s, dir)
+      Graph.pageRankConvergence(edges, iterations = 3)
+    }),
+
     // x211 — index freshness audit: the x81 digest index and the x92
     // ANN index (both built on the EVEN ids) audited against (a) the
     // full corpus — missing = the un-ingested odd-id keys, stale = 0 —
@@ -4307,6 +4316,51 @@ object ExtensionQueries {
                 WHERE o % 2 = 1), TRUE
          UNION ALL
          SELECT 'stats', CAST(0 AS BIGINT), CAST(2 AS BIGINT), TRUE""") +
+    // x212: x188's three chained integer rounds, read back as the
+    // round-2-vs-round-3 delta (exact integers end to end)
+    ("x212_pagerank_convergence" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         e AS (SELECT a.b AS src, c2.b AS dst,
+             CAST(count(*) AS BIGINT) AS w
+           FROM ob a JOIN ob c2 ON a.ok = c2.ok AND a.b <> c2.b
+           GROUP BY 1, 2),
+         ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+         sh AS (SELECT e.src, e.dst,
+             CAST((CAST(e.w AS HUGEINT) * CAST(1000000000 AS BIGINT))
+               // ow.outw AS BIGINT) AS share
+           FROM e JOIN ow ON e.src = ow.src),
+         n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM n),
+         bs AS (SELECT n.node,
+             (15 * CAST(1000000000 AS BIGINT)) // (100 * nn) AS base,
+             CAST(1000000000 AS BIGINT) // nn AS pr0
+           FROM n, c),
+         p1 AS (SELECT bs.node, bs.base
+             + (85 * COALESCE(a.acc, 0)) // 100 AS pr
+           FROM bs LEFT JOIN (SELECT sh.dst AS node,
+               sum((p.pr0 * sh.share)
+                 // CAST(1000000000 AS BIGINT)) AS acc
+             FROM sh JOIN bs p ON sh.src = p.node GROUP BY 1) a
+             ON bs.node = a.node),
+         p2 AS (SELECT bs.node, bs.base
+             + (85 * COALESCE(a.acc, 0)) // 100 AS pr
+           FROM bs LEFT JOIN (SELECT sh.dst AS node,
+               sum((p.pr * sh.share)
+                 // CAST(1000000000 AS BIGINT)) AS acc
+             FROM sh JOIN p1 p ON sh.src = p.node GROUP BY 1) a
+             ON bs.node = a.node),
+         p3 AS (SELECT bs.node, bs.base
+             + (85 * COALESCE(a.acc, 0)) // 100 AS pr
+           FROM bs LEFT JOIN (SELECT sh.dst AS node,
+               sum((p.pr * sh.share)
+                 // CAST(1000000000 AS BIGINT)) AS acc
+             FROM sh JOIN p2 p ON sh.src = p.node GROUP BY 1) a
+             ON bs.node = a.node)
+         SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(abs(p3.pr - p2.pr)) AS BIGINT) AS l1_delta_units,
+           CAST(max(abs(p3.pr - p2.pr)) AS BIGINT) AS max_delta_units
+         FROM p3 JOIN p2 ON p3.node = p2.node""") +
     // x211: set relations recomputed on the normalized text / id
     // parities the index builds used; distinct-key joins mirror the
     // full-outer counters

@@ -291,6 +291,29 @@ class GraphSpec extends SparkSpec {
       2 * nNodes(Graph.labelPropagation(edges, rounds = 4)))
   }
 
+  test("pageRankConvergence (x212): integer L1/max deltas between the " +
+      "last two rounds match the driver-side recurrence") {
+    val edges = Seq(
+      ("a", "b", 1L), ("b", "a", 1L),
+      ("b", "c", 1L), ("c", "b", 1L)).toDF("src", "dst", "w")
+    def round(m: Map[String, Long]): Map[String, Long] = {
+      val acc = Map(
+        "a" -> m("b") * 500000000L / 1000000000L,
+        "b" -> (m("a") + m("c")),
+        "c" -> m("b") * 500000000L / 1000000000L)
+      acc.map { case (n, a) => n -> (50000000L + 85L * a / 100L) }
+    }
+    val p0 = Map("a" -> 333333333L, "b" -> 333333333L, "c" -> 333333333L)
+    val p1 = round(p0); val p2 = round(p1)
+    // per-NODE deltas (a Set.map would dedupe the symmetric pair)
+    val deltas = p1.keys.toSeq.map(k => math.abs(p2(k) - p1(k)))
+    val out = Graph.pageRankConvergence(edges, iterations = 2)
+      .collect().head
+    assert(out.getLong(0) === 3L)
+    assert(out.getLong(1) === deltas.sum)
+    assert(out.getLong(2) === deltas.max)
+  }
+
   // ---- triangle orientation ------------------------------------------
 
   test("triangleStats orientBy=degree: identical output to the " +
