@@ -1314,6 +1314,13 @@ object ScaleBench {
       graft.operators.Analytics.basketAffinityIndexed(e, t, st,
         minCount = 5)
     }),
+    // two indexed pageRank runs + one node join — corpus-size-
+    // independent like x204
+    ("x212_pagerank_convergence", (s: SparkSession, dir: String) => {
+      val (_, e, _, _) = graft.operators.Graph.readEdgeIndex(s,
+        edgeTables._1, edgeTables._2, edgeTables._3, edgeTables._4)
+      graft.operators.Graph.pageRankConvergence(e, iterations = 3)
+    }),
     // 10x corpus keys through one distinct + full-outer join per leg;
     // the (ann2) index side grows with the even-id half
     ("x211_index_freshness", (s: SparkSession, dir: String) => {
