@@ -214,24 +214,28 @@ object Graph {
   def mergeEdgeIndex(spark: SparkSession, obTable: String,
                      edgesTable: String, totalsTable: String,
                      statsTable: String): Unit = {
+    Seq(obTable, edgesTable, totalsTable, statsTable)
+      .foreach(Warehouse.recoverIndex(spark, _))
     val (_, edges, totals, stats) = readEdgeIndex(spark, obTable,
       edgesTable, totalsTable, statsTable)
+    // the merged frame scans the LIVE table, so it lands in the
+    // crash-safe _compact_new side table and swaps in metadata-only
+    // (the Warehouse.swapIn / recoverIndex contract) — no window where
+    // the live index holds partial data
     def rewrite(df: DataFrame, table: String): Unit = {
-      val spec = spark.sessionState.catalog.getTableMetadata(
+      val meta = spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(table))
-        .bucketSpec
-      val tmp = table + "_merge_tmp"
-      graft.sinks.Sinks.dropManaged(spark, tmp)
-      df.write.mode("overwrite").format("parquet").saveAsTable(tmp)
-      spec match {
-        case Some(bs) =>
-          graft.sinks.Sinks.writeBucketed(spark.table(tmp), table,
-            bs.bucketColumnNames, bs.numBuckets, bs.sortColumnNames)
-        case None =>
-          spark.table(tmp).coalesce(1).write.mode("overwrite")
-            .format("parquet").saveAsTable(table)
+      val fmt = meta.provider.getOrElse("parquet")
+      Warehouse.swapIn(spark, table) { newT =>
+        meta.bucketSpec match {
+          case Some(bs) =>
+            graft.sinks.Sinks.writeBucketed(df, newT,
+              bs.bucketColumnNames, bs.numBuckets, bs.sortColumnNames,
+              format = fmt)
+          case None =>
+            df.coalesce(1).write.format(fmt).saveAsTable(newT)
+        }
       }
-      graft.sinks.Sinks.dropManaged(spark, tmp)
     }
     rewrite(edges, edgesTable)
     rewrite(totals, totalsTable)
@@ -385,34 +389,6 @@ object Graph {
     * (the LEFT join); nodes with no out-edges cannot occur in a
     * symmetric edge list (documented precondition —
     * [[coPurchaseEdges]] emits both directions). */
-  /** PAGERANK CONVERGENCE AUDIT (x212) — the acceptance metric for
-    * [[pageRank]]'s fixed round count: the integer L1 and max deltas
-    * between the last two rounds' rank vectors, over the node count.
-    * The unrolled-rounds design trades convergence detection for
-    * engine-exactness, so this is the report that says whether the
-    * trade held — `l1_delta_units` is in [[Unit]]-ths of total mass
-    * (a value of 1e6 = 0.1% of the mass still moving; rounds were too
-    * few), the same role x128's recall@k plays for the ANN tier and
-    * x122's distortion for PQ. Both rank vectors are exact integers,
-    * so the audit is hash-stable like the ranks themselves.
-    *
-    * Scale shape: two [[pageRank]] runs (rounds-1 and rounds) over
-    * the same dictionary-bounded frames — the shared share/base
-    * subtrees are identical and exchange-reused; one node-keyed join
-    * + a 1-row aggregate close it. Serve from the persisted edge
-    * index and the corpus is never touched. */
-  def pageRankConvergence(edges: DataFrame,
-                          iterations: Int = 3): DataFrame = {
-    require(iterations >= 2,
-      s"iterations must be >= 2 to measure a delta, got $iterations")
-    val prev = pageRank(edges, iterations - 1)
-      .select(col("node"), col("pr_units").as("_prev"))
-    pageRank(edges, iterations).join(prev, Seq("node"))
-      .agg(count(lit(1)).as("n_nodes"),
-        sum(abs(col("pr_units") - col("_prev"))).as("l1_delta_units"),
-        max(abs(col("pr_units") - col("_prev"))).as("max_delta_units"))
-  }
-
   def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("_outw"))
@@ -440,5 +416,33 @@ object Graph {
         i, iterations)
     }
     pr
+  }
+
+  /** PAGERANK CONVERGENCE AUDIT (x212) — the acceptance metric for
+    * [[pageRank]]'s fixed round count: the integer L1 and max deltas
+    * between the last two rounds' rank vectors, over the node count.
+    * The unrolled-rounds design trades convergence detection for
+    * engine-exactness, so this is the report that says whether the
+    * trade held — `l1_delta_units` is in [[Unit]]-ths of total mass
+    * (a value of 1e6 = 0.1% of the mass still moving; rounds were too
+    * few), the same role x128's recall@k plays for the ANN tier and
+    * x122's distortion for PQ. Both rank vectors are exact integers,
+    * so the audit is hash-stable like the ranks themselves.
+    *
+    * Scale shape: two [[pageRank]] runs (rounds-1 and rounds) over
+    * the same dictionary-bounded frames — the shared share/base
+    * subtrees are identical and exchange-reused; one node-keyed join
+    * + a 1-row aggregate close it. Serve from the persisted edge
+    * index and the corpus is never touched. */
+  def pageRankConvergence(edges: DataFrame,
+                          iterations: Int = 3): DataFrame = {
+    require(iterations >= 2,
+      s"iterations must be >= 2 to measure a delta, got $iterations")
+    val prev = pageRank(edges, iterations - 1)
+      .select(col("node"), col("pr_units").as("_prev"))
+    pageRank(edges, iterations).join(prev, Seq("node"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(abs(col("pr_units") - col("_prev"))).as("l1_delta_units"),
+        max(abs(col("pr_units") - col("_prev"))).as("max_delta_units"))
   }
 }

@@ -263,10 +263,28 @@ object Warehouse {
     * no longer bucket-exclusive — would fan back out to multiple
     * files per bucket (observed: 3 files for 2 buckets), defeating
     * the compaction. Run it when [[indexFileAudit]] says file counts
-    * warrant. */
+    * warrant.
+    *
+    * CRASH SAFETY: the live table is never rebuilt in place. The
+    * compacted copy lands in a `_compact_new` side table first; the
+    * swap is then DROP + ALTER TABLE RENAME — metadata-only, no data
+    * rewrite inside the window — and a process death between the two
+    * statements is RECOVERABLE: [[recoverIndex]] (run automatically
+    * at the start of every compaction and by the streaming ingest
+    * hooks before each append) detects the torn swap (live table
+    * missing, `_compact_new` present) and finishes the rename, so a
+    * replayed batch can never silently re-create the index from one
+    * batch's rows. Leftover `_compact_tmp`/`_compact_new` tables from
+    * a crash before the swap are dropped on the next run. Compaction
+    * must NOT run concurrently with serving reads or appends of the
+    * same table — the swap's DROP window would fail (or miss) a
+    * concurrent reader; schedule it the way the streaming path does
+    * (between micro-batches) or from the orchestrator's maintenance
+    * step, never alongside queries over the same index. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    table: String, targetFiles: Int = 1): Unit = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    recoverIndex(spark, table)
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     // rebuild under the table's OWN provider (a non-parquet index
@@ -276,15 +294,53 @@ object Warehouse {
     graft.sinks.Sinks.dropManaged(spark, tmp)
     spark.table(table).write.mode("overwrite").format(fmt)
       .saveAsTable(tmp)
-    meta.bucketSpec match {
-      case Some(bs) =>
-        graft.sinks.Sinks.writeBucketed(spark.table(tmp), table,
-          bs.bucketColumnNames, bs.numBuckets, bs.sortColumnNames)
-      case None =>
-        spark.table(tmp).repartition(targetFiles).write.mode("overwrite")
-          .format(fmt).saveAsTable(table)
+    swapIn(spark, table) { newT =>
+      meta.bucketSpec match {
+        case Some(bs) =>
+          graft.sinks.Sinks.writeBucketed(spark.table(tmp), newT,
+            bs.bucketColumnNames, bs.numBuckets, bs.sortColumnNames,
+            format = fmt)
+        case None =>
+          spark.table(tmp).repartition(targetFiles).write
+            .format(fmt).saveAsTable(newT)
+      }
     }
     graft.sinks.Sinks.dropManaged(spark, tmp)
+  }
+
+  /** Crash-safe REBUILD-AND-SWAP primitive shared by [[compactIndex]]
+    * and [[graft.operators.Graph.mergeEdgeIndex]]: `build` materializes
+    * the replacement into the `_compact_new` side table (the live
+    * table stays intact and servable throughout — `build` may scan
+    * it); the swap is then DROP live + RENAME new into place. The only
+    * non-atomic window is between those two METADATA statements, and
+    * [[recoverIndex]] heals it. */
+  private[graft] def swapIn(spark: org.apache.spark.sql.SparkSession,
+                            table: String)(build: String => Unit): Unit = {
+    val newT = table + "_compact_new"
+    graft.sinks.Sinks.dropManaged(spark, newT)
+    build(newT)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $newT RENAME TO $table")
+  }
+
+  /** Heal a torn [[compactIndex]]/[[swapIn]] swap: if the live table
+    * is missing but its `_compact_new` replacement exists, the process
+    * died between the swap's DROP and RENAME — finish the rename (the
+    * replacement holds the complete compacted copy by construction).
+    * Returns true when a recovery ran. Idempotent and cheap (two
+    * catalog lookups), so every append/compact entry point can call it
+    * unconditionally; without it, an append after the torn swap would
+    * silently re-create the table from a single batch and serve
+    * under-counted aggregates with no error. */
+  def recoverIndex(spark: org.apache.spark.sql.SparkSession,
+                   table: String): Boolean = {
+    val newT = table + "_compact_new"
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(newT)) {
+      spark.sql(s"ALTER TABLE $newT RENAME TO $table")
+      true
+    } else false
   }
 
   /** ZONE-MAP (min/max pruning) LAYOUT AUDIT — per data file of a

@@ -127,7 +127,7 @@ object CapabilityQueries {
         date_trunc("hour", max(col("ts"))).as("hi"))
       val grid = bounds
         .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
-        .crossJoin(e.select(col("event_type")).distinct())
+        .crossJoin(broadcast(e.select(col("event_type")).distinct()))
       grid.join(hourly, Seq("event_type", "hour"), "left")
         .select(col("event_type"), col("hour"),
           coalesce(col("n_events"), lit(0L)).as("n_events"),

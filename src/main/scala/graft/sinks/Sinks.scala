@@ -162,7 +162,8 @@ object Sinks {
     * key plans with zero Exchange operators. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     numBuckets: Int, sortCols: Seq[String] = Nil,
-                    append: Boolean = false): Unit = {
+                    append: Boolean = false,
+                    format: String = "parquet"): Unit = {
     // one writer task per bucket: without this, every upstream
     // partition writes its own file PER bucket (numPartitions×numBuckets
     // small files — measured 508 for a 4.5 MB index table), and every
@@ -176,7 +177,7 @@ object Sinks {
       .write.mode(if (append) "append" else "overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .format("parquet")
+      .format(format)
       .saveAsTable(table)
   }
 
@@ -204,14 +205,33 @@ object Sinks {
     * in-memory catalog, table METADATA dies with the session but the
     * managed LOCATION under spark-warehouse survives — a fresh JVM
     * re-creating the table would hit LOCATION_ALREADY_EXISTS. The
-    * DROP TABLE is a no-op when the catalog has no entry. */
+    * DROP TABLE is a no-op when the catalog has no entry.
+    *
+    * The location is resolved from CATALOG metadata, never
+    * string-built: a live table reports its actual location (and is
+    * only swept when MANAGED — dropping an external table must leave
+    * its data, the standard catalog contract); a missing table sweeps
+    * the catalog's `defaultTablePath` — correct for both `db.table`
+    * names and 1-part names in the current/default database, where
+    * tables live directly under the warehouse dir, not under a
+    * `<db>.db/` prefix. */
   def dropManaged(spark: org.apache.spark.sql.SparkSession,
                   table: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc: Option[java.net.URI] =
+      if (catalog.tableExists(ident)) {
+        val meta = catalog.getTableMetadata(ident)
+        if (meta.tableType ==
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+          Some(meta.location)
+        else None
+      } else Some(catalog.defaultTablePath(ident))
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val Array(db, name) = table.split('.')
-    val p = new org.apache.hadoop.fs.Path(
-      s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.db/$name")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    loc.foreach { u =>
+      val p = new org.apache.hadoop.fs.Path(u)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 }

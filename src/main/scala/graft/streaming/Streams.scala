@@ -397,8 +397,10 @@ object Streams {
     * larger than any single day's deviation, so a long accumulator
     * would silently wrap on series the batch side still handles
     * exactly, breaking the spec-pinned flag parity. Only the REPORT
-    * column S narrows to long — the same long-cast the batch report
-    * applies; the flag compares in BigInt before the narrowing. */
+    * column S narrows to long, SATURATING at Long.MaxValue (S ≥ 0 by
+    * construction) — the flag compares in BigInt before the
+    * narrowing, so it stays exact at any magnitude and a beyond-Long
+    * prefix sum can never surface as a garbage negative cusum. */
   def cusumStream(counts: Dataset[DailyCount],
                   baselines: Map[String, (Long, Long, BigInt)],
                   h: Int = 3)
@@ -422,7 +424,9 @@ object Streams {
                 val p = st.p + (BigInt(d) * r.n_events - s1)
                 st = CusumState(p, st.minP.min(p))
                 val s = p - st.minP.min(BigInt(0))
-                out += CusumRow(etype, r.day, r.n_events, s.toLong,
+                val sLong =
+                  if (s > BigInt(Long.MaxValue)) Long.MaxValue else s.toLong
+                out += CusumRow(etype, r.day, r.n_events, sLong,
                   s * s > h2 * v)
               }
               state.update(st)
@@ -593,6 +597,17 @@ object Streams {
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
       tables.foreach(graft.operators.Warehouse.compactIndex(spark, _))
 
+  /** Heal any torn compaction swap BEFORE a micro-batch touches its
+    * index tables ([[graft.operators.Warehouse.recoverIndex]]): after
+    * a crash between [[maybeCompact]]'s swap statements, the
+    * at-least-once replay would otherwise find the live table missing
+    * and the append would silently RE-CREATE it from that one batch's
+    * rows — serving under-counted aggregates with no error. Two
+    * catalog lookups per table per batch; runs at the top of every
+    * indexed-ingest handler. */
+  private def recoverAll(spark: SparkSession, tables: Seq[String]): Unit =
+    tables.foreach(graft.operators.Warehouse.recoverIndex(spark, _))
+
   def indexedNeardupIngest(docs: DataFrame, idCol: String, textCol: String,
                            k: Int, threshold: Double, setsTable: String,
                            bandsTable: String, numBands: Int = 20,
@@ -604,6 +619,7 @@ object Streams {
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val td = graft.operators.TextDedup
+        recoverAll(batch.sparkSession, Seq(setsTable, bandsTable))
         val survivors = td.crossNeardupSurvivorsIndexed(batch.toDF(),
           idCol, textCol, k, threshold, setsTable, bandsTable,
           numBands, rowsPerBand).cache()
@@ -652,6 +668,7 @@ object Streams {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val td = graft.operators.TextDedup
         val spark = batch.sparkSession
+        recoverAll(spark, Seq(setsTable, bandsTable, splitTable))
         val b = batch.toDF()
         val best = td.crossNeardupMatchesIndexed(b, idCol, textCol, k,
             threshold, setsTable, bandsTable, numBands, rowsPerBand)
@@ -703,6 +720,7 @@ object Streams {
     vecs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sim = graft.operators.Similarity
+        recoverAll(batch.sparkSession, Seq(assignTable))
         val survivors = sim.embeddingSurvivorsIndexed(batch.toDF(),
           idCol, vecCol, threshold, nprobe, assignTable, centTable)
           .cache()
@@ -742,6 +760,7 @@ object Streams {
           org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        recoverAll(batch.sparkSession, Seq(codesTable))
         val b = batch.toDF().cache()
         try {
           sink(b, batchId)
@@ -784,6 +803,8 @@ object Streams {
           org.apache.spark.sql.Row] =
     lineitems.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        recoverAll(batch.sparkSession, Seq(obTable, edgesTable,
+          totalsTable, statsTable))
         val b = batch.toDF().cache()
         try {
           sink(b, batchId)

@@ -229,4 +229,36 @@ class WarehouseSpec extends SparkSpec {
     assert(rows(s1) === rows(s2))
     assert(rows(Graph.pageRank(e1)) === rows(Graph.pageRank(e2)))
   }
+
+  test("recoverIndex heals a torn compaction swap: live table missing " +
+      "with _compact_new present -> rename finishes, rows and bucket " +
+      "spec intact; a no-op when the live table is healthy") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val table = "graft_idx_test.torn_swap"
+    val newT = table + "_compact_new"
+    Seq(table, newT).foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    graft.sinks.Sinks.writeBucketed(rows, table, Seq("k"), 2)
+    assert(!Warehouse.recoverIndex(spark, table),
+      "healthy table must not trigger recovery")
+    // simulate the crash window: compacted copy written, live dropped,
+    // process died before the RENAME
+    graft.sinks.Sinks.writeBucketed(spark.table(table), newT, Seq("k"), 2)
+    spark.sql(s"DROP TABLE $table")
+    assert(Warehouse.recoverIndex(spark, table))
+    assert(spark.table(table).collect().map(_.toSeq).toSet ===
+      rows.collect().map(_.toSeq).toSet)
+    assert(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.exists(_.numBuckets == 2),
+      "recovered table must keep the compacted bucket spec")
+    assert(!spark.catalog.tableExists(newT))
+    // compactIndex itself runs recovery first: tear it again, compact
+    graft.sinks.Sinks.writeBucketed(spark.table(table), newT, Seq("k"), 2)
+    spark.sql(s"DROP TABLE $table")
+    Warehouse.compactIndex(spark, table)
+    assert(spark.table(table).collect().map(_.toSeq).toSet ===
+      rows.collect().map(_.toSeq).toSet)
+    graft.sinks.Sinks.dropManaged(spark, table)
+  }
 }

@@ -89,4 +89,44 @@ class SinksSpec extends SparkSpec {
     assert(sh.getLong(2) > 0L && !sh.getBoolean(3),
       "hash-shuffled files should overlap on the key column")
   }
+
+  test("dropManaged resolves the location from catalog metadata: " +
+      "1-part default-database names (tables live directly under the " +
+      "warehouse dir), db.table names, and orphaned locations all " +
+      "clear so a re-create never hits LOCATION_ALREADY_EXISTS") {
+    import spark.implicits._
+    def create(table: String): Unit =
+      Seq((1L, "a")).toDF("k", "v").write.mode("overwrite")
+        .format("parquet").saveAsTable(table)
+    // 1-part name in the default database: the old string-built
+    // <warehouse>/<db>.db/<name> guess threw MatchError / missed the
+    // real location
+    create("drop_managed_plain")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser
+          .parseTableIdentifier("drop_managed_plain")).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(loc))
+    Sinks.dropManaged(spark, "drop_managed_plain")
+    assert(!fs.exists(loc), "default-db location must be cleared")
+    create("drop_managed_plain") // re-create proves the path is free
+    Sinks.dropManaged(spark, "drop_managed_plain")
+    // orphaned location (data on disk, no catalog entry): the case the
+    // helper exists for — dropManaged on the MISSING table still clears
+    // the default path
+    create("drop_managed_orphan")
+    val oloc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser
+          .parseTableIdentifier("drop_managed_orphan")).location)
+    spark.sessionState.catalog.dropTable(
+      spark.sessionState.sqlParser
+        .parseTableIdentifier("drop_managed_orphan"),
+      ignoreIfNotExists = false, purge = false)
+    // in-memory catalog drop removes data too; re-materialize the orphan
+    if (!fs.exists(oloc)) fs.mkdirs(oloc)
+    Sinks.dropManaged(spark, "drop_managed_orphan")
+    assert(!fs.exists(oloc), "orphaned location must be cleared")
+  }
 }

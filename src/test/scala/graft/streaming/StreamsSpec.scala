@@ -1415,9 +1415,15 @@ class StreamsSpec extends SparkSpec {
       .format("memory").queryName("cusumbig_out")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
-    val flags = spark.table("cusumbig_out")
-      .collect().map(r => r.getLong(1) -> r.getBoolean(4)).toMap
-    assert(flags === Map(0L -> true, 1L -> true))
+    val rows = spark.table("cusumbig_out")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(rows.view.mapValues(_._2).toMap === Map(0L -> true, 1L -> true))
+    // day 0's S = 6e18 fits a long and reports exactly; day 1's
+    // S = 1.2e19 exceeds Long range — the report column SATURATES at
+    // Long.MaxValue (a plain toLong would wrap to a garbage negative)
+    assert(rows(0L)._1 === 6000000000000000000L)
+    assert(rows(1L)._1 === Long.MaxValue)
   }
 
   test("latenessGate measures each event against its key's running " +
