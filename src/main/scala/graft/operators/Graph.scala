@@ -181,7 +181,10 @@ object Graph {
     * [[appendEdgeIndex]] additivity law): returns
     * `(ob, edges, totals, stats)`. The merge aggregates are over
     * dictionary²-sized tables — trivial next to the corpus scan they
-    * replace. */
+    * replace. Keys whose merged count is ZERO are dropped — they can
+    * only arise from [[deleteFromEdgeIndex]]'s negated partials
+    * cancelling an ingest exactly, and a from-scratch rebuild of the
+    * post-delete corpus would not contain them. */
   def readEdgeIndex(spark: SparkSession, obTable: String,
                     edgesTable: String, totalsTable: String,
                     statsTable: String)
@@ -189,12 +192,64 @@ object Graph {
     val ob = spark.table(obTable)
     val edges = spark.table(edgesTable)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .filter(col("w") =!= 0)
     val totals = spark.table(totalsTable)
       .groupBy(col("brand")).agg(sum(col("n_orders")).as("n_orders"))
+      .filter(col("n_orders") =!= 0)
     val stats = spark.table(statsTable)
       .agg(sum(col("n_baskets")).as("n_baskets"),
         sum(col("n_orders")).as("n_orders"))
     (ob, edges, totals, stats)
+  }
+
+  /** DELETE complete orders from the edge index — the takedown /
+    * retention path ([[graft.operators.Warehouse.deleteFromIndex]]'s
+    * contract for this ADDITIVE index, where edge rows are shared
+    * partial COUNTS, not per-document rows an anti-join could
+    * remove): because co-order counts are additive over disjoint
+    * order sets, deleting orders is appending their NEGATED partial
+    * frames — the same one-scan collapse as [[appendEdgeIndex]], with
+    * every count sign-flipped — plus one anti-join rewrite of the
+    * basket table (whose `(order, brand)` rows ARE per-order).
+    * [[readEdgeIndex]]'s merge-sums then serve the post-delete corpus
+    * exactly (keys cancelled to zero are dropped at read — rows
+    * bit-identical to a from-scratch rebuild, spec-pinned), and the
+    * next [[mergeEdgeIndex]] folds the tombstone rows away
+    * physically.
+    *
+    * PRECONDITIONS mirror [[appendEdgeIndex]]'s additivity law:
+    * `deletedLineitem` carries COMPLETE orders whose keys are
+    * currently IN the index, each order deleted at most once (a
+    * replay double-subtracts). The deleted orders' lineitem rows are
+    * the input — a takedown flow has them (they are what's being
+    * removed); the index itself is never rescanned beyond the basket
+    * anti-join. */
+  def deleteFromEdgeIndex(deletedLineitem: DataFrame, part: DataFrame,
+                          obTable: String, edgesTable: String,
+                          totalsTable: String, statsTable: String): Unit = {
+    val spark = deletedLineitem.sparkSession
+    Seq(obTable, edgesTable, totalsTable, statsTable)
+      .foreach(Warehouse.recoverIndex(spark, _))
+    val numBuckets = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(edgesTable))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(sys.error(s"$edgesTable is not bucketed"))
+    val ob = orderBrands(deletedLineitem, part).cache()
+    try {
+      graft.sinks.Sinks.writeBucketed(
+        coPurchaseEdgesFrom(ob).withColumn("w", -col("w")),
+        edgesTable, Seq("src"), numBuckets, append = true)
+      brandTotals(ob).withColumn("n_orders", -col("n_orders"))
+        .coalesce(1).write.mode("append").format("parquet")
+        .saveAsTable(totalsTable)
+      basketStats(deletedLineitem, ob)
+        .select((-col("n_baskets")).as("n_baskets"),
+          (-col("n_orders")).as("n_orders"))
+        .coalesce(1).write.mode("append").format("parquet")
+        .saveAsTable(statsTable)
+      Warehouse.deleteFromIndex(spark, obTable, "order_key",
+        ob.select(col("order_key")).distinct())
+    } finally { ob.unpersist(); () }
   }
 
   /** DEEP compaction of the edge index — merge the append PARTIALS

@@ -188,6 +188,42 @@ object Retrieval {
       .write.mode("overwrite").format("parquet").saveAsTable(statsTable)
   }
 
+  /** DELETE documents from the BM25 index — the takedown/retention
+    * path: the postings rows ARE per-document, so one
+    * [[graft.operators.Warehouse.deleteFromIndex]] anti-join rewrite
+    * on `doc_id` removes them through the bucket layout (crash-safe
+    * swap, file counts back to ≤ buckets), and the 1-row stats table
+    * folds the deleted batch's length counts OUT — the exact negation
+    * of [[appendBm25Index]]'s driver-side arithmetic, so after the
+    * delete [[bm25TopKIndexed]] serves rows bit-identical to a
+    * from-scratch rebuild of the reduced corpus (spec-pinned; both
+    * n_docs and sum_dl feed the IDF/length normalization, which is
+    * why stale stats would skew every score, not just the deleted
+    * docs'). PRECONDITIONS: the deleted docs are currently indexed
+    * and each is deleted at most once (the [[appendBm25Index]] replay
+    * caveat, mirrored). The deleted docs' text is the input — scoring
+    * stats must subtract exactly what the original index/append run
+    * added for them. */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+                          deleted: DataFrame, idCol: String,
+                          textCol: String, postingsTable: String,
+                          statsTable: String): Unit = {
+    graft.operators.Warehouse.recoverIndex(spark, statsTable)
+    graft.operators.Warehouse.deleteFromIndex(spark, postingsTable,
+      "doc_id", deleted.select(col(idCol)))
+    val old = spark.table(statsTable).head()
+    val del = deleted
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col(textCol))).cast("long")).as("sum_dl"))
+      .head()
+    val oldDl = if (old.isNullAt(1)) 0L else old.getLong(1)
+    val delDl = if (del.isNullAt(1)) 0L else del.getLong(1)
+    import spark.implicits._
+    Seq((old.getLong(0) - del.getLong(0), oldDl - delDl))
+      .toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").format("parquet").saveAsTable(statsTable)
+  }
+
   /** [[bm25TopK]] through its PERSISTED index — the production serving
     * shape the bootstrap form's Scaladoc promises: zero text-kernel
     * work, zero corpus text scans. The postings scan carries the

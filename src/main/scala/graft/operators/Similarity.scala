@@ -816,7 +816,16 @@ object Similarity {
     val (quant, subDim, books) =
       pqFit(corpus, idCol, vecCol, m, k, rounds, trainPct)
     quant.unpersist()
-    val minCols = (0 until m).map { j =>
+    distortionReport(quant, subDim, books)
+  }
+
+  /** The one-scan distortion tail shared by [[pqDistortion]] and
+    * [[pqDistortionWithBooks]]: per vector, the min over each
+    * subspace's k exact-long distances (the assignment distance), into
+    * an m-row aggregate. */
+  private def distortionReport(quant: DataFrame, subDim: Int,
+      books: Array[Array[(Long, Array[Double])]]): DataFrame = {
+    val minCols = books.indices.map { j =>
       array_min(pqAssign(slice(col("qv"), j * subDim + 1, subDim),
         books(j))._2) }
     quant.select(posexplode(array(minCols: _*)).as(Seq("sub", "d")))
@@ -1087,6 +1096,75 @@ object Similarity {
     val codes = spark.table(codesTable)
       .withColumnRenamed("vec_id", "neighbor_id")
     adcRank(codes, qt, books, topK)
+  }
+
+  /** [[pqTopK]] under FROZEN pre-trained codebooks (a [[writePqIndex]]
+    * books table): zero Lloyd rounds, zero training scans — the corpus
+    * is read ONCE to encode inline under the frozen books (the same
+    * frozen-book encode [[appendPqIndex]] applies to an arriving
+    * batch) and ADC-ranked. Rows identical to [[pqTopK]] when the
+    * books were trained with the same knobs on the same corpus
+    * ([[pqFit]] is deterministic — the x124 guarantee). This is the
+    * right form whenever a trained model already exists and the CODES
+    * for this corpus snapshot don't ([[pqTopKIndexed]] is cheaper
+    * still when they do): scoring a fresh snapshot, an ablation
+    * corpus, or — as in the registered suite — several exhibits
+    * sharing one fixture-trained model instead of retraining
+    * per-query. No cache contract: the single corpus pass needs no
+    * shared grid frame. */
+  def pqTopKWithBooks(spark: org.apache.spark.sql.SparkSession,
+                      queries: DataFrame, corpus: DataFrame,
+                      idCol: String, vecCol: String, booksTable: String,
+                      topK: Int): DataFrame = {
+    val books = readBooks(spark, booksTable)
+    val subDim = books(0)(0)._2.length
+    val codeCols = books.indices.map { j =>
+      pqAssign(slice(col("qv"), j * subDim + 1, subDim), books(j))._1
+        .as(s"code_$j") }
+    val codes = Par.spread(corpus.select(
+        col(idCol).cast("long").as("vec_id"), gridded(col(vecCol)).as("qv")))
+      .select(col("vec_id").as("neighbor_id") +: codeCols: _*)
+    val q = Par.spread(queries.select(col(idCol).cast("long").as("query_id"),
+      gridded(col(vecCol)).as("qv")))
+    val tableCols = books.indices.map { j =>
+      pqAssign(slice(col("qv"), j * subDim + 1, subDim), books(j))._2
+        .as(s"t_$j") }
+    adcRank(codes, q.select(col("query_id") +: tableCols: _*), books, topK)
+  }
+
+  /** [[pqDistortion]] under FROZEN pre-trained codebooks: the
+    * acceptance metric re-measured WITHOUT retraining — one corpus
+    * scan against the persisted books. This is the production
+    * drift-watch form ([[appendPqIndex]]'s scaladoc points here):
+    * distortion creeping up over snapshots is the signal the frozen
+    * books no longer fit the distribution and [[writePqIndex]] should
+    * retrain. Identical rows to [[pqDistortion]] with the books'
+    * training knobs (same determinism argument as
+    * [[pqTopKWithBooks]]). */
+  def pqDistortionWithBooks(spark: org.apache.spark.sql.SparkSession,
+                            corpus: DataFrame, idCol: String,
+                            vecCol: String, booksTable: String): DataFrame = {
+    val books = readBooks(spark, booksTable)
+    val subDim = books(0)(0)._2.length
+    distortionReport(Par.spread(corpus.select(
+        col(idCol).cast("long").as("vec_id"),
+        gridded(col(vecCol)).as("qv"))),
+      subDim, books)
+  }
+
+  /** [[pqRerankTopK]] under FROZEN pre-trained codebooks: the ADC
+    * short-list comes from [[pqTopKWithBooks]] (one inline encode scan,
+    * zero training), the exact re-rank from [[exactRerank]]. Rows
+    * identical to [[pqRerankTopK]] with the books' training knobs. */
+  def pqRerankTopKWithBooks(spark: org.apache.spark.sql.SparkSession,
+                            queries: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String,
+                            booksTable: String, topK: Int,
+                            shortlist: Int): DataFrame = {
+    require(shortlist >= topK, "shortlist must be >= topK")
+    val cand = pqTopKWithBooks(spark, queries, corpus, idCol, vecCol,
+      booksTable, shortlist)
+    exactRerank(cand, queries, corpus, idCol, vecCol, topK)
   }
 
   /** 1e-6 grid quantization of a float-vector column (the PQ working

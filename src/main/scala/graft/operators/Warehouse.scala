@@ -420,6 +420,152 @@ object Warehouse {
     rows.reduce(_.unionByName(_))
   }
 
+  /** [[indexFreshnessAudit]]'s BUCKETED-CHECKSUM fast path (x215) —
+    * identical report schema and counts, different cost model: instead
+    * of full-outer-joining the two DISTINCT key sets (a full key
+    * shuffle per audit leg — the audit a 100 TB operator cannot afford
+    * every cycle), each side first collapses to `numBuckets`
+    * (count, order-free checksum) rows via [[bucketChecksums]]' law,
+    * and the exact key-level diff runs ONLY over the buckets whose
+    * digests disagree. A steady-state audit (index fresh) reads two
+    * scans and moves `numBuckets` rows; after a localized ingest or
+    * takedown, only the touched buckets pay the join — the anti-
+    * entropy detect-then-repair shape (x195/x133). Counts are exact
+    * up to md5-checksum collision within a bucket (2⁻⁶⁰-scale, the
+    * standard anti-entropy trade; spec-pinned equal to the exact path
+    * on the registered fixture). Keys hash through their STRING casts
+    * — both sides must render identically (the [[bucketChecksums]]
+    * caveat; ids and hex digests both qualify). */
+  def indexFreshnessAuditBucketed(
+      legs: Seq[(String, DataFrame, DataFrame)],
+      numBuckets: Int = 64): DataFrame = {
+    require(legs.nonEmpty,
+      "indexFreshnessAuditBucketed needs at least one leg")
+    require(legs.map(_._1).distinct.size == legs.size,
+      "leg names must be unique")
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val rows = legs.map { case (name, corpusKeys, indexKeys) =>
+      val c = corpusKeys.toDF("_k").distinct()
+      val i = indexKeys.toDF("_k").distinct()
+      val cb = bucketChecksums(c, "_k", Nil, numBuckets)
+        .select(col("bucket"), col("n_rows").as("_nc"),
+          col("checksum").as("_cc"))
+      val ib = bucketChecksums(i, "_k", Nil, numBuckets)
+        .select(col("bucket"), col("n_rows").as("_ni"),
+          col("checksum").as("_ci"))
+      val byBucket = cb.join(ib, Seq("bucket"), "full_outer")
+      val totals = byBucket
+        .agg(coalesce(sum(col("_nc")), lit(0L)).as("n_corpus"),
+          coalesce(sum(col("_ni")), lit(0L)).as("n_indexed"))
+      val dirty = byBucket
+        .filter(col("_nc").isNull || col("_ni").isNull ||
+          col("_nc") =!= col("_ni") || col("_cc") =!= col("_ci"))
+        .select(col("bucket"))
+      // exact key diff over DIRTY buckets only (≤ numBuckets rows
+      // broadcast into each side's scan)
+      val bucketOf = pmod(conv(substring(md5(col("_k").cast("string")),
+        1, 15), 16, 10).cast("long"), lit(numBuckets.toLong))
+      def cut(df: DataFrame, tag: String) = df
+        .withColumn("_b", bucketOf)
+        .join(broadcast(dirty.select(col("bucket").as("_b"))), Seq("_b"),
+          "left_semi")
+        .select(col("_k")).withColumn(tag, lit(1L))
+      val diff = cut(c, "_c").join(cut(i, "_i"), Seq("_k"), "full_outer")
+        .agg(coalesce(sum(when(col("_i").isNull, 1L)), lit(0L))
+            .as("n_missing"),
+          coalesce(sum(when(col("_c").isNull, 1L)), lit(0L))
+            .as("n_stale"))
+      totals.crossJoin(broadcast(diff))
+        .select(lit(name).as("index_name"), col("n_corpus"),
+          col("n_indexed"), col("n_missing"), col("n_stale"),
+          Num.fpRound((col("n_corpus") - col("n_missing"))
+            .cast("double") / col("n_corpus").cast("double"), 6)
+            .as("coverage"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  /** INDEX PARTIAL-ROW AUDIT (x213) — per labeled (table, key
+    * columns): row count, distinct-key count, and rows-per-key on the
+    * 1e-6 grid. THE number that says when a deep partial-merge
+    * ([[graft.operators.Graph.mergeEdgeIndex]]) is due, the way
+    * [[indexFileAudit]]'s file counts trigger layout compaction: every
+    * append of an additive index leaves one PARTIAL row per
+    * (key, ingest), so serve-side merge-sums grow linearly with ingest
+    * count while the results stay identical — invisible everywhere
+    * except this ratio. 1.0 = fully merged (every key one row); after
+    * k disjoint ingests a key touched by all of them reads k.
+    *
+    * Scale shape: per table, one key-keyed aggregate (map-side combine
+    * collapses each partition's partials before the exchange — key-
+    * cardinality rows move, never payloads) into a 1-row count; the
+    * report is a union of 1-row frames, the [[riAudit]] shape. */
+  def indexPartialAudit(spark: org.apache.spark.sql.SparkSession,
+                        tables: Seq[(String, String, Seq[String])])
+      : DataFrame = {
+    require(tables.nonEmpty, "indexPartialAudit needs at least one table")
+    require(tables.map(_._1).distinct.size == tables.size,
+      "table labels must be unique")
+    val rows = tables.map { case (name, table, keyCols) =>
+      require(keyCols.nonEmpty, s"$name needs at least one key column")
+      spark.table(table)
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_c"))
+        .agg(coalesce(sum(col("_c")), lit(0L)).as("n_rows"),
+          count(lit(1)).as("n_keys"))
+        .select(lit(name).as("index_name"), col("n_rows"), col("n_keys"),
+          Num.fpRound(col("n_rows").cast("double") /
+            col("n_keys").cast("double"), 6).as("rows_per_key"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  /** INDEX DELETE (x214) — remove every index row whose `keyCol` is in
+    * `keys`, rewriting the table through its OWN write path: one
+    * anti-join pass over the index (never the corpus) lands the
+    * surviving rows under the table's exact bucket spec and provider,
+    * and the crash-safe [[swapIn]] swap makes it durable. This closes
+    * the retention/takedown gap [[indexFreshnessAudit]] counts as
+    * `n_stale`: without it, every persisted serving form (digest, ANN
+    * assignment, PQ codes, BM25 postings, near-dup sets/bands)
+    * resurfaces deleted documents until a full rebuild. After the
+    * delete, the serving twins return rows bit-identical to a
+    * from-scratch rebuild on the reduced corpus (spec-pinned per
+    * family), and file counts return to ≤ buckets (the rewrite IS a
+    * compaction).
+    *
+    * Scale shape: the delete list collapses to its distinct keys
+    * before touching the index (takedown lists are small — AQE
+    * broadcasts the anti-join side; a corpus-scale retention sweep
+    * shuffles on the key, still one pass); the index is read once and
+    * written once. Additive indexes whose rows are NOT per-key
+    * removable (edge partials, gram-df counts) delete through their
+    * own negated-append paths instead
+    * ([[graft.operators.Graph.deleteFromEdgeIndex]]). */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+                      table: String, keyCol: String, keys: DataFrame,
+                      targetFiles: Int = 1): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    recoverIndex(spark, table)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val fmt = meta.provider.getOrElse("parquet")
+    val k = keys.toDF("_del_key").distinct()
+    val remaining = spark.table(table)
+      .join(k, col(keyCol) === col("_del_key"), "left_anti")
+    swapIn(spark, table) { newT =>
+      meta.bucketSpec match {
+        case Some(bs) =>
+          graft.sinks.Sinks.writeBucketed(remaining, newT,
+            bs.bucketColumnNames, bs.numBuckets, bs.sortColumnNames,
+            format = fmt)
+        case None =>
+          remaining.repartition(targetFiles).write
+            .format(fmt).saveAsTable(newT)
+      }
+    }
+  }
+
   /** INDEX FILE-COUNT AUDIT (x210) — per labeled index table: bucket
     * count (0 = unbucketed sidecar), physical data-file count and row
     * count. THE number that says when [[compactIndex]] should run: a

@@ -1060,19 +1060,29 @@ object ExtensionQueries {
 
     // x121 — asymmetric-distance (ADC) top-k over those codes: each
     // query scores the whole corpus via m table lookups + integer adds
-    // per vector, never a 64-float walk.
+    // per vector, never a 64-float walk. Serves under the FIXTURE's
+    // trained books (pqIndexFor — x120's exact knobs, deterministic
+    // pqFit => identical rows to inline training, same oracle): the
+    // suite trains the m=4/k=8/rounds=2 model ONCE; x120/x129 remain
+    // the training exhibits. Unlike x124 the corpus is still encoded
+    // inline — this is the frozen-books scoring path, not the
+    // persisted-codes one.
     "x121_pq_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.pqTopK(e.filter(col("vec_id") < 10), e, "vec_id",
-        "embedding", topK = 5, m = 4, k = 8, rounds = 2)
+      Similarity.pqTopKWithBooks(s, e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", pqIndexFor(s, dir)._2, topK = 5)
     }),
 
     // x122 — PQ distortion report: per-subspace quantization error
     // (each vector's exact L2 to its own codeword) — the codebook
-    // acceptance metric; x101's role for PQ.
+    // acceptance metric; x101's role for PQ. Audits the FIXTURE's
+    // trained books without retraining (the production drift-watch
+    // form — an audit must not recompute the model it is auditing;
+    // x128's convention): identical rows to the inline-training form,
+    // same oracle.
     "x122_pq_distortion" -> ((s, dir) =>
-      Similarity.pqDistortion(t(s, dir, "embeddings"), "vec_id",
-        "embedding", m = 4, k = 8, rounds = 2)),
+      Similarity.pqDistortionWithBooks(s, t(s, dir, "embeddings"),
+        "vec_id", "embedding", pqIndexFor(s, dir)._2)),
 
     // x123 — IVF-PQ: the composed FAISS layout — x10's bucket pruning
     // picks WHICH vectors a query touches, x121's ADC prices WHAT each
@@ -1160,11 +1170,14 @@ object ExtensionQueries {
     // x130 — ADC short-list + EXACT re-rank: the two-stage serving
     // pattern the x128 audit points at when PQ recall reads low — the
     // corpus pays the integer ADC scan, exact cosine touches only
-    // shortlist vectors per query.
+    // shortlist vectors per query. Short-lists under the FIXTURE's
+    // trained books (zero retraining — identical rows, same oracle);
+    // x134 is the persisted-codes twin.
     "x130_pq_rerank_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.pqRerankTopK(e.filter(col("vec_id") < 10), e,
-        "vec_id", "embedding", topK = 5, shortlist = 50)
+      Similarity.pqRerankTopKWithBooks(s, e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", pqIndexFor(s, dir)._2, topK = 5,
+        shortlist = 50)
     }),
 
     // x132 — dimension-truncated (matryoshka) cosine top-k: rank by
@@ -2017,7 +2030,7 @@ object ExtensionQueries {
               .as("units")),
         "o_orderkey", "priority", "units", buckets = 32,
         quantiles = Seq(0.5, 0.9)))
-  ) ++ indexedGraphQueries
+  ) ++ indexedGraphQueries ++ maintenanceQueries
 
   /** x204-x209 — the graph family through its PERSISTED co-purchase
     * edge index (the x91/x107/x124/x127 indexed-serving pattern
@@ -2125,6 +2138,148 @@ object ExtensionQueries {
           s.table(assignT).select(col("neighbor_id")))))
     })
   )
+
+  /** x213-x215 — the index-maintenance operators the operational trio
+    * grew this round: the deep-merge "when" audit (x213, the
+    * rows-per-key trigger [[graft.operators.Graph.mergeEdgeIndex]] was
+    * missing), the delete/takedown path (x214 — x211's `n_stale`
+    * driven to ZERO by [[graft.operators.Warehouse.deleteFromIndex]]),
+    * and the bucketed-checksum freshness fast path (x215 — x211's
+    * counts at anti-entropy cost). */
+  private lazy val maintenanceQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    // x213 — partial-row audit around the deep merge: the exhibit
+    // index lands in two disjoint ingests (one partial row per
+    // (key, ingest)), the PRE-merge audit is persisted as the sidecar
+    // that triggered the merge, and the live audit re-reads the merged
+    // tables — rows_per_key falls to exactly 1.0 while row counts are
+    // data-derived (the oracle recomputes the per-parity partials).
+    "x213_index_partial_merge" -> ((s, dir) => {
+      val (beforeT, targets) = mergedEdgeIndexFor(s, dir)
+      s.table(beforeT).withColumn("phase", lit("before"))
+        .unionByName(Warehouse.indexPartialAudit(s, targets)
+          .withColumn("phase", lit("after")))
+        .select(col("index_name"), col("phase"), col("n_rows"),
+          col("n_keys"), col("rows_per_key"))
+    }),
+
+    // x214 — the takedown/retention path x211's own doc conceded was
+    // missing: dedicated digest + ANN indexes built on the EVEN ids,
+    // their stale keys (rows the %3 == 0 snapshot no longer contains)
+    // REMOVED via the bucketed anti-join rewrite — the freshness audit
+    // then reads n_stale = 0 on both legs (deleted docs can no longer
+    // resurface from the serving forms; rebuild-equality is
+    // spec-pinned per family).
+    "x214_index_delete" -> ((s, dir) => {
+      val (digT, assignT) = deletedIndexFor(s, dir)
+      val snapDocs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(sha2(lower(trim(col("text"))), 256).as("k"))
+      val snapVecs = t(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(3)) === 0).select(col("vec_id"))
+      Warehouse.indexFreshnessAudit(Seq(
+        ("digest_idx_deleted", snapDocs,
+          s.table(digT).select(col("digest"))),
+        ("ann_assign_deleted", snapVecs,
+          s.table(assignT).select(col("neighbor_id")))))
+    }),
+
+    // x215 — x211's exact counts through the bucketed-checksum fast
+    // path: both sides collapse to 64 (count, order-free digest) rows
+    // and only DIRTY buckets pay the key-level diff — the freshness
+    // audit a 100 TB operator can run every cycle. Same legs, same
+    // oracle as x211 (the fast path changes the COST, never the
+    // counts).
+    "x215_freshness_bucketed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val digestIdx = digestIndexFor(s, dir)
+      val (assignT, _) = annDedupIndexFor(s, dir)
+      val digests = (df: DataFrame) =>
+        df.select(sha2(lower(trim(col("text"))), 256).as("k"))
+      Warehouse.indexFreshnessAuditBucketed(Seq(
+        ("digest_idx", digests(docs),
+          s.table(digestIdx).select(col("digest"))),
+        ("digest_idx_vs_snapshot",
+          digests(docs.filter(pmod(col("doc_id"), lit(3)) === 0)),
+          s.table(digestIdx).select(col("digest"))),
+        ("ann_assign", t(s, dir, "embeddings").select(col("vec_id")),
+          s.table(assignT).select(col("neighbor_id")))))
+    })
+  )
+
+  /** Build-if-missing the x213 deep-merge exhibit: a SEPARATE edge
+    * index built in two disjoint complete-order ingests (so the
+    * additive tables hold one partial row per (key, ingest)), its
+    * PRE-merge [[graft.operators.Warehouse.indexPartialAudit]]
+    * persisted as a 1-file sidecar (the trigger reading), then
+    * deep-merged via [[graft.operators.Graph.mergeEdgeIndex]].
+    * Returns (beforeAuditTable, the audit targets for the live
+    * re-read). The basket table audits at 1.0 even BEFORE the merge —
+    * its (order, brand) rows are unique under the disjoint-orders law
+    * — pinning that only the ADDITIVE tables accrete partials. */
+  private def mergedEdgeIndexFor(s: SparkSession, dir: String)
+      : (String, Seq[(String, String, Seq[String])]) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tables = Seq("ob", "edges", "totals", "stats")
+      .map(n => s"graft_idx.medge_${n}_$tag")
+    val Seq(ob, ed, tot, st) = tables
+    val before = s"graft_idx.medge_before_$tag"
+    val targets = Seq(
+      ("ob", ob, Seq("order_key", "brand")),
+      ("edges", ed, Seq("src", "dst")),
+      ("totals", tot, Seq("brand")))
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!(tables :+ before).forall(s.catalog.tableExists)) {
+      (tables :+ before).foreach(dropStaleManaged(s, _))
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      Graph.writeEdgeIndex(li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+        p, ob, ed, tot, st, numBuckets = 8)
+      Graph.appendEdgeIndex(li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+        p, ob, ed, tot, st, numBuckets = 8)
+      Warehouse.indexPartialAudit(s, targets).coalesce(1)
+        .write.mode("overwrite").format("parquet").saveAsTable(before)
+      Graph.mergeEdgeIndex(s, ob, ed, tot, st)
+    }
+    (before, targets)
+  }
+
+  /** Build-if-missing the x214 takedown exhibit: digest + ANN indexes
+    * on the EVEN ids, then
+    * [[graft.operators.Warehouse.deleteFromIndex]] of every key the
+    * `% 3 == 0` snapshot no longer contains (the stale set x211
+    * counts), so the steady state serves exactly the snapshot ∩ even
+    * rows. Returns (digestTable, assignTable). */
+  private def deletedIndexFor(s: SparkSession, dir: String)
+      : (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val dig = s"graft_idx.ddel_digests_$tag"
+    val assignT = s"graft_idx.ddel_ann_assign_$tag"
+    val centT = s"graft_idx.ddel_ann_cent_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!s.catalog.tableExists(dig) || !s.catalog.tableExists(assignT) ||
+        !s.catalog.tableExists(centT)) {
+      Seq(dig, assignT, centT).foreach(dropStaleManaged(s, _))
+      val docs = t(s, dir, "documents")
+      TextDedup.writeDigestIndex(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", dig)
+      val snapDocs = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(sha2(lower(trim(col("text"))), 256).as("digest"))
+      Warehouse.deleteFromIndex(s, dig, "digest",
+        s.table(dig).select(col("digest"))
+          .join(snapDocs, Seq("digest"), "left_anti"))
+      val e = t(s, dir, "embeddings")
+      Similarity.writeAnnIndex(e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        e.filter(col("vec_id") < 16), "vec_id", "embedding",
+        assignT, centT)
+      Warehouse.deleteFromIndex(s, assignT, "neighbor_id",
+        s.table(assignT).select(col("neighbor_id"))
+          .join(e.filter(pmod(col("vec_id"), lit(3)) === 0)
+            .select(col("vec_id").as("neighbor_id")),
+            Seq("neighbor_id"), "left_anti"))
+    }
+    (dig, assignT)
+  }
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
     * no natural PII): appends a doc_id-derived contact line — email
@@ -4361,10 +4516,87 @@ object ExtensionQueries {
            CAST(sum(abs(p3.pr - p2.pr)) AS BIGINT) AS l1_delta_units,
            CAST(max(abs(p3.pr - p2.pr)) AS BIGINT) AS max_delta_units
          FROM p3 JOIN p2 ON p3.node = p2.node""") +
+    // x213: partial-row counts recomputed from the corpus under the
+    // two-ingest split (one partial row per (key, parity) on the
+    // additive tables; the basket table's keys are unique throughout);
+    // after the deep merge every table reads exactly one row per key
+    ("x213_index_partial_merge" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         e0 AS (SELECT DISTINCT x.b AS es, y.b AS ed FROM ob x
+           JOIN ob y ON x.o = y.o AND x.b <> y.b WHERE x.o % 2 = 0),
+         e1 AS (SELECT DISTINCT x.b AS es, y.b AS ed FROM ob x
+           JOIN ob y ON x.o = y.o AND x.b <> y.b WHERE x.o % 2 = 1),
+         eu AS (SELECT es, ed FROM e0 UNION SELECT es, ed FROM e1),
+         legs AS (
+           SELECT 'ob' AS index_name, 'before' AS phase,
+             (SELECT count(*) FROM ob) AS n_rows,
+             (SELECT count(*) FROM ob) AS n_keys
+           UNION ALL
+           SELECT 'ob', 'after', (SELECT count(*) FROM ob),
+             (SELECT count(*) FROM ob)
+           UNION ALL
+           SELECT 'edges', 'before',
+             (SELECT count(*) FROM e0) + (SELECT count(*) FROM e1),
+             (SELECT count(*) FROM eu)
+           UNION ALL
+           SELECT 'edges', 'after', (SELECT count(*) FROM eu),
+             (SELECT count(*) FROM eu)
+           UNION ALL
+           SELECT 'totals', 'before',
+             (SELECT count(DISTINCT b) FROM ob WHERE o % 2 = 0)
+               + (SELECT count(DISTINCT b) FROM ob WHERE o % 2 = 1),
+             (SELECT count(DISTINCT b) FROM ob)
+           UNION ALL
+           SELECT 'totals', 'after', (SELECT count(DISTINCT b) FROM ob),
+             (SELECT count(DISTINCT b) FROM ob))
+         SELECT index_name, phase, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           floor(n_rows / CAST(n_keys AS DOUBLE) * 1000000 + 0.5)
+             / 1000000.0 AS rows_per_key
+         FROM legs""") +
+    // x214: post-delete set relations — the index keeps exactly the
+    // snapshot ∩ even keys, so stale is ZERO by construction and
+    // missing is the snapshot complement (set semantics on digests:
+    // duplicate texts collapse on both sides)
+    ("x214_index_delete" ->
+      """WITH d3 AS (SELECT DISTINCT lower(trim(text)) AS k
+           FROM documents WHERE doc_id % 3 = 0),
+         dev AS (SELECT DISTINCT lower(trim(text)) AS k FROM documents
+           WHERE doc_id % 2 = 0),
+         dkept AS (SELECT k FROM dev WHERE k IN (SELECT k FROM d3)),
+         e3 AS (SELECT DISTINCT vec_id AS k FROM embeddings
+           WHERE vec_id % 3 = 0),
+         e6 AS (SELECT DISTINCT vec_id AS k FROM embeddings
+           WHERE vec_id % 6 = 0),
+         legs AS (
+           SELECT 'digest_idx_deleted' AS index_name,
+             (SELECT count(*) FROM d3) AS n_corpus,
+             (SELECT count(*) FROM dkept) AS n_indexed,
+             (SELECT count(*) FROM d3
+                WHERE k NOT IN (SELECT k FROM dkept)) AS n_missing,
+             0 AS n_stale
+           UNION ALL
+           SELECT 'ann_assign_deleted',
+             (SELECT count(*) FROM e3), (SELECT count(*) FROM e6),
+             (SELECT count(*) FROM e3
+                WHERE k NOT IN (SELECT k FROM e6)), 0)
+         SELECT index_name, CAST(n_corpus AS BIGINT) AS n_corpus,
+           CAST(n_indexed AS BIGINT) AS n_indexed,
+           CAST(n_missing AS BIGINT) AS n_missing,
+           CAST(n_stale AS BIGINT) AS n_stale,
+           floor((n_corpus - n_missing) / CAST(n_corpus AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS coverage
+         FROM legs""") +
+    // x215: the bucketed fast path changes the COST, never the counts
+    // — x211's oracle verbatim
+    ("x215_freshness_bucketed" -> freshnessOracle) +
     // x211: set relations recomputed on the normalized text / id
     // parities the index builds used; distinct-key joins mirror the
     // full-outer counters
-    ("x211_index_freshness" ->
+    ("x211_index_freshness" -> freshnessOracle)
+
+  private lazy val freshnessOracle: String =
       """WITH dall AS (SELECT DISTINCT lower(trim(text)) AS k
            FROM documents),
          dev AS (SELECT DISTINCT lower(trim(text)) AS k FROM documents
@@ -4402,7 +4634,7 @@ object ExtensionQueries {
            CAST(n_stale AS BIGINT) AS n_stale,
            floor((n_corpus - n_missing) / CAST(n_corpus AS DOUBLE)
              * 1000000 + 0.5) / 1000000.0 AS coverage
-         FROM legs""")
+         FROM legs"""
 
   private lazy val extendedOracleSql: Map[String, String] = baseOracleSql ++ Map(
     "x80_neardup_indexed" -> baseOracleSql("x75_incremental_neardup"),

@@ -207,6 +207,50 @@ class GraphSpec extends SparkSpec {
     assert(rows(stats) === rows(Graph.basketStats(li, obAll)))
   }
 
+  test("deleteFromEdgeIndex (x214): negated partials + basket anti-join " +
+      "serve rows bit-identical to a from-scratch rebuild of the " +
+      "reduced corpus — incl. an edge cancelled to ZERO — and " +
+      "mergeEdgeIndex folds the tombstones away (partial audit -> 1.0)") {
+    import org.apache.spark.sql.functions.col
+    val (li, part) = fixture
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val dt = Seq("graft_idx_test.dd_ob", "graft_idx_test.dd_edges",
+      "graft_idx_test.dd_totals", "graft_idx_test.dd_stats")
+    val rt = dt.map(_ + "_reb")
+    (dt ++ rt).foreach(dropIdx)
+    val Seq(obT, edT, toT, stT) = dt
+    val Seq(obR, edR, toR, stR) = rt
+    Graph.writeEdgeIndex(li, part, obT, edT, toT, stT, numBuckets = 2)
+    // delete orders 11 {X,Y,Z} and 14 {Y,Z}: the ONLY two orders
+    // carrying the Y-Z pair, so that edge's merged count cancels to
+    // exactly zero — the read-side drop law
+    val deleted = li.filter(col("l_orderkey").isin(11L, 14L))
+    Graph.deleteFromEdgeIndex(deleted, part, obT, edT, toT, stT)
+    Graph.writeEdgeIndex(li.filter(!col("l_orderkey").isin(11L, 14L)),
+      part, obR, edR, toR, stR, numBuckets = 2)
+    val (ob1, e1, t1, s1) = Graph.readEdgeIndex(spark, obT, edT, toT, stT)
+    val (ob2, e2, t2, s2) = Graph.readEdgeIndex(spark, obR, edR, toR, stR)
+    assert(rows(ob1) === rows(ob2))
+    assert(rows(e1) === rows(e2))
+    assert(!rows(e1).exists(r => r.take(2).toSet == Set("Y", "Z")),
+      "the fully-deleted Y-Z edge must not serve")
+    assert(rows(t1) === rows(t2))
+    assert(rows(s1) === rows(s2))
+    assert(rows(Graph.pageRank(e1)) === rows(Graph.pageRank(e2)))
+    // tombstone rows are physical until the deep merge: the partial
+    // audit reads > 1 row per key, then exactly 1.0 after the fold —
+    // and the folded TABLE equals the rebuild's table, key for key
+    val audit = () => graft.operators.Warehouse.indexPartialAudit(spark,
+        Seq(("edges", edT, Seq("src", "dst"))))
+      .collect().head.getDouble(3)
+    assert(audit() > 1.0)
+    Graph.mergeEdgeIndex(spark, obT, edT, toT, stT)
+    dt.foreach(spark.catalog.refreshTable)
+    assert(audit() === 1.0)
+    assert(rows(spark.table(edT)) === rows(spark.table(edR)))
+    assert(rows(spark.table(obT)) === rows(spark.table(obR)))
+  }
+
   test("mergeEdgeIndex: append partials fold to the one-shot build's " +
       "EXACT table rows (not just serve), one file per bucket") {
     import org.apache.spark.sql.functions.{col, pmod, lit}

@@ -171,6 +171,38 @@ class RetrievalSpec extends SparkSpec {
     assert(incremental.nonEmpty)
   }
 
+  test("deleteFromBm25Index (x214): post-delete serving rows are " +
+      "bit-identical to a from-scratch rebuild of the reduced corpus " +
+      "— postings AND the 1-row scoring stats both fold") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val (post1, stats1) =
+      ("graft_idx_test.bm25_post_del", "graft_idx_test.bm25_stats_del")
+    val (post2, stats2) =
+      ("graft_idx_test.bm25_post_dreb", "graft_idx_test.bm25_stats_dreb")
+    Seq(post1, stats1, post2, stats2).foreach(dropIdxTable)
+    Retrieval.writeBm25Index(docs, "doc_id", "text", post1, stats1,
+      numBuckets = 2)
+    // takedown: docs 3+ leave; the deleted docs' text drives the
+    // stats fold (the append arithmetic, negated)
+    Retrieval.deleteFromBm25Index(spark, docs.filter(col("doc_id") > 2),
+      "doc_id", "text", post1, stats1)
+    Retrieval.writeBm25Index(docs.filter(col("doc_id") <= 2), "doc_id",
+      "text", post2, stats2, numBuckets = 2)
+    def serve(post: String, stats: String) =
+      Retrieval.bm25TopKIndexed(spark, post, stats,
+        Seq("apple", "banana", "cherry"), topK = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    assert(serve(post1, stats1) === serve(post2, stats2))
+    assert(serve(post1, stats1).nonEmpty)
+    // both physical artifacts match the rebuild, row for row
+    assert(spark.table(post1).collect().map(_.toSeq).toSet ===
+      spark.table(post2).collect().map(_.toSeq).toSet)
+    assert(spark.table(stats1).collect().map(_.toSeq) ===
+      spark.table(stats2).collect().map(_.toSeq))
+    Seq(post1, stats1, post2, stats2).foreach(dropIdxTable)
+  }
+
   test("bm25TopKPerQueryIndexed (x135): an out-of-corpus query matches " +
       "the single-query indexed form; ranks are dense from 1") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")

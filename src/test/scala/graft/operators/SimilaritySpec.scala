@@ -367,6 +367,92 @@ class SimilaritySpec extends SparkSpec {
     assert(d.forall(_ >= 0.0))
   }
 
+  test("deleteFromIndex on the ANN assignment table (x214): post-delete " +
+      "serving rows bit-identical to a from-scratch rebuild on the " +
+      "reduced corpus (frozen centroids); PQ codes delete drops the " +
+      "ids from serving under frozen books") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.8f, 0.2f, 0.0f)), (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.1f, 0.9f, 0.0f)), (5L, Array(0.2f, 0.8f, 0.0f)),
+      (6L, Array(0.5f, 0.5f, 0.0f)), (7L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = corpus.filter("vec_id IN (0, 3, 7)")
+    val queries = corpus.filter("vec_id IN (1, 4)")
+    val tabs = Seq("graft_idx_test.annd_assign", "graft_idx_test.annd_cent",
+      "graft_idx_test.annd_assign_reb", "graft_idx_test.annd_cent_reb")
+    tabs.foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    val Seq(aT, cT, aR, cR) = tabs
+    Similarity.writeAnnIndex(corpus, cents, "vec_id", "embedding",
+      aT, cT, numBuckets = 2)
+    graft.operators.Warehouse.deleteFromIndex(spark, aT, "neighbor_id",
+      Seq(2L, 5L).toDF("vec_id"))
+    Similarity.writeAnnIndex(corpus.filter("vec_id NOT IN (2, 5)"),
+      cents, "vec_id", "embedding", aR, cR, numBuckets = 2)
+    assert(spark.table(aT).collect().map(_.toSeq).toSet ===
+      spark.table(aR).collect().map(_.toSeq).toSet)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Similarity.ivfTopKIndexed(queries, "vec_id", "embedding",
+        k = 3, nprobe = 2, aT, cT)) ===
+      rows(Similarity.ivfTopKIndexed(queries, "vec_id", "embedding",
+        k = 3, nprobe = 2, aR, cR)))
+
+    // PQ: books are the FROZEN model — delete removes the ids' code
+    // rows; serving equals the untouched index minus those neighbors
+    val (codesT, booksT) =
+      ("graft_idx_test.pqd_codes", "graft_idx_test.pqd_books")
+    Seq(codesT, booksT).foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    Similarity.writePqIndex(pqVecs, "vec_id", "embedding", codesT, booksT,
+      m = 2, k = 2, rounds = 2)
+    val before = rows(Similarity.pqTopKIndexed(spark,
+      pqVecs.filter("vec_id = 0"), "vec_id", "embedding", codesT, booksT,
+      topK = 5))
+    graft.operators.Warehouse.deleteFromIndex(spark, codesT, "vec_id",
+      Seq(2L).toDF("vec_id"))
+    val after = rows(Similarity.pqTopKIndexed(spark,
+      pqVecs.filter("vec_id = 0"), "vec_id", "embedding", codesT, booksT,
+      topK = 5))
+    assert(!after.exists(_(1) == 2L), "deleted vec must not serve")
+    // membership law: exactly the pre-delete neighbors minus the
+    // deleted id (ranks re-densify, so compare (query, neighbor) pairs)
+    assert(after.map(_.take(2)) === before.filterNot(_(1) == 2L)
+      .map(_.take(2)))
+    (tabs ++ Seq(codesT, booksT))
+      .foreach(graft.sinks.Sinks.dropManaged(spark, _))
+  }
+
+  test("WithBooks serving forms: pqTopK / pqDistortion / pqRerankTopK " +
+      "under a persisted books table return rows IDENTICAL to inline " +
+      "training with the same knobs — the x121/x122/x130 fixture-" +
+      "sharing guarantee (train once, serve many, zero retraining)") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val codesT = "graft_idx_test.wb_codes"
+    val booksT = "graft_idx_test.wb_books"
+    Seq(codesT, booksT).foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    Similarity.writePqIndex(pqVecs, "vec_id", "embedding",
+      codesT, booksT, m = 2, k = 2, rounds = 2)
+    val q = pqVecs.filter("vec_id = 0")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Similarity.pqTopKWithBooks(spark, q, pqVecs, "vec_id",
+        "embedding", booksT, topK = 5)) ===
+      rows(Similarity.pqTopK(q, pqVecs, "vec_id", "embedding",
+        topK = 5, m = 2, k = 2, rounds = 2)))
+    assert(rows(Similarity.pqDistortionWithBooks(spark, pqVecs, "vec_id",
+        "embedding", booksT)) ===
+      rows(Similarity.pqDistortion(pqVecs, "vec_id", "embedding",
+        m = 2, k = 2, rounds = 2)))
+    assert(rows(Similarity.pqRerankTopKWithBooks(spark, q, pqVecs,
+        "vec_id", "embedding", booksT, topK = 3, shortlist = 5)) ===
+      rows(Similarity.pqRerankTopK(q, pqVecs, "vec_id", "embedding",
+        topK = 3, shortlist = 5, m = 2, k = 2, rounds = 2)))
+    spark.catalog.clearCache() // the inline forms' open CACHE CONTRACT
+    Seq(codesT, booksT).foreach(graft.sinks.Sinks.dropManaged(spark, _))
+  }
+
   test("ivfPqTopK (x123): nprobe=1 restricts candidates to the probed " +
       "bucket; ADC distances agree with pqTopK on shared candidates") {
     val cents = pqVecs.filter("vec_id < 2") // one centroid per group

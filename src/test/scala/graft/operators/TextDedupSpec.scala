@@ -292,6 +292,40 @@ class TextDedupSpec extends SparkSpec {
     assert(viaDigests == Seq(11L, 13L))
   }
 
+  test("deleteFromIndex on the near-dup sets/bands tables (x214): " +
+      "post-delete tables are bit-identical to a from-scratch rebuild " +
+      "without the deleted docs — deleted docs stop gating arrivals") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val (setsT, bandsT) =
+      ("graft_idx_test.nd_sets_del", "graft_idx_test.nd_bands_del")
+    val (setsR, bandsR) =
+      ("graft_idx_test.nd_sets_dreb", "graft_idx_test.nd_bands_dreb")
+    Seq(setsT, bandsT, setsR, bandsR).foreach(dropIdxTable)
+    val base = "the quick brown fox jumps over the lazy dog today again"
+    val keep = Seq((1L, "completely different existing content here"))
+    val gone = Seq((2L, base))
+    TextDedup.writeNeardupIndex((keep ++ gone).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3, setsT, bandsT, numBuckets = 2)
+    val delIds = gone.map(_._1).toDF("doc_id")
+    graft.operators.Warehouse.deleteFromIndex(spark, setsT, "doc_id", delIds)
+    graft.operators.Warehouse.deleteFromIndex(spark, bandsT, "doc_id", delIds)
+    TextDedup.writeNeardupIndex(keep.toDF("doc_id", "text"),
+      "doc_id", "text", k = 3, setsR, bandsR, numBuckets = 2)
+    Seq(setsT -> setsR, bandsT -> bandsR).foreach { case (a, b) =>
+      assert(spark.table(a).collect().map(_.toSeq).toSet ===
+        spark.table(b).collect().map(_.toSeq).toSet, a)
+    }
+    // the takedown is EFFECTIVE: a near-dup of the deleted doc now
+    // survives the gate (it would have been dropped pre-delete)
+    val batch = Seq((10L, base + " ok")).toDF("doc_id", "text")
+    val survivors = TextDedup.crossNeardupSurvivorsIndexed(batch,
+        "doc_id", "text", k = 3, threshold = 0.8, setsT, bandsT)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(survivors === Seq(10L))
+    Seq(setsT, bandsT, setsR, bandsR).foreach(dropIdxTable)
+  }
+
   test("duplicateSpans: maximal repeated spans, first occurrence kept, " +
       "overlapping grams coalesce (x83)") {
     import spark.implicits._

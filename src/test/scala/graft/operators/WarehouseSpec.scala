@@ -230,6 +230,85 @@ class WarehouseSpec extends SparkSpec {
     assert(rows(Graph.pageRank(e1)) === rows(Graph.pageRank(e2)))
   }
 
+  test("deleteFromIndex (x214): anti-join rewrite through the table's " +
+      "own bucket layout — stale keys gone, table rows equal a " +
+      "from-scratch rebuild on the reduced corpus, files <= buckets, " +
+      "freshness n_stale -> 0") {
+    import org.apache.spark.sql.functions.{col, lower, pmod, lit, sha2, trim}
+    val docs = (0L until 30L).map(i => (i, s"document text $i"))
+      .toDF("doc_id", "text")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val idx = "graft_idx_test.del_digests"
+    val reb = "graft_idx_test.del_digests_reb"
+    Seq(idx, reb).foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    // index built on the EVEN ids; the current snapshot keeps %3 == 0
+    graft.operators.TextDedup.writeDigestIndex(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", idx,
+      numBuckets = 2)
+    val snapshot = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val snapKeys = snapshot
+      .select(sha2(lower(trim(col("text"))), 256).as("k"))
+    def freshness() = Warehouse.indexFreshnessAudit(Seq(("digest",
+        snapKeys, spark.table(idx).select(col("digest")))))
+      .collect().head
+    assert(freshness().getLong(4) > 0L, "fixture must start stale")
+    val stale = spark.table(idx).select(col("digest"))
+      .join(snapKeys.select(col("k").as("digest")), Seq("digest"),
+        "left_anti")
+    Warehouse.deleteFromIndex(spark, idx, "digest", stale)
+    assert(freshness().getLong(4) === 0L, "post-delete stale must be 0")
+    // bit-identical to the from-scratch rebuild on even ∩ snapshot
+    graft.operators.TextDedup.writeDigestIndex(
+      docs.filter(pmod(col("doc_id"), lit(6)) === 0), "text", reb,
+      numBuckets = 2)
+    assert(spark.table(idx).collect().map(_.toSeq).toSet ===
+      spark.table(reb).collect().map(_.toSeq).toSet)
+    val audit = Warehouse.indexFileAudit(spark, Seq(("d", idx)))
+      .collect().head
+    assert(audit.getLong(2) <= audit.getLong(1),
+      "the delete rewrite is also a compaction: files <= buckets")
+    Seq(idx, reb).foreach(graft.sinks.Sinks.dropManaged(spark, _))
+  }
+
+  test("indexPartialAudit (x213): rows-per-key reads append partials " +
+      "exactly; 1.0 on a fully-merged table") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val t = "graft_idx_test.pa_counts"
+    graft.sinks.Sinks.dropManaged(spark, t)
+    val part1 = Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
+    val part2 = Seq(("a", 3L), ("c", 1L)).toDF("k", "n")
+    graft.sinks.Sinks.writeBucketed(part1, t, Seq("k"), 2)
+    graft.sinks.Sinks.writeBucketed(part2, t, Seq("k"), 2, append = true)
+    val r = Warehouse.indexPartialAudit(spark, Seq(("c", t, Seq("k"))))
+      .collect().head
+    // 4 rows over 3 keys: a twice, b and c once
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) ===
+      ((4L, 3L, 1.333333)))
+    val merged = spark.table(t).groupBy(col("k"))
+      .agg(org.apache.spark.sql.functions.sum(col("n")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("k", "n") // materialized BEFORE the drop re-creates below
+    graft.sinks.Sinks.dropManaged(spark, t)
+    graft.sinks.Sinks.writeBucketed(merged, t, Seq("k"), 2)
+    assert(Warehouse.indexPartialAudit(spark, Seq(("c", t, Seq("k"))))
+      .collect().head.getDouble(3) === 1.0)
+    graft.sinks.Sinks.dropManaged(spark, t)
+  }
+
+  test("indexFreshnessAuditBucketed (x215): identical counts to the " +
+      "exact full-outer path on mixed fresh/stale/missing legs, at " +
+      "bucket counts above and below the key cardinality") {
+    val corpus = Seq(1L, 2L, 3L, 4L, 5L).toDF("k")
+    val index = Seq(2L, 4L, 9L, 9L).toDF("k")
+    val legs = Seq(("leg", corpus, index), ("fresh", corpus, corpus))
+    val exact = Warehouse.indexFreshnessAudit(legs)
+      .collect().map(_.toSeq).toSet
+    for (b <- Seq(2, 64)) {
+      assert(Warehouse.indexFreshnessAuditBucketed(legs, numBuckets = b)
+        .collect().map(_.toSeq).toSet === exact, s"numBuckets=$b")
+    }
+  }
+
   test("recoverIndex heals a torn compaction swap: live table missing " +
       "with _compact_new present -> rename finishes, rows and bucket " +
       "spec intact; a no-op when the live table is healthy") {
