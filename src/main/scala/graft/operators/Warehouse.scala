@@ -322,6 +322,10 @@ object Warehouse {
     build(newT)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"ALTER TABLE $newT RENAME TO $table")
+    // the rename re-homes the data under the ORIGINAL path — drop any
+    // cached file listing for it, or the next read serves the old
+    // directory's (now deleted) part files
+    spark.catalog.refreshTable(table)
   }
 
   /** Heal a torn [[compactIndex]]/[[swapIn]] swap: if the live table
@@ -339,6 +343,7 @@ object Warehouse {
     if (!spark.catalog.tableExists(table) &&
         spark.catalog.tableExists(newT)) {
       spark.sql(s"ALTER TABLE $newT RENAME TO $table")
+      spark.catalog.refreshTable(table) // see swapIn's cache note
       true
     } else false
   }

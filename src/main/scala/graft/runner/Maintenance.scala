@@ -1,0 +1,152 @@
+package graft.runner
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Warehouse
+
+/** One index under automatic maintenance ([[Maintenance.runCycle]]):
+  * where its physical tables live, how to read the current corpus /
+  * index key sets, and the repair callbacks + thresholds. Every field
+  * beyond the audits is optional — an index with no callbacks is
+  * audit-only (the report still lands in the action log).
+  *
+  * @param tables one entry per physical table:
+  *   `(label, tableName, partialAuditKeyCols)` — key columns empty to
+  *   skip the partial audit for that table (sidecars, non-additive
+  *   tables).
+  * @param appendMissing called with the frame of corpus keys the index
+  *   lacks; implementations append the corresponding rows (the
+  *   family's `append*Index`).
+  * @param deleteStale called with the frame of index keys the corpus
+  *   lost; implementations remove them
+  *   ([[Warehouse.deleteFromIndex]] / the family's negated-append).
+  * @param compactFilesFactor compact a table when its data-file count
+  *   exceeds this factor × max(buckets, 1) — 1.0 = compact back to the
+  *   canonical one-file-per-bucket layout whenever any append landed.
+  * @param mergeRowsPerKey run `merge` when any partial-audited table
+  *   reads more than this many rows per distinct key.
+  */
+final case class MaintainedIndex(
+    name: String,
+    tables: Seq[(String, String, Seq[String])],
+    corpusKeys: SparkSession => DataFrame,
+    indexKeys: SparkSession => DataFrame,
+    appendMissing: Option[(SparkSession, DataFrame) => Unit] = None,
+    deleteStale: Option[(SparkSession, DataFrame) => Unit] = None,
+    compactFilesFactor: Double = 1.0,
+    mergeRowsPerKey: Double = 1.0,
+    merge: Option[SparkSession => Unit] = None) {
+  require(tables.nonEmpty, s"index $name needs at least one table")
+}
+
+/** One line of [[Maintenance.runCycle]]'s action log. `action` ∈
+  * {recover, delete_stale, append_missing, merge, compact, audit} —
+  * `audit` rows record the post-repair freshness numbers, so the log
+  * alone shows a cycle ended fresh. */
+final case class MaintenanceAction(index: String, action: String,
+                                   detail: String)
+
+/** THE MAINTENANCE CYCLE the reference's scheduler runs between syncs
+  * (`scheduler.py`'s dbt step, re-expressed for the index layer) —
+  * previously the operational trio (x210 file audit / x211 freshness /
+  * x213 partial audit) existed as queries a human had to run and act
+  * on; this closes the loop so a multi-cycle
+  * [[Orchestrator.loop]] ends compacted and fresh with no manual
+  * calls, the way the streaming path's `compactEvery` cadence already
+  * did for micro-batches.
+  *
+  * Per index, in repair-before-layout order:
+  *   1. RECOVER any torn compaction swap ([[Warehouse.recoverIndex]])
+  *      — before anything touches the tables.
+  *   2. FRESHNESS-gated repair: the bucketed-checksum audit
+  *      ([[Warehouse.indexFreshnessAuditBucketed]] — numBuckets rows
+  *      moved per side in the steady state, the cycle-affordable
+  *      detect pass) decides whether the exact anti-join key frames
+  *      are built AT ALL; `deleteStale` runs before `appendMissing`
+  *      (a key in both sets — content changed — must end present).
+  *   3. DEEP MERGE when the partial audit crosses `mergeRowsPerKey`
+  *      (additive indexes accrete one row per (key, ingest);
+  *      serve-side merge-sums grow with ingest count — x213's law).
+  *   4. COMPACT every table whose file count crossed
+  *      `compactFilesFactor` × buckets (appends land one file per
+  *      touched bucket per ingest — x210's law).
+  *
+  * Scale shape: the steady-state cycle (nothing to repair) costs the
+  * bucketed freshness scans + one metadata listing per table; repair
+  * work is proportional to what actually changed (dirty buckets,
+  * appended partials), never to corpus size. Like the compaction it
+  * drives, a cycle must not run concurrently with serving reads of
+  * the same index. */
+object Maintenance {
+
+  def runCycle(spark: SparkSession,
+               indexes: Seq[MaintainedIndex]): Seq[MaintenanceAction] = {
+    val log = Seq.newBuilder[MaintenanceAction]
+    indexes.foreach { idx =>
+      idx.tables.foreach { case (label, table, _) =>
+        if (Warehouse.recoverIndex(spark, table))
+          log += MaintenanceAction(idx.name, "recover", label)
+      }
+      // 2. freshness: cheap bucketed detect, exact repair only on need
+      val c = idx.corpusKeys(spark).toDF("_k").distinct()
+      val i = idx.indexKeys(spark).toDF("_k").distinct()
+      val fresh = Warehouse
+        .indexFreshnessAuditBucketed(Seq((idx.name, c, i))).head()
+      val (nMissing, nStale) = (fresh.getLong(3), fresh.getLong(4))
+      // BOTH repair frames are materialized up front (eager local
+      // checkpoint, sized by what changed — not the corpus) from the
+      // same pre-repair snapshot: the delete's table swap invalidates
+      // any still-lazy plan over the old relation, and an
+      // append/rewrite into the very table a frame's lineage reads
+      // would be a self-insert the engine rejects
+      val staleF = if (nStale > 0 && idx.deleteStale.isDefined)
+        Some(i.join(c, Seq("_k"), "left_anti").localCheckpoint(true))
+      else None
+      val missingF = if (nMissing > 0 && idx.appendMissing.isDefined)
+        Some(c.join(i, Seq("_k"), "left_anti").localCheckpoint(true))
+      else None
+      staleF.foreach { f =>
+        idx.deleteStale.get(spark, f)
+        log += MaintenanceAction(idx.name, "delete_stale", s"n=$nStale")
+      }
+      missingF.foreach { f =>
+        idx.appendMissing.get(spark, f)
+        log += MaintenanceAction(idx.name, "append_missing",
+          s"n=$nMissing")
+      }
+      // 3. deep merge on partial-row growth
+      val partialTargets = idx.tables.filter(_._3.nonEmpty)
+      if (partialTargets.nonEmpty && idx.merge.isDefined) {
+        val worst = Warehouse.indexPartialAudit(spark, partialTargets)
+          .collect().map(_.getDouble(3)).max
+        if (worst > idx.mergeRowsPerKey) {
+          idx.merge.foreach(_(spark))
+          log += MaintenanceAction(idx.name, "merge",
+            f"rows_per_key=$worst%.6f")
+        }
+      }
+      // 4. layout compaction on file growth
+      Warehouse.indexFileAudit(spark,
+          idx.tables.map { case (label, table, _) => (label, table) })
+        .collect().foreach { r =>
+          val (label, buckets, files) =
+            (r.getString(0), r.getLong(1), r.getLong(2))
+          if (files > idx.compactFilesFactor * math.max(buckets, 1L)) {
+            val table = idx.tables.find(_._1 == label).get._2
+            Warehouse.compactIndex(spark, table)
+            log += MaintenanceAction(idx.name, "compact",
+              s"$label files=$files buckets=$buckets")
+          }
+        }
+      // closing audit row: the log alone shows the cycle ended fresh
+      val post = Warehouse
+        .indexFreshnessAuditBucketed(Seq((idx.name,
+          idx.corpusKeys(spark).toDF("_k").distinct(),
+          idx.indexKeys(spark).toDF("_k").distinct()))).head()
+      log += MaintenanceAction(idx.name, "audit",
+        s"missing=${post.getLong(3)} stale=${post.getLong(4)}")
+    }
+    log.result()
+  }
+}

@@ -93,15 +93,27 @@ object Orchestrator {
 
   /** The interval loop (`PIPELINE_INTERVAL_SECONDS` semantics): run, persist
     * state, sleep, repeat. `rounds` bounds the loop for tests; pass
-    * Int.MaxValue for a daemon. */
+    * Int.MaxValue for a daemon.
+    *
+    * `maintenance` closes the index-maintenance loop the way the
+    * reference's scheduler runs its dbt step every cycle
+    * (`scheduler.py:158-225`): after each round's sinks land (and the
+    * state is durably advanced), [[Maintenance.runCycle]] audits every
+    * declared index and repairs on thresholds — recover, delete-stale,
+    * append-missing, deep-merge, compact — so a multi-cycle run ends
+    * compacted and fresh with no manual calls (the batch analog of the
+    * streaming ingests' `compactEvery` cadence). Runs BETWEEN rounds
+    * by construction, honoring the no-concurrent-serving contract. */
   def loop(spark: SparkSession, pipelines: Seq[Pipeline], statePath: Path,
            intervalMillis: Long, rounds: Int,
-           afterEachRound: SparkSession => Unit = _ => ()): Bookmarks = {
+           afterEachRound: SparkSession => Unit = _ => (),
+           maintenance: Seq[MaintainedIndex] = Nil): Bookmarks = {
     var state = Bookmarks.load(statePath)
     var i = 0
     while (i < rounds) {
       state = runOnce(spark, pipelines, state)
       Bookmarks.save(state, statePath) // only after all sinks succeeded
+      if (maintenance.nonEmpty) Maintenance.runCycle(spark, maintenance)
       afterEachRound(spark)
       i += 1
       if (i < rounds && intervalMillis > 0) Thread.sleep(intervalMillis)

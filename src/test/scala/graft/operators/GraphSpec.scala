@@ -378,4 +378,45 @@ class GraphSpec extends SparkSpec {
     assert(rows(Graph.triangleStats(dup.toDF("src", "dst", "w"))) ===
       rows(Graph.triangleStats(once.toDF("src", "dst", "w"))))
   }
+
+  // ---- adaptive rounds -------------------------------------------------
+
+  test("pageRankAdaptive: early-stops at the first round whose integer " +
+      "L1 delta <= tol, returns EXACTLY pageRank at that round count, " +
+      "and is deterministic across runs") {
+    val (li, part) = fixture
+    val edges = Graph.coPurchaseEdges(li, part)
+    val tol = 2000000L
+    val adaptive = rows(Graph.pageRankAdaptive(edges, maxRounds = 10,
+      tolUnits = tol))
+    // the measured stop round: first r whose convergence audit reads
+    // l1 <= tol (pageRankConvergence(r) = delta between rounds r-1, r)
+    val stop = (2 to 10).find(r =>
+      Graph.pageRankConvergence(edges, r).collect().head.getLong(1)
+        <= tol).get
+    assert(adaptive === rows(Graph.pageRank(edges, stop)),
+      s"adaptive != fixed at measured stop round $stop")
+    assert(adaptive !== rows(Graph.pageRank(edges, stop - 1)),
+      "fixture must not be converged BEFORE the stop round")
+    assert(adaptive === rows(Graph.pageRankAdaptive(edges,
+      maxRounds = 10, tolUnits = tol)), "re-run must be identical")
+    // tol 0 on a graph still moving: runs to maxRounds, equals fixed
+    assert(rows(Graph.pageRankAdaptive(edges, maxRounds = 3,
+      tolUnits = 0L)) === rows(Graph.pageRank(edges, 3)))
+  }
+
+  test("labelPropagationAdaptive: stops at the label fixed point and " +
+      "equals the fixed form at any round count >= the stop round") {
+    // two triangles over a weak bridge — the converging LPA fixture
+    val und = Seq(("a", "b", 5L), ("b", "c", 5L), ("a", "c", 5L),
+      ("d", "e", 5L), ("e", "f", 5L), ("d", "f", 5L), ("c", "d", 1L))
+    val edges = (und ++ und.map { case (s, d, w) => (d, s, w) })
+      .toDF("src", "dst", "w")
+    val adaptive = rows(Graph.labelPropagationAdaptive(edges,
+      maxRounds = 10))
+    assert(adaptive === rows(Graph.labelPropagation(edges, rounds = 3)))
+    assert(adaptive === rows(Graph.labelPropagation(edges, rounds = 10)))
+    assert(adaptive.size === 6)            // one row per node
+    assert(adaptive.map(_(1)).size === 2)  // two communities
+  }
 }

@@ -110,4 +110,95 @@ class OrchestratorSpec extends SparkSpec {
     val persisted = Bookmarks.load(statePath)
     assert(persisted.get("sys.e").contains("2024-01-20T00:00:00Z"))
   }
+
+  test("loop + maintenance: a multi-cycle run ends compacted AND fresh " +
+      "with no manual calls — stale deleted, missing appended after " +
+      "every ingest, partials deep-merged, file layout compacted (the " +
+      "scheduler's per-cycle dbt-maintenance analog)") {
+    import org.apache.spark.sql.functions.{col, lit, lower, pmod, sha2, trim}
+    import graft.operators.{Graph, Warehouse}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val landT = "graft_idx_test.m_docs"
+    val digT = "graft_idx_test.m_digests"
+    val et = Seq("graft_idx_test.m_ob", "graft_idx_test.m_edges",
+      "graft_idx_test.m_totals", "graft_idx_test.m_stats")
+    (Seq(landT, digT) ++ et).foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    // bootstrap: the landing corpus holds one seed doc; the digest
+    // index additionally holds a PHANTOM digest (a prior takedown the
+    // index never heard about) — cycle 1 must delete it
+    Seq((0L, "seed doc")).toDF("doc_id", "text")
+      .write.format("parquet").saveAsTable(landT)
+    graft.operators.TextDedup.writeDigestIndex(
+      spark.table(landT).unionByName(
+        Seq((99L, "stale text")).toDF("doc_id", "text")),
+      "text", digT, numBuckets = 2)
+    // edge index seeded with two disjoint ingests: partial rows the
+    // cycle's deep merge must fold
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 2L), (12L, 3L), (13L, 1L), (13L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z"))
+      .toDF("p_partkey", "p_brand")
+    val Seq(obT, edT, toT, stT) = et
+    Graph.writeEdgeIndex(li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+      part, obT, edT, toT, stT, numBuckets = 2)
+    Graph.appendEdgeIndex(li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+      part, obT, edT, toT, stT, numBuckets = 2)
+
+    val digests = (df: DataFrame) =>
+      df.select(sha2(lower(trim(col("text"))), 256).as("k"))
+    val maintained = Seq(
+      MaintainedIndex("digests",
+        tables = Seq(("digests", digT, Seq.empty)),
+        corpusKeys = s => digests(s.table(landT)),
+        indexKeys = s => s.table(digT).select(col("digest")),
+        appendMissing = Some((s, keys) => graft.sinks.Sinks.writeBucketed(
+          keys.toDF("digest"), digT, Seq("digest"), 2, append = true)),
+        deleteStale = Some((s, keys) =>
+          Warehouse.deleteFromIndex(s, digT, "digest", keys))),
+      MaintainedIndex("edges",
+        tables = Seq(("ob", obT, Seq("order_key", "brand")),
+          ("edges", edT, Seq("src", "dst")),
+          ("totals", toT, Seq("brand")), ("stats", stT, Seq.empty)),
+        corpusKeys = s => li.select(col("l_orderkey")).distinct(),
+        indexKeys = s => s.table(obT).select(col("order_key")).distinct(),
+        merge = Some(s => Graph.mergeEdgeIndex(s, obT, edT, toT, stT))))
+
+    // three cycles, each landing two new docs BEFORE maintenance runs
+    var round = 0
+    val job = Orchestrator.StreamJob("docs", "ts",
+      extract = (s, _) => {
+        round += 1
+        Seq((round * 10L + 1, s"doc ${round}a"),
+          (round * 10L + 2, s"doc ${round}b")).toDF("doc_id", "text")
+      },
+      sink = df => df.write.mode("append").format("parquet")
+        .saveAsTable(landT))
+    val statePath = Files.createTempDirectory("morch").resolve("state.json")
+    Orchestrator.loop(spark,
+      Seq(Orchestrator.Pipeline("sys", Seq(job))), statePath,
+      intervalMillis = 0, rounds = 3, maintenance = maintained)
+
+    // fresh: every landed doc indexed, the phantom digest gone
+    val fresh = Warehouse.indexFreshnessAudit(Seq(("d",
+        digests(spark.table(landT)),
+        spark.table(digT).select(col("digest"))))).collect().head
+    assert(fresh.getLong(3) === 0L, "missing after the loop")
+    assert(fresh.getLong(4) === 0L, "stale after the loop")
+    // compacted: three append cycles, still <= one file per bucket
+    val files = Warehouse.indexFileAudit(spark, Seq(("d", digT)))
+      .collect().head
+    assert(files.getLong(2) <= files.getLong(1),
+      s"files ${files.getLong(2)} > buckets after maintenance")
+    // deep-merged: the additive tables are back to one row per key
+    val worst = Warehouse.indexPartialAudit(spark,
+        Seq(("e", edT, Seq("src", "dst")), ("t", toT, Seq("brand"))))
+      .collect().map(_.getDouble(3)).max
+    assert(worst === 1.0, "edge partials not folded")
+    // steady state: one more cycle repairs NOTHING (audit rows only)
+    val log = Maintenance.runCycle(spark, maintained)
+    assert(log.forall(_.action == "audit"), log.mkString("; "))
+    assert(log.forall(_.detail == "missing=0 stale=0"), log.mkString("; "))
+    (Seq(landT, digT) ++ et).foreach(graft.sinks.Sinks.dropManaged(spark, _))
+  }
 }
