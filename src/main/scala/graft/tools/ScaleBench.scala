@@ -126,7 +126,10 @@ object ScaleBench {
                      ivfPqTables: (String, String, String) = ("", "", ""),
                      edgeTables: (String, String, String, String) =
                        ("", "", "", ""),
-                     digestTable: String = ""
+                     digestTable: String = "",
+                     mergedEdge: (String, Seq[(String, String, Seq[String])]) =
+                       ("", Nil),
+                     deletedIdx: (String, String) = ("", "")
                     ): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     ("x8_ngram_jaccard", (s: SparkSession, dir: String) =>
       TextDedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
@@ -1335,6 +1338,44 @@ object ScaleBench {
           s.table(digestTable).select(col("digest"))),
         ("ann_assign", Tables(s, dir, "embeddings").select(col("vec_id")),
           s.table(annDedupTables._1).select(col("neighbor_id")))))
+    }),
+    // persisted before-sidecar + dictionary-bounded aggregates over the
+    // merged tables — corpus-size-independent like the served twins
+    ("x213_index_partial_merge", (s: SparkSession, dir: String) =>
+      s.table(mergedEdge._1).withColumn("phase", lit("before"))
+        .unionByName(graft.operators.Warehouse
+          .indexPartialAudit(s, mergedEdge._2)
+          .withColumn("phase", lit("after")))),
+    // snapshot keys from the 10x corpus vs the POST-DELETE index —
+    // x211's audit shape over the takedown-applied tables
+    ("x214_index_delete", (s: SparkSession, dir: String) => {
+      val mlt = if (dir.contains("scale")) Copies else 1
+      val orig = floor(col("doc_id") / lit(mlt)).cast("long")
+      val vorig = floor(col("vec_id") / lit(mlt)).cast("long")
+      graft.operators.Warehouse.indexFreshnessAudit(Seq(
+        ("digest_idx_deleted",
+          Tables(s, dir, "documents").filter(pmod(orig, lit(3)) === 0)
+            .select(sha2(lower(trim(col("text"))), 256).as("k")),
+          s.table(deletedIdx._1).select(col("digest"))),
+        ("ann_assign_deleted",
+          Tables(s, dir, "embeddings").filter(pmod(vorig, lit(3)) === 0)
+            .select(col("vec_id")),
+          s.table(deletedIdx._2).select(col("neighbor_id")))))
+    }),
+    // x211's exact legs through the bucketed-checksum fast path — the
+    // head-to-head that prices the dirty-bucket cut at 10x
+    ("x215_freshness_bucketed", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val digests = (df: DataFrame) =>
+        df.select(sha2(lower(trim(col("text"))), 256).as("k"))
+      graft.operators.Warehouse.indexFreshnessAuditBucketed(Seq(
+        ("digest_idx", digests(docs),
+          s.table(digestTable).select(col("digest"))),
+        ("digest_idx_vs_snapshot",
+          digests(docs.filter(pmod(col("doc_id"), lit(3)) === 0)),
+          s.table(digestTable).select(col("digest"))),
+        ("ann_assign", Tables(s, dir, "embeddings").select(col("vec_id")),
+          s.table(annDedupTables._1).select(col("neighbor_id")))))
     }))
 
   def main(args: Array[String]): Unit = {
@@ -1549,6 +1590,67 @@ object ScaleBench {
     val dig1 = buildDigestIndex(srcDir, 1, "1x")
     val dig10 = buildDigestIndex(scaleDir, Copies, "10x")
 
+    // untimed: the x213 merged-edge exhibit per fixture (two-ingest
+    // build, pre-merge audit persisted, deep merge applied)
+    def buildMergedEdgeIndex(dir: String, tag: String)
+        : (String, Seq[(String, String, Seq[String])]) = {
+      val ts = Seq("ob", "edges", "totals", "stats")
+        .map(n => s"graft_idx.medge_${n}_probe_$tag")
+      val before = s"graft_idx.medge_before_probe_$tag"
+      (ts :+ before).foreach(graft.sinks.Sinks.dropManaged(spark, _))
+      val li = Tables(spark, dir, "lineitem")
+      val p = Tables(spark, dir, "part")
+      graft.operators.Graph.writeEdgeIndex(
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 0), p,
+        ts(0), ts(1), ts(2), ts(3), numBuckets = 8)
+      graft.operators.Graph.appendEdgeIndex(
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 1), p,
+        ts(0), ts(1), ts(2), ts(3), numBuckets = 8)
+      val targets = Seq(("ob", ts(0), Seq("order_key", "brand")),
+        ("edges", ts(1), Seq("src", "dst")),
+        ("totals", ts(2), Seq("brand")))
+      graft.operators.Warehouse.indexPartialAudit(spark, targets)
+        .coalesce(1).write.mode("overwrite").format("parquet")
+        .saveAsTable(before)
+      graft.operators.Graph.mergeEdgeIndex(spark, ts(0), ts(1), ts(2),
+        ts(3))
+      (before, targets)
+    }
+    val medge1 = buildMergedEdgeIndex(srcDir, "1x")
+    val medge10 = buildMergedEdgeIndex(scaleDir, "10x")
+
+    // untimed: the x214 takedown-applied indexes per fixture (even-id
+    // builds, stale-vs-%3-snapshot keys deleted)
+    def buildDeletedIndexes(dir: String, mult: Int,
+                            tag: String): (String, String) = {
+      val dt = s"graft_idx.ddel_digests_probe_$tag"
+      val at = s"graft_idx.ddel_assign_probe_$tag"
+      val ct = s"graft_idx.ddel_cent_probe_$tag"
+      Seq(dt, at, ct).foreach(graft.sinks.Sinks.dropManaged(spark, _))
+      val docs = Tables(spark, dir, "documents")
+      val orig = floor(col("doc_id") / lit(mult)).cast("long")
+      graft.operators.TextDedup.writeDigestIndex(
+        docs.filter(pmod(orig, lit(2)) === 0), "text", dt)
+      val snap = docs.filter(pmod(orig, lit(3)) === 0)
+        .select(sha2(lower(trim(col("text"))), 256).as("digest"))
+      graft.operators.Warehouse.deleteFromIndex(spark, dt, "digest",
+        spark.table(dt).select(col("digest"))
+          .join(snap, Seq("digest"), "left_anti"))
+      val e = Tables(spark, dir, "embeddings")
+      val vorig = floor(col("vec_id") / lit(mult)).cast("long")
+      Similarity.writeAnnIndex(e.filter(pmod(vorig, lit(2)) === 0),
+        e.filter(col("vec_id") < lit(16 * mult)), "vec_id", "embedding",
+        at, ct)
+      graft.operators.Warehouse.deleteFromIndex(spark, at, "neighbor_id",
+        spark.table(at).select(col("neighbor_id"))
+          .join(e.filter(pmod(vorig, lit(3)) === 0)
+            .select(col("vec_id").as("neighbor_id")),
+            Seq("neighbor_id"), "left_anti"))
+      (dt, at)
+    }
+    val ddel1 = buildDeletedIndexes(srcDir, 1, "1x")
+    val ddel10 = buildDeletedIndexes(scaleDir, Copies, "10x")
+
     // dev knob (mirrors Bench): SPARK_GRAFT_SCALE_ONLY=x88_...,x104_...
     // restricts the probed set for re-measuring individual probes; the
     // partial BENCH_scale.json it writes is merged into the full table
@@ -1560,7 +1662,7 @@ object ScaleBench {
 
     // one untimed warmup of every probe at 1× (JIT + codegen)
     selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1, nov1, pq1,
-        ivfpq1, edge1, dig1)).foreach { case (n, f) =>
+        ivfpq1, edge1, dig1, medge1, ddel1)).foreach { case (n, f) =>
       try f(spark, srcDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[scale] warmup $n failed: ${e.getMessage}") }
@@ -1568,9 +1670,10 @@ object ScaleBench {
     }
 
     val results = selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1,
-        nov1, pq1, ivfpq1, edge1, dig1))
+        nov1, pq1, ivfpq1, edge1, dig1, medge1, ddel1))
       .zip(selected(probes(16 * Copies, Copies, thr10, lm10, ann10,
-        ann2_10, bm25_10, nov10, pq10, ivfpq10, edge10, dig10))).map {
+        ann2_10, bm25_10, nov10, pq10, ivfpq10, edge10, dig10, medge10,
+        ddel10))).map {
       case ((name, f1), (_, f10)) =>
         val (t1, r1) = run(srcDir, 16, name, f1)
         val (t10, r10) = run(scaleDir, 160, name, f10)

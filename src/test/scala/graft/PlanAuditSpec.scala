@@ -1640,4 +1640,31 @@ class PlanAuditSpec extends SparkSpec {
       "— zero corpus scans") {
     assertCorpusFree("x209_affinity_indexed", "edge_list_")
   }
+
+  test("x213 partial-merge audit: serve time reads the persisted " +
+      "before-sidecar + the merged index tables — zero corpus scans") {
+    assertCorpusFree("x213_index_partial_merge", "medge_", p =>
+      assert(p.contains("medge_before_"),
+        s"persisted pre-merge audit sidecar not read:\n$p"))
+  }
+
+  test("x214 post-delete freshness: audits the DELETED index tables " +
+      "against the snapshot — key-collapsed joins, no cartesian") {
+    val p = plan("x214_index_delete")
+    assert(p.contains("ddel_digests_"), s"deleted digest index:\n$p")
+    assert(p.contains("ddel_ann_assign_"), s"deleted ann index:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+    // both sides collapse to DISTINCT keys before the full-outer meet
+    assert(p.contains("FullOuter"), s"freshness counters join:\n$p")
+  }
+
+  test("x215 bucketed freshness: the dirty-bucket cut is engaged " +
+      "(semi joins on the bucket id) — the exact key diff never runs " +
+      "unrestricted") {
+    val p = plan("x215_freshness_bucketed")
+    assert(p.contains("digests_"), s"digest index not scanned:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"dirty-bucket restriction missing from the key diff:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
 }
