@@ -223,7 +223,15 @@ object Graph {
     * replay double-subtracts). The deleted orders' lineitem rows are
     * the input — a takedown flow has them (they are what's being
     * removed); the index itself is never rescanned beyond the basket
-    * anti-join. */
+    * anti-join.
+    *
+    * PRODUCTION NOTE: this bootstrap form is fenced only by those
+    * documented preconditions — a crash between its four table writes
+    * leaves a half-applied delete, and a replay double-subtracts.
+    * [[deleteFromEdgeIndexVersioned]] is the hardened form: same
+    * semantics, staged next-snapshot writes, single-append commit,
+    * applied-batch ledger. Use it anywhere crashes or replays are
+    * reachable. */
   def deleteFromEdgeIndex(deletedLineitem: DataFrame, part: DataFrame,
                           obTable: String, edgesTable: String,
                           totalsTable: String, statsTable: String): Unit = {
@@ -296,6 +304,219 @@ object Graph {
     rewrite(totals, totalsTable)
     rewrite(stats, statsTable)
     Warehouse.compactIndex(spark, obTable)
+  }
+
+  /** THE VERSIONED EDGE-INDEX PROTOCOL — the [[Snapshots]]
+    * publish-by-pointer form of the family, and the fix for the two
+    * hazards the unversioned [[deleteFromEdgeIndex]] documents but
+    * cannot close: a crash between its four table writes leaves a
+    * HALF-APPLIED delete serving silently wrong counts, and a replayed
+    * delete — the natural post-crash recovery — double-subtracts
+    * (served as NEGATIVE weights, since [[readEdgeIndex]] only drops
+    * keys cancelled to exactly zero). Here every mutation stages the
+    * ENTIRE next version's four tables (overwrite-idempotent), then
+    * commits with ONE ledger-row append; the applied-batch id makes
+    * replays logged no-ops, and readers that resolved the old version
+    * keep a complete snapshot until [[Snapshots.retire]]. The
+    * reference contract being restored is its sink's idempotent PK
+    * upsert (SURVEY §2.2) — at-least-once delivery with
+    * exactly-once effects. */
+  def writeEdgeIndexVersioned(lineitem: DataFrame, part: DataFrame,
+                              ledgerTable: String, indexName: String,
+                              obBase: String, edgesBase: String,
+                              totalsBase: String, statsBase: String,
+                              numBuckets: Int = 8): Boolean = {
+    val spark = lineitem.sparkSession
+    val bid = "bootstrap"
+    if (Snapshots.isApplied(spark, ledgerTable, indexName, bid)) false
+    else {
+      val next = Snapshots.currentVersion(spark, ledgerTable, indexName) + 1
+      val Seq(ob, ed, tot, st) =
+        Seq(obBase, edgesBase, totalsBase, statsBase)
+          .map(Snapshots.tableAt(_, next))
+      Seq(ob, ed, tot, st).foreach(graft.sinks.Sinks.dropManaged(spark, _))
+      writeEdgeIndex(lineitem, part, ob, ed, tot, st, numBuckets)
+      Snapshots.publish(spark, ledgerTable, indexName, next, bid, "build")
+      true
+    }
+  }
+
+  /** Current-version physical names of a versioned edge index —
+    * `(ob, edges, totals, stats)`. */
+  def resolveEdgeIndex(spark: SparkSession, ledgerTable: String,
+                       indexName: String, obBase: String,
+                       edgesBase: String, totalsBase: String,
+                       statsBase: String)
+      : (String, String, String, String) = {
+    val Seq(ob, ed, tot, st) = Snapshots.resolve(spark, ledgerTable,
+      indexName, Seq(obBase, edgesBase, totalsBase, statsBase))
+    (ob, ed, tot, st)
+  }
+
+  /** [[readEdgeIndex]] through the snapshot pointer: the serving read
+    * of a versioned family. The resolution happens ONCE per query
+    * build — a publish between resolution and execution leaves this
+    * reader on its complete old snapshot (publish drops nothing),
+    * which is the whole point of the protocol. */
+  def readEdgeIndexVersioned(spark: SparkSession, ledgerTable: String,
+                             indexName: String, obBase: String,
+                             edgesBase: String, totalsBase: String,
+                             statsBase: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (ob, ed, tot, st) = resolveEdgeIndex(spark, ledgerTable,
+      indexName, obBase, edgesBase, totalsBase, statsBase)
+    readEdgeIndex(spark, ob, ed, tot, st)
+  }
+
+  /** [[appendEdgeIndex]] with the applied-batch guard: a replayed
+    * ingest batch (same complete-order key set → same
+    * [[Snapshots.batchIdFor]] id) is a logged no-op instead of a
+    * double-count — the additivity law's "each order ingested at most
+    * once" precondition enforced by the ledger rather than assumed.
+    * The partial files append into the CURRENT version's tables (no
+    * version bump — appends are what the read-side merge exists for);
+    * the ledger row lands after them, so the one remaining crash
+    * window (between the last table append and the publish) replays
+    * at-least-once. Closing that window entirely needs the staged
+    * next-version write ([[deleteFromEdgeIndexVersioned]]'s shape) —
+    * the streaming ingest path instead dedupes batches by checkpoint
+    * id, which is the production answer for high-cadence appends. */
+  def appendEdgeIndexVersioned(lineitem: DataFrame, part: DataFrame,
+                               ledgerTable: String, indexName: String,
+                               obBase: String, edgesBase: String,
+                               totalsBase: String, statsBase: String,
+                               batchId: Option[String] = None): Boolean = {
+    val spark = lineitem.sparkSession
+    val bid = batchId.getOrElse(
+      Snapshots.batchIdFor(lineitem.select(col("l_orderkey"))))
+    if (Snapshots.isApplied(spark, ledgerTable, indexName, bid)) false
+    else {
+      val cur = Snapshots.currentVersion(spark, ledgerTable, indexName)
+      val (ob, ed, tot, st) = resolveEdgeIndex(spark, ledgerTable,
+        indexName, obBase, edgesBase, totalsBase, statsBase)
+      val numBuckets = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(ed))
+        .bucketSpec.map(_.numBuckets)
+        .getOrElse(sys.error(s"$ed is not bucketed"))
+      appendEdgeIndex(lineitem, part, ob, ed, tot, st, numBuckets)
+      Snapshots.publish(spark, ledgerTable, indexName, cur, bid, "append")
+      true
+    }
+  }
+
+  /** CRASH-ATOMIC, IDEMPOTENT edge-index delete — the versioned form
+    * of [[deleteFromEdgeIndex]], closing its two documented hazards:
+    *
+    *  1. ATOMIC: the post-delete state of ALL FOUR tables is staged as
+    *     the next snapshot first — the additive tables as their fully
+    *     MERGED post-delete rows (current rows ∪ negated partials,
+    *     grouped-summed, zero-cancelled keys dropped: bit-identical to
+    *     a from-scratch rebuild of the reduced corpus, the
+    *     [[mergeEdgeIndex]] law composed with the delete), the basket
+    *     table as its anti-join survivors — and the pointer flips with
+    *     ONE ledger append. A crash at ANY earlier point leaves the
+    *     current version serving, complete and untouched.
+    *  2. IDEMPOTENT: the batch id (deterministic digest of the deleted
+    *     order-key set) is checked before any work; a replay returns
+    *     false and changes nothing. Reruns of a CRASHED attempt
+    *     rebuild the same staged tables via overwrite and re-reach the
+    *     same commit point.
+    *
+    * Preconditions inherit [[appendEdgeIndex]]'s additivity law
+    * (complete orders, currently in the index); "each order deleted at
+    * most once" is now enforced by the ledger, not assumed.
+    * `crashAfterStep` is the kill-injection hook for the
+    * step-boundary spec (GraphSpec) — production callers leave it
+    * None. Returns false when the batch was already applied. */
+  def deleteFromEdgeIndexVersioned(deletedLineitem: DataFrame,
+                                   part: DataFrame, ledgerTable: String,
+                                   indexName: String, obBase: String,
+                                   edgesBase: String, totalsBase: String,
+                                   statsBase: String,
+                                   batchId: Option[String] = None,
+                                   crashAfterStep: Option[String] = None)
+      : Boolean = {
+    val spark = deletedLineitem.sparkSession
+    def step(s: String): Unit =
+      if (crashAfterStep.contains(s))
+        throw new IllegalStateException(s"injected crash after step $s")
+    val bid = batchId.getOrElse(
+      Snapshots.batchIdFor(deletedLineitem.select(col("l_orderkey"))))
+    if (Snapshots.isApplied(spark, ledgerTable, indexName, bid)) false
+    else {
+      val cur = Snapshots.currentVersion(spark, ledgerTable, indexName)
+      val next = cur + 1
+      val (obC, edC, totC, stC) = resolveEdgeIndex(spark, ledgerTable,
+        indexName, obBase, edgesBase, totalsBase, statsBase)
+      val Seq(obN, edN, totN, stN) =
+        Seq(obBase, edgesBase, totalsBase, statsBase)
+          .map(Snapshots.tableAt(_, next))
+      val ob = orderBrands(deletedLineitem, part).cache()
+      try {
+        val newEdges = spark.table(edC)
+          .unionByName(coPurchaseEdgesFrom(ob).withColumn("w", -col("w")))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+          .filter(col("w") =!= 0)
+        Warehouse.writeLike(spark, edC, newEdges, edN)
+        step("edges")
+        val newTotals = spark.table(totC)
+          .unionByName(brandTotals(ob)
+            .withColumn("n_orders", -col("n_orders")))
+          .groupBy(col("brand")).agg(sum(col("n_orders")).as("n_orders"))
+          .filter(col("n_orders") =!= 0)
+        Warehouse.writeLike(spark, totC, newTotals, totN)
+        step("totals")
+        val newStats = spark.table(stC)
+          .unionByName(basketStats(deletedLineitem, ob)
+            .select((-col("n_baskets")).as("n_baskets"),
+              (-col("n_orders")).as("n_orders")))
+          .agg(sum(col("n_baskets")).as("n_baskets"),
+            sum(col("n_orders")).as("n_orders"))
+        Warehouse.writeLike(spark, stC, newStats, stN)
+        step("stats")
+        val newOb = spark.table(obC)
+          .join(ob.select(col("order_key")).distinct(), Seq("order_key"),
+            "left_anti")
+        Warehouse.writeLike(spark, obC, newOb, obN)
+        step("ob")
+        Snapshots.publish(spark, ledgerTable, indexName, next, bid,
+          "delete")
+        step("publish")
+        true
+      } finally { ob.unpersist(); () }
+    }
+  }
+
+  /** [[mergeEdgeIndex]] through the snapshot pointer: the merged
+    * (one-row-per-key, one-file-per-bucket) copy becomes the next
+    * version — deep merge AND layout compaction in one staged write,
+    * with no drop/rename racing an in-flight reader. Guarded by a
+    * per-version batch id so a crashed merge's rerun re-stages and a
+    * completed one's rerun is a no-op. */
+  def mergeEdgeIndexVersioned(spark: SparkSession, ledgerTable: String,
+                              indexName: String, obBase: String,
+                              edgesBase: String, totalsBase: String,
+                              statsBase: String): Boolean = {
+    val cur = Snapshots.currentVersion(spark, ledgerTable, indexName)
+    val next = cur + 1
+    val bid = s"merge-v$next"
+    if (Snapshots.isApplied(spark, ledgerTable, indexName, bid)) false
+    else {
+      val (obC, edC, totC, stC) = resolveEdgeIndex(spark, ledgerTable,
+        indexName, obBase, edgesBase, totalsBase, statsBase)
+      val (obF, edges, totals, stats) =
+        readEdgeIndex(spark, obC, edC, totC, stC)
+      Warehouse.writeLike(spark, edC, edges,
+        Snapshots.tableAt(edgesBase, next))
+      Warehouse.writeLike(spark, totC, totals,
+        Snapshots.tableAt(totalsBase, next))
+      Warehouse.writeLike(spark, stC, stats,
+        Snapshots.tableAt(statsBase, next))
+      Warehouse.writeLike(spark, obC, obF,
+        Snapshots.tableAt(obBase, next))
+      Snapshots.publish(spark, ledgerTable, indexName, next, bid, "merge")
+      true
+    }
   }
 
   /** Lazy per-round lineage cut for the iterative operators: marks the

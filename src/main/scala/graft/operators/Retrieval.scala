@@ -203,7 +203,15 @@ object Retrieval {
     * and each is deleted at most once (the [[appendBm25Index]] replay
     * caveat, mirrored). The deleted docs' text is the input — scoring
     * stats must subtract exactly what the original index/append run
-    * added for them. */
+    * added for them.
+    *
+    * PRODUCTION NOTE: this bootstrap form is non-atomic across its two
+    * artifacts (postings swap, then a plain stats overwrite) and
+    * fenced only by the documented replay precondition.
+    * [[deleteFromBm25IndexVersioned]] is the hardened form — staged
+    * next-snapshot writes for BOTH tables, single-append commit,
+    * applied-batch ledger. Use it anywhere crashes or replays are
+    * reachable. */
   def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
                           deleted: DataFrame, idCol: String,
                           textCol: String, postingsTable: String,
@@ -222,6 +230,116 @@ object Retrieval {
     Seq((old.getLong(0) - del.getLong(0), oldDl - delDl))
       .toDF("n_docs", "sum_dl")
       .write.mode("overwrite").format("parquet").saveAsTable(statsTable)
+  }
+
+  /** THE VERSIONED BM25 INDEX PROTOCOL
+    * ([[graft.operators.Snapshots]]) — bootstrap build at version 1,
+    * commit by ledger append. The family's two artifacts (postings +
+    * 1-row stats) always flip TOGETHER: the unversioned
+    * [[deleteFromBm25Index]]'s documented hazard is a crash between
+    * its postings swap and stats overwrite, which leaves stats
+    * including the deleted docs' n_docs/sum_dl — skewing IDF/length
+    * normalization for EVERY query with no error — and a retry then
+    * double-subtracts. Here both tables stage as the next snapshot and
+    * one ledger row commits them atomically. */
+  def writeBm25IndexVersioned(spark: org.apache.spark.sql.SparkSession,
+                              corpus: DataFrame, idCol: String,
+                              textCol: String, ledgerTable: String,
+                              indexName: String, postingsBase: String,
+                              statsBase: String,
+                              numBuckets: Int = 8): Boolean = {
+    val bid = "bootstrap"
+    if (graft.operators.Snapshots.isApplied(spark, ledgerTable,
+        indexName, bid)) false
+    else {
+      val next = graft.operators.Snapshots.currentVersion(spark,
+        ledgerTable, indexName) + 1
+      val post = graft.operators.Snapshots.tableAt(postingsBase, next)
+      val stats = graft.operators.Snapshots.tableAt(statsBase, next)
+      Seq(post, stats).foreach(graft.sinks.Sinks.dropManaged(spark, _))
+      writeBm25Index(corpus, idCol, textCol, post, stats, numBuckets)
+      graft.operators.Snapshots.publish(spark, ledgerTable, indexName,
+        next, bid, "build")
+      true
+    }
+  }
+
+  /** Current-version physical names of a versioned BM25 index —
+    * `(postings, stats)`. */
+  def resolveBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       ledgerTable: String, indexName: String,
+                       postingsBase: String, statsBase: String)
+      : (String, String) = {
+    val Seq(post, stats) = graft.operators.Snapshots.resolve(spark,
+      ledgerTable, indexName, Seq(postingsBase, statsBase))
+    (post, stats)
+  }
+
+  /** [[bm25TopKIndexed]] through the snapshot pointer — the versioned
+    * serving read: resolves once per query build, so a publish mid-
+    * flight leaves this reader on its complete old snapshot. */
+  def bm25TopKIndexedVersioned(spark: org.apache.spark.sql.SparkSession,
+                               ledgerTable: String, indexName: String,
+                               postingsBase: String, statsBase: String,
+                               queryTerms: Seq[String], topK: Int,
+                               k1: Double = 1.2,
+                               b: Double = 0.75): DataFrame = {
+    val (post, stats) = resolveBm25Index(spark, ledgerTable, indexName,
+      postingsBase, statsBase)
+    bm25TopKIndexed(spark, post, stats, queryTerms, topK, k1, b)
+  }
+
+  /** CRASH-ATOMIC, IDEMPOTENT BM25 delete — the versioned form of
+    * [[deleteFromBm25Index]]: the surviving postings and the exactly-
+    * negated stats stage as the NEXT snapshot (overwrite-idempotent on
+    * rerun), one ledger append commits both, and the applied-batch id
+    * makes a replay a logged no-op instead of a second stats
+    * subtraction. `crashAfterStep` ∈ {postings, stats, publish} is the
+    * kill-injection hook for RetrievalSpec's step-boundary spec.
+    * Returns false when the batch was already applied. */
+  def deleteFromBm25IndexVersioned(
+      spark: org.apache.spark.sql.SparkSession, deleted: DataFrame,
+      idCol: String, textCol: String, ledgerTable: String,
+      indexName: String, postingsBase: String, statsBase: String,
+      batchId: Option[String] = None,
+      crashAfterStep: Option[String] = None): Boolean = {
+    import graft.operators.Snapshots
+    def step(s: String): Unit =
+      if (crashAfterStep.contains(s))
+        throw new IllegalStateException(s"injected crash after step $s")
+    val bid = batchId.getOrElse(
+      Snapshots.batchIdFor(deleted.select(col(idCol))))
+    if (Snapshots.isApplied(spark, ledgerTable, indexName, bid)) false
+    else {
+      val cur = Snapshots.currentVersion(spark, ledgerTable, indexName)
+      val next = cur + 1
+      val (postC, statsC) = resolveBm25Index(spark, ledgerTable,
+        indexName, postingsBase, statsBase)
+      val k = deleted.select(col(idCol).as("_del_key")).distinct()
+      val remaining = spark.table(postC)
+        .join(k, col("doc_id") === col("_del_key"), "left_anti")
+      graft.operators.Warehouse.writeLike(spark, postC, remaining,
+        Snapshots.tableAt(postingsBase, next))
+      step("postings")
+      val old = spark.table(statsC).head()
+      val del = deleted
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(Text.tokens(col(textCol))).cast("long")).as("sum_dl"))
+        .head()
+      val oldDl = if (old.isNullAt(1)) 0L else old.getLong(1)
+      val delDl = if (del.isNullAt(1)) 0L else del.getLong(1)
+      import spark.implicits._
+      val statsN = Snapshots.tableAt(statsBase, next)
+      graft.sinks.Sinks.dropManaged(spark, statsN)
+      Seq((old.getLong(0) - del.getLong(0), oldDl - delDl))
+        .toDF("n_docs", "sum_dl")
+        .write.format("parquet").saveAsTable(statsN)
+      step("stats")
+      Snapshots.publish(spark, ledgerTable, indexName, next, bid,
+        "delete")
+      step("publish")
+      true
+    }
   }
 
   /** [[bm25TopK]] through its PERSISTED index — the production serving

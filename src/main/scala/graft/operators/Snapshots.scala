@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PUBLISH-BY-POINTER index versioning + the APPLIED-BATCH LEDGER —
+  * the commit protocol that makes multi-table index mutations
+  * crash-atomic, replay-idempotent, and safe to run next to serving
+  * reads. The reference's sink is safe under at-least-once replays
+  * because its PK upsert is idempotent by construction
+  * (`pipelinewise-target-postgres`' ON CONFLICT path, SURVEY §2.2);
+  * the ADDITIVE indexes here (edge partials, BM25 stats) broke that
+  * contract — a replayed negated-partial delete double-subtracts, and
+  * a crash between two of a family's table writes serves a TORN pair
+  * with no error. This module restores it:
+  *
+  *  - Every versioned index family owns an append-only LEDGER table
+  *    `(index_name, version, batch_id, action)`. The current snapshot
+  *    is `max(version)`; physical tables live at
+  *    `<base>_v<version>` ([[tableAt]]).
+  *  - A mutation (delete, merge, compact) builds the ENTIRE next
+  *    version's tables first — overwrite-mode writes, so a crashed
+  *    attempt's rerun rebuilds them bit-identically — and then
+  *    publishes ONE ledger row ([[publish]]). Until that row lands,
+  *    every reader resolves the old version: complete, never torn. The
+  *    commit point is a single 1-row/1-file table append — the same
+  *    atomicity grain the state store ([[graft.state.Bookmarks]])
+  *    already trusts.
+  *  - The ledger row carries the mutation's deterministic
+  *    [[batchIdFor]] digest; every mutating entry point checks
+  *    [[isApplied]] FIRST, so a replay — the natural post-crash
+  *    recovery action — is a logged no-op instead of a
+  *    double-subtract.
+  *  - Readers that resolved version N keep a complete snapshot even
+  *    while version N+1 publishes: nothing is dropped at commit time.
+  *    [[retire]] reclaims old versions afterward (the grace period =
+  *    the maintenance cadence), which is the versioned families'
+  *    answer to [[Warehouse.swapIn]]'s no-concurrent-reads caveat.
+  *
+  * Ledger rows are never deleted: they are the idempotency record
+  * (one row per applied batch — takedown-cadence-sized, metadata next
+  * to a 100 TB corpus).
+  */
+object Snapshots {
+
+  /** 2^60 — the fixed-width fold every md5 digest law in this repo
+    * shares ([[Warehouse.bucketChecksums]]). */
+  private val Fold = 1152921504606846976L
+
+  /** Current published version of an index family: `max(version)` over
+    * its ledger rows; 0 when the family has never published (version 0
+    * = the UNVERSIONED base tables, for families migrating in). */
+  def currentVersion(spark: SparkSession, ledgerTable: String,
+                     indexName: String): Long =
+    if (!spark.catalog.tableExists(ledgerTable)) 0L
+    else spark.table(ledgerTable)
+      .filter(col("index_name") === indexName)
+      .agg(coalesce(max(col("version")), lit(0L))).head().getLong(0)
+
+  /** Has `batchId` already been applied to this family? Checked at the
+    * top of every mutating entry point — the replay guard. */
+  def isApplied(spark: SparkSession, ledgerTable: String,
+                indexName: String, batchId: String): Boolean =
+    spark.catalog.tableExists(ledgerTable) &&
+      !spark.table(ledgerTable)
+        .filter(col("index_name") === indexName &&
+          col("batch_id") === batchId)
+        .isEmpty
+
+  /** THE COMMIT POINT: append one `(index_name, version, batch_id,
+    * action)` row. A mutation is visible to readers exactly when this
+    * row lands; everything before it is invisible staging. */
+  def publish(spark: SparkSession, ledgerTable: String, indexName: String,
+              version: Long, batchId: String, action: String): Unit = {
+    import spark.implicits._
+    Seq((indexName, version, batchId, action))
+      .toDF("index_name", "version", "batch_id", "action")
+      .coalesce(1).write.mode("append").format("parquet")
+      .saveAsTable(ledgerTable)
+  }
+
+  /** Physical table name of `base` at `version` (version 0 = the
+    * unversioned base itself). */
+  def tableAt(base: String, version: Long): String =
+    if (version <= 0L) base else s"${base}_v$version"
+
+  /** Resolve a family's base names to the current version's physical
+    * tables — what every versioned serving read consults first. One
+    * metadata-scale read however many tables the family has. */
+  def resolve(spark: SparkSession, ledgerTable: String, indexName: String,
+              bases: Seq[String]): Seq[String] = {
+    val v = currentVersion(spark, ledgerTable, indexName)
+    bases.map(tableAt(_, v))
+  }
+
+  /** Deterministic batch id of a key frame: `<n>-<digest>` where n =
+    * distinct-key count and digest = the order-free 60-bit md5 fold of
+    * the keys' string casts ([[Warehouse.bucketChecksums]]' law, so a
+    * SQL oracle recomputes it bit-for-bit). Order-free and
+    * distributed: no sorted collect, no driver-side string — a
+    * corpus-scale retention sweep digests as cheaply as a 3-row
+    * takedown. Two DIFFERENT key sets colliding requires both the
+    * count and the 2⁻⁶⁰ fold to agree — the anti-entropy trade the
+    * checksum family already accepts. */
+  def batchIdFor(keys: DataFrame): String = {
+    val r = keys.toDF("_k").distinct()
+      .select(conv(substring(md5(col("_k").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("_h"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(pmod(sum(col("_h").cast("decimal(38,0)")),
+          lit(Fold).cast("decimal(38,0)")).cast("long"), lit(0L)).as("d"))
+      .head()
+    s"${r.getLong(0)}-${r.getLong(1)}"
+  }
+
+  /** The family's ledger rows (x216's exhibit frame), ordered columns
+    * only — consumers sort as they need. */
+  def ledger(spark: SparkSession, ledgerTable: String,
+             indexName: String): DataFrame =
+    spark.table(ledgerTable).filter(col("index_name") === indexName)
+      .select(col("index_name"), col("version"), col("batch_id"),
+        col("action"))
+
+  /** Reclaim retired snapshots: drop every physical table of versions
+    * ≤ current − `keepVersions` (default keeps the current AND the
+    * previous version — the grace window for readers that resolved
+    * just before a publish). Ledger rows are kept (the idempotency
+    * record). Returns the versions dropped. Run from the maintenance
+    * cycle, not from the mutation itself — that lag IS the grace
+    * period. */
+  def retire(spark: SparkSession, ledgerTable: String, indexName: String,
+             bases: Seq[String], keepVersions: Int = 2): Seq[Long] = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val cur = currentVersion(spark, ledgerTable, indexName)
+    val cutoff = cur - keepVersions
+    if (cutoff < 1) Seq.empty
+    else {
+      val retired = (1L to cutoff).filter { v =>
+        bases.exists(b => spark.catalog.tableExists(tableAt(b, v)))
+      }
+      retired.foreach { v =>
+        bases.foreach(b =>
+          graft.sinks.Sinks.dropManaged(spark, tableAt(b, v)))
+      }
+      retired
+    }
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Num, Skew}
@@ -312,16 +312,28 @@ object Warehouse {
     * and [[graft.operators.Graph.mergeEdgeIndex]]: `build` materializes
     * the replacement into the `_compact_new` side table (the live
     * table stays intact and servable throughout — `build` may scan
-    * it); the swap is then DROP live + RENAME new into place. The only
-    * non-atomic window is between those two METADATA statements, and
-    * [[recoverIndex]] heals it. */
+    * it); the swap is then RENAME live ASIDE (`_compact_old`), RENAME
+    * new into place, DROP the old copy LAST. Both renames are single
+    * directory moves (no data rewrite), so every intermediate state a
+    * crash can leave holds at least one COMPLETE copy of the table and
+    * [[recoverIndex]] heals it: live renamed aside but new not yet in
+    * (recover finishes the rename), new in but old not yet dropped
+    * (recover drops the leftover), and a crash MID-drop tears only the
+    * aside copy — the live table is already whole. The previous
+    * DROP-then-RENAME order could tear the LIVE table itself (a
+    * half-deleted directory with the catalog entry gone is
+    * recoverable, but a crash mid-DROP with the entry still present
+    * would serve a torn table silently). */
   private[graft] def swapIn(spark: org.apache.spark.sql.SparkSession,
                             table: String)(build: String => Unit): Unit = {
     val newT = table + "_compact_new"
+    val oldT = table + "_compact_old"
     graft.sinks.Sinks.dropManaged(spark, newT)
+    graft.sinks.Sinks.dropManaged(spark, oldT)
     build(newT)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $table RENAME TO $oldT")
     spark.sql(s"ALTER TABLE $newT RENAME TO $table")
+    graft.sinks.Sinks.dropManaged(spark, oldT)
     // the rename re-homes the data under the ORIGINAL path — drop any
     // cached file listing for it, or the next read serves the old
     // directory's (now deleted) part files
@@ -330,22 +342,34 @@ object Warehouse {
 
   /** Heal a torn [[compactIndex]]/[[swapIn]] swap: if the live table
     * is missing but its `_compact_new` replacement exists, the process
-    * died between the swap's DROP and RENAME — finish the rename (the
-    * replacement holds the complete compacted copy by construction).
-    * Returns true when a recovery ran. Idempotent and cheap (two
-    * catalog lookups), so every append/compact entry point can call it
-    * unconditionally; without it, an append after the torn swap would
-    * silently re-create the table from a single batch and serve
-    * under-counted aggregates with no error. */
+    * died between the swap's two renames — finish the second rename
+    * (the replacement holds the complete compacted copy by
+    * construction). A leftover `_compact_old` copy (crash before — or
+    * during — the swap's final drop) is dropped; the live table is
+    * already whole in every state that leaves one. Returns true when a
+    * recovery ran. Idempotent and cheap (catalog lookups), so every
+    * append/compact entry point can call it unconditionally; without
+    * it, an append after the torn swap would silently re-create the
+    * table from a single batch and serve under-counted aggregates with
+    * no error. */
   def recoverIndex(spark: org.apache.spark.sql.SparkSession,
                    table: String): Boolean = {
     val newT = table + "_compact_new"
-    if (!spark.catalog.tableExists(table) &&
-        spark.catalog.tableExists(newT)) {
-      spark.sql(s"ALTER TABLE $newT RENAME TO $table")
-      spark.catalog.refreshTable(table) // see swapIn's cache note
-      true
-    } else false
+    val oldT = table + "_compact_old"
+    val renamed =
+      if (!spark.catalog.tableExists(table) &&
+          spark.catalog.tableExists(newT)) {
+        spark.sql(s"ALTER TABLE $newT RENAME TO $table")
+        spark.catalog.refreshTable(table) // see swapIn's cache note
+        true
+      } else false
+    val dropped =
+      if (spark.catalog.tableExists(table) &&
+          spark.catalog.tableExists(oldT)) {
+        graft.sinks.Sinks.dropManaged(spark, oldT)
+        true
+      } else false
+    renamed || dropped
   }
 
   /** ZONE-MAP (min/max pruning) LAYOUT AUDIT — per data file of a
@@ -418,12 +442,19 @@ object Warehouse {
             .as("n_stale"))
         .select(lit(name).as("index_name"), col("n_corpus"),
           col("n_indexed"), col("n_missing"), col("n_stale"),
-          Num.fpRound((col("n_corpus") - col("n_missing"))
-            .cast("double") / col("n_corpus").cast("double"), 6)
-            .as("coverage"))
+          coverageOf(col("n_corpus"), col("n_missing")).as("coverage"))
     }
     rows.reduce(_.unionByName(_))
   }
+
+  /** Coverage share on the 1e-6 grid, total over an EMPTY corpus
+    * (vacuously covered = 1.0 — a NaN here would poison any maintenance
+    * log consumer reading the column). Shared by both freshness audit
+    * forms so their schemas stay bit-identical. */
+  private def coverageOf(nCorpus: Column, nMissing: Column): Column =
+    when(nCorpus === 0, lit(1.0))
+      .otherwise(Num.fpRound((nCorpus - nMissing).cast("double") /
+        nCorpus.cast("double"), 6))
 
   /** [[indexFreshnessAudit]]'s BUCKETED-CHECKSUM fast path (x215) —
     * identical report schema and counts, different cost model: instead
@@ -483,9 +514,7 @@ object Warehouse {
       totals.crossJoin(broadcast(diff))
         .select(lit(name).as("index_name"), col("n_corpus"),
           col("n_indexed"), col("n_missing"), col("n_stale"),
-          Num.fpRound((col("n_corpus") - col("n_missing"))
-            .cast("double") / col("n_corpus").cast("double"), 6)
-            .as("coverage"))
+          coverageOf(col("n_corpus"), col("n_missing")).as("coverage"))
     }
     rows.reduce(_.unionByName(_))
   }
@@ -569,6 +598,127 @@ object Warehouse {
             .format(fmt).saveAsTable(newT)
       }
     }
+  }
+
+  /** Write `df` to `destTable` under `likeTable`'s exact physical
+    * contract — provider and bucket spec (or `targetFiles` files when
+    * unbucketed) — the shared builder under [[compactIndex]],
+    * [[deleteFromIndex]] and every versioned next-snapshot write.
+    * Overwrite semantics: a crashed attempt's rerun rebuilds the
+    * destination from scratch (any leftover is dropped first), which
+    * is what makes the [[Snapshots]] protocol's staging idempotent. */
+  private[operators] def writeLike(spark: org.apache.spark.sql.SparkSession,
+                                   likeTable: String, df: DataFrame,
+                                   destTable: String,
+                                   targetFiles: Int = 1): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(likeTable))
+    val fmt = meta.provider.getOrElse("parquet")
+    graft.sinks.Sinks.dropManaged(spark, destTable)
+    meta.bucketSpec match {
+      case Some(bs) =>
+        graft.sinks.Sinks.writeBucketed(df, destTable,
+          bs.bucketColumnNames, bs.numBuckets, bs.sortColumnNames,
+          format = fmt)
+      case None =>
+        df.repartition(targetFiles).write.format(fmt)
+          .saveAsTable(destTable)
+    }
+  }
+
+  /** [[deleteFromIndex]] through the [[Snapshots]] publish-by-pointer
+    * protocol — the form that is additionally IDEMPOTENT under replay
+    * (the applied-batch ledger makes a rerun a no-op) and safe next to
+    * concurrent serving reads (the surviving rows land as the NEXT
+    * snapshot; nothing the old version serves is touched until
+    * [[Snapshots.retire]]). Returns false when the batch was already
+    * applied. The per-key-row families (digest, ANN assignment, PQ
+    * codes, near-dup sets) delete through here; additive families
+    * (edge partials, BM25 stats) need their own negated staging —
+    * [[graft.operators.Graph.deleteFromEdgeIndexVersioned]] /
+    * [[graft.operators.Retrieval.deleteFromBm25IndexVersioned]]. */
+  def deleteFromIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+                               ledgerTable: String, indexName: String,
+                               base: String, keyCol: String,
+                               keys: DataFrame,
+                               batchId: Option[String] = None): Boolean = {
+    val k = keys.toDF("_del_key").distinct()
+    val bid = batchId.getOrElse(Snapshots.batchIdFor(k))
+    if (Snapshots.isApplied(spark, ledgerTable, indexName, bid)) false
+    else {
+      val cur = Snapshots.currentVersion(spark, ledgerTable, indexName)
+      val curT = Snapshots.tableAt(base, cur)
+      val remaining = spark.table(curT)
+        .join(k, col(keyCol) === col("_del_key"), "left_anti")
+      writeLike(spark, curT, remaining, Snapshots.tableAt(base, cur + 1))
+      Snapshots.publish(spark, ledgerTable, indexName, cur + 1, bid,
+        "delete")
+      true
+    }
+  }
+
+  /** [[compactIndex]] through the [[Snapshots]] protocol: the compacted
+    * copy becomes the NEXT snapshot and the pointer flips — an
+    * in-flight reader of the old version is never raced by a
+    * drop/rename (the unversioned form's documented caveat); the old
+    * snapshot is reclaimed later by [[Snapshots.retire]]. Rows are
+    * preserved bit-identically, exactly as [[compactIndex]]. */
+  def compactIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+                            ledgerTable: String, indexName: String,
+                            base: String, targetFiles: Int = 1): Boolean = {
+    val cur = Snapshots.currentVersion(spark, ledgerTable, indexName)
+    val next = cur + 1
+    val bid = s"compact-v$next"
+    if (Snapshots.isApplied(spark, ledgerTable, indexName, bid)) false
+    else {
+      val curT = Snapshots.tableAt(base, cur)
+      writeLike(spark, curT, spark.table(curT),
+        Snapshots.tableAt(base, next), targetFiles)
+      Snapshots.publish(spark, ledgerTable, indexName, next, bid,
+        "compact")
+      true
+    }
+  }
+
+  /** DELETE-TIME CAPTURE — the landing-table delete path for corpora
+    * that feed ADDITIVE indexes: capture the full deleted rows into a
+    * tombstone/changes feed FIRST, then remove them from the landing
+    * table. The additive families (co-purchase edge partials, BM25
+    * stats) can only subtract what they can re-derive from the deleted
+    * ROWS — once the landing table has dropped them, a post-hoc
+    * freshness repair is impossible (the x211 audit can *detect* the
+    * staleness but not build the negated partials). This writes the
+    * feed the maintenance cycle consumes
+    * ([[graft.runner.TombstoneFeed]]): each batch lands with the
+    * deterministic [[Snapshots.batchIdFor]] id of its key set, the
+    * consumer applies it through the idempotent versioned delete, and
+    * prunes it afterward.
+    *
+    * Crash/replay shape: capture is guarded by the batch id (a replay
+    * whose batch already sits in the feed skips the capture append),
+    * and the landing delete is an anti-join rewrite (naturally
+    * idempotent). Crash between the two → rerun skips capture,
+    * finishes the delete. Returns the batch id. */
+  def deleteFromLandingWithCapture(
+      spark: org.apache.spark.sql.SparkSession, landingTable: String,
+      keyCol: String, keys: DataFrame, tombstoneTable: String,
+      targetFiles: Int = 1): String = {
+    // pin the key set: it may derive from the landing table this call
+    // is about to rewrite
+    val k = keys.toDF("_del_key").distinct().localCheckpoint(true)
+    val bid = Snapshots.batchIdFor(k)
+    val captured = spark.catalog.tableExists(tombstoneTable) &&
+      !spark.table(tombstoneTable).filter(col("batch_id") === bid).isEmpty
+    if (!captured) {
+      spark.table(landingTable)
+        .join(k, col(keyCol) === col("_del_key"), "left_semi")
+        .withColumn("batch_id", lit(bid))
+        .write.mode("append").format("parquet")
+        .saveAsTable(tombstoneTable)
+    }
+    deleteFromIndex(spark, landingTable, keyCol,
+      k.select(col("_del_key")), targetFiles)
+    bid
   }
 
   /** INDEX FILE-COUNT AUDIT (x210) — per labeled index table: bucket

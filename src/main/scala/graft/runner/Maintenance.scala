@@ -5,6 +5,30 @@ import org.apache.spark.sql.functions.col
 
 import graft.operators.Warehouse
 
+/** A DELETE-TIME CAPTURE feed for an ADDITIVE index family
+  * ([[Maintenance.runCycle]] step 1.5): `table` holds the rows the
+  * landing-table delete path captured before dropping them
+  * ([[Warehouse.deleteFromLandingWithCapture]]), each batch stamped
+  * with its deterministic `batch_id`. The cycle applies every captured
+  * batch through `apply` — expected to be the family's IDEMPOTENT
+  * versioned delete ([[graft.operators.Graph.deleteFromEdgeIndexVersioned]]),
+  * so a batch replayed across cycles (crash before prune) is a ledger
+  * no-op — then prunes applied batches from the feed. This is how the
+  * edge family reaches the same "fresh after every cycle" guarantee
+  * the per-key-row families get from `deleteStale`: their staleness is
+  * repairable post-hoc from key sets, the additive families' is only
+  * repairable from the deleted ROWS, which this feed preserves across
+  * the landing delete.
+  *
+  * @param apply (spark, batchRows-without-batch_id, batchId) => true
+  *   when the batch was actually applied this call (false = the
+  *   ledger's idempotent no-op).
+  */
+final case class TombstoneFeed(
+    table: String,
+    apply: (SparkSession, DataFrame, String) => Boolean,
+    prune: Boolean = true)
+
 /** One index under automatic maintenance ([[Maintenance.runCycle]]):
   * where its physical tables live, how to read the current corpus /
   * index key sets, and the repair callbacks + thresholds. Every field
@@ -26,6 +50,12 @@ import graft.operators.Warehouse
   *   canonical one-file-per-bucket layout whenever any append landed.
   * @param mergeRowsPerKey run `merge` when any partial-audited table
   *   reads more than this many rows per distinct key.
+  * @param tombstones the delete-time capture feed for additive
+  *   families (consumed before the freshness audit, so the audit sees
+  *   the post-consumption state).
+  * @param resolveTables versioned families' dynamic table resolution
+  *   (current-snapshot names change on publish); `tables` is used when
+  *   None.
   */
 final case class MaintainedIndex(
     name: String,
@@ -36,8 +66,16 @@ final case class MaintainedIndex(
     deleteStale: Option[(SparkSession, DataFrame) => Unit] = None,
     compactFilesFactor: Double = 1.0,
     mergeRowsPerKey: Double = 1.0,
-    merge: Option[SparkSession => Unit] = None) {
+    merge: Option[SparkSession => Unit] = None,
+    tombstones: Option[TombstoneFeed] = None,
+    resolveTables: Option[SparkSession => Seq[(String, String, Seq[String])]] =
+      None) {
   require(tables.nonEmpty, s"index $name needs at least one table")
+  // runCycle resolves compaction targets BY label; a duplicate would
+  // silently compact the wrong table (and make audit rows ambiguous) —
+  // the same uniqueness law the audit operators require of their inputs
+  require(tables.map(_._1).distinct.size == tables.size,
+    s"index $name has duplicate table labels")
 }
 
 /** One line of [[Maintenance.runCycle]]'s action log. `action` ∈
@@ -84,9 +122,41 @@ object Maintenance {
                indexes: Seq[MaintainedIndex]): Seq[MaintenanceAction] = {
     val log = Seq.newBuilder[MaintenanceAction]
     indexes.foreach { idx =>
-      idx.tables.foreach { case (label, table, _) =>
+      val tables = idx.resolveTables.map(_(spark)).getOrElse(idx.tables)
+      require(tables.map(_._1).distinct.size == tables.size,
+        s"index ${idx.name} resolved duplicate table labels")
+      tables.foreach { case (label, table, _) =>
         if (Warehouse.recoverIndex(spark, table))
           log += MaintenanceAction(idx.name, "recover", label)
+      }
+      // 1.5. consume the delete-time capture feed (additive families):
+      // every captured batch applies through the family's IDEMPOTENT
+      // versioned delete, so a crash-before-prune replay is a ledger
+      // no-op; applied batches are then pruned from the feed. Runs
+      // before the freshness audit so the audit sees the
+      // post-consumption state.
+      idx.tombstones.foreach { feed =>
+        if (spark.catalog.tableExists(feed.table)) {
+          val bids = spark.table(feed.table)
+            .select(col("batch_id")).distinct()
+            .collect().map(_.getString(0)).sorted
+          bids.foreach { bid =>
+            val rows = spark.table(feed.table)
+              .filter(col("batch_id") === bid).drop("batch_id")
+            // applied through the family's idempotent versioned delete
+            // BEFORE the freshness audit below, so the audit (and its
+            // steady-state reuse as the closing row) sees the
+            // post-consumption state
+            if (feed.apply(spark, rows, bid))
+              log += MaintenanceAction(idx.name, "delete_batch",
+                s"batch=$bid")
+          }
+          if (feed.prune && bids.nonEmpty) {
+            import spark.implicits._
+            Warehouse.deleteFromIndex(spark, feed.table, "batch_id",
+              bids.toSeq.toDF("batch_id"))
+          }
+        }
       }
       // 2. freshness: cheap bucketed detect, exact repair only on need
       val c = idx.corpusKeys(spark).toDF("_k").distinct()
@@ -116,7 +186,7 @@ object Maintenance {
           s"n=$nMissing")
       }
       // 3. deep merge on partial-row growth
-      val partialTargets = idx.tables.filter(_._3.nonEmpty)
+      val partialTargets = tables.filter(_._3.nonEmpty)
       if (partialTargets.nonEmpty && idx.merge.isDefined) {
         val worst = Warehouse.indexPartialAudit(spark, partialTargets)
           .collect().map(_.getDouble(3)).max
@@ -126,24 +196,37 @@ object Maintenance {
             f"rows_per_key=$worst%.6f")
         }
       }
-      // 4. layout compaction on file growth
+      // 4. layout compaction on file growth — over the tables the
+      // family NOW resolves to (a versioned merge in step 3 published
+      // a new snapshot; auditing the retired one would compact dead
+      // data).
+      val tablesNow =
+        idx.resolveTables.map(_(spark)).getOrElse(idx.tables)
       Warehouse.indexFileAudit(spark,
-          idx.tables.map { case (label, table, _) => (label, table) })
+          tablesNow.map { case (label, table, _) => (label, table) })
         .collect().foreach { r =>
           val (label, buckets, files) =
             (r.getString(0), r.getLong(1), r.getLong(2))
           if (files > idx.compactFilesFactor * math.max(buckets, 1L)) {
-            val table = idx.tables.find(_._1 == label).get._2
+            val table = tablesNow.find(_._1 == label).get._2
             Warehouse.compactIndex(spark, table)
             log += MaintenanceAction(idx.name, "compact",
               s"$label files=$files buckets=$buckets")
           }
         }
-      // closing audit row: the log alone shows the cycle ended fresh
-      val post = Warehouse
-        .indexFreshnessAuditBucketed(Seq((idx.name,
-          idx.corpusKeys(spark).toDF("_k").distinct(),
-          idx.indexKeys(spark).toDF("_k").distinct()))).head()
+      // closing audit row: the log alone shows the cycle ended fresh.
+      // Recomputed ONLY when a repair changed the key sets (delete /
+      // append); merge and compact preserve served rows bit-identically
+      // (their contracts), so after them — and in the steady state —
+      // the opening audit is still exact and is reused, halving the
+      // cycle's dominant cost (the corpus-side key scan) when nothing
+      // needed repair.
+      val post =
+        if (staleF.isDefined || missingF.isDefined)
+          Warehouse.indexFreshnessAuditBucketed(Seq((idx.name,
+            idx.corpusKeys(spark).toDF("_k").distinct(),
+            idx.indexKeys(spark).toDF("_k").distinct()))).head()
+        else fresh
       log += MaintenanceAction(idx.name, "audit",
         s"missing=${post.getLong(3)} stale=${post.getLong(4)}")
     }

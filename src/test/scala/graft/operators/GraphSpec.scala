@@ -288,6 +288,143 @@ class GraphSpec extends SparkSpec {
     assert(rows(Graph.pageRank(e1)) === rows(Graph.pageRank(e2)))
   }
 
+  // ---- versioned (publish-by-pointer) edge index -----------------------
+
+  private val vdBases = Seq("graft_idx_test.vd_ob", "graft_idx_test.vd_edges",
+    "graft_idx_test.vd_totals", "graft_idx_test.vd_stats")
+
+  private def dropVersioned(ledger: String, bases: Seq[String]): Unit = {
+    dropIdx(ledger)
+    (bases ++ bases.flatMap(b => (1 to 4).map(v => s"${b}_v$v")))
+      .foreach(dropIdx)
+  }
+
+  test("deleteFromEdgeIndexVersioned (x216): killed at EVERY step " +
+      "boundary, the current snapshot serves complete and untouched; " +
+      "the rerun converges bit-identical to a from-scratch rebuild; a " +
+      "post-publish replay is a logged no-op") {
+    import org.apache.spark.sql.functions.col
+    val (li, part) = fixture
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledger = "graft_idx_test.vd_ledger"
+    val rb = vdBases.map(_ + "_reb")
+    dropVersioned(ledger, vdBases)
+    rb.foreach(dropIdx)
+    val Seq(obB, edB, toB, stB) = vdBases
+    assert(Graph.writeEdgeIndexVersioned(li, part, ledger, "vd",
+      obB, edB, toB, stB, numBuckets = 2))
+    val preDelete = rows(Graph.readEdgeIndexVersioned(spark, ledger, "vd",
+      obB, edB, toB, stB)._2)
+    val deleted = li.filter(col("l_orderkey").isin(11L, 14L))
+    // the truth: a from-scratch one-shot build of the reduced corpus
+    val Seq(obR, edR, toR, stR) = rb
+    Graph.writeEdgeIndex(li.filter(!col("l_orderkey").isin(11L, 14L)),
+      part, obR, edR, toR, stR, numBuckets = 2)
+    val (obE, eE, tE, sE) = Graph.readEdgeIndex(spark, obR, edR, toR, stR)
+
+    // kill after each staging write: nothing is visible — the pointer
+    // still resolves the pre-delete snapshot, complete and untouched
+    Seq("edges", "totals", "stats", "ob").foreach { s =>
+      val ex = intercept[IllegalStateException] {
+        Graph.deleteFromEdgeIndexVersioned(deleted, part, ledger, "vd",
+          obB, edB, toB, stB, crashAfterStep = Some(s))
+      }
+      assert(ex.getMessage.contains(s))
+      val (obNow, eNow, tNow, sNow) = Graph.readEdgeIndexVersioned(spark,
+        ledger, "vd", obB, edB, toB, stB)
+      assert(rows(eNow) === preDelete, s"torn serve after crash at $s")
+      assert(rows(sNow).head.head === 6L, s"stats torn after crash at $s")
+    }
+    // kill right after the commit point: the delete IS applied
+    intercept[IllegalStateException] {
+      Graph.deleteFromEdgeIndexVersioned(deleted, part, ledger, "vd",
+        obB, edB, toB, stB, crashAfterStep = Some("publish"))
+    }
+    // ... and the post-crash rerun (the natural recovery) is a ledger
+    // no-op, NOT a double-subtract
+    assert(!Graph.deleteFromEdgeIndexVersioned(deleted, part, ledger,
+      "vd", obB, edB, toB, stB))
+    // served rows AND physical table rows are bit-identical to the
+    // from-scratch rebuild (the staged tables land fully merged)
+    val (obV, eV, tV, sV) = Graph.readEdgeIndexVersioned(spark, ledger,
+      "vd", obB, edB, toB, stB)
+    assert(rows(obV) === rows(obE))
+    assert(rows(eV) === rows(eE))
+    assert(!rows(eV).exists(r => r.take(2).toSet == Set("Y", "Z")),
+      "the fully-deleted Y-Z edge must not serve")
+    assert(rows(tV) === rows(tE))
+    assert(rows(sV) === rows(sE))
+    val (_, edT2, _, _) = Graph.resolveEdgeIndex(spark, ledger, "vd",
+      obB, edB, toB, stB)
+    assert(edT2 === edB + "_v2")
+    assert(rows(spark.table(edT2)) === rows(spark.table(edR)))
+    // the ledger records exactly one build and one delete — the replay
+    // and every killed attempt left no row
+    val lg = graft.operators.Snapshots.ledger(spark, ledger, "vd")
+      .collect().map(r => (r.getLong(1), r.getString(3))).toSet
+    assert(lg === Set((1L, "build"), (2L, "delete")))
+  }
+
+  test("versioned serving + retire: a reader resolved BEFORE a publish " +
+      "keeps a complete old snapshot (old-or-new, never torn); retire " +
+      "reclaims the old version afterward") {
+    val (li, part) = fixture
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledger = "graft_idx_test.vs_ledger"
+    val bases = vdBases.map(_.replace(".vd_", ".vs_"))
+    dropVersioned(ledger, bases)
+    val Seq(obB, edB, toB, stB) = bases
+    Graph.writeEdgeIndexVersioned(li, part, ledger, "vs",
+      obB, edB, toB, stB, numBuckets = 2)
+    val truth = rows(Graph.coPurchaseEdges(li, part))
+    // an in-flight reader: resolved at v1, not yet executed
+    val (obT1, edT1, toT1, stT1) = Graph.resolveEdgeIndex(spark, ledger,
+      "vs", obB, edB, toB, stB)
+    val (_, eOld, _, _) = Graph.readEdgeIndex(spark, obT1, edT1, toT1, stT1)
+    // a maintenance publish lands v2 mid-flight
+    assert(Graph.mergeEdgeIndexVersioned(spark, ledger, "vs",
+      obB, edB, toB, stB))
+    // the old reader still serves its COMPLETE snapshot — the publish
+    // dropped nothing
+    assert(rows(eOld) === truth)
+    // new resolutions serve v2, rows preserved bit-identically
+    val (_, eNew, _, _) = Graph.readEdgeIndexVersioned(spark, ledger,
+      "vs", obB, edB, toB, stB)
+    assert(rows(eNew) === truth)
+    // grace period over: retire reclaims v1, current keeps serving
+    val dropped = graft.operators.Snapshots.retire(spark, ledger, "vs",
+      bases, keepVersions = 1)
+    assert(dropped === Seq(1L))
+    assert(!spark.catalog.tableExists(edT1))
+    assert(rows(Graph.readEdgeIndexVersioned(spark, ledger, "vs",
+      obB, edB, toB, stB)._2) === truth)
+  }
+
+  test("appendEdgeIndexVersioned: the applied-batch guard makes a " +
+      "replayed ingest a no-op; distinct batches merge additively") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val (li, part) = fixture
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledger = "graft_idx_test.va_ledger"
+    val bases = vdBases.map(_.replace(".vd_", ".va_"))
+    dropVersioned(ledger, bases)
+    val Seq(obB, edB, toB, stB) = bases
+    val even = li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+    val odd = li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+    Graph.writeEdgeIndexVersioned(even, part, ledger, "va",
+      obB, edB, toB, stB, numBuckets = 2)
+    assert(Graph.appendEdgeIndexVersioned(odd, part, ledger, "va",
+      obB, edB, toB, stB))
+    // the replay — same complete-order key set, same deterministic
+    // batch id — is a logged no-op instead of a double-count
+    assert(!Graph.appendEdgeIndexVersioned(odd, part, ledger, "va",
+      obB, edB, toB, stB))
+    val (_, eV, _, sV) = Graph.readEdgeIndexVersioned(spark, ledger,
+      "va", obB, edB, toB, stB)
+    assert(rows(eV) === rows(Graph.coPurchaseEdges(li, part)))
+    assert(rows(sV).head === Seq(6L, 7L))
+  }
+
   // ---- checkpointed iterative rounds ---------------------------------
 
   test("pageRank rounds=12: matches the driver-side integer recurrence " +

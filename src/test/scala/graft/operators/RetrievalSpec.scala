@@ -203,6 +203,64 @@ class RetrievalSpec extends SparkSpec {
     Seq(post1, stats1, post2, stats2).foreach(dropIdxTable)
   }
 
+  test("deleteFromBm25IndexVersioned: killed at every step boundary the " +
+      "postings/stats PAIR stays consistent (the old snapshot — never a " +
+      "torn mix); the rerun converges bit-identical to a rebuild; a " +
+      "replay is a no-op") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledger = "graft_idx_test.bm25_vd_ledger"
+    val (postB, statsB) =
+      ("graft_idx_test.bm25_post_vd", "graft_idx_test.bm25_stats_vd")
+    val (postR, statsR) =
+      ("graft_idx_test.bm25_post_vreb", "graft_idx_test.bm25_stats_vreb")
+    val all = Seq(ledger, postR, statsR) ++
+      Seq(postB, statsB).flatMap(b => Seq(b, b + "_v1", b + "_v2", b + "_v3"))
+    all.foreach(dropIdxTable)
+    assert(Retrieval.writeBm25IndexVersioned(spark, docs, "doc_id",
+      "text", ledger, "bm25", postB, statsB, numBuckets = 2))
+    Retrieval.writeBm25Index(docs.filter(col("doc_id") <= 2), "doc_id",
+      "text", postR, statsR, numBuckets = 2)
+    def serveV() = Retrieval.bm25TopKIndexedVersioned(spark, ledger,
+        "bm25", postB, statsB, Seq("apple", "banana", "cherry"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val preDelete = serveV()
+    val deleted = docs.filter(col("doc_id") > 2)
+    // kill after each staging write: the pair serves the OLD snapshot —
+    // in particular after "postings", where the unversioned form would
+    // serve new postings against stale stats (skewed IDF for every doc)
+    Seq("postings", "stats").foreach { s =>
+      val ex = intercept[IllegalStateException] {
+        Retrieval.deleteFromBm25IndexVersioned(spark, deleted, "doc_id",
+          "text", ledger, "bm25", postB, statsB,
+          crashAfterStep = Some(s))
+      }
+      assert(ex.getMessage.contains(s))
+      assert(serveV() === preDelete, s"torn pair after crash at $s")
+    }
+    // kill right after the commit; the rerun is a ledger no-op, not a
+    // second stats subtraction
+    intercept[IllegalStateException] {
+      Retrieval.deleteFromBm25IndexVersioned(spark, deleted, "doc_id",
+        "text", ledger, "bm25", postB, statsB,
+        crashAfterStep = Some("publish"))
+    }
+    assert(!Retrieval.deleteFromBm25IndexVersioned(spark, deleted,
+      "doc_id", "text", ledger, "bm25", postB, statsB))
+    // served rows and both physical artifacts equal the from-scratch
+    // rebuild of the reduced corpus
+    assert(serveV() === Retrieval.bm25TopKIndexed(spark, postR, statsR,
+      Seq("apple", "banana", "cherry"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+    val (postV, statsV) = Retrieval.resolveBm25Index(spark, ledger,
+      "bm25", postB, statsB)
+    assert(postV === postB + "_v2" && statsV === statsB + "_v2")
+    assert(spark.table(postV).collect().map(_.toSeq).toSet ===
+      spark.table(postR).collect().map(_.toSeq).toSet)
+    assert(spark.table(statsV).collect().map(_.toSeq) ===
+      spark.table(statsR).collect().map(_.toSeq))
+    all.foreach(dropIdxTable)
+  }
+
   test("bm25TopKPerQueryIndexed (x135): an out-of-corpus query matches " +
       "the single-query indexed form; ranks are dense from 1") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")

@@ -340,4 +340,78 @@ class WarehouseSpec extends SparkSpec {
       rows.collect().map(_.toSeq).toSet)
     graft.sinks.Sinks.dropManaged(spark, table)
   }
+
+  test("recoverIndex drops a leftover _compact_old aside copy (crash " +
+      "before the rename-aside swap's final drop) — the live table is " +
+      "already whole in every state that leaves one") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val table = "graft_idx_test.torn_old"
+    val oldT = table + "_compact_old"
+    Seq(table, oldT).foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    graft.sinks.Sinks.writeBucketed(rows, table, Seq("k"), 2)
+    // simulate: swap renamed the previous live copy aside, renamed the
+    // new one in, died before dropping the aside copy
+    rows.write.format("parquet").saveAsTable(oldT)
+    assert(Warehouse.recoverIndex(spark, table))
+    assert(!spark.catalog.tableExists(oldT))
+    assert(spark.table(table).collect().map(_.toSeq).toSet ===
+      rows.collect().map(_.toSeq).toSet)
+    graft.sinks.Sinks.dropManaged(spark, table)
+  }
+
+  test("indexFreshnessAudit: an EMPTY corpus leg reports coverage 1.0 " +
+      "(vacuously covered), not NaN — in both audit forms") {
+    val corpus = Seq.empty[Long].toDF("k")
+    val index = Seq(1L, 2L).toDF("k")
+    for ((form, df) <- Seq(
+        ("exact", Warehouse.indexFreshnessAudit(
+          Seq(("empty", corpus, index)))),
+        ("bucketed", Warehouse.indexFreshnessAuditBucketed(
+          Seq(("empty", corpus, index)))))) {
+      val r = df.collect().head
+      assert(r.getLong(1) === 0L && r.getLong(4) === 2L, form)
+      assert(r.getDouble(5) === 1.0, s"$form coverage must be total")
+    }
+  }
+
+  test("deleteFromIndexVersioned + compactIndexVersioned: pointer flips " +
+      "with one ledger append, replays are no-ops, an in-flight reader " +
+      "of the old snapshot is never raced, retire reclaims it") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledger = "graft_idx_test.vw_ledger"
+    val base = "graft_idx_test.vw_idx"
+    (Seq(ledger, base) ++ (1 to 4).map(v => s"${base}_v$v"))
+      .foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    val rows0 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+    graft.sinks.Sinks.writeBucketed(rows0, base, Seq("k"), 2)
+    // v0 = the unversioned base: versioned ops migrate it in place
+    val keys = Seq(3L, 4L).toDF("k")
+    assert(Warehouse.deleteFromIndexVersioned(spark, ledger, "vw", base,
+      "k", keys))
+    // replay of the same key set: ledger no-op
+    assert(!Warehouse.deleteFromIndexVersioned(spark, ledger, "vw", base,
+      "k", keys))
+    val cur = graft.operators.Snapshots.resolve(spark, ledger, "vw",
+      Seq(base)).head
+    assert(cur === base + "_v1")
+    assert(spark.table(cur).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L))
+    // the base (v0) table still holds the old snapshot for in-flight
+    // readers; retire with keepVersions=1 must NOT touch v0 (it is the
+    // unversioned base, reclaimed by the owner, not the protocol)
+    assert(spark.table(base).count() === 4L)
+    // a compaction publishes v2; v1 retires afterward
+    assert(Warehouse.compactIndexVersioned(spark, ledger, "vw", base))
+    val dropped = graft.operators.Snapshots.retire(spark, ledger, "vw",
+      Seq(base), keepVersions = 1)
+    assert(dropped.contains(1L))
+    assert(!spark.catalog.tableExists(base + "_v1"))
+    assert(spark.table(graft.operators.Snapshots.resolve(spark, ledger,
+        "vw", Seq(base)).head)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    (Seq(ledger, base) ++ (1 to 4).map(v => s"${base}_v$v"))
+      .foreach(graft.sinks.Sinks.dropManaged(spark, _))
+  }
 }

@@ -201,4 +201,127 @@ class OrchestratorSpec extends SparkSpec {
     assert(log.forall(_.detail == "missing=0 stale=0"), log.mkString("; "))
     (Seq(landT, digT) ++ et).foreach(graft.sinks.Sinks.dropManaged(spark, _))
   }
+
+  test("steady-state cycle cost: an audit-only cycle reads the corpus " +
+      "key frame EXACTLY once per index — the closing audit row reuses " +
+      "the opening audit when nothing changed the key sets") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val digT = "graft_idx_test.ss_digests"
+    graft.sinks.Sinks.dropManaged(spark, digT)
+    val docs = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    graft.operators.TextDedup.writeDigestIndex(docs, "text", digT,
+      numBuckets = 2)
+    var corpusScans = 0
+    val idx = MaintainedIndex("ss",
+      tables = Seq(("digests", digT, Seq.empty)),
+      corpusKeys = s => {
+        corpusScans += 1
+        docs.select(org.apache.spark.sql.functions
+          .sha2(org.apache.spark.sql.functions
+            .lower(org.apache.spark.sql.functions
+              .trim(col("text"))), 256).as("k"))
+      },
+      indexKeys = s => s.table(digT).select(col("digest")),
+      appendMissing = Some((s, keys) => graft.sinks.Sinks.writeBucketed(
+        keys.toDF("digest"), digT, Seq("digest"), 2, append = true)),
+      deleteStale = Some((s, keys) =>
+        graft.operators.Warehouse.deleteFromIndex(s, digT, "digest", keys)))
+    val log = Maintenance.runCycle(spark, Seq(idx))
+    assert(log.map(_.action) === Seq("audit"), log.mkString("; "))
+    assert(log.head.detail === "missing=0 stale=0")
+    assert(corpusScans === 1,
+      s"audit-only cycle built the corpus key frame $corpusScans times")
+    graft.sinks.Sinks.dropManaged(spark, digT)
+  }
+
+  test("loop + tombstone capture: an IN-LOOP corpus delete (captured " +
+      "by the landing delete path) reaches the additive edge index " +
+      "through the cycle's idempotent versioned delete — the index " +
+      "ends stale=0 and rebuild-identical, and a re-cycle re-applies " +
+      "nothing (ledger no-op + pruned feed)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Graph, Snapshots, Warehouse}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val landT = "graft_idx_test.tc_lineitem"
+    val tombT = "graft_idx_test.tc_tombstones"
+    val ledger = "graft_idx_test.tc_ledger"
+    val bases = Seq("graft_idx_test.tc_ob", "graft_idx_test.tc_edges",
+      "graft_idx_test.tc_totals", "graft_idx_test.tc_stats")
+    val rb = bases.map(_ + "_reb")
+    val all = Seq(landT, tombT, ledger) ++ rb ++
+      bases.flatMap(b => b +: (1 to 4).map(v => s"${b}_v$v"))
+    all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 3L), (13L, 1L), (13L, 2L), (14L, 2L), (14L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z"))
+      .toDF("p_partkey", "p_brand")
+    li.write.format("parquet").saveAsTable(landT)
+    val Seq(obB, edB, toB, stB) = bases
+    Graph.writeEdgeIndexVersioned(spark.table(landT), part, ledger,
+      "edges", obB, edB, toB, stB, numBuckets = 2)
+
+    val maintained = Seq(MaintainedIndex("edges",
+      tables = Seq(("ob", obB, Seq("order_key", "brand"))),
+      resolveTables = Some(s => {
+        val (ob, ed, tot, _) = Graph.resolveEdgeIndex(s, ledger, "edges",
+          obB, edB, toB, stB)
+        Seq(("ob", ob, Seq("order_key", "brand")),
+          ("edges", ed, Seq("src", "dst")), ("totals", tot, Seq("brand")))
+      }),
+      corpusKeys = s => s.table(landT).select(col("l_orderkey")).distinct(),
+      indexKeys = s => Graph.readEdgeIndexVersioned(s, ledger, "edges",
+        obB, edB, toB, stB)._1.select(col("order_key")).distinct(),
+      tombstones = Some(TombstoneFeed(tombT,
+        (s, rows, bid) => Graph.deleteFromEdgeIndexVersioned(rows, part,
+          ledger, "edges", obB, edB, toB, stB, batchId = Some(bid))))))
+
+    // round 2 of the loop DELETES orders 11 and 14 from the landing
+    // table through the capture path; the SAME round's maintenance
+    // cycle consumes the captured batch
+    var round = 0
+    val job = Orchestrator.StreamJob("docs", "ts",
+      extract = (s, _) => { round += 1; li.limit(0) },
+      sink = _ => if (round == 2) {
+        Warehouse.deleteFromLandingWithCapture(spark, landT,
+          "l_orderkey", li.filter(col("l_orderkey").isin(11L, 14L))
+            .select(col("l_orderkey")), tombT)
+        ()
+      })
+    val statePath = java.nio.file.Files.createTempDirectory("torch")
+      .resolve("state.json")
+    Orchestrator.loop(spark,
+      Seq(Orchestrator.Pipeline("sys", Seq(job))), statePath,
+      intervalMillis = 0, rounds = 3, maintenance = maintained)
+
+    // fresh: the edge index reflects the post-delete corpus
+    val fresh = Warehouse.indexFreshnessAudit(Seq(("e",
+        spark.table(landT).select(col("l_orderkey")).distinct(),
+        Graph.readEdgeIndexVersioned(spark, ledger, "edges",
+          obB, edB, toB, stB)._1.select(col("order_key")).distinct())))
+      .collect().head
+    assert(fresh.getLong(3) === 0L, "missing after the loop")
+    assert(fresh.getLong(4) === 0L, "stale after the loop")
+    // rebuild-identical serving frames
+    val Seq(obR, edR, toR, stR) = rb
+    Graph.writeEdgeIndex(li.filter(!col("l_orderkey").isin(11L, 14L)),
+      part, obR, edR, toR, stR, numBuckets = 2)
+    val (obV, eV, tV, sV) = Graph.readEdgeIndexVersioned(spark, ledger,
+      "edges", obB, edB, toB, stB)
+    val (obE, eE, tE, sE) = Graph.readEdgeIndex(spark, obR, edR, toR, stR)
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rs(obV) === rs(obE) && rs(eV) === rs(eE))
+    assert(rs(tV) === rs(tE) && rs(sV) === rs(sE))
+    // the feed was pruned and the delete applied exactly once: another
+    // cycle repairs nothing
+    assert(spark.table(tombT).count() === 0L)
+    val log2 = Maintenance.runCycle(spark, maintained)
+    assert(log2.forall(_.action == "audit"), log2.mkString("; "))
+    // exactly one delete ledger row however many cycles consumed it
+    assert(Snapshots.ledger(spark, ledger, "edges")
+      .filter(col("action") === "delete").count() === 1L)
+    all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
+  }
 }
