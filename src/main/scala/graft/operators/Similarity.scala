@@ -865,6 +865,44 @@ object Similarity {
     val (quant, subDim, books) =
       pqFit(corpus, idCol, vecCol, m, k, rounds, trainPct)
     quant.unpersist()
+    ivfPqRank(queries, corpus, idCol, vecCol, ids, vecs, books, subDim,
+      topK, nprobe)
+  }
+
+  /** [[ivfPqTopK]] under FROZEN pre-trained codebooks (a
+    * [[writeIvfPqIndex]] books table) — the train-once consolidation
+    * [[pqTopKWithBooks]] gives the flat-PQ exhibits, applied to the
+    * composed layout: coarse bucket pruning and the inline
+    * (bucket, codes) encode both run under the persisted books, zero
+    * Lloyd rounds. Rows identical to [[ivfPqTopK]] when the books were
+    * trained with the same knobs on the same corpus ([[pqFit]] is
+    * deterministic — the x127 guarantee). [[ivfPqTopKIndexed]] is
+    * cheaper still when the CODES for this corpus snapshot are also
+    * persisted; this form is for scoring a fresh snapshot under an
+    * existing model. */
+  def ivfPqTopKWithBooks(spark: org.apache.spark.sql.SparkSession,
+                         queries: DataFrame, corpus: DataFrame,
+                         centroids: DataFrame, idCol: String,
+                         vecCol: String, booksTable: String, topK: Int,
+                         nprobe: Int): DataFrame = {
+    val (ids, vecs) = collectCentroids(centroids, idCol, vecCol)
+    require(ids.nonEmpty, "centroids must be non-empty")
+    val books = readBooks(spark, booksTable)
+    val subDim = books(0)(0)._2.length
+    ivfPqRank(queries, corpus, idCol, vecCol, ids, vecs, books, subDim,
+      topK, nprobe)
+  }
+
+  /** The shared IVF-PQ tail under [[ivfPqTopK]] and
+    * [[ivfPqTopKWithBooks]]: one corpus scan emits (bucket, codes)
+    * under the given books, probes broadcast nprobe rows per query,
+    * integer-exact ADC ranking. */
+  private def ivfPqRank(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, ids: Array[Long],
+                        vecs: Array[Array[Float]],
+                        books: Array[Array[(Long, Array[Double])]],
+                        subDim: Int, topK: Int, nprobe: Int): DataFrame = {
+    val m = books.length
     val codeCols = (0 until m).map { j =>
       pqAssign(slice(col("_qv"), j * subDim + 1, subDim), books(j))._1
         .as(s"code_$j") }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num
-import graft.operators.{Analytics, Bpe, Classifier, Cleaning, Components, CorpusPipeline, Graph, ImageDedup, Multimodal, Olap, Packing, Project, Resolution, Retrieval, Similarity, Sketches, Temporal, TextAnalysis, TextDedup, Warehouse}
+import graft.operators.{Analytics, Bpe, Classifier, Cleaning, Components, CorpusPipeline, Graph, ImageDedup, Multimodal, Olap, Packing, Project, Resolution, Retrieval, Similarity, Sketches, Snapshots, Temporal, TextAnalysis, TextDedup, Warehouse}
+import graft.runner.{Maintenance, MaintainedIndex, TombstoneFeed}
 
 /** Extension + capability-proof query inventory (SURVEY §2.4 X1-X6 plus the
   * LLM-training-data operators: dedup family, similarity search, text
@@ -16,6 +17,10 @@ import graft.operators.{Analytics, Bpe, Classifier, Cleaning, Components, Corpus
 object ExtensionQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** 2^60 — [[graft.operators.Snapshots]]' batch-id fold, spelled for
+    * the DuckDB oracles. */
+  private val BatchFold = "1152921504606846976"
 
   /** DuckDB cosine over the first `n` components of float lists, double
     * math, array accumulation order — the mirror of
@@ -1086,12 +1091,18 @@ object ExtensionQueries {
 
     // x123 — IVF-PQ: the composed FAISS layout — x10's bucket pruning
     // picks WHICH vectors a query touches, x121's ADC prices WHAT each
-    // one costs; one corpus scan emits (bucket, codes).
+    // one costs; one corpus scan emits (bucket, codes). Serves under
+    // the FIXTURE's trained books (ivfPqIndexFor — the same knobs, so
+    // identical rows and the same oracle; the x121/x122/x130
+    // train-once convention): x120/x129 remain the training exhibits,
+    // and unlike x127 the (bucket, codes) scan is still inline — this
+    // is the frozen-books fresh-snapshot path, not the persisted-codes
+    // one.
     "x123_ivf_pq_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e,
+      Similarity.ivfPqTopKWithBooks(s, e.filter(col("vec_id") < 10), e,
         e.filter(col("vec_id") < 16), "vec_id", "embedding",
-        topK = 5, nprobe = 2, m = 4, k = 8, rounds = 2)
+        ivfPqIndexFor(s, dir)._2, topK = 5, nprobe = 2)
     }),
 
     // x124 — x121 through its PERSISTED index (the x91/x107/x110
@@ -2204,6 +2215,64 @@ object ExtensionQueries {
           s.table(digestIdx).select(col("digest"))),
         ("ann_assign", t(s, dir, "embeddings").select(col("vec_id")),
           s.table(assignT).select(col("neighbor_id")))))
+    }),
+
+    // x216 — the APPLIED-BATCH LEDGER: a versioned edge-index family
+    // driven through the full mutation protocol — bootstrap build of
+    // the even orders (v1), guarded append of the odd orders (v1,
+    // batch id = the order-free md5 fold of the key set), staged
+    // takedown of the %3 orders (v2) — and then REPLAYED: both
+    // guarded mutations run a second time inside the fixture build
+    // and must report the ledger no-op. The ledger holding exactly
+    // ONE row per batch IS the idempotency exhibit; the oracle
+    // recomputes every batch id from the corpus under the
+    // Snapshots.batchIdFor law (bit-for-bit, like x7's fingerprints).
+    // GraphSpec's kill-at-each-step spec pins the crash story the
+    // ledger closes.
+    "x216_applied_batch_ledger" -> ((s, dir) =>
+      Snapshots.ledger(s, versionedEdgeIndexFor(s, dir), "vedge")),
+
+    // x217 — THE MAINTENANCE CYCLE as a registered exhibit: cycle 1
+    // (run once at build time, its action log persisted as the
+    // sidecar) repairs a digest index whose corpus moved under it —
+    // stale keys deleted, missing keys appended, closing audit fresh
+    // — next to an audit-only ANN leg; cycle 2 runs LIVE on every
+    // call and is the steady state (audit rows only, nothing
+    // repaired). The n= details size every repair by what CHANGED,
+    // never by corpus size — the 10x probe pins that claim.
+    "x217_maintenance_cycle" -> ((s, dir) => {
+      import s.implicits._
+      val (logT, maintained) = maintenanceCycleFor(s, dir)
+      val live = Maintenance.runCycle(s, maintained)
+        .map(a => (a.index, a.action, a.detail))
+        .toDF("index_name", "action", "detail")
+      s.table(logT).withColumn("cycle", lit(1L))
+        .unionByName(live.withColumn("cycle", lit(2L)))
+        .select(col("cycle"), col("index_name"), col("action"),
+          col("detail"))
+    }),
+
+    // x218 — DELETE-TIME CAPTURE, end to end: a landing-table delete
+    // captures the dropped rows into a tombstone feed
+    // (Warehouse.deleteFromLandingWithCapture), and the next
+    // maintenance cycle repairs the ADDITIVE edge index from that
+    // feed through the idempotent versioned delete — the one repair
+    // x211's post-hoc key audit cannot perform (the negated partials
+    // need the deleted ROWS, which the landing table no longer has).
+    // Cycle 1's log (persisted at build) shows the batch applied and
+    // the closing audit fresh; the live cycle 2 shows the pruned feed
+    // re-applying nothing. The batch id in the log is the oracle's to
+    // recompute.
+    "x218_tombstone_capture" -> ((s, dir) => {
+      import s.implicits._
+      val (logT, maintained) = tombstoneCycleFor(s, dir)
+      val live = Maintenance.runCycle(s, maintained)
+        .map(a => (a.index, a.action, a.detail))
+        .toDF("index_name", "action", "detail")
+      s.table(logT).withColumn("cycle", lit(1L))
+        .unionByName(live.withColumn("cycle", lit(2L)))
+        .select(col("cycle"), col("index_name"), col("action"),
+          col("detail"))
     })
   )
 
@@ -2279,6 +2348,165 @@ object ExtensionQueries {
             Seq("neighbor_id"), "left_anti"))
     }
     (dig, assignT)
+  }
+
+  /** Build-if-missing the x216 applied-batch-ledger exhibit: a
+    * VERSIONED edge-index family ([[graft.operators.Snapshots]])
+    * driven through bootstrap build (even orders, v1), guarded append
+    * (odd orders, v1), staged versioned delete (%3 orders, v2) — and
+    * then both guarded mutations REPLAYED, which must be logged
+    * no-ops (enforced here: a replay that applied fails the build
+    * loudly) — followed by a maintenance merge publish (v3) and a
+    * [[graft.operators.Snapshots.retire]] of v1 past the grace
+    * period (ledger rows stay; only physical tables go). Returns the
+    * ledger table name. The steady state is a 4-row metadata read. */
+  private def versionedEdgeIndexFor(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ledger = s"graft_idx.vedge_ledger_$tag"
+    val bases = Seq("ob", "edges", "totals", "stats")
+      .map(n => s"graft_idx.vedge_${n}_$tag")
+    val Seq(obB, edB, toB, stB) = bases
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!s.catalog.tableExists(ledger)) {
+      (ledger +: bases.flatMap(b => b +: (1 to 3).map(v => s"${b}_v$v")))
+        .foreach(dropStaleManaged(s, _))
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val odd = li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+      val del = li.filter(pmod(col("l_orderkey"), lit(3)) === 0)
+      Graph.writeEdgeIndexVersioned(
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 0), p, ledger,
+        "vedge", obB, edB, toB, stB, numBuckets = 8)
+      Graph.appendEdgeIndexVersioned(odd, p, ledger, "vedge",
+        obB, edB, toB, stB)
+      Graph.deleteFromEdgeIndexVersioned(del, p, ledger, "vedge",
+        obB, edB, toB, stB)
+      // the idempotency law, exercised on every build: a replayed
+      // mutation is a ledger no-op — no new row, no double-subtract
+      require(!Graph.appendEdgeIndexVersioned(odd, p, ledger, "vedge",
+        obB, edB, toB, stB), "replayed append was applied")
+      require(!Graph.deleteFromEdgeIndexVersioned(del, p, ledger, "vedge",
+        obB, edB, toB, stB), "replayed delete was applied")
+      // maintenance publish (v3) + grace-period reclaim: retire keeps
+      // the current and previous snapshots (in-flight readers) and
+      // drops v1 — the ledger row stays, the physical tables go
+      Graph.mergeEdgeIndexVersioned(s, ledger, "vedge",
+        obB, edB, toB, stB)
+      require(Snapshots.retire(s, ledger, "vedge", bases,
+        keepVersions = 2) == Seq(1L), "retire did not reclaim v1")
+    }
+    ledger
+  }
+
+  /** Build-if-missing the x217 maintenance-cycle exhibit: a dedicated
+    * digest index built on the EVEN doc ids whose maintained corpus is
+    * the `%3 == 0` snapshot (both counters nonzero — x211's moving
+    * corpus), next to an AUDIT-ONLY leg over the shared x92 ANN
+    * assignment index (no callbacks: its gap is reported, never
+    * repaired, and the shared table is never mutated). Cycle 1 — the
+    * repair cycle — runs once here and its action log persists as the
+    * sidecar; callers re-run the cycle live for the steady state.
+    * Layout compaction is x210's exhibit, not this one's: the factor
+    * is set so the log carries only freshness actions. Returns
+    * (cycle1LogTable, the maintained indexes). */
+  private def maintenanceCycleFor(s: SparkSession, dir: String)
+      : (String, Seq[MaintainedIndex]) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val digT = s"graft_idx.mcyc_digests_$tag"
+    val logT = s"graft_idx.mcyc_log_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    val (assignT, _) = annDedupIndexFor(s, dir)
+    val maintained = Seq(
+      MaintainedIndex("digest_idx",
+        tables = Seq(("digests", digT, Seq.empty)),
+        corpusKeys = ss => t(ss, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(sha2(lower(trim(col("text"))), 256).as("k")),
+        indexKeys = ss => ss.table(digT).select(col("digest")),
+        appendMissing = Some((ss, keys) =>
+          graft.sinks.Sinks.writeBucketed(keys.toDF("digest"), digT,
+            Seq("digest"), 16, append = true)),
+        deleteStale = Some((ss, keys) =>
+          Warehouse.deleteFromIndex(ss, digT, "digest", keys)),
+        compactFilesFactor = Double.MaxValue),
+      MaintainedIndex("ann_assign",
+        tables = Seq(("assign", assignT, Seq.empty)),
+        corpusKeys = ss => t(ss, dir, "embeddings").select(col("vec_id")),
+        indexKeys = ss => ss.table(assignT).select(col("neighbor_id")),
+        compactFilesFactor = Double.MaxValue))
+    if (!s.catalog.tableExists(digT) || !s.catalog.tableExists(logT)) {
+      import s.implicits._
+      Seq(digT, logT).foreach(dropStaleManaged(s, _))
+      TextDedup.writeDigestIndex(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(2)) === 0),
+        "text", digT)
+      Maintenance.runCycle(s, maintained)
+        .map(a => (a.index, a.action, a.detail))
+        .toDF("index_name", "action", "detail")
+        .coalesce(1).write.mode("overwrite").format("parquet")
+        .saveAsTable(logT)
+    }
+    (logT, maintained)
+  }
+
+  /** Build-if-missing the x218 delete-time-capture exhibit: a managed
+    * LANDING copy of lineitem feeds a versioned edge index; the `%5`
+    * orders are then deleted from the landing table through
+    * [[graft.operators.Warehouse.deleteFromLandingWithCapture]]
+    * (captured rows land in the tombstone feed, stamped with the
+    * deterministic batch id), and cycle 1 consumes the feed through
+    * the idempotent versioned delete, ending fresh. The cycle-1 log
+    * persists as the sidecar; callers re-run the cycle live for the
+    * steady state (feed pruned, ledger no-op). Returns
+    * (cycle1LogTable, the maintained index). */
+  private def tombstoneCycleFor(s: SparkSession, dir: String)
+      : (String, Seq[MaintainedIndex]) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val landT = s"graft_idx.vcap_lineitem_$tag"
+    val tombT = s"graft_idx.vcap_tombstones_$tag"
+    val ledger = s"graft_idx.vcap_ledger_$tag"
+    val logT = s"graft_idx.vcap_log_$tag"
+    val bases = Seq("ob", "edges", "totals", "stats")
+      .map(n => s"graft_idx.vcap_${n}_$tag")
+    val Seq(obB, edB, toB, stB) = bases
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    val maintained = Seq(MaintainedIndex("edges",
+      tables = Seq(("ob", obB, Seq.empty)),
+      resolveTables = Some(ss => {
+        val (ob, ed, tot, st) = Graph.resolveEdgeIndex(ss, ledger,
+          "edges", obB, edB, toB, stB)
+        Seq(("ob", ob, Seq.empty), ("edges", ed, Seq.empty),
+          ("totals", tot, Seq.empty), ("stats", st, Seq.empty))
+      }),
+      corpusKeys = ss =>
+        ss.table(landT).select(col("l_orderkey")).distinct(),
+      indexKeys = ss => Graph.readEdgeIndexVersioned(ss, ledger, "edges",
+        obB, edB, toB, stB)._1.select(col("order_key")).distinct(),
+      compactFilesFactor = Double.MaxValue,
+      tombstones = Some(TombstoneFeed(tombT,
+        (ss, rows, bid) => Graph.deleteFromEdgeIndexVersioned(rows,
+          t(ss, dir, "part"), ledger, "edges", obB, edB, toB, stB,
+          batchId = Some(bid))))))
+    if (!s.catalog.tableExists(logT) || !s.catalog.tableExists(landT) ||
+        !s.catalog.tableExists(ledger)) {
+      import s.implicits._
+      (Seq(landT, tombT, ledger, logT) ++
+        bases.flatMap(b => b +: (1 to 3).map(v => s"${b}_v$v")))
+        .foreach(dropStaleManaged(s, _))
+      val li = t(s, dir, "lineitem")
+      li.write.format("parquet").saveAsTable(landT)
+      Graph.writeEdgeIndexVersioned(s.table(landT), t(s, dir, "part"),
+        ledger, "edges", obB, edB, toB, stB, numBuckets = 8)
+      Warehouse.deleteFromLandingWithCapture(s, landT, "l_orderkey",
+        li.filter(pmod(col("l_orderkey"), lit(5)) === 0)
+          .select(col("l_orderkey")), tombT)
+      Maintenance.runCycle(s, maintained)
+        .map(a => (a.index, a.action, a.detail))
+        .toDF("index_name", "action", "detail")
+        .coalesce(1).write.mode("overwrite").format("parquet")
+        .saveAsTable(logT)
+    }
+    (logT, maintained)
   }
 
   /** x60's deterministic PII augmentation (the fixture corpus carries
@@ -4594,7 +4822,99 @@ object ExtensionQueries {
     // x211: set relations recomputed on the normalized text / id
     // parities the index builds used; distinct-key joins mirror the
     // full-outer counters
-    ("x211_index_freshness" -> freshnessOracle)
+    ("x211_index_freshness" -> freshnessOracle) +
+    // x216: the ledger is fully derivable from the corpus — one row
+    // per applied batch (the replays inside the fixture build add
+    // NOTHING, which is the exhibit). Batch ids recompute under the
+    // Snapshots.batchIdFor law: distinct-key count + the order-free
+    // 60-bit md5 fold (x7's '0x'||substring(md5(...)) idiom).
+    ("x216_applied_batch_ledger" ->
+      s"""WITH ok AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+         oddb AS (SELECT CAST(count(*) AS VARCHAR) || '-' ||
+             CAST(CAST(COALESCE(sum(CAST(('0x' ||
+                 substring(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT
+               AS HUGEINT)), 0) % $BatchFold AS BIGINT) AS VARCHAR)
+             AS bid
+           FROM ok WHERE k % 2 = 1),
+         delb AS (SELECT CAST(count(*) AS VARCHAR) || '-' ||
+             CAST(CAST(COALESCE(sum(CAST(('0x' ||
+                 substring(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT
+               AS HUGEINT)), 0) % $BatchFold AS BIGINT) AS VARCHAR)
+             AS bid
+           FROM ok WHERE k % 3 = 0)
+         SELECT 'vedge' AS index_name, CAST(1 AS BIGINT) AS version,
+           'bootstrap' AS batch_id, 'build' AS action
+         UNION ALL
+         SELECT 'vedge', CAST(1 AS BIGINT), (SELECT bid FROM oddb),
+           'append'
+         UNION ALL
+         SELECT 'vedge', CAST(2 AS BIGINT), (SELECT bid FROM delb),
+           'delete'
+         UNION ALL
+         SELECT 'vedge', CAST(3 AS BIGINT), 'merge-v3', 'merge'""") +
+    // x217: every action row is corpus-derived — repair sizes are the
+    // set differences between the even-id index and the %3 snapshot,
+    // audits close at zero, and the ANN leg reports its (unrepaired)
+    // odd-id gap in both cycles; cycle 2 is audit-only by
+    // construction. Rows are emitted conditionally so an SF where a
+    // repair set is empty stays correct.
+    ("x217_maintenance_cycle" ->
+      """WITH dev AS (SELECT DISTINCT lower(trim(text)) AS k
+           FROM documents WHERE doc_id % 2 = 0),
+         d3 AS (SELECT DISTINCT lower(trim(text)) AS k FROM documents
+           WHERE doc_id % 3 = 0),
+         a AS (SELECT count(*) AS n FROM dev
+           WHERE k NOT IN (SELECT k FROM d3)),
+         b AS (SELECT count(*) AS n FROM d3
+           WHERE k NOT IN (SELECT k FROM dev)),
+         m AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 2 = 1),
+         r AS (
+           SELECT 1 AS cycle, 'digest_idx' AS index_name,
+             'delete_stale' AS action,
+             'n=' || CAST((SELECT n FROM a) AS VARCHAR) AS detail
+           WHERE (SELECT n FROM a) > 0
+           UNION ALL
+           SELECT 1, 'digest_idx', 'append_missing',
+             'n=' || CAST((SELECT n FROM b) AS VARCHAR)
+           WHERE (SELECT n FROM b) > 0
+           UNION ALL
+           SELECT 1, 'digest_idx', 'audit', 'missing=0 stale=0'
+           UNION ALL
+           SELECT 1, 'ann_assign', 'audit',
+             'missing=' || CAST((SELECT n FROM m) AS VARCHAR)
+               || ' stale=0'
+           UNION ALL
+           SELECT 2, 'digest_idx', 'audit', 'missing=0 stale=0'
+           UNION ALL
+           SELECT 2, 'ann_assign', 'audit',
+             'missing=' || CAST((SELECT n FROM m) AS VARCHAR)
+               || ' stale=0')
+         SELECT CAST(cycle AS BIGINT) AS cycle, index_name, action,
+           detail FROM r""") +
+    // x218: the captured batch's id recomputes from the %5 order-key
+    // set under the batchIdFor law; cycle 1 applies it and audits
+    // fresh, cycle 2 (pruned feed) is audit-only.
+    ("x218_tombstone_capture" ->
+      s"""WITH ok AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
+           WHERE l_orderkey % 5 = 0),
+         del AS (SELECT count(*) AS n,
+             CAST(count(*) AS VARCHAR) || '-' ||
+             CAST(CAST(COALESCE(sum(CAST(('0x' ||
+                 substring(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT
+               AS HUGEINT)), 0) % $BatchFold AS BIGINT) AS VARCHAR)
+             AS bid
+           FROM ok),
+         r AS (
+           SELECT 1 AS cycle, 'edges' AS index_name,
+             'delete_batch' AS action,
+             'batch=' || (SELECT bid FROM del) AS detail
+           WHERE (SELECT n FROM del) > 0
+           UNION ALL
+           SELECT 1, 'edges', 'audit', 'missing=0 stale=0'
+           UNION ALL
+           SELECT 2, 'edges', 'audit', 'missing=0 stale=0')
+         SELECT CAST(cycle AS BIGINT) AS cycle, index_name, action,
+           detail FROM r""")
 
   private lazy val freshnessOracle: String =
       """WITH dall AS (SELECT DISTINCT lower(trim(text)) AS k

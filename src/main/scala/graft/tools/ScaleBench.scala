@@ -129,7 +129,10 @@ object ScaleBench {
                      digestTable: String = "",
                      mergedEdge: (String, Seq[(String, String, Seq[String])]) =
                        ("", Nil),
-                     deletedIdx: (String, String) = ("", "")
+                     deletedIdx: (String, String) = ("", ""),
+                     vedge: (String, String, String, String, String) =
+                       ("", "", "", "", ""),
+                     mcycDigest: String = ""
                     ): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     ("x8_ngram_jaccard", (s: SparkSession, dir: String) =>
       TextDedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
@@ -1376,6 +1379,44 @@ object ScaleBench {
           s.table(digestTable).select(col("digest"))),
         ("ann_assign", Tables(s, dir, "embeddings").select(col("vec_id")),
           s.table(annDedupTables._1).select(col("neighbor_id")))))
+    }),
+    // the versioned family's SERVING read at 10x: ledger resolve (a
+    // 3-row metadata read) + the post-delete snapshot's merged edge
+    // read — the publish-by-pointer protocol's steady-state cost.
+    // The mutation side (staging a full next version) is the untimed
+    // fixture build above; it is ∝ index size by design, never a
+    // corpus re-derivation.
+    ("x216_applied_batch_ledger", (s: SparkSession, dir: String) => {
+      val (led, ob, ed, tot, st) = vedge
+      graft.operators.Graph.readEdgeIndexVersioned(s, led, "vedge",
+        ob, ed, tot, st)._2
+    }),
+    // the STEADY-STATE maintenance cycle at 10x: tombstone-feed check
+    // + bucketed freshness audits + file listings, nothing repaired —
+    // the cost an always-on cycle pays every round (repair work, when
+    // present, is sized by the delta: x217's cycle-1 rows; x218's
+    // feed consumption composes this detect pass with x216's
+    // versioned delete + read)
+    ("x217_maintenance_cycle", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val idx = Seq(
+        graft.runner.MaintainedIndex("digest_idx",
+          tables = Seq(("digests", mcycDigest, Seq.empty)),
+          corpusKeys = ss => Tables(ss, dir, "documents")
+            .filter(pmod(col("doc_id"), lit(3)) === 0)
+            .select(sha2(lower(trim(col("text"))), 256).as("k")),
+          indexKeys = ss => ss.table(mcycDigest).select(col("digest")),
+          compactFilesFactor = Double.MaxValue),
+        graft.runner.MaintainedIndex("ann_assign",
+          tables = Seq(("assign", annDedupTables._1, Seq.empty)),
+          corpusKeys = ss => Tables(ss, dir, "embeddings")
+            .select(col("vec_id")),
+          indexKeys = ss => ss.table(annDedupTables._1)
+            .select(col("neighbor_id")),
+          compactFilesFactor = Double.MaxValue))
+      graft.runner.Maintenance.runCycle(s, idx)
+        .map(a => (a.index, a.action, a.detail))
+        .toDF("index_name", "action", "detail")
     }))
 
   def main(args: Array[String]): Unit = {
@@ -1651,6 +1692,46 @@ object ScaleBench {
     val ddel1 = buildDeletedIndexes(srcDir, 1, "1x")
     val ddel10 = buildDeletedIndexes(scaleDir, Copies, "10x")
 
+    // untimed: the x216 versioned edge family per fixture (bootstrap
+    // build on evens, guarded append of odds, staged %3 takedown —
+    // the registered exhibit's mutation history)
+    def buildVersionedEdge(dir: String, tag: String)
+        : (String, String, String, String, String) = {
+      val led = s"graft_idx.vedge_ledger_probe_$tag"
+      val bs = Seq("ob", "edges", "totals", "stats")
+        .map(n => s"graft_idx.vedge_${n}_probe_$tag")
+      (led +: bs.flatMap(b => b +: (1 to 3).map(v => s"${b}_v$v")))
+        .foreach(graft.sinks.Sinks.dropManaged(spark, _))
+      val li = Tables(spark, dir, "lineitem")
+      val p = Tables(spark, dir, "part")
+      graft.operators.Graph.writeEdgeIndexVersioned(
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 0), p, led,
+        "vedge", bs(0), bs(1), bs(2), bs(3), numBuckets = 8)
+      graft.operators.Graph.appendEdgeIndexVersioned(
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 1), p, led,
+        "vedge", bs(0), bs(1), bs(2), bs(3))
+      graft.operators.Graph.deleteFromEdgeIndexVersioned(
+        li.filter(pmod(col("l_orderkey"), lit(3)) === 0), p, led,
+        "vedge", bs(0), bs(1), bs(2), bs(3))
+      (led, bs(0), bs(1), bs(2), bs(3))
+    }
+    val vedge1 = buildVersionedEdge(srcDir, "1x")
+    val vedge10 = buildVersionedEdge(scaleDir, "10x")
+
+    // untimed: the x217 digest table per fixture, built CONVERGED on
+    // the %3 snapshot so the timed probe is the pure steady-state
+    // detect pass
+    def buildMcycDigest(dir: String, tag: String): String = {
+      val tb = s"graft_idx.mcyc_digests_probe_$tag"
+      graft.sinks.Sinks.dropManaged(spark, tb)
+      graft.operators.TextDedup.writeDigestIndex(
+        Tables(spark, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(3)) === 0), "text", tb)
+      tb
+    }
+    val mcyc1 = buildMcycDigest(srcDir, "1x")
+    val mcyc10 = buildMcycDigest(scaleDir, "10x")
+
     // dev knob (mirrors Bench): SPARK_GRAFT_SCALE_ONLY=x88_...,x104_...
     // restricts the probed set for re-measuring individual probes; the
     // partial BENCH_scale.json it writes is merged into the full table
@@ -1662,7 +1743,7 @@ object ScaleBench {
 
     // one untimed warmup of every probe at 1× (JIT + codegen)
     selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1, nov1, pq1,
-        ivfpq1, edge1, dig1, medge1, ddel1)).foreach { case (n, f) =>
+        ivfpq1, edge1, dig1, medge1, ddel1, vedge1, mcyc1)).foreach { case (n, f) =>
       try f(spark, srcDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[scale] warmup $n failed: ${e.getMessage}") }
@@ -1670,10 +1751,10 @@ object ScaleBench {
     }
 
     val results = selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1,
-        nov1, pq1, ivfpq1, edge1, dig1, medge1, ddel1))
+        nov1, pq1, ivfpq1, edge1, dig1, medge1, ddel1, vedge1, mcyc1))
       .zip(selected(probes(16 * Copies, Copies, thr10, lm10, ann10,
         ann2_10, bm25_10, nov10, pq10, ivfpq10, edge10, dig10, medge10,
-        ddel10))).map {
+        ddel10, vedge10, mcyc10))).map {
       case ((name, f1), (_, f10)) =>
         val (t1, r1) = run(srcDir, 16, name, f1)
         val (t10, r10) = run(scaleDir, 160, name, f10)

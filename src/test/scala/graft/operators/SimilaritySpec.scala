@@ -453,6 +453,30 @@ class SimilaritySpec extends SparkSpec {
     Seq(codesT, booksT).foreach(graft.sinks.Sinks.dropManaged(spark, _))
   }
 
+  test("ivfPqTopKWithBooks: frozen-book IVF-PQ serves ivfPqTopK's rows " +
+      "IDENTICALLY with the same knobs — x123's train-once guarantee " +
+      "(the composed-layout side of the WithBooks convention)") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val codesT = "graft_idx_test.wbi_codes"
+    val booksT = "graft_idx_test.wbi_books"
+    val centT = "graft_idx_test.wbi_cent"
+    Seq(codesT, booksT, centT)
+      .foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    val cents = pqVecs.filter("vec_id < 2")
+    Similarity.writeIvfPqIndex(pqVecs, cents, "vec_id", "embedding",
+      codesT, booksT, centT, m = 2, k = 2, rounds = 2)
+    val q = pqVecs.filter("vec_id = 0")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Similarity.ivfPqTopKWithBooks(spark, q, pqVecs, cents,
+        "vec_id", "embedding", booksT, topK = 5, nprobe = 2)) ===
+      rows(Similarity.ivfPqTopK(q, pqVecs, cents, "vec_id", "embedding",
+        topK = 5, nprobe = 2, m = 2, k = 2, rounds = 2)))
+    spark.catalog.clearCache()
+    Seq(codesT, booksT, centT)
+      .foreach(graft.sinks.Sinks.dropManaged(spark, _))
+  }
+
   test("ivfPqTopK (x123): nprobe=1 restricts candidates to the probed " +
       "bucket; ADC distances agree with pqTopK on shared candidates") {
     val cents = pqVecs.filter("vec_id < 2") // one centroid per group

@@ -30,4 +30,16 @@ class QueriesSmokeSpec extends SparkSpec {
   test("every oracleSql key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("x216-x218 are invocation-stable: reruns replay nothing — the " +
+      "ledger keeps one row per batch and the live maintenance cycle " +
+      "stays audit-only (what Bench's repeated passes rely on)") {
+    Seq("x216_applied_batch_ledger", "x217_maintenance_cycle",
+        "x218_tombstone_capture").foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val first = fn(spark, sfDir).collect().map(_.toSeq).toSet
+      val second = fn(spark, sfDir).collect().map(_.toSeq).toSet
+      assert(first === second, s"$n drifted across invocations")
+    }
+  }
 }
