@@ -254,28 +254,27 @@ object Warehouse {
     * rewrites to `targetFiles` files (default 1 — sidecars are
     * dictionary/1-row sized by construction).
     *
-    * The rebuild hops through a `_compact_tmp` snapshot table because
-    * a table cannot be overwritten from its own scan; both writes are
-    * one pass over the index (never the corpus). The snapshot is
-    * deliberately UNBUCKETED: a bucketed snapshot's scan would report
-    * the very hash partitioning the rebuild's repartition asks for,
-    * the planner would elide the exchange, and the write tasks —
-    * no longer bucket-exclusive — would fan back out to multiple
-    * files per bucket (observed: 3 files for 2 buckets), defeating
-    * the compaction. Run it when [[indexFileAudit]] says file counts
+    * The rebuild is ONE pass over the index (never the corpus): the
+    * live table's scan feeds the `_compact_new` build directly.
+    * [[graft.sinks.Sinks.writeBucketed]]'s bucketed-scan bracket makes
+    * the same-keys rewrite land one file per bucket even though the
+    * planner elides the redundant exchange (without it the
+    * auto-bucketed-scan rule splits the scan per FILE and the rewrite
+    * preserves the fragmentation it exists to fix — observed: 3 files
+    * for 2 buckets). Run it when [[indexFileAudit]] says file counts
     * warrant.
     *
     * CRASH SAFETY: the live table is never rebuilt in place. The
     * compacted copy lands in a `_compact_new` side table first; the
-    * swap is then DROP + ALTER TABLE RENAME — metadata-only, no data
-    * rewrite inside the window — and a process death between the two
-    * statements is RECOVERABLE: [[recoverIndex]] (run automatically
+    * swap is then RENAME live aside (`_compact_old`) + RENAME new into
+    * place + DROP the aside copy — each step metadata-only, every
+    * crash intermediate holding a complete copy — and a process death
+    * mid-swap is RECOVERABLE: [[recoverIndex]] (run automatically
     * at the start of every compaction and by the streaming ingest
-    * hooks before each append) detects the torn swap (live table
-    * missing, `_compact_new` present) and finishes the rename, so a
-    * replayed batch can never silently re-create the index from one
-    * batch's rows. Leftover `_compact_tmp`/`_compact_new` tables from
-    * a crash before the swap are dropped on the next run. Compaction
+    * hooks before each append) detects the torn swap and finishes it,
+    * so a replayed batch can never silently re-create the index from
+    * one batch's rows. Leftover `_compact_new`/`_compact_old` tables
+    * from a crash before the swap are dropped on the next run. Compaction
     * must NOT run concurrently with serving reads or appends of the
     * same table — the swap's DROP window would fail (or miss) a
     * concurrent reader; schedule it the way the streaming path does
@@ -288,24 +287,24 @@ object Warehouse {
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     // rebuild under the table's OWN provider (a non-parquet index
-    // table must not silently convert formats)
+    // table must not silently convert formats), reading the LIVE table
+    // directly — swapIn's build may scan it, and writeBucketed's
+    // bucketed-scan bracket guarantees the canonical one-file-per-
+    // bucket layout even on a same-keys rewrite (the former unbucketed
+    // _compact_tmp staging existed only to launder the scan's bucket
+    // partitioning claim; it doubled the compaction's write volume)
     val fmt = meta.provider.getOrElse("parquet")
-    val tmp = table + "_compact_tmp"
-    graft.sinks.Sinks.dropManaged(spark, tmp)
-    spark.table(table).write.mode("overwrite").format(fmt)
-      .saveAsTable(tmp)
     swapIn(spark, table) { newT =>
       meta.bucketSpec match {
         case Some(bs) =>
-          graft.sinks.Sinks.writeBucketed(spark.table(tmp), newT,
+          graft.sinks.Sinks.writeBucketed(spark.table(table), newT,
             bs.bucketColumnNames, bs.numBuckets, bs.sortColumnNames,
             format = fmt)
         case None =>
-          spark.table(tmp).repartition(targetFiles).write
+          spark.table(table).repartition(targetFiles).write
             .format(fmt).saveAsTable(newT)
       }
     }
-    graft.sinks.Sinks.dropManaged(spark, tmp)
   }
 
   /** Crash-safe REBUILD-AND-SWAP primitive shared by [[compactIndex]]

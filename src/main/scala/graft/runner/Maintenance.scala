@@ -56,6 +56,15 @@ final case class TombstoneFeed(
   * @param resolveTables versioned families' dynamic table resolution
   *   (current-snapshot names change on publish); `tables` is used when
   *   None.
+  * @param compactFamily VERSIONED families' layout compaction: called
+  *   ONCE per cycle when any table crosses `compactFilesFactor`,
+  *   INSTEAD of the per-table [[Warehouse.compactIndex]] swap — a
+  *   versioned family must compact by publishing the next snapshot
+  *   (e.g. [[graft.operators.Graph.mergeEdgeIndexVersioned]] /
+  *   [[Warehouse.compactIndexVersioned]]); the in-place swap would
+  *   mutate the CURRENT snapshot under in-flight readers, breaking
+  *   the publish-by-pointer guarantee everything else in the cycle
+  *   honors.
   */
 final case class MaintainedIndex(
     name: String,
@@ -69,7 +78,8 @@ final case class MaintainedIndex(
     merge: Option[SparkSession => Unit] = None,
     tombstones: Option[TombstoneFeed] = None,
     resolveTables: Option[SparkSession => Seq[(String, String, Seq[String])]] =
-      None) {
+      None,
+    compactFamily: Option[SparkSession => Unit] = None) {
   require(tables.nonEmpty, s"index $name needs at least one table")
   // runCycle resolves compaction targets BY label; a duplicate would
   // silently compact the wrong table (and make audit rows ambiguous) —
@@ -202,18 +212,30 @@ object Maintenance {
       // data).
       val tablesNow =
         idx.resolveTables.map(_(spark)).getOrElse(idx.tables)
-      Warehouse.indexFileAudit(spark,
+      val crossed = Warehouse.indexFileAudit(spark,
           tablesNow.map { case (label, table, _) => (label, table) })
-        .collect().foreach { r =>
-          val (label, buckets, files) =
-            (r.getString(0), r.getLong(1), r.getLong(2))
-          if (files > idx.compactFilesFactor * math.max(buckets, 1L)) {
+        .collect().filter { r =>
+          r.getLong(2) > idx.compactFilesFactor * math.max(r.getLong(1), 1L)
+        }
+      idx.compactFamily match {
+        case Some(f) if crossed.nonEmpty =>
+          // versioned families compact by PUBLISHING the next snapshot
+          // — one staged write for the whole family, never an in-place
+          // swap of the current version under in-flight readers
+          f(spark)
+          log += MaintenanceAction(idx.name, "compact",
+            crossed.map(r => s"${r.getString(0)} files=${r.getLong(2)} " +
+              s"buckets=${r.getLong(1)}").mkString("; "))
+        case _ =>
+          crossed.foreach { r =>
+            val (label, buckets, files) =
+              (r.getString(0), r.getLong(1), r.getLong(2))
             val table = tablesNow.find(_._1 == label).get._2
             Warehouse.compactIndex(spark, table)
             log += MaintenanceAction(idx.name, "compact",
               s"$label files=$files buckets=$buckets")
           }
-        }
+      }
       // closing audit row: the log alone shows the cycle ended fresh.
       // Recomputed ONLY when a repair changed the key sets (delete /
       // append); merge and compact preserve served rows bit-identically

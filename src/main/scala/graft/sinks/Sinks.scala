@@ -173,12 +173,31 @@ object Sinks {
     // a healthy file (hundreds of MB), which is exactly this layout.
     // append = incremental maintenance (each ingest adds one file per
     // bucket; Spark validates the bucket spec matches the table's).
-    val w = df.repartition(numBuckets, bucketCols.map(col): _*)
-      .write.mode(if (append) "append" else "overwrite")
-      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .format(format)
-      .saveAsTable(table)
+    // When `df` scans an ALREADY-BUCKETED table on the same keys (a
+    // compaction / delete / versioned-merge rewrite), Catalyst elides
+    // this repartition as redundant — and the auto-bucketed-scan rule
+    // may then split the scan one-partition-per-FILE (no downstream
+    // operator "exploits" the bucketing once the exchange is gone), so
+    // each task writes its own bucket file and the rewrite PRESERVES
+    // the fragmented layout it exists to fix. Forcing bucketed scans
+    // inside the write bracket keeps the elision sound: the scan then
+    // really is one partition per bucket, and the write lands one file
+    // per bucket with no shuffle at all — the cheapest correct plan.
+    // (Restore-on-exit; the flag only ever changes scan GROUPING,
+    // never results, so a concurrent reader seeing it is unaffected.)
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val w = df.repartition(numBuckets, bucketCols.map(col): _*)
+        .write.mode(if (append) "append" else "overwrite")
+        .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+       else w)
+        .format(format)
+        .saveAsTable(table)
+    } finally spark.conf.set(key, prev)
   }
 
   /** RANGE-CLUSTERED parquet landing — the data layout that makes

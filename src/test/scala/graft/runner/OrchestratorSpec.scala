@@ -324,4 +324,74 @@ class OrchestratorSpec extends SparkSpec {
       .filter(col("action") === "delete").count() === 1L)
     all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
   }
+
+  test("runCycle + compactFamily: a VERSIONED family compacts by " +
+      "publishing the next snapshot — one family-wide staged write, " +
+      "logged once, with the old snapshot untouched under an " +
+      "in-flight reader (the per-table in-place swap would race it)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Graph, Snapshots, Warehouse}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledger = "graft_idx_test.cf_ledger"
+    val bases = Seq("graft_idx_test.cf_ob", "graft_idx_test.cf_edges",
+      "graft_idx_test.cf_totals", "graft_idx_test.cf_stats")
+    val all = ledger +: bases.flatMap(b =>
+      b +: (1 to 3).map(v => s"${b}_v$v"))
+    all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L),
+      (12L, 2L), (12L, 3L), (13L, 1L), (13L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z"))
+      .toDF("p_partkey", "p_brand")
+    val Seq(obB, edB, toB, stB) = bases
+    // two ingests → >1 file per bucket on the additive tables
+    Graph.writeEdgeIndexVersioned(
+      li.filter(col("l_orderkey") % 2 === 0), part, ledger, "cf",
+      obB, edB, toB, stB, numBuckets = 2)
+    Graph.appendEdgeIndexVersioned(
+      li.filter(col("l_orderkey") % 2 === 1), part, ledger, "cf",
+      obB, edB, toB, stB)
+    // an in-flight reader pinned to v1 (resolution happens at build)
+    val (_, eOld, _, _) = Graph.readEdgeIndexVersioned(spark, ledger,
+      "cf", obB, edB, toB, stB)
+    val truth = eOld.collect().map(_.toSeq).toSet
+    val resolved = (s: org.apache.spark.sql.SparkSession) => {
+      val (ob, ed, tot, st) = Graph.resolveEdgeIndex(s, ledger, "cf",
+        obB, edB, toB, stB)
+      Seq(("ob", ob, Seq.empty[String]), ("edges", ed, Seq.empty[String]),
+        ("totals", tot, Seq.empty[String]),
+        ("stats", st, Seq.empty[String]))
+    }
+    val idx = MaintainedIndex("cf",
+      tables = Seq(("ob", obB, Seq.empty[String])),
+      resolveTables = Some(resolved),
+      corpusKeys = s => li.select(col("l_orderkey")).distinct(),
+      indexKeys = s => Graph.readEdgeIndexVersioned(s, ledger, "cf",
+        obB, edB, toB, stB)._1.select(col("order_key")).distinct(),
+      compactFamily = Some(s => {
+        Graph.mergeEdgeIndexVersioned(s, ledger, "cf",
+          obB, edB, toB, stB); ()
+      }))
+    val log = Maintenance.runCycle(spark, Seq(idx))
+    assert(log.count(_.action == "compact") === 1, log.mkString("; "))
+    assert(log.exists(a => a.action == "audit" &&
+      a.detail == "missing=0 stale=0"), log.mkString("; "))
+    // the publish landed: v2 current, canonical one-file-per-bucket
+    assert(Snapshots.currentVersion(spark, ledger, "cf") === 2L)
+    val (_, edT, _, _) = Graph.resolveEdgeIndex(spark, ledger, "cf",
+      obB, edB, toB, stB)
+    val fa = Warehouse.indexFileAudit(spark, Seq(("edges", edT)))
+      .collect().head
+    assert(fa.getLong(2) <= math.max(fa.getLong(1), 1L),
+      s"v2 edges not compacted: files=${fa.getLong(2)}")
+    // rows preserved bit-identically; the v1 reader still serves its
+    // COMPLETE old snapshot (nothing was dropped or swapped in place)
+    assert(Graph.readEdgeIndexVersioned(spark, ledger, "cf",
+      obB, edB, toB, stB)._2.collect().map(_.toSeq).toSet === truth)
+    assert(eOld.collect().map(_.toSeq).toSet === truth)
+    // steady state: one more cycle compacts nothing more
+    val log2 = Maintenance.runCycle(spark, Seq(idx))
+    assert(log2.forall(_.action == "audit"), log2.mkString("; "))
+    all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
+  }
 }
