@@ -325,9 +325,15 @@ object Graph {
                               ledgerTable: String, indexName: String,
                               obBase: String, edgesBase: String,
                               totalsBase: String, statsBase: String,
-                              numBuckets: Int = 8): Boolean = {
+                              numBuckets: Int = 8,
+                              batchId: Option[String] = None): Boolean = {
     val spark = lineitem.sparkSession
-    val bid = "bootstrap"
+    // Callers that may RE-REACH the bootstrap (a streaming replay of
+    // micro-batch 0 after a crash between its publish and the stream
+    // checkpoint commit) pass their own deterministic id so the replay
+    // short-circuits here instead of falling through to the append path
+    // and double-counting.
+    val bid = batchId.getOrElse("bootstrap")
     if (Snapshots.isApplied(spark, ledgerTable, indexName, bid)) false
     else {
       val next = Snapshots.currentVersion(spark, ledgerTable, indexName) + 1
@@ -492,14 +498,19 @@ object Graph {
     * version — deep merge AND layout compaction in one staged write,
     * with no drop/rename racing an in-flight reader. Guarded by a
     * per-version batch id so a crashed merge's rerun re-stages and a
-    * completed one's rerun is a no-op. */
+    * completed one's rerun is a no-op. Callers replayed from OUTSIDE
+    * the version counter (a streaming epoch re-delivered after its
+    * merge already bumped the version) pass their own deterministic
+    * `batchId` so the replay no-ops instead of staging a redundant —
+    * if bit-identical — extra snapshot. */
   def mergeEdgeIndexVersioned(spark: SparkSession, ledgerTable: String,
                               indexName: String, obBase: String,
                               edgesBase: String, totalsBase: String,
-                              statsBase: String): Boolean = {
+                              statsBase: String,
+                              batchId: Option[String] = None): Boolean = {
     val cur = Snapshots.currentVersion(spark, ledgerTable, indexName)
     val next = cur + 1
-    val bid = s"merge-v$next"
+    val bid = batchId.getOrElse(s"merge-v$next")
     if (Snapshots.isApplied(spark, ledgerTable, indexName, bid)) false
     else {
       val (obC, edC, totC, stC) = resolveEdgeIndex(spark, ledgerTable,

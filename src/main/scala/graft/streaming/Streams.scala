@@ -815,6 +815,76 @@ object Streams {
         } finally { b.unpersist(); () }
     }
 
+  /** [[edgeIndexIngest]] through the VERSIONED protocol
+    * ([[graft.operators.Snapshots]]) — the streaming twin of the batch
+    * layer's applied-batch ledger (x216), closing the replay caveat the
+    * unversioned ingest documents ("make `sink` idempotent by batch
+    * id"): here the LIBRARY enforces it. Each micro-batch appends its
+    * additive partials under the deterministic id `stream-<batchId>`
+    * (the checkpoint's epoch — stable across replays by construction),
+    * so the at-least-once window after a crash re-delivers the batch
+    * and [[graft.operators.Graph.appendEdgeIndexVersioned]] logs a
+    * no-op instead of double-counting. Batch 0 bootstraps the family
+    * ([[graft.operators.Graph.writeEdgeIndexVersioned]]) under the SAME
+    * id, so a replay straddling the bootstrap publish short-circuits on
+    * the ledger rather than falling through to the append path.
+    *
+    * `mergeEvery` is [[maybeCompact]]'s versioned analog: every
+    * that-many micro-batches the family deep-merges (one row per key,
+    * one file per bucket) by PUBLISHING the next snapshot
+    * ([[graft.operators.Graph.mergeEdgeIndexVersioned]]) — no in-place
+    * swap under in-flight readers — and versions older than
+    * current−1 are reclaimed ([[graft.operators.Snapshots.retire]]);
+    * the one-cadence lag IS the readers' grace period. Steady-state
+    * growth is therefore bounded: ≤ `mergeEvery` partial files per
+    * bucket between merges, ≤ 2 live snapshots. Serving reads resolve
+    * through [[graft.operators.Graph.readEdgeIndexVersioned]].
+    *
+    * Remaining window, stated honestly: the per-batch append lands its
+    * partial files BEFORE its ledger row (the appendEdgeIndexVersioned
+    * contract), so a crash BETWEEN them replays the partials once. The
+    * fully-staged form (every batch publishes a whole next version,
+    * [[graft.operators.Graph.deleteFromEdgeIndexVersioned]]'s shape)
+    * closes it at the cost of rewriting the index per batch — the
+    * right trade for takedowns, the wrong one for high-cadence
+    * appends; the merge cadence bounds the blast radius either way.
+    * Additivity preconditions (complete orders, disjoint keys across
+    * DISTINCT batches) are unchanged. */
+  def edgeIndexIngestVersioned(lineitems: DataFrame, part: DataFrame,
+                               ledgerTable: String, indexName: String,
+                               obBase: String, edgesBase: String,
+                               totalsBase: String, statsBase: String,
+                               numBuckets: Int = 8, mergeEvery: Int = 0)
+                              (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    lineitems.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.{Graph, Snapshots}
+        val spark = batch.sparkSession
+        val bases = Seq(obBase, edgesBase, totalsBase, statsBase)
+        val bid = Some(s"stream-$batchId")
+        val b = batch.toDF().cache()
+        try {
+          sink(b, batchId)
+          val bootstrapped =
+            Snapshots.currentVersion(spark, ledgerTable, indexName) > 0
+          if (!bootstrapped)
+            Graph.writeEdgeIndexVersioned(b, part, ledgerTable, indexName,
+              obBase, edgesBase, totalsBase, statsBase, numBuckets, bid)
+          else
+            Graph.appendEdgeIndexVersioned(b, part, ledgerTable, indexName,
+              obBase, edgesBase, totalsBase, statsBase, bid)
+          if (mergeEvery > 0 && (batchId + 1) % mergeEvery == 0) {
+            Graph.mergeEdgeIndexVersioned(spark, ledgerTable, indexName,
+              obBase, edgesBase, totalsBase, statsBase,
+              Some(s"merge-stream-$batchId"))
+            Snapshots.retire(spark, ledgerTable, indexName, bases)
+            ()
+          }
+        } finally { b.unpersist(); () }
+    }
+
   /** Streaming HYBRID SERVING (x135's continuous form) — the
     * QUERY-side complement of the ingest twins: where
     * [[indexedNeardupIngest]]/[[indexedAnnIngest]]/[[pqIndexIngest]]

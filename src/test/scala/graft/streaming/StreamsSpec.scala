@@ -982,6 +982,92 @@ class StreamsSpec extends SparkSpec {
       eB.collect().map(_.toSeq).toSet)
   }
 
+  test("edgeIndexIngestVersioned: micro-batches publish through the " +
+      "ledger — bootstrap + append + merge cadence, versioned serve == " +
+      "batch rebuild, replays of every mutation are logged no-ops") {
+    import graft.operators.{Graph, Snapshots, Warehouse}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledger = "graft_idx_test.vs_eg_ledger"
+    val bases = Seq("graft_idx_test.vs_eg_ob", "graft_idx_test.vs_eg_edges",
+      "graft_idx_test.vs_eg_totals", "graft_idx_test.vs_eg_stats")
+    val bt = bases.map(_ + "_ref")
+    (ledger +: (bases ++ bt)).foreach(dropIdxTable)
+    (1L to 3L).foreach(v => bases.foreach(b => dropIdxTable(s"${b}_v$v")))
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z"))
+      .toDF("p_partkey", "p_brand")
+    val batch1 = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L))
+    val batch2 = Seq((12L, 1L), (12L, 2L), (13L, 2L), (13L, 3L), (14L, 1L))
+    val dir = Files.createTempDirectory("egvs-in").toString
+    val ckpt = Files.createTempDirectory("egvs-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = Streams.edgeIndexIngestVersioned(stream, part, ledger,
+          "eg", bases(0), bases(1), bases(2), bases(3), numBuckets = 2,
+          mergeEvery = 1) { (_, _) => () }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    batch1.toDF("l_orderkey", "l_partkey").write.mode("overwrite")
+      .parquet(dir)
+    run() // batch 0: bootstrap v1 (bid stream-0), merge -> v2
+    batch2.toDF("l_orderkey", "l_partkey").write.mode("append")
+      .parquet(dir)
+    run() // batch 1: append into v2 (bid stream-1), merge -> v3, retire v1
+
+    assert(Snapshots.currentVersion(spark, ledger, "eg") === 3L)
+    val actions = spark.table(ledger)
+      .orderBy("version", "batch_id")
+      .collect().map(r => (r.getAs[Long]("version"),
+        r.getAs[String]("batch_id"), r.getAs[String]("action"))).toSeq
+    assert(actions === Seq(
+      (1L, "stream-0", "build"), (2L, "merge-stream-0", "merge"),
+      (2L, "stream-1", "append"), (3L, "merge-stream-1", "merge")))
+    // v1 retired past the grace window; v2 (the grace copy) + v3 live
+    assert(!spark.catalog.tableExists(s"${bases(1)}_v1"))
+    assert(spark.catalog.tableExists(s"${bases(1)}_v2"))
+    assert(spark.catalog.tableExists(s"${bases(1)}_v3"))
+
+    // versioned serve == one-shot batch rebuild over the union
+    Graph.writeEdgeIndex((batch1 ++ batch2).toDF("l_orderkey", "l_partkey"),
+      part, bt(0), bt(1), bt(2), bt(3), numBuckets = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val (obS, eS, tS, sS) = Graph.readEdgeIndexVersioned(spark, ledger,
+      "eg", bases(0), bases(1), bases(2), bases(3))
+    val (obB, eB, tB, sB) = Graph.readEdgeIndex(spark, bt(0), bt(1),
+      bt(2), bt(3))
+    assert(rows(obS) == rows(obB))
+    assert(rows(eS) == rows(eB))
+    assert(rows(tS) == rows(tB))
+    assert(rows(sS) == rows(sB))
+    // the merge cadence holds the CURRENT version at canonical layout
+    val audit = Warehouse.indexFileAudit(spark,
+        Seq("edges" -> s"${bases(1)}_v3", "totals" -> s"${bases(2)}_v3"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(audit("edges") === 2L && audit("totals") === 1L)
+
+    // REPLAYS of each guarded mutation — the at-least-once window — are
+    // logged no-ops: same deterministic ids, false returns, serve
+    // unchanged, no new ledger rows.
+    val before = spark.table(ledger).count()
+    assert(!Graph.writeEdgeIndexVersioned(
+      batch1.toDF("l_orderkey", "l_partkey"), part, ledger, "eg",
+      bases(0), bases(1), bases(2), bases(3), 2, Some("stream-0")))
+    assert(!Graph.appendEdgeIndexVersioned(
+      batch2.toDF("l_orderkey", "l_partkey"), part, ledger, "eg",
+      bases(0), bases(1), bases(2), bases(3), Some("stream-1")))
+    assert(!Graph.mergeEdgeIndexVersioned(spark, ledger, "eg",
+      bases(0), bases(1), bases(2), bases(3), Some("merge-stream-1")))
+    assert(spark.table(ledger).count() === before)
+    val (_, eS2, _, _) = Graph.readEdgeIndexVersioned(spark, ledger,
+      "eg", bases(0), bases(1), bases(2), bases(3))
+    assert(rows(eS2) == rows(eB))
+  }
+
   test("quarantineJson routes records inside a streaming plan (x76 twin)") {
     import graft.operators.Project
     val dir = Files.createTempDirectory("quar-in").toString
