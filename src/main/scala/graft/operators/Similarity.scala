@@ -140,6 +140,63 @@ object Similarity {
     corpus.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** SEMANTIC DEDUPLICATION — the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540) as one composed operator: k-means clusters the
+    * embedding space ([[kmeansCentroids]] — deterministic seeded Lloyd
+    * rounds), then duplicates are decided ONLY within a cluster —
+    * pairwise cosine is confined to same-cluster blocks, which is the
+    * trick that makes semantic dedup tractable at corpus scale (the
+    * all-pairs stage never exists; per-block work is |cluster|², and k
+    * grows with the corpus to bound block sizes).
+    *
+    * Returns one row per input vector:
+    * `(vec_id, cluster_id, status, dup_of, similarity)` — `status` is
+    * `dropped` when some SMALLER-id same-cluster vector sits at or
+    * above `threshold` (the paper keeps one representative per
+    * ε-neighborhood; min-id is this repo's deterministic stand-in for
+    * its random choice), `dup_of`/`similarity` name the strongest such
+    * witness (highest cosine, then smallest id — similarity rounded at
+    * 1e-6 BEFORE the ranking so the oracle's window agrees bit-for-bit),
+    * `kept` rows carry nulls. Pair cosine is computed on the RAW float
+    * vectors with pre-computed norms ([[ivfCosinePairs]]'s law);
+    * assignment runs the nearest-centroid kernel against the trained
+    * grid-scale centroids (cosine is scale-invariant — the
+    * [[kmeansCentroids]] scaladoc note).
+    *
+    * 100 TB shape: centroid training collects k×dim stats only; the
+    * self-join shuffles on `cluster_id` (both sides already hashed the
+    * same way), and the witness window partitions by vector id — no
+    * global sort, no corpus-sized collect. */
+  def semDedup(corpus: DataFrame, init: DataFrame, idCol: String,
+               vecCol: String, rounds: Int, threshold: Double): DataFrame = {
+    val cents = kmeansCentroids(corpus, init, idCol, vecCol, rounds)
+    val (ids, vecs) = collectCentroids(cents, "centroid_id", "centv")
+    val assigned = Par.spread(corpus.select(
+        col(idCol).cast("long").as("vid"), col(vecCol).as("v"),
+        Vectors.norm(col(vecCol)).as("nv")))
+      .withColumn("cluster_id",
+        VectorExpressions.nearestCentroid(col("v"), ids, vecs))
+    val a = assigned.alias("a"); val b = assigned.alias("b")
+    val hits = a.join(b, col("a.cluster_id") === col("b.cluster_id") &&
+        col("a.vid") < col("b.vid"))
+      .withColumn("similarity", graft.functions.Num.fpRound(
+        Vectors.cosinePrenormed(col("a.v"), col("b.v"),
+          col("a.nv"), col("b.nv")), 6))
+      .filter(col("similarity") >= threshold)
+      .select(col("b.vid").as("vid"), col("a.vid").as("dup_of"),
+        col("similarity"))
+    val best = hits.withColumn("rn", row_number().over(Window
+        .partitionBy(col("vid"))
+        .orderBy(col("similarity").desc, col("dup_of"))))
+      .filter(col("rn") === 1).drop("rn")
+    assigned.select(col("vid"), col("cluster_id"))
+      .join(best, Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cluster_id"),
+        when(col("dup_of").isNull, lit("kept")).otherwise(lit("dropped"))
+          .as("status"),
+        col("dup_of"), col("similarity"))
+  }
+
   /** IVF-ish approximate top-k: assign corpus vectors to their nearest
     * centroid, probe the `nprobe` centroids nearest each query, brute-force
     * only inside the probed buckets. Centroids are passed in as a (small)
@@ -1510,6 +1567,60 @@ object Similarity {
           (col("n_hits").cast("double") / col("n_exact").cast("double"))
             .as("recall"))
     }.reduce(_.union(_))
+  }
+
+  /** NPROBE SWEEP (x221) — the recall/cost TUNING CURVE for a
+    * persisted IVF index, one row per probed width: recall@k against
+    * the exact top-k ([[recallReport]]'s micro-averaged law) next to
+    * `n_candidates`, the number of (query, neighbor) pairs the probe
+    * actually scored — the serving-cost axis. x128 answers "is THIS
+    * nprobe acceptable"; the sweep is the artifact an operator reads
+    * to PICK it: where the recall column saturates while the
+    * candidate column keeps growing linearly in nprobe, stop.
+    *
+    * Scale shape: the exact leg is one [[bruteForceTopK]] (broadcast
+    * query set, corpus scanned once — the audit's unavoidable ground
+    * truth); each probed leg re-runs the bucket-pruned index scan at
+    * its own width (index buckets only, never the corpus) and
+    * aggregates to ONE row, so the whole sweep costs |nprobes| index
+    * probes + one exact pass regardless of corpus size. */
+  def nprobeSweep(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nprobes: Seq[Int],
+                  assignTable: String, centTable: String): DataFrame = {
+    require(nprobes.nonEmpty, "nprobeSweep needs at least one nprobe")
+    require(nprobes.forall(_ > 0), "nprobe values must be > 0")
+    require(k > 0, s"k must be > 0, got $k")
+    val spark = queries.sparkSession
+    val exact = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    nprobes.map { np =>
+      ivfScoredIndexed(queries, idCol, vecCol, np, assignTable,
+          centTable) match {
+        case None =>
+          spark.range(0).select(lit(np).as("nprobe"), lit(k).as("k"),
+            lit(0L).as("n_queries"), lit(0L).as("n_exact"),
+            lit(0L).as("n_hits"), lit(null).cast("double").as("recall"),
+            lit(0L).as("n_candidates"))
+        case Some(scored) =>
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("similarity").desc, col("neighbor_id"))
+          val approx = scored.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= k)
+            .select(col("query_id"), col("neighbor_id"),
+              lit(1).as("_hit"))
+          val cand = scored.agg(count(lit(1)).as("n_candidates"))
+          exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+            .agg(countDistinct(col("query_id")).as("n_queries"),
+              count(lit(1)).as("n_exact"),
+              sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_hits"))
+            .crossJoin(broadcast(cand))
+            .select(lit(np).as("nprobe"), lit(k).as("k"),
+              col("n_queries"), col("n_exact"), col("n_hits"),
+              (col("n_hits").cast("double") / col("n_exact").cast("double"))
+                .as("recall"),
+              col("n_candidates"))
+      }
+    }.reduce(_.unionByName(_))
   }
 
   /** MAXIMAL-MARGINAL-RELEVANCE re-rank (x145) — true MMR (Carbonell &

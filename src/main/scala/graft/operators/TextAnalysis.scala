@@ -1796,4 +1796,70 @@ object TextAnalysis {
         Num.fpRound(sum(col("_add")).cast("double") / sum(col("m")), 4)
           .as("avg_logprob"))
   }
+
+  /** DATA SELECTION VIA IMPORTANCE RESAMPLING — the DSIR recipe (Xie
+    * et al. 2023, arXiv:2302.03169) on hashed bigram features: every
+    * document is scored by how much more likely its n-grams are under
+    * a TARGET distribution (the `isTarget` slice — e.g. the
+    * high-quality or in-domain subset) than under the raw corpus, and
+    * the top-`topN` are selected. The paper's feature space is kept
+    * exactly — word bigrams hashed into `numBuckets` buckets (this
+    * repo's md5-fold law, so a SQL oracle recomputes the buckets
+    * bit-for-bit) with add-one smoothing on both distributions; the
+    * importance weight of bucket b is
+    * `ln( (p_b+1)(Q+B) / ((q_b+1)(P+B)) )` (p/q = target/raw
+    * occurrence counts, P/Q their totals), pre-rounded at 1e-4 per
+    * bucket (the x25/x86 transcendental-rounding law) so document
+    * scores are exact integer sums of bucket weights. Documents with
+    * no bigrams score 0 (vacuously neutral), ranked by (score DESC,
+    * id) — fully deterministic.
+    *
+    * 100 TB shape: two gram-occurrence passes (one aggregation each,
+    * keyed by the B-bounded bucket id), a B-row weight table joined
+    * back broadcast-sized, and a TakeOrdered top-N — no global sort
+    * materializes the corpus, no driver-side loop; the only collects
+    * are the 1-row totals. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, numBuckets: Int = 256,
+                 topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numBuckets > 0, s"numBuckets must be > 0, got $numBuckets")
+    require(topN > 0, s"topN must be > 0, got $topN")
+    val bD = lit(numBuckets.toDouble)
+    val spread = Par.spread(docs)
+    val grams = spread.select(col(idCol).cast("long").as("doc_id"),
+        isTarget.as("tgt"),
+        explode(Text.shingles(col(textCol), 2)).as("g"))
+      .select(col("doc_id"), col("tgt"),
+        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
+          lit(numBuckets.toLong)).as("b"))
+    // ONE pass learns both distributions (raw + target counts per
+    // bucket in the same aggregation) — DSIR's two-pass reality: one
+    // gram pass to fit the weights, one to score the documents
+    val qp = grams.groupBy(col("b")).agg(count(lit(1)).as("q_n"),
+      coalesce(sum(when(col("tgt"), lit(1L))), lit(0L)).as("p_n"))
+    val tot = qp.agg(sum(col("q_n")).as("qt"), sum(col("p_n")).as("pt"))
+    // per-bucket weight in 1e-4 units: smoothed log likelihood ratio,
+    // rounded BEFORE the per-document sum so the sum is integer-exact
+    val bw = qp.crossJoin(broadcast(tot))
+      .select(col("b"), floor(log(
+          ((col("p_n") + lit(1.0)) * (col("qt") + bD))
+          / ((col("q_n") + lit(1.0)) * (col("pt") + bD)))
+        * lit(10000) + lit(0.5)).cast("long").as("w"))
+    val ds = grams.join(broadcast(bw), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("si"))
+    val alld = spread.select(col(idCol).cast("long").as("doc_id"))
+      .join(ds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("si"), lit(0L)).as("si"))
+    // TakeOrdered to the N survivors, then rank the tiny frame
+    alld.orderBy(col("si").desc, col("doc_id")).limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("si").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("si").cast("double") / lit(10000.0)).as("score"),
+        col("rank"))
+  }
 }

@@ -2273,6 +2273,40 @@ object ExtensionQueries {
         .unionByName(live.withColumn("cycle", lit(2L)))
         .select(col("cycle"), col("index_name"), col("action"),
           col("detail"))
+    }),
+
+    // x219 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means
+    // trained on the embeddings (x90's seeded Lloyd law — 8 seeds, 3
+    // rounds), then the dedup decision is pairwise cosine confined to
+    // SAME-CLUSTER blocks: the paper's trick for making semantic
+    // dedup tractable where x9's brute pairs and x22's fixed-centroid
+    // blocks don't learn the partition. One row per vector —
+    // kept/dropped with the strongest smaller-id witness.
+    "x219_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semDedup(e, e.filter(col("vec_id") < 8), "vec_id",
+        "embedding", rounds = 3, threshold = 0.35)
+    }),
+
+    // x220 — DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    // hashed-bigram importance weights rank every document by how
+    // target-like (here: English-slice-like) its n-grams are; the
+    // top-100 are the selected pretraining subset. Bucket hashing is
+    // the md5-fold law, weights pre-rounded at 1e-4 so scores are
+    // integer sums — the oracle recomputes everything bit-for-bit.
+    "x220_dsir_select" -> ((s, dir) =>
+      TextAnalysis.dsirSelect(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", numBuckets = 256, topN = 100)),
+
+    // x221 — the nprobe recall/cost SWEEP over x91's persisted IVF
+    // index: recall@3 vs exact next to the scored-candidate count at
+    // nprobe = 1..4 — the curve the probe width is tuned against
+    // (x128 audits one point; this is the picking artifact).
+    "x221_nprobe_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (assignT, centT) = annIndexFor(s, dir)
+      Similarity.nprobeSweep(e.filter(col("vec_id") < 10), e, "vec_id",
+        "embedding", k = 3, nprobes = Seq(1, 2, 3, 4), assignT, centT)
     })
   )
 
@@ -4914,7 +4948,126 @@ object ExtensionQueries {
            UNION ALL
            SELECT 2, 'edges', 'audit', 'missing=0 stale=0')
          SELECT CAST(cycle AS BIGINT) AS cycle, index_name, action,
-           detail FROM r""")
+           detail FROM r""") +
+    // x219: the x90/x94 CTE chain trains the centroids; assignment is
+    // argmax cosine against cent3 (raw vectors vs grid-scale
+    // centroids — cosine is scale-invariant); the dedup witness is
+    // the same-cluster pair window at 1e-6-rounded cosine.
+    ("x219_semdedup" ->
+      s"""WITH ${kmeansCtes(8, 3)},
+         corp AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+         assignedx AS (SELECT vid, v, cid FROM (
+           SELECT vid, v, c.cid, row_number() OVER (PARTITION BY vid
+             ORDER BY ${kmeansCos("v", "c.cv")} DESC, c.cid) AS arn
+           FROM corp, cent3 c) WHERE arn = 1),
+         hits AS (SELECT b.vid AS vid, a.vid AS dup_of,
+             floor(${duckCos("a.v", "b.v")} * 1000000 + 0.5)
+               / 1000000.0 AS sim
+           FROM assignedx a JOIN assignedx b
+             ON a.cid = b.cid AND a.vid < b.vid),
+         best AS (SELECT vid, dup_of, sim FROM (
+           SELECT vid, dup_of, sim, row_number() OVER (PARTITION BY vid
+             ORDER BY sim DESC, dup_of) AS rn
+           FROM hits WHERE sim >= 0.35) WHERE rn = 1)
+         SELECT s.vid AS vec_id, s.cid AS cluster_id,
+           CASE WHEN h.vid IS NULL THEN 'kept' ELSE 'dropped' END
+             AS status,
+           h.dup_of AS dup_of, h.sim AS similarity
+         FROM assignedx s LEFT JOIN best h ON s.vid = h.vid""") +
+    // x220: bigram buckets via the md5 fold, add-one-smoothed
+    // log-likelihood-ratio weights rounded at 1e-4 per bucket, doc
+    // scores as integer sums, top-100 by (score, id).
+    ("x220_dsir_select" ->
+      """WITH toks AS (SELECT doc_id, (lang = 'en') AS tgt,
+           string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         gr AS (SELECT doc_id, tgt, array_to_string(t[i:i+1], ' ') AS g
+           FROM toks, unnest(generate_series(1, len(t) - 1)) AS x(i)
+           WHERE len(t) >= 2),
+         gb AS (SELECT doc_id, tgt,
+             ('0x' || substring(md5(g), 1, 15))::BIGINT % 256 AS b
+           FROM gr),
+         q AS (SELECT b, count(*) AS q_n FROM gb GROUP BY 1),
+         p AS (SELECT b, count(*) AS p_n FROM gb WHERE tgt GROUP BY 1),
+         tot AS (SELECT (SELECT sum(q_n) FROM q) AS qt,
+             (SELECT COALESCE(sum(p_n), 0) FROM p) AS pt),
+         bw AS (SELECT q.b,
+             CAST(floor(ln(
+                 ((COALESCE(p_n, 0) + 1.0) * (qt + 256.0))
+                 / ((q_n + 1.0) * (pt + 256.0))) * 10000 + 0.5)
+               AS BIGINT) AS w
+           FROM q LEFT JOIN p ON q.b = p.b, tot),
+         ds AS (SELECT gb.doc_id, count(*) AS n_grams, sum(w) AS si
+           FROM gb JOIN bw ON gb.b = bw.b GROUP BY 1),
+         alld AS (SELECT d.doc_id,
+             CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(COALESCE(si, 0) AS BIGINT) AS si
+           FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id)
+         SELECT doc_id, n_grams, CAST(si AS DOUBLE) / 10000.0 AS score,
+           CAST(row_number() OVER w AS BIGINT) AS rank
+         FROM alld
+         WINDOW w AS (ORDER BY si DESC, doc_id)
+         QUALIFY row_number() OVER w <= 100""") +
+    ("x221_nprobe_sweep" -> nprobeSweepOracle(nQueries = 10,
+      numCentroids = 16, k = 3, nprobes = Seq(1, 2, 3, 4)))
+
+  /** x221's oracle: x10's IVF formulation (fixed codebook = the
+    * `numCentroids` smallest vec_ids, assignment/probing by argmax
+    * cosine with id tie-break) evaluated at EVERY swept width — one
+    * recall@k row per nprobe, with the scored-candidate count
+    * (self-pairs excluded, matching the engine's pruned scan). */
+  private def nprobeSweepOracle(nQueries: Int, numCentroids: Int,
+                                k: Int, nprobes: Seq[Int]): String = {
+    val rows = nprobes.map { np =>
+      s"""SELECT CAST($np AS INTEGER) AS nprobe, CAST($k AS INTEGER) AS k,
+           (SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM exact)
+             AS n_queries,
+           (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(count(a.neighbor_id) AS BIGINT) FROM exact e
+              LEFT JOIN approx$np a ON e.query_id = a.query_id
+                AND e.neighbor_id = a.neighbor_id) AS n_hits,
+           (SELECT CAST(count(a.neighbor_id) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) FROM exact e
+              LEFT JOIN approx$np a ON e.query_id = a.query_id
+                AND e.neighbor_id = a.neighbor_id) AS recall,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand$np)
+             AS n_candidates"""
+    }.mkString("\nUNION ALL\n")
+    val legs = nprobes.map { np =>
+      s"""cand$np AS (SELECT query_id, neighbor_id,
+             ${duckCos("qv", "cv")} AS sim
+           FROM assigned JOIN (SELECT query_id, qv, centroid_id
+             FROM pr WHERE prn <= $np) p$np USING (centroid_id)
+           WHERE query_id <> neighbor_id),
+         approx$np AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+           FROM cand$np) WHERE rn <= $k)"""
+    }.mkString(",\n")
+    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+         FROM embeddings WHERE vec_id < $numCentroids),
+       corp AS (SELECT vec_id AS neighbor_id, embedding AS cv
+         FROM embeddings),
+       assigned AS (SELECT neighbor_id, cv, centroid_id FROM (
+         SELECT neighbor_id, cv, centroid_id, row_number() OVER
+           (PARTITION BY neighbor_id
+            ORDER BY ${duckCos("cv", "centv")} DESC, centroid_id) AS arn
+         FROM corp, cent) WHERE arn = 1),
+       q AS (SELECT vec_id AS query_id, embedding AS qv
+         FROM embeddings WHERE vec_id < $nQueries),
+       pr AS (SELECT query_id, qv, centroid_id, row_number() OVER
+           (PARTITION BY query_id
+            ORDER BY ${duckCos("qv", "centv")} DESC, centroid_id) AS prn
+         FROM q, cent),
+       exact AS (SELECT query_id, neighbor_id FROM (
+         SELECT q.query_id, c.neighbor_id, row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY ${duckCos("qv", "cv")} DESC, c.neighbor_id) AS ern
+         FROM q JOIN corp c ON q.query_id <> c.neighbor_id)
+         WHERE ern <= $k),
+       $legs
+       $rows"""
+  }
 
   private lazy val freshnessOracle: String =
       """WITH dall AS (SELECT DISTINCT lower(trim(text)) AS k

@@ -1417,6 +1417,29 @@ object ScaleBench {
       graft.runner.Maintenance.runCycle(s, idx)
         .map(a => (a.index, a.action, a.detail))
         .toDF("index_name", "action", "detail")
+    }),
+    // SemDeDup at 10x under the family's scale law: k ∝ n (nCent
+    // seeds), so per-cluster pair blocks stay constant-sized and the
+    // quadratic stage scales linearly with the corpus.
+    ("x219_semdedup", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.semDedup(e, e.filter(col("vec_id") < nCent), "vec_id",
+        "embedding", rounds = 3, threshold = 0.35)
+    }),
+    // DSIR at 10x: two bucket-keyed gram aggregations + a broadcast
+    // weight join + TakeOrdered — the B-row weight table is
+    // scale-invariant.
+    ("x220_dsir_select", (s: SparkSession, dir: String) =>
+      TextAnalysis.dsirSelect(Tables(s, dir, "documents"), "doc_id",
+        "text", col("lang") === "en", numBuckets = 256, topN = 100)),
+    // the recall/cost sweep at 10x: the exact leg is the corpus-linear
+    // term; each probed leg stays index-bucket-bounded (k ∝ n keeps
+    // bucket sizes constant).
+    ("x221_nprobe_sweep", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.nprobeSweep(e.filter(col("vec_id") < 10), e, "vec_id",
+        "embedding", k = 3, nprobes = Seq(1, 2, 3, 4),
+        annTables._1, annTables._2)
     }))
 
   def main(args: Array[String]): Unit = {

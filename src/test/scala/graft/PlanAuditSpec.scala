@@ -1667,4 +1667,41 @@ class PlanAuditSpec extends SparkSpec {
       s"dirty-bucket restriction missing from the key diff:\n$p")
     assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
   }
+
+  test("x219 semdedup: the pair stage is an EQUALITY join on the " +
+      "learned cluster id — no cartesian anywhere; assignment is the " +
+      "codegen nearest-centroid kernel, not a k-way window") {
+    val p = plan("x219_semdedup")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+    assert(p.contains("cluster_id"), s"cluster-confined join missing:\n$p")
+    assert(p.toLowerCase.contains("nearestcentroidexpr"),
+      s"kernel assignment missing from the plan:\n$p")
+    // the dedup decision never materializes a global sort
+    assert(!p.contains("Sort [similarity"), s"global sort crept in:\n$p")
+  }
+
+  test("x220 dsir: selection is TakeOrdered (no corpus-wide sort " +
+      "materializes); the B-row weight table broadcasts; totals ride " +
+      "broadcast-scalar crossJoins, never a cartesian") {
+    val p = plan("x220_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N not TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"bucket-weight/totals broadcast missing:\n$p")
+  }
+
+  test("x221 nprobe sweep: every probed leg reads the PERSISTED " +
+      "assignment table (bucket-pruned index scans, no corpus " +
+      "recompute beyond the one exact leg), no cartesian") {
+    val p = plan("x221_nprobe_sweep")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+    // four probed legs -> four index-table scans
+    assert("ann_assign_".r.findAllIn(p).size >= 4,
+      s"probed legs not served from the persisted index:\n$p")
+    // the probed-centroid pushdown reaches each index scan
+    assert(p.contains("In(centroid_id") || p.contains("centroid_id IN"),
+      s"probe pruning missing from the index scan:\n$p")
+  }
 }

@@ -987,4 +987,51 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size === cachedBefore,
       "bracket leaked a cached RDD on a throwing body")
   }
+
+  test("semDedup (x219): drops exactly the vectors with a smaller-id " +
+      "same-cluster witness at/above threshold; witness is the " +
+      "strongest; clusters confine the decision; deterministic") {
+    // two tight bundles around +x and +y, plus an outlier near -x:
+    // within-bundle cosines ~1, cross-bundle ~0 — the cluster split
+    // separates the bundles, and dedup fires only inside each.
+    val sd = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f)),   // dup of 0
+      (2L, Array(0.98f, -0.02f, 0.0f)),  // dup of 0 (and of 1)
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.01f, 0.99f, 0.0f)),   // dup of 3
+      (5L, Array(-1.0f, 0.2f, 0.0f))     // alone in its neighborhood
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(sd, sd.filter("vec_id IN (0, 3)"),
+      "vec_id", "embedding", rounds = 2, threshold = 0.9)
+      .orderBy("vec_id").collect()
+    assert(out.length === 6)
+    val status = out.map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[String]("status")).toMap
+    assert(status(0L) === "kept" && status(3L) === "kept")
+    assert(status(1L) === "dropped" && status(2L) === "dropped" &&
+      status(4L) === "dropped")
+    assert(status(5L) === "kept") // no neighbor at 0.9 in its cluster
+    // witnesses: smaller id, same cluster, similarity >= threshold
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val clusters = out.map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Long]("cluster_id")).toMap
+    out.filter(_.getAs[String]("status") == "dropped").foreach { r =>
+      val id = r.getAs[Long]("vec_id"); val w = r.getAs[Long]("dup_of")
+      assert(w < id)
+      assert(clusters(w) === clusters(id))
+      assert(r.getAs[Double]("similarity") >= 0.9)
+    }
+    assert(byId(1L).getAs[Long]("dup_of") === 0L)
+    assert(byId(4L).getAs[Long]("dup_of") === 3L)
+    // kept rows carry nulls
+    assert(out.filter(_.getAs[String]("status") == "kept")
+      .forall(r => r.isNullAt(r.fieldIndex("dup_of")) &&
+        r.isNullAt(r.fieldIndex("similarity"))))
+    // deterministic end to end
+    val again = Similarity.semDedup(sd, sd.filter("vec_id IN (0, 3)"),
+      "vec_id", "embedding", rounds = 2, threshold = 0.9)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }

@@ -1046,4 +1046,62 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy(org.apache.spark.sql.functions.col("rank")).collect().map(_.getLong(0)).toSeq
     assert(again === expect)
   }
+  test("dsirSelect (x220): target-like documents outrank off-target " +
+      "ones, no-bigram docs score 0, ranks dense, deterministic") {
+    import org.apache.spark.sql.functions.col
+    // target slice = lang 'en'; docs 1/2 share the target's bigrams,
+    // docs 3/4 are pure off-target vocabulary, doc 5 has one token
+    // (no bigrams) and doc 6 is empty.
+    val d = Seq(
+      (1L, "alpha beta gamma alpha beta", "en"),
+      (2L, "alpha beta gamma delta", "xx"),
+      (3L, "omega psi chi omega psi", "xx"),
+      (4L, "psi chi omega chi", "xx"),
+      (5L, "solo", "xx"),
+      (6L, "", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.dsirSelect(d, "doc_id", "text",
+      col("lang") === "en", numBuckets = 64, topN = 6)
+      .orderBy("rank").collect()
+    assert(out.length === 6)
+    assert(out.map(_.getAs[Long]("rank")).toSeq === (1L to 6L))
+    val score = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("score")).toMap
+    val nGrams = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("n_grams")).toMap
+    // docs built from the target's bigrams outrank off-target docs
+    // (at these tiny counts add-one smoothing pulls ALL weights
+    // negative, so the no-bigram docs' neutral 0 tops the list —
+    // ordering is what the operator promises, not sign)
+    assert(score(1L) > score(2L) && score(2L) > score(4L) &&
+      score(4L) > score(3L))
+    // no bigrams -> neutral 0 and zero gram count
+    assert(score(5L) === 0.0 && nGrams(5L) === 0L)
+    assert(score(6L) === 0.0 && nGrams(6L) === 0L)
+    assert(nGrams(1L) === 4L && nGrams(2L) === 3L)
+    // hand-computed fixture scores (md5 buckets, 1e-4 weights)
+    assert(score(1L) === -0.4321 && score(3L) === -3.8456)
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ===
+      Seq(5L, 6L, 1L, 2L, 4L, 3L))
+    // topN truncates below the cut, keeping the best
+    val top2 = TextAnalysis.dsirSelect(d, "doc_id", "text",
+      col("lang") === "en", numBuckets = 64, topN = 2)
+      .orderBy("rank").collect()
+    assert(top2.map(_.getAs[Long]("doc_id")).toSeq ===
+      out.take(2).map(_.getAs[Long]("doc_id")).toSeq)
+    // deterministic end to end
+    val again = TextAnalysis.dsirSelect(d, "doc_id", "text",
+      col("lang") === "en", numBuckets = 64, topN = 6)
+      .orderBy("rank").collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // parameter guards
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dsirSelect(d, "doc_id", "text",
+        col("lang") === "en", numBuckets = 0, topN = 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dsirSelect(d, "doc_id", "text",
+        col("lang") === "en", numBuckets = 64, topN = 0)
+    }
+  }
 }
