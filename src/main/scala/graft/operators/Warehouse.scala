@@ -679,6 +679,38 @@ object Warehouse {
     }
   }
 
+  /** [[compactIndexVersioned]] for a MULTI-TABLE family: every base's
+    * compacted copy is staged at the SAME next version and the family
+    * publishes ONCE — per-table version bumps would desync the
+    * family's resolution (the other tables would be missing at the
+    * new version). This is the generic form of what
+    * [[graft.operators.Graph.mergeEdgeIndexVersioned]] does for the
+    * edge family (which additionally deep-merges); use it for
+    * families whose tables are already one-row-per-key (neardup
+    * sets/bands, BM25 postings/stats). Callers replayed from outside
+    * the version counter (streaming epochs) pass their own
+    * deterministic `batchId`. */
+  def compactFamilyVersioned(spark: org.apache.spark.sql.SparkSession,
+                             ledgerTable: String, indexName: String,
+                             bases: Seq[String], targetFiles: Int = 1,
+                             batchId: Option[String] = None): Boolean = {
+    require(bases.nonEmpty, "compactFamilyVersioned needs >= 1 base")
+    val cur = Snapshots.currentVersion(spark, ledgerTable, indexName)
+    val next = cur + 1
+    val bid = batchId.getOrElse(s"compact-v$next")
+    if (Snapshots.isApplied(spark, ledgerTable, indexName, bid)) false
+    else {
+      bases.foreach { base =>
+        val curT = Snapshots.tableAt(base, cur)
+        writeLike(spark, curT, spark.table(curT),
+          Snapshots.tableAt(base, next), targetFiles)
+      }
+      Snapshots.publish(spark, ledgerTable, indexName, next, bid,
+        "compact")
+      true
+    }
+  }
+
   /** DELETE-TIME CAPTURE — the landing-table delete path for corpora
     * that feed ADDITIVE indexes: capture the full deleted rows into a
     * tombstone/changes feed FIRST, then remove them from the landing

@@ -632,6 +632,87 @@ object Streams {
         } finally survivors.unpersist()
     }
 
+  /** [[indexedNeardupIngest]] through the VERSIONED protocol — the
+    * per-key-row twin of [[edgeIndexIngestVersioned]], closing the
+    * same caveat: a replayed micro-batch re-appends its survivors'
+    * (sets, bands) rows, and duplicated index rows DUPLICATE served
+    * candidate matches downstream. Here every batch's append is
+    * guarded by the applied-batch ledger under `stream-<batchId>`
+    * (replay = logged no-op); batch 0 bootstraps version 1 under the
+    * same id; `compactEvery` publishes a compacted NEXT snapshot for
+    * the whole two-table family in one ledger row
+    * ([[graft.operators.Warehouse.compactFamilyVersioned]] — no
+    * in-place swap under in-flight readers) and retires versions past
+    * the grace window. The serving read resolves the family through
+    * [[graft.operators.Snapshots.resolve]].
+    *
+    * A replayed batch is skipped WHOLE — survivors recomputed after
+    * the original append would dup against the batch's own index rows
+    * and hand `sink` a spuriously-empty frame, which is worse than the
+    * at-least-once redelivery it replaces; the ledger check happens
+    * before any work, so the replay costs two metadata reads. Same
+    * residual window as the edge twin: a crash between the append and
+    * its publish replays those rows once; the staged full-snapshot
+    * write closes it at per-batch index-rewrite cost. */
+  def indexedNeardupIngestVersioned(docs: DataFrame, idCol: String,
+                                    textCol: String, k: Int,
+                                    threshold: Double, ledgerTable: String,
+                                    indexName: String, setsBase: String,
+                                    bandsBase: String, numBands: Int = 20,
+                                    rowsPerBand: Int = 4,
+                                    numBuckets: Int = 16,
+                                    compactEvery: Int = 0)
+                                   (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.{Snapshots, Warehouse}
+        val td = graft.operators.TextDedup
+        val spark = batch.sparkSession
+        val bases = Seq(setsBase, bandsBase)
+        val bid = s"stream-$batchId"
+        val applied = Snapshots.isApplied(spark, ledgerTable, indexName,
+          bid)
+        val bootstrapped =
+          Snapshots.currentVersion(spark, ledgerTable, indexName) > 0
+        val b = batch.toDF().cache()
+        try {
+          if (applied) () // replayed epoch: fully processed — no-op
+          else if (!bootstrapped) {
+            // first batch: no corpus to dup against — all survive,
+            // and version 1 IS this batch's index
+            sink(b, batchId)
+            val Seq(s1, b1) = bases.map(Snapshots.tableAt(_, 1L))
+            Seq(s1, b1).foreach(graft.sinks.Sinks.dropManaged(spark, _))
+            td.writeNeardupIndex(b, idCol, textCol, k, s1, b1,
+              numBands, rowsPerBand, numBuckets)
+            Snapshots.publish(spark, ledgerTable, indexName, 1L, bid,
+              "build")
+          } else {
+            val Seq(setsT, bandsT) = Snapshots.resolve(spark,
+              ledgerTable, indexName, bases)
+            val survivors = td.crossNeardupSurvivorsIndexed(b, idCol,
+              textCol, k, threshold, setsT, bandsT, numBands,
+              rowsPerBand).cache()
+            try {
+              sink(survivors, batchId)
+              td.appendNeardupIndex(survivors, idCol, textCol, k,
+                setsT, bandsT, numBands, rowsPerBand, numBuckets)
+              Snapshots.publish(spark, ledgerTable, indexName,
+                Snapshots.currentVersion(spark, ledgerTable, indexName),
+                bid, "append")
+            } finally { survivors.unpersist(); () }
+          }
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            Warehouse.compactFamilyVersioned(spark, ledgerTable,
+              indexName, bases, batchId = Some(s"compact-stream-$batchId"))
+            Snapshots.retire(spark, ledgerTable, indexName, bases)
+            ()
+          }
+        } finally { b.unpersist(); () }
+    }
+
   /** Streaming SPLIT ASSIGNMENT on ingest — the online counterpart of
     * batch x93 ([[graft.operators.CorpusPipeline.clusterSplit]]): a
     * new document that near-dups an indexed corpus document INHERITS

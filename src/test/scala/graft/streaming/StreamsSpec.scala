@@ -1068,6 +1068,87 @@ class StreamsSpec extends SparkSpec {
     assert(rows(eS2) == rows(eB))
   }
 
+  test("indexedNeardupIngestVersioned: ledger-guarded bootstrap + " +
+      "append + compaction cadence; versioned serve == batch rebuild; " +
+      "a re-delivered epoch is skipped whole") {
+    import graft.operators.{Snapshots, TextDedup, Warehouse}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledger = "graft_idx_test.vs_nd_ledger"
+    val bases = Seq("graft_idx_test.vs_nd_sets", "graft_idx_test.vs_nd_bands")
+    val bt = bases.map(_ + "_ref")
+    (ledger +: (bases ++ bt)).foreach(dropIdxTable)
+    (1L to 4L).foreach(v => bases.foreach(b => dropIdxTable(s"${b}_v$v")))
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely different document about spark bucketed joins"))
+    val batch2 = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+      (4L, "novel content that matches nothing in the index at all"))
+    val dir = Files.createTempDirectory("ndvs-in").toString
+    val ckpt = Files.createTempDirectory("ndvs-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val got = scala.collection.mutable.Map[Long, Set[Long]]()
+    def run(checkpoint: String): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = Streams.indexedNeardupIngestVersioned(stream, "doc_id",
+          "text", k = 3, threshold = 0.8, ledger, "nd",
+          bases(0), bases(1), numBuckets = 2, compactEvery = 1) {
+        (df, bid) =>
+          val ids = df.select("doc_id").collect().map(_.getLong(0)).toSet
+          got.synchronized { got(bid) = ids; () }
+      }.option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    batch1.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    run(ckpt) // epoch 0: bootstrap v1, compact -> v2
+    batch2.toDF("doc_id", "text").write.mode("append").parquet(dir)
+    run(ckpt) // epoch 1: survivors appended into v2, compact -> v3
+
+    assert(got(0L) === Set(1L, 2L)) // bootstrap: all survive
+    assert(got(1L) === Set(4L))     // 3 dups indexed doc 1
+    assert(Snapshots.currentVersion(spark, ledger, "nd") === 3L)
+    val actions = spark.table(ledger).orderBy("version", "batch_id")
+      .collect().map(r => (r.getAs[Long]("version"),
+        r.getAs[String]("batch_id"), r.getAs[String]("action"))).toSeq
+    assert(actions === Seq(
+      (1L, "stream-0", "build"), (2L, "compact-stream-0", "compact"),
+      (2L, "stream-1", "append"), (3L, "compact-stream-1", "compact")))
+    assert(!spark.catalog.tableExists(s"${bases(0)}_v1")) // retired
+    assert(spark.catalog.tableExists(s"${bases(0)}_v2"))
+
+    // versioned serve == one-shot rebuild over the surviving docs
+    val union = (batch1 ++ batch2.filter(_._1 == 4L))
+      .toDF("doc_id", "text")
+    TextDedup.writeNeardupIndex(union, "doc_id", "text", k = 3,
+      bt(0), bt(1), numBuckets = 2)
+    val Seq(setsT, bandsT) = Snapshots.resolve(spark, ledger, "nd", bases)
+    def rows(t: String) = {
+      spark.catalog.refreshTable(t)
+      spark.table(t).collect().map(_.toSeq).toSet
+    }
+    assert(rows(setsT) == rows(bt(0)))
+    assert(rows(bandsT) == rows(bt(1)))
+    // compaction cadence holds the current version at canonical layout
+    val audit = Warehouse.indexFileAudit(spark,
+        Seq("sets" -> setsT, "bands" -> bandsT))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(audit("sets") === 2L && audit("bands") === 2L)
+
+    // a RE-DELIVERED epoch (fresh checkpoint over the same source
+    // re-plays everything as epoch 0) is skipped whole: no sink call
+    // with drifted content applied to the index, no new ledger rows,
+    // serve unchanged
+    got.clear()
+    val before = spark.table(ledger).count()
+    run(Files.createTempDirectory("ndvs-ckpt2").toString)
+    assert(spark.table(ledger).count() === before)
+    assert(rows(setsT) == rows(bt(0)))
+    // the skipped epoch still ran the stream (one batch, no effects)
+    assert(Snapshots.currentVersion(spark, ledger, "nd") === 3L)
+  }
+
   test("quarantineJson routes records inside a streaming plan (x76 twin)") {
     import graft.operators.Project
     val dir = Files.createTempDirectory("quar-in").toString
