@@ -1819,33 +1819,46 @@ object TextAnalysis {
     * back broadcast-sized, and a TakeOrdered top-N — no global sort
     * materializes the corpus, no driver-side loop; the only collects
     * are the 1-row totals. */
+  /** The DSIR feature stream: one `(doc_id, tgt, b)` row per bigram
+    * OCCURRENCE, bucketed by the md5-fold law — shared by the one-shot
+    * selection, the index writer and the indexed scorer so all three
+    * agree bit-for-bit. */
+  private def dsirGrams(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, numBuckets: Int): DataFrame =
+    Par.spread(docs).select(col(idCol).cast("long").as("doc_id"),
+        isTarget.as("tgt"),
+        explode(Text.shingles(col(textCol), 2)).as("g"))
+      .select(col("doc_id"), col("tgt"),
+        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
+          lit(numBuckets.toLong)).as("b"))
+
+  /** The per-bucket DSIR weight in 1e-4 units over a `(b, q_n, p_n)`
+    * counts frame carrying `(qt, pt)` totals: smoothed log likelihood
+    * ratio, rounded BEFORE any per-document sum so scores are
+    * integer-exact. */
+  private def dsirWeight(numBuckets: Int): Column = {
+    val bD = lit(numBuckets.toDouble)
+    floor(log(((col("p_n") + lit(1.0)) * (col("qt") + bD))
+        / ((col("q_n") + lit(1.0)) * (col("pt") + bD)))
+      * lit(10000) + lit(0.5)).cast("long")
+  }
+
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
                  isTarget: Column, numBuckets: Int = 256,
                  topN: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(numBuckets > 0, s"numBuckets must be > 0, got $numBuckets")
     require(topN > 0, s"topN must be > 0, got $topN")
-    val bD = lit(numBuckets.toDouble)
     val spread = Par.spread(docs)
-    val grams = spread.select(col(idCol).cast("long").as("doc_id"),
-        isTarget.as("tgt"),
-        explode(Text.shingles(col(textCol), 2)).as("g"))
-      .select(col("doc_id"), col("tgt"),
-        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
-          lit(numBuckets.toLong)).as("b"))
+    val grams = dsirGrams(docs, idCol, textCol, isTarget, numBuckets)
     // ONE pass learns both distributions (raw + target counts per
     // bucket in the same aggregation) — DSIR's two-pass reality: one
     // gram pass to fit the weights, one to score the documents
     val qp = grams.groupBy(col("b")).agg(count(lit(1)).as("q_n"),
       coalesce(sum(when(col("tgt"), lit(1L))), lit(0L)).as("p_n"))
     val tot = qp.agg(sum(col("q_n")).as("qt"), sum(col("p_n")).as("pt"))
-    // per-bucket weight in 1e-4 units: smoothed log likelihood ratio,
-    // rounded BEFORE the per-document sum so the sum is integer-exact
     val bw = qp.crossJoin(broadcast(tot))
-      .select(col("b"), floor(log(
-          ((col("p_n") + lit(1.0)) * (col("qt") + bD))
-          / ((col("q_n") + lit(1.0)) * (col("pt") + bD)))
-        * lit(10000) + lit(0.5)).cast("long").as("w"))
+      .select(col("b"), dsirWeight(numBuckets).as("w"))
     val ds = grams.join(broadcast(bw), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("si"))
@@ -1861,5 +1874,60 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_grams"),
         (col("si").cast("double") / lit(10000.0)).as("score"),
         col("rank"))
+  }
+
+  /** Persist the DSIR weight table — [[dsirSelect]]'s train/serve
+    * split (the x119 batch-frozen-threshold pattern applied to data
+    * selection): the corpus pays its gram pass ONCE, and every later
+    * batch scores against the frozen `(b, w)` table. The table is
+    * COMPLETE over all `numBuckets` buckets — a bucket unseen in the
+    * corpus still gets its smoothed weight `ln((Q+B)/(P+B))` (the
+    * q_n = p_n = 0 case of the same formula), so serving is a pure
+    * join with no default-weight special case and new-batch grams the
+    * corpus never saw score lawfully. B rows, one file. */
+  def writeDsirIndex(corpus: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column, numBuckets: Int,
+                     table: String): Unit = {
+    require(numBuckets > 0, s"numBuckets must be > 0, got $numBuckets")
+    val spark = corpus.sparkSession
+    val grams = dsirGrams(corpus, idCol, textCol, isTarget, numBuckets)
+    val qp = grams.groupBy(col("b")).agg(count(lit(1)).as("q_n"),
+      coalesce(sum(when(col("tgt"), lit(1L))), lit(0L)).as("p_n"))
+    val tot = qp.agg(coalesce(sum(col("q_n")), lit(0L)).as("qt"),
+      coalesce(sum(col("p_n")), lit(0L)).as("pt"))
+    val full = spark.range(numBuckets).select(col("id").as("b"))
+      .join(qp, Seq("b"), "left")
+      .select(col("b"), coalesce(col("q_n"), lit(0L)).as("q_n"),
+        coalesce(col("p_n"), lit(0L)).as("p_n"))
+    full.crossJoin(broadcast(tot))
+      .select(col("b"), dsirWeight(numBuckets).as("w"))
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Score a batch against a frozen [[writeDsirIndex]] table: one gram
+    * pass over the BATCH only, one broadcast join of the B-row weight
+    * table — the corpus is never touched (x222's serving form; the
+    * x220 one-shot recomputes weights every call). Returns one row per
+    * batch document `(doc_id, n_grams, score)`; no-bigram documents
+    * score a neutral 0. */
+  def dsirScoreIndexed(spark: org.apache.spark.sql.SparkSession,
+                       batch: DataFrame, idCol: String, textCol: String,
+                       weightsTable: String): DataFrame = {
+    val wt = spark.table(weightsTable)
+    // the writer materializes every bucket, so B IS the row count —
+    // a B-bounded metadata-scale read, the codebook-collect convention
+    val numBuckets = wt.count().toInt
+    require(numBuckets > 0, s"$weightsTable is empty")
+    val grams = dsirGrams(batch, idCol, textCol, lit(false), numBuckets)
+    val ds = grams.join(broadcast(wt.select(col("b"), col("w"))), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("si"))
+    Par.spread(batch).select(col(idCol).cast("long").as("doc_id"))
+      .join(ds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        (coalesce(col("si"), lit(0L)).cast("double") / lit(10000.0))
+          .as("score"))
   }
 }

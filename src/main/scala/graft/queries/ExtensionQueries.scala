@@ -2307,8 +2307,36 @@ object ExtensionQueries {
       val (assignT, centT) = annIndexFor(s, dir)
       Similarity.nprobeSweep(e.filter(col("vec_id") < 10), e, "vec_id",
         "embedding", k = 3, nprobes = Seq(1, 2, 3, 4), assignT, centT)
+    }),
+
+    // x222 — DSIR SERVING: weights frozen once from the even-id corpus
+    // slice (TextAnalysis.writeDsirIndex, complete over all 256
+    // buckets so unseen grams score lawfully), then the odd-id batch
+    // scores against the frozen table — one batch gram pass + one
+    // broadcast join, zero corpus touches (x220's train/serve split,
+    // the x119 frozen-threshold pattern applied to data selection).
+    "x222_dsir_indexed" -> ((s, dir) => {
+      val wt = dsirIndexFor(s, dir)
+      TextAnalysis.dsirScoreIndexed(s,
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", wt)
     })
   )
+
+  /** Build-if-missing the x222 DSIR weight table: corpus = EVEN
+    * doc_ids, target = its English slice, 256 buckets. */
+  private def dsirIndexFor(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_idx.dsir_w_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!s.catalog.tableExists(table)) {
+      dropStaleManaged(s, table)
+      TextAnalysis.writeDsirIndex(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", col("lang") === "en", numBuckets = 256, table)
+    }
+    table
+  }
 
   /** Build-if-missing the x213 deep-merge exhibit: a SEPARATE edge
     * index built in two disjoint complete-order ingests (so the
@@ -5009,7 +5037,48 @@ object ExtensionQueries {
          WINDOW w AS (ORDER BY si DESC, doc_id)
          QUALIFY row_number() OVER w <= 100""") +
     ("x221_nprobe_sweep" -> nprobeSweepOracle(nQueries = 10,
-      numCentroids = 16, k = 3, nprobes = Seq(1, 2, 3, 4)))
+      numCentroids = 16, k = 3, nprobes = Seq(1, 2, 3, 4))) +
+    // x222: weights learned from the even-id slice (same law as x220,
+    // including the q_n = p_n = 0 smoothed weight for buckets the
+    // corpus never saw), odd-id batch scored against them.
+    ("x222_dsir_indexed" ->
+      """WITH ctoks AS (SELECT doc_id, (lang = 'en') AS tgt,
+           string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents WHERE doc_id % 2 = 0),
+         cgr AS (SELECT doc_id, tgt, array_to_string(t[i:i+1], ' ') AS g
+           FROM ctoks, unnest(generate_series(1, len(t) - 1)) AS x(i)
+           WHERE len(t) >= 2),
+         cgb AS (SELECT doc_id, tgt,
+             ('0x' || substring(md5(g), 1, 15))::BIGINT % 256 AS b
+           FROM cgr),
+         qp AS (SELECT b, count(*) AS q_n,
+             COALESCE(sum(CASE WHEN tgt THEN 1 ELSE 0 END), 0) AS p_n
+           FROM cgb GROUP BY 1),
+         tot AS (SELECT COALESCE((SELECT sum(q_n) FROM qp), 0) AS qt,
+             COALESCE((SELECT sum(p_n) FROM qp), 0) AS pt),
+         bw AS (SELECT f.b,
+             CAST(floor(ln(
+                 ((COALESCE(q.p_n, 0) + 1.0) * (qt + 256.0))
+                 / ((COALESCE(q.q_n, 0) + 1.0) * (pt + 256.0)))
+               * 10000 + 0.5) AS BIGINT) AS w
+           FROM (SELECT unnest(generate_series(0, 255)) AS b) f
+           LEFT JOIN qp q ON f.b = q.b, tot),
+         btoks AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents WHERE doc_id % 2 = 1),
+         bgr AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+           FROM btoks, unnest(generate_series(1, len(t) - 1)) AS x(i)
+           WHERE len(t) >= 2),
+         bgb AS (SELECT doc_id,
+             ('0x' || substring(md5(g), 1, 15))::BIGINT % 256 AS b
+           FROM bgr),
+         ds AS (SELECT doc_id, count(*) AS n_grams, sum(w) AS si
+           FROM bgb JOIN bw USING (b) GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(si, 0) AS DOUBLE) / 10000.0 AS score
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         LEFT JOIN ds ON d.doc_id = ds.doc_id""")
 
   /** x221's oracle: x10's IVF formulation (fixed codebook = the
     * `numCentroids` smallest vec_ids, assignment/probing by argmax

@@ -251,6 +251,34 @@ object Streams {
                      threshold: Double): DataFrame =
     graft.operators.Classifier.keep(docs, textCol, threshold)
 
+  /** Streaming DSIR gate — x222's serving form at ingest: keep
+    * documents whose hashed-bigram importance score against the FROZEN
+    * [[graft.operators.TextAnalysis.writeDsirIndex]] weight table
+    * reaches `threshold` (the x119 batch-frozen-threshold pattern: the
+    * corpus paid its gram pass once at index-build time; each
+    * micro-batch pays one gram pass over ITSELF plus a broadcast join
+    * of the B-row table — no state store, no corpus touch). Schema-
+    * preserving like every gate here: the score is re-derivable
+    * (x222's batch surface), not carried. foreachBatch only because
+    * the weight join reads a catalog table; the scoring itself is
+    * stateless. */
+  def dsirGate(docs: DataFrame, idCol: String, textCol: String,
+               weightsTable: String, threshold: Double)
+              (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val keep = graft.operators.TextAnalysis.dsirScoreIndexed(spark,
+            b, idCol, textCol, weightsTable)
+          .filter(col("score") >= threshold)
+          .select(col("doc_id").as("_keep_id"))
+        sink(b.join(keep, col(idCol) === col("_keep_id"), "left_semi"),
+          batchId)
+    }
+
   /** Streaming RELEVANCE gate — the retrieval-scored sibling of
     * [[classifierGate]]: keep documents whose BM25 relevance against a
     * fixed query reaches `threshold`, scored with

@@ -132,7 +132,8 @@ object ScaleBench {
                      deletedIdx: (String, String) = ("", ""),
                      vedge: (String, String, String, String, String) =
                        ("", "", "", "", ""),
-                     mcycDigest: String = ""
+                     mcycDigest: String = "",
+                     dsirTable: String = ""
                     ): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     ("x8_ngram_jaccard", (s: SparkSession, dir: String) =>
       TextDedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
@@ -1440,7 +1441,14 @@ object ScaleBench {
       Similarity.nprobeSweep(e.filter(col("vec_id") < 10), e, "vec_id",
         "embedding", k = 3, nprobes = Seq(1, 2, 3, 4),
         annTables._1, annTables._2)
-    }))
+    }),
+    // DSIR serving at 10x: one gram pass over the batch slice + the
+    // broadcast B-row weight join - the frozen index is scale-free.
+    ("x222_dsir_indexed", (s: SparkSession, dir: String) =>
+      TextAnalysis.dsirScoreIndexed(s,
+        Tables(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", dsirTable)))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1755,6 +1763,20 @@ object ScaleBench {
     val mcyc1 = buildMcycDigest(srcDir, "1x")
     val mcyc10 = buildMcycDigest(scaleDir, "10x")
 
+    // untimed: the x222 frozen DSIR weight table per fixture (even-id
+    // corpus slice, English target, 256 buckets)
+    def buildDsirIndex(dir: String, tag: String): String = {
+      val tb = s"graft_idx.dsir_w_probe_$tag"
+      graft.sinks.Sinks.dropManaged(spark, tb)
+      TextAnalysis.writeDsirIndex(
+        Tables(spark, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", col("lang") === "en", numBuckets = 256, tb)
+      tb
+    }
+    val dsir1 = buildDsirIndex(srcDir, "1x")
+    val dsir10 = buildDsirIndex(scaleDir, "10x")
+
     // dev knob (mirrors Bench): SPARK_GRAFT_SCALE_ONLY=x88_...,x104_...
     // restricts the probed set for re-measuring individual probes; the
     // partial BENCH_scale.json it writes is merged into the full table
@@ -1766,7 +1788,7 @@ object ScaleBench {
 
     // one untimed warmup of every probe at 1× (JIT + codegen)
     selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1, nov1, pq1,
-        ivfpq1, edge1, dig1, medge1, ddel1, vedge1, mcyc1)).foreach { case (n, f) =>
+        ivfpq1, edge1, dig1, medge1, ddel1, vedge1, mcyc1, dsir1)).foreach { case (n, f) =>
       try f(spark, srcDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[scale] warmup $n failed: ${e.getMessage}") }
@@ -1774,10 +1796,11 @@ object ScaleBench {
     }
 
     val results = selected(probes(16, 1, thr1, lm1, ann1, ann2_1, bm25_1,
-        nov1, pq1, ivfpq1, edge1, dig1, medge1, ddel1, vedge1, mcyc1))
+        nov1, pq1, ivfpq1, edge1, dig1, medge1, ddel1, vedge1, mcyc1,
+        dsir1))
       .zip(selected(probes(16 * Copies, Copies, thr10, lm10, ann10,
         ann2_10, bm25_10, nov10, pq10, ivfpq10, edge10, dig10, medge10,
-        ddel10, vedge10, mcyc10))).map {
+        ddel10, vedge10, mcyc10, dsir10))).map {
       case ((name, f1), (_, f10)) =>
         val (t1, r1) = run(srcDir, 16, name, f1)
         val (t10, r10) = run(scaleDir, 160, name, f10)

@@ -1704,4 +1704,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("In(centroid_id") || p.contains("centroid_id IN"),
       s"probe pruning missing from the index scan:\n$p")
   }
+
+  test("x222 dsir indexed: serving reads the FROZEN weight table " +
+      "(broadcast) and scans only the batch slice — the weight-fit " +
+      "aggregation never appears at serve time") {
+    val p = plan("x222_dsir_indexed")
+    assert(p.contains("dsir_w_"), s"frozen weight table not read:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"B-row weight join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+    // weights are READ, not learned: the fit columns exist only in
+    // the writer's plan
+    assert(!p.contains("q_n") && !p.contains("p_n"),
+      s"weight fit recomputed at serve time:\n$p")
+  }
 }

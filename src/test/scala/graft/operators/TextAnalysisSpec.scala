@@ -1104,4 +1104,52 @@ class TextAnalysisSpec extends SparkSpec {
         col("lang") === "en", numBuckets = 64, topN = 0)
     }
   }
+  test("writeDsirIndex/dsirScoreIndexed (x222): the frozen table is " +
+      "complete over all buckets, indexed scores follow the weight " +
+      "law bit-for-bit, unseen grams take the smoothed default") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (2L, "alpha beta gamma alpha beta", "en"),
+      (4L, "omega psi chi omega psi", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val table = "graft_idx_test.dsir_w"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = java.nio.file.Paths.get("spark-warehouse",
+      "graft_idx_test.db", "dsir_w")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    TextAnalysis.writeDsirIndex(corpus, "doc_id", "text",
+      col("lang") === "en", numBuckets = 32, table)
+    // COMPLETE: one weight row per bucket, including corpus-unseen ones
+    assert(spark.table(table).count() === 32L)
+    assert(spark.table(table).select("b").distinct().count() === 32L)
+
+    // hand-recompute the law: corpus has P = 4 target grams, Q = 8 raw
+    def w(p: Long, q: Long): Long =
+      math.floor(math.log(((p + 1.0) * (8 + 32.0))
+        / ((q + 1.0) * (4 + 32.0))) * 10000 + 0.5).toLong
+    val batch = Seq(
+      (1L, "alpha beta gamma"),        // 2 grams, both in-corpus/target
+      (3L, "totally unseen gram pair brand new"), // 5 grams, none in corpus
+      (5L, "solo")                     // no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirScoreIndexed(spark, batch, "doc_id",
+      "text", table).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Double]("score")))).toMap
+    // doc 1: grams "alpha beta" (p=2,q=2) + "beta gamma" (p=1,q=1)
+    assert(out(1L)._1 === 2L)
+    assert(out(1L)._2 === (w(2, 2) + w(1, 1)) / 10000.0)
+    // doc 3: every gram lands in an untrained bucket -> the smoothed
+    // default w(0,0), five times (assumes no collision with trained
+    // buckets at B=32 for these grams - verified by the score itself)
+    assert(out(3L)._1 === 5L)
+    assert(out(3L)._2 === 5 * w(0, 0) / 10000.0)
+    // doc 5: no bigrams -> neutral zero
+    assert(out(5L) === ((0L, 0.0)))
+  }
 }

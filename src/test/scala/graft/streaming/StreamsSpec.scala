@@ -1068,6 +1068,53 @@ class StreamsSpec extends SparkSpec {
     assert(rows(eS2) == rows(eB))
   }
 
+  test("dsirGate keeps exactly the docs whose frozen-weight score " +
+      "clears the threshold (x222's serving form), schema preserved") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val table = "graft_idx_test.dsir_gate_w"
+    dropIdxTable(table)
+    val corpus = Seq(
+      (2L, "alpha beta gamma alpha beta", "en"),
+      (4L, "omega psi chi omega psi", "xx")
+    ).toDF("doc_id", "text", "lang")
+    TextAnalysis.writeDsirIndex(corpus, "doc_id", "text",
+      col("lang") === "en", numBuckets = 32, table)
+    val batch = Seq(
+      (1L, "alpha beta gamma"),   // target-like: clears the bar
+      (3L, "omega psi chi"),      // off-target: below it
+      (5L, "solo"))               // no grams: neutral 0, below the bar
+      .toDF("doc_id", "text")
+    // threshold between the two scored docs, picked from the batch op
+    val scores = TextAnalysis.dsirScoreIndexed(spark, batch, "doc_id",
+        "text", table)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("score")).toMap
+    assert(scores(1L) > 0 && scores(3L) < 0)
+    // positive bar: clears target-like doc 1, rejects off-target doc 3
+    // AND the no-gram doc 5 (whose neutral 0 would clear any negative
+    // bar — the x220 caveat made operational)
+    val thr = scores(1L) / 2.0
+
+    val dir = Files.createTempDirectory("dsg-in").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = Streams.dsirGate(stream, "doc_id", "text", table, thr) {
+      (df, _) =>
+        assert(df.columns.toSeq === Seq("doc_id", "text")) // schema kept
+        val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+        got.synchronized { got ++= rows; () }
+    }.option("checkpointLocation",
+        Files.createTempDirectory("dsg-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(got.map(_._1).toSet === Set(1L))
+  }
+
   test("indexedNeardupIngestVersioned: ledger-guarded bootstrap + " +
       "append + compaction cadence; versioned serve == batch rebuild; " +
       "a re-delivered epoch is skipped whole") {
