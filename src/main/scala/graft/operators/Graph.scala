@@ -410,6 +410,73 @@ object Graph {
     }
   }
 
+  /** [[appendEdgeIndexVersioned]]'s FULLY-STAGED form — the append
+    * with NO residual crash window: the post-append state of all four
+    * tables is staged as the next snapshot (additive tables deep-merged
+    * with the batch's partials — current rows ∪ new partials,
+    * grouped-summed, bit-identical to rebuilding the grown corpus —
+    * the basket table as its union) and the pointer flips with ONE
+    * ledger append. A crash ANYWHERE before the publish leaves the
+    * current version serving and the rerun re-stages bit-identically;
+    * a replay after it no-ops on the batch id. The price is rewriting
+    * the index per append (the delete's cost model), which is the
+    * right trade for low-cadence batch ingests and the wrong one for
+    * high-cadence streams — [[appendEdgeIndexVersioned]]'s partial-file
+    * append (tiny window, documented) serves those. `crashAfterStep`
+    * is the kill-injection hook for the step-boundary spec. */
+  def appendEdgeIndexVersionedStaged(lineitem: DataFrame, part: DataFrame,
+                                     ledgerTable: String, indexName: String,
+                                     obBase: String, edgesBase: String,
+                                     totalsBase: String, statsBase: String,
+                                     batchId: Option[String] = None,
+                                     crashAfterStep: Option[String] = None)
+      : Boolean = {
+    val spark = lineitem.sparkSession
+    def step(s: String): Unit =
+      if (crashAfterStep.contains(s))
+        throw new IllegalStateException(s"injected crash after step $s")
+    val bid = batchId.getOrElse(
+      Snapshots.batchIdFor(lineitem.select(col("l_orderkey"))))
+    if (Snapshots.isApplied(spark, ledgerTable, indexName, bid)) false
+    else {
+      val cur = Snapshots.currentVersion(spark, ledgerTable, indexName)
+      val next = cur + 1
+      val (obC, edC, totC, stC) = resolveEdgeIndex(spark, ledgerTable,
+        indexName, obBase, edgesBase, totalsBase, statsBase)
+      val Seq(obN, edN, totN, stN) =
+        Seq(obBase, edgesBase, totalsBase, statsBase)
+          .map(Snapshots.tableAt(_, next))
+      val ob = orderBrands(lineitem, part).cache()
+      try {
+        val newEdges = spark.table(edC)
+          .unionByName(coPurchaseEdgesFrom(ob))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+          .filter(col("w") =!= 0)
+        Warehouse.writeLike(spark, edC, newEdges, edN)
+        step("edges")
+        val newTotals = spark.table(totC)
+          .unionByName(brandTotals(ob))
+          .groupBy(col("brand")).agg(sum(col("n_orders")).as("n_orders"))
+          .filter(col("n_orders") =!= 0)
+        Warehouse.writeLike(spark, totC, newTotals, totN)
+        step("totals")
+        val newStats = spark.table(stC)
+          .unionByName(basketStats(lineitem, ob))
+          .agg(sum(col("n_baskets")).as("n_baskets"),
+            sum(col("n_orders")).as("n_orders"))
+        Warehouse.writeLike(spark, stC, newStats, stN)
+        step("stats")
+        val newOb = spark.table(obC).unionByName(ob)
+        Warehouse.writeLike(spark, obC, newOb, obN)
+        step("ob")
+        Snapshots.publish(spark, ledgerTable, indexName, next, bid,
+          "append-staged")
+        step("publish")
+        true
+      } finally { ob.unpersist(); () }
+    }
+  }
+
   /** CRASH-ATOMIC, IDEMPOTENT edge-index delete — the versioned form
     * of [[deleteFromEdgeIndex]], closing its two documented hazards:
     *

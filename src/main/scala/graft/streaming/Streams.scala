@@ -951,19 +951,24 @@ object Streams {
     *
     * Remaining window, stated honestly: the per-batch append lands its
     * partial files BEFORE its ledger row (the appendEdgeIndexVersioned
-    * contract), so a crash BETWEEN them replays the partials once. The
-    * fully-staged form (every batch publishes a whole next version,
-    * [[graft.operators.Graph.deleteFromEdgeIndexVersioned]]'s shape)
-    * closes it at the cost of rewriting the index per batch — the
-    * right trade for takedowns, the wrong one for high-cadence
-    * appends; the merge cadence bounds the blast radius either way.
-    * Additivity preconditions (complete orders, disjoint keys across
-    * DISTINCT batches) are unchanged. */
+    * contract), so a crash BETWEEN them replays the partials once.
+    * `staged = true` closes it — every batch publishes a whole
+    * deep-merged next version
+    * ([[graft.operators.Graph.appendEdgeIndexVersionedStaged]], the
+    * delete's cost model: crash ANYWHERE re-stages, replay no-ops) —
+    * at the cost of rewriting the index per batch: the right trade
+    * for low-cadence batch feeds, the wrong one for high-cadence
+    * streams, whose merge cadence bounds the blast radius instead.
+    * Staged batches ARE merged snapshots, so `mergeEvery` then only
+    * matters for retiring old versions. Additivity preconditions
+    * (complete orders, disjoint keys across DISTINCT batches) are
+    * unchanged. */
   def edgeIndexIngestVersioned(lineitems: DataFrame, part: DataFrame,
                                ledgerTable: String, indexName: String,
                                obBase: String, edgesBase: String,
                                totalsBase: String, statsBase: String,
-                               numBuckets: Int = 8, mergeEvery: Int = 0)
+                               numBuckets: Int = 8, mergeEvery: Int = 0,
+                               staged: Boolean = false)
                               (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] =
@@ -981,6 +986,9 @@ object Streams {
           if (!bootstrapped)
             Graph.writeEdgeIndexVersioned(b, part, ledgerTable, indexName,
               obBase, edgesBase, totalsBase, statsBase, numBuckets, bid)
+          else if (staged)
+            Graph.appendEdgeIndexVersionedStaged(b, part, ledgerTable,
+              indexName, obBase, edgesBase, totalsBase, statsBase, bid)
           else
             Graph.appendEdgeIndexVersioned(b, part, ledgerTable, indexName,
               obBase, edgesBase, totalsBase, statsBase, bid)

@@ -365,6 +365,66 @@ class GraphSpec extends SparkSpec {
     assert(lg === Set((1L, "build"), (2L, "delete")))
   }
 
+  test("appendEdgeIndexVersionedStaged: killed at EVERY step boundary, " +
+      "the current snapshot serves complete; the rerun converges " +
+      "bit-identical to a from-scratch rebuild of the GROWN corpus; a " +
+      "post-publish replay is a logged no-op") {
+    import org.apache.spark.sql.functions.col
+    val (li, part) = fixture
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledger = "graft_idx_test.va_ledger"
+    val bases = vdBases.map(_.replace(".vd_", ".va_"))
+    val rb = bases.map(_ + "_reb")
+    dropVersioned(ledger, bases)
+    rb.foreach(dropIdx)
+    val Seq(obB, edB, toB, stB) = bases
+    val seed = li.filter(col("l_orderkey") < 13L)
+    val grow = li.filter(col("l_orderkey") >= 13L)
+    assert(Graph.writeEdgeIndexVersioned(seed, part, ledger, "va",
+      obB, edB, toB, stB, numBuckets = 2))
+    val preAppend = rows(Graph.readEdgeIndexVersioned(spark, ledger, "va",
+      obB, edB, toB, stB)._2)
+    // the truth: a from-scratch one-shot build of the GROWN corpus
+    val Seq(obR, edR, toR, stR) = rb
+    Graph.writeEdgeIndex(li, part, obR, edR, toR, stR, numBuckets = 2)
+    val (obE, eE, tE, sE) = Graph.readEdgeIndex(spark, obR, edR, toR, stR)
+
+    // kill after each staging write: the pointer still resolves the
+    // pre-append snapshot, complete and untouched
+    Seq("edges", "totals", "stats", "ob").foreach { s =>
+      val ex = intercept[IllegalStateException] {
+        Graph.appendEdgeIndexVersionedStaged(grow, part, ledger, "va",
+          obB, edB, toB, stB, crashAfterStep = Some(s))
+      }
+      assert(ex.getMessage.contains(s))
+      val (_, eNow, _, _) = Graph.readEdgeIndexVersioned(spark,
+        ledger, "va", obB, edB, toB, stB)
+      assert(rows(eNow) === preAppend, s"torn serve after crash at $s")
+    }
+    // kill right after the commit point: the append IS applied, and
+    // the post-crash rerun is a ledger no-op, NOT a double-count
+    intercept[IllegalStateException] {
+      Graph.appendEdgeIndexVersionedStaged(grow, part, ledger, "va",
+        obB, edB, toB, stB, crashAfterStep = Some("publish"))
+    }
+    assert(!Graph.appendEdgeIndexVersionedStaged(grow, part, ledger,
+      "va", obB, edB, toB, stB))
+    val (obV, eV, tV, sV) = Graph.readEdgeIndexVersioned(spark, ledger,
+      "va", obB, edB, toB, stB)
+    assert(rows(obV) === rows(obE))
+    assert(rows(eV) === rows(eE))
+    assert(rows(tV) === rows(tE))
+    assert(rows(sV) === rows(sE))
+    // staged tables land fully MERGED: physical rows == rebuild's
+    val (_, edT2, _, _) = Graph.resolveEdgeIndex(spark, ledger, "va",
+      obB, edB, toB, stB)
+    assert(edT2 === edB + "_v2")
+    assert(rows(spark.table(edT2)) === rows(spark.table(edR)))
+    val lg = graft.operators.Snapshots.ledger(spark, ledger, "va")
+      .collect().map(r => (r.getLong(1), r.getString(3))).toSet
+    assert(lg === Set((1L, "build"), (2L, "append-staged")))
+  }
+
   test("versioned serving + retire: a reader resolved BEFORE a publish " +
       "keeps a complete old snapshot (old-or-new, never torn); retire " +
       "reclaims the old version afterward") {

@@ -1068,6 +1068,67 @@ class StreamsSpec extends SparkSpec {
     assert(rows(eS2) == rows(eB))
   }
 
+  test("edgeIndexIngestVersioned staged=true: every micro-batch " +
+      "publishes a deep-merged snapshot (no partial files, no " +
+      "append/publish window), serve == batch rebuild") {
+    import graft.operators.{Graph, Snapshots, Warehouse}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledger = "graft_idx_test.st2_eg_ledger"
+    val bases = Seq("graft_idx_test.st2_eg_ob", "graft_idx_test.st2_eg_edges",
+      "graft_idx_test.st2_eg_totals", "graft_idx_test.st2_eg_stats")
+    val bt = bases.map(_ + "_ref")
+    (ledger +: (bases ++ bt)).foreach(dropIdxTable)
+    (1L to 3L).foreach(v => bases.foreach(b => dropIdxTable(s"${b}_v$v")))
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z"))
+      .toDF("p_partkey", "p_brand")
+    val batch1 = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L))
+    val batch2 = Seq((12L, 1L), (12L, 2L), (13L, 2L), (13L, 3L))
+    val dir = Files.createTempDirectory("egst-in").toString
+    val ckpt = Files.createTempDirectory("egst-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = Streams.edgeIndexIngestVersioned(stream, part, ledger,
+          "st2", bases(0), bases(1), bases(2), bases(3), numBuckets = 2,
+          staged = true) { (_, _) => () }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    batch1.toDF("l_orderkey", "l_partkey").write.mode("overwrite")
+      .parquet(dir)
+    run()
+    batch2.toDF("l_orderkey", "l_partkey").write.mode("append")
+      .parquet(dir)
+    run()
+    val actions = spark.table(ledger).orderBy("version")
+      .collect().map(r => (r.getAs[Long]("version"),
+        r.getAs[String]("action"))).toSeq
+    assert(actions === Seq((1L, "build"), (2L, "append-staged")))
+    // the staged snapshot is MERGED by construction: one row per key,
+    // one file per bucket, no partial files to replay
+    val audit = Warehouse.indexFileAudit(spark,
+        Seq("edges" -> s"${bases(1)}_v2", "stats" -> s"${bases(3)}_v2"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(audit("edges")._1 === 2L) // one file per bucket
+    assert(audit("stats") === ((1L, 1L))) // merged: ONE stats row
+    Graph.writeEdgeIndex((batch1 ++ batch2).toDF("l_orderkey", "l_partkey"),
+      part, bt(0), bt(1), bt(2), bt(3), numBuckets = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val (_, eS, tS, sS) = Graph.readEdgeIndexVersioned(spark, ledger,
+      "st2", bases(0), bases(1), bases(2), bases(3))
+    val (_, eB, tB, sB) = Graph.readEdgeIndex(spark, bt(0), bt(1),
+      bt(2), bt(3))
+    assert(rows(eS) == rows(eB))
+    assert(rows(tS) == rows(tB))
+    assert(rows(sS) == rows(sB))
+    assert(Snapshots.currentVersion(spark, ledger, "st2") === 2L)
+  }
+
   test("dsirGate keeps exactly the docs whose frozen-weight score " +
       "clears the threshold (x222's serving form), schema preserved") {
     import graft.operators.TextAnalysis
