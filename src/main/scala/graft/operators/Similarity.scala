@@ -1569,6 +1569,21 @@ object Similarity {
     }.reduce(_.union(_))
   }
 
+  /** [[semDedup]] APPLIED (x223) — the family's apply twin (x34/x36/
+    * x39's shape): the corpus minus the vectors [[semDedup]] marks
+    * dropped, original columns preserved. The drop set is
+    * duplicate-sized, so the anti-join broadcasts even when the
+    * corpus doesn't. */
+  def semDedupApply(corpus: DataFrame, init: DataFrame, idCol: String,
+                    vecCol: String, rounds: Int,
+                    threshold: Double): DataFrame = {
+    val drops = semDedup(corpus, init, idCol, vecCol, rounds, threshold)
+      .filter(col("status") === "dropped")
+      .select(col("vec_id").as("_drop_id"))
+    corpus.join(broadcast(drops), col(idCol) === col("_drop_id"),
+      "left_anti")
+  }
+
   /** NPROBE SWEEP (x221) — the recall/cost TUNING CURVE for a
     * persisted IVF index, one row per probed width: recall@k against
     * the exact top-k ([[recallReport]]'s micro-averaged law) next to
@@ -1580,10 +1595,15 @@ object Similarity {
     *
     * Scale shape: the exact leg is one [[bruteForceTopK]] (broadcast
     * query set, corpus scanned once — the audit's unavoidable ground
-    * truth); each probed leg re-runs the bucket-pruned index scan at
-    * its own width (index buckets only, never the corpus) and
-    * aggregates to ONE row, so the whole sweep costs |nprobes| index
-    * probes + one exact pass regardless of corpus size. */
+    * truth; CACHED as a queries×k frame so the per-width union
+    * branches reuse it instead of re-scanning the corpus — the
+    * [[mmrTopKIndexed]] caller-owned-cache convention, Bench/Verify
+    * clearCache between queries); each probed leg's bucket-pruned
+    * scan feeds the top-k and the candidate count (two index-bounded
+    * passes, deliberately uncached so the plan pins stay inspectable)
+    * and aggregates to ONE row, so the whole sweep costs
+    * O(|nprobes|) index probes + one exact pass regardless of corpus
+    * size. */
   def nprobeSweep(queries: DataFrame, corpus: DataFrame, idCol: String,
                   vecCol: String, k: Int, nprobes: Seq[Int],
                   assignTable: String, centTable: String): DataFrame = {
@@ -1593,6 +1613,7 @@ object Similarity {
     val spark = queries.sparkSession
     val exact = bruteForceTopK(queries, corpus, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
+      .cache()
     nprobes.map { np =>
       ivfScoredIndexed(queries, idCol, vecCol, np, assignTable,
           centTable) match {

@@ -2320,6 +2320,16 @@ object ExtensionQueries {
       TextAnalysis.dsirScoreIndexed(s,
         t(s, dir, "documents").filter(pmod(col("doc_id"), lit(2)) === 1),
         "doc_id", "text", wt)
+    }),
+
+    // x223 — SemDeDup APPLIED (the family's apply twin, x39's shape
+    // on the semantic tier): the embedding corpus minus x219's
+    // dropped set, id + label preserved.
+    "x223_semdedup_apply" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semDedupApply(e, e.filter(col("vec_id") < 8), "vec_id",
+          "embedding", rounds = 3, threshold = 0.35)
+        .select(col("vec_id"), col("label"))
     })
   )
 
@@ -5078,7 +5088,21 @@ object ExtensionQueries {
            CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
            CAST(COALESCE(si, 0) AS DOUBLE) / 10000.0 AS score
          FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
-         LEFT JOIN ds ON d.doc_id = ds.doc_id""")
+         LEFT JOIN ds ON d.doc_id = ds.doc_id""") +
+    // x223: x219's chain, reduced to the dropped set's anti-join.
+    ("x223_semdedup_apply" ->
+      s"""WITH ${kmeansCtes(8, 3)},
+         corp AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+         assignedx AS (SELECT vid, v, cid FROM (
+           SELECT vid, v, c.cid, row_number() OVER (PARTITION BY vid
+             ORDER BY ${kmeansCos("v", "c.cv")} DESC, c.cid) AS arn
+           FROM corp, cent3 c) WHERE arn = 1),
+         dropped AS (SELECT DISTINCT b.vid FROM assignedx a
+           JOIN assignedx b ON a.cid = b.cid AND a.vid < b.vid
+           WHERE floor(${duckCos("a.v", "b.v")} * 1000000 + 0.5)
+             / 1000000.0 >= 0.35)
+         SELECT vec_id, label FROM embeddings
+         WHERE vec_id NOT IN (SELECT vid FROM dropped)""")
 
   /** x221's oracle: x10's IVF formulation (fixed codebook = the
     * `numCentroids` smallest vec_ids, assignment/probing by argmax
