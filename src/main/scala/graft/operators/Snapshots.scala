@@ -47,13 +47,27 @@ object Snapshots {
     * shares ([[Warehouse.bucketChecksums]]). */
   private val Fold = 1152921504606846976L
 
+  /** Drop any cached file listing for the ledger before reading it:
+    * a session that read the ledger earlier caches the table's files,
+    * and a publish from ANOTHER session (a streaming micro-batch's
+    * cloned session, a separate maintenance process on the same
+    * catalog) appends a file that cache never sees — the reader would
+    * silently stay on the old version forever and a mutator could
+    * re-stage an already-applied batch. One directory listing per
+    * read, on a table that is metadata-sized by construction. */
+  private def freshLedger(spark: SparkSession,
+                          ledgerTable: String): DataFrame = {
+    spark.catalog.refreshTable(ledgerTable)
+    spark.table(ledgerTable)
+  }
+
   /** Current published version of an index family: `max(version)` over
     * its ledger rows; 0 when the family has never published (version 0
     * = the UNVERSIONED base tables, for families migrating in). */
   def currentVersion(spark: SparkSession, ledgerTable: String,
                      indexName: String): Long =
     if (!spark.catalog.tableExists(ledgerTable)) 0L
-    else spark.table(ledgerTable)
+    else freshLedger(spark, ledgerTable)
       .filter(col("index_name") === indexName)
       .agg(coalesce(max(col("version")), lit(0L))).head().getLong(0)
 
@@ -62,7 +76,7 @@ object Snapshots {
   def isApplied(spark: SparkSession, ledgerTable: String,
                 indexName: String, batchId: String): Boolean =
     spark.catalog.tableExists(ledgerTable) &&
-      !spark.table(ledgerTable)
+      !freshLedger(spark, ledgerTable)
         .filter(col("index_name") === indexName &&
           col("batch_id") === batchId)
         .isEmpty
@@ -117,7 +131,7 @@ object Snapshots {
     * only — consumers sort as they need. */
   def ledger(spark: SparkSession, ledgerTable: String,
              indexName: String): DataFrame =
-    spark.table(ledgerTable).filter(col("index_name") === indexName)
+    freshLedger(spark, ledgerTable).filter(col("index_name") === indexName)
       .select(col("index_name"), col("version"), col("batch_id"),
         col("action"))
 

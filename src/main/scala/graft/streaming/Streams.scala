@@ -842,6 +842,60 @@ object Streams {
         } finally survivors.unpersist()
     }
 
+  /** [[indexedAnnIngest]] through the VERSIONED protocol — the vector
+    * tier's ledger-guarded twin, and the MIGRATE-IN-PLACE
+    * demonstration: the pre-built unversioned assignment table IS
+    * version 0 ([[graft.operators.Snapshots.tableAt]]'s convention for
+    * families migrating in), so an existing x91-shape index joins the
+    * protocol with zero rebuild — the first appends land in the base
+    * table under ledger guard, and the first `compactEvery` boundary
+    * publishes version 1 ([[graft.operators.Warehouse
+    * .compactFamilyVersioned]]); the version-0 base is never retired
+    * (the migration residue — [[graft.operators.Snapshots.retire]]
+    * reclaims staged versions only, so the caller keeps its original
+    * table). Replayed epochs skip WHOLE for
+    * [[indexedNeardupIngestVersioned]]'s reason: recomputed survivors
+    * after the original append would near-dup against the batch's own
+    * index rows. The frozen codebook table is read-only and stays
+    * unversioned. */
+  def indexedAnnIngestVersioned(vecs: DataFrame, idCol: String,
+                                vecCol: String, threshold: Double,
+                                nprobe: Int, ledgerTable: String,
+                                indexName: String, assignBase: String,
+                                centTable: String, numBuckets: Int = 16,
+                                compactEvery: Int = 0)
+                               (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.{Snapshots, Warehouse}
+        val sim = graft.operators.Similarity
+        val spark = batch.sparkSession
+        val bid = s"stream-$batchId"
+        if (!Snapshots.isApplied(spark, ledgerTable, indexName, bid)) {
+          val Seq(assignT) = Snapshots.resolve(spark, ledgerTable,
+            indexName, Seq(assignBase))
+          val survivors = sim.embeddingSurvivorsIndexed(batch.toDF(),
+            idCol, vecCol, threshold, nprobe, assignT, centTable)
+            .cache()
+          try {
+            sink(survivors, batchId)
+            sim.appendAnnIndex(survivors, idCol, vecCol, assignT,
+              centTable, numBuckets)
+            Snapshots.publish(spark, ledgerTable, indexName,
+              Snapshots.currentVersion(spark, ledgerTable, indexName),
+              bid, "append")
+          } finally { survivors.unpersist(); () }
+        }
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          Warehouse.compactFamilyVersioned(spark, ledgerTable, indexName,
+            Seq(assignBase), batchId = Some(s"compact-stream-$batchId"))
+          Snapshots.retire(spark, ledgerTable, indexName, Seq(assignBase))
+          ()
+        }
+    }
+
   /** Streaming PQ index MAINTENANCE — [[graft.operators.Similarity.
     * appendPqIndex]] as the per-micro-batch stage of a continuous
     * ingest, completing the indexed-ingest family

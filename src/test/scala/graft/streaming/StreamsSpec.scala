@@ -731,6 +731,74 @@ class StreamsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(100L, 101L, 2L))
   }
 
+  test("indexedAnnIngestVersioned: an EXISTING unversioned index " +
+      "migrates in as version 0 — ledger-guarded appends, compaction " +
+      "publishes v1, replayed epochs skip whole, base never retired") {
+    import graft.operators.{Similarity, Snapshots}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledger = "graft_idx_test.va_ann_ledger"
+    val assignT = "graft_idx_test.va_ann_assign"
+    val centT = "graft_idx_test.va_ann_cent"
+    (Seq(ledger, assignT, centT) ++
+      (1L to 2L).map(v => s"${assignT}_v$v")).foreach(dropIdxTable)
+    val corpus = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    Similarity.writeAnnIndex(corpus, corpus, "vec_id", "embedding",
+      assignT, centT, numBuckets = 2)
+
+    val dir = Files.createTempDirectory("annvs-in").toString
+    val ckpt = Files.createTempDirectory("annvs-ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(checkpoint: String): Unit = {
+      val stream = spark.readStream.schema(StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType))))).parquet(dir)
+      val q = Streams.indexedAnnIngestVersioned(stream, "vec_id",
+          "embedding", threshold = 0.9, nprobe = 2, ledger, "va_ann",
+          assignT, centT, numBuckets = 2, compactEvery = 2) {
+        (df, _) =>
+          val ids = df.select("vec_id").collect().map(_.getLong(0))
+          got.synchronized { got ++= ids; () }
+      }.option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // epoch 0: appends into VERSION 0 (the migrated-in base table)
+    Seq((1L, Array(0.99f, 0.01f, 0.0f)), (2L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    run(ckpt)
+    assert(got.toSet == Set(2L)) // 1 near-dups the migrated corpus
+    assert(Snapshots.currentVersion(spark, ledger, "va_ann") === 0L)
+    // epoch 1: cross-batch dedup via the version-0 append, then the
+    // compactEvery boundary publishes v1
+    Seq((3L, Array(0.0f, 0.0f, 0.95f)), (4L, Array(0.7f, 0.7f, 0.0f)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(dir)
+    run(ckpt)
+    assert(got.toSet == Set(2L, 4L)) // 3 near-dups survivor 2
+    assert(Snapshots.currentVersion(spark, ledger, "va_ann") === 1L)
+    val actions = spark.table(ledger).orderBy("batch_id")
+      .collect().map(r => (r.getAs[Long]("version"),
+        r.getAs[String]("batch_id"), r.getAs[String]("action"))).toSeq
+    assert(actions === Seq(
+      (1L, "compact-stream-1", "compact"), (0L, "stream-0", "append"),
+      (0L, "stream-1", "append")))
+    // the migrated base survives (retire reclaims STAGED versions only)
+    assert(spark.catalog.tableExists(assignT))
+    assert(spark.catalog.tableExists(s"${assignT}_v1"))
+    // v1 serves the full membership
+    val Seq(cur) = Snapshots.resolve(spark, ledger, "va_ann", Seq(assignT))
+    assert(cur === s"${assignT}_v1")
+    assert(spark.table(cur).select("neighbor_id").collect()
+      .map(_.getLong(0)).toSet == Set(100L, 101L, 2L, 4L))
+    // a re-delivered epoch (fresh checkpoint, same source) skips whole
+    got.clear()
+    val before = spark.table(ledger).count()
+    run(Files.createTempDirectory("annvs-ckpt2").toString)
+    assert(got.isEmpty)
+    assert(spark.table(ledger).count() === before)
+  }
+
   test("pqIndexIngest: stream-appended codes equal batch appendPqIndex " +
       "codes under the same frozen books; the served index grows " +
       "across micro-batches") {
