@@ -135,6 +135,32 @@ object Snapshots {
       .select(col("index_name"), col("version"), col("batch_id"),
         col("action"))
 
+  /** CONCURRENT-WRITER TRIPWIRE. The protocol's operating contract is
+    * ONE mutating writer per family (the Orchestrator runs maintenance
+    * single-threaded; takedown/ingest paths serialize through it) —
+    * the ledger is an append-only file table, so two writers that both
+    * staged version N+1 BOTH publish successfully and the
+    * second-staged tables silently win: the first mutation is recorded
+    * as applied but its effect is lost. A file catalog has no
+    * compare-and-swap to prevent that race, so this audit DETECTS it
+    * after the fact: any version carrying more than one STAGING
+    * publish (actions that bump the version — build/delete/merge/
+    * compact/append-staged; plain `append` publishes at the current
+    * version by design and any number may share it). One row per
+    * conflicted version with the sorted batch ids; empty = the
+    * single-writer contract held. Run every cycle
+    * ([[graft.runner.Maintenance.runCycle]]'s `conflict_audit` row);
+    * recovery from a hit is re-applying the losing batch (its inputs
+    * are replayable: tombstone feeds, corpus batches) or a rebuild. */
+  def versionConflicts(spark: SparkSession, ledgerTable: String,
+                       indexName: String): DataFrame =
+    ledger(spark, ledgerTable, indexName)
+      .filter(col("action") =!= "append")
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_batches"),
+        sort_array(collect_list(col("batch_id"))).as("batch_ids"))
+      .filter(col("n_batches") > 1)
+
   /** Reclaim retired snapshots: drop every physical table of versions
     * ≤ current − `keepVersions` (default keeps the current AND the
     * previous version — the grace window for readers that resolved

@@ -56,6 +56,12 @@ final case class TombstoneFeed(
   * @param resolveTables versioned families' dynamic table resolution
   *   (current-snapshot names change on publish); `tables` is used when
   *   None.
+  * @param ledger versioned families' `(ledgerTable, indexName)`; when
+  *   set, every cycle runs the concurrent-writer tripwire
+  *   ([[graft.operators.Snapshots.versionConflicts]]) and logs a
+  *   `conflict_audit` row — conflicts=0 is the single-writer contract
+  *   holding; a hit means a staging race lost a mutation (re-apply
+  *   the losing batch or rebuild).
   * @param compactFamily VERSIONED families' layout compaction: called
   *   ONCE per cycle when any table crosses `compactFilesFactor`,
   *   INSTEAD of the per-table [[Warehouse.compactIndex]] swap — a
@@ -79,7 +85,8 @@ final case class MaintainedIndex(
     tombstones: Option[TombstoneFeed] = None,
     resolveTables: Option[SparkSession => Seq[(String, String, Seq[String])]] =
       None,
-    compactFamily: Option[SparkSession => Unit] = None) {
+    compactFamily: Option[SparkSession => Unit] = None,
+    ledger: Option[(String, String)] = None) {
   require(tables.nonEmpty, s"index $name needs at least one table")
   // runCycle resolves compaction targets BY label; a duplicate would
   // silently compact the wrong table (and make audit rows ambiguous) —
@@ -138,6 +145,16 @@ object Maintenance {
       tables.foreach { case (label, table, _) =>
         if (Warehouse.recoverIndex(spark, table))
           log += MaintenanceAction(idx.name, "recover", label)
+      }
+      // 1.2. concurrent-writer tripwire (versioned families): a
+      // version carrying two STAGING publishes means a racing writer's
+      // mutation was recorded but its staged tables were overwritten —
+      // detect it every cycle, before trusting the freshness audit
+      idx.ledger.foreach { case (lt, ln) =>
+        val n = graft.operators.Snapshots.versionConflicts(spark, lt, ln)
+          .count()
+        log += MaintenanceAction(idx.name, "conflict_audit",
+          s"conflicts=$n")
       }
       // 1.5. consume the delete-time capture feed (additive families):
       // every captured batch applies through the family's IDEMPOTENT

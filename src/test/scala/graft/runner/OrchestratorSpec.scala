@@ -394,4 +394,63 @@ class OrchestratorSpec extends SparkSpec {
     assert(log2.forall(_.action == "audit"), log2.mkString("; "))
     all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
   }
+  test("conflict_audit: the concurrent-writer tripwire reads " +
+      "conflicts=0 on a clean ledger, flags a version carrying two " +
+      "staging publishes, and ignores same-version plain appends") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Graph, Snapshots}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledger = "graft_idx_test.cw_ledger"
+    val bases = Seq("graft_idx_test.cw_ob", "graft_idx_test.cw_edges",
+      "graft_idx_test.cw_totals", "graft_idx_test.cw_stats")
+    val all = ledger +: bases.flatMap(b =>
+      b +: (1 to 3).map(v => s"${b}_v$v"))
+    all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z"))
+      .toDF("p_partkey", "p_brand")
+    val Seq(obB, edB, toB, stB) = bases
+    Graph.writeEdgeIndexVersioned(li, part, ledger, "cw",
+      obB, edB, toB, stB, numBuckets = 2)
+    val idx = MaintainedIndex("cw",
+      tables = Seq(("ob", obB, Seq.empty[String])),
+      resolveTables = Some(s => {
+        val (ob, _, _, _) = Graph.resolveEdgeIndex(s, ledger, "cw",
+          obB, edB, toB, stB)
+        Seq(("ob", ob, Seq.empty[String]))
+      }),
+      corpusKeys = s => li.select(col("l_orderkey")).distinct(),
+      indexKeys = s => Graph.readEdgeIndexVersioned(s, ledger, "cw",
+        obB, edB, toB, stB)._1.select(col("order_key")).distinct(),
+      compactFilesFactor = Double.MaxValue,
+      ledger = Some((ledger, "cw")))
+    // clean ledger: the tripwire reads zero
+    val log1 = Maintenance.runCycle(spark, Seq(idx))
+    assert(log1.exists(a => a.action == "conflict_audit" &&
+      a.detail == "conflicts=0"), log1.mkString("; "))
+    assert(Snapshots.versionConflicts(spark, ledger, "cw").isEmpty)
+    // plain appends SHARE the current version by design - no trip
+    Snapshots.publish(spark, ledger, "cw", 1L, "ingest-a", "append")
+    Snapshots.publish(spark, ledger, "cw", 1L, "ingest-b", "append")
+    assert(Snapshots.versionConflicts(spark, ledger, "cw").isEmpty)
+    // the race: writer A merges to version 2 (real staged tables);
+    // writer B, who staged CONCURRENTLY against the same current
+    // version, publishes its own batch at version 2 too - B's tables
+    // overwrote A's during staging, A's mutation is recorded but lost
+    Graph.mergeEdgeIndexVersioned(spark, ledger, "cw",
+      obB, edB, toB, stB)
+    assert(Snapshots.versionConflicts(spark, ledger, "cw").isEmpty)
+    Snapshots.publish(spark, ledger, "cw", 2L, "writer-b-compact",
+      "compact")
+    val hits = Snapshots.versionConflicts(spark, ledger, "cw").collect()
+    assert(hits.length === 1)
+    assert(hits.head.getAs[Long]("version") === 2L)
+    assert(hits.head.getAs[Seq[String]]("batch_ids") ===
+      Seq("merge-v2", "writer-b-compact"))
+    val log2 = Maintenance.runCycle(spark, Seq(idx))
+    assert(log2.exists(a => a.action == "conflict_audit" &&
+      a.detail == "conflicts=1"), log2.mkString("; "))
+    all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
+  }
 }
