@@ -2324,14 +2324,37 @@ object ExtensionQueries {
 
     // x223 — SemDeDup APPLIED (the family's apply twin, x39's shape
     // on the semantic tier): the embedding corpus minus x219's
-    // dropped set, id + label preserved.
+    // dropped set, id + label preserved. Serves from the PERSISTED
+    // drop set (the frozen-books convention — x219 stays the
+    // training exhibit; the apply pays one corpus scan + a broadcast
+    // anti-join, zero retraining).
     "x223_semdedup_apply" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      Similarity.semDedupApply(e, e.filter(col("vec_id") < 8), "vec_id",
-          "embedding", rounds = 3, threshold = 0.35)
+      val drops = semdedupDropsFor(s, dir)
+      t(s, dir, "embeddings")
+        .join(broadcast(s.table(drops)), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("label"))
     })
   )
+
+  /** Build-if-missing the x223 drop set: x219's dropped vec_ids
+    * persisted once (8 seeds, 3 rounds, τ=0.35 — the registered
+    * training knobs), duplicate-sized. */
+  private def semdedupDropsFor(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_idx.semdrop_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!s.catalog.tableExists(table)) {
+      dropStaleManaged(s, table)
+      val e = t(s, dir, "embeddings")
+      Similarity.semDedup(e, e.filter(col("vec_id") < 8), "vec_id",
+          "embedding", rounds = 3, threshold = 0.35)
+        .filter(col("status") === "dropped")
+        .select(col("vec_id"))
+        .coalesce(1).write.mode("overwrite").format("parquet")
+        .saveAsTable(table)
+    }
+    table
+  }
 
   /** Build-if-missing the x222 DSIR weight table: corpus = EVEN
     * doc_ids, target = its English slice, 256 buckets. */

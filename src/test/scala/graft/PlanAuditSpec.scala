@@ -1718,4 +1718,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("q_n") && !p.contains("p_n"),
       s"weight fit recomputed at serve time:\n$p")
   }
+
+  test("x223 semdedup apply: serves from the PERSISTED drop set — " +
+      "broadcast anti-join, no retraining (the nearest-centroid " +
+      "kernel never appears at serve time)") {
+    val p = plan("x223_semdedup_apply")
+    assert(p.contains("semdrop_"), s"persisted drop set not read:\n$p")
+    assert(p.contains("LeftAnti"), s"anti-join missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"drop set not broadcast:\n$p")
+    assert(!p.toLowerCase.contains("nearestcentroidexpr"),
+      s"kmeans recomputed at serve time:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
 }
