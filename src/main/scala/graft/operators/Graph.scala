@@ -498,6 +498,19 @@ object Graph {
     * Preconditions inherit [[appendEdgeIndex]]'s additivity law
     * (complete orders, currently in the index); "each order deleted at
     * most once" is now enforced by the ledger, not assumed.
+    *
+    * ALIASING CAVEAT (the default id): a recomputed content-derived id
+    * cannot distinguish a replay from a legitimate SECOND deletion of
+    * a re-ingested key set — and cannot be version-salted here, since
+    * the first apply bumps the version and a post-crash rerun would
+    * then derive a fresh id and double-subtract (the
+    * [[Snapshots.batchIdFor(keys:*,epoch:*)]] scaladoc carries the
+    * argument). Routes that re-delete re-ingested keys (retention
+    * sweeps, repeat takedowns) must therefore capture the id ONCE at
+    * mutation creation and pass it as `batchId` — which is exactly
+    * what the tombstone feed does
+    * ([[Warehouse.deleteFromLandingWithCapture]] with its `ledger`
+    * epoch salt).
     * `crashAfterStep` is the kill-injection hook for the
     * step-boundary spec (GraphSpec) — production callers leave it
     * None. Returns false when the batch was already applied. */

@@ -171,11 +171,20 @@ object Similarity {
                vecCol: String, rounds: Int, threshold: Double): DataFrame = {
     val cents = kmeansCentroids(corpus, init, idCol, vecCol, rounds)
     val (ids, vecs) = collectCentroids(cents, "centroid_id", "centv")
+    // CACHED for the call: `assigned` feeds both sides of the
+    // same-cluster self-join AND the final status select — uncached,
+    // the corpus scan + nearest-centroid kernel would run per use
+    // (the self-join's two sides share one exchange, but the vid-keyed
+    // final join cannot). Caller-owned cache (the [[mmrTopKIndexed]]
+    // convention — Bench/Verify clearCache between queries); at true
+    // corpus scale, persist the assignment once (the x92 index
+    // pattern) instead of caching.
     val assigned = Par.spread(corpus.select(
         col(idCol).cast("long").as("vid"), col(vecCol).as("v"),
         Vectors.norm(col(vecCol)).as("nv")))
       .withColumn("cluster_id",
         VectorExpressions.nearestCentroid(col("v"), ids, vecs))
+      .cache()
     val a = assigned.alias("a"); val b = assigned.alias("b")
     val hits = a.join(b, col("a.cluster_id") === col("b.cluster_id") &&
         col("a.vid") < col("b.vid"))
@@ -1595,10 +1604,11 @@ object Similarity {
     *
     * Scale shape: the exact leg is one [[bruteForceTopK]] (broadcast
     * query set, corpus scanned once — the audit's unavoidable ground
-    * truth; CACHED as a queries×k frame so the per-width union
-    * branches reuse it instead of re-scanning the corpus — the
-    * [[mmrTopKIndexed]] caller-owned-cache convention, Bench/Verify
-    * clearCache between queries); each probed leg's bucket-pruned
+    * truth; materialized ONCE
+    * as an eager local checkpoint — a queries×k frame whose storage
+    * is released with the frame itself, not parked in the session
+    * cache — so the per-width union branches reuse it instead of
+    * re-scanning the corpus); each probed leg's bucket-pruned
     * scan feeds the top-k and the candidate count (two index-bounded
     * passes, deliberately uncached so the plan pins stay inspectable)
     * and aggregates to ONE row, so the whole sweep costs
@@ -1611,14 +1621,21 @@ object Similarity {
     require(nprobes.forall(_ > 0), "nprobe values must be > 0")
     require(k > 0, s"k must be > 0, got $k")
     val spark = queries.sparkSession
+    // the exact leg is a |queries|×k frame: localCheckpoint(eager)
+    // materializes it ONCE (one corpus scan for the whole sweep) and
+    // ties its lifetime to this frame's GC — nothing lingers in the
+    // session cache after the sweep result is consumed
     val exact = bruteForceTopK(queries, corpus, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
-      .cache()
+      .localCheckpoint(true)
     nprobes.map { np =>
       ivfScoredIndexed(queries, idCol, vecCol, np, assignTable,
           centTable) match {
         case None =>
-          spark.range(0).select(lit(np).as("nprobe"), lit(k).as("k"),
+          // one SENTINEL ROW per probed width (null recall, zero
+          // counts) — range(1), so the "one row per nprobe" contract
+          // holds even when the index has no codebook
+          spark.range(1).select(lit(np).as("nprobe"), lit(k).as("k"),
             lit(0L).as("n_queries"), lit(0L).as("n_exact"),
             lit(0L).as("n_hits"), lit(null).cast("double").as("recall"),
             lit(0L).as("n_candidates"))

@@ -127,13 +127,54 @@ object Snapshots {
     s"${r.getLong(0)}-${r.getLong(1)}"
   }
 
+  /** [[batchIdFor]] SALTED with a mutation EPOCH — `e<epoch>-<n>-<d>`
+    * — for mutations whose id is CAPTURED once at creation time and
+    * carried with the batch (the tombstone feed's `batch_id` column,
+    * [[graft.operators.Warehouse.deleteFromLandingWithCapture]]).
+    *
+    * Why the epoch exists: a purely content-derived id ALIASES a
+    * legitimate second mutation of the same key set to the first one —
+    * delete keys K (applied, ledger row lands), re-ingest K, delete K
+    * again (a repeat takedown, a retention sweep's next pass): the
+    * second delete recomputes the SAME id, [[isApplied]] reports it
+    * already applied, and the mutation silently no-ops, leaving an
+    * additive index permanently stale. Salting with the family's
+    * current version at CAPTURE time gives the new epoch's identical
+    * key set a fresh id (the intervening apply bumped the version)
+    * while replays of the captured batch keep the STORED id and stay
+    * no-ops.
+    *
+    * Why this only works for captured ids, stated as the contract: an
+    * id RECOMPUTED at apply time cannot be salted — the first apply
+    * itself bumps the version, so a post-crash rerun (which recomputes
+    * from the same inputs) would derive a DIFFERENT salt, miss the
+    * ledger row, and re-apply: the exact double-subtract the ledger
+    * exists to prevent. Replay-vs-new-mutation is undecidable from
+    * (key set, ledger) alone; the temporal anchor must be captured
+    * WITH the batch. Direct mutation entry points that default to the
+    * unsalted [[batchIdFor]] therefore keep the content-derived id and
+    * inherit its aliasing caveat (documented there); routes that need
+    * repeat-mutation safety go through the capture feed. */
+  def batchIdFor(keys: DataFrame, epoch: Long): String =
+    s"e$epoch-${batchIdFor(keys)}"
+
   /** The family's ledger rows (x216's exhibit frame), ordered columns
-    * only — consumers sort as they need. */
+    * only — consumers sort as they need. A family that has never
+    * published (no ledger table yet — a cold-start stream before batch
+    * 0, a MaintainedIndex registered ahead of its first build) reads
+    * as the empty ledger, mirroring [[currentVersion]]/[[isApplied]]'s
+    * existence guards, so audits over it ([[versionConflicts]]) report
+    * clean instead of aborting the whole maintenance cycle. */
   def ledger(spark: SparkSession, ledgerTable: String,
              indexName: String): DataFrame =
-    freshLedger(spark, ledgerTable).filter(col("index_name") === indexName)
-      .select(col("index_name"), col("version"), col("batch_id"),
-        col("action"))
+    if (!spark.catalog.tableExists(ledgerTable)) {
+      import spark.implicits._
+      Seq.empty[(String, Long, String, String)]
+        .toDF("index_name", "version", "batch_id", "action")
+    } else
+      freshLedger(spark, ledgerTable).filter(col("index_name") === indexName)
+        .select(col("index_name"), col("version"), col("batch_id"),
+          col("action"))
 
   /** CONCURRENT-WRITER TRIPWIRE. The protocol's operating contract is
     * ONE mutating writer per family (the Orchestrator runs maintenance

@@ -1915,10 +1915,18 @@ object TextAnalysis {
                        batch: DataFrame, idCol: String, textCol: String,
                        weightsTable: String): DataFrame = {
     val wt = spark.table(weightsTable)
-    // the writer materializes every bucket, so B IS the row count —
-    // a B-bounded metadata-scale read, the codebook-collect convention
-    val numBuckets = wt.count().toInt
-    require(numBuckets > 0, s"$weightsTable is empty")
+    // the writer materializes every bucket 0..B-1, so B = max(b)+1 —
+    // and the row count must AGREE with it: a weight table that is not
+    // complete over its buckets (partial/crashed write, filtered copy)
+    // would silently shift every gram's bucket id and corrupt every
+    // score, so an incomplete table fails loudly here instead
+    val hdr = wt.agg(max(col("b")), count(lit(1))).head()
+    require(!hdr.isNullAt(0), s"$weightsTable is empty")
+    val numBuckets = (hdr.getLong(0) + 1).toInt
+    require(hdr.getLong(1) == numBuckets.toLong,
+      s"$weightsTable is not complete over its buckets: max(b)+1=" +
+        s"$numBuckets but ${hdr.getLong(1)} rows — refusing to " +
+        "mis-bucket (rebuild via writeDsirIndex)")
     val grams = dsirGrams(batch, idCol, textCol, lit(false), numBuckets)
     val ds = grams.join(broadcast(wt.select(col("b"), col("w"))), Seq("b"))
       .groupBy(col("doc_id"))

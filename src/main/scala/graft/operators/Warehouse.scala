@@ -635,7 +635,14 @@ object Warehouse {
     * codes, near-dup sets) delete through here; additive families
     * (edge partials, BM25 stats) need their own negated staging —
     * [[graft.operators.Graph.deleteFromEdgeIndexVersioned]] /
-    * [[graft.operators.Retrieval.deleteFromBm25IndexVersioned]]. */
+    * [[graft.operators.Retrieval.deleteFromBm25IndexVersioned]].
+    * The default recomputed id inherits the content-aliasing caveat
+    * (see [[Snapshots.batchIdFor(keys:*,epoch:*)]]): a re-delete of a
+    * re-ingested key set no-ops — benign HERE because per-key-row
+    * staleness is repairable post-hoc (`deleteStale` in the
+    * maintenance cycle rebuilds the key diff), unlike the additive
+    * families, whose repeat-delete routes must capture a salted id
+    * ([[deleteFromLandingWithCapture]]). */
   def deleteFromIndexVersioned(spark: org.apache.spark.sql.SparkSession,
                                ledgerTable: String, indexName: String,
                                base: String, keyCol: String,
@@ -729,15 +736,36 @@ object Warehouse {
     * whose batch already sits in the feed skips the capture append),
     * and the landing delete is an anti-join rewrite (naturally
     * idempotent). Crash between the two → rerun skips capture,
-    * finishes the delete. Returns the batch id. */
+    * finishes the delete. Returns the batch id.
+    *
+    * `ledger` — the downstream family's `(ledgerTable, indexName)` —
+    * SALTS the captured id with the family's current version
+    * ([[Snapshots.batchIdFor(keys:*,epoch:*)]]): the fix for repeat
+    * mutations of the same key set across ingest epochs. Delete K
+    * (cycle applies it, version bumps), re-ingest K, delete K again:
+    * the second capture reads the bumped version → fresh id → the
+    * cycle APPLIES it, where the unsalted id would alias to the first
+    * batch and silently no-op, leaving the additive index permanently
+    * stale with its repair rows already pruned. Replays of a captured
+    * batch always carry the STORED id, so they stay no-ops. Epoch
+    * granularity = the maintenance cadence: identical key sets deleted
+    * TWICE within one epoch (before any cycle applies the first batch)
+    * coalesce into the one captured batch — the serialized
+    * single-writer contract ([[Snapshots.versionConflicts]]) already
+    * requires mutations and cycles not to interleave mid-flight. */
   def deleteFromLandingWithCapture(
       spark: org.apache.spark.sql.SparkSession, landingTable: String,
       keyCol: String, keys: DataFrame, tombstoneTable: String,
-      targetFiles: Int = 1): String = {
+      targetFiles: Int = 1,
+      ledger: Option[(String, String)] = None): String = {
     // pin the key set: it may derive from the landing table this call
     // is about to rewrite
     val k = keys.toDF("_del_key").distinct().localCheckpoint(true)
-    val bid = Snapshots.batchIdFor(k)
+    val bid = ledger match {
+      case Some((lt, ln)) =>
+        Snapshots.batchIdFor(k, Snapshots.currentVersion(spark, lt, ln))
+      case None => Snapshots.batchIdFor(k)
+    }
     val captured = spark.catalog.tableExists(tombstoneTable) &&
       !spark.table(tombstoneTable).filter(col("batch_id") === bid).isEmpty
     if (!captured) {

@@ -2560,7 +2560,10 @@ object ExtensionQueries {
     val landT = s"graft_idx.vcap_lineitem_$tag"
     val tombT = s"graft_idx.vcap_tombstones_$tag"
     val ledger = s"graft_idx.vcap_ledger_$tag"
-    val logT = s"graft_idx.vcap_log_$tag"
+    // log2: the capture id gained its epoch salt (e<version>- prefix)
+    // in round 17 — the renamed log table forces stale pre-salt
+    // fixtures in a persisted warehouse to rebuild
+    val logT = s"graft_idx.vcap_log2_$tag"
     val bases = Seq("ob", "edges", "totals", "stats")
       .map(n => s"graft_idx.vcap_${n}_$tag")
     val Seq(obB, edB, toB, stB) = bases
@@ -2581,11 +2584,13 @@ object ExtensionQueries {
       tombstones = Some(TombstoneFeed(tombT,
         (ss, rows, bid) => Graph.deleteFromEdgeIndexVersioned(rows,
           t(ss, dir, "part"), ledger, "edges", obB, edB, toB, stB,
-          batchId = Some(bid))))))
+          batchId = Some(bid)),
+        isApplied = Some((ss, bid) =>
+          Snapshots.isApplied(ss, ledger, "edges", bid))))))
     if (!s.catalog.tableExists(logT) || !s.catalog.tableExists(landT) ||
         !s.catalog.tableExists(ledger)) {
       import s.implicits._
-      (Seq(landT, tombT, ledger, logT) ++
+      (Seq(landT, tombT, ledger, logT, s"graft_idx.vcap_log_$tag") ++
         bases.flatMap(b => b +: (1 to 3).map(v => s"${b}_v$v")))
         .foreach(dropStaleManaged(s, _))
       val li = t(s, dir, "lineitem")
@@ -2594,7 +2599,8 @@ object ExtensionQueries {
         ledger, "edges", obB, edB, toB, stB, numBuckets = 8)
       Warehouse.deleteFromLandingWithCapture(s, landT, "l_orderkey",
         li.filter(pmod(col("l_orderkey"), lit(5)) === 0)
-          .select(col("l_orderkey")), tombT)
+          .select(col("l_orderkey")), tombT,
+        ledger = Some((ledger, "edges")))
       Maintenance.runCycle(s, maintained)
         .map(a => (a.index, a.action, a.detail))
         .toDF("index_name", "action", "detail")
@@ -4987,13 +4993,17 @@ object ExtensionQueries {
          SELECT CAST(cycle AS BIGINT) AS cycle, index_name, action,
            detail FROM r""") +
     // x218: the captured batch's id recomputes from the %5 order-key
-    // set under the batchIdFor law; cycle 1 applies it and audits
-    // fresh, cycle 2 (pruned feed) is audit-only.
+    // set under the batchIdFor law, SALTED with the family's version
+    // at capture time (v1 — the bootstrap build published, nothing
+    // else had; the 'e1-' prefix is the epoch that lets a later
+    // re-ingest + identical re-delete apply instead of aliasing);
+    // cycle 1 applies it and audits fresh, cycle 2 (pruned feed) is
+    // audit-only.
     ("x218_tombstone_capture" ->
       s"""WITH ok AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
            WHERE l_orderkey % 5 = 0),
          del AS (SELECT count(*) AS n,
-             CAST(count(*) AS VARCHAR) || '-' ||
+             'e1-' || CAST(count(*) AS VARCHAR) || '-' ||
              CAST(CAST(COALESCE(sum(CAST(('0x' ||
                  substring(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT
                AS HUGEINT)), 0) % $BatchFold AS BIGINT) AS VARCHAR)

@@ -23,11 +23,25 @@ import graft.operators.Warehouse
   * @param apply (spark, batchRows-without-batch_id, batchId) => true
   *   when the batch was actually applied this call (false = the
   *   ledger's idempotent no-op).
+  * @param isApplied (spark, batchId) => is this batch id in the
+  *   family's ledger? (wire to [[graft.operators.Snapshots.isApplied]]
+  *   with the family's ledger.) The PRUNE GUARD: a batch is pruned
+  *   from the feed only when `apply` returned true this cycle OR
+  *   `isApplied` confirms a genuine replay (applied in an earlier
+  *   cycle, crash before prune). A batch that is neither — `apply`
+  *   no-opped but the ledger does not carry its id (an id aliased to
+  *   some OTHER batch's, a feed row from a foreign family) — is LEFT
+  *   in the feed and logged `delete_batch_stuck`: its captured rows
+  *   are the only repair path, so pruning them would freeze the
+  *   staleness in permanently. When None, only `apply == true`
+  *   batches prune (replayed batches then re-no-op each cycle until
+  *   the feed owner intervenes — safe, just noisier).
   */
 final case class TombstoneFeed(
     table: String,
     apply: (SparkSession, DataFrame, String) => Boolean,
-    prune: Boolean = true)
+    prune: Boolean = true,
+    isApplied: Option[(SparkSession, String) => Boolean] = None)
 
 /** One index under automatic maintenance ([[Maintenance.runCycle]]):
   * where its physical tables live, how to read the current corpus /
@@ -167,6 +181,7 @@ object Maintenance {
           val bids = spark.table(feed.table)
             .select(col("batch_id")).distinct()
             .collect().map(_.getString(0)).sorted
+          val pruneable = Seq.newBuilder[String]
           bids.foreach { bid =>
             val rows = spark.table(feed.table)
               .filter(col("batch_id") === bid).drop("batch_id")
@@ -174,14 +189,27 @@ object Maintenance {
             // BEFORE the freshness audit below, so the audit (and its
             // steady-state reuse as the closing row) sees the
             // post-consumption state
-            if (feed.apply(spark, rows, bid))
+            if (feed.apply(spark, rows, bid)) {
               log += MaintenanceAction(idx.name, "delete_batch",
                 s"batch=$bid")
+              pruneable += bid
+            } else if (feed.isApplied.exists(_(spark, bid))) {
+              // genuine replay: applied in an earlier cycle, crashed
+              // before prune — the ledger carries the id, safe to prune
+              pruneable += bid
+            } else {
+              // apply no-opped AND the ledger does not confirm the
+              // batch: pruning would discard the only rows that can
+              // repair the index — keep the batch and surface it
+              log += MaintenanceAction(idx.name, "delete_batch_stuck",
+                s"batch=$bid")
+            }
           }
-          if (feed.prune && bids.nonEmpty) {
+          val toPrune = pruneable.result()
+          if (feed.prune && toPrune.nonEmpty) {
             import spark.implicits._
             Warehouse.deleteFromIndex(spark, feed.table, "batch_id",
-              bids.toSeq.toDF("batch_id"))
+              toPrune.toDF("batch_id"))
           }
         }
       }

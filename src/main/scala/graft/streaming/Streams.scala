@@ -982,12 +982,17 @@ object Streams {
     * ([[graft.operators.Snapshots]]) — the streaming twin of the batch
     * layer's applied-batch ledger (x216), closing the replay caveat the
     * unversioned ingest documents ("make `sink` idempotent by batch
-    * id"): here the LIBRARY enforces it. Each micro-batch appends its
-    * additive partials under the deterministic id `stream-<batchId>`
-    * (the checkpoint's epoch — stable across replays by construction),
-    * so the at-least-once window after a crash re-delivers the batch
-    * and [[graft.operators.Graph.appendEdgeIndexVersioned]] logs a
-    * no-op instead of double-counting. Batch 0 bootstraps the family
+    * id"): here the LIBRARY enforces it — for the index AND the sink.
+    * Each micro-batch runs under the deterministic id
+    * `stream-<batchId>` (the checkpoint's epoch — stable across
+    * replays by construction); a replayed epoch whose id already sits
+    * in the ledger is skipped WHOLE, sink delivery included (batch
+    * content is deterministic by epoch, so skipping loses nothing —
+    * the neardup/ANN twins' law), and a first-delivery crash between
+    * the sink and the publish re-delivers the sink call once (the
+    * sink's residual at-least-once window — same as the ANN twin's).
+    * [[graft.operators.Graph.appendEdgeIndexVersioned]] then logs a
+    * no-op instead of double-counting if the replay races the guard. Batch 0 bootstraps the family
     * ([[graft.operators.Graph.writeEdgeIndexVersioned]]) under the SAME
     * id, so a replay straddling the bootstrap publish short-circuits on
     * the ledger rather than falling through to the append path.
@@ -1031,29 +1036,38 @@ object Streams {
         import graft.operators.{Graph, Snapshots}
         val spark = batch.sparkSession
         val bases = Seq(obBase, edgesBase, totalsBase, statsBase)
-        val bid = Some(s"stream-$batchId")
-        val b = batch.toDF().cache()
-        try {
-          sink(b, batchId)
-          val bootstrapped =
-            Snapshots.currentVersion(spark, ledgerTable, indexName) > 0
-          if (!bootstrapped)
-            Graph.writeEdgeIndexVersioned(b, part, ledgerTable, indexName,
-              obBase, edgesBase, totalsBase, statsBase, numBuckets, bid)
-          else if (staged)
-            Graph.appendEdgeIndexVersionedStaged(b, part, ledgerTable,
-              indexName, obBase, edgesBase, totalsBase, statsBase, bid)
-          else
-            Graph.appendEdgeIndexVersioned(b, part, ledgerTable, indexName,
-              obBase, edgesBase, totalsBase, statsBase, bid)
-          if (mergeEvery > 0 && (batchId + 1) % mergeEvery == 0) {
-            Graph.mergeEdgeIndexVersioned(spark, ledgerTable, indexName,
-              obBase, edgesBase, totalsBase, statsBase,
-              Some(s"merge-stream-$batchId"))
-            Snapshots.retire(spark, ledgerTable, indexName, bases)
-            ()
-          }
-        } finally { b.unpersist(); () }
+        val bid = s"stream-$batchId"
+        // a replayed epoch (already in the ledger) is skipped WHOLE —
+        // including the sink delivery: batch content is deterministic
+        // by epoch, so the sink sees each batch at most once (the
+        // neardup/ANN twins' law, now enforced here too instead of
+        // delegated to the sink's own idempotence)
+        if (!Snapshots.isApplied(spark, ledgerTable, indexName, bid)) {
+          val b = batch.toDF().cache()
+          try {
+            sink(b, batchId)
+            val bootstrapped =
+              Snapshots.currentVersion(spark, ledgerTable, indexName) > 0
+            if (!bootstrapped)
+              Graph.writeEdgeIndexVersioned(b, part, ledgerTable, indexName,
+                obBase, edgesBase, totalsBase, statsBase, numBuckets,
+                Some(bid))
+            else if (staged)
+              Graph.appendEdgeIndexVersionedStaged(b, part, ledgerTable,
+                indexName, obBase, edgesBase, totalsBase, statsBase,
+                Some(bid))
+            else
+              Graph.appendEdgeIndexVersioned(b, part, ledgerTable, indexName,
+                obBase, edgesBase, totalsBase, statsBase, Some(bid))
+          } finally { b.unpersist(); () }
+        }
+        if (mergeEvery > 0 && (batchId + 1) % mergeEvery == 0) {
+          Graph.mergeEdgeIndexVersioned(spark, ledgerTable, indexName,
+            obBase, edgesBase, totalsBase, statsBase,
+            Some(s"merge-stream-$batchId"))
+          Snapshots.retire(spark, ledgerTable, indexName, bases)
+          ()
+        }
     }
 
   /** Streaming HYBRID SERVING (x135's continuous form) — the

@@ -394,6 +394,114 @@ class OrchestratorSpec extends SparkSpec {
     assert(log2.forall(_.action == "audit"), log2.mkString("; "))
     all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
   }
+  test("epoch-salted capture: delete -> re-ingest -> IDENTICAL delete " +
+      "applies as a fresh batch (no batch-id aliasing), the cycle ends " +
+      "stale=0 and rebuild-identical; replays stay pruned no-ops and " +
+      "an unverifiable batch is kept + flagged, never pruned") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Graph, Snapshots, Warehouse}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val landT = "graft_idx_test.ep_lineitem"
+    val tombT = "graft_idx_test.ep_tombstones"
+    val ledger = "graft_idx_test.ep_ledger"
+    val bases = Seq("graft_idx_test.ep_ob", "graft_idx_test.ep_edges",
+      "graft_idx_test.ep_totals", "graft_idx_test.ep_stats")
+    val rb = bases.map(_ + "_reb")
+    val all = Seq(landT, tombT, ledger) ++ rb ++
+      bases.flatMap(b => b +: (1 to 6).map(v => s"${b}_v$v"))
+    all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 3L), (13L, 1L), (13L, 2L), (14L, 2L), (14L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val delRows = li.filter(col("l_orderkey").isin(11L, 14L))
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z"))
+      .toDF("p_partkey", "p_brand")
+    li.write.format("parquet").saveAsTable(landT)
+    val Seq(obB, edB, toB, stB) = bases
+    Graph.writeEdgeIndexVersioned(spark.table(landT), part, ledger,
+      "edges", obB, edB, toB, stB, numBuckets = 2)
+    val feed = TombstoneFeed(tombT,
+      (s, rows, bid) => Graph.deleteFromEdgeIndexVersioned(rows, part,
+        ledger, "edges", obB, edB, toB, stB, batchId = Some(bid)),
+      isApplied = Some((s, bid) =>
+        Snapshots.isApplied(s, ledger, "edges", bid)))
+    val idx = MaintainedIndex("edges",
+      tables = Seq(("ob", obB, Seq.empty[String])),
+      resolveTables = Some(s => {
+        val (ob, _, _, _) = Graph.resolveEdgeIndex(s, ledger, "edges",
+          obB, edB, toB, stB)
+        Seq(("ob", ob, Seq.empty[String]))
+      }),
+      corpusKeys = s => s.table(landT).select(col("l_orderkey")).distinct(),
+      indexKeys = s => Graph.readEdgeIndexVersioned(s, ledger, "edges",
+        obB, edB, toB, stB)._1.select(col("order_key")).distinct(),
+      compactFilesFactor = Double.MaxValue,
+      tombstones = Some(feed))
+    // epoch 1: delete orders {11, 14} through the capture path
+    val bid1 = Warehouse.deleteFromLandingWithCapture(spark, landT,
+      "l_orderkey", delRows.select(col("l_orderkey")), tombT,
+      ledger = Some((ledger, "edges")))
+    assert(bid1.startsWith("e1-"), bid1)
+    val log1 = Maintenance.runCycle(spark, Seq(idx))
+    assert(log1.exists(a => a.action == "delete_batch" &&
+      a.detail == s"batch=$bid1"), log1.mkString("; "))
+    assert(spark.table(tombT).count() === 0L, "feed not pruned")
+    // re-ingest the SAME rows: landing append + versioned index append
+    delRows.write.mode("append").format("parquet").saveAsTable(landT)
+    assert(Graph.appendEdgeIndexVersioned(delRows, part, ledger, "edges",
+      obB, edB, toB, stB), "re-ingest append did not apply")
+    // epoch 2: the IDENTICAL key set deleted again — the repeat
+    // takedown / next retention sweep. The salt makes it a FRESH batch.
+    val bid2 = Warehouse.deleteFromLandingWithCapture(spark, landT,
+      "l_orderkey", delRows.select(col("l_orderkey")).distinct(), tombT,
+      ledger = Some((ledger, "edges")))
+    assert(bid2 !== bid1, s"aliased: $bid2")
+    assert(bid2.startsWith("e2-"), bid2)
+    val log2 = Maintenance.runCycle(spark, Seq(idx))
+    assert(log2.exists(a => a.action == "delete_batch" &&
+      a.detail == s"batch=$bid2"),
+      s"second delete did not apply: ${log2.mkString("; ")}")
+    assert(log2.exists(a => a.action == "audit" &&
+      a.detail == "missing=0 stale=0"), log2.mkString("; "))
+    // the index is bit-identical to a from-scratch rebuild of the
+    // final landing state
+    val Seq(obR, edR, toR, stR) = rb
+    Graph.writeEdgeIndex(spark.table(landT), part, obR, edR, toR, stR,
+      numBuckets = 2)
+    val (obV, eV, tV, sV) = Graph.readEdgeIndexVersioned(spark, ledger,
+      "edges", obB, edB, toB, stB)
+    val (obE, eE, tE, sE) = Graph.readEdgeIndex(spark, obR, edR, toR, stR)
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rs(obV) === rs(obE) && rs(eV) === rs(eE))
+    assert(rs(tV) === rs(tE) && rs(sV) === rs(sE))
+    // two distinct delete rows in the ledger — one per epoch
+    assert(Snapshots.ledger(spark, ledger, "edges")
+      .filter(col("action") === "delete").count() === 2L)
+    // REPLAY: the captured batch re-delivered (crash before prune) —
+    // apply no-ops, isApplied confirms, the feed is pruned silently
+    delRows.withColumn("batch_id", org.apache.spark.sql.functions.lit(bid2))
+      .write.mode("append").format("parquet").saveAsTable(tombT)
+    val log3 = Maintenance.runCycle(spark, Seq(idx))
+    assert(!log3.exists(_.action == "delete_batch"), log3.mkString("; "))
+    assert(!log3.exists(_.action == "delete_batch_stuck"),
+      log3.mkString("; "))
+    assert(spark.table(tombT).count() === 0L, "replay not pruned")
+    assert(Snapshots.ledger(spark, ledger, "edges")
+      .filter(col("action") === "delete").count() === 2L)
+    // STUCK: a feed WITHOUT the isApplied guard sees a ledger-resident
+    // batch no-op — it must be KEPT and flagged, not pruned (pruning
+    // would discard the only repair rows)
+    delRows.withColumn("batch_id", org.apache.spark.sql.functions.lit(bid2))
+      .write.mode("append").format("parquet").saveAsTable(tombT)
+    val blind = idx.copy(tombstones = Some(feed.copy(isApplied = None)))
+    val log4 = Maintenance.runCycle(spark, Seq(blind))
+    assert(log4.exists(a => a.action == "delete_batch_stuck" &&
+      a.detail == s"batch=$bid2"), log4.mkString("; "))
+    assert(spark.table(tombT).count() > 0L, "stuck batch was pruned")
+    all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
+  }
+
   test("conflict_audit: the concurrent-writer tripwire reads " +
       "conflicts=0 on a clean ledger, flags a version carrying two " +
       "staging publishes, and ignores same-version plain appends") {
@@ -452,5 +560,49 @@ class OrchestratorSpec extends SparkSpec {
     assert(log2.exists(a => a.action == "conflict_audit" &&
       a.detail == "conflicts=1"), log2.mkString("; "))
     all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
+  }
+
+  test("conflict_audit cold start: a MaintainedIndex whose ledger " +
+      "table has not been created yet (family migrating in, stream " +
+      "batch 0 not delivered) audits clean instead of aborting the " +
+      "cycle") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Graph, Snapshots}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledger = "graft_idx_test.cs_ledger" // never created
+    val bases = Seq("graft_idx_test.cs_ob", "graft_idx_test.cs_edges",
+      "graft_idx_test.cs_totals", "graft_idx_test.cs_stats")
+    val Seq(obB, edB, toB, stB) = bases
+    (ledger +: bases).foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    val li = Seq((10L, 1L), (10L, 2L)).toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y")).toDF("p_partkey", "p_brand")
+    // version-0 base tables only: the unversioned layout a family has
+    // before its first versioned publish
+    Graph.writeEdgeIndex(li, part, obB, edB, toB, stB, numBuckets = 2)
+    // the guarded readers all see "never published"
+    assert(Snapshots.currentVersion(spark, ledger, "cs") === 0L)
+    assert(!Snapshots.isApplied(spark, ledger, "cs", "anything"))
+    assert(Snapshots.ledger(spark, ledger, "cs").isEmpty)
+    assert(Snapshots.versionConflicts(spark, ledger, "cs").isEmpty)
+    val idx = MaintainedIndex("cs",
+      tables = Seq(("ob", obB, Seq.empty[String])),
+      resolveTables = Some(s => {
+        val (ob, _, _, _) = Graph.resolveEdgeIndex(s, ledger, "cs",
+          obB, edB, toB, stB)
+        Seq(("ob", ob, Seq.empty[String]))
+      }),
+      corpusKeys = s => li.select(col("l_orderkey")).distinct(),
+      indexKeys = s => Graph.readEdgeIndexVersioned(s, ledger, "cs",
+        obB, edB, toB, stB)._1.select(col("order_key")).distinct(),
+      compactFilesFactor = Double.MaxValue,
+      ledger = Some((ledger, "cs")))
+    // the whole cycle must complete — before the guard this threw
+    // AnalysisException out of versionConflicts and aborted ALL indexes
+    val log = Maintenance.runCycle(spark, Seq(idx))
+    assert(log.exists(a => a.action == "conflict_audit" &&
+      a.detail == "conflicts=0"), log.mkString("; "))
+    assert(log.exists(a => a.action == "audit" &&
+      a.detail == "missing=0 stale=0"), log.mkString("; "))
+    (ledger +: bases).foreach(graft.sinks.Sinks.dropManaged(spark, _))
   }
 }
