@@ -159,21 +159,27 @@ object Bench {
       "duplicate short-id prefixes — the printed map would silently " +
         "drop a timing (last-wins on json parse): " +
         prefixes.diff(prefixes.distinct).distinct.mkString(","))
-    // 1-decimal values on the printed line (100 ms granularity — the
-    // driver's round-over-round comparison flags >2× swings on
-    // multi-second queries, where 0.1 s resolution is ample; the
-    // 2-decimal line hit 1865 chars at 158 queries against the
-    // 1900-char assert). The 3-decimal figures live in the detail file
-    // and the committed ledger. Trailing zeros are stripped ("1.0" ->
-    // "1" — still valid JSON numbers): at ~11 chars/query the line sits
-    // ~1710 at 160 queries, ~17 queries of headroom.
+    // Value encoding on the printed line, chosen ADAPTIVELY so every
+    // registered query keeps an individual timing for as long as the
+    // driver's ~2000-char tail capture allows (the r16 fold silently
+    // untimed 47 queries — regression signal lost):
+    //   1-decimal seconds (100 ms granularity) while the full map fits;
+    //   INTEGER seconds (round-half-up; sub-0.5 s prints 0) when it
+    //   doesn't — 236 full-precision entries don't fit at one decimal
+    //   (~2290 chars), but integer-second values do (~1870), and the
+    //   committed BENCH_local_r{N}.json ledger + target/
+    //   bench_detail.json always carry every query at 3 decimals, so
+    //   the printed line only needs enough resolution for the driver's
+    //   round-over-round swing check (>1.5× above 1 s — visible at 1 s
+    //   granularity). Trailing zeros are stripped ("1.0" -> "1").
     // x-suite keys drop the 'x' on the printed line only ("x157" ->
-    // "157"; "q1".."q13" keep the q, so no collision with "1".."13") —
-    // ~1 char/query, the cheapest remaining shrink before a line split
-    def encode(kept: Seq[(String, Double)], rest: Seq[(String, Double)])
-        : String = {
+    // "157"; "q1".."q13" keep the q, so no collision with "1".."13").
+    def encode(kept: Seq[(String, Double)], rest: Seq[(String, Double)],
+               intSeconds: Boolean): String = {
       val qs = kept.map { case (k, v) =>
-        val num = f"$v%.1f".replaceAll("0+$", "").stripSuffix(".")
+        val num =
+          if (intSeconds) math.round(v).toString
+          else f"$v%.1f".replaceAll("0+$", "").stripSuffix(".")
         val id = k.takeWhile(_ != '_')
         val shortId = if (id.startsWith("x")) id.drop(1) else id
         "\"" + shortId + "\":" + num
@@ -192,21 +198,15 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
         f""""queries":$qs,$restPart"sf":"$sfLabel"}"""
     }
-    // The full per-query map at 202 queries sits ~1955 chars with fast
-    // local timings — and each query that runs ≥10 s driver-side costs
-    // 1-2 MORE chars than its local figure, so a hard assert here could
-    // fire AT THE DRIVER after the whole run and lose the round's bench
-    // (the r9 failure mode, relocated). Instead: if the full line
-    // doesn't fit, FOLD the fastest queries into one explicit
-    // `"rest":{"n":…,"sec":…}` summary (total stays = sum of parts, so
-    // nothing is silently dropped) until it does. The committed
-    // BENCH_local_r{N}.json ledger and target/bench_detail.json always
-    // carry every query at 3 decimals — the fold only affects the
-    // driver's stdout tail, and with today's counts only engages when
-    // driver-side times inflate the digits.
+    // Degradation order when the line would overflow the driver's tail
+    // capture (the r9 failure mode — a too-long line loses the WHOLE
+    // round's bench): first drop VALUE precision to integer seconds
+    // (every query stays individually timed), and only if even that
+    // overflows (~290+ queries), FOLD the fastest x-suite entries into
+    // one explicit `"rest":{"n":…,"sec":…}` summary (total stays = sum
+    // of parts, nothing silently dropped). q1-q13 never fold (the
+    // judge's round-over-round anchor set).
     val budget = 1900
-    // fold order: fastest x-suite entries first; the reference suite
-    // q1-q13 never folds (the judge's round-over-round anchor set)
     val byTime = results.sortBy(r =>
       (if (r._1.startsWith("q")) 0 else 1, -r._2))
     // the fold floor enforces the q1-q13 invariant by construction:
@@ -214,12 +214,14 @@ object Bench {
     // set survives even a pathological digit blow-up
     val keepFloor = math.max(1, results.count(_._1.startsWith("q")))
     var keep = results.size
-    var line = encode(results, Nil)
+    var line = encode(results, Nil, intSeconds = false)
+    if (line.length >= budget)
+      line = encode(results, Nil, intSeconds = true)
     while (line.length >= budget && keep > keepFloor) {
       keep -= 1
       val keptNames = byTime.take(keep).map(_._1).toSet
       val (kept, rest) = results.partition(r => keptNames(r._1))
-      line = encode(kept, rest)
+      line = encode(kept, rest, intSeconds = true)
     }
     assert(line.length < 1960,
       s"bench JSON line ${line.length} chars even after folding — " +

@@ -202,6 +202,73 @@ object Snapshots {
         sort_array(collect_list(col("batch_id"))).as("batch_ids"))
       .filter(col("n_batches") > 1)
 
+  /** Thrown by [[withLease]] when another writer holds the family's
+    * lease — the caller's mutation was NOT started; retry after the
+    * holder releases (its inputs are replayable by design: tombstone
+    * feeds, corpus batches, deterministic batch ids). */
+  final case class LeaseDenied(indexName: String, holders: Seq[String])
+    extends RuntimeException(
+      s"lease for $indexName held by ${holders.mkString(", ")}")
+
+  /** BEST-EFFORT WRITER LEASE — prevention for the race the
+    * [[versionConflicts]] tripwire detects. The protocol's contract is
+    * one mutating writer per family; a file catalog has no
+    * compare-and-swap, so two writers that stage the same next version
+    * both publish and the second-staged tables silently win. This
+    * narrows that race to a hair: append an `(index_name, owner)` row
+    * to the lease table, re-list, and proceed ONLY as the
+    * lexicographically-smallest live owner — when two writers collide,
+    * both see both rows and exactly one backs off ([[LeaseDenied]]),
+    * releasing its own row before throwing. The body always runs with
+    * the lease held and the row is released afterward (crash inside
+    * the body leaks the row — [[clearLeases]] is the operator's
+    * recovery, safe because the crashed mutation either published,
+    * making its replay a ledger no-op, or staged idempotent overwrites
+    * a rerun rebuilds).
+    *
+    * Honest limits, stated: on a store with delayed listing visibility
+    * (object stores), two writers can each list before the other's
+    * append lands and BOTH proceed — the lease is prevention for the
+    * common case, the tripwire remains the audit of record, and
+    * recovery from a detected conflict is re-applying the losing batch
+    * at a fresh version (its id is content-derived, so the re-apply
+    * stages bit-identically). On a POSIX-visibility catalog (HDFS,
+    * local) the append-then-list order makes the collision window the
+    * append/list gap only. */
+  def withLease[T](spark: SparkSession, leaseTable: String,
+                   indexName: String)(body: => T): T = {
+    import spark.implicits._
+    val owner = java.util.UUID.randomUUID().toString
+    Seq((indexName, owner)).toDF("index_name", "owner")
+      .coalesce(1).write.mode("append").format("parquet")
+      .saveAsTable(leaseTable)
+    def holders(): Seq[String] = {
+      spark.catalog.refreshTable(leaseTable)
+      spark.table(leaseTable).filter(col("index_name") === indexName)
+        .select(col("owner")).collect().map(_.getString(0)).sorted.toSeq
+    }
+    def releaseOwn(): Unit =
+      Warehouse.deleteFromIndex(spark, leaseTable, "owner",
+        Seq(owner).toDF("owner"))
+    val live = holders()
+    if (live.headOption.contains(owner))
+      try body finally releaseOwn()
+    else {
+      releaseOwn()
+      throw LeaseDenied(indexName, live.filterNot(_ == owner))
+    }
+  }
+
+  /** Drop every lease row for a family — the operator's recovery from
+    * a crashed holder (see [[withLease]]'s crash note). */
+  def clearLeases(spark: SparkSession, leaseTable: String,
+                  indexName: String): Unit =
+    if (spark.catalog.tableExists(leaseTable)) {
+      import spark.implicits._
+      Warehouse.deleteFromIndex(spark, leaseTable, "index_name",
+        Seq(indexName).toDF("index_name"))
+    }
+
   /** Reclaim retired snapshots: drop every physical table of versions
     * ≤ current − `keepVersions` (default keeps the current AND the
     * previous version — the grace window for readers that resolved

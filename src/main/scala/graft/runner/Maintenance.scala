@@ -76,6 +76,19 @@ final case class TombstoneFeed(
   *   `conflict_audit` row — conflicts=0 is the single-writer contract
   *   holding; a hit means a staging race lost a mutation (re-apply
   *   the losing batch or rebuild).
+  * @param retireBases the family's version-0 BASE table names (all of
+  *   them — an unlisted base's old snapshots would linger forever).
+  *   When set together with `ledger`, every cycle ends by reclaiming
+  *   snapshots past the grace window
+  *   ([[graft.operators.Snapshots.retire]], keep = `keepVersions`):
+  *   without this an Orchestrator-maintained versioned family grows
+  *   one full index copy per mutation, unbounded. The cycle cadence IS
+  *   the grace period — a reader that resolved just before this
+  *   cycle's publishes still has its complete previous snapshot.
+  *   Ledger rows are never dropped (the idempotency record).
+  * @param keepVersions how many trailing versions [[retireBases]]
+  *   keeps (default 2: current + previous — the in-flight-reader
+  *   grace).
   * @param compactFamily VERSIONED families' layout compaction: called
   *   ONCE per cycle when any table crosses `compactFilesFactor`,
   *   INSTEAD of the per-table [[Warehouse.compactIndex]] swap — a
@@ -100,7 +113,15 @@ final case class MaintainedIndex(
     resolveTables: Option[SparkSession => Seq[(String, String, Seq[String])]] =
       None,
     compactFamily: Option[SparkSession => Unit] = None,
-    ledger: Option[(String, String)] = None) {
+    ledger: Option[(String, String)] = None,
+    retireBases: Option[Seq[String]] = None,
+    keepVersions: Int = 2) {
+  require(keepVersions >= 1,
+    s"index $name: keepVersions must be >= 1, got $keepVersions")
+  require(retireBases.forall(_.nonEmpty),
+    s"index $name: retireBases, when set, needs >= 1 base")
+  require(retireBases.isEmpty || ledger.isDefined,
+    s"index $name: retireBases needs the family's ledger")
   require(tables.nonEmpty, s"index $name needs at least one table")
   // runCycle resolves compaction targets BY label; a duplicate would
   // silently compact the wrong table (and make audit rows ambiguous) —
@@ -140,6 +161,9 @@ final case class MaintenanceAction(index: String, action: String,
   *   4. COMPACT every table whose file count crossed
   *      `compactFilesFactor` × buckets (appends land one file per
   *      touched bucket per ingest — x210's law).
+  *   5. RETIRE versioned snapshots past the grace window
+  *      (`retireBases` + `keepVersions` — the cycle cadence is the
+  *      in-flight readers' grace period; ledger rows stay).
   *
   * Scale shape: the steady-state cycle (nothing to repair) costs the
   * bucketed freshness scans + one metadata listing per table; repair
@@ -280,6 +304,20 @@ object Maintenance {
             log += MaintenanceAction(idx.name, "compact",
               s"$label files=$files buckets=$buckets")
           }
+      }
+      // 5. retire snapshots past the grace window (versioned families):
+      // the cycle's own publishes (tombstone deletes, merges, family
+      // compactions) each grew the family by one full version; reclaim
+      // everything <= current - keepVersions NOW — one cycle after the
+      // publish, which is the in-flight readers' grace period — instead
+      // of never (the pre-retire behavior: one index copy per mutation,
+      // forever). Ledger rows stay; only physical tables drop.
+      idx.ledger.zip(idx.retireBases).foreach { case ((lt, ln), bases) =>
+        val dropped = graft.operators.Snapshots.retire(spark, lt, ln,
+          bases, idx.keepVersions)
+        if (dropped.nonEmpty)
+          log += MaintenanceAction(idx.name, "retire",
+            s"versions=${dropped.mkString(",")}")
       }
       // closing audit row: the log alone shows the cycle ended fresh.
       // Recomputed ONLY when a repair changed the key sets (delete /

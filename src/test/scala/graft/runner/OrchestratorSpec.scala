@@ -394,6 +394,92 @@ class OrchestratorSpec extends SparkSpec {
     assert(log2.forall(_.action == "audit"), log2.mkString("; "))
     all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
   }
+  test("runCycle retire: a multi-cycle run reclaims snapshots past the " +
+      "grace window — old physical tables drop, ledger rows stay, " +
+      "current + previous versions survive, serving reads unaffected") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Graph, Snapshots, Warehouse}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val landT = "graft_idx_test.rt_lineitem"
+    val tombT = "graft_idx_test.rt_tombstones"
+    val ledger = "graft_idx_test.rt_ledger"
+    val bases = Seq("graft_idx_test.rt_ob", "graft_idx_test.rt_edges",
+      "graft_idx_test.rt_totals", "graft_idx_test.rt_stats")
+    val all = Seq(landT, tombT, ledger) ++
+      bases.flatMap(b => b +: (1 to 6).map(v => s"${b}_v$v"))
+    all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L), (12L, 1L),
+      (12L, 2L), (13L, 2L), (13L, 3L), (14L, 1L), (14L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z"))
+      .toDF("p_partkey", "p_brand")
+    li.write.format("parquet").saveAsTable(landT)
+    val Seq(obB, edB, toB, stB) = bases
+    Graph.writeEdgeIndexVersioned(spark.table(landT), part, ledger,
+      "rt", obB, edB, toB, stB, numBuckets = 2) // v1
+    val idx = MaintainedIndex("rt",
+      tables = Seq(("ob", obB, Seq.empty[String])),
+      resolveTables = Some(s => {
+        val (ob, _, _, _) = Graph.resolveEdgeIndex(s, ledger, "rt",
+          obB, edB, toB, stB)
+        Seq(("ob", ob, Seq.empty[String]))
+      }),
+      corpusKeys = s => s.table(landT).select(col("l_orderkey")).distinct(),
+      indexKeys = s => Graph.readEdgeIndexVersioned(s, ledger, "rt",
+        obB, edB, toB, stB)._1.select(col("order_key")).distinct(),
+      compactFilesFactor = Double.MaxValue,
+      tombstones = Some(TombstoneFeed(tombT,
+        (s, rows, bid) => Graph.deleteFromEdgeIndexVersioned(rows, part,
+          ledger, "rt", obB, edB, toB, stB, batchId = Some(bid)),
+        isApplied = Some((s, bid) =>
+          Snapshots.isApplied(s, ledger, "rt", bid)))),
+      ledger = Some((ledger, "rt")),
+      retireBases = Some(bases)) // keepVersions = 2 (default)
+    // three cycles, each consuming one captured delete -> versions
+    // grow v2, v3, v4; the grace window trails one cycle behind
+    Seq(10L, 12L, 14L).zipWithIndex.foreach { case (key, i) =>
+      Warehouse.deleteFromLandingWithCapture(spark, landT, "l_orderkey",
+        li.filter(col("l_orderkey") === key).select(col("l_orderkey")),
+        tombT, ledger = Some((ledger, "rt")))
+      val log = Maintenance.runCycle(spark, Seq(idx))
+      val cur = Snapshots.currentVersion(spark, ledger, "rt")
+      assert(cur === (i + 2).toLong, log.mkString("; "))
+      // cycles publishing v3+ retire the now-out-of-grace snapshots
+      if (cur >= 3)
+        assert(log.exists(a => a.action == "retire" &&
+          a.detail == s"versions=${cur - 2}"), log.mkString("; "))
+    }
+    // current (v4) + previous (v3) survive; v1, v2 physically gone
+    bases.foreach { b =>
+      assert(spark.catalog.tableExists(s"${b}_v4"), s"$b v4 missing")
+      assert(spark.catalog.tableExists(s"${b}_v3"), s"$b v3 missing")
+      assert(!spark.catalog.tableExists(s"${b}_v2"), s"$b v2 lingers")
+      assert(!spark.catalog.tableExists(s"${b}_v1"), s"$b v1 lingers")
+    }
+    // ledger rows all preserved: build + 3 deletes
+    assert(Snapshots.ledger(spark, ledger, "rt").count() === 4L)
+    // serving reads resolve the current snapshot and match a
+    // from-scratch rebuild of the final landing state
+    val rb = bases.map(_ + "_reb")
+    val Seq(obR, edR, toR, stR) = rb
+    rb.foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    Graph.writeEdgeIndex(spark.table(landT), part, obR, edR, toR, stR,
+      numBuckets = 2)
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val (obV, eV, tV, sV) = Graph.readEdgeIndexVersioned(spark, ledger,
+      "rt", obB, edB, toB, stB)
+    val (obE, eE, tE, sE) = Graph.readEdgeIndex(spark, obR, edR, toR, stR)
+    assert(rs(obV) === rs(obE) && rs(eV) === rs(eE))
+    assert(rs(tV) === rs(tE) && rs(sV) === rs(sE))
+    // steady state: one more cycle retires nothing and repairs nothing
+    val logS = Maintenance.runCycle(spark, Seq(idx))
+    assert(!logS.exists(_.action == "retire"), logS.mkString("; "))
+    assert(logS.exists(a => a.action == "audit" &&
+      a.detail == "missing=0 stale=0"), logS.mkString("; "))
+    (all ++ rb).foreach(graft.sinks.Sinks.dropManaged(spark, _))
+  }
+
   test("epoch-salted capture: delete -> re-ingest -> IDENTICAL delete " +
       "applies as a fresh batch (no batch-id aliasing), the cycle ends " +
       "stale=0 and rebuild-identical; replays stay pruned no-ops and " +
@@ -559,6 +645,70 @@ class OrchestratorSpec extends SparkSpec {
     val log2 = Maintenance.runCycle(spark, Seq(idx))
     assert(log2.exists(a => a.action == "conflict_audit" &&
       a.detail == "conflicts=1"), log2.mkString("; "))
+    all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
+  }
+
+  test("writer lease: two racing writers serialize — the loser is " +
+      "denied BEFORE staging, retries after release, and BOTH " +
+      "mutations' effects land with the tripwire clean") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Graph, Snapshots}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledger = "graft_idx_test.ls_ledger"
+    val leaseT = "graft_idx_test.ls_lease"
+    val bases = Seq("graft_idx_test.ls_ob", "graft_idx_test.ls_edges",
+      "graft_idx_test.ls_totals", "graft_idx_test.ls_stats")
+    val all = Seq(ledger, leaseT) ++
+      bases.flatMap(b => b +: (1 to 4).map(v => s"${b}_v$v"))
+    all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L),
+      (12L, 2L), (12L, 3L)).toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z"))
+      .toDF("p_partkey", "p_brand")
+    val Seq(obB, edB, toB, stB) = bases
+    Graph.writeEdgeIndexVersioned(li, part, ledger, "ls",
+      obB, edB, toB, stB, numBuckets = 2) // v1
+    val delA = li.filter(col("l_orderkey") === 10L)
+    val delB = li.filter(col("l_orderkey") === 12L)
+    // writer A holds the lease through its whole stage+publish; writer
+    // B's attempt INSIDE that window is denied before it stages
+    // anything (the prevention the tripwire could only detect)
+    var bDenied = false
+    Snapshots.withLease(spark, leaseT, "ls") {
+      intercept[Snapshots.LeaseDenied] {
+        Snapshots.withLease(spark, leaseT, "ls") { bDenied = true }
+      }
+      assert(Graph.deleteFromEdgeIndexVersioned(delA, part, ledger,
+        "ls", obB, edB, toB, stB)) // v2
+    }
+    assert(!bDenied, "loser's body ran under a denied lease")
+    // A released: B retries and applies at the NEXT version
+    Snapshots.withLease(spark, leaseT, "ls") {
+      assert(Graph.deleteFromEdgeIndexVersioned(delB, part, ledger,
+        "ls", obB, edB, toB, stB)) // v3
+    }
+    // both mutations' effects present: orders 10 and 12 gone, 11 kept
+    val (obV, _, _, _) = Graph.readEdgeIndexVersioned(spark, ledger,
+      "ls", obB, edB, toB, stB)
+    val keys = obV.select(col("order_key")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(keys === Set(11L))
+    assert(Snapshots.currentVersion(spark, ledger, "ls") === 3L)
+    // the tripwire is clean: no version carries two staging publishes
+    assert(Snapshots.versionConflicts(spark, ledger, "ls").isEmpty)
+    // lease table drained — nothing held after both writers finished
+    assert(spark.table(leaseT).count() === 0L)
+    // crashed-holder recovery: a leaked row blocks the next writer
+    // until the operator clears the family's leases
+    import spark.implicits._
+    // '!' sorts before any hex UUID char, so the leaked row always wins
+    Seq(("ls", "!crashed-writer")).toDF("index_name", "owner")
+      .write.mode("append").format("parquet").saveAsTable(leaseT)
+    intercept[Snapshots.LeaseDenied] {
+      Snapshots.withLease(spark, leaseT, "ls") { () }
+    }
+    Snapshots.clearLeases(spark, leaseT, "ls")
+    Snapshots.withLease(spark, leaseT, "ls") { () } // acquires again
     all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
   }
 
