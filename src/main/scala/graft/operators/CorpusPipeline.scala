@@ -322,6 +322,43 @@ object CorpusPipeline {
       .withColumnRenamed("node", "doc_id")
   }
 
+  /** Persist the near-dup component table — the train/serve split for
+    * the cluster-keep family (the frozen-books convention): the
+    * shingle→pair→connected-components walk (the expensive, iterative
+    * part) runs ONCE here, and every keep-rule variant downstream
+    * ([[qualityRepsIndexed]], a min-id rep, a recency rep) is then one
+    * scan + two broadcast joins against the frozen `(doc_id,
+    * component)` rows. Near-dup-sized, one file. */
+  def writeComponentIndex(corpus: DataFrame, idCol: String,
+                          textCol: String, k: Int, threshold: Double,
+                          table: String): Unit =
+    componentTable(corpus, idCol, textCol, k, threshold)
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .saveAsTable(table)
+
+  /** [[qualityReps]] SERVED from a persisted [[writeComponentIndex]]
+    * table — same result, same oracle, none of the pair machinery at
+    * serve time: one corpus scan for the quality kernel, the frozen
+    * near-dup-sized component table broadcast twice (member argmax,
+    * final stamp). The x123 frozen-books pattern applied to the
+    * cluster-keep family. */
+  def qualityRepsIndexed(corpus: DataFrame, idCol: String,
+                         textCol: String, comp: DataFrame): DataFrame = {
+    val scores = TextAnalysis.qualityScore(corpus, idCol, textCol)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("quality_score"))
+    val reps = scores.join(broadcast(comp), Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(max(struct(col("quality_score").as("q"),
+        (-col("doc_id")).as("nid"))).as("_m"))
+      .select(col("component"), (-col("_m.nid")).as("rep"))
+    corpus.select(col(idCol).cast("long").as("doc_id"))
+      .join(broadcast(comp), Seq("doc_id"), "left")
+      .join(broadcast(reps), Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+  }
+
   /** Near-dup cluster SIZE HISTOGRAM — the data-card companion for the
     * dedup family (x51 reports corpus composition; this reports its
     * REDUNDANCY): `(cluster_size, n_clusters)` over the x8 near-dup

@@ -1027,10 +1027,13 @@ object ExtensionQueries {
     // x116 — quality-keep cluster representatives: x93's component
     // machinery with the keep rule production dedup wants — each
     // near-dup cluster keeps its highest-quality member (x12 score,
-    // min-id tie-break), not whichever copy crawled first.
+    // min-id tie-break), not whichever copy crawled first. SERVED
+    // from the persisted component table (built once per fixture —
+    // the x123 frozen-books pattern): the shingle→pair→components
+    // walk never runs at query time, same oracle.
     "x116_quality_reps" -> ((s, dir) =>
-      CorpusPipeline.qualityReps(t(s, dir, "documents"), "doc_id",
-        "text", k = 3, threshold = 0.5)),
+      CorpusPipeline.qualityRepsIndexed(t(s, dir, "documents"), "doc_id",
+        "text", s.table(neardupComponentsFor(s, dir)))),
 
     // x117 — token-budget mixture plan: √mass temperature weights
     // (α=0.5) allocate a 500k-token budget across sources; planned =
@@ -2335,6 +2338,23 @@ object ExtensionQueries {
         .select(col("vec_id"), col("label"))
     })
   )
+
+  /** Build-if-missing the x116 near-dup COMPONENT table: the
+    * k=3 / τ=0.5 jaccard pair graph's connected components, persisted
+    * once per fixture (near-dup-sized) so the cluster-keep serves
+    * ([[graft.operators.CorpusPipeline.qualityRepsIndexed]]) never
+    * re-run the pair walk. */
+  private def neardupComponentsFor(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_idx.ndcomp_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!s.catalog.tableExists(table)) {
+      dropStaleManaged(s, table)
+      CorpusPipeline.writeComponentIndex(t(s, dir, "documents"),
+        "doc_id", "text", k = 3, threshold = 0.5, table)
+    }
+    table
+  }
 
   /** Build-if-missing the x223 drop set: x219's dropped vec_ids
     * persisted once (8 seeds, 3 rounds, τ=0.35 — the registered

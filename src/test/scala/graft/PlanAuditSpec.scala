@@ -784,6 +784,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(exec.collect {
       case j: BroadcastHashJoinExec if onDocId(j.leftKeys) => j
     }.nonEmpty, s"component/keeper joins are not broadcasts:\n$exec")
+    // served from the PERSISTED component table (frozen-books): the
+    // shingle -> pair -> connected-components walk never runs at
+    // query time
+    val s = exec.toString
+    assert(s.contains("ndcomp_"),
+      s"persisted component table not read:\n$s")
+    assert(!s.toLowerCase.contains("shingle"),
+      s"pair machinery recomputed at serve time:\n$s")
   }
 
   test("x117/x118 mixture plan and PII rate: one corpus scan, one " +

@@ -351,5 +351,21 @@ class CorpusPipelineSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") ->
         r.getAs[Long]("cluster_rep")).toMap
     assert(minId === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    // the indexed serve (persisted component table) is bit-identical
+    // to the one-shot — the pair walk moved to the writer, the keep
+    // rule did not change
+    val compT = "graft_idx_test.cp_ndcomp"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    graft.sinks.Sinks.dropManaged(spark, compT)
+    CorpusPipeline.writeComponentIndex(docs, "doc_id", "text",
+      k = 3, threshold = 0.5, compT)
+    val served = CorpusPipeline.qualityRepsIndexed(docs, "doc_id",
+        "text", spark.table(compT))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cluster_rep")).toMap
+    assert(served === out)
+    // the persisted table is near-dup-sized: the singleton never lands
+    assert(spark.table(compT).count() === 2L)
+    graft.sinks.Sinks.dropManaged(spark, compT)
   }
 }
