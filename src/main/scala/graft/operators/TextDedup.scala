@@ -923,6 +923,131 @@ object TextDedup {
         concat_ws(" ", col("_kept")).as("clean_text"))
   }
 
+  /** EXACT-SUBSTRING duplicate spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the suffix-array
+    * dedup production corpora run NEXT TO MinHash): every maximal
+    * CHARACTER span covered by length-`L` substrings that occur more
+    * than once in the corpus, minus each substring's globally-first
+    * occurrence (min `(doc_id, pos)` — the kept copy). Character-level
+    * where x83 is token-level: verbatim boilerplate, markup and
+    * license blocks dedup here even when tokenization splits them
+    * differently.
+    *
+    * The L-bounded SUFFIX-RANK construction, not a gram materialize:
+    * the paper builds a suffix array; the equality classes its
+    * duplicate scan needs are "suffixes equal on their first L chars",
+    * computed here by REPEATED DOUBLING (Manber–Myers, prefix-doubling
+    * step): one row per character carries a 64-bit key; round k
+    * replaces it with `hash(key(i), key(i+k))` via a per-document
+    * `lead(_, k)` window, doubling the matched prefix, and a final
+    * overlapped combine (`hash(key_m(i), key_m(i + L − m))`, sound for
+    * equality since the two m-windows cover all L positions) reaches
+    * exactly L. Every round shares ONE hash partition + sort on
+    * `(doc_id, pos)` — the corpus shuffles fixed-width
+    * `(doc_id, pos, key)` triples ONCE, against the naive
+    * alternative's O(L)-byte gram strings per position (at the paper's
+    * L ≈ 50 a 6× shuffle-byte blowup). Classical integer dense ranks
+    * (one distributed rank per round) drop in where lexicographic
+    * ORDER is also needed — equality classes, which is all dedup
+    * consumes, compose with the repo's 64-bit digest convention
+    * ([[dedupParagraphs]]' collision trade, ~1e-9 corpus-wide).
+    *
+    * Downstream of the keys: occurrence marking is x83's
+    * `(count, argmin)` aggregate per class (no pair join anywhere —
+    * df occurrences cost df aggregate rows), islands merge marked
+    * positions ≤ L apart, and spans emit as `(doc_id, span_start,
+    * span_len)` — `span_start` 1-based CHARACTER position, directly
+    * consumable by [[substringDedupApply]]. Documents shorter than L
+    * emit nothing (no full window — the winnowing boundary rule). */
+  def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                        L: Int = 24): DataFrame = {
+    require(L >= 2, s"L must be >= 2, got $L")
+    val chars = Par.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_t"))
+      .filter(length(col("_t")) >= L)
+      .select(col("doc_id"), length(col("_t")).as("_len"),
+        posexplode(split(col("_t"), "")).as(Seq("pos0", "_c")))
+      // split-by-empty keeps a trailing "" (Java split, limit -1):
+      // it sits at pos0 = len, so dropping it leaves pos0 = 0..len-1
+      .filter(col("_c") =!= "")
+      .select(col("doc_id"), col("_len"), (col("pos0") + 1).as("pos"),
+        xxhash64(col("_c")).as("_h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // doubling rounds to m = 2^floor(log2 L): after each, _h(i) keys
+    // the 2k chars at i. Tail positions absorb null leads into garbage
+    // keys, harmlessly: only pos + L - 1 <= len rows emit below, and a
+    // valid row's sub-windows are valid by induction.
+    val m = Integer.highestOneBit(L)
+    val doubled = Iterator.iterate(1)(_ * 2).takeWhile(_ < m)
+      .foldLeft(chars) { (df, k) =>
+        df.withColumn("_h", xxhash64(col("_h"), lead(col("_h"), k).over(w)))
+      }
+    val keyed =
+      if (m == L) doubled
+      else doubled.withColumn("_h",
+        xxhash64(col("_h"), lead(col("_h"), L - m).over(w)))
+    val grams = keyed.filter(col("pos") + L - 1 <= col("_len"))
+      .select(col("doc_id"), col("pos"), col("_h"))
+    val enc = col("doc_id") * lit(1000000L) + col("pos")
+    val agg = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_n"), min(enc).as("_first"))
+    val removals = grams.join(agg, "_h")
+      .filter(col("_n") >= 2 && enc =!= col("_first"))
+      .select(col("doc_id"), col("pos"))
+    val islands = removals
+      .withColumn("_new",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= L, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("_grp", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("doc_id"), col("_grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(L)).cast("long")
+          .as("span_len"))
+      .drop("_grp")
+  }
+
+  /** [[substringDupSpans]] APPLIED — the family's surgery twin (x87's
+    * shape, character-exact): each document rewritten with its
+    * duplicated spans cut out, everything else byte-identical and in
+    * order. Output `(doc_id, n_chars_removed, clean_text)` — documents
+    * with no spans pass through untouched (0 removed); a document that
+    * was entirely duplicated material emits an empty `clean_text`, the
+    * caller's drop decision.
+    *
+    * Plan shape: the span list folds per document (spans are island-
+    * merged, so disjoint and few), equi-joins the corpus ONCE on doc
+    * id, and the cut is a single fused `aggregate` over the sorted
+    * span array — walk the spans left to right, appending the kept
+    * segment before each and the tail after the last. Corpus text
+    * crosses the wire at most once; no explode, no per-char work. */
+  def substringDedupApply(docs: DataFrame, idCol: String, textCol: String,
+                          L: Int = 24): DataFrame = {
+    val spans = substringDupSpans(docs, idCol, textCol, L)
+    val sp = spans.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("span_start").as("s"),
+          (col("span_start") + col("span_len")).as("e")))).as("_sp"),
+        sum(col("span_len")).cast("long").as("_rm"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("_t"))
+      .join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_rm"), lit(0L)).as("n_chars_removed"),
+        when(col("_sp").isNull, col("_t")).otherwise(
+          aggregate(col("_sp"),
+            struct(lit(1L).as("cur"), lit("").as("acc")),
+            (st, s) => struct(
+              s.getField("e").as("cur"),
+              concat(st.getField("acc"), col("_t").substr(
+                st.getField("cur").cast("int"),
+                (s.getField("s") - st.getField("cur")).cast("int")))
+                .as("acc")),
+            st => concat(st.getField("acc"), col("_t").substr(
+              st.getField("cur").cast("int"),
+              (length(col("_t")) - st.getField("cur") + 1).cast("int")))))
+          .as("clean_text"))
+  }
+
   /** POSITIONAL winnowing (the MOSS scheme, Schleimer et al. 2003):
     * slide a `window`-wide frame over the document's positional
     * `shingleK`-gram digest sequence and select each frame's minimum —

@@ -2336,7 +2336,28 @@ object ExtensionQueries {
       t(s, dir, "embeddings")
         .join(broadcast(s.table(drops)), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("label"))
-    })
+    }),
+
+    // x224 — EXACT-SUBSTRING duplicate spans (Lee et al. 2022,
+    // arXiv:2107.06499): maximal character spans covered by 24-char
+    // substrings occurring more than once corpus-wide, first
+    // occurrence kept — the suffix-array dedup production corpora run
+    // NEXT TO MinHash, char-level where x83 is token-level. The
+    // equality classes come from L-bounded suffix-rank DOUBLING (log L
+    // per-doc lead() rounds over one (doc_id, pos, key) shuffle — no
+    // L-byte gram strings ever materialize; the oracle groups the
+    // substrings directly, same classes).
+    "x224_substring_dedup" -> ((s, dir) =>
+      TextDedup.substringDupSpans(t(s, dir, "documents"), "doc_id",
+        "text", L = 24)),
+
+    // x225 — x224 APPLIED (the family's surgery twin, x87's shape
+    // character-exact): every duplicated span cut, the rest
+    // byte-identical; no-span documents pass through, fully-duplicated
+    // ones end empty (the caller's drop decision).
+    "x225_substring_apply" -> ((s, dir) =>
+      TextDedup.substringDedupApply(t(s, dir, "documents"), "doc_id",
+        "text", L = 24))
   )
 
   /** Build-if-missing the x116 near-dup COMPONENT table: the
@@ -5155,7 +5176,81 @@ object ExtensionQueries {
            WHERE floor(${duckCos("a.v", "b.v")} * 1000000 + 0.5)
              / 1000000.0 >= 0.35)
          SELECT vec_id, label FROM embeddings
-         WHERE vec_id NOT IN (SELECT vid FROM dropped)""")
+         WHERE vec_id NOT IN (SELECT vid FROM dropped)""") +
+    // x224: 24-char positional substrings grouped DIRECTLY (the
+    // engine's doubling keys form the same equality classes);
+    // keep = min(doc*1e6+pos), islands merge marked positions <= 24
+    // apart — x83's walk in character space
+    ("x224_substring_dedup" ->
+      """WITH g AS (SELECT doc_id, i AS pos, substring(text, i, 24) AS gr
+           FROM documents, unnest(generate_series(1, length(text) - 23))
+             AS s(i)
+           WHERE length(text) >= 24),
+         agg AS (SELECT gr, count(*) AS n,
+             min(doc_id * 1000000 + pos) AS first_enc
+           FROM g GROUP BY gr),
+         rem AS (SELECT doc_id, pos FROM g JOIN agg USING (gr)
+           WHERE n >= 2 AND doc_id * 1000000 + pos <> first_enc),
+         seg AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos)
+                 OVER (PARTITION BY doc_id ORDER BY pos) <= 24
+               THEN 0 ELSE 1 END AS newseg
+           FROM rem),
+         isl AS (SELECT doc_id, pos,
+             sum(newseg) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM seg)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) - min(pos) + 24 AS BIGINT) AS span_len
+         FROM isl GROUP BY doc_id, grp""") +
+    // x225: x224's spans cut by character surgery — per doc the kept
+    // pieces are [prev_end, start) segments plus the tail, reassembled
+    // in order; span-free documents pass through byte-identical
+    ("x225_substring_apply" ->
+      """WITH g AS (SELECT doc_id, i AS pos, substring(text, i, 24) AS gr
+           FROM documents, unnest(generate_series(1, length(text) - 23))
+             AS s(i)
+           WHERE length(text) >= 24),
+         agg AS (SELECT gr, count(*) AS n,
+             min(doc_id * 1000000 + pos) AS first_enc
+           FROM g GROUP BY gr),
+         rem AS (SELECT doc_id, pos FROM g JOIN agg USING (gr)
+           WHERE n >= 2 AND doc_id * 1000000 + pos <> first_enc),
+         seg AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos)
+                 OVER (PARTITION BY doc_id ORDER BY pos) <= 24
+               THEN 0 ELSE 1 END AS newseg
+           FROM rem),
+         isl AS (SELECT doc_id, pos,
+             sum(newseg) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM seg),
+         spans AS (SELECT doc_id, min(pos) AS s,
+             max(pos) - min(pos) + 24 AS l
+           FROM isl GROUP BY doc_id, grp),
+         sp AS (SELECT doc_id, s, s + l AS e FROM spans),
+         mid AS (SELECT doc_id,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+               AS ps, s AS pe
+           FROM sp),
+         tails AS (SELECT doc_id, max(e) AS ps FROM sp GROUP BY doc_id),
+         pieces AS (
+           SELECT m.doc_id, m.ps,
+             substring(d.text, CAST(m.ps AS INT),
+               CAST(m.pe - m.ps AS INT)) AS piece
+           FROM mid m JOIN documents d USING (doc_id)
+           UNION ALL
+           SELECT t.doc_id, t.ps,
+             substring(d.text, CAST(t.ps AS INT),
+               greatest(length(d.text) - CAST(t.ps AS INT) + 1, 0))
+           FROM tails t JOIN documents d USING (doc_id)),
+         agged AS (SELECT doc_id,
+             string_agg(piece, '' ORDER BY ps) AS clean_text
+           FROM pieces GROUP BY doc_id),
+         rm AS (SELECT doc_id, sum(l) AS n FROM spans GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(rm.n, 0) AS BIGINT) AS n_chars_removed,
+           coalesce(a.clean_text, d.text) AS clean_text
+         FROM documents d LEFT JOIN agged a USING (doc_id)
+         LEFT JOIN rm USING (doc_id)""")
 
   /** x221's oracle: x10's IVF formulation (fixed codebook = the
     * `numCentroids` smallest vec_ids, assignment/probing by argmax

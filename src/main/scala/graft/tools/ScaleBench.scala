@@ -1448,7 +1448,21 @@ object ScaleBench {
       TextAnalysis.dsirScoreIndexed(s,
         Tables(s, dir, "documents")
           .filter(pmod(col("doc_id"), lit(2)) === 1),
-        "doc_id", "text", dsirTable)))
+        "doc_id", "text", dsirTable)),
+    // exact-substring dedup at 10x: the doubling is log L windows over
+    // one (doc_id, pos, key) shuffle — corpus-linear; the keeper
+    // aggregate groups by key class (df occurrences cost df rows,
+    // never a pair join), and the 10x fixture's per-token suffixes
+    // keep each copy's substring classes disjoint, so class sizes are
+    // preserved while class count grows 10x.
+    ("x224_substring_dedup", (s: SparkSession, dir: String) =>
+      TextDedup.substringDupSpans(Tables(s, dir, "documents"), "doc_id",
+        "text", L = 24)),
+    // the surgery twin at 10x: spans fold per doc + one corpus join +
+    // a fused aggregate cut — corpus-linear on top of x224.
+    ("x225_substring_apply", (s: SparkSession, dir: String) =>
+      TextDedup.substringDedupApply(Tables(s, dir, "documents"), "doc_id",
+        "text", L = 24)))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

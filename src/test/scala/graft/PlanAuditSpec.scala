@@ -1727,6 +1727,27 @@ class PlanAuditSpec extends SparkSpec {
       s"weight fit recomputed at serve time:\n$p")
   }
 
+  test("x224 substring dedup: the L-bounded suffix-rank doubling runs " +
+      "as chained per-doc windows over ONE doc_id exchange — no L-char " +
+      "gram strings materialize, no pair join, keeper is an aggregate") {
+    val p = plan("x224_substring_dedup")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+    // log2(24) doubling rounds (1,2,4,8) + the overlapped L-combine,
+    // on BOTH join sides -> >= 10 lead windows in the plan
+    assert("lead\\(_h".r.findAllIn(p).size >= 10,
+      s"doubling rounds missing — keys not built by lead windows:\n$p")
+    // equality keys are 64-bit hashes; the naive alternative's
+    // substring(_t, pos, 24) gram strings never appear
+    assert(p.contains("xxhash64"), s"hashed rank keys missing:\n$p")
+    assert(!p.contains("substring("),
+      s"gram strings materialized — the doubling was bypassed:\n$p")
+    // occurrence marking is (count, argmin) per key class, never a
+    // positional pair join
+    assert(p.contains("partial_min(((doc_id") ||
+      p.contains("partial_min((doc_id"),
+      s"keeper argmin aggregate missing:\n$p")
+  }
+
   test("x223 semdedup apply: serves from the PERSISTED drop set — " +
       "broadcast anti-join, no retraining (the nearest-centroid " +
       "kernel never appears at serve time)") {

@@ -423,4 +423,91 @@ class TextDedupSpec extends SparkSpec {
       TextDedup.dedupParagraphs(docs, "doc_id", "text", chunk = 0)
     }
   }
+
+  test("substringDupSpans (x224): char-level L-window duplicates via " +
+      "suffix-rank doubling — first occurrence kept, islands merge, " +
+      "short docs emit nothing; matches the naive gram grouping") {
+    import spark.implicits._
+    val block = "The license block is repeated verbatim everywhere." // 51
+    val docs = Seq(
+      (1L, s"unique preamble one. $block trailing alpha."),
+      (2L, s"another document here, $block and its own tail."),
+      (3L, "entirely unique content with no repeats in this doc."),
+      (4L, "tiny doc"), // < L: no grams, no spans
+      (5L, s"unique preamble one. $block trailing alpha.") // dup of 1
+    ).toDF("doc_id", "text")
+    val L = 24
+    val spans = TextDedup.substringDupSpans(docs, "doc_id", "text", L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_len")))
+    // doc 1 is the global keeper of everything it shares (min doc id):
+    // no spans; doc 3/4 clean; doc 2 carries one merged island over
+    // the shared block; doc 5 is one whole-document span
+    assert(!spans.exists(_._1 == 1L), spans.mkString("; "))
+    assert(!spans.exists(_._1 == 3L), spans.mkString("; "))
+    assert(!spans.exists(_._1 == 4L), spans.mkString("; "))
+    assert(spans.count(_._1 == 2L) === 1, spans.mkString("; "))
+    val d5 = spans.filter(_._1 == 5L)
+    val len5 = s"unique preamble one. $block trailing alpha.".length
+    assert(d5.toSeq === Seq((5L, 1L, len5.toLong)), spans.mkString("; "))
+    // the doubling keys form EXACTLY the naive substring classes:
+    // recompute spans by materializing the 24-char grams directly
+    docs.createOrReplaceTempView("ssd_docs")
+    val naive = spark.sql(s"""
+      WITH g AS (SELECT doc_id, pos, substring(text, pos, $L) AS gr
+        FROM (SELECT doc_id, text,
+            explode(sequence(1, length(text) - ${L - 1})) AS pos
+          FROM ssd_docs WHERE length(text) >= $L)),
+      agg AS (SELECT gr, count(*) AS n,
+          min(doc_id * 1000000 + pos) AS fe FROM g GROUP BY gr),
+      rem AS (SELECT doc_id, pos FROM g JOIN agg USING (gr)
+        WHERE n >= 2 AND doc_id * 1000000 + pos <> fe),
+      seg AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+            OVER (PARTITION BY doc_id ORDER BY pos) <= $L
+          THEN 0 ELSE 1 END AS nw FROM rem),
+      isl AS (SELECT doc_id, pos, sum(nw)
+          OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM seg)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        CAST(max(pos) - min(pos) + $L AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, grp""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSet === naive.toSet)
+    intercept[IllegalArgumentException] {
+      TextDedup.substringDupSpans(docs, "doc_id", "text", L = 1)
+    }
+  }
+
+  test("substringDedupApply (x225): spans cut character-exact, " +
+      "span-less docs byte-identical, fully-duplicated docs end empty") {
+    import spark.implicits._
+    val block = "The license block is repeated verbatim everywhere."
+    val d1 = s"unique preamble one. $block trailing alpha."
+    val docs = Seq(
+      (1L, d1),
+      (2L, s"another document here, $block and its own tail."),
+      (3L, "entirely unique content with no repeats in this doc."),
+      (4L, "tiny doc"),
+      (5L, d1) // exact duplicate of doc 1 -> fully covered
+    ).toDF("doc_id", "text")
+    val out = TextDedup.substringDedupApply(docs, "doc_id", "text", 24)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars_removed"), r.getAs[String]("clean_text")))
+      .toMap
+    // keeper + clean docs byte-identical, zero removed
+    assert(out(1L) === (0L, d1))
+    assert(out(3L)._1 === 0L && out(4L)._1 === 0L)
+    // the exact duplicate loses its whole text
+    assert(out(5L) === (d1.length.toLong, ""))
+    // doc 2: removed chars = its one span's length; the kept text is
+    // the original minus that contiguous block
+    val spans = TextDedup.substringDupSpans(docs, "doc_id", "text", 24)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 2L)
+      .collect()
+    val (s2, l2) = (spans.head.getAs[Long]("span_start"),
+      spans.head.getAs[Long]("span_len"))
+    val t2 = s"another document here, $block and its own tail."
+    val expect2 = t2.substring(0, (s2 - 1).toInt) +
+      t2.substring((s2 - 1 + l2).toInt)
+    assert(out(2L) === (l2, expect2))
+  }
 }
