@@ -68,17 +68,8 @@ object CorpusPipeline {
     // law); digest == TextDedup.exactGroups; sets == TextDedup
     // .shingleSets — equivalences pinned by the x42 oracle and
     // CorpusPipelineSpec.
-    val st = TextExpressions.repetitionStats(col(textCol))
-    val tbf = when(element_at(col("_st"), 1) > 0,
-      element_at(col("_st"), 2).cast("double") /
-        element_at(col("_st"), 1).cast("double"))
-    val base = Par.spread(corpus)
-      .withColumn("_st", st)
-      .filter(length(trim(col(textCol))) >= minChars &&
-        (tbf.isNull || tbf <= maxTopBigramFrac))
-      .drop("_st")
-      .withColumn("_digest", sha2(lower(trim(col(textCol))), 256))
-      .withColumn("_sh", TextExpressions.shingleHashSet(col(textCol), shingleK))
+    val base = fusedBase(corpus, textCol, maxTopBigramFrac, minChars,
+      shingleK)
     // exact dedup applied (x34 semantics): representative = min id per
     // digest; one (digest, id) shuffle — the text never moves. The
     // CACHE sits HERE, not on `base`: every later stage consumes
@@ -100,32 +91,156 @@ object CorpusPipeline {
     }
     // near-dup applied (x36): LSH → verify → components → drop, over
     // the CACHED sets column — no second text pass
-    val sets = exact.select(col(idCol).as("doc_id"), col("_sh").as("sh"))
-      .withColumn("n", size(col("sh"))).filter(col("n") > 0)
-    val pairs = TextDedup.minhashLshPairsFromSets(sets, neardupThreshold)
-    val comps = Components.connectedComponents(pairs, "doc1", "doc2")
-    val drops = comps.filter(col("node") =!= col("component"))
-      .select(col("node").as(idCol))
-    val survivors = exact.join(drops, Seq(idCol), "left_anti")
+    val survivors = exact.join(neardupDrops(exact, idCol,
+      neardupThreshold), Seq(idCol), "left_anti")
     // decontaminate (x38): benchmark shingles are eval-suite-sized; the
     // corpus side explodes the cached sets column
-    val benchShingles = benchmark
-      .select(explode(TextExpressions.shingleHashSet(col(textCol),
-        shingleK)).as("_h"))
-      .distinct()
-    val contaminated = survivors
-      .select(col(idCol), explode(col("_sh")).as("_h"))
-      .join(benchShingles, "_h")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("_n_overlap"))
-      .filter(col("_n_overlap") >= decontamThreshold)
-      .select(col(idCol))
-    val clean = survivors.join(contaminated, Seq(idCol), "left_anti")
+    val clean = survivors.join(contaminatedIds(survivors, benchmark,
+        idCol, textCol, shingleK, decontamThreshold),
+        Seq(idCol), "left_anti")
       .drop("_digest", "_sh")
     // stratified sample (x37): deterministic md5-bucket corpus mixing
     val sampled = TextAnalysis.stratifiedSample(clean, idCol, groupCol,
       pctByGroup, defaultPct)
     // chunk (x31) then stamp the split label (x26) — commuting
     // projections, see the object note
+    TextAnalysis.hashSplit(
+      TextAnalysis.chunk(sampled, idCol, textCol, chunkSize, chunkStride),
+      "doc_id")
+  }
+
+  /** The FUSED SCAN shared by [[prepare]]/[[prepareV2]]: gate signals
+    * (x35 kernel), the exact-dedup digest (`_digest`) and the hashed
+    * shingle sets (`_sh`) in ONE pass over the corpus text, gate
+    * filter scan-side. */
+  private def fusedBase(corpus: DataFrame, textCol: String,
+                        maxTopBigramFrac: Double, minChars: Int,
+                        shingleK: Int): DataFrame = {
+    import org.apache.spark.sql.graft.TextExpressions
+    val st = TextExpressions.repetitionStats(col(textCol))
+    val tbf = when(element_at(col("_st"), 1) > 0,
+      element_at(col("_st"), 2).cast("double") /
+        element_at(col("_st"), 1).cast("double"))
+    Par.spread(corpus)
+      .withColumn("_st", st)
+      .filter(length(trim(col(textCol))) >= minChars &&
+        (tbf.isNull || tbf <= maxTopBigramFrac))
+      .drop("_st")
+      .withColumn("_digest", sha2(lower(trim(col(textCol))), 256))
+      .withColumn("_sh", TextExpressions.shingleHashSet(col(textCol), shingleK))
+  }
+
+  /** Near-dup drop set (x36 semantics) over a frame carrying the
+    * cached `_sh` shingle column: LSH → verify → components →
+    * non-representatives. Shared by [[prepare]]/[[prepareV2]]. */
+  private def neardupDrops(exact: DataFrame, idCol: String,
+                           threshold: Double): DataFrame = {
+    val sets = exact.select(col(idCol).as("doc_id"), col("_sh").as("sh"))
+      .withColumn("n", size(col("sh"))).filter(col("n") > 0)
+    val pairs = TextDedup.minhashLshPairsFromSets(sets, threshold)
+    Components.connectedComponents(pairs, "doc1", "doc2")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+  }
+
+  /** Contaminated ids (x38 semantics) over a frame carrying `_sh`:
+    * ≥ `decontamThreshold` shingles shared with the benchmark. Shared
+    * by [[prepare]]/[[prepareV2]]. */
+  private def contaminatedIds(survivors: DataFrame, benchmark: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleK: Int,
+                              decontamThreshold: Int): DataFrame = {
+    import org.apache.spark.sql.graft.TextExpressions
+    val benchShingles = benchmark
+      .select(explode(TextExpressions.shingleHashSet(col(textCol),
+        shingleK)).as("_h"))
+      .distinct()
+    survivors
+      .select(col(idCol), explode(col("_sh")).as("_h"))
+      .join(benchShingles, "_h")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_n_overlap"))
+      .filter(col("_n_overlap") >= decontamThreshold)
+      .select(col(idCol))
+  }
+
+  /** The MODERN curation chain (x226) — [[prepare]] with the SEMANTIC
+    * tier composed in where production pipelines put it (between the
+    * lexical dedup stages and decontamination): quality gate → exact
+    * dedup → MinHash near-dup → SemDeDup (x219, over the survivors'
+    * embeddings) → DSIR selection (x220, target-likeness top-N) →
+    * benchmark decontamination → stratified sample → chunk →
+    * train/val/test split. Every stage is the SAME operator its
+    * individually-registered query runs; what this composition checks
+    * is the stage INTERACTIONS — SemDeDup clusters train on the
+    * lexically-deduped survivor set (not the raw corpus), DSIR's
+    * target/raw distributions are fit on the semantic survivors, and
+    * decontamination prunes the SELECTED set.
+    *
+    * `embeddings` joins the corpus by `vecIdCol` = document id (docs
+    * without an embedding pass the semantic stage untouched — partial
+    * embedding coverage is the production norm). SemDeDup seeds are
+    * the full embedding table's `semSeeds` smallest ids (constant
+    * init vectors — they need not survive the lexical stages).
+    *
+    * Scale shape on top of [[prepare]]'s: the semantic stage adds
+    * x219's cost model (per-cluster pair blocks, k ∝ n) over an
+    * embedding frame RESTRICTED to survivors (one semi join); DSIR
+    * adds two bucket-bounded gram aggregations + a broadcast B-row
+    * join + TakeOrdered; both emit id-sized drop/keep sets that
+    * broadcast back. Text still moves only into the chunker. */
+  def prepareV2(corpus: DataFrame, embeddings: DataFrame,
+                benchmark: DataFrame,
+                idCol: String, textCol: String,
+                vecIdCol: String, vecCol: String,
+                maxTopBigramFrac: Double, minChars: Int,
+                shingleK: Int, neardupThreshold: Double,
+                semSeeds: Int, semRounds: Int, semThreshold: Double,
+                dsirTarget: org.apache.spark.sql.Column,
+                dsirBuckets: Int, dsirTopN: Int,
+                decontamThreshold: Int,
+                groupCol: String, pctByGroup: Map[String, Int],
+                defaultPct: Int,
+                chunkSize: Int, chunkStride: Int): DataFrame = {
+    val base = fusedBase(corpus, textCol, maxTopBigramFrac, minChars,
+      shingleK)
+    val reps = base.groupBy(col("_digest")).agg(min(col(idCol)).as(idCol))
+    val exact = base.join(reps, Seq("_digest", idCol), "left_semi").cache()
+    // the id-sized DROP/KEEP sets each phase emits are CACHED (the
+    // composed pipelines' materialized-phase-boundary convention):
+    // every later stage that re-derives its input re-reads them
+    // instead of re-running the pair walk / the Lloyd rounds / the
+    // weight fit — uncached, the semantic tier's multiple passes over
+    // `survivors` re-ran LSH + components per pass (measured 2.5x the
+    // whole pipeline). Caller-owned caches, cleared by Bench/Verify.
+    val drops = neardupDrops(exact, idCol, neardupThreshold).cache()
+    val survivors = exact.join(drops, Seq(idCol), "left_anti")
+    // SEMANTIC tier (x219): cluster the SURVIVORS' embeddings (semi
+    // join restricts the vector frame to the lexically-deduped set),
+    // seeds = the full table's smallest ids, drop non-representatives
+    val restricted = embeddings.join(
+      survivors.select(col(idCol).as(vecIdCol)), Seq(vecIdCol),
+      "left_semi")
+    val semDrops = Similarity.semDedup(restricted,
+        embeddings.filter(col(vecIdCol) < semSeeds), vecIdCol, vecCol,
+        semRounds, semThreshold)
+      .filter(col("status") === "dropped")
+      .select(col("vec_id").as(idCol))
+      .cache()
+    val semantic = survivors.join(broadcast(semDrops), Seq(idCol),
+      "left_anti")
+    // DSIR selection (x220): distributions fit ON the semantic
+    // survivors; keep the top-N most target-like documents
+    val selected = TextAnalysis.dsirSelect(semantic, idCol, textCol,
+        dsirTarget, dsirBuckets, dsirTopN)
+      .select(col("doc_id").as(idCol))
+      .cache()
+    val picked = semantic.join(broadcast(selected), Seq(idCol),
+      "left_semi")
+    val clean = picked.join(contaminatedIds(picked, benchmark, idCol,
+        textCol, shingleK, decontamThreshold), Seq(idCol), "left_anti")
+      .drop("_digest", "_sh")
+    val sampled = TextAnalysis.stratifiedSample(clean, idCol, groupCol,
+      pctByGroup, defaultPct)
     TextAnalysis.hashSplit(
       TextAnalysis.chunk(sampled, idCol, textCol, chunkSize, chunkStride),
       "doc_id")

@@ -34,7 +34,7 @@ object ExtensionQueries {
              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))"""
 
   /** Full-width (64-dim fixture) cosine. */
-  private def duckCos(a: String, b: String): String = duckCosN(a, b, 64)
+  private[queries] def duckCos(a: String, b: String): String = duckCosN(a, b, 64)
 
   /** DuckDB distinct 3-token shingles of documents (mirror of
     * Text.shingleSet(_, 3)). */
@@ -4076,7 +4076,7 @@ object ExtensionQueries {
     * new centroid component is the exact integer SUM over members
     * divided by the count in IEEE double, rounded through REAL (the
     * kernel's float storage). */
-  private def kmeansCos(q: String, c: String): String =
+  private[queries] def kmeansCos(q: String, c: String): String =
     s"""(list_sum(list_transform(generate_series(1, 64),
           i -> CAST($q[i] AS DOUBLE) * $c[i]))
         / (sqrt(list_sum(list_transform(generate_series(1, 64),
@@ -4087,7 +4087,18 @@ object ExtensionQueries {
   /** The Lloyd-round CTE chain shared by x90's and x94's oracles:
     * defines qv (the 1e-6 grid), cent0 (seeds = the k smallest
     * vec_ids) and assign1/cent1 … assign{rounds}/cent{rounds}. */
-  private def kmeansCtes(k: Int, rounds: Int): String = {
+  private def kmeansCtes(k: Int, rounds: Int): String =
+    kmeansCtesOver(k, rounds, "embeddings")
+
+  /** [[kmeansCtes]] over a RESTRICTED `(vec_id, embedding)` source CTE
+    * (x226's semantic tier trains on the lexically-deduped survivor
+    * set): `qv` grids the restricted source, while `cent0`'s seeds
+    * stay the FULL table's k smallest ids — constant init vectors, so
+    * a seed that the earlier stages dropped still initializes its
+    * cluster, mirroring [[graft.operators.CorpusPipeline.prepareV2]]'s
+    * `init = embeddings.filter(id < k)`. */
+  private[queries] def kmeansCtesOver(k: Int, rounds: Int,
+                                      src: String): String = {
     def assign(r: Int): String =
       s"""assign$r AS (SELECT vec_id, qv, cid FROM (
            SELECT q.vec_id, q.qv, c.cid, row_number() OVER (
@@ -4103,13 +4114,17 @@ object ExtensionQueries {
            GROUP BY cid, d) GROUP BY cid)"""
     val chain = (1 to rounds).map(r => s"${assign(r)},\n${cent(r)}")
       .mkString(",\n")
-    s"""qv AS (SELECT vec_id, list_transform(embedding,
+    s"""qvfull AS (SELECT vec_id, list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
            AS qv
          FROM embeddings),
+       qv AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+           AS qv
+         FROM $src),
        cent0 AS (SELECT vec_id AS cid,
            list_transform(qv, q -> CAST(q AS DOUBLE)) AS cv
-         FROM qv WHERE vec_id < $k),
+         FROM qvfull WHERE vec_id < $k),
        $chain"""
   }
 

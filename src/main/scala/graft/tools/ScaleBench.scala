@@ -1462,7 +1462,29 @@ object ScaleBench {
     // a fused aggregate cut — corpus-linear on top of x224.
     ("x225_substring_apply", (s: SparkSession, dir: String) =>
       TextDedup.substringDedupApply(Tables(s, dir, "documents"), "doc_id",
-        "text", L = 24)))
+        "text", L = 24)),
+    // the modern curation chain at 10x: x42's cost model + the
+    // semantic tier (k-means seeds scale with nCent ∝ corpus) + DSIR's
+    // bucket-bounded aggregations — every added stage emits id-sized
+    // drop/keep sets, so growth stays the lexical stages'.
+    ("x226_curation_v2", (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      CorpusPipeline.prepareV2(
+        corpus = d.filter(col("doc_id") >= 20),
+        embeddings = Tables(s, dir, "embeddings"),
+        benchmark = d.filter(col("doc_id") < 20),
+        idCol = "doc_id", textCol = "text",
+        vecIdCol = "vec_id", vecCol = "embedding",
+        maxTopBigramFrac = 0.2, minChars = 100,
+        shingleK = 3, neardupThreshold = 0.8,
+        semSeeds = nCent, semRounds = 3, semThreshold = 0.35,
+        dsirTarget = col("lang") === "en",
+        dsirBuckets = 256, dsirTopN = 100,
+        decontamThreshold = 3,
+        groupCol = "lang", pctByGroup = Map("en" -> 50, "zh" -> 20),
+        defaultPct = 10,
+        chunkSize = 64, chunkStride = 48)
+    }))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

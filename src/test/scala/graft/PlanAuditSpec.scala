@@ -1727,6 +1727,23 @@ class PlanAuditSpec extends SparkSpec {
       s"weight fit recomputed at serve time:\n$p")
   }
 
+  test("x226 curation v2: the semantic tier composes live (nearest-" +
+      "centroid kernel in-plan), DSIR selection is TakeOrdered, the " +
+      "drop/keep sets broadcast back, no cartesian anywhere") {
+    val p = plan("x226_curation_v2")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+    assert(p.toLowerCase.contains("nearestcentroidexpr"),
+      s"semantic tier missing from the composed plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"DSIR top-N not TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"drop/keep sets not broadcast:\n$p")
+    // the final stages are anti/semi joins, never a re-aggregation of
+    // the corpus text
+    assert(p.contains("LeftAnti") && p.contains("LeftSemi"),
+      s"apply joins missing:\n$p")
+  }
+
   test("x224 substring dedup: the L-bounded suffix-rank doubling runs " +
       "as chained per-doc windows over ONE doc_id exchange — no L-char " +
       "gram strings materialize, no pair join, keeper is an aggregate") {
