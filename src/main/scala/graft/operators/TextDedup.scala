@@ -962,6 +962,22 @@ object TextDedup {
   def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
                         L: Int = 24): DataFrame = {
     require(L >= 2, s"L must be >= 2, got $L")
+    val grams = substringKeys(docs, idCol, textCol, L)
+    val enc = col("doc_id") * lit(1000000L) + col("pos")
+    val agg = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_n"), min(enc).as("_first"))
+    val removals = grams.join(agg, "_h")
+      .filter(col("_n") >= 2 && enc =!= col("_first"))
+      .select(col("doc_id"), col("pos"))
+    markedToSpans(removals, L)
+  }
+
+  /** One `(doc_id, pos, _h)` row per position carrying the L-bounded
+    * suffix-rank key — the doubling construction shared by
+    * [[substringDupSpans]], [[substringDupSpansIndexed]] and
+    * [[writeSubstringIndex]]. */
+  private def substringKeys(docs: DataFrame, idCol: String,
+                            textCol: String, L: Int): DataFrame = {
     val chars = Par.spread(docs)
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_t"))
       .filter(length(col("_t")) >= L)
@@ -986,25 +1002,87 @@ object TextDedup {
       if (m == L) doubled
       else doubled.withColumn("_h",
         xxhash64(col("_h"), lead(col("_h"), L - m).over(w)))
-    val grams = keyed.filter(col("pos") + L - 1 <= col("_len"))
+    keyed.filter(col("pos") + L - 1 <= col("_len"))
       .select(col("doc_id"), col("pos"), col("_h"))
-    val enc = col("doc_id") * lit(1000000L) + col("pos")
-    val agg = grams.groupBy(col("_h"))
-      .agg(count(lit(1)).as("_n"), min(enc).as("_first"))
-    val removals = grams.join(agg, "_h")
-      .filter(col("_n") >= 2 && enc =!= col("_first"))
-      .select(col("doc_id"), col("pos"))
-    val islands = removals
+  }
+
+  /** Gaps-and-islands merge of marked `(doc_id, pos)` L-window
+    * positions into maximal `(doc_id, span_start, span_len)` spans —
+    * x83's step 4 in character space. */
+  private def markedToSpans(removals: DataFrame, L: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    removals
       .withColumn("_new",
         when(col("pos") - lag(col("pos"), 1).over(w) <= L, lit(0))
           .otherwise(lit(1)))
       .withColumn("_grp", sum(col("_new")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    islands.groupBy(col("doc_id"), col("_grp"))
+      .groupBy(col("doc_id"), col("_grp"))
       .agg(min(col("pos")).cast("long").as("span_start"),
         (max(col("pos")) - min(col("pos")) + lit(L)).cast("long")
           .as("span_len"))
       .drop("_grp")
+  }
+
+  /** Persist the corpus's L-gram KEY SET — the substring family's
+    * serving artifact ([[writeDigestIndex]]'s shape one level down:
+    * digests of every positional L-window, not whole documents):
+    * distinct 64-bit doubling keys, bucketed, one row per distinct
+    * L-substring the corpus contains. Gram-count-sized (≈ corpus
+    * characters), which is the honest cost of exact-substring serving
+    * — the same ballpark as a postings index, and it replaces
+    * re-scanning the corpus text on every arriving batch. */
+  def writeSubstringIndex(corpus: DataFrame, idCol: String,
+                          textCol: String, L: Int, table: String,
+                          numBuckets: Int = 16): Unit = {
+    require(L >= 2, s"L must be >= 2, got $L")
+    Sinks.writeBucketed(
+      substringKeys(corpus, idCol, textCol, L)
+        .select(col("_h").as("gram_key")).distinct(),
+      table, Seq("gram_key"), numBuckets)
+  }
+
+  /** Append a batch's NEW L-gram keys to a [[writeSubstringIndex]]
+    * table (set semantics preserved via the anti-join) — the
+    * maintenance half of the incremental pair, x81's convention. */
+  def appendSubstringIndex(batch: DataFrame, idCol: String,
+                           textCol: String, L: Int,
+                           table: String): Unit = {
+    val spark = batch.sparkSession
+    val fresh = substringKeys(batch, idCol, textCol, L)
+      .select(col("_h").as("gram_key")).distinct()
+      .join(spark.table(table), Seq("gram_key"), "left_anti")
+    Sinks.writeBucketed(fresh, table, Seq("gram_key"), 16, append = true)
+  }
+
+  /** [[substringDupSpans]] for a NEW BATCH against a FROZEN
+    * [[writeSubstringIndex]] corpus — the family's incremental /
+    * serving form (x74/x80's continuous-ingestion shape on the
+    * substring tier): a batch occurrence is duplicated when its L-gram
+    * exists ANYWHERE in the indexed corpus (the corpus copy is the
+    * keeper — [[incrementalExactDedup]]'s cross-corpus law) OR when it
+    * repeats within the batch (batch-internal min-(doc_id, pos)
+    * keeps). The corpus contributes only its persisted key set: its
+    * text is never scanned, its keys never recomputed; the batch pays
+    * one doubling pass over ITSELF plus a bucketed semi-join. Output
+    * spans are batch-document spans, [[substringDedupApply]]-shaped. */
+  def substringDupSpansIndexed(batch: DataFrame, idCol: String,
+                               textCol: String, L: Int,
+                               indexTable: String): DataFrame = {
+    require(L >= 2, s"L must be >= 2, got $L")
+    val spark = batch.sparkSession
+    val grams = substringKeys(batch, idCol, textCol, L)
+    val enc = col("doc_id") * lit(1000000L) + col("pos")
+    val agg = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_n"), min(enc).as("_first"))
+    val internal = grams.join(agg, "_h")
+      .filter(col("_n") >= 2 && enc =!= col("_first"))
+      .select(col("doc_id"), col("pos"))
+    val cross = grams.join(
+        spark.table(indexTable).select(col("gram_key").as("_h")),
+        Seq("_h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    markedToSpans(internal.unionByName(cross).distinct(), L)
   }
 
   /** [[substringDupSpans]] APPLIED — the family's surgery twin (x87's

@@ -2357,8 +2357,35 @@ object ExtensionQueries {
     // ones end empty (the caller's drop decision).
     "x225_substring_apply" -> ((s, dir) =>
       TextDedup.substringDedupApply(t(s, dir, "documents"), "doc_id",
-        "text", L = 24))
+        "text", L = 24)),
+
+    // x227 — x224 through its PERSISTED gram-key index (the x74/x80
+    // continuous-ingestion shape on the substring tier): the even-id
+    // corpus's distinct doubling keys are a frozen bucketed table; the
+    // odd-id batch pays one doubling pass over ITSELF plus a bucketed
+    // semi-join — corpus text never rescanned, keys never recomputed.
+    // A batch gram anywhere in the corpus is duplicated (corpus keeps);
+    // batch-internal repeats keep their min (doc_id, pos).
+    "x227_substring_indexed" -> ((s, dir) =>
+      TextDedup.substringDupSpansIndexed(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", L = 24, substringIndexFor(s, dir)))
   )
+
+  /** Build-if-missing the x227 substring gram-key index: the EVEN
+    * doc_ids' distinct 24-gram doubling keys, bucketed. */
+  private def substringIndexFor(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_idx.ssidx_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    if (!s.catalog.tableExists(table)) {
+      dropStaleManaged(s, table)
+      TextDedup.writeSubstringIndex(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", L = 24, table)
+    }
+    table
+  }
 
   /** Build-if-missing the x116 near-dup COMPONENT table: the
     * k=3 / τ=0.5 jaccard pair graph's connected components, persisted
@@ -5265,7 +5292,39 @@ object ExtensionQueries {
            CAST(coalesce(rm.n, 0) AS BIGINT) AS n_chars_removed,
            coalesce(a.clean_text, d.text) AS clean_text
          FROM documents d LEFT JOIN agged a USING (doc_id)
-         LEFT JOIN rm USING (doc_id)""")
+         LEFT JOIN rm USING (doc_id)""") +
+    // x227: batch (odd ids) grams marked when present in the even-id
+    // corpus's gram set (corpus keeps) or repeated within the batch
+    // (min doc*1e6+pos keeps); islands merge as x224
+    ("x227_substring_indexed" ->
+      """WITH cg AS (SELECT DISTINCT substring(text, i, 24) AS gr
+           FROM documents, unnest(generate_series(1, length(text) - 23))
+             AS s(i)
+           WHERE doc_id % 2 = 0 AND length(text) >= 24),
+         bg AS (SELECT doc_id, i AS pos, substring(text, i, 24) AS gr
+           FROM documents, unnest(generate_series(1, length(text) - 23))
+             AS s(i)
+           WHERE doc_id % 2 = 1 AND length(text) >= 24),
+         agg AS (SELECT gr, count(*) AS n,
+             min(doc_id * 1000000 + pos) AS first_enc
+           FROM bg GROUP BY gr),
+         rem AS (
+           SELECT doc_id, pos FROM bg JOIN agg USING (gr)
+           WHERE n >= 2 AND doc_id * 1000000 + pos <> first_enc
+           UNION
+           SELECT doc_id, pos FROM bg
+           WHERE gr IN (SELECT gr FROM cg)),
+         seg AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos)
+                 OVER (PARTITION BY doc_id ORDER BY pos) <= 24
+               THEN 0 ELSE 1 END AS newseg
+           FROM rem),
+         isl AS (SELECT doc_id, pos,
+             sum(newseg) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM seg)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) - min(pos) + 24 AS BIGINT) AS span_len
+         FROM isl GROUP BY doc_id, grp""")
 
   /** x221's oracle: x10's IVF formulation (fixed codebook = the
     * `numCentroids` smallest vec_ids, assignment/probing by argmax

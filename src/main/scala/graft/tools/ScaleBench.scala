@@ -1463,6 +1463,23 @@ object ScaleBench {
     ("x225_substring_apply", (s: SparkSession, dir: String) =>
       TextDedup.substringDedupApply(Tables(s, dir, "documents"), "doc_id",
         "text", L = 24)),
+    // the substring family's serving form at 10x: the frozen even-id
+    // gram-key index absorbs the corpus side; the batch pays its own
+    // doubling pass + a bucketed semi-join.
+    ("x227_substring_indexed", (s: SparkSession, dir: String) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idxT = s"graft_idx.ssidx_probe_$tag"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+      if (!s.catalog.tableExists(idxT))
+        TextDedup.writeSubstringIndex(
+          Tables(s, dir, "documents")
+            .filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", L = 24, idxT)
+      TextDedup.substringDupSpansIndexed(
+        Tables(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", L = 24, idxT)
+    }),
     // the modern curation chain at 10x: x42's cost model + the
     // semantic tier (k-means seeds scale with nCent ∝ corpus) + DSIR's
     // bucket-bounded aggregations — every added stage emits id-sized

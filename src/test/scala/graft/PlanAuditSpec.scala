@@ -1765,6 +1765,24 @@ class PlanAuditSpec extends SparkSpec {
       s"keeper argmin aggregate missing:\n$p")
   }
 
+  test("x227 substring indexed: the batch pays its own doubling pass " +
+      "and a bucketed semi-join against the FROZEN gram-key table — " +
+      "corpus text never rescanned, no cartesian") {
+    val p = plan("x227_substring_indexed")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+    assert(p.contains("ssidx_"), s"frozen gram-key table not read:\n$p")
+    assert(p.contains("LeftSemi"), s"index semi-join missing:\n$p")
+    // the batch side builds keys by doubling windows, same as x224
+    assert("lead\\(_h".r.findAllIn(p).size >= 5,
+      s"batch doubling rounds missing:\n$p")
+    // the even-id corpus text is only in the index: every documents
+    // scan in the plan carries the odd-id batch filter
+    val scans = "pmod\\(doc_id#\\d+L?, 2\\) = (\\d)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(scans.nonEmpty && scans.forall(_ == "1"),
+      s"a corpus-side documents scan crept in:\n$p")
+  }
+
   test("x223 semdedup apply: serves from the PERSISTED drop set — " +
       "broadcast anti-join, no retraining (the nearest-centroid " +
       "kernel never appears at serve time)") {

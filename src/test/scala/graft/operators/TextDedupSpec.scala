@@ -477,6 +477,64 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("substringDupSpansIndexed (x227): batch grams against the " +
+      "frozen corpus key set — corpus copies always keep, batch-" +
+      "internal repeats keep their min, index append extends the set") {
+    import spark.implicits._
+    val block = "The license block is repeated verbatim everywhere."
+    val corpus = Seq(
+      (0L, s"corpus doc alpha with the shared part: $block end."),
+      (2L, "corpus doc beta, entirely its own unrepeated content here.")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, s"new batch doc carrying $block inside it, plus new text."),
+      (13L, "a wholly novel batch document with nothing shared at all."),
+      (15L, "a wholly novel batch document with nothing shared at all.")
+    ).toDF("doc_id", "text") // 15 repeats 13 within the batch
+    val idxT = "graft_idx_test.ss_keys"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    graft.sinks.Sinks.dropManaged(spark, idxT)
+    TextDedup.writeSubstringIndex(corpus, "doc_id", "text", 24, idxT)
+    val spans = TextDedup.substringDupSpansIndexed(batch, "doc_id",
+        "text", 24, idxT)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_len")))
+    // doc 11's shared block is marked (corpus keeps); doc 13 is the
+    // batch-internal keeper (clean); doc 15 is fully covered
+    assert(spans.count(_._1 == 11L) === 1, spans.mkString("; "))
+    assert(!spans.exists(_._1 == 13L), spans.mkString("; "))
+    val d15 = spans.filter(_._1 == 15L)
+    assert(d15.toSeq === Seq((15L, 1L,
+      "a wholly novel batch document with nothing shared at all."
+        .length.toLong)), spans.mkString("; "))
+    // parity with the one-shot law: the same spans fall out of
+    // substringDupSpans over corpus ∪ batch, restricted to batch docs
+    // (corpus enc < batch enc, so the cross-corpus keeper agrees)
+    val oneShot = TextDedup.substringDupSpans(
+        corpus.unionByName(batch), "doc_id", "text", 24)
+      .filter($"doc_id" >= 11L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_len")))
+    assert(spans.toSet === oneShot.toSet)
+    // append maintenance: batch keys folded in, set semantics kept
+    val before = spark.table(idxT).count()
+    TextDedup.appendSubstringIndex(batch, "doc_id", "text", 24, idxT)
+    val after = spark.table(idxT).count()
+    assert(after > before)
+    assert(spark.table(idxT).select("gram_key").distinct().count()
+      === after, "append broke set semantics")
+    // idempotent: a replayed append adds nothing
+    TextDedup.appendSubstringIndex(batch, "doc_id", "text", 24, idxT)
+    assert(spark.table(idxT).count() === after)
+    // post-append, the batch dedups against ITSELF via the index too:
+    // every batch gram now indexed -> all batch docs fully covered
+    val re = TextDedup.substringDupSpansIndexed(batch, "doc_id", "text",
+        24, idxT)
+      .collect().map(r => r.getAs[Long]("doc_id")).distinct
+    assert(re.toSet === Set(11L, 13L, 15L))
+    graft.sinks.Sinks.dropManaged(spark, idxT)
+  }
+
   test("substringDedupApply (x225): spans cut character-exact, " +
       "span-less docs byte-identical, fully-duplicated docs end empty") {
     import spark.implicits._
