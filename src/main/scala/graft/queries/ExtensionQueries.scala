@@ -2264,8 +2264,12 @@ object ExtensionQueries {
     // need the deleted ROWS, which the landing table no longer has).
     // Cycle 1's log (persisted at build) shows the batch applied and
     // the closing audit fresh; the live cycle 2 shows the pruned feed
-    // re-applying nothing. The batch id in the log is the oracle's to
-    // recompute.
+    // re-applying nothing. The maintained index declares the family's
+    // ledger + retire bases, so every cycle also runs the
+    // concurrent-writer tripwire (conflict_audit rows, conflicts=0)
+    // and the grace-window retire (nothing to reclaim at 2 live
+    // versions — no row). The salted batch id in the log is the
+    // oracle's to recompute.
     "x218_tombstone_capture" -> ((s, dir) => {
       import s.implicits._
       val (logT, maintained) = tombstoneCycleFor(s, dir)
@@ -2628,10 +2632,11 @@ object ExtensionQueries {
     val landT = s"graft_idx.vcap_lineitem_$tag"
     val tombT = s"graft_idx.vcap_tombstones_$tag"
     val ledger = s"graft_idx.vcap_ledger_$tag"
-    // log2: the capture id gained its epoch salt (e<version>- prefix)
-    // in round 17 — the renamed log table forces stale pre-salt
+    // log3: round 17 salted the capture id (e<version>- prefix) and
+    // then wired the family's ledger + retire bases into the cycle
+    // (conflict_audit rows land in the log) — each rename forces stale
     // fixtures in a persisted warehouse to rebuild
-    val logT = s"graft_idx.vcap_log2_$tag"
+    val logT = s"graft_idx.vcap_log3_$tag"
     val bases = Seq("ob", "edges", "totals", "stats")
       .map(n => s"graft_idx.vcap_${n}_$tag")
     val Seq(obB, edB, toB, stB) = bases
@@ -2654,11 +2659,14 @@ object ExtensionQueries {
           t(ss, dir, "part"), ledger, "edges", obB, edB, toB, stB,
           batchId = Some(bid)),
         isApplied = Some((ss, bid) =>
-          Snapshots.isApplied(ss, ledger, "edges", bid))))))
+          Snapshots.isApplied(ss, ledger, "edges", bid)))),
+      ledger = Some((ledger, "edges")),
+      retireBases = Some(bases)))
     if (!s.catalog.tableExists(logT) || !s.catalog.tableExists(landT) ||
         !s.catalog.tableExists(ledger)) {
       import s.implicits._
-      (Seq(landT, tombT, ledger, logT, s"graft_idx.vcap_log_$tag") ++
+      (Seq(landT, tombT, ledger, logT, s"graft_idx.vcap_log_$tag",
+        s"graft_idx.vcap_log2_$tag") ++
         bases.flatMap(b => b +: (1 to 3).map(v => s"${b}_v$v")))
         .foreach(dropStaleManaged(s, _))
       val li = t(s, dir, "lineitem")
@@ -5094,11 +5102,15 @@ object ExtensionQueries {
            FROM ok),
          r AS (
            SELECT 1 AS cycle, 'edges' AS index_name,
-             'delete_batch' AS action,
-             'batch=' || (SELECT bid FROM del) AS detail
+             'conflict_audit' AS action, 'conflicts=0' AS detail
+           UNION ALL
+           SELECT 1, 'edges', 'delete_batch',
+             'batch=' || (SELECT bid FROM del)
            WHERE (SELECT n FROM del) > 0
            UNION ALL
            SELECT 1, 'edges', 'audit', 'missing=0 stale=0'
+           UNION ALL
+           SELECT 2, 'edges', 'conflict_audit', 'conflicts=0'
            UNION ALL
            SELECT 2, 'edges', 'audit', 'missing=0 stale=0')
          SELECT CAST(cycle AS BIGINT) AS cycle, index_name, action,
