@@ -1049,10 +1049,17 @@ object TextDedup {
                            textCol: String, L: Int,
                            table: String): Unit = {
     val spark = batch.sparkSession
+    // append under the table's OWN bucket spec (the appendEdgeIndex
+    // convention) — a mismatched bucket count is a hard engine error
+    val numBuckets = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(sys.error(s"$table is not bucketed"))
     val fresh = substringKeys(batch, idCol, textCol, L)
       .select(col("_h").as("gram_key")).distinct()
       .join(spark.table(table), Seq("gram_key"), "left_anti")
-    Sinks.writeBucketed(fresh, table, Seq("gram_key"), 16, append = true)
+    Sinks.writeBucketed(fresh, table, Seq("gram_key"), numBuckets,
+      append = true)
   }
 
   /** [[substringDupSpans]] for a NEW BATCH against a FROZEN
@@ -1100,8 +1107,18 @@ object TextDedup {
     * segment before each and the tail after the last. Corpus text
     * crosses the wire at most once; no explode, no per-char work. */
   def substringDedupApply(docs: DataFrame, idCol: String, textCol: String,
-                          L: Int = 24): DataFrame = {
-    val spans = substringDupSpans(docs, idCol, textCol, L)
+                          L: Int = 24): DataFrame =
+    applyCharSpans(docs, idCol, textCol,
+      substringDupSpans(docs, idCol, textCol, L))
+
+  /** The character-surgery half of [[substringDedupApply]] with the
+    * span decisions supplied — so the one-shot (x225), the indexed
+    * serve ([[substringDupSpansIndexed]]'s spans) and the streaming
+    * ingest ([[graft.streaming.Streams.substringIngest]]) all cut with
+    * the same fused-`aggregate` rewrite. `spans` must be disjoint per
+    * document (island-merged — both producers guarantee it). */
+  def applyCharSpans(docs: DataFrame, idCol: String, textCol: String,
+                     spans: DataFrame): DataFrame = {
     val sp = spans.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("span_start").as("s"),
           (col("span_start") + col("span_len")).as("e")))).as("_sp"),

@@ -660,6 +660,46 @@ object Streams {
         } finally survivors.unpersist()
     }
 
+  /** Streaming EXACT-SUBSTRING dedup ingest — the streaming twin of
+    * batch x227 ([[graft.operators.TextDedup.substringDupSpansIndexed]])
+    * and the closing of [[graft.operators.TextDedup.writeSubstringIndex]]'s
+    * incremental contract: each micro-batch is (1) span-checked against
+    * the persisted gram-key index (one doubling pass over the batch +
+    * a bucketed semi-join — corpus text never rescanned), (2) CUT
+    * (duplicated spans excised character-exact, the x225 surgery) and
+    * the cleaned `(doc_id, n_chars_removed, clean_text)` frame handed
+    * to `sink`, and (3) the CLEANED text's keys appended to the index
+    * (set semantics — the anti-join form), so a batch-N+1 document
+    * repeating batch-N's surviving material is cut against it. The
+    * index reflects the post-surgery corpus — what actually entered —
+    * which is the Lee et al. pipeline run continuously.
+    *
+    * Replayed micro-batches re-run the append; [[graft.operators
+    * .TextDedup.appendSubstringIndex]]'s anti-join makes the key-set
+    * append naturally idempotent (same cleaned text → zero new keys),
+    * so only `sink` needs the usual idempotent-by-batch-id care. */
+  def substringIngest(docs: DataFrame, idCol: String, textCol: String,
+                      L: Int, indexTable: String, compactEvery: Int = 0)
+                     (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val td = graft.operators.TextDedup
+        recoverAll(batch.sparkSession, Seq(indexTable))
+        val b = batch.toDF()
+        val spans = td.substringDupSpansIndexed(b, idCol, textCol, L,
+          indexTable)
+        val cleaned = td.applyCharSpans(b, idCol, textCol, spans).cache()
+        try {
+          sink(cleaned, batchId)
+          td.appendSubstringIndex(cleaned, "doc_id", "clean_text", L,
+            indexTable)
+          maybeCompact(batch.sparkSession, Seq(indexTable), batchId,
+            compactEvery)
+        } finally cleaned.unpersist()
+    }
+
   /** [[indexedNeardupIngest]] through the VERSIONED protocol — the
     * per-key-row twin of [[edgeIndexIngestVersioned]], closing the
     * same caveat: a replayed micro-batch re-appends its survivors'

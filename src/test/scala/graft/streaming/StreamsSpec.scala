@@ -620,6 +620,55 @@ class StreamsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(100L, 2L))
   }
 
+  test("substringIngest: batch docs are span-cut against the frozen " +
+      "gram-key index, cleaned text enters the index, and later " +
+      "batches dedup against earlier survivors (x227 twin)") {
+    import graft.operators.TextDedup
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val idxT = "graft_idx_test.ss_stream_keys"
+    dropIdxTable(idxT)
+    val block = "The license block is repeated verbatim everywhere."
+    val corpusDoc = s"corpus document alpha carries the block: $block !"
+    TextDedup.writeSubstringIndex(
+      Seq((100L, corpusDoc)).toDF("doc_id", "text"), "doc_id", "text",
+      24, idxT, numBuckets = 2)
+
+    val dir = Files.createTempDirectory("ssingest-in").toString
+    val ckpt = Files.createTempDirectory("ssingest-ckpt").toString
+    val got = scala.collection.mutable.Map[Long, (Long, String)]()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = Streams.substringIngest(stream, "doc_id", "text",
+          L = 24, idxT) { (df, _) =>
+        val rows = df.collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_chars_removed"), r.getAs[String]("clean_text")))
+        got.synchronized { got ++= rows; () }
+      }.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // batch 1: doc 1 shares the corpus block (cut); doc 2 is novel
+    val novel = "a wholly novel streaming document with nothing shared."
+    Seq((1L, s"stream doc one also carries $block plus its own tail."),
+        (2L, novel))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    run()
+    assert(got(1L)._1 > 0L, got.toString)
+    assert(!got(1L)._2.contains(block), got(1L)._2)
+    assert(got(2L) === (0L, novel))
+    // batch 2: a doc repeating batch 1's SURVIVING novel text is cut
+    // against it — only possible because the ingest appended the
+    // cleaned keys
+    Seq((3L, novel)).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    run()
+    assert(got(3L) === (novel.length.toLong, ""), got(3L).toString)
+    dropIdxTable(idxT)
+  }
+
   test("splitAssignIngest: near-dups inherit the matched doc's split; " +
       "fresh docs hash-split; later batches inherit from earlier " +
       "(x93 twin)") {
