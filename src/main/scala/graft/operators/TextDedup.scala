@@ -1143,6 +1143,44 @@ object TextDedup {
           .as("clean_text"))
   }
 
+  /** Per-source SUBSTRING-duplication savings (x228) — the data-card
+    * row for the exact-substring tier, completing the savings family
+    * (x115 = exact docs, x108 = near-dup docs, this = duplicated
+    * CHARACTER MASS): how many documents and characters each source
+    * sheds under [[substringDupSpans]]'s keep rule. Read next to x115:
+    * the gap is the mass only span surgery recovers — whole-document
+    * dedup either keeps or drops; this prices keeping documents while
+    * cutting their duplicated runs. Shape mirrors x115:
+    * `(source, n_docs, n_dup_docs, total_chars, dup_chars, dup_frac)`
+    * with the 1e-4 ratio rounding law.
+    *
+    * Scale shape: [[substringDupSpans]]'s cost (the doubling pass + a
+    * key-class aggregate) plus one doc-keyed join of the span-mass
+    * frame (duplicated-doc-sized) and a #sources-row rollup. */
+  def substringDupSavings(corpus: DataFrame, idCol: String,
+                          textCol: String, sourceCol: String,
+                          L: Int = 24): DataFrame = {
+    val perDoc = substringDupSpans(corpus, idCol, textCol, L)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_len")).as("_dup_chars"))
+    Par.spread(corpus)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).as("source"),
+        length(col(textCol)).cast("long").as("_n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_dup_chars").isNotNull, 1L).otherwise(0L))
+          .as("n_dup_docs"),
+        sum(col("_n_chars")).as("total_chars"),
+        sum(coalesce(col("_dup_chars"), lit(0L))).as("dup_chars"))
+      .withColumn("dup_frac",
+        when(col("total_chars") > 0,
+          Num.fpRound(col("dup_chars").cast("double") /
+            col("total_chars").cast("double"), 4))
+          .otherwise(lit(0.0d)))
+  }
+
   /** POSITIONAL winnowing (the MOSS scheme, Schleimer et al. 2003):
     * slide a `window`-wide frame over the document's positional
     * `shingleK`-gram digest sequence and select each frame's minimum —

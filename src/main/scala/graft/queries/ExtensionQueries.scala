@@ -2373,7 +2373,16 @@ object ExtensionQueries {
     "x227_substring_indexed" -> ((s, dir) =>
       TextDedup.substringDupSpansIndexed(
         t(s, dir, "documents").filter(pmod(col("doc_id"), lit(2)) === 1),
-        "doc_id", "text", L = 24, substringIndexFor(s, dir)))
+        "doc_id", "text", L = 24, substringIndexFor(s, dir))),
+
+    // x228 — per-source SUBSTRING-duplication savings: the data-card
+    // row completing the savings family (x115 exact docs, x108
+    // near-dup docs, this = duplicated CHARACTER mass under x224's
+    // keep rule) — prices keeping documents while cutting their
+    // duplicated runs, the mass whole-document dedup cannot recover.
+    "x228_substring_savings" -> ((s, dir) =>
+      TextDedup.substringDupSavings(t(s, dir, "documents"), "doc_id",
+        "text", "source", L = 24))
   )
 
   /** Build-if-missing the x227 substring gram-key index: the EVEN
@@ -5336,7 +5345,45 @@ object ExtensionQueries {
            FROM seg)
          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
            CAST(max(pos) - min(pos) + 24 AS BIGINT) AS span_len
-         FROM isl GROUP BY doc_id, grp""")
+         FROM isl GROUP BY doc_id, grp""") +
+    // x228: x224's span chain rolled up per source — duplicated char
+    // mass under the same keep rule, x115's ratio-rounding law
+    ("x228_substring_savings" ->
+      """WITH g AS (SELECT doc_id, i AS pos, substring(text, i, 24) AS gr
+           FROM documents, unnest(generate_series(1, length(text) - 23))
+             AS s(i)
+           WHERE length(text) >= 24),
+         agg AS (SELECT gr, count(*) AS n,
+             min(doc_id * 1000000 + pos) AS first_enc
+           FROM g GROUP BY gr),
+         rem AS (SELECT doc_id, pos FROM g JOIN agg USING (gr)
+           WHERE n >= 2 AND doc_id * 1000000 + pos <> first_enc),
+         seg AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos)
+                 OVER (PARTITION BY doc_id ORDER BY pos) <= 24
+               THEN 0 ELSE 1 END AS newseg
+           FROM rem),
+         isl AS (SELECT doc_id, pos,
+             sum(newseg) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM seg),
+         spans AS (SELECT doc_id,
+             max(pos) - min(pos) + 24 AS span_len
+           FROM isl GROUP BY doc_id, grp),
+         perdoc AS (SELECT doc_id, sum(span_len) AS dup_chars
+           FROM spans GROUP BY doc_id)
+         SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p.dup_chars IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dup_docs,
+           CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
+           CAST(sum(coalesce(p.dup_chars, 0)) AS BIGINT) AS dup_chars,
+           CASE WHEN sum(length(d.text)) > 0 THEN
+             floor(CAST(sum(coalesce(p.dup_chars, 0)) AS DOUBLE)
+               / CAST(sum(length(d.text)) AS DOUBLE) * 10000 + 0.5)
+               / 10000.0
+           ELSE 0.0 END AS dup_frac
+         FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         GROUP BY d.source""")
 
   /** x221's oracle: x10's IVF formulation (fixed codebook = the
     * `numCentroids` smallest vec_ids, assignment/probing by argmax

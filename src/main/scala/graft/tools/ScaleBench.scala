@@ -1480,6 +1480,11 @@ object ScaleBench {
           .filter(pmod(col("doc_id"), lit(2)) === 1),
         "doc_id", "text", L = 24, idxT)
     }),
+    // the substring savings card at 10x: x224's cost + a
+    // duplicated-doc-sized join + a #sources rollup.
+    ("x228_substring_savings", (s: SparkSession, dir: String) =>
+      TextDedup.substringDupSavings(Tables(s, dir, "documents"),
+        "doc_id", "text", "source", L = 24)),
     // the modern curation chain at 10x: x42's cost model + the
     // semantic tier (k-means seeds scale with nCent ∝ corpus) + DSIR's
     // bucket-bounded aggregations — every added stage emits id-sized
