@@ -215,47 +215,55 @@ object Snapshots {
     * one mutating writer per family; a file catalog has no
     * compare-and-swap, so two writers that stage the same next version
     * both publish and the second-staged tables silently win. This
-    * narrows that race to a hair: append an `(index_name, owner)` row
-    * to the lease table, re-list, and proceed ONLY as the
-    * lexicographically-smallest live owner — when two writers collide,
-    * both see both rows and exactly one backs off ([[LeaseDenied]]),
-    * releasing its own row before throwing. The body always runs with
-    * the lease held and the row is released afterward (crash inside
-    * the body leaks the row — [[clearLeases]] is the operator's
-    * recovery, safe because the crashed mutation either published,
-    * making its replay a ledger no-op, or staged idempotent overwrites
-    * a rerun rebuilds).
+    * narrows that race to a hair: append an `(index_name, owner, ts)`
+    * row to the lease table, re-list, and proceed ONLY as the holder
+    * of the EARLIEST live row — ordered by `(ts, owner)`, so a writer
+    * arriving while another already holds the lease always sees the
+    * earlier row and backs off ([[LeaseDenied]]), releasing its own
+    * row before throwing. (Ordering by owner id alone would let a
+    * later arrival with a smaller random id steal a HELD lease — the
+    * arrival timestamp is what makes first-come-first-served actually
+    * hold.) The body always runs with the lease held and the row is
+    * released afterward (crash inside the body leaks the row —
+    * [[clearLeases]] is the operator's recovery, safe because the
+    * crashed mutation either published, making its replay a ledger
+    * no-op, or staged idempotent overwrites a rerun rebuilds).
     *
-    * Honest limits, stated: on a store with delayed listing visibility
-    * (object stores), two writers can each list before the other's
-    * append lands and BOTH proceed — the lease is prevention for the
-    * common case, the tripwire remains the audit of record, and
-    * recovery from a detected conflict is re-applying the losing batch
-    * at a fresh version (its id is content-derived, so the re-apply
-    * stages bit-identically). On a POSIX-visibility catalog (HDFS,
-    * local) the append-then-list order makes the collision window the
-    * append/list gap only. */
+    * Honest limits, stated: two writers arriving within one clock tick
+    * tie-break on owner id, and each may list before the other's
+    * append is visible — the SIMULTANEOUS-arrival window (one
+    * millisecond + the append/list gap on a POSIX-visibility catalog;
+    * wider on delayed-listing object stores). The lease is prevention
+    * for the common case; the tripwire remains the audit of record,
+    * and recovery from a detected conflict is re-applying the losing
+    * batch at a fresh version (its id is content-derived, so the
+    * re-apply stages bit-identically). Cross-host clock skew widens
+    * the tie window to the skew bound — serialize multi-host writers
+    * through the Orchestrator instead. */
   def withLease[T](spark: SparkSession, leaseTable: String,
                    indexName: String)(body: => T): T = {
     import spark.implicits._
     val owner = java.util.UUID.randomUUID().toString
-    Seq((indexName, owner)).toDF("index_name", "owner")
+    val ts = System.currentTimeMillis()
+    Seq((indexName, owner, ts)).toDF("index_name", "owner", "ts")
       .coalesce(1).write.mode("append").format("parquet")
       .saveAsTable(leaseTable)
-    def holders(): Seq[String] = {
+    def holders(): Seq[(Long, String)] = {
       spark.catalog.refreshTable(leaseTable)
       spark.table(leaseTable).filter(col("index_name") === indexName)
-        .select(col("owner")).collect().map(_.getString(0)).sorted.toSeq
+        .select(col("ts"), col("owner")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     }
     def releaseOwn(): Unit =
       Warehouse.deleteFromIndex(spark, leaseTable, "owner",
         Seq(owner).toDF("owner"))
     val live = holders()
-    if (live.headOption.contains(owner))
+    if (live.headOption.contains((ts, owner)))
       try body finally releaseOwn()
     else {
       releaseOwn()
-      throw LeaseDenied(indexName, live.filterNot(_ == owner))
+      throw LeaseDenied(indexName,
+        live.filterNot(_ == ((ts, owner))).map(_._2))
     }
   }
 

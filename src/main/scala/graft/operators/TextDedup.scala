@@ -776,18 +776,7 @@ object TextDedup {
     val removals = grams.join(agg, "_h")
       .filter(col("_n") >= 2 && enc =!= col("_first"))
       .select(col("doc_id"), col("pos"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val islands = removals
-      .withColumn("_new",
-        when(col("pos") - lag(col("pos"), 1).over(w) <= spanTokens, lit(0))
-          .otherwise(lit(1)))
-      .withColumn("_grp", sum(col("_new")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    islands.groupBy(col("doc_id"), col("_grp"))
-      .agg(min(col("pos")).cast("long").as("span_start"),
-        (max(col("pos")) - min(col("pos")) + lit(spanTokens)).cast("long")
-          .as("span_len"))
-      .drop("_grp")
+    markedToSpans(removals, spanTokens)
   }
 
   /** Span-level DECONTAMINATION — [[duplicateSpans]]'s islands
@@ -822,18 +811,7 @@ object TextDedup {
     val bench = grams(benchmark).select(col("_h")).distinct()
     val matched = grams(corpus).join(bench, Seq("_h"), "left_semi")
       .select(col("doc_id"), col("pos"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    matched
-      .withColumn("_new",
-        when(col("pos") - lag(col("pos"), 1).over(w) <= spanTokens, lit(0))
-          .otherwise(lit(1)))
-      .withColumn("_grp", sum(col("_new")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("_grp"))
-      .agg(min(col("pos")).cast("long").as("span_start"),
-        (max(col("pos")) - min(col("pos")) + lit(spanTokens)).cast("long")
-          .as("span_len"))
-      .drop("_grp")
+    markedToSpans(matched, spanTokens)
   }
 
   /** Paragraph-level exact dedup (the CCNet recipe, Wenzek et al. 2020:
@@ -958,7 +936,15 @@ object TextDedup {
     * positions ≤ L apart, and spans emit as `(doc_id, span_start,
     * span_len)` — `span_start` 1-based CHARACTER position, directly
     * consumable by [[substringDedupApply]]. Documents shorter than L
-    * emit nothing (no full window — the winnowing boundary rule). */
+    * emit nothing (no full window — the winnowing boundary rule).
+    *
+    * Precondition (shared with [[duplicateSpans]]' encoding law, a
+    * factor 1e6): documents of < 10⁶ CHARACTERS — the keeper argmin
+    * encodes `(doc_id, pos)` as `doc_id·10⁶ + pos`, and a longer
+    * document's positions would bleed into the next id's range. For
+    * book-scale corpora raise the factor here AND in the four
+    * substring oracles together (positions are char-level, so this
+    * bound bites ~4× sooner than the token sibling's). */
   def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
                         L: Int = 24): DataFrame = {
     require(L >= 2, s"L must be >= 2, got $L")
@@ -1006,9 +992,12 @@ object TextDedup {
       .select(col("doc_id"), col("pos"), col("_h"))
   }
 
-  /** Gaps-and-islands merge of marked `(doc_id, pos)` L-window
+  /** Gaps-and-islands merge of marked `(doc_id, pos)` `width`-window
     * positions into maximal `(doc_id, span_start, span_len)` spans —
-    * x83's step 4 in character space. */
+    * THE span-merge rule, shared by the token tier ([[duplicateSpans]]
+    * width = spanTokens, [[contaminatedSpans]]) and the character tier
+    * ([[substringDupSpans]]/[[substringDupSpansIndexed]] width = L):
+    * positions ≤ width apart coalesce, span_len = last − first + width. */
   private def markedToSpans(removals: DataFrame, L: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     removals

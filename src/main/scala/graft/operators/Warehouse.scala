@@ -736,7 +736,17 @@ object Warehouse {
     * whose batch already sits in the feed skips the capture append),
     * and the landing delete is an anti-join rewrite (naturally
     * idempotent). Crash between the two → rerun skips capture,
-    * finishes the delete. Returns the batch id.
+    * finishes the delete — PROVIDED the rerun happens before the next
+    * maintenance cycle consumes the feed. In salted mode (`ledger`
+    * set) that ordering is load-bearing: a cycle interleaving between
+    * the crash and the rerun applies the captured batch, bumps the
+    * family's version, and the rerun then derives a FRESH salt and
+    * re-captures the same keys — a second applied delete
+    * (double-subtract on additive indexes). This is the same
+    * serialization the protocol already requires of mutations vs
+    * cycles ([[Snapshots.versionConflicts]]' single-writer contract):
+    * rerun a half-finished capture call before letting the cycle run,
+    * or wrap both in [[Snapshots.withLease]]. Returns the batch id.
     *
     * `ledger` — the downstream family's `(ledgerTable, indexName)` —
     * SALTS the captured id with the family's current version

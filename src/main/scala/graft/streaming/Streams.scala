@@ -674,30 +674,53 @@ object Streams {
     * index reflects the post-surgery corpus — what actually entered —
     * which is the Lee et al. pipeline run continuously.
     *
-    * Replayed micro-batches re-run the append; [[graft.operators
-    * .TextDedup.appendSubstringIndex]]'s anti-join makes the key-set
-    * append naturally idempotent (same cleaned text → zero new keys),
-    * so only `sink` needs the usual idempotent-by-batch-id care. */
+    * REPLAYS NEED THE LEDGER GUARD, unlike the other unversioned
+    * ingests: a replayed micro-batch (crash between the key append and
+    * the checkpoint commit) is span-checked against an index that
+    * already holds ITS OWN cleaned keys, so every kept segment matches
+    * and `sink` would be re-delivered near-emptied documents under the
+    * same batch id — an overwrite-by-batch-id sink would replace
+    * correct output with gutted text. Pass `ledger` (an applied-batch
+    * table per [[graft.operators.Snapshots]] — a pure replay record
+    * here, no versioning: appends stay in place at version 0) and
+    * replayed epochs are skipped WHOLE before any work; without it the
+    * caveat is the caller's to manage (safe only for sinks that ignore
+    * re-delivered batch ids entirely). Epoch ids are meaningful within
+    * ONE checkpoint lineage — re-pointing a NEW checkpoint at an
+    * existing ledger aliases old epochs; start a fresh ledger with a
+    * fresh checkpoint. */
   def substringIngest(docs: DataFrame, idCol: String, textCol: String,
-                      L: Int, indexTable: String, compactEvery: Int = 0)
+                      L: Int, indexTable: String, compactEvery: Int = 0,
+                      ledger: Option[(String, String)] = None)
                      (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Snapshots
         val td = graft.operators.TextDedup
-        recoverAll(batch.sparkSession, Seq(indexTable))
-        val b = batch.toDF()
-        val spans = td.substringDupSpansIndexed(b, idCol, textCol, L,
-          indexTable)
-        val cleaned = td.applyCharSpans(b, idCol, textCol, spans).cache()
-        try {
-          sink(cleaned, batchId)
-          td.appendSubstringIndex(cleaned, "doc_id", "clean_text", L,
+        val spark = batch.sparkSession
+        val bid = s"stream-$batchId"
+        val replayed = ledger.exists { case (lt, ln) =>
+          Snapshots.isApplied(spark, lt, ln, bid)
+        }
+        if (!replayed) {
+          recoverAll(spark, Seq(indexTable))
+          val b = batch.toDF()
+          val spans = td.substringDupSpansIndexed(b, idCol, textCol, L,
             indexTable)
-          maybeCompact(batch.sparkSession, Seq(indexTable), batchId,
-            compactEvery)
-        } finally cleaned.unpersist()
+          val cleaned = td.applyCharSpans(b, idCol, textCol, spans).cache()
+          try {
+            sink(cleaned, batchId)
+            td.appendSubstringIndex(cleaned, "doc_id", "clean_text", L,
+              indexTable)
+            ledger.foreach { case (lt, ln) =>
+              Snapshots.publish(spark, lt, ln,
+                Snapshots.currentVersion(spark, lt, ln), bid, "append")
+            }
+            maybeCompact(spark, Seq(indexTable), batchId, compactEvery)
+          } finally cleaned.unpersist()
+        }
     }
 
   /** [[indexedNeardupIngest]] through the VERSIONED protocol — the
@@ -1032,7 +1055,17 @@ object Streams {
     * the sink and the publish re-delivers the sink call once (the
     * sink's residual at-least-once window — same as the ANN twin's).
     * [[graft.operators.Graph.appendEdgeIndexVersioned]] then logs a
-    * no-op instead of double-counting if the replay races the guard. Batch 0 bootstraps the family
+    * no-op instead of double-counting if the replay races the guard.
+    *
+    * LINEAGE CONTRACT (applies to every versioned ingest twin): epoch
+    * ids are deterministic only WITHIN one checkpoint lineage. Pointing
+    * a stream with a FRESH checkpoint at an existing family restarts
+    * epoch numbering at 0, so `stream-0` aliases the old run's batch 0
+    * and the new batch — different content — is skipped whole, sink
+    * included, with no error. Resuming always means reusing the
+    * checkpoint; replacing the checkpoint means a fresh
+    * ledger/indexName (or migrating the family), never both-new-ids
+    * against old-ledger-rows. Batch 0 bootstraps the family
     * ([[graft.operators.Graph.writeEdgeIndexVersioned]]) under the SAME
     * id, so a replay straddling the bootstrap publish short-circuits on
     * the ledger rather than falling through to the append path.

@@ -675,8 +675,14 @@ class OrchestratorSpec extends SparkSpec {
     // anything (the prevention the tripwire could only detect)
     var bDenied = false
     Snapshots.withLease(spark, leaseT, "ls") {
-      intercept[Snapshots.LeaseDenied] {
-        Snapshots.withLease(spark, leaseT, "ls") { bDenied = true }
+      // EVERY later arrival must back off while the lease is held —
+      // repeated attempts pin the (ts, owner) arrival ordering (an
+      // owner-id ordering would let ~half of random arrivals steal a
+      // held lease)
+      (1 to 5).foreach { _ =>
+        intercept[Snapshots.LeaseDenied] {
+          Snapshots.withLease(spark, leaseT, "ls") { bDenied = true }
+        }
       }
       assert(Graph.deleteFromEdgeIndexVersioned(delA, part, ledger,
         "ls", obB, edB, toB, stB)) // v2
@@ -701,8 +707,8 @@ class OrchestratorSpec extends SparkSpec {
     // crashed-holder recovery: a leaked row blocks the next writer
     // until the operator clears the family's leases
     import spark.implicits._
-    // '!' sorts before any hex UUID char, so the leaked row always wins
-    Seq(("ls", "!crashed-writer")).toDF("index_name", "owner")
+    // ts=0 sorts before any live arrival, so the leaked row always wins
+    Seq(("ls", "crashed-writer", 0L)).toDF("index_name", "owner", "ts")
       .write.mode("append").format("parquet").saveAsTable(leaseT)
     intercept[Snapshots.LeaseDenied] {
       Snapshots.withLease(spark, leaseT, "ls") { () }
