@@ -626,7 +626,8 @@ class StreamsSpec extends SparkSpec {
     import graft.operators.TextDedup
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
     val idxT = "graft_idx_test.ss_stream_keys"
-    dropIdxTable(idxT)
+    val ledT = "graft_idx_test.ss_stream_ledger"
+    Seq(idxT, ledT).foreach(dropIdxTable)
     val block = "The license block is repeated verbatim everywhere."
     val corpusDoc = s"corpus document alpha carries the block: $block !"
     TextDedup.writeSubstringIndex(
@@ -641,7 +642,7 @@ class StreamsSpec extends SparkSpec {
     def run(): Unit = {
       val stream = spark.readStream.schema(schema).parquet(dir)
       val q = Streams.substringIngest(stream, "doc_id", "text",
-          L = 24, idxT) { (df, _) =>
+          L = 24, idxT, ledger = Some((ledT, "ss"))) { (df, _) =>
         val rows = df.collect().map(r => r.getAs[Long]("doc_id") ->
           (r.getAs[Long]("n_chars_removed"), r.getAs[String]("clean_text")))
         got.synchronized { got ++= rows; () }
@@ -666,7 +667,15 @@ class StreamsSpec extends SparkSpec {
       .write.mode("append").parquet(dir)
     run()
     assert(got(3L) === (novel.length.toLong, ""), got(3L).toString)
-    dropIdxTable(idxT)
+    // the replay guard's record: one applied-batch row per epoch, and
+    // a hand-replayed epoch id reads as already applied
+    import graft.operators.Snapshots
+    assert(Snapshots.ledger(spark, ledT, "ss")
+      .select("batch_id").collect().map(_.getString(0)).toSet
+      === Set("stream-0", "stream-1"))
+    assert(Snapshots.isApplied(spark, ledT, "ss", "stream-0"))
+    assert(!Snapshots.isApplied(spark, ledT, "ss", "stream-2"))
+    Seq(idxT, ledT).foreach(dropIdxTable)
   }
 
   test("splitAssignIngest: near-dups inherit the matched doc's split; " +
