@@ -740,7 +740,7 @@ object TextDedup {
     *     [[org.apache.spark.sql.graft.TextExpressions.chunkTokens]]
     *     kernel (stride 1 = every full frame), digested to 8-byte
     *     xxhash64 — a narrow explode, linear in corpus tokens;
-    *  2. per-digest `(count, min(doc·10⁶ + pos))` — ONE high-reduction
+    *  2. per-digest `(count, min(struct(doc, pos)))` — ONE high-reduction
     *     hash aggregate (never a pair join: a gram shared by df docs
     *     costs df aggregate rows, not df² join rows, so corpus-wide
     *     boilerplate cannot go quadratic here);
@@ -754,10 +754,10 @@ object TextDedup {
     *
     * Output: `(doc_id, span_start, span_len)` in token units,
     * span_start 0-based — the drop list a span-surgery pass consumes.
-    * "Globally first" = smallest (doc_id, pos) lexicographically,
-    * encoded as doc_id·10⁶ + pos for engine-portable argmin (documents
-    * of < 10⁶ tokens — a documented precondition, ~4 MB of text; raise
-    * the factor for pathological inputs). 64-bit digest
+    * "Globally first" = smallest (doc_id, pos) lexicographically, as a
+    * STRUCT-typed argmin — no doc·factor + pos encoding, so documents
+    * of any length keep correct first-occurrence selection (both
+    * engines order structs field-by-field). 64-bit digest
     * collisions (~1e-9 corpus-wide) are the standard sketch trade, same
     * as [[shingleSets]]. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
@@ -770,7 +770,7 @@ object TextDedup {
       .filter(size(col("_t")) >= spanTokens) // full frames only
       .select(col("doc_id"), posexplode(col("_g")).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("_h"))
-    val enc = col("doc_id") * lit(1000000L) + col("pos")
+    val enc = struct(col("doc_id"), col("pos"))
     val agg = grams.groupBy(col("_h"))
       .agg(count(lit(1)).as("_n"), min(enc).as("_first"))
     val removals = grams.join(agg, "_h")
@@ -823,7 +823,7 @@ object TextDedup {
     * on real corpora pre-split on the delimiter and feed one row per
     * paragraph), every occurrence of a repeated paragraph EXCEPT the
     * globally first (min (doc_id, chunk_idx), the [[duplicateSpans]]
-    * encoding) is dropped, and each document is reassembled from its
+    * struct argmin) is dropped, and each document is reassembled from its
     * surviving paragraphs in order. Unlike document-level dedup (x1)
     * the document SURVIVES with its unique material; unlike span dedup
     * (x83) the verdicts are aligned to the chunk grid, which is what
@@ -848,7 +848,7 @@ object TextDedup {
       .select(col(idCol).as("doc_id"),
         posexplode(TextExpressions.chunkTokens(col(textCol), chunk, chunk))
           .as(Seq("pos", "para")))
-    val enc = col("doc_id") * lit(1000000L) + col("pos")
+    val enc = struct(col("doc_id"), col("pos"))
     val firsts = paras.groupBy(xxhash64(col("para")).as("_h"))
       .agg(min(enc).as("_first"))
     val flagged = paras.withColumn("_h", xxhash64(col("para")))
@@ -938,18 +938,18 @@ object TextDedup {
     * consumable by [[substringDedupApply]]. Documents shorter than L
     * emit nothing (no full window — the winnowing boundary rule).
     *
-    * Precondition (shared with [[duplicateSpans]]' encoding law, a
-    * factor 1e6): documents of < 10⁶ CHARACTERS — the keeper argmin
-    * encodes `(doc_id, pos)` as `doc_id·10⁶ + pos`, and a longer
-    * document's positions would bleed into the next id's range. For
-    * book-scale corpora raise the factor here AND in the four
-    * substring oracles together (positions are char-level, so this
-    * bound bites ~4× sooner than the token sibling's). */
+    * No document-length precondition: the keeper argmin is a
+    * STRUCT-typed `min(struct(doc_id, pos))` (shared with
+    * [[duplicateSpans]]), so book-scale documents — the corpora the
+    * paper targets contain >10⁶-character books — keep exact
+    * first-occurrence selection; the earlier `doc_id·10⁶ + pos`
+    * encoding silently bled positions across id ranges past 1M chars
+    * (round-18 fix, spec-pinned with a 1.2M-char document). */
   def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
                         L: Int = 24): DataFrame = {
     require(L >= 2, s"L must be >= 2, got $L")
     val grams = substringKeys(docs, idCol, textCol, L)
-    val enc = col("doc_id") * lit(1000000L) + col("pos")
+    val enc = struct(col("doc_id"), col("pos"))
     val agg = grams.groupBy(col("_h"))
       .agg(count(lit(1)).as("_n"), min(enc).as("_first"))
     val removals = grams.join(agg, "_h")
@@ -1068,7 +1068,7 @@ object TextDedup {
     require(L >= 2, s"L must be >= 2, got $L")
     val spark = batch.sparkSession
     val grams = substringKeys(batch, idCol, textCol, L)
-    val enc = col("doc_id") * lit(1000000L) + col("pos")
+    val enc = struct(col("doc_id"), col("pos"))
     val agg = grams.groupBy(col("_h"))
       .agg(count(lit(1)).as("_n"), min(enc).as("_first"))
     val internal = grams.join(agg, "_h")

@@ -5242,7 +5242,7 @@ object ExtensionQueries {
          WHERE vec_id NOT IN (SELECT vid FROM dropped)""") +
     // x224: 24-char positional substrings grouped DIRECTLY (the
     // engine's doubling keys form the same equality classes);
-    // keep = min(doc*1e6+pos), islands merge marked positions <= 24
+    // keep = min struct(doc, pos), islands merge marked positions <= 24
     // apart — x83's walk in character space
     ("x224_substring_dedup" ->
       """WITH g AS (SELECT doc_id, i AS pos, substring(text, i, 24) AS gr
@@ -5250,10 +5250,10 @@ object ExtensionQueries {
              AS s(i)
            WHERE length(text) >= 24),
          agg AS (SELECT gr, count(*) AS n,
-             min(doc_id * 1000000 + pos) AS first_enc
+             min(struct_pack(d := doc_id, p := pos)) AS first_enc
            FROM g GROUP BY gr),
          rem AS (SELECT doc_id, pos FROM g JOIN agg USING (gr)
-           WHERE n >= 2 AND doc_id * 1000000 + pos <> first_enc),
+           WHERE n >= 2 AND struct_pack(d := doc_id, p := pos) <> first_enc),
          seg AS (SELECT doc_id, pos,
              CASE WHEN pos - lag(pos)
                  OVER (PARTITION BY doc_id ORDER BY pos) <= 24
@@ -5274,10 +5274,10 @@ object ExtensionQueries {
              AS s(i)
            WHERE length(text) >= 24),
          agg AS (SELECT gr, count(*) AS n,
-             min(doc_id * 1000000 + pos) AS first_enc
+             min(struct_pack(d := doc_id, p := pos)) AS first_enc
            FROM g GROUP BY gr),
          rem AS (SELECT doc_id, pos FROM g JOIN agg USING (gr)
-           WHERE n >= 2 AND doc_id * 1000000 + pos <> first_enc),
+           WHERE n >= 2 AND struct_pack(d := doc_id, p := pos) <> first_enc),
          seg AS (SELECT doc_id, pos,
              CASE WHEN pos - lag(pos)
                  OVER (PARTITION BY doc_id ORDER BY pos) <= 24
@@ -5316,7 +5316,7 @@ object ExtensionQueries {
          LEFT JOIN rm USING (doc_id)""") +
     // x227: batch (odd ids) grams marked when present in the even-id
     // corpus's gram set (corpus keeps) or repeated within the batch
-    // (min doc*1e6+pos keeps); islands merge as x224
+    // (min struct(doc, pos) keeps); islands merge as x224
     ("x227_substring_indexed" ->
       """WITH cg AS (SELECT DISTINCT substring(text, i, 24) AS gr
            FROM documents, unnest(generate_series(1, length(text) - 23))
@@ -5327,11 +5327,11 @@ object ExtensionQueries {
              AS s(i)
            WHERE doc_id % 2 = 1 AND length(text) >= 24),
          agg AS (SELECT gr, count(*) AS n,
-             min(doc_id * 1000000 + pos) AS first_enc
+             min(struct_pack(d := doc_id, p := pos)) AS first_enc
            FROM bg GROUP BY gr),
          rem AS (
            SELECT doc_id, pos FROM bg JOIN agg USING (gr)
-           WHERE n >= 2 AND doc_id * 1000000 + pos <> first_enc
+           WHERE n >= 2 AND struct_pack(d := doc_id, p := pos) <> first_enc
            UNION
            SELECT doc_id, pos FROM bg
            WHERE gr IN (SELECT gr FROM cg)),
@@ -5354,10 +5354,10 @@ object ExtensionQueries {
              AS s(i)
            WHERE length(text) >= 24),
          agg AS (SELECT gr, count(*) AS n,
-             min(doc_id * 1000000 + pos) AS first_enc
+             min(struct_pack(d := doc_id, p := pos)) AS first_enc
            FROM g GROUP BY gr),
          rem AS (SELECT doc_id, pos FROM g JOIN agg USING (gr)
-           WHERE n >= 2 AND doc_id * 1000000 + pos <> first_enc),
+           WHERE n >= 2 AND struct_pack(d := doc_id, p := pos) <> first_enc),
          seg AS (SELECT doc_id, pos,
              CASE WHEN pos - lag(pos)
                  OVER (PARTITION BY doc_id ORDER BY pos) <= 24
@@ -5489,7 +5489,7 @@ object ExtensionQueries {
     "x82_bpe_merges" -> bpeOracleSql(6),
     "x84_bpe_encode" -> bpeEncodeOracleSql(6),
     // positional 8-gram digests -> per-gram (count, first-occurrence
-    // argmin via the doc*1e6+pos encoding) -> non-first duplicated
+    // argmin via the struct(doc, pos) argmin) -> non-first duplicated
     // positions -> gaps-and-islands merge (lag + running sum) into
     // maximal spans. hash() here vs xxhash64 in Spark is fine: digests
     // never leave their engine.
@@ -5501,10 +5501,10 @@ object ExtensionQueries {
              hash(array_to_string(t[i:i+7], ' ')) AS h
            FROM toks, unnest(generate_series(1, len(t) - 7)) AS s(i)),
          agg AS (SELECT h, count(*) AS n,
-             min(doc_id * 1000000 + pos) AS first_enc
+             min(struct_pack(d := doc_id, p := pos)) AS first_enc
            FROM g GROUP BY h),
          rem AS (SELECT doc_id, pos FROM g JOIN agg USING (h)
-           WHERE n >= 2 AND doc_id * 1000000 + pos <> first_enc),
+           WHERE n >= 2 AND struct_pack(d := doc_id, p := pos) <> first_enc),
          seg AS (SELECT doc_id, pos,
              CASE WHEN pos - lag(pos)
                  OVER (PARTITION BY doc_id ORDER BY pos) <= 8
@@ -5518,7 +5518,7 @@ object ExtensionQueries {
          FROM isl GROUP BY doc_id, grp""",
     // non-overlapping 12-token chunks (generate_series step = size;
     // the tail chunk short, as chunkTokens'); keep = globally-first
-    // occurrence via the doc*1e6+chunk_idx argmin; reassembly =
+    // occurrence via the struct(doc, chunk_idx) argmin; reassembly =
     // pos-ordered string_agg over kept chunks (string_agg skips the
     // NULLs the CASE leaves for dropped ones).
     "x85_paragraph_dedup" ->
@@ -5528,10 +5528,10 @@ object ExtensionQueries {
          c AS (SELECT doc_id, CAST((i - 1) / 12 AS BIGINT) AS pos,
              array_to_string(t[i:i+11], ' ') AS para
            FROM toks, unnest(generate_series(1, len(t), 12)) AS s(i)),
-         a AS (SELECT para, min(doc_id * 1000000 + pos) AS first_enc
+         a AS (SELECT para, min(struct_pack(d := doc_id, p := pos)) AS first_enc
            FROM c GROUP BY para),
          f AS (SELECT doc_id, pos, para,
-             (doc_id * 1000000 + pos = first_enc) AS keep
+             (struct_pack(d := doc_id, p := pos) = first_enc) AS keep
            FROM c JOIN a USING (para))
          SELECT doc_id,
            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
@@ -5578,10 +5578,10 @@ object ExtensionQueries {
              hash(array_to_string(t[i:i+7], ' ')) AS h
            FROM toks, unnest(generate_series(1, len(t) - 7)) AS s(i)),
          agg AS (SELECT h, count(*) AS n,
-             min(doc_id * 1000000 + pos) AS first_enc
+             min(struct_pack(d := doc_id, p := pos)) AS first_enc
            FROM g GROUP BY h),
          rem AS (SELECT doc_id, pos FROM g JOIN agg USING (h)
-           WHERE n >= 2 AND doc_id * 1000000 + pos <> first_enc),
+           WHERE n >= 2 AND struct_pack(d := doc_id, p := pos) <> first_enc),
          seg AS (SELECT doc_id, pos,
              CASE WHEN pos - lag(pos)
                  OVER (PARTITION BY doc_id ORDER BY pos) <= 8
@@ -5647,10 +5647,10 @@ object ExtensionQueries {
          c AS (SELECT doc_id, CAST((i - 1) / 12 AS BIGINT) AS pos,
              array_to_string(t[i:i+11], ' ') AS para
            FROM toks0, unnest(generate_series(1, len(t), 12)) AS s(i)),
-         a AS (SELECT para, min(doc_id * 1000000 + pos) AS first_enc
+         a AS (SELECT para, min(struct_pack(d := doc_id, p := pos)) AS first_enc
            FROM c GROUP BY para),
          f AS (SELECT doc_id, pos, para,
-             (doc_id * 1000000 + pos = first_enc) AS keep
+             (struct_pack(d := doc_id, p := pos) = first_enc) AS keep
            FROM c JOIN a USING (para)),
          clean AS (SELECT doc_id,
              string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY pos)

@@ -477,6 +477,31 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("substringDupSpans: book-scale keeper selection — a 1.2M-char " +
+      "document past the old doc_id*1e6+pos encoding bound keeps its " +
+      "first occurrence (struct argmin, no position-range bleed)") {
+    import spark.implicits._
+    // ~1.2M chars of non-repeating filler: fixed-width increasing
+    // tokens, so every 24-char window is unique within and across docs
+    val filler = (0 to 80000).map(i => f"filler-$i%07d").mkString(" ")
+    assert(filler.length > 1200000)
+    val block = "The license block is repeated verbatim everywhere." // 51
+    // doc 1 carries the block at a position > 1e6: under the retired
+    // encoding (1*1e6 + pos > 2*1e6) it would lose the keeper argmin
+    // to doc 2's copy at (2*1e6 + 30) and get cut — the silent
+    // mis-keep the struct argmin closes
+    val docs = Seq(
+      (1L, s"$filler $block"),
+      (2L, s"a short second document. $block and its own tail.")
+    ).toDF("doc_id", "text")
+    val spans = TextDedup.substringDupSpans(docs, "doc_id", "text", 24)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_len")))
+    // (1, ~1.2e6) < (2, 26) lexicographically: doc 1 is the keeper
+    assert(!spans.exists(_._1 == 1L), spans.mkString("; "))
+    assert(spans.count(_._1 == 2L) === 1, spans.mkString("; "))
+  }
+
   test("substringDupSpansIndexed (x227): batch grams against the " +
       "frozen corpus key set — corpus copies always keep, batch-" +
       "internal repeats keep their min, index append extends the set") {
