@@ -1023,12 +1023,20 @@ object TextDedup {
     * re-scanning the corpus text on every arriving batch. */
   def writeSubstringIndex(corpus: DataFrame, idCol: String,
                           textCol: String, L: Int, table: String,
-                          numBuckets: Int = 16): Unit = {
-    require(L >= 2, s"L must be >= 2, got $L")
-    Sinks.writeBucketed(
-      substringKeys(corpus, idCol, textCol, L)
-        .select(col("_h").as("gram_key")).distinct(),
+                          numBuckets: Int = 16): Unit =
+    Sinks.writeBucketed(substringGramKeys(corpus, idCol, textCol, L),
       table, Seq("gram_key"), numBuckets)
+
+  /** A corpus's DISTINCT L-gram doubling keys as `(gram_key)` — the
+    * exact frame [[writeSubstringIndex]] persists, exposed so staged
+    * snapshot writers ([[graft.streaming.Streams
+    * .substringIngestVersioned]]) and maintenance repairs can build /
+    * extend an index table under their own commit protocol. */
+  def substringGramKeys(docs: DataFrame, idCol: String, textCol: String,
+                        L: Int): DataFrame = {
+    require(L >= 2, s"L must be >= 2, got $L")
+    substringKeys(docs, idCol, textCol, L)
+      .select(col("_h").as("gram_key")).distinct()
   }
 
   /** Append a batch's NEW L-gram keys to a [[writeSubstringIndex]]
@@ -1044,8 +1052,7 @@ object TextDedup {
         spark.sessionState.sqlParser.parseTableIdentifier(table))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(sys.error(s"$table is not bucketed"))
-    val fresh = substringKeys(batch, idCol, textCol, L)
-      .select(col("_h").as("gram_key")).distinct()
+    val fresh = substringGramKeys(batch, idCol, textCol, L)
       .join(spark.table(table), Seq("gram_key"), "left_anti")
     Sinks.writeBucketed(fresh, table, Seq("gram_key"), numBuckets,
       append = true)

@@ -675,20 +675,31 @@ object Streams {
     * which is the Lee et al. pipeline run continuously.
     *
     * REPLAYS NEED THE LEDGER GUARD, unlike the other unversioned
-    * ingests: a replayed micro-batch (crash between the key append and
-    * the checkpoint commit) is span-checked against an index that
-    * already holds ITS OWN cleaned keys, so every kept segment matches
-    * and `sink` would be re-delivered near-emptied documents under the
-    * same batch id — an overwrite-by-batch-id sink would replace
-    * correct output with gutted text. Pass `ledger` (an applied-batch
-    * table per [[graft.operators.Snapshots]] — a pure replay record
-    * here, no versioning: appends stay in place at version 0) and
-    * replayed epochs are skipped WHOLE before any work; without it the
-    * caveat is the caller's to manage (safe only for sinks that ignore
-    * re-delivered batch ids entirely). Epoch ids are meaningful within
-    * ONE checkpoint lineage — re-pointing a NEW checkpoint at an
-    * existing ledger aliases old epochs; start a fresh ledger with a
-    * fresh checkpoint. */
+    * ingests: a replayed micro-batch (crash after the key append) is
+    * span-checked against an index that already holds ITS OWN cleaned
+    * keys, so every kept segment matches and `sink` would be
+    * re-delivered near-emptied documents under the same batch id — an
+    * overwrite-by-batch-id sink would replace correct output with
+    * gutted text. Pass `ledger` (an applied-batch table per
+    * [[graft.operators.Snapshots]] — a pure replay record here, no
+    * versioning: appends stay in place at version 0) and replayed
+    * epochs are skipped WHOLE before any work. The ledger row is
+    * published BEFORE the key append — the ledger is the commit point
+    * — so no reachable crash leaves the batch's own keys in the index
+    * without its ledger row: a crash before the publish replays the
+    * whole batch against the unchanged index (the sink sees the SAME
+    * cleaned frame again — plain at-least-once); a crash between the
+    * publish and the append skips the replay whole and leaves that
+    * one batch's keys MISSING from the index — a bounded, recoverable
+    * under-cut (later repeats of that batch's material pass uncut
+    * until a maintenance repair appends the keys), never a corrupt
+    * re-delivery. For zero residual window at per-batch index-rewrite
+    * cost, use [[substringIngestVersioned]]. Without `ledger` the
+    * caveat is the caller's to manage (safe only for sinks that
+    * ignore re-delivered batch ids entirely). Epoch ids are
+    * meaningful within ONE checkpoint lineage — re-pointing a NEW
+    * checkpoint at an existing ledger aliases old epochs; start a
+    * fresh ledger with a fresh checkpoint. */
   def substringIngest(docs: DataFrame, idCol: String, textCol: String,
                       L: Int, indexTable: String, compactEvery: Int = 0,
                       ledger: Option[(String, String)] = None)
@@ -697,31 +708,140 @@ object Streams {
           org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        import graft.operators.Snapshots
-        val td = graft.operators.TextDedup
-        val spark = batch.sparkSession
-        val bid = s"stream-$batchId"
-        val replayed = ledger.exists { case (lt, ln) =>
-          Snapshots.isApplied(spark, lt, ln, bid)
-        }
-        if (!replayed) {
-          recoverAll(spark, Seq(indexTable))
-          val b = batch.toDF()
-          val spans = td.substringDupSpansIndexed(b, idCol, textCol, L,
-            indexTable)
-          val cleaned = td.applyCharSpans(b, idCol, textCol, spans).cache()
-          try {
-            sink(cleaned, batchId)
-            td.appendSubstringIndex(cleaned, "doc_id", "clean_text", L,
-              indexTable)
-            ledger.foreach { case (lt, ln) =>
-              Snapshots.publish(spark, lt, ln,
-                Snapshots.currentVersion(spark, lt, ln), bid, "append")
-            }
-            maybeCompact(spark, Seq(indexTable), batchId, compactEvery)
-          } finally cleaned.unpersist()
-        }
+        substringIngestBatch(batch.toDF(), batchId, idCol, textCol, L,
+          indexTable, compactEvery, ledger)(sink)
     }
+
+  /** [[substringIngest]]'s batch handler, factored out so the spec can
+    * drive the crash windows directly (`crashAfterStep` ∈ {sink,
+    * publish, append} — production wiring passes None). Step order is
+    * the commit-point law the scaladoc above states: sink → publish →
+    * append. */
+  private[graft] def substringIngestBatch(b: DataFrame, batchId: Long,
+                                          idCol: String, textCol: String,
+                                          L: Int, indexTable: String,
+                                          compactEvery: Int,
+                                          ledger: Option[(String, String)],
+                                          crashAfterStep: Option[String] =
+                                            None)
+                                         (sink: (DataFrame, Long) => Unit)
+      : Unit = {
+    import graft.operators.Snapshots
+    def step(s: String): Unit =
+      if (crashAfterStep.contains(s))
+        throw new IllegalStateException(s"injected crash after step $s")
+    val td = graft.operators.TextDedup
+    val spark = b.sparkSession
+    val bid = s"stream-$batchId"
+    val replayed = ledger.exists { case (lt, ln) =>
+      Snapshots.isApplied(spark, lt, ln, bid)
+    }
+    if (!replayed) {
+      recoverAll(spark, Seq(indexTable))
+      val spans = td.substringDupSpansIndexed(b, idCol, textCol, L,
+        indexTable)
+      val cleaned = td.applyCharSpans(b, idCol, textCol, spans).cache()
+      try {
+        sink(cleaned, batchId)
+        step("sink")
+        ledger.foreach { case (lt, ln) =>
+          Snapshots.publish(spark, lt, ln,
+            Snapshots.currentVersion(spark, lt, ln), bid, "append")
+        }
+        step("publish")
+        td.appendSubstringIndex(cleaned, "doc_id", "clean_text", L,
+          indexTable)
+        step("append")
+        maybeCompact(spark, Seq(indexTable), batchId, compactEvery)
+      } finally cleaned.unpersist()
+    }
+  }
+
+  /** [[substringIngest]] through the VERSIONED publish-by-pointer
+    * protocol — the exact-substring family's staged ingest, closing
+    * even the unversioned form's missing-keys residual: each
+    * micro-batch stages the ENTIRE next gram-key snapshot (current
+    * keys ∪ the batch's cleaned keys — an overwrite a crashed
+    * attempt's rerun rebuilds bit-identically, because the span check
+    * runs against the still-current snapshot until the publish) and
+    * commits it with ONE ledger row. Batch 0 bootstraps version 1
+    * from its own post-surgery text. Kill at ANY step and the replay
+    * re-delivers the SAME cleaned frame and converges to the same
+    * index; a replay after the publish is a whole-batch no-op. The
+    * price is rewriting the key table per batch (the
+    * [[graft.operators.Graph.appendEdgeIndexVersionedStaged]] trade)
+    * — right for low-cadence batch ingests; high-cadence streams take
+    * [[substringIngest]]'s in-place append with its bounded
+    * missing-keys window. Old snapshots retire past `keepVersions`
+    * (grace = the batch cadence); serving reads resolve through
+    * [[graft.operators.Snapshots.resolve]]. */
+  def substringIngestVersioned(docs: DataFrame, idCol: String,
+                               textCol: String, L: Int,
+                               ledgerTable: String, indexName: String,
+                               indexBase: String, numBuckets: Int = 16,
+                               keepVersions: Int = 2)
+                              (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        substringIngestVersionedBatch(batch.toDF(), batchId, idCol,
+          textCol, L, ledgerTable, indexName, indexBase, numBuckets,
+          keepVersions)(sink)
+        ()
+    }
+
+  /** [[substringIngestVersioned]]'s batch handler (spec-drivable kill
+    * hooks: `crashAfterStep` ∈ {sink, stage, publish}). Returns false
+    * on a replayed (already-published) epoch. */
+  private[graft] def substringIngestVersionedBatch(
+      b: DataFrame, batchId: Long, idCol: String, textCol: String,
+      L: Int, ledgerTable: String, indexName: String, indexBase: String,
+      numBuckets: Int, keepVersions: Int,
+      crashAfterStep: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit): Boolean = {
+    import graft.operators.Snapshots
+    def step(s: String): Unit =
+      if (crashAfterStep.contains(s))
+        throw new IllegalStateException(s"injected crash after step $s")
+    val td = graft.operators.TextDedup
+    val spark = b.sparkSession
+    val bid = s"stream-$batchId"
+    if (Snapshots.isApplied(spark, ledgerTable, indexName, bid)) false
+    else {
+      val cur = Snapshots.currentVersion(spark, ledgerTable, indexName)
+      val next = cur + 1
+      val nextT = Snapshots.tableAt(indexBase, next)
+      // span-check against the CURRENT snapshot (bootstrap: the batch
+      // against itself) — never the staged one, so a crashed attempt's
+      // rerun recomputes the identical cleaned frame
+      val spans =
+        if (cur == 0L) td.substringDupSpans(b, idCol, textCol, L)
+        else td.substringDupSpansIndexed(b, idCol, textCol, L,
+          Snapshots.tableAt(indexBase, cur))
+      val cleaned = td.applyCharSpans(b, idCol, textCol, spans).cache()
+      try {
+        sink(cleaned, batchId)
+        step("sink")
+        val newKeys =
+          td.substringGramKeys(cleaned, "doc_id", "clean_text", L)
+        val staged =
+          if (cur == 0L) newKeys
+          else spark.table(Snapshots.tableAt(indexBase, cur))
+            .unionByName(newKeys).distinct()
+        graft.sinks.Sinks.dropManaged(spark, nextT)
+        graft.sinks.Sinks.writeBucketed(staged, nextT, Seq("gram_key"),
+          numBuckets)
+        step("stage")
+        Snapshots.publish(spark, ledgerTable, indexName, next, bid,
+          if (cur == 0L) "build" else "append-staged")
+        step("publish")
+        Snapshots.retire(spark, ledgerTable, indexName, Seq(indexBase),
+          keepVersions)
+        true
+      } finally { cleaned.unpersist(); () }
+    }
+  }
 
   /** [[indexedNeardupIngest]] through the VERSIONED protocol — the
     * per-key-row twin of [[edgeIndexIngestVersioned]], closing the

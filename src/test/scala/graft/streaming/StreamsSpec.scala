@@ -678,6 +678,197 @@ class StreamsSpec extends SparkSpec {
     Seq(idxT, ledT).foreach(dropIdxTable)
   }
 
+  test("substringIngest crash windows: the ledger row is the commit " +
+      "point — every kill point replays to the SAME cleaned frame or " +
+      "a whole-batch no-op, never gutted text; the one residual is " +
+      "missing keys, repaired by the idempotent append") {
+    import graft.operators.{Snapshots, TextDedup}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val block = "The license block is repeated verbatim everywhere."
+    val novel = "a wholly novel streaming document with nothing shared."
+    val b = Seq(
+      (1L, s"stream doc one also carries $block plus its own tail."),
+      (2L, novel)).toDF("doc_id", "text")
+    for (kill <- Seq("sink", "publish", "append")) {
+      val idxT = s"graft_idx_test.ssw_keys_$kill"
+      val ledT = s"graft_idx_test.ssw_ledger_$kill"
+      Seq(idxT, ledT).foreach(dropIdxTable)
+      TextDedup.writeSubstringIndex(
+        Seq((100L, s"corpus document alpha carries the block: $block !"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", 24, idxT, numBuckets = 2)
+      val deliveries =
+        scala.collection.mutable.ArrayBuffer[Map[Long, (Long, String)]]()
+      def run(crash: Option[String]): Unit =
+        try Streams.substringIngestBatch(b, 0L, "doc_id", "text", 24,
+            idxT, 0, Some((ledT, "ss")), crash) { (df, _) =>
+          deliveries += df.collect().map(r => r.getAs[Long]("doc_id") ->
+            (r.getAs[Long]("n_chars_removed"),
+              r.getAs[String]("clean_text"))).toMap
+          ()
+        } catch {
+          case e: IllegalStateException
+            if e.getMessage.startsWith("injected") => ()
+        }
+      run(Some(kill)) // the crash
+      run(None)       // the at-least-once replay
+      // every delivery of epoch 0 is the SAME cleaned frame — the
+      // pre-r18 append-before-publish ordering re-delivered a
+      // near-emptied frame at its append→publish window
+      assert(deliveries.nonEmpty, kill)
+      assert(deliveries.forall(_ == deliveries.head),
+        s"$kill: $deliveries")
+      assert(deliveries.head(2L) === ((0L, novel)), kill)
+      assert(deliveries.head(1L)._1 > 0L, kill)
+      // a crash before the publish replays whole (two deliveries);
+      // after it, the replay is skipped whole (one)
+      assert(deliveries.size === (if (kill == "sink") 2 else 1), kill)
+      assert(Snapshots.isApplied(spark, ledT, "ss", "stream-0"))
+      // publish-kill's residual is MISSING keys (bounded, honest),
+      // never corruption — and the set-semantic append repairs it
+      spark.catalog.refreshTable(idxT)
+      def hasNovelKeys: Boolean =
+        !TextDedup.substringGramKeys(
+            Seq((9L, novel)).toDF("doc_id", "text"), "doc_id", "text", 24)
+          .join(spark.table(idxT), Seq("gram_key"), "left_semi").isEmpty
+      if (kill == "publish") {
+        assert(!hasNovelKeys, kill)
+        TextDedup.appendSubstringIndex(deliveries.head.toSeq
+            .map { case (id, (_, t)) => (id, t) }
+            .toDF("doc_id", "clean_text"),
+          "doc_id", "clean_text", 24, idxT)
+        assert(hasNovelKeys, "repair append")
+      } else assert(hasNovelKeys, kill)
+      Seq(idxT, ledT).foreach(dropIdxTable)
+    }
+  }
+
+  test("substringIngestVersionedBatch: staged snapshot + one-ledger-row " +
+      "commit — kill at every step, every replay re-delivers the same " +
+      "cleaned frame, the index converges bit-identical, retire " +
+      "reclaims past the grace window") {
+    import graft.operators.{Snapshots, TextDedup}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledT = "graft_idx_test.ssv_ledger"
+    val base = "graft_idx_test.ssv_keys"
+    (Seq(ledT, base) ++ (1 to 6).map(v => s"${base}_v$v"))
+      .foreach(dropIdxTable)
+    val block = "The license block is repeated verbatim everywhere."
+    val novel = "a wholly novel streaming document with nothing shared."
+    val batches = Map(
+      0L -> Seq(
+        (1L, s"first doc carries the block once: $block end."),
+        (2L, s"second doc repeats it: $block with a tail."))
+        .toDF("doc_id", "text"),
+      1L -> Seq(
+        (3L, novel),
+        (4L, s"fourth doc carries $block yet again, uncut otherwise."))
+        .toDF("doc_id", "text"),
+      2L -> Seq((5L, s"fifth doc re-sends the novel text: $novel ."))
+        .toDF("doc_id", "text"))
+    val deliveries = scala.collection.mutable.Map[Long,
+      scala.collection.mutable.ArrayBuffer[Map[Long, (Long, String)]]]()
+    def run(epoch: Long, crash: Option[String]): Boolean =
+      try Streams.substringIngestVersionedBatch(batches(epoch), epoch,
+          "doc_id", "text", 24, ledT, "ssv", base, numBuckets = 2,
+          keepVersions = 1, crashAfterStep = crash) { (df, e) =>
+        deliveries.getOrElseUpdate(e,
+          scala.collection.mutable.ArrayBuffer.empty) +=
+          df.collect().map(r => r.getAs[Long]("doc_id") ->
+            (r.getAs[Long]("n_chars_removed"),
+              r.getAs[String]("clean_text"))).toMap
+        ()
+      } catch {
+        case e: IllegalStateException
+          if e.getMessage.startsWith("injected") => false
+      }
+    // the full kill walk on the bootstrap AND the steady-state batch:
+    // crash after sink, after stage, after publish, then the replay
+    Seq(0L, 1L).foreach { epoch =>
+      Seq("sink", "stage", "publish").foreach(k => run(epoch, Some(k)))
+      assert(!run(epoch, None)) // post-publish replay: whole-batch no-op
+      val d = deliveries(epoch)
+      assert(d.size === 3, s"epoch $epoch: ${d.size}") // one per attempt
+      assert(d.forall(_ == d.head), s"epoch $epoch diverged: $d")
+    }
+    // semantics across epochs: batch 0's doc 1 keeps the block (global
+    // first), doc 2's copy is cut; batch 1 is checked against v1 —
+    // novel survives, the block is cut
+    assert(deliveries(0L).head(1L)._1 === 0L)
+    assert(deliveries(0L).head(2L)._1 > 0L)
+    assert(deliveries(1L).head(3L) === ((0L, novel)))
+    assert(deliveries(1L).head(4L)._1 > 0L)
+    // convergence: the resolved snapshot IS the post-surgery corpus's
+    // key set, bit-identical to a from-scratch build over the cleaned
+    // frames the sink received
+    val Seq(curT) = Snapshots.resolve(spark, ledT, "ssv", Seq(base))
+    assert(curT === s"${base}_v2")
+    val cleaned = (deliveries(0L).head ++ deliveries(1L).head).toSeq
+      .map { case (id, (_, t)) => (id, t) }.toDF("doc_id", "clean_text")
+    val expect = TextDedup.substringGramKeys(cleaned, "doc_id",
+      "clean_text", 24).collect().map(_.getLong(0)).toSet
+    spark.catalog.refreshTable(curT)
+    assert(spark.table(curT).collect().map(_.getLong(0)).toSet === expect)
+    // one ledger row per batch, no staging conflicts
+    assert(Snapshots.ledger(spark, ledT, "ssv").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3))).toSet
+      === Set((1L, "stream-0", "build"),
+        (2L, "stream-1", "append-staged")))
+    assert(Snapshots.versionConflicts(spark, ledT, "ssv").isEmpty)
+    // batch 2 (no kill): dup of batch 1's survivor is fully cut against
+    // the SERVED snapshot, and retire (keep=1) reclaims v1 and v2
+    assert(run(2L, None))
+    val d2 = deliveries(2L).head
+    assert(d2(5L)._1 >= novel.length.toLong, d2.toString)
+    assert(!spark.catalog.tableExists(s"${base}_v1"))
+    assert(!spark.catalog.tableExists(s"${base}_v2"))
+    assert(spark.catalog.tableExists(s"${base}_v3"))
+    (Seq(ledT, base) ++ (1 to 6).map(v => s"${base}_v$v"))
+      .foreach(dropIdxTable)
+  }
+
+  test("substringIngestVersioned wiring: a file-backed stream publishes " +
+      "each micro-batch through the staged protocol; later batches cut " +
+      "against earlier survivors via the resolved snapshot") {
+    import graft.operators.{Snapshots, TextDedup}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledT = "graft_idx_test.ssvw_ledger"
+    val base = "graft_idx_test.ssvw_keys"
+    (Seq(ledT, base) ++ (1 to 4).map(v => s"${base}_v$v"))
+      .foreach(dropIdxTable)
+    val novel = "a wholly novel streaming document with nothing shared."
+    val dir = Files.createTempDirectory("ssvingest-in").toString
+    val ckpt = Files.createTempDirectory("ssvingest-ckpt").toString
+    val got = scala.collection.mutable.Map[Long, (Long, String)]()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = Streams.substringIngestVersioned(stream, "doc_id", "text",
+          L = 24, ledT, "ssvw", base, numBuckets = 2) { (df, _) =>
+        val rows = df.collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_chars_removed"),
+            r.getAs[String]("clean_text")))
+        got.synchronized { got ++= rows; () }
+      }.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // batch 0 bootstraps v1 from its own post-surgery text
+    Seq((1L, novel)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    run()
+    assert(got(1L) === ((0L, novel)))
+    // batch 1: a repeat of the survivor is cut against the v1 snapshot
+    Seq((2L, novel)).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    run()
+    assert(got(2L) === ((novel.length.toLong, "")), got(2L).toString)
+    assert(Snapshots.currentVersion(spark, ledT, "ssvw") === 2L)
+    (Seq(ledT, base) ++ (1 to 4).map(v => s"${base}_v$v"))
+      .foreach(dropIdxTable)
+  }
+
   test("splitAssignIngest: near-dups inherit the matched doc's split; " +
       "fresh docs hash-split; later batches inherit from earlier " +
       "(x93 twin)") {
