@@ -510,7 +510,14 @@ object Graph {
     * mutation creation and pass it as `batchId` — which is exactly
     * what the tombstone feed does
     * ([[Warehouse.deleteFromLandingWithCapture]] with its `ledger`
-    * epoch salt).
+    * epoch salt). The caveat is ENFORCED, not just documented
+    * (round 18): a recomputed id that hits the ledger while its keys
+    * are still in the served snapshot throws
+    * [[Snapshots.AliasedBatchId]] instead of silently no-opping —
+    * the two readings of that state (legitimate repeat delete vs
+    * replay racing a re-ingest) are undecidable here and both
+    * misread directions corrupt; genuine replays (keys gone) still
+    * return false.
     * `crashAfterStep` is the kill-injection hook for the
     * step-boundary spec (GraphSpec) — production callers leave it
     * None. Returns false when the batch was already applied. */
@@ -528,8 +535,24 @@ object Graph {
         throw new IllegalStateException(s"injected crash after step $s")
     val bid = batchId.getOrElse(
       Snapshots.batchIdFor(deletedLineitem.select(col("l_orderkey"))))
-    if (Snapshots.isApplied(spark, ledgerTable, indexName, bid)) false
-    else {
+    if (Snapshots.isApplied(spark, ledgerTable, indexName, bid)) {
+      // ALIAS GUARD (recomputed ids only — a captured id carries its
+      // epoch salt and decides this itself): an applied id whose keys
+      // are STILL in the snapshot is either a legitimate repeat delete
+      // of re-ingested keys or a replay racing that re-ingest —
+      // undecidable here, so fail loudly instead of silently no-opping
+      // an index into permanent staleness. Genuine replays (keys gone)
+      // keep returning false.
+      if (batchId.isEmpty) {
+        val (obC, _, _, _) = resolveEdgeIndex(spark, ledgerTable,
+          indexName, obBase, edgesBase, totalsBase, statsBase)
+        val present = !spark.table(obC).join(
+          deletedLineitem.select(col("l_orderkey").as("order_key"))
+            .distinct(), Seq("order_key"), "left_semi").isEmpty
+        if (present) throw Snapshots.AliasedBatchId(indexName, bid)
+      }
+      false
+    } else {
       val cur = Snapshots.currentVersion(spark, ledgerTable, indexName)
       val next = cur + 1
       val (obC, edC, totC, stC) = resolveEdgeIndex(spark, ledgerTable,

@@ -309,8 +309,21 @@ object Retrieval {
         throw new IllegalStateException(s"injected crash after step $s")
     val bid = batchId.getOrElse(
       Snapshots.batchIdFor(deleted.select(col(idCol))))
-    if (Snapshots.isApplied(spark, ledgerTable, indexName, bid)) false
-    else {
+    if (Snapshots.isApplied(spark, ledgerTable, indexName, bid)) {
+      // alias guard, the edge-family law
+      // ([[graft.operators.Graph.deleteFromEdgeIndexVersioned]]):
+      // a recomputed id that hits the ledger while its keys are still
+      // served is undecidable (repeat delete vs replay) — raise
+      if (batchId.isEmpty) {
+        val (postC, _) = resolveBm25Index(spark, ledgerTable, indexName,
+          postingsBase, statsBase)
+        val present = !spark.table(postC).join(
+          deleted.select(col(idCol).as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi").isEmpty
+        if (present) throw Snapshots.AliasedBatchId(indexName, bid)
+      }
+      false
+    } else {
       val cur = Snapshots.currentVersion(spark, ledgerTable, indexName)
       val next = cur + 1
       val (postC, statsC) = resolveBm25Index(spark, ledgerTable,

@@ -202,6 +202,32 @@ object Snapshots {
         sort_array(collect_list(col("batch_id"))).as("batch_ids"))
       .filter(col("n_batches") > 1)
 
+  /** Thrown by the DIRECT versioned delete entry points
+    * ([[graft.operators.Graph.deleteFromEdgeIndexVersioned]],
+    * [[graft.operators.Retrieval.deleteFromBm25IndexVersioned]]) when
+    * a recomputed content-derived batch id hits the ledger WHILE the
+    * batch's keys are still present in the current snapshot — the
+    * aliasing the [[batchIdFor(keys:DataFrame,epoch:Long)*]] scaladoc
+    * proves undecidable from (key set, ledger) alone: either this is a
+    * legitimate SECOND mutation of a re-ingested key set (silently
+    * no-opping it would freeze the staleness in permanently) or a
+    * replay racing a re-ingest (re-applying could double-subtract).
+    * Raising is the only safe verdict; the caller routes repeat
+    * mutations through the delete-time capture feed
+    * ([[graft.operators.Warehouse.deleteFromLandingWithCapture]]),
+    * whose epoch-salted captured id makes the two cases
+    * distinguishable. A replay whose keys are genuinely gone (the
+    * normal post-crash case) still no-ops. */
+  final case class AliasedBatchId(indexName: String, batchId: String)
+    extends RuntimeException(
+      s"batch $batchId already applied to $indexName but its keys are " +
+        "present in the current snapshot: content-derived ids cannot " +
+        "tell a repeat mutation of re-ingested keys from a replay — " +
+        "route repeat deletes through the delete-time capture feed " +
+        "(Warehouse.deleteFromLandingWithCapture's epoch-salted " +
+        "batch id, Snapshots.batchIdFor(keys, epoch)) or pass the " +
+        "batch id captured at mutation creation")
+
   /** Thrown by [[withLease]] when another writer holds the family's
     * lease — the caller's mutation was NOT started; retry after the
     * holder releases (its inputs are replayable by design: tombstone

@@ -365,6 +365,54 @@ class GraphSpec extends SparkSpec {
     assert(lg === Set((1L, "build"), (2L, "delete")))
   }
 
+  test("deleteFromEdgeIndexVersioned alias guard: delete -> re-ingest " +
+      "-> direct identical delete THROWS AliasedBatchId pointing at " +
+      "the salted capture path; replay of the original batch (keys " +
+      "gone) still no-ops; the captured salted id applies cleanly") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Snapshots
+    val (li, part) = fixture
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledger = "graft_idx_test.vg_ledger"
+    val bases = Seq("ob", "edges", "totals", "stats")
+      .map(n => s"graft_idx_test.vg_$n")
+    dropVersioned(ledger, bases)
+    val Seq(obB, edB, toB, stB) = bases
+    assert(Graph.writeEdgeIndexVersioned(li, part, ledger, "vg",
+      obB, edB, toB, stB, numBuckets = 2))
+    val deleted = li.filter(col("l_orderkey").isin(11L, 14L))
+    assert(Graph.deleteFromEdgeIndexVersioned(deleted, part, ledger,
+      "vg", obB, edB, toB, stB))
+    // genuine replay — keys gone from the snapshot — stays a quiet
+    // no-op (the x216 recovery contract is untouched)
+    assert(!Graph.deleteFromEdgeIndexVersioned(deleted, part, ledger,
+      "vg", obB, edB, toB, stB))
+    // re-ingest the same orders (the ingest feed carries its own id —
+    // the content digest would alias the delete's ledger row too)
+    assert(Graph.appendEdgeIndexVersionedStaged(deleted, part, ledger,
+      "vg", obB, edB, toB, stB, batchId = Some("reingest-1")))
+    // the direct identical delete recomputes the SAME content id while
+    // the keys are served again: undecidable -> loud
+    val ex = intercept[Snapshots.AliasedBatchId] {
+      Graph.deleteFromEdgeIndexVersioned(deleted, part, ledger, "vg",
+        obB, edB, toB, stB)
+    }
+    assert(ex.getMessage.contains("deleteFromLandingWithCapture"),
+      ex.getMessage)
+    // the capture-feed route: the epoch-salted id captured at mutation
+    // creation applies the repeat delete cleanly
+    val epoch = Snapshots.currentVersion(spark, ledger, "vg")
+    val bid = Snapshots.batchIdFor(
+      deleted.select(col("l_orderkey")), epoch)
+    assert(Graph.deleteFromEdgeIndexVersioned(deleted, part, ledger,
+      "vg", obB, edB, toB, stB, batchId = Some(bid)))
+    // ... and the orders are gone again
+    assert(spark.table(Graph.resolveEdgeIndex(spark, ledger, "vg",
+        obB, edB, toB, stB)._1)
+      .filter(col("order_key").isin(11L, 14L)).isEmpty)
+    dropVersioned(ledger, bases)
+  }
+
   test("appendEdgeIndexVersionedStaged: killed at EVERY step boundary, " +
       "the current snapshot serves complete; the rerun converges " +
       "bit-identical to a from-scratch rebuild of the GROWN corpus; a " +

@@ -261,6 +261,51 @@ class RetrievalSpec extends SparkSpec {
     all.foreach(dropIdxTable)
   }
 
+  test("deleteFromBm25IndexVersioned alias guard: delete -> re-ingest " +
+      "-> direct identical delete throws AliasedBatchId; genuine " +
+      "replay (keys gone) no-ops; a captured salted id applies") {
+    import graft.operators.Snapshots
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledger = "graft_idx_test.bm25_ag_ledger"
+    val (postB, statsB) =
+      ("graft_idx_test.bm25_post_ag", "graft_idx_test.bm25_stats_ag")
+    val all = Seq(ledger) ++ Seq(postB, statsB)
+      .flatMap(b => b +: (1 to 4).map(v => s"${b}_v$v"))
+    all.foreach(dropIdxTable)
+    assert(Retrieval.writeBm25IndexVersioned(spark, docs, "doc_id",
+      "text", ledger, "bm25a", postB, statsB, numBuckets = 2))
+    val deleted = docs.filter(col("doc_id") > 2)
+    assert(Retrieval.deleteFromBm25IndexVersioned(spark, deleted,
+      "doc_id", "text", ledger, "bm25a", postB, statsB))
+    // genuine replay: keys gone, quiet no-op
+    assert(!Retrieval.deleteFromBm25IndexVersioned(spark, deleted,
+      "doc_id", "text", ledger, "bm25a", postB, statsB))
+    // re-ingest: a new build snapshot carrying the docs again,
+    // published under the ingest's own batch id
+    val next = Snapshots.currentVersion(spark, ledger, "bm25a") + 1
+    Retrieval.writeBm25Index(docs, "doc_id", "text",
+      Snapshots.tableAt(postB, next), Snapshots.tableAt(statsB, next),
+      numBuckets = 2)
+    Snapshots.publish(spark, ledger, "bm25a", next, "reingest-1",
+      "build")
+    // direct identical delete: same content id, keys served -> loud
+    val ex = intercept[Snapshots.AliasedBatchId] {
+      Retrieval.deleteFromBm25IndexVersioned(spark, deleted, "doc_id",
+        "text", ledger, "bm25a", postB, statsB)
+    }
+    assert(ex.getMessage.contains("deleteFromLandingWithCapture"))
+    // the salted captured id applies the repeat delete cleanly
+    val bid = Snapshots.batchIdFor(deleted.select(col("doc_id")),
+      Snapshots.currentVersion(spark, ledger, "bm25a"))
+    assert(Retrieval.deleteFromBm25IndexVersioned(spark, deleted,
+      "doc_id", "text", ledger, "bm25a", postB, statsB,
+      batchId = Some(bid)))
+    val (postV, _) = Retrieval.resolveBm25Index(spark, ledger, "bm25a",
+      postB, statsB)
+    assert(spark.table(postV).filter(col("doc_id") > 2).isEmpty)
+    all.foreach(dropIdxTable)
+  }
+
   test("bm25TopKPerQueryIndexed (x135): an out-of-corpus query matches " +
       "the single-query indexed form; ranks are dense from 1") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
