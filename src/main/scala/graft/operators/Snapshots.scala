@@ -241,19 +241,32 @@ object Snapshots {
     * one mutating writer per family; a file catalog has no
     * compare-and-swap, so two writers that stage the same next version
     * both publish and the second-staged tables silently win. This
-    * narrows that race to a hair: append an `(index_name, owner, ts)`
-    * row to the lease table, re-list, and proceed ONLY as the holder
-    * of the EARLIEST live row — ordered by `(ts, owner)`, so a writer
-    * arriving while another already holds the lease always sees the
-    * earlier row and backs off ([[LeaseDenied]]), releasing its own
-    * row before throwing. (Ordering by owner id alone would let a
-    * later arrival with a smaller random id steal a HELD lease — the
-    * arrival timestamp is what makes first-come-first-served actually
-    * hold.) The body always runs with the lease held and the row is
-    * released afterward (crash inside the body leaks the row —
+    * narrows that race to a hair: append an `(index_name, owner, ts,
+    * state=held)` row to the lease table, re-list, and proceed ONLY as
+    * the holder of the EARLIEST live row — ordered by `(ts, owner)`,
+    * so a writer arriving while another already holds the lease always
+    * sees the earlier row and backs off ([[LeaseDenied]]), releasing
+    * its own row before throwing. (Ordering by owner id alone would
+    * let a later arrival with a smaller random id steal a HELD lease —
+    * the arrival timestamp is what makes first-come-first-served
+    * actually hold.) The body always runs with the lease held and the
+    * row is released afterward (crash inside the body leaks the row —
     * [[clearLeases]] is the operator's recovery, safe because the
     * crashed mutation either published, making its replay a ledger
     * no-op, or staged idempotent overwrites a rerun rebuilds).
+    *
+    * RELEASE IS APPEND-ONLY: a `state=released` marker row, matched to
+    * the held row by owner id, and a lease is live only while its held
+    * row is unmatched ([[liveLeases]]). An earlier form released by
+    * rewriting the shared table ([[Warehouse.deleteFromIndex]]'s
+    * read→rewrite→swap), where two overlapping releases each rewrote
+    * from their own pre-release listing and the LAST swap won —
+    * resurrecting the other writer's already-released row as a phantom
+    * lease that denied every later writer until [[clearLeases]].
+    * Marker appends are commutative: overlapping releases cannot lose
+    * each other. The table grows two metadata rows per acquisition;
+    * [[clearLeases]] (or any table compaction while no writer is
+    * active) reclaims it.
     *
     * Honest limits, stated: two writers arriving within one clock tick
     * tie-break on owner id, and each may list before the other's
@@ -268,22 +281,12 @@ object Snapshots {
     * through the Orchestrator instead. */
   def withLease[T](spark: SparkSession, leaseTable: String,
                    indexName: String)(body: => T): T = {
-    import spark.implicits._
     val owner = java.util.UUID.randomUUID().toString
     val ts = System.currentTimeMillis()
-    Seq((indexName, owner, ts)).toDF("index_name", "owner", "ts")
-      .coalesce(1).write.mode("append").format("parquet")
-      .saveAsTable(leaseTable)
-    def holders(): Seq[(Long, String)] = {
-      spark.catalog.refreshTable(leaseTable)
-      spark.table(leaseTable).filter(col("index_name") === indexName)
-        .select(col("ts"), col("owner")).collect()
-        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
-    }
+    leaseAppend(spark, leaseTable, indexName, owner, ts, "held")
     def releaseOwn(): Unit =
-      Warehouse.deleteFromIndex(spark, leaseTable, "owner",
-        Seq(owner).toDF("owner"))
-    val live = holders()
+      leaseAppend(spark, leaseTable, indexName, owner, ts, "released")
+    val live = liveLeases(spark, leaseTable, indexName)
     if (live.headOption.contains((ts, owner)))
       try body finally releaseOwn()
     else {
@@ -292,6 +295,51 @@ object Snapshots {
         live.filterNot(_ == ((ts, owner))).map(_._2))
     }
   }
+
+  /** One monitor per lease table: two THREADS of one driver appending
+    * to the same table concurrently collide in the output committer's
+    * shared `_temporary/0` staging dir (job A's commit sweeps job B's
+    * in-flight task files — a FileNotFoundException, or worse a lost
+    * row), so same-process lease traffic — the Orchestrator's
+    * concurrent cycles, exactly the lease's main customer — serializes
+    * its appends here. SEPARATE processes keep the committer-collision
+    * risk; it is part of [[withLease]]'s documented
+    * simultaneous-arrival window (serialize multi-host writers through
+    * the Orchestrator). */
+  private val leaseLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def leaseAppend(spark: SparkSession, leaseTable: String,
+                          indexName: String, owner: String, ts: Long,
+                          state: String): Unit = {
+    import spark.implicits._
+    val lock = leaseLocks.computeIfAbsent(leaseTable, _ => new Object)
+    lock.synchronized {
+      Seq((indexName, owner, ts, state))
+        .toDF("index_name", "owner", "ts", "state")
+        .coalesce(1).write.mode("append").format("parquet")
+        .saveAsTable(leaseTable)
+    }
+  }
+
+  /** The family's LIVE leases — held rows with no matching released
+    * marker — ordered `(ts, owner)`, earliest (the holder) first.
+    * Empty when no writer is active (and on a lease table that does
+    * not exist yet). The operator's lease-health read. */
+  def liveLeases(spark: SparkSession, leaseTable: String,
+                 indexName: String): Seq[(Long, String)] =
+    if (!spark.catalog.tableExists(leaseTable)) Seq.empty
+    else {
+      spark.catalog.refreshTable(leaseTable)
+      val rows = spark.table(leaseTable)
+        .filter(col("index_name") === indexName)
+        .select(col("ts"), col("owner"), col("state")).collect()
+      val released = rows.filter(_.getString(2) == "released")
+        .map(_.getString(1)).toSet
+      rows.filter(r => r.getString(2) == "held" &&
+          !released.contains(r.getString(1)))
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    }
 
   /** Drop every lease row for a family — the operator's recovery from
     * a crashed holder (see [[withLease]]'s crash note). */

@@ -89,6 +89,16 @@ final case class TombstoneFeed(
   * @param keepVersions how many trailing versions [[retireBases]]
   *   keeps (default 2: current + previous — the in-flight-reader
   *   grace).
+  * @param lease the family's writer-lease table
+  *   ([[graft.operators.Snapshots.withLease]]). When set, the cycle
+  *   runs this index's ENTIRE pass (its mutating steps — tombstone
+  *   applies, freshness repairs, merges, compactions, retire — plus
+  *   the audits that bracket them) under the lease, so a concurrent
+  *   cycle or out-of-band writer on the same family is denied BEFORE
+  *   staging instead of detected after by the tripwire. A denial
+  *   skips the index for THIS cycle and logs `lease_denied` (the
+  *   holder is doing the same work; the next cycle retries) — the
+  *   cadence-retry trade, never a blocked loop.
   * @param compactFamily VERSIONED families' layout compaction: called
   *   ONCE per cycle when any table crosses `compactFilesFactor`,
   *   INSTEAD of the per-table [[Warehouse.compactIndex]] swap — a
@@ -115,7 +125,8 @@ final case class MaintainedIndex(
     compactFamily: Option[SparkSession => Unit] = None,
     ledger: Option[(String, String)] = None,
     retireBases: Option[Seq[String]] = None,
-    keepVersions: Int = 2) {
+    keepVersions: Int = 2,
+    lease: Option[String] = None) {
   require(keepVersions >= 1,
     s"index $name: keepVersions must be >= 1, got $keepVersions")
   require(retireBases.forall(_.nonEmpty),
@@ -131,9 +142,11 @@ final case class MaintainedIndex(
 }
 
 /** One line of [[Maintenance.runCycle]]'s action log. `action` ∈
-  * {recover, delete_stale, append_missing, merge, compact, audit} —
-  * `audit` rows record the post-repair freshness numbers, so the log
-  * alone shows a cycle ended fresh. */
+  * {recover, delete_stale, append_missing, merge, compact, audit,
+  * lease_denied} — `audit` rows record the post-repair freshness
+  * numbers, so the log alone shows a cycle ended fresh; `lease_denied`
+  * records an index skipped whole because another writer held its
+  * lease (the next cycle retries). */
 final case class MaintenanceAction(index: String, action: String,
                                    detail: String)
 
@@ -177,6 +190,7 @@ object Maintenance {
                indexes: Seq[MaintainedIndex]): Seq[MaintenanceAction] = {
     val log = Seq.newBuilder[MaintenanceAction]
     indexes.foreach { idx =>
+      def cycleIndex(): Unit = {
       val tables = idx.resolveTables.map(_(spark)).getOrElse(idx.tables)
       require(tables.map(_._1).distinct.size == tables.size,
         s"index ${idx.name} resolved duplicate table labels")
@@ -334,6 +348,25 @@ object Maintenance {
         else fresh
       log += MaintenanceAction(idx.name, "audit",
         s"missing=${post.getLong(3)} stale=${post.getLong(4)}")
+      }
+      // the whole pass — audits, repairs, publishes, retire — runs
+      // under the family's writer lease when one is declared: a
+      // concurrent cycle (or out-of-band mutator honoring the lease)
+      // is denied before it stages anything, turning the tripwire's
+      // after-the-fact detection into prevention. Denial = skip and
+      // log; the holder is doing the same repairs, the next cycle
+      // retries.
+      idx.lease match {
+        case Some(lt) =>
+          try graft.operators.Snapshots.withLease(spark, lt, idx.name)(
+            cycleIndex())
+          catch {
+            case d: graft.operators.Snapshots.LeaseDenied =>
+              log += MaintenanceAction(idx.name, "lease_denied",
+                s"holders=${d.holders.mkString(",")}")
+          }
+        case None => cycleIndex()
+      }
     }
     log.result()
   }

@@ -702,19 +702,147 @@ class OrchestratorSpec extends SparkSpec {
     assert(Snapshots.currentVersion(spark, ledger, "ls") === 3L)
     // the tripwire is clean: no version carries two staging publishes
     assert(Snapshots.versionConflicts(spark, ledger, "ls").isEmpty)
-    // lease table drained — nothing held after both writers finished
-    assert(spark.table(leaseT).count() === 0L)
+    // no LIVE lease after both writers finished (held rows all carry
+    // released markers — release is append-only, never a rewrite)
+    assert(Snapshots.liveLeases(spark, leaseT, "ls").isEmpty)
     // crashed-holder recovery: a leaked row blocks the next writer
     // until the operator clears the family's leases
     import spark.implicits._
     // ts=0 sorts before any live arrival, so the leaked row always wins
-    Seq(("ls", "crashed-writer", 0L)).toDF("index_name", "owner", "ts")
+    Seq(("ls", "crashed-writer", 0L, "held"))
+      .toDF("index_name", "owner", "ts", "state")
       .write.mode("append").format("parquet").saveAsTable(leaseT)
     intercept[Snapshots.LeaseDenied] {
       Snapshots.withLease(spark, leaseT, "ls") { () }
     }
     Snapshots.clearLeases(spark, leaseT, "ls")
     Snapshots.withLease(spark, leaseT, "ls") { () } // acquires again
+    all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
+  }
+
+  test("append-only release: a lease-churn storm (concurrent acquire/" +
+      "deny/release appends) always drains — no release can resurrect " +
+      "another writer's released row into a phantom lease") {
+    import graft.operators.Snapshots
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val leaseT = "graft_idx_test.storm_lease"
+    graft.sinks.Sinks.dropManaged(spark, leaseT)
+    val successes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        Thread.sleep(i * 150L) // stagger past the documented tie window
+        var done = false
+        var tries = 0
+        while (!done && tries < 60) {
+          tries += 1
+          try {
+            Snapshots.withLease(spark, leaseT, "storm") {
+              Thread.sleep(100L) // overlap the other writers' attempts
+              successes.incrementAndGet()
+              ()
+            }
+            done = true
+          } catch {
+            case _: Snapshots.LeaseDenied => Thread.sleep(150L)
+          }
+        }
+        assert(done, s"writer $i starved — phantom lease never drained")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(successes.get() === 4)
+    // drained: every held row carries its released marker. Under the
+    // retired rewrite-release, overlapping releases re-wrote the table
+    // from each writer's own pre-release listing and the last swap
+    // won — resurrecting already-released rows that denied every later
+    // writer until clearLeases.
+    assert(Snapshots.liveLeases(spark, leaseT, "storm").isEmpty)
+    spark.catalog.refreshTable(leaseT)
+    val rows = spark.table(leaseT).collect()
+    assert(rows.count(_.getAs[String]("state") == "held") ===
+      rows.count(_.getAs[String]("state") == "released"))
+    graft.sinks.Sinks.dropManaged(spark, leaseT)
+  }
+
+  test("runCycle under the family lease: two concurrent cycles on the " +
+      "same family serialize — the tombstone batch applies exactly " +
+      "once, the tripwire stays clean, a denied cycle logs " +
+      "lease_denied and its retry completes") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.{Graph, Snapshots}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledger = "graft_idx_test.lcyc_ledger"
+    val leaseT = "graft_idx_test.lcyc_lease"
+    val tombT = "graft_idx_test.lcyc_tomb"
+    val bases = Seq("graft_idx_test.lcyc_ob", "graft_idx_test.lcyc_edges",
+      "graft_idx_test.lcyc_totals", "graft_idx_test.lcyc_stats")
+    val all = Seq(ledger, leaseT, tombT) ++
+      bases.flatMap(b => b +: (1 to 4).map(v => s"${b}_v$v"))
+    all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L),
+      (12L, 2L), (12L, 3L)).toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z"))
+      .toDF("p_partkey", "p_brand")
+    val Seq(obB, edB, toB, stB) = bases
+    Graph.writeEdgeIndexVersioned(li, part, ledger, "lcyc",
+      obB, edB, toB, stB, numBuckets = 2) // v1
+    // one captured tombstone batch (epoch-salted id, the feed law)
+    val delRows = li.filter(col("l_orderkey") === 10L)
+    val bid = Snapshots.batchIdFor(delRows.select(col("l_orderkey")),
+      Snapshots.currentVersion(spark, ledger, "lcyc"))
+    delRows.withColumn("batch_id", lit(bid))
+      .write.format("parquet").saveAsTable(tombT)
+    val corpus = li.filter(col("l_orderkey") =!= 10L)
+    val idx = MaintainedIndex("lcyc",
+      tables = Seq(("ob", obB, Seq.empty[String])),
+      resolveTables = Some(s => {
+        val (ob, _, _, _) = Graph.resolveEdgeIndex(s, ledger, "lcyc",
+          obB, edB, toB, stB)
+        Seq(("ob", ob, Seq.empty[String]))
+      }),
+      corpusKeys = s => corpus.select(col("l_orderkey")).distinct(),
+      indexKeys = s => Graph.readEdgeIndexVersioned(s, ledger, "lcyc",
+        obB, edB, toB, stB)._1.select(col("order_key")).distinct(),
+      compactFilesFactor = Double.MaxValue,
+      tombstones = Some(TombstoneFeed(tombT,
+        (s, rows, b) => Graph.deleteFromEdgeIndexVersioned(rows, part,
+          ledger, "lcyc", obB, edB, toB, stB, batchId = Some(b)),
+        isApplied = Some((s, b) =>
+          Snapshots.isApplied(s, ledger, "lcyc", b)))),
+      ledger = Some((ledger, "lcyc")),
+      retireBases = Some(bases),
+      lease = Some(leaseT))
+    // two cycles race; the first to append the lease row runs the
+    // whole pass, the later arrival is denied BEFORE staging anything
+    @volatile var logA: Seq[MaintenanceAction] = Seq.empty
+    @volatile var logB: Seq[MaintenanceAction] = Seq.empty
+    val a = new Thread(() => { logA = Maintenance.runCycle(spark, Seq(idx)) })
+    val b = new Thread(() => {
+      Thread.sleep(1000L) // land inside A's hold, past the tie window
+      logB = Maintenance.runCycle(spark, Seq(idx))
+    })
+    a.start(); b.start(); a.join(180000); b.join(180000)
+    val both = logA ++ logB
+    // the batch applied exactly once across both cycles
+    assert(both.count(a0 => a0.action == "delete_batch") <= 1,
+      both.mkString("; "))
+    // a denied cycle is visible as such, and its retry completes the
+    // pass (steady state: feed already consumed by the holder)
+    val retried =
+      if (both.exists(_.action == "lease_denied"))
+        Maintenance.runCycle(spark, Seq(idx))
+      else Seq.empty
+    val closing = (both ++ retried).filter(_.action == "audit")
+    assert(closing.nonEmpty)
+    assert(closing.last.detail === "missing=0 stale=0",
+      (both ++ retried).mkString("; "))
+    // exactly one delete row in the ledger; tripwire clean; feed pruned
+    assert(Snapshots.ledger(spark, ledger, "lcyc")
+      .filter(col("action") === "delete").count() === 1L)
+    assert(Snapshots.versionConflicts(spark, ledger, "lcyc").isEmpty)
+    assert(spark.table(tombT).count() === 0L)
+    assert(Snapshots.liveLeases(spark, leaseT, "lcyc").isEmpty)
     all.foreach(graft.sinks.Sinks.dropManaged(spark, _))
   }
 
