@@ -2382,7 +2382,27 @@ object ExtensionQueries {
     // duplicated runs, the mass whole-document dedup cannot recover.
     "x228_substring_savings" -> ((s, dir) =>
       TextDedup.substringDupSavings(t(s, dir, "documents"), "doc_id",
-        "text", "source", L = 24))
+        "text", "source", L = 24)),
+
+    // x229 — THE SUBSTRING GRAM-KEY INDEX UNDER MAINTENANCE: the x227
+    // serving artifact registered as a MaintainedIndex — the bucketed
+    // checksum freshness audit over gram keys (x215's shape), exact
+    // repairs sized by what changed, the whole pass under the family's
+    // writer lease. Cycle 1 (persisted at build) repaired the even-id
+    // bootstrap against the %3 corpus; the live cycle 2 is the steady
+    // state (one audit row, reusing the opening audit, so the
+    // corpus-side doubling pass runs once per cycle).
+    "x229_substring_maintained" -> ((s, dir) => {
+      import s.implicits._
+      val (logT, maintained) = substringCycleFor(s, dir)
+      val live = Maintenance.runCycle(s, maintained)
+        .map(a => (a.index, a.action, a.detail))
+        .toDF("index_name", "action", "detail")
+      s.table(logT).withColumn("cycle", lit(1L))
+        .unionByName(live.withColumn("cycle", lit(2L)))
+        .select(col("cycle"), col("index_name"), col("action"),
+          col("detail"))
+    })
   )
 
   /** Build-if-missing the x227 substring gram-key index: the EVEN
@@ -2398,6 +2418,52 @@ object ExtensionQueries {
         "doc_id", "text", L = 24, table)
     }
     table
+  }
+
+  /** Build-if-missing the x229 MAINTAINED substring gram-key index:
+    * bootstrapped over the EVEN doc_ids (x227's slice) while its
+    * maintained corpus is the `%3 == 0` snapshot — both repair
+    * counters nonzero, x217's moving-corpus story on the substring
+    * tier — so cycle 1 deletes the stale gram keys and appends the
+    * missing ones, ending fresh. The cycle-1 action log persists as
+    * the sidecar; the family's writer lease guards every cycle
+    * (runCycle's round-18 adoption — acquisition is silent, denial
+    * would log `lease_denied`). Returns (cycle1LogTable, the
+    * maintained index). */
+  private def substringCycleFor(s: SparkSession, dir: String)
+      : (String, Seq[MaintainedIndex]) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val keysT = s"graft_idx.ssmc_keys_$tag"
+    val logT = s"graft_idx.ssmc_log_$tag"
+    val leaseT = s"graft_idx.ssmc_lease_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+    val maintained = Seq(MaintainedIndex("substring_idx",
+      tables = Seq(("gram_keys", keysT, Seq.empty)),
+      corpusKeys = ss => TextDedup.substringGramKeys(
+        t(ss, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text", L = 24),
+      indexKeys = ss => ss.table(keysT).select(col("gram_key")),
+      appendMissing = Some((ss, keys) =>
+        graft.sinks.Sinks.writeBucketed(keys.toDF("gram_key"), keysT,
+          Seq("gram_key"), 16, append = true)),
+      deleteStale = Some((ss, keys) =>
+        Warehouse.deleteFromIndex(ss, keysT, "gram_key", keys)),
+      compactFilesFactor = Double.MaxValue,
+      lease = Some(leaseT)))
+    if (!s.catalog.tableExists(keysT) || !s.catalog.tableExists(logT)) {
+      import s.implicits._
+      Seq(keysT, logT, leaseT).foreach(dropStaleManaged(s, _))
+      TextDedup.writeSubstringIndex(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", L = 24, keysT)
+      Maintenance.runCycle(s, maintained)
+        .map(a => (a.index, a.action, a.detail))
+        .toDF("index_name", "action", "detail")
+        .coalesce(1).write.mode("overwrite").format("parquet")
+        .saveAsTable(logT)
+    }
+    (logT, maintained)
   }
 
   /** Build-if-missing the x116 near-dup COMPONENT table: the
@@ -5383,7 +5449,41 @@ object ExtensionQueries {
                / 10000.0
            ELSE 0.0 END AS dup_frac
          FROM documents d LEFT JOIN perdoc p USING (doc_id)
-         GROUP BY d.source""")
+         GROUP BY d.source""") +
+    // x229: repair sizes are the distinct-substring set differences
+    // between the even-id bootstrap and the %3 maintained corpus (the
+    // doubling keys form the same equality classes — x224's law);
+    // audits close at zero, cycle 2 is audit-only by construction.
+    // Rows are emitted conditionally so an SF where a repair set is
+    // empty stays correct.
+    ("x229_substring_maintained" ->
+      """WITH ev AS (SELECT DISTINCT substring(text, i, 24) AS g
+           FROM documents, unnest(generate_series(1, length(text) - 23))
+             AS s(i)
+           WHERE doc_id % 2 = 0 AND length(text) >= 24),
+         d3 AS (SELECT DISTINCT substring(text, i, 24) AS g
+           FROM documents, unnest(generate_series(1, length(text) - 23))
+             AS s(i)
+           WHERE doc_id % 3 = 0 AND length(text) >= 24),
+         a AS (SELECT count(*) AS n FROM ev
+           WHERE g NOT IN (SELECT g FROM d3)),
+         b AS (SELECT count(*) AS n FROM d3
+           WHERE g NOT IN (SELECT g FROM ev)),
+         r AS (
+           SELECT 1 AS cycle, 'substring_idx' AS index_name,
+             'delete_stale' AS action,
+             'n=' || CAST((SELECT n FROM a) AS VARCHAR) AS detail
+           WHERE (SELECT n FROM a) > 0
+           UNION ALL
+           SELECT 1, 'substring_idx', 'append_missing',
+             'n=' || CAST((SELECT n FROM b) AS VARCHAR)
+           WHERE (SELECT n FROM b) > 0
+           UNION ALL
+           SELECT 1, 'substring_idx', 'audit', 'missing=0 stale=0'
+           UNION ALL
+           SELECT 2, 'substring_idx', 'audit', 'missing=0 stale=0')
+         SELECT CAST(cycle AS BIGINT) AS cycle, index_name, action,
+           detail FROM r""")
 
   /** x221's oracle: x10's IVF formulation (fixed codebook = the
     * `numCentroids` smallest vec_ids, assignment/probing by argmax
