@@ -1470,15 +1470,50 @@ object ScaleBench {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val idxT = s"graft_idx.ssidx_probe_$tag"
       s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
-      if (!s.catalog.tableExists(idxT))
+      if (!s.catalog.tableExists(idxT)) {
+        // a previously crashed write can leave an orphaned table dir
+        // with no catalog entry — sweep it or the build fails
+        // (the ExtensionQueries.substringIndexFor convention)
+        graft.sinks.Sinks.dropManaged(s, idxT)
         TextDedup.writeSubstringIndex(
           Tables(s, dir, "documents")
             .filter(pmod(col("doc_id"), lit(2)) === 0),
           "doc_id", "text", L = 24, idxT)
+      }
       TextDedup.substringDupSpansIndexed(
         Tables(s, dir, "documents")
           .filter(pmod(col("doc_id"), lit(2)) === 1),
         "doc_id", "text", L = 24, idxT)
+    }),
+    // the substring maintenance cycle at 10x, STEADY STATE (x229's
+    // live half): the corpus-side doubling pass + the bucketed
+    // gram-key freshness audit, nothing repaired — corpus-linear
+    // detect cost, the always-on cadence price of keeping x227's
+    // serving artifact fresh. Built CONVERGED on the %3 snapshot at
+    // the untimed warmup, so the timed pass is the pure detect cycle.
+    ("x229_substring_maintained", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val keysT = s"graft_idx.ssmc_probe_$tag"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+      if (!s.catalog.tableExists(keysT)) {
+        graft.sinks.Sinks.dropManaged(s, keysT)
+        TextDedup.writeSubstringIndex(
+          Tables(s, dir, "documents")
+            .filter(pmod(col("doc_id"), lit(3)) === 0),
+          "doc_id", "text", L = 24, keysT)
+      }
+      val idx = Seq(graft.runner.MaintainedIndex("substring_idx",
+        tables = Seq(("gram_keys", keysT, Seq.empty)),
+        corpusKeys = ss => TextDedup.substringGramKeys(
+          Tables(ss, dir, "documents")
+            .filter(pmod(col("doc_id"), lit(3)) === 0),
+          "doc_id", "text", L = 24),
+        indexKeys = ss => ss.table(keysT).select(col("gram_key")),
+        compactFilesFactor = Double.MaxValue))
+      graft.runner.Maintenance.runCycle(s, idx)
+        .map(a => (a.index, a.action, a.detail))
+        .toDF("index_name", "action", "detail")
     }),
     // the substring savings card at 10x: x224's cost + a
     // duplicated-doc-sized join + a #sources rollup.
