@@ -1759,10 +1759,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("substring("),
       s"gram strings materialized — the doubling was bypassed:\n$p")
     // occurrence marking is (count, argmin) per key class, never a
-    // positional pair join
-    assert(p.contains("partial_min(((doc_id") ||
-      p.contains("partial_min((doc_id"),
-      s"keeper argmin aggregate missing:\n$p")
+    // positional pair join — the argmin is the STRUCT-typed
+    // min(struct(doc_id, pos)) (round 18: no doc*1e6+pos encoding, no
+    // document-length bound)
+    assert(p.contains("partial_min(struct(doc_id") ||
+      p.contains("min(struct(doc_id"),
+      s"keeper struct-argmin aggregate missing:\n$p")
   }
 
   test("x227 substring indexed: the batch pays its own doubling pass " +
