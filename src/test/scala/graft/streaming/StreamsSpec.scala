@@ -743,6 +743,76 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("substringIngest residual closed by maintenance: a publish-kill's " +
+      "missing-keys gap is repaired by the registered gram-key " +
+      "MaintainedIndex (x229's shape) — the healed index cuts a later " +
+      "repeat of the crashed batch's survivor") {
+    import graft.operators.{Snapshots, TextDedup, Warehouse}
+    import graft.runner.{MaintainedIndex, Maintenance}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val idxT = "graft_idx_test.ssheal_keys"
+    val ledT = "graft_idx_test.ssheal_ledger"
+    val outT = "graft_idx_test.ssheal_out"
+    Seq(idxT, ledT, outT).foreach(dropIdxTable)
+    val block = "The license block is repeated verbatim everywhere."
+    val novel = "a wholly novel streaming document with nothing shared."
+    val corpusDoc = s"corpus document alpha carries the block: $block !"
+    TextDedup.writeSubstringIndex(
+      Seq((100L, corpusDoc)).toDF("doc_id", "text"), "doc_id", "text",
+      24, idxT, numBuckets = 2)
+    // the sink is the post-surgery corpus table — what production
+    // delivers downstream and what the maintained corpus reads
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      df.select(col("doc_id"), col("clean_text"))
+        .write.mode("append").format("parquet").saveAsTable(outT)
+    def ingest(b: org.apache.spark.sql.DataFrame, epoch: Long,
+               crash: Option[String]): Unit =
+      try Streams.substringIngestBatch(b, epoch, "doc_id", "text", 24,
+        idxT, 0, Some((ledT, "ss")), crash)(sink)
+      catch {
+        case e: IllegalStateException
+          if e.getMessage.startsWith("injected") => ()
+      }
+    // epoch 0 crashes between publish and append: delivered, ledger
+    // row landed, keys MISSING (the documented bounded residual)
+    ingest(Seq((1L, novel)).toDF("doc_id", "text"), 0L, Some("publish"))
+    ingest(Seq((1L, novel)).toDF("doc_id", "text"), 0L, None) // no-op
+    assert(Snapshots.isApplied(spark, ledT, "ss", "stream-0"))
+    // the gap is live: a READ-ONLY span check of a repeat of the
+    // survivor finds nothing to cut (a continuing stream would also
+    // self-heal forward via its own appends — the probe stays
+    // read-only so the gap is still open for the maintenance repair)
+    spark.catalog.refreshTable(idxT)
+    assert(TextDedup.substringDupSpansIndexed(
+      Seq((2L, novel)).toDF("doc_id", "text"), "doc_id", "text", 24,
+      idxT).isEmpty)
+    // the registered maintained index (x229's shape): corpus = the
+    // original corpus doc + everything the sink delivered
+    val idx = MaintainedIndex("ss_keys",
+      tables = Seq(("gram_keys", idxT, Seq.empty[String])),
+      corpusKeys = ss => TextDedup.substringGramKeys(
+        ss.table(outT).select(col("doc_id"),
+            col("clean_text").as("text"))
+          .unionByName(Seq((100L, corpusDoc)).toDF("doc_id", "text")),
+        "doc_id", "text", 24),
+      indexKeys = ss => ss.table(idxT).select(col("gram_key")),
+      appendMissing = Some((ss, keys) =>
+        graft.sinks.Sinks.writeBucketed(keys.toDF("gram_key"), idxT,
+          Seq("gram_key"), 2, append = true)),
+      deleteStale = Some((ss, keys) =>
+        Warehouse.deleteFromIndex(ss, idxT, "gram_key", keys)),
+      compactFilesFactor = Double.MaxValue)
+    val log = Maintenance.runCycle(spark, Seq(idx))
+    assert(log.exists(_.action == "append_missing"), log.mkString("; "))
+    assert(log.last.detail === "missing=0 stale=0", log.mkString("; "))
+    // healed: the SAME repeat ingested for real is now fully cut
+    ingest(Seq((3L, novel)).toDF("doc_id", "text"), 1L, None)
+    spark.catalog.refreshTable(outT)
+    assert(spark.table(outT).filter(col("doc_id") === 3L)
+      .head().getAs[String]("clean_text") === "")
+    Seq(idxT, ledT, outT).foreach(dropIdxTable)
+  }
+
   test("substringIngestVersionedBatch: staged snapshot + one-ledger-row " +
       "commit — kill at every step, every replay re-delivers the same " +
       "cleaned frame, the index converges bit-identical, retire " +
