@@ -1107,6 +1107,21 @@ object TextDedup {
     applyCharSpans(docs, idCol, textCol,
       substringDupSpans(docs, idCol, textCol, L))
 
+  /** [[substringDedupApply]] for a NEW BATCH against a FROZEN
+    * [[writeSubstringIndex]] corpus — the serving form of the surgery
+    * twin (x225's cut under x227's span law), and the batch-mode body
+    * of [[graft.streaming.Streams.substringIngest]]'s per-micro-batch
+    * work: spans from [[substringDupSpansIndexed]] (one doubling pass
+    * over the batch + a bucketed semi-join; corpus text never
+    * rescanned), cut by the shared fused-`aggregate` rewrite. Output
+    * `(doc_id, n_chars_removed, clean_text)` over the batch documents
+    * only; the corpus copy is always the keeper. */
+  def substringDedupApplyIndexed(batch: DataFrame, idCol: String,
+                                 textCol: String, L: Int,
+                                 indexTable: String): DataFrame =
+    applyCharSpans(batch, idCol, textCol,
+      substringDupSpansIndexed(batch, idCol, textCol, L, indexTable))
+
   /** The character-surgery half of [[substringDedupApply]] with the
     * span decisions supplied — so the one-shot (x225), the indexed
     * serve ([[substringDupSpansIndexed]]'s spans) and the streaming

@@ -2384,6 +2384,18 @@ object ExtensionQueries {
       TextDedup.substringDupSavings(t(s, dir, "documents"), "doc_id",
         "text", "source", L = 24)),
 
+    // x230 — x225's SURGERY against the FROZEN gram-key index (the
+    // serving form of the apply twin, and the batch-mode body of the
+    // streaming ingest's per-micro-batch work): the odd-id batch is
+    // span-checked against the even-id corpus index (x227's law) and
+    // cut character-exact (x225's fused rewrite) in one call — what a
+    // user runs to clean NEW data against an indexed corpus without
+    // rescanning it.
+    "x230_substring_apply_indexed" -> ((s, dir) =>
+      TextDedup.substringDedupApplyIndexed(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", L = 24, substringIndexFor(s, dir))),
+
     // x229 — THE SUBSTRING GRAM-KEY INDEX UNDER MAINTENANCE: the x227
     // serving artifact registered as a MaintainedIndex — the bucketed
     // checksum freshness audit over gram keys (x215's shape), exact
@@ -5450,6 +5462,66 @@ object ExtensionQueries {
            ELSE 0.0 END AS dup_frac
          FROM documents d LEFT JOIN perdoc p USING (doc_id)
          GROUP BY d.source""") +
+    // x230: x227's span chain (odd batch vs the even-id corpus gram
+    // set, batch-internal struct-argmin keeps) composed with x225's
+    // character surgery, over the odd batch documents only
+    ("x230_substring_apply_indexed" ->
+      """WITH batch AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 2 = 1),
+         cg AS (SELECT DISTINCT substring(text, i, 24) AS gr
+           FROM documents, unnest(generate_series(1, length(text) - 23))
+             AS s(i)
+           WHERE doc_id % 2 = 0 AND length(text) >= 24),
+         bg AS (SELECT doc_id, i AS pos, substring(text, i, 24) AS gr
+           FROM batch, unnest(generate_series(1, length(text) - 23))
+             AS s(i)
+           WHERE length(text) >= 24),
+         agg AS (SELECT gr, count(*) AS n,
+             min(struct_pack(d := doc_id, p := pos)) AS first_enc
+           FROM bg GROUP BY gr),
+         rem AS (
+           SELECT doc_id, pos FROM bg JOIN agg USING (gr)
+           WHERE n >= 2 AND
+             struct_pack(d := doc_id, p := pos) <> first_enc
+           UNION
+           SELECT doc_id, pos FROM bg
+           WHERE gr IN (SELECT gr FROM cg)),
+         seg AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos)
+                 OVER (PARTITION BY doc_id ORDER BY pos) <= 24
+               THEN 0 ELSE 1 END AS newseg
+           FROM rem),
+         isl AS (SELECT doc_id, pos,
+             sum(newseg) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM seg),
+         spans AS (SELECT doc_id, min(pos) AS s,
+             max(pos) - min(pos) + 24 AS l
+           FROM isl GROUP BY doc_id, grp),
+         sp AS (SELECT doc_id, s, s + l AS e FROM spans),
+         mid AS (SELECT doc_id,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+               AS ps, s AS pe
+           FROM sp),
+         tails AS (SELECT doc_id, max(e) AS ps FROM sp GROUP BY doc_id),
+         pieces AS (
+           SELECT m.doc_id, m.ps,
+             substring(d.text, CAST(m.ps AS INT),
+               CAST(m.pe - m.ps AS INT)) AS piece
+           FROM mid m JOIN batch d USING (doc_id)
+           UNION ALL
+           SELECT t.doc_id, t.ps,
+             substring(d.text, CAST(t.ps AS INT),
+               greatest(length(d.text) - CAST(t.ps AS INT) + 1, 0))
+           FROM tails t JOIN batch d USING (doc_id)),
+         agged AS (SELECT doc_id,
+             string_agg(piece, '' ORDER BY ps) AS clean_text
+           FROM pieces GROUP BY doc_id),
+         rm AS (SELECT doc_id, sum(l) AS n FROM spans GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(rm.n, 0) AS BIGINT) AS n_chars_removed,
+           coalesce(a.clean_text, d.text) AS clean_text
+         FROM batch d LEFT JOIN agged a USING (doc_id)
+         LEFT JOIN rm USING (doc_id)""") +
     // x229: repair sizes are the distinct-substring set differences
     // between the even-id bootstrap and the %3 maintained corpus (the
     // doubling keys form the same equality classes — x224's law);

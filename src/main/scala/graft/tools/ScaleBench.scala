@@ -1485,6 +1485,26 @@ object ScaleBench {
           .filter(pmod(col("doc_id"), lit(2)) === 1),
         "doc_id", "text", L = 24, idxT)
     }),
+    // the apply-vs-frozen-index serving form at 10x: x227's span
+    // check + x225's fused surgery — the batch pays its doubling pass,
+    // the semi-join, one self-join on doc id and the rewrite; the
+    // corpus stays behind its key table.
+    ("x230_substring_apply_indexed", (s: SparkSession, dir: String) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idxT = s"graft_idx.ssidx_probe_$tag"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+      if (!s.catalog.tableExists(idxT)) {
+        graft.sinks.Sinks.dropManaged(s, idxT)
+        TextDedup.writeSubstringIndex(
+          Tables(s, dir, "documents")
+            .filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", L = 24, idxT)
+      }
+      TextDedup.substringDedupApplyIndexed(
+        Tables(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", L = 24, idxT)
+    }),
     // the substring maintenance cycle at 10x, STEADY STATE (x229's
     // live half): the corpus-side doubling pass + the bucketed
     // gram-key freshness audit, nothing repaired — corpus-linear

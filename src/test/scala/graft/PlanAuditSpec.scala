@@ -1785,6 +1785,25 @@ class PlanAuditSpec extends SparkSpec {
       s"a corpus-side documents scan crept in:\n$p")
   }
 
+  test("x230 substring apply indexed: one batch doubling pass + the " +
+      "frozen-index semi-join + the fused surgery — corpus text only " +
+      "behind the key table, no gram strings, no cartesian") {
+    val p = plan("x230_substring_apply_indexed")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+    assert(p.contains("ssidx_"), s"frozen gram-key table not read:\n$p")
+    assert(p.contains("LeftSemi"), s"index semi-join missing:\n$p")
+    assert("lead\\(_h".r.findAllIn(p).size >= 5,
+      s"batch doubling rounds missing:\n$p")
+    // the cut is the fused aggregate rewrite, never an explode of text
+    assert(p.contains("aggregate("), s"fused surgery missing:\n$p")
+    // every documents scan carries the odd-id batch filter — the
+    // even-id corpus exists only as its key table
+    val scans = "pmod\\(doc_id#\\d+L?, 2\\) = (\\d)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(scans.nonEmpty && scans.forall(_ == "1"),
+      s"a corpus-side documents scan crept in:\n$p")
+  }
+
   test("x223 semdedup apply: serves from the PERSISTED drop set — " +
       "broadcast anti-join, no retraining (the nearest-centroid " +
       "kernel never appears at serve time)") {

@@ -560,6 +560,41 @@ class TextDedupSpec extends SparkSpec {
     graft.sinks.Sinks.dropManaged(spark, idxT)
   }
 
+  test("substringDedupApplyIndexed (x230): the batch is cut against " +
+      "the frozen corpus index in one call — corpus-shared spans " +
+      "excised, batch-novel text byte-identical") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val idxT = "graft_idx_test.ssai_keys"
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
+    val block = "The license block is repeated verbatim everywhere." // 51
+    val corpus = Seq(
+      (100L, s"corpus document alpha carries the block: $block !"))
+      .toDF("doc_id", "text")
+    TextDedup.writeSubstringIndex(corpus, "doc_id", "text", 24, idxT,
+      numBuckets = 2)
+    val novel = "a wholly novel batch document with nothing shared."
+    val batch = Seq(
+      (1L, s"batch doc one also carries $block plus its own tail."),
+      (2L, novel)).toDF("doc_id", "text")
+    val out = TextDedup.substringDedupApplyIndexed(batch, "doc_id",
+        "text", 24, idxT)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(1L)._1 > 0L && !out(1L)._2.contains(block), out(1L))
+    assert(out(2L) === ((0L, novel)))
+    // definitional parity: identical to applying the x227 spans
+    val viaSpans = TextDedup.applyCharSpans(batch, "doc_id", "text",
+        TextDedup.substringDupSpansIndexed(batch, "doc_id", "text", 24,
+          idxT))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out === viaSpans)
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
+  }
+
   test("substringDedupApply (x225): spans cut character-exact, " +
       "span-less docs byte-identical, fully-duplicated docs end empty") {
     import spark.implicits._
