@@ -765,7 +765,12 @@ object Streams {
     * attempt's rerun rebuilds bit-identically, because the span check
     * runs against the still-current snapshot until the publish) and
     * commits it with ONE ledger row. Batch 0 bootstraps version 1
-    * from its own post-surgery text. Kill at ANY step and the replay
+    * from its own post-surgery text — or MIGRATES IN PLACE: an
+    * existing unversioned [[graft.operators.TextDedup
+    * .writeSubstringIndex]] table at `indexBase` serves as version 0
+    * (batch 0 span-checks against it and folds it into v1 with zero
+    * rebuild; `retire` never drops the version-0 base). Kill at ANY
+    * step and the replay
     * re-delivers the SAME cleaned frame and converges to the same
     * index; a replay after the publish is a whole-batch no-op. The
     * price is rewriting the key table per batch (the
@@ -812,29 +817,43 @@ object Streams {
       val cur = Snapshots.currentVersion(spark, ledgerTable, indexName)
       val next = cur + 1
       val nextT = Snapshots.tableAt(indexBase, next)
-      // span-check against the CURRENT snapshot (bootstrap: the batch
-      // against itself) — never the staged one, so a crashed attempt's
-      // rerun recomputes the identical cleaned frame
-      val spans =
-        if (cur == 0L) td.substringDupSpans(b, idCol, textCol, L)
-        else td.substringDupSpansIndexed(b, idCol, textCol, L,
-          Snapshots.tableAt(indexBase, cur))
+      // MIGRATE-IN-PLACE (the ANN twin's contract): at version 0 an
+      // existing unversioned [[graft.operators.TextDedup
+      // .writeSubstringIndex]] table at `indexBase` IS the current
+      // snapshot — batch 0 span-checks against it and folds it into
+      // v1, zero rebuild (ignoring it would silently ship batch 0
+      // uncut against the whole pre-stream corpus). `retire` never
+      // drops version 0, so the migrated base survives as the
+      // operator's fallback.
+      val curT =
+        if (cur > 0L) Some(Snapshots.tableAt(indexBase, cur))
+        else if (spark.catalog.tableExists(indexBase)) Some(indexBase)
+        else None
+      // span-check against the CURRENT snapshot (cold bootstrap: the
+      // batch against itself) — never the staged one, so a crashed
+      // attempt's rerun recomputes the identical cleaned frame
+      val spans = curT match {
+        case Some(t) => td.substringDupSpansIndexed(b, idCol, textCol,
+          L, t)
+        case None => td.substringDupSpans(b, idCol, textCol, L)
+      }
       val cleaned = td.applyCharSpans(b, idCol, textCol, spans).cache()
       try {
         sink(cleaned, batchId)
         step("sink")
         val newKeys =
           td.substringGramKeys(cleaned, "doc_id", "clean_text", L)
-        val staged =
-          if (cur == 0L) newKeys
-          else spark.table(Snapshots.tableAt(indexBase, cur))
-            .unionByName(newKeys).distinct()
+        val staged = curT match {
+          case Some(t) =>
+            spark.table(t).unionByName(newKeys).distinct()
+          case None => newKeys
+        }
         graft.sinks.Sinks.dropManaged(spark, nextT)
         graft.sinks.Sinks.writeBucketed(staged, nextT, Seq("gram_key"),
           numBuckets)
         step("stage")
         Snapshots.publish(spark, ledgerTable, indexName, next, bid,
-          if (cur == 0L) "build" else "append-staged")
+          if (curT.isEmpty) "build" else "append-staged")
         step("publish")
         Snapshots.retire(spark, ledgerTable, indexName, Seq(indexBase),
           keepVersions)

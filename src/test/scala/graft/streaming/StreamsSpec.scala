@@ -897,6 +897,69 @@ class StreamsSpec extends SparkSpec {
       .foreach(dropIdxTable)
   }
 
+  test("substringIngestVersioned migrate-in-place: an existing " +
+      "unversioned gram-key table serves as version 0 — batch 0 is " +
+      "cut against it and v1 folds it in with zero rebuild; the " +
+      "version-0 base survives retire") {
+    import graft.operators.{Snapshots, TextDedup}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledT = "graft_idx_test.ssvm_ledger"
+    val base = "graft_idx_test.ssvm_keys"
+    (Seq(ledT, base) ++ (1 to 4).map(v => s"${base}_v$v"))
+      .foreach(dropIdxTable)
+    val block = "The license block is repeated verbatim everywhere."
+    val corpusDoc = s"corpus document alpha carries the block: $block !"
+    // the pre-stream corpus index, built by the BATCH path (x227's
+    // artifact) — the stream must not ignore it
+    TextDedup.writeSubstringIndex(
+      Seq((100L, corpusDoc)).toDF("doc_id", "text"), "doc_id", "text",
+      24, base, numBuckets = 2)
+    val novel = "a wholly novel streaming document with nothing shared."
+    val b0 = Seq(
+      (1L, s"stream doc one also carries $block plus its own tail."),
+      (2L, novel)).toDF("doc_id", "text")
+    val got = scala.collection.mutable.Map[Long, (Long, String)]()
+    assert(Streams.substringIngestVersionedBatch(b0, 0L, "doc_id",
+        "text", 24, ledT, "ssvm", base, numBuckets = 2,
+        keepVersions = 1) { (df, _) =>
+      got ++= df.collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars_removed"),
+          r.getAs[String]("clean_text")))
+      ()
+    })
+    // batch 0 was cut against the MIGRATED corpus, not bootstrapped
+    // blind
+    assert(got(1L)._1 > 0L && !got(1L)._2.contains(block), got(1L))
+    assert(got(2L) === ((0L, novel)))
+    // v1 = base ∪ cleaned batch keys; the ledger records a staged
+    // append onto the migrated snapshot, not a blind build
+    assert(Snapshots.ledger(spark, ledT, "ssvm").collect()
+      .map(r => (r.getLong(1), r.getString(3))).toSet
+      === Set((1L, "append-staged")))
+    val expect = TextDedup.substringGramKeys(
+        got.toSeq.map { case (id, (_, t)) => (id, t) }
+          .toDF("doc_id", "clean_text")
+          .select(col("doc_id"), col("clean_text").as("text"))
+          .unionByName(Seq((100L, corpusDoc)).toDF("doc_id", "text")),
+        "doc_id", "text", 24)
+      .collect().map(_.getLong(0)).toSet
+    spark.catalog.refreshTable(s"${base}_v1")
+    assert(spark.table(s"${base}_v1").collect()
+      .map(_.getLong(0)).toSet === expect)
+    // the version-0 base is never retired (keepVersions = 1 and a
+    // second batch publishing v2 retires v1, not the base)
+    assert(Streams.substringIngestVersionedBatch(
+      Seq((3L, "another brand new doc, nothing shared either."))
+        .toDF("doc_id", "text"),
+      1L, "doc_id", "text", 24, ledT, "ssvm", base, numBuckets = 2,
+      keepVersions = 1)((_, _) => ()))
+    assert(spark.catalog.tableExists(base))
+    assert(!spark.catalog.tableExists(s"${base}_v1"))
+    assert(spark.catalog.tableExists(s"${base}_v2"))
+    (Seq(ledT, base) ++ (1 to 4).map(v => s"${base}_v$v"))
+      .foreach(dropIdxTable)
+  }
+
   test("substringIngestVersioned wiring: a file-backed stream publishes " +
       "each micro-batch through the staged protocol; later batches cut " +
       "against earlier survivors via the resolved snapshot") {
