@@ -1088,6 +1088,35 @@ object TextDedup {
     markedToSpans(internal.unionByName(cross).distinct(), L)
   }
 
+  /** [[substringDupSpansIndexed]] through the snapshot pointer — the
+    * versioned serving read (the [[graft.operators.Retrieval
+    * .bm25TopKIndexedVersioned]] convention): resolves the family's
+    * current gram-key table once per query build, so a
+    * [[graft.streaming.Streams.substringIngestVersioned]] publish
+    * mid-flight leaves this reader on its complete old snapshot.
+    * Version 0 = the unversioned base table (migrate-in). */
+  def substringDupSpansIndexedVersioned(batch: DataFrame, idCol: String,
+                                        textCol: String, L: Int,
+                                        ledgerTable: String,
+                                        indexName: String,
+                                        indexBase: String): DataFrame = {
+    val Seq(t) = Snapshots.resolve(batch.sparkSession, ledgerTable,
+      indexName, Seq(indexBase))
+    substringDupSpansIndexed(batch, idCol, textCol, L, t)
+  }
+
+  /** [[substringDedupApplyIndexed]] through the snapshot pointer —
+    * the versioned form of the one-call surgery serve. */
+  def substringDedupApplyIndexedVersioned(batch: DataFrame,
+                                          idCol: String, textCol: String,
+                                          L: Int, ledgerTable: String,
+                                          indexName: String,
+                                          indexBase: String): DataFrame = {
+    val Seq(t) = Snapshots.resolve(batch.sparkSession, ledgerTable,
+      indexName, Seq(indexBase))
+    substringDedupApplyIndexed(batch, idCol, textCol, L, t)
+  }
+
   /** [[substringDupSpans]] APPLIED — the family's surgery twin (x87's
     * shape, character-exact): each document rewritten with its
     * duplicated spans cut out, everything else byte-identical and in

@@ -595,6 +595,49 @@ class TextDedupSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $idxT")
   }
 
+  test("substring versioned serving reads: spans/apply resolve the " +
+      "current snapshot through the ledger — rows identical to the " +
+      "direct-table forms, and version 0 falls back to the base") {
+    import spark.implicits._
+    import graft.operators.Snapshots
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val ledT = "graft_idx_test.ssvr_ledger"
+    val base = "graft_idx_test.ssvr_keys"
+    Seq(ledT, base, s"${base}_v1", s"${base}_v2")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val block = "The license block is repeated verbatim everywhere."
+    val corpus = Seq(
+      (100L, s"corpus document alpha carries the block: $block !"))
+      .toDF("doc_id", "text")
+    // version 0 (migrate-in): the unversioned base serves
+    TextDedup.writeSubstringIndex(corpus, "doc_id", "text", 24, base,
+      numBuckets = 2)
+    val batch = Seq(
+      (1L, s"batch doc one also carries $block plus its own tail."))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(TextDedup.substringDupSpansIndexedVersioned(batch,
+        "doc_id", "text", 24, ledT, "ssvr", base))
+      === rows(TextDedup.substringDupSpansIndexed(batch, "doc_id",
+        "text", 24, base)))
+    // publish v1 with a DIFFERENT key set; the versioned read follows
+    // the pointer, the direct read stays on the table it was given
+    TextDedup.writeSubstringIndex(
+      Seq((200L, "a completely different corpus now, no block."))
+        .toDF("doc_id", "text"), "doc_id", "text", 24, s"${base}_v1",
+      numBuckets = 2)
+    Snapshots.publish(spark, ledT, "ssvr", 1L, "b1", "build")
+    val viaPointer = TextDedup.substringDedupApplyIndexedVersioned(
+      batch, "doc_id", "text", 24, ledT, "ssvr", base)
+    assert(rows(viaPointer) === rows(TextDedup.substringDedupApplyIndexed(
+      batch, "doc_id", "text", 24, s"${base}_v1")))
+    // against v1 (no shared block) the batch passes uncut
+    assert(viaPointer.head().getAs[Long]("n_chars_removed") === 0L)
+    Seq(ledT, base, s"${base}_v1", s"${base}_v2")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("substringDedupApply (x225): spans cut character-exact, " +
       "span-less docs byte-identical, fully-duplicated docs end empty") {
     import spark.implicits._
