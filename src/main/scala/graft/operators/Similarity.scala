@@ -167,6 +167,41 @@ object Similarity {
     * self-join shuffles on `cluster_id` (both sides already hashed the
     * same way), and the witness window partitions by vector id — no
     * global sort, no corpus-sized collect. */
+  /** EMBEDDING-level DECONTAMINATION (x231) — the semantic counter to
+    * the lexical x38/x44/x95 family: a corpus vector is CONTAMINATED
+    * when its cosine against ANY benchmark vector reaches `threshold`,
+    * catching PARAPHRASED benchmark leakage that shingle overlap and
+    * verbatim span matching cannot see (the reason modern curation
+    * pipelines run an embedding decontam pass NEXT TO the lexical
+    * one, not instead of it). One row per corpus vector:
+    * `(vec_id, status kept|dropped, best_bench_id, similarity)` — the
+    * strongest benchmark witness (argmax cosine, ties → smallest
+    * bench id, x3's total order; similarity 1e-6-rounded, x9's law;
+    * the threshold compares the RAW cosine, also x9's law).
+    *
+    * 100 TB shape: the benchmark is eval-suite-sized and collects to
+    * the driver ONCE (the [[collectCentroids]] convention — the same
+    * boundedness argument as IVF training output); the corpus then
+    * pays a single scan through the codegen [[VectorExpressions
+    * .bestMatch]] kernel — a pure projection: zero joins, zero
+    * shuffles, no row blowup, embarrassingly parallel at any corpus
+    * size. A window/crossJoin formulation of the same argmax would
+    * shuffle |corpus|×|benchmark| scored rows. */
+  def semanticDecontam(corpus: DataFrame, benchmark: DataFrame,
+                       idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val (ids, vecs) = collectCentroids(benchmark, idCol, vecCol)
+    require(ids.nonEmpty, "semanticDecontam: empty benchmark")
+    Par.spread(corpus.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("_v")))
+      .withColumn("_m", VectorExpressions.bestMatch(col("_v"), ids, vecs))
+      .select(col("vec_id"),
+        when(col("_m").isNotNull && col("_m.sim") >= threshold,
+          lit("dropped")).otherwise(lit("kept")).as("status"),
+        col("_m.bench_id").as("best_bench_id"),
+        graft.functions.Num.fpRound(col("_m.sim"), 6).as("similarity"))
+  }
+
   def semDedup(corpus: DataFrame, init: DataFrame, idCol: String,
                vecCol: String, rounds: Int, threshold: Double): DataFrame = {
     val cents = kmeansCentroids(corpus, init, idCol, vecCol, rounds)

@@ -2384,6 +2384,22 @@ object ExtensionQueries {
       TextDedup.substringDupSavings(t(s, dir, "documents"), "doc_id",
         "text", "source", L = 24)),
 
+    // x231 — EMBEDDING-level decontamination: the semantic counter to
+    // x38/x44/x95's lexical family — a corpus vector cosine-close
+    // (>= 0.35, raw-cosine compare per x9's law) to ANY benchmark
+    // vector (vec_id < 20, x226's benchmark-slice convention) is
+    // dropped: paraphrased benchmark leakage that shingle overlap and
+    // verbatim span matching cannot see. The benchmark collects once
+    // (eval-suite-sized, the centroid convention); the corpus pays ONE
+    // scan through the bestMatch codegen kernel — a pure projection,
+    // zero joins, zero shuffles.
+    "x231_semantic_decontam" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticDecontam(e.filter(col("vec_id") >= 20),
+        e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        threshold = 0.35)
+    }),
+
     // x230 — x225's SURGERY against the FROZEN gram-key index (the
     // serving form of the apply twin, and the batch-mode body of the
     // streaming ingest's per-micro-batch work): the odd-id batch is
@@ -5462,6 +5478,27 @@ object ExtensionQueries {
            ELSE 0.0 END AS dup_frac
          FROM documents d LEFT JOIN perdoc p USING (doc_id)
          GROUP BY d.source""") +
+    // x231: brute-force argmax mirror of the bestMatch kernel — per
+    // corpus vector the (sim desc, bench_id asc) rank-1 benchmark
+    // witness (x3's total order), raw-cosine threshold, 1e-6 rounding
+    ("x231_semantic_decontam" ->
+      s"""WITH bench AS (SELECT vec_id AS bench_id, embedding AS bv
+           FROM embeddings WHERE vec_id < 20),
+         corp AS (SELECT vec_id, embedding AS cv FROM embeddings
+           WHERE vec_id >= 20),
+         scored AS (SELECT corp.vec_id, bench_id,
+             ${duckCos("cv", "bv")} AS sim
+           FROM corp, bench),
+         best AS (SELECT vec_id, bench_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, bench_id) AS rn
+           FROM scored)
+         SELECT vec_id,
+           CASE WHEN sim >= 0.35 THEN 'dropped' ELSE 'kept' END
+             AS status,
+           bench_id AS best_bench_id,
+           floor(sim * 1000000 + 0.5) / 1000000.0 AS similarity
+         FROM best WHERE rn = 1""") +
     // x230: x227's span chain (odd batch vs the even-id corpus gram
     // set, batch-internal struct-argmin keeps) composed with x225's
     // character surgery, over the odd batch documents only

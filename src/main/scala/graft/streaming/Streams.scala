@@ -279,6 +279,31 @@ object Streams {
           batchId)
     }
 
+  /** Streaming SEMANTIC-DECONTAMINATION gate — x231's serving form at
+    * ingest, the embedding sibling of the lexical Bloom decontam gate:
+    * drop arriving vectors whose cosine against ANY benchmark vector
+    * reaches `threshold` (paraphrased benchmark leakage the lexical
+    * gates cannot see). The benchmark is frozen batch-side
+    * ([[graft.operators.Similarity.collectCentroids]]'s driver-bounded
+    * collect — the bandSketch convention: build the shareable artifact
+    * once, hand it to the stream) and the verdict is the
+    * [[org.apache.spark.sql.graft.VectorExpressions.bestMatch]] codegen
+    * kernel — a stateless per-row projection, so the gate runs
+    * unchanged in a streaming plan: no state store, no shuffle, no
+    * corpus touch. Schema-preserving like every gate here (the witness
+    * is re-derivable — x231's batch surface). */
+  def semanticDecontamGate(vecs: DataFrame, vecCol: String,
+                           benchIds: Array[Long],
+                           benchVecs: Array[Array[Float]],
+                           threshold: Double): DataFrame = {
+    require(benchIds.nonEmpty, "semanticDecontamGate: empty benchmark")
+    val m = org.apache.spark.sql.graft.VectorExpressions
+      .bestMatch(col(vecCol), benchIds, benchVecs)
+    vecs.withColumn("_m", m)
+      .filter(col("_m").isNull || col("_m.sim") < threshold)
+      .drop("_m")
+  }
+
   /** Streaming RELEVANCE gate — the retrieval-scored sibling of
     * [[classifierGate]]: keep documents whose BM25 relevance against a
     * fixed query reaches `threshold`, scored with

@@ -1505,6 +1505,15 @@ object ScaleBench {
           .filter(pmod(col("doc_id"), lit(2)) === 1),
         "doc_id", "text", L = 24, idxT)
     }),
+    // embedding decontam at 10x: the benchmark collects once
+    // (constant-sized); the corpus pays a pure kernel scan — no joins,
+    // no keyed shuffles, the cheapest possible linear shape.
+    ("x231_semantic_decontam", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.semanticDecontam(e.filter(col("vec_id") >= 20),
+        e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        threshold = 0.35)
+    }),
     // the substring maintenance cycle at 10x, STEADY STATE (x229's
     // live half): the corpus-side doubling pass + the bucketed
     // gram-key freshness audit, nothing repaired — corpus-linear

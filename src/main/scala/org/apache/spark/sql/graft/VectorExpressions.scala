@@ -155,6 +155,27 @@ object VectorKernels {
     best
   }
 
+  /** Strongest benchmark witness: (argmax-cosine id, that cosine) —
+    * [[nearestCentroid]]'s loop keeping the winning cosine too, the
+    * scan-side body of embedding-level decontamination (x231). Ties →
+    * smallest id (`ids` sorted ascending, strict `>`); degenerate
+    * inputs (every cosine NaN) return null. */
+  def bestMatch(v: ArrayData, ids: Array[Long],
+                vecs: Array[Array[Float]])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    var best = -1
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < ids.length) {
+      val cos = cosine(v, vecs(c))
+      if (!cos.isNaN && cos > bestCos) { best = c; bestCos = cos }
+      c += 1
+    }
+    if (best < 0) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](ids(best), bestCos))
+  }
+
   /** The `nprobe` nearest centroid ids, by (cosine desc, id asc); null
     * cosines order last (matching the ranking-window formulation). */
   def probeCentroids(v: ArrayData, ids: Array[Long],
@@ -212,6 +233,33 @@ case class NearestCentroidExpr(child: Expression, ids: Array[Long],
     copy(child = newChild)
 }
 
+case class BestMatchExpr(child: Expression, ids: Array[Long],
+                         vecs: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bench_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sim",
+      org.apache.spark.sql.types.DoubleType)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.bestMatch(input.asInstanceOf[ArrayData], ids, vecs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("benchIds", ids, "long[]")
+    val vecsRef = ctx.addReferenceObj("benchVecs", vecs, "float[][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = org.apache.spark.sql.graft.VectorKernels.bestMatch(
+      |  $c, $idsRef, $vecsRef);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class ProbeCentroidsExpr(child: Expression, ids: Array[Long],
                               vecs: Array[Array[Float]], nprobe: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -253,4 +301,9 @@ object VectorExpressions {
                      nprobe: Int): Column =
     ExpressionUtils.column(ProbeCentroidsExpr(
       ExpressionUtils.expression(v), ids, vecs, nprobe))
+
+  def bestMatch(v: Column, ids: Array[Long],
+                vecs: Array[Array[Float]]): Column =
+    ExpressionUtils.column(BestMatchExpr(
+      ExpressionUtils.expression(v), ids, vecs))
 }

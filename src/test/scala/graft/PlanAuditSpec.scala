@@ -1785,6 +1785,23 @@ class PlanAuditSpec extends SparkSpec {
       s"a corpus-side documents scan crept in:\n$p")
   }
 
+  test("x231 semantic decontam: a PURE PROJECTION — the bestMatch " +
+      "kernel in-plan, zero Exchange, no join/window over the " +
+      "corpus x benchmark product") {
+    val p = plan("x231_semantic_decontam")
+    assert(p.contains("bestmatchexpr") || p.contains("bestMatch") ||
+      p.toLowerCase.contains("bestmatch"),
+      s"bestMatch kernel missing from the plan:\n$p")
+    // the only exchange is Par.spread's round-robin rebalance (droppable
+    // at true scale); no hash/range shuffle — nothing aggregates, joins
+    // or sorts the corpus x benchmark product
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"a keyed shuffle crept into the scan-side decontam:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"the benchmark product materialized as a join:\n$p")
+    assert(!p.contains("Window"), s"window formulation crept in:\n$p")
+  }
+
   test("x230 substring apply indexed: one batch doubling pass + the " +
       "frozen-index semi-join + the fused surgery — corpus text only " +
       "behind the key table, no gram strings, no cartesian") {

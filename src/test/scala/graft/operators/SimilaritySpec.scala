@@ -988,6 +988,38 @@ class SimilaritySpec extends SparkSpec {
       "bracket leaked a cached RDD on a throwing body")
   }
 
+  test("semanticDecontam (x231): per corpus vector the strongest " +
+      "benchmark witness (ties -> smallest bench id), raw-cosine " +
+      "threshold verdicts, degenerate vectors kept with null witness") {
+    val bench = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)), // duplicate of 0: tie -> id 0 wins
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(2.0f, 0.0f, 0.0f)),  // cos 1.0 vs bench 0 AND 1
+      (11L, Array(0.0f, 3.0f, 0.0f)),  // cos 1.0 vs bench 2
+      (12L, Array(1.0f, 1.0f, 0.0f)),  // cos ~0.707 vs 0/1/2 — tie -> 0
+      (13L, Array(-1.0f, 0.0f, 0.0f)), // best is bench 2 at cos 0.0
+      (14L, Array(0.0f, 0.0f, 0.0f))   // zero vector: no valid cosine
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontam(corpus, bench, "vec_id",
+        "embedding", threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(10L) === (("dropped", Some(0L), Some(1.0))))
+    assert(out(11L) === (("dropped", Some(2L), Some(1.0))))
+    assert(out(12L)._1 === "dropped" && out(12L)._2 === Some(0L))
+    assert(out(12L)._3.get === (math.sqrt(0.5) * 1e6).round / 1e6)
+    assert(out(13L) === (("kept", Some(2L), Some(0.0))))
+    assert(out(14L) === (("kept", None, None)))
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDecontam(corpus, bench.limit(0), "vec_id",
+        "embedding", 0.5)
+    }
+  }
+
   test("semDedup (x219): drops exactly the vectors with a smaller-id " +
       "same-cluster witness at/above threshold; witness is the " +
       "strongest; clusters confine the decision; deterministic") {

@@ -302,6 +302,47 @@ class StreamsSpec extends SparkSpec {
     assert(gated.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
   }
 
+  test("semanticDecontamGate drops benchmark-close vectors inside a " +
+      "streaming plan (x231 twin); verdict parity with the batch " +
+      "operator; schema-transparent") {
+    import graft.operators.Similarity
+    val bench = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val (ids, bvecs) = {
+      val rows = bench.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      (rows.map(_._1), rows.map(_._2))
+    }
+    val dir = Files.createTempDirectory("sdgate-in").toString
+    Seq(
+      (10L, Array(0.9f, 0.1f, 0.0f)),  // close to bench 0 -> dropped
+      (11L, Array(0.0f, 0.0f, 1.0f)),  // orthogonal -> kept
+      (12L, Array(0.1f, 0.95f, 0.0f))  // close to bench 1 -> dropped
+    ).toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val gated = Streams.semanticDecontamGate(stream, "embedding",
+      ids, bvecs, threshold = 0.8)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("sdgate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val kept = spark.table("sdgate_out")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L))
+    // parity: stream survivors == the batch operator's kept set
+    val batchKept = Similarity.semanticDecontam(
+        spark.read.schema(schema).parquet(dir), bench, "vec_id",
+        "embedding", threshold = 0.8)
+      .filter(col("status") === "kept")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === batchKept)
+    assert(gated.schema.fieldNames.toSeq === schema.fieldNames.toSeq)
+  }
+
   test("scoreGate gates a stream at a batch-calibrated quantile " +
       "threshold (x119 twin): stream survivors = batch survivors") {
     import graft.operators.TextAnalysis
