@@ -1088,6 +1088,36 @@ object TextDedup {
     markedToSpans(internal.unionByName(cross).distinct(), L)
   }
 
+  /** CHAR-level benchmark DECONTAMINATION served from a FROZEN
+    * [[writeSubstringIndex]] of the BENCHMARK — [[contaminatedSpans]]
+    * (x95) on the substring tier, completing decontamination the way
+    * x224 completed dedup: every maximal corpus character span covered
+    * by L-grams appearing ANYWHERE in the benchmark, with NO
+    * first-occurrence exemption (any benchmark hit is contamination —
+    * x95's law; there is deliberately no batch-internal leg, which is
+    * what separates this from [[substringDupSpansIndexed]]'s dedup
+    * semantics). Tokenization-split markup and verbatim eval text
+    * dedup here even when the token tier's gram grid misses them.
+    *
+    * Serving shape: eval suites are stable artifacts — build the
+    * benchmark's gram-key index once per release; each corpus batch
+    * then pays one doubling pass over ITSELF plus the bucketed
+    * semi-join (benchmark text never rescanned). Output is
+    * `(doc_id, span_start, span_len)`, [[applyCharSpans]]-ready for
+    * the surgery form. */
+  def substringContaminatedSpans(corpus: DataFrame, idCol: String,
+                                 textCol: String, L: Int,
+                                 benchIndexTable: String): DataFrame = {
+    require(L >= 2, s"L must be >= 2, got $L")
+    val spark = corpus.sparkSession
+    val hits = substringKeys(corpus, idCol, textCol, L)
+      .join(spark.table(benchIndexTable)
+          .select(col("gram_key").as("_h")),
+        Seq("_h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    markedToSpans(hits, L)
+  }
+
   /** [[substringDupSpansIndexed]] through the snapshot pointer — the
     * versioned serving read (the [[graft.operators.Retrieval
     * .bm25TopKIndexedVersioned]] convention): resolves the family's

@@ -2384,6 +2384,19 @@ object ExtensionQueries {
       TextDedup.substringDupSavings(t(s, dir, "documents"), "doc_id",
         "text", "source", L = 24)),
 
+    // x232 — CHAR-level benchmark decontamination served from the
+    // frozen substring index (x95 on the substring tier): odd-id
+    // corpus spans covered by 24-grams appearing ANYWHERE in the
+    // even-id "benchmark" index — NO first-occurrence exemption, no
+    // batch-internal leg (the dedup/decontam split the token tier
+    // already draws between x83 and x95). Eval suites are stable:
+    // the index builds once per release, each batch pays only its own
+    // doubling pass + the bucketed semi-join.
+    "x232_substring_decontam" -> ((s, dir) =>
+      TextDedup.substringContaminatedSpans(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", L = 24, substringIndexFor(s, dir))),
+
     // x231 — EMBEDDING-level decontamination: the semantic counter to
     // x38/x44/x95's lexical family — a corpus vector cosine-close
     // (>= 0.35, raw-cosine compare per x9's law) to ANY benchmark
@@ -5478,6 +5491,31 @@ object ExtensionQueries {
            ELSE 0.0 END AS dup_frac
          FROM documents d LEFT JOIN perdoc p USING (doc_id)
          GROUP BY d.source""") +
+    // x232: odd-corpus grams IN the even-benchmark gram set -> islands
+    // merge (x227's cross leg ALONE — no internal-dup leg, no
+    // first-occurrence exemption, x95's law)
+    ("x232_substring_decontam" ->
+      """WITH cg AS (SELECT DISTINCT substring(text, i, 24) AS gr
+           FROM documents, unnest(generate_series(1, length(text) - 23))
+             AS s(i)
+           WHERE doc_id % 2 = 0 AND length(text) >= 24),
+         bg AS (SELECT doc_id, i AS pos, substring(text, i, 24) AS gr
+           FROM documents, unnest(generate_series(1, length(text) - 23))
+             AS s(i)
+           WHERE doc_id % 2 = 1 AND length(text) >= 24),
+         rem AS (SELECT doc_id, pos FROM bg
+           WHERE gr IN (SELECT gr FROM cg)),
+         seg AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos)
+                 OVER (PARTITION BY doc_id ORDER BY pos) <= 24
+               THEN 0 ELSE 1 END AS newseg
+           FROM rem),
+         isl AS (SELECT doc_id, pos,
+             sum(newseg) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM seg)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) - min(pos) + 24 AS BIGINT) AS span_len
+         FROM isl GROUP BY doc_id, grp""") +
     // x231: brute-force argmax mirror of the bestMatch kernel — per
     // corpus vector the (sim desc, bench_id asc) rank-1 benchmark
     // witness (x3's total order), raw-cosine threshold, 1e-6 rounding

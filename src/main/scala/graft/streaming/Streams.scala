@@ -737,6 +737,35 @@ object Streams {
           indexTable, compactEvery, ledger)(sink)
     }
 
+  /** Streaming CHAR-level benchmark-decontamination scrub — x232's
+    * serving form at ingest ([[boilerplateScrub]]'s role on the
+    * substring tier): each micro-batch is span-checked against the
+    * FROZEN benchmark gram-key index
+    * ([[graft.operators.TextDedup.substringContaminatedSpans]] — no
+    * first-occurrence exemption, no batch-internal leg) and the
+    * contaminated spans are cut character-exact before `sink` sees
+    * the rows. UNLIKE [[substringIngest]] there is no append and no
+    * ledger: the benchmark is an immutable release artifact, so the
+    * scrub is pure per-batch computation — replays recompute the
+    * identical cleaned frame by construction (at-least-once
+    * redelivery of the SAME rows, safe for idempotent sinks).
+    * `foreachBatch` only because the index is a catalog table (the
+    * [[dsirGate]] convention); the work itself is stateless. */
+  def substringDecontamScrub(docs: DataFrame, idCol: String,
+                             textCol: String, L: Int,
+                             benchIndexTable: String)
+                            (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val td = graft.operators.TextDedup
+        val b = batch.toDF()
+        sink(td.applyCharSpans(b, idCol, textCol,
+          td.substringContaminatedSpans(b, idCol, textCol, L,
+            benchIndexTable)), batchId)
+    }
+
   /** [[substringIngest]]'s batch handler, factored out so the spec can
     * drive the crash windows directly (`crashAfterStep` ∈ {sink,
     * publish, append} — production wiring passes None). Step order is

@@ -1505,6 +1505,29 @@ object ScaleBench {
           .filter(pmod(col("doc_id"), lit(2)) === 1),
         "doc_id", "text", L = 24, idxT)
     }),
+    // char-level benchmark decontam at 10x: the batch's doubling pass
+    // + the bucketed semi-join against the frozen "benchmark" index —
+    // x227's cost model without the internal-dup aggregate. The split
+    // is by SOURCE parity, not doc-id parity: the 10x fixture's
+    // doc_id*Copies+k renumbering makes id parity = copy parity, and
+    // per-copy token suffixes then share no gram across the split (a
+    // 0-match probe); sources replicate verbatim within every copy,
+    // so cross-source boilerplate survives the 10x law.
+    ("x232_substring_decontam", (s: SparkSession, dir: String) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idxT = s"graft_idx.ssbid_probe_$tag"
+      val srcNum = col("source").substr(lit(4), lit(10)).cast("int")
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_idx")
+      if (!s.catalog.tableExists(idxT)) {
+        graft.sinks.Sinks.dropManaged(s, idxT)
+        TextDedup.writeSubstringIndex(
+          Tables(s, dir, "documents").filter(pmod(srcNum, lit(2)) === 0),
+          "doc_id", "text", L = 24, idxT)
+      }
+      TextDedup.substringContaminatedSpans(
+        Tables(s, dir, "documents").filter(pmod(srcNum, lit(2)) === 1),
+        "doc_id", "text", L = 24, idxT)
+    }),
     // embedding decontam at 10x: the benchmark collects once
     // (constant-sized); the corpus pays a pure kernel scan — no joins,
     // no keyed shuffles, the cheapest possible linear shape.

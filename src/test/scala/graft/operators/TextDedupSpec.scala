@@ -560,6 +560,42 @@ class TextDedupSpec extends SparkSpec {
     graft.sinks.Sinks.dropManaged(spark, idxT)
   }
 
+  test("substringContaminatedSpans (x232): benchmark-covered char " +
+      "spans only — every occurrence marked (no first-occurrence " +
+      "exemption), batch-internal repeats NOT in the benchmark are " +
+      "ignored (the dedup/decontam split)") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val idxT = "graft_idx_test.ssdc_keys"
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
+    val block = "The license block is repeated verbatim everywhere." // 51
+    TextDedup.writeSubstringIndex(
+      Seq((100L, s"benchmark item text: $block end."))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", 24, idxT, numBuckets = 2)
+    val internalRep = "an internal repeated run of thirty characters!"
+    val corpus = Seq(
+      // leaked doc: the block appears TWICE — BOTH occurrences marked
+      (1L, s"first copy: $block and second copy: $block ."),
+      // internal repeat absent from the benchmark: decontam ignores it
+      (2L, s"lead-in $internalRep middle $internalRep tail."),
+      (3L, "a fully clean document with nothing shared at all.")
+    ).toDF("doc_id", "text")
+    val spans = TextDedup.substringContaminatedSpans(corpus, "doc_id",
+        "text", 24, idxT)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_len")))
+    assert(spans.count(_._1 == 1L) === 2, spans.mkString("; "))
+    assert(!spans.exists(_._1 == 2L), spans.mkString("; "))
+    assert(!spans.exists(_._1 == 3L), spans.mkString("; "))
+    // the dedup form, by contrast, marks doc 2's internal repeat
+    assert(TextDedup.substringDupSpansIndexed(corpus, "doc_id", "text",
+        24, idxT)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 2L)
+      .count() > 0)
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
+  }
+
   test("substringDedupApplyIndexed (x230): the batch is cut against " +
       "the frozen corpus index in one call — corpus-shared spans " +
       "excised, batch-novel text byte-identical") {

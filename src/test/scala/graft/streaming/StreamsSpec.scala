@@ -719,6 +719,54 @@ class StreamsSpec extends SparkSpec {
     Seq(idxT, ledT).foreach(dropIdxTable)
   }
 
+  test("substringDecontamScrub: arriving docs are cut against the " +
+      "frozen benchmark gram index inside the stream (x232 twin) — " +
+      "leaked spans excised, clean docs byte-identical, batch parity") {
+    import graft.operators.TextDedup
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_test")
+    val idxT = "graft_idx_test.ssscrub_keys"
+    dropIdxTable(idxT)
+    val block = "The license block is repeated verbatim everywhere."
+    TextDedup.writeSubstringIndex(
+      Seq((100L, s"benchmark item text: $block end."))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", 24, idxT, numBuckets = 2)
+    val novel = "a wholly novel streaming document with nothing shared."
+    val dir = Files.createTempDirectory("ssscrub-in").toString
+    val inRows = Seq(
+      (1L, s"leaked doc carries $block in the middle of it."),
+      (2L, novel))
+    inRows.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val got = scala.collection.mutable.Map[Long, (Long, String)]()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = Streams.substringDecontamScrub(
+        spark.readStream.schema(schema).parquet(dir), "doc_id", "text",
+        24, idxT) { (df, _) =>
+      got.synchronized {
+        got ++= df.collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_chars_removed"),
+            r.getAs[String]("clean_text")))
+        ()
+      }
+    }.option("checkpointLocation",
+        Files.createTempDirectory("ssscrub-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(got(1L)._1 > 0L && !got(1L)._2.contains(block), got(1L))
+    assert(got(2L) === ((0L, novel)))
+    // batch parity: the stream delivered exactly the batch composition
+    val batchOut = TextDedup.applyCharSpans(
+        inRows.toDF("doc_id", "text"), "doc_id", "text",
+        TextDedup.substringContaminatedSpans(
+          inRows.toDF("doc_id", "text"), "doc_id", "text", 24, idxT))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(got.toMap === batchOut)
+    dropIdxTable(idxT)
+  }
+
   test("substringIngest crash windows: the ledger row is the commit " +
       "point — every kill point replays to the SAME cleaned frame or " +
       "a whole-batch no-op, never gutted text; the one residual is " +
